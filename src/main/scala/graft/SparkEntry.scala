@@ -1,13 +1,49 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{RefQueries, RefOracles}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the complete declared operator inventory (SURVEY.md §2 /
+  * §7.4): every key takes (spark, sfDir) and returns a deterministic,
+  * totally-ordered DataFrame; `oracleSql` holds the equivalent DuckDB SQL
+  * the driver hash-compares against at sf0.01.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001 (driver smoke-checks rows>0):
+    * the reference's daily-insights aggregate (SURVEY.md §7.2 — filter +
+    * 9-metric hash aggregate + deterministic means). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RefQueries.dailyAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_flatten"      -> (RefQueries.jsonFlatten _),
+    "q_coalesce_defaults" -> (RefQueries.coalesceDefaults _),
+    "q_filter_eq_date"    -> (RefQueries.filterEqDate _),
+    "q_filter_between"    -> (RefQueries.filterBetween _),
+    "q_count_guard"       -> (RefQueries.countGuard _),
+    "q_anti_join"         -> (RefQueries.antiJoin _),
+    "q_broadcast_join"    -> (RefQueries.broadcastJoin _),
+    "q_daily_agg"         -> (RefQueries.dailyAgg _),
+    "q_engagement_ratio"  -> (RefQueries.engagementRatio _),
+    "q_top_category"      -> (RefQueries.topCategory _),
+    "q_mode_udaf"         -> (RefQueries.modeUdaf _),
+    "q_distinct_regions"  -> (RefQueries.distinctRegions _),
+    "q_dedup_day"         -> (RefQueries.dedupDay _),
+    "q_union_regions"     -> (RefQueries.unionRegions _),
+    "q_rollup_agg"        -> (RefQueries.rollupAgg _),
+    "q_dod_growth"        -> (RefQueries.dodGrowth _),
+    "q_weekly_report"     -> (RefQueries.weeklyReport _),
+    "q_report_rows"       -> (RefQueries.reportRows _),
+    "q_pt_duration"       -> (RefQueries.ptDuration _),
+    "q_ts_normalize"      -> (RefQueries.tsNormalize _),
+    "q_date_format"       -> (RefQueries.dateFormat _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = RefOracles.sql
 }

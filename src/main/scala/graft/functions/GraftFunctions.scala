@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-level helpers shared by every graft operator.
+  *
+  * Design rules (100 TB discipline):
+  *   - everything here is a plain Catalyst column expression (codegen'd,
+  *     no Scala UDF closures in hot paths);
+  *   - all floating-point aggregates route through exact DECIMAL sums so the
+  *     result is a deterministic IEEE value regardless of partition order —
+  *     a 1000-executor shuffle must produce the same bytes as local[1]
+  *     (also required for the DuckDB-oracle hash compare).
+  */
+object GraftFunctions {
+
+  /** Register graft's custom Catalyst expressions for SQL use. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "iso_duration_seconds", exprs => ParseIso8601Duration(exprs.head), "scala_udf")
+  }
+
+  /** ISO-8601 duration string → seconds (custom Catalyst expression, §2.8 F1). */
+  def isoDurationSeconds(c: Column): Column = call_function("iso_duration_seconds", c)
+
+  /** Deterministic, cross-engine 64-bit content hash: first 15 hex chars of
+    * md5 → non-negative long in [0, 2^60). Chosen because DuckDB computes the
+    * identical value via `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`, which
+    * lets every hash-based operator (dedup, MinHash, LSH) be oracle-checked
+    * exactly. md5 here is a *partitioner/fingerprint*, not security.
+    */
+  def hash64(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 31-bit variant for modular MinHash arithmetic that cannot overflow a
+    * signed 64-bit product: h ∈ [0, 2^31-1); a*h+b stays < 2^62.
+    */
+  def hash31(c: Column): Column = pmod(hash64(c), lit(IntModulus))
+
+  /** Prime modulus for the universal-hash family (2^31 - 1, Mersenne). */
+  val IntModulus: Long = 2147483647L
+
+  /** Exact partition-order-independent sum of a double column: cast each value
+    * to DECIMAL(28,6) (exact for inputs with ≤6 meaningful decimals), sum
+    * exactly, cast back to double (a single deterministic rounding).
+    */
+  def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
+
+  /** Deterministic mean built from [[dsum]]: exact-sum → double → one IEEE
+    * division. Identical bytes in Spark and DuckDB. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Whitespace tokenization shared by the text operators — `trim` first so
+    * leading blanks don't produce an empty token (DuckDB's
+    * regexp_split_to_array(trim(x),'\s+') matches exactly). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** k-word shingles of a token array, joined with single spaces:
+    * ["a","b","c"], k=2 → ["a b","b c"]; shorter docs yield the whole doc as
+    * one shingle. Pure higher-order functions — stays codegen-friendly and
+    * matches the DuckDB list_transform/range oracle formulation.
+    */
+  def shingles(toks: Column, k: Int): Column = {
+    val n = size(toks)
+    when(n <= k, array(array_join(toks, " "))).otherwise(
+      transform(sequence(lit(0), n - k),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+  }
+}

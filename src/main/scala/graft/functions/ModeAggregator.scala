@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+import scala.collection.mutable
+
+/** Mode (top-1 by frequency) as a custom typed UDAF — the declared
+  * custom-aggregate capability from SURVEY.md §2.10 (reference computes mode
+  * via pandas `value_counts().idxmax()`, dags/trending_daily_aggregates.py:87
+  * and dags/weekly_report.py:36).
+  *
+  * Tie-break is PINNED: highest count wins, ties resolved toward the LOWEST
+  * value (SURVEY.md §7.6 #2 — pandas' tie order is insertion-dependent and
+  * not reproducible, so graft fixes a deterministic rule; the window-rank
+  * formulation in RefQueries.topCategory and the DuckDB oracle use the same
+  * rule, so `q_mode_udaf` and `q_top_category` agree bit-for-bit).
+  *
+  * Scale note: the buffer is a value→count map, merged associatively across
+  * partitions (map-side partial aggregation), so the shuffle carries one map
+  * per (group × partition), never raw rows. Cardinality of the moded column
+  * is bounded by design (category ids); for unbounded domains use the
+  * window-rank form instead.
+  */
+class LongModeAggregator extends Aggregator[Long, mutable.Map[Long, Long], Long] {
+  override def zero: mutable.Map[Long, Long] = mutable.Map.empty
+
+  override def reduce(b: mutable.Map[Long, Long], v: Long): mutable.Map[Long, Long] = {
+    b.update(v, b.getOrElse(v, 0L) + 1L); b
+  }
+
+  override def merge(a: mutable.Map[Long, Long], b: mutable.Map[Long, Long]): mutable.Map[Long, Long] = {
+    b.foreach { case (k, n) => a.update(k, a.getOrElse(k, 0L) + n) }
+    a
+  }
+
+  /** count DESC, value ASC — the pinned deterministic rule. */
+  override def finish(m: mutable.Map[Long, Long]): Long =
+    if (m.isEmpty) -1L
+    else m.minBy { case (v, n) => (-n, v) }._1
+
+  override def bufferEncoder: Encoder[mutable.Map[Long, Long]] =
+    implicitly[Encoder[mutable.Map[Long, Long]]](Encoders.kryo[mutable.Map[Long, Long]])
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}

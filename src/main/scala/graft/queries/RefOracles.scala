@@ -1,0 +1,186 @@
+package graft.queries
+
+/** DuckDB oracle SQL for [[RefQueries]] — ANSI-ish SQL the driver runs on the
+  * same parquet tables. Column aliases match the Spark side exactly (the
+  * driver sorts columns by name before hashing). Every double is produced by
+  * the same exact-DECIMAL-sum → double → IEEE-op sequence as the Spark code,
+  * so values are bit-identical.
+  */
+object RefOracles {
+  val sql: Map[String, String] = Map(
+    "q_json_flatten" ->
+      """SELECT event_id, event_type, CAST(props->>'k' AS BIGINT) AS k,
+        |CAST(ts AS DATE) AS date FROM events ORDER BY event_id""".stripMargin,
+
+    "q_coalesce_defaults" ->
+      """SELECT o_orderkey,
+        |  coalesce(c_mktsegment, 'Unkown') AS segment,
+        |  coalesce(c_acctbal, 0.0) AS acctbal
+        |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+        |  ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_filter_eq_date" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) = DATE '1996-03-15'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_between" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_count_guard" ->
+      """SELECT count(*) AS cnt FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) = DATE '1996-03-15'""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM customer
+        |  WHERE c_acctbal > 5000 AND c_custkey = o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_broadcast_join" ->
+      """SELECT r_name, n_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_daily_agg" ->
+      """SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS date,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_qty,
+        |  max(l_quantity) AS max_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_price,
+        |  max(l_extendedprice) AS max_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS total_disc,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_disc,
+        |  max(l_discount) AS max_disc
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_engagement_ratio" ->
+      """SELECT flag, date,
+        |  CASE WHEN total_qty > 0
+        |       THEN (total_price + 2 * total_disc) / total_qty * 1000
+        |       ELSE 0.0 END AS engagement_ratio
+        |FROM (
+        |  SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS date,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS total_disc
+        |  FROM lineitem GROUP BY 1, 2)
+        |ORDER BY flag, date""".stripMargin,
+
+    "q_top_category" ->
+      """SELECT event_type, bucket AS top_bucket, cnt FROM (
+        |  SELECT event_type, bucket, cnt,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, bucket ASC) AS rn
+        |  FROM (SELECT event_type, user_id % 10 AS bucket, count(*) AS cnt
+        |        FROM events GROUP BY 1, 2))
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q_mode_udaf" ->
+      """SELECT event_type, bucket AS top_bucket FROM (
+        |  SELECT event_type, bucket,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, bucket ASC) AS rn
+        |  FROM (SELECT event_type, user_id % 10 AS bucket FROM events)
+        |  GROUP BY event_type, bucket)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q_distinct_regions" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+
+    "q_dedup_day" ->
+      """SELECT DISTINCT event_type, CAST(ts AS DATE) AS date FROM events
+        |ORDER BY event_type, date""".stripMargin,
+
+    "q_union_regions" ->
+      """SELECT event_id, event_type FROM events WHERE event_type IN ('click','view')
+        |UNION ALL
+        |SELECT event_id, event_type FROM events WHERE event_type = 'error'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_rollup_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+
+    "q_dod_growth" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, date, n, total_value,
+        |  lag(total_value, 1) OVER (PARTITION BY event_type ORDER BY date) AS prev_value,
+        |  total_value - lag(total_value, 1) OVER (PARTITION BY event_type ORDER BY date) AS growth
+        |FROM daily ORDER BY event_type, date""".stripMargin,
+
+    "q_weekly_report" ->
+      """WITH week AS (
+        |  SELECT * FROM events
+        |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'),
+        |daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        |  FROM week GROUP BY 1, 2),
+        |bc AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS date, user_id % 10 AS bucket, count(*) AS bn
+        |  FROM week GROUP BY 1, 2, 3),
+        |topd AS (
+        |  SELECT event_type, date, bucket AS top_bucket FROM (
+        |    SELECT event_type, date, bucket,
+        |      row_number() OVER (PARTITION BY event_type, date ORDER BY bn DESC, bucket ASC) AS rn
+        |    FROM bc) WHERE rn = 1),
+        |d AS (
+        |  SELECT daily.event_type, daily.date, daily.n_events, daily.total_value,
+        |    topd.top_bucket, daily.total_value / daily.n_events AS ratio
+        |  FROM daily JOIN topd ON daily.event_type = topd.event_type AND daily.date = topd.date),
+        |wins AS (
+        |  SELECT event_type, top_bucket AS win FROM (
+        |    SELECT event_type, top_bucket,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, top_bucket ASC) AS rn
+        |    FROM d GROUP BY event_type, top_bucket) WHERE rn = 1)
+        |SELECT d.event_type, w.win AS top_bucket,
+        |  count(*) FILTER (WHERE d.top_bucket = w.win) AS days_won,
+        |  CAST(sum(CAST(d.total_value AS DECIMAL(28,6))) FILTER (WHERE d.top_bucket = w.win) AS DOUBLE) AS total_value_top,
+        |  CAST(sum(CAST(d.ratio AS DECIMAL(28,6))) FILTER (WHERE d.top_bucket = w.win) AS DOUBLE)
+        |    / count(*) FILTER (WHERE d.top_bucket = w.win) AS avg_ratio_top
+        |FROM d JOIN wins w ON d.event_type = w.event_type
+        |GROUP BY d.event_type, w.win
+        |ORDER BY d.event_type""".stripMargin,
+
+    "q_report_rows" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  format('{:,}', count(*)) AS n_events_fmt,
+        |  strftime(min(CAST(ts AS DATE)), '%d %b %Y') AS first_date_fmt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_pt_duration" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 5 = 0
+        |    THEN 'PT' || (event_id % 60) || 'M' || ((event_id * 7) % 60) || 'S'
+        |    ELSE 'P' || (event_id % 3) || 'DT' || (user_id % 24) || 'H' ||
+        |         (event_id % 60) || 'M' || ((event_id * 7) % 60) || 'S' END AS iso,
+        |  CASE WHEN event_id % 5 = 0
+        |    THEN (event_id % 60) * 60 + ((event_id * 7) % 60)
+        |    ELSE (event_id % 3) * 86400 + (user_id % 24) * 3600 +
+        |         (event_id % 60) * 60 + ((event_id * 7) % 60) END AS secs
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_ts_normalize" ->
+      """SELECT event_id, date_trunc('second', ts) AS ts_norm
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_date_format" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d') AS d_iso,
+        |  strftime(ts, '%d %b %Y') AS d_label
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}

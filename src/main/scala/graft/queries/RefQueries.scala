@@ -1,0 +1,363 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.GraftFunctions._
+import graft.functions.LongModeAggregator
+
+/** The reference-surface operator inventory (SURVEY.md §2) re-expressed as
+  * Spark-first declarative queries over the driver's TPC-H-ish test tables
+  * (mapping per SURVEY.md §7.4: videos→lineitem/events, regions→event_type /
+  * returnflag, channels-dim→customer, insights→grouped aggregates).
+  *
+  * Every query:
+  *   - is a pure LogicalPlan builder — no driver-side loops, no collect();
+  *   - ends in a TOTAL order (orderBy on a unique key) for stable oracle
+  *     hashing;
+  *   - emits doubles only through the deterministic [[dsum]]/[[davg]] pattern
+  *     so results are identical across partition counts AND across engines.
+  *
+  * Scale notes are inline per query; the global ones: all aggregations are
+  * hash aggregates with map-side partial combine; all dimension joins are
+  * explicit `broadcast`; filters/projections sit directly over the parquet
+  * scan so Catalyst pushes them into the reader.
+  */
+object RefQueries {
+
+  /** Load a driver test table. The driver's `events.parquet` carries
+    * TIMESTAMP(NANOS) which Spark's reader rejects by default (DuckDB
+    * truncates it to micros); graft reads nanos as long and truncates with
+    * integer division — bit-identical to the DuckDB oracle's value. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  // ---- §2.1/§2.8 sources & scalar functions -------------------------------
+
+  /** S4+P1+F10: nested-JSON field extraction + flatten (reference flattens
+    * `items[].snippet.*` at dags/trending_daily_ingestion.py:166-176; here the
+    * JSON payload is `events.props`). get_json_object is codegen'd; the scan
+    * reads only the projected columns. */
+  def jsonFlatten(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(
+        col("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        to_date(col("ts")).as("date"))
+      .orderBy("event_id")
+
+  /** P2: null-defaulting after an outer join (reference: `.get(key, default)`
+    * coalescing at trending_daily_ingestion.py:101-107,170-172 — including its
+    * literal "Unkown" [sic] default). The dim side is filtered then broadcast. */
+  def coalesceDefaults(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+    val dim = table(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    orders
+      .join(broadcast(dim), orders("o_custkey") === dim("c_custkey"), "left")
+      .select(
+        col("o_orderkey"),
+        coalesce(col("c_mktsegment"), lit("Unkown")).as("segment"),
+        coalesce(col("c_acctbal"), lit(0.0)).as("acctbal"))
+      .orderBy("o_orderkey")
+  }
+
+  /** P4: equality filter on date — pushed to the parquet reader (partition
+    * pruning when the table is date-partitioned; reference pushes the same
+    * predicate as a SQL string, trending_daily_aggregates.py:55). */
+  def filterEqDate(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) === lit("1996-03-15").cast("date"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P5+F7: inclusive BETWEEN over a 7-day window (reference weekly scan,
+    * weekly_report.py:24-27: start = end − 6 days). */
+  def filterBetween(spark: SparkSession, dir: String): DataFrame = {
+    val end = lit("2024-01-14").cast("date")
+    table(spark, dir, "events")
+      .filter(to_date(col("ts")).between(date_sub(end, 6), end))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  /** A2: count-guard (reference existence/count probe before running a day,
+    * trending_daily_aggregates.py:28-38). One row out; at scale this is a
+    * metadata-cheap scan of one partition when date-partitioned. */
+  def countGuard(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) === lit("1996-03-15").cast("date"))
+      .agg(count(lit(1)).as("cnt"))
+
+  // ---- §2.3 joins ---------------------------------------------------------
+
+  /** J1: left ANTI join against a dimension — the reference's manual
+    * channels-set membership probe (trending_daily_ingestion.py:135-138,
+    * 161-164) done set-oriented: one broadcast hash anti-join instead of a
+    * per-row Python set lookup. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+    val dim = table(spark, dir, "customer").filter(col("c_acctbal") > 5000)
+    orders
+      .join(broadcast(dim), orders("o_custkey") === dim("c_custkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J3: dimension-enrich broadcast join chain (declared capability,
+    * README.md:63-64 "for further analysis"): fact × 3 broadcast dims, then a
+    * hash aggregate. At 100 TB the fact side never shuffles for the joins —
+    * only the final (tiny-key) aggregation does. */
+  def broadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val supp = table(spark, dir, "supplier")
+    val nat = table(spark, dir, "nation")
+    val reg = table(spark, dir, "region")
+    li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // ---- §2.4 aggregations --------------------------------------------------
+
+  /** A3: the reference's 9-metric daily aggregate (sum/mean/max over three
+    * measures per group, trending_daily_aggregates.py:59-77) — its per-region
+    * Python loop becomes ONE hash aggregate with map-side partial
+    * aggregation; means use the deterministic exact-decimal-sum pattern. */
+  def dailyAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"), to_date(col("l_shipdate")).as("date"))
+      .agg(
+        dsum(col("l_quantity")).as("total_qty"),
+        davg(col("l_quantity")).as("avg_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        dsum(col("l_extendedprice")).as("total_price"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        dsum(col("l_discount")).as("total_disc"),
+        davg(col("l_discount")).as("avg_disc"),
+        max(col("l_discount")).as("max_disc"))
+      .orderBy("flag", "date")
+
+  /** A4+F5: derived post-aggregate expression with a divide-by-zero guard
+    * (engagement ratio, trending_daily_aggregates.py:79-84:
+    * (Σlikes + 2·Σcomments)/Σviews × 1000, 0 when Σviews = 0). */
+  def engagementRatio(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"), to_date(col("l_shipdate")).as("date"))
+      .agg(
+        dsum(col("l_quantity")).as("total_qty"),
+        dsum(col("l_extendedprice")).as("total_price"),
+        dsum(col("l_discount")).as("total_disc"))
+      .withColumn("engagement_ratio",
+        when(col("total_qty") > 0,
+          (col("total_price") + lit(2) * col("total_disc")) / col("total_qty") * lit(1000))
+          .otherwise(lit(0.0)))
+      .select("flag", "date", "engagement_ratio")
+      .orderBy("flag", "date")
+
+  /** A5/W1/T3: mode (top-1 by frequency) per group via window ranking —
+    * reference `value_counts().idxmax()` (trending_daily_aggregates.py:87).
+    * Tie-break PINNED: count DESC, value ASC (SURVEY.md §7.6 #2). Two-level
+    * aggregate: the heavy groupBy is on (group, value) — fully partial-
+    * aggregatable — and the window runs over the already-tiny counts. */
+  def topCategory(spark: SparkSession, dir: String): DataFrame = {
+    val counts = table(spark, dir, "events")
+      .groupBy(col("event_type"), (col("user_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cnt").desc, col("bucket").asc)
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("bucket").as("top_bucket"), col("cnt"))
+      .orderBy("event_type")
+  }
+
+  /** §2.10: the same mode computed by a custom typed Aggregator UDAF
+    * ([[LongModeAggregator]]) — must agree with [[topCategory]] bit-for-bit
+    * (same pinned tie-break), proving the custom-aggregate path. */
+  def modeUdaf(spark: SparkSession, dir: String): DataFrame = {
+    val modeOf = udaf(new LongModeAggregator)
+    table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(modeOf(col("user_id") % 10).as("top_bucket"))
+      .orderBy("event_type")
+  }
+
+  /** A6: distinct group-key discovery (reference `set(df["region"])`,
+    * trending_daily_aggregates.py:59). */
+  def distinctRegions(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events").select(col("event_type")).distinct().orderBy("event_type")
+
+  /** A8: dedup guard — dropDuplicates on the run key (reference skips a day
+    * if already loaded, trending_daily_ingestion.py:47-55; set-oriented form:
+    * the write path dedups (date, region)). */
+  def dedupDay(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("date"))
+      .dropDuplicates("event_type", "date")
+      .orderBy("event_type", "date")
+
+  /** U1: UNION ALL of per-region slices (reference pd.concat,
+    * trending_daily_ingestion.py:140,182-184) via unionByName. */
+  def unionRegions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val a = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("event_type"))
+    val b = ev.filter(col("event_type") === "error")
+      .select(col("event_type"), col("event_id")) // swapped on purpose: unionByName aligns
+    a.unionByName(b.select(col("event_id"), col("event_type")))
+      .orderBy("event_id")
+  }
+
+  /** Grouping-sets capability (SURVEY §2.4: reference has none; we expose
+    * rollup as the declared extension). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("total_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("total_qty"))
+      .orderBy("flag", "status")
+
+  // ---- §2.5 windows -------------------------------------------------------
+
+  /** W3: day-over-day growth via lag() (declared capability — README.md:71
+    * advertises "growth trends per region" but the reference never computes
+    * it). Daily totals first (hash agg), then a per-group ordered window. */
+  def dodGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("date"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("date"))
+    daily
+      .withColumn("prev_value", lag(col("total_value"), 1).over(w))
+      .withColumn("growth", col("total_value") - col("prev_value"))
+      .orderBy("event_type", "date")
+  }
+
+  // ---- §2.3 J2 + §2.4 A7: the weekly report -------------------------------
+
+  /** The full weekly-report semantics (weekly_report.py:23-46): 7-day scan →
+    * per-group weekly mode of the daily winning category → conditional
+    * aggregates restricted to the winning category (sum/sum/mean). The
+    * reference's two nested Python loops become: two hash aggregates, two
+    * ranking windows, one broadcast join of a ≤|groups|-row frame. */
+  def weeklyReport(spark: SparkSession, dir: String): DataFrame = {
+    val end = lit("2024-01-14").cast("date")
+    val week = table(spark, dir, "events")
+      .filter(to_date(col("ts")).between(date_sub(end, 6), end))
+
+    // daily totals per (event_type, date)
+    val daily = week
+      .groupBy(col("event_type"), to_date(col("ts")).as("date"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+
+    // daily winning bucket per (event_type, date): count DESC, bucket ASC
+    val bc = week
+      .groupBy(col("event_type"), to_date(col("ts")).as("date"), (col("user_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("bn"))
+    val wd = Window.partitionBy(col("event_type"), col("date"))
+      .orderBy(col("bn").desc, col("bucket").asc)
+    val topd = bc.withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("date"), col("bucket").as("top_bucket"))
+
+    val d = daily.join(topd, Seq("event_type", "date"))
+      .withColumn("ratio", col("total_value") / col("n_events"))
+
+    // weekly winner: mode of the daily winners, same pinned tie-break
+    val ww = Window.partitionBy(col("event_type"))
+      .orderBy(col("wn").desc, col("top_bucket").asc)
+    val wins = d.groupBy(col("event_type"), col("top_bucket")).agg(count(lit(1)).as("wn"))
+      .withColumn("rn", row_number().over(ww))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("top_bucket").as("win"))
+
+    // conditional aggregates restricted to the winning bucket (A7)
+    d.join(broadcast(wins), Seq("event_type"))
+      .groupBy(col("event_type"), col("win"))
+      .agg(
+        count(when(col("top_bucket") === col("win"), 1)).as("days_won"),
+        sum(when(col("top_bucket") === col("win"), col("total_value")).cast("decimal(28,6)"))
+          .cast("double").as("total_value_top"),
+        (sum(when(col("top_bucket") === col("win"), col("ratio")).cast("decimal(28,6)"))
+          .cast("double") /
+          count(when(col("top_bucket") === col("win"), 1))).as("avg_ratio_top"))
+      .select(col("event_type"), col("win").as("top_bucket"), col("days_won"),
+        col("total_value_top"), col("avg_ratio_top"))
+      .orderBy("event_type")
+  }
+
+  /** S7/F6/F8: the report rows (formatted values only — the HTML wrapper is a
+    * driver-side render in [[graft.agg.WeeklyReport]]): thousands-grouped
+    * counts via format_number (reference "{:,}".format, weekly_report.py:39-40)
+    * and dd MMM yyyy date labels (reference strftime('%d %b %Y'),
+    * weekly_report.py:96). */
+  def reportRows(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), min(to_date(col("ts"))).as("first_date"))
+      .select(
+        col("event_type"),
+        col("n_events"),
+        format_number(col("n_events"), 0).as("n_events_fmt"),
+        date_format(col("first_date"), "dd MMM yyyy").as("first_date_fmt"))
+      .orderBy("event_type")
+
+  // ---- §2.8 scalar functions ----------------------------------------------
+
+  /** F1: ISO-8601 duration parse via the custom Catalyst expression
+    * [[graft.functions.ParseIso8601Duration]]. Durations are synthesized
+    * deterministically from event ids in the P…DT…H…M…S / PT…M…S shapes the
+    * reference's `isodate.parse_duration` handles; the oracle computes the
+    * expected seconds arithmetically — an independent ground truth. */
+  def ptDuration(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val ev = table(spark, dir, "events")
+    val d = (col("event_id") % 3).cast("string")
+    val h = (col("user_id") % 24).cast("string")
+    val m = (col("event_id") % 60).cast("string")
+    val s = ((col("event_id") * 7) % 60).cast("string")
+    val iso = when(col("event_id") % 5 === 0,
+      concat(lit("PT"), m, lit("M"), s, lit("S")))
+      .otherwise(concat(lit("P"), d, lit("DT"), h, lit("H"), m, lit("M"), s, lit("S")))
+    ev.select(col("event_id"), iso.as("iso"))
+      .withColumn("secs", isoDurationSeconds(col("iso")))
+      .orderBy("event_id")
+  }
+
+  /** F2: timestamp normalization — the reference STRIPS the trailing Z and
+    * keeps wall-clock UTC as a naive timestamp (trending_daily_ingestion.py:
+    * 44-45). Round-trip: format with Z → strip Z → parse (session TZ UTC). */
+  def tsNormalize(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("raw"))
+      .withColumn("ts_norm", to_timestamp(regexp_replace(col("raw"), "Z$", "")))
+      .select("event_id", "ts_norm")
+      .orderBy("event_id")
+
+  /** F8: date formatting (lake path yyyy-MM-dd, email subject dd MMM yyyy;
+    * trending_daily_ingestion.py:88, weekly_report.py:96). */
+  def dateFormat(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("d_iso"),
+        date_format(col("ts"), "dd MMM yyyy").as("d_label"))
+      .orderBy("event_id")
+}
