@@ -37,7 +37,10 @@ object IsoDuration {
         while (j < n && s.charAt(j) >= '0' && s.charAt(j) <= '9') {
           v = v * 10 + (s.charAt(j) - '0'); digits += 1; j += 1
         }
-        if (digits == 0 || j >= n) return Long.MinValue
+        // Overflow guard: >18 digits overflows the accumulator itself — map
+        // to the malformed sentinel (null downstream) instead of silently
+        // wrapping to wrong/negative seconds.
+        if (digits == 0 || digits > 18 || j >= n) return Long.MinValue
         val unit = s.charAt(j)
         val mult = unit match {
           case 'W' if !inTime => 604800L
@@ -48,7 +51,11 @@ object IsoDuration {
           case _              => -1L
         }
         if (mult < 0) return Long.MinValue
-        total += v * mult
+        // v*mult and total+… must not wrap (same sentinel-on-overflow policy).
+        if (v > (Long.MaxValue - 1) / mult) return Long.MinValue
+        val add = v * mult
+        if (total > Long.MaxValue - 1 - add) return Long.MinValue
+        total += add
         sawField = true
         i = j + 1
       }

@@ -21,11 +21,15 @@ import scala.collection.mutable
   * is bounded by design (category ids); for unbounded domains use the
   * window-rank form instead.
   */
-class LongModeAggregator extends Aggregator[Long, mutable.Map[Long, Long], Long] {
+class LongModeAggregator extends Aggregator[java.lang.Long, mutable.Map[Long, Long], Long] {
   override def zero: mutable.Map[Long, Long] = mutable.Map.empty
 
-  override def reduce(b: mutable.Map[Long, Long], v: Long): mutable.Map[Long, Long] = {
-    b.update(v, b.getOrElse(v, 0L) + 1L); b
+  /** Null policy: null inputs are IGNORED (contribute to no bucket), matching
+    * SQL aggregate semantics — a boxed input encoder makes that explicit
+    * instead of throwing on the first null at runtime. */
+  override def reduce(b: mutable.Map[Long, Long], v: java.lang.Long): mutable.Map[Long, Long] = {
+    if (v != null) b.update(v.longValue, b.getOrElse(v.longValue, 0L) + 1L)
+    b
   }
 
   override def merge(a: mutable.Map[Long, Long], b: mutable.Map[Long, Long]): mutable.Map[Long, Long] = {
@@ -41,4 +45,7 @@ class LongModeAggregator extends Aggregator[Long, mutable.Map[Long, Long], Long]
   override def bufferEncoder: Encoder[mutable.Map[Long, Long]] =
     implicitly[Encoder[mutable.Map[Long, Long]]](Encoders.kryo[mutable.Map[Long, Long]])
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+
+  /** Nullable-input encoder for [[org.apache.spark.sql.functions.udaf]]. */
+  def inputEncoder: Encoder[java.lang.Long] = Encoders.LONG
 }
