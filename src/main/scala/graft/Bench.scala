@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. One warmup pass (JIT/codegen/session init) then one
+  * measured pass per query. The action is a `noop`-format write, NOT
+  * `count()`: under a bare count Catalyst prunes unreferenced projected
+  * columns and eliminates the trailing sort, so the very expressions a query
+  * exists to measure (ISO parsing, date formatting, JSON extraction, the
+  * orderBy) would be optimized away. The noop sink materializes every output
+  * column and executes the full plan including the sort, with zero I/O cost.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,12 +16,20 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // warmup: full pass, untimed
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try runOnce(fn) catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try runOnce(fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

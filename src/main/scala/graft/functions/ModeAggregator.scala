@@ -21,7 +21,7 @@ import scala.collection.mutable
   * is bounded by design (category ids); for unbounded domains use the
   * window-rank form instead.
   */
-class LongModeAggregator extends Aggregator[java.lang.Long, mutable.Map[Long, Long], Long] {
+class LongModeAggregator extends Aggregator[java.lang.Long, mutable.Map[Long, Long], java.lang.Long] {
   override def zero: mutable.Map[Long, Long] = mutable.Map.empty
 
   /** Null policy: null inputs are IGNORED (contribute to no bucket), matching
@@ -37,15 +37,18 @@ class LongModeAggregator extends Aggregator[java.lang.Long, mutable.Map[Long, Lo
     a
   }
 
-  /** count DESC, value ASC — the pinned deterministic rule. */
-  override def finish(m: mutable.Map[Long, Long]): Long =
-    if (m.isEmpty) -1L
-    else m.minBy { case (v, n) => (-n, v) }._1
+  /** count DESC, value ASC — the pinned deterministic rule. An all-null (or
+    * empty) group yields SQL NULL, matching aggregate semantics — no sentinel
+    * value that could collide with real data. */
+  override def finish(m: mutable.Map[Long, Long]): java.lang.Long =
+    if (m.isEmpty) null
+    else java.lang.Long.valueOf(m.minBy { case (v, n) => (-n, v) }._1)
 
   override def bufferEncoder: Encoder[mutable.Map[Long, Long]] =
     implicitly[Encoder[mutable.Map[Long, Long]]](Encoders.kryo[mutable.Map[Long, Long]])
-  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  override def outputEncoder: Encoder[java.lang.Long] = Encoders.LONG
 
-  /** Nullable-input encoder for [[org.apache.spark.sql.functions.udaf]]. */
+  /** Nullable-input encoder — passed explicitly at the udaf() call site
+    * (RefQueries.modeUdaf) so nulls reach [[reduce]] boxed, not thrown on. */
   def inputEncoder: Encoder[java.lang.Long] = Encoders.LONG
 }

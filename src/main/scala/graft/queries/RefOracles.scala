@@ -9,7 +9,7 @@ package graft.queries
 object RefOracles {
   val sql: Map[String, String] = Map(
     "q_json_flatten" ->
-      """SELECT event_id, event_type, CAST(props->>'k' AS BIGINT) AS k,
+      """SELECT event_id, event_type, TRY_CAST(props->>'k' AS BIGINT) AS k,
         |CAST(ts AS DATE) AS date FROM events ORDER BY event_id""".stripMargin,
 
     "q_coalesce_defaults" ->

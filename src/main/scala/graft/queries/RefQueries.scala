@@ -27,13 +27,16 @@ object RefQueries {
 
   /** Load a driver test table. The driver's `events.parquet` carries
     * TIMESTAMP(NANOS) which Spark's reader rejects by default (DuckDB
-    * truncates it to micros); graft reads nanos as long and truncates with
-    * integer division — bit-identical to the DuckDB oracle's value. */
+    * truncates it to micros); graft reads nanos as long (session conf
+    * `spark.sql.legacy.parquet.nanosAsLong` — set once at session build in
+    * Verify/Bench/tests, NOT mutated here) and floor-divides to micros:
+    * `(ts - pmod(ts,1000)) / 1000` is true floor division, correct for
+    * pre-1970 timestamps too (plain `div` truncates toward zero). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.withColumn("ts",
+        timestamp_micros(((col("ts") - pmod(col("ts"), lit(1000))) / 1000).cast("long")))
     else df
   }
 
@@ -188,7 +191,8 @@ object RefQueries {
     * ([[LongModeAggregator]]) — must agree with [[topCategory]] bit-for-bit
     * (same pinned tie-break), proving the custom-aggregate path. */
   def modeUdaf(spark: SparkSession, dir: String): DataFrame = {
-    val modeOf = udaf(new LongModeAggregator)
+    val agg = new LongModeAggregator
+    val modeOf = udaf(agg, agg.inputEncoder)
     table(spark, dir, "events")
       .groupBy(col("event_type"))
       .agg(modeOf(col("user_id") % 10).as("top_bucket"))
@@ -210,14 +214,16 @@ object RefQueries {
       .orderBy("event_type", "date")
 
   /** U1: UNION ALL of per-region slices (reference pd.concat,
-    * trending_daily_ingestion.py:140,182-184) via unionByName. */
+    * trending_daily_ingestion.py:140,182-184) via unionByName — the second
+    * branch is deliberately selected in SWAPPED column order and passed
+    * as-is, so the by-name alignment path is actually exercised. */
   def unionRegions(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
     val a = ev.filter(col("event_type").isin("click", "view"))
       .select(col("event_id"), col("event_type"))
     val b = ev.filter(col("event_type") === "error")
-      .select(col("event_type"), col("event_id")) // swapped on purpose: unionByName aligns
-    a.unionByName(b.select(col("event_id"), col("event_type")))
+      .select(col("event_type"), col("event_id")) // swapped: unionByName must align
+    a.unionByName(b)
       .orderBy("event_id")
   }
 
