@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{RefQueries, RefOracles}
+import graft.queries.{RefQueries, RefOracles, ExtQueries, ExtOracles}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,9 +41,15 @@ object SparkEntry {
     "q_pt_duration"       -> (RefQueries.ptDuration _),
     "q_ts_normalize"      -> (RefQueries.tsNormalize _),
     "q_date_format"       -> (RefQueries.dateFormat _),
+    // LLM-data-pipeline extension operators (SURVEY.md §7.5)
+    "e_exact_dedup"       -> (ExtQueries.exactDedup _),
+    "e_text_stats"        -> (ExtQueries.textStats _),
+    "e_multimodal_cols"   -> (ExtQueries.multimodalCols _),
+    "e_cosine_topk"       -> (ExtQueries.cosineTopk _),
+    "e_minhash_dedup"     -> (ExtQueries.minhashDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = RefOracles.sql
+  def oracleSql: Map[String, String] = RefOracles.sql ++ ExtOracles.sql
 }

@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.GraftFunctions._
+
+/** LLM-training-data-pipeline operators (SURVEY.md §7.5 north-star scope)
+  * over the `documents` / `embeddings` fixture tables. These go beyond the
+  * reference's surface: at 100 TB these are the operators a pretraining-data
+  * pipeline runs all day — dedup, near-dedup, similarity search, text
+  * statistics, multimodal column plumbing.
+  *
+  * Determinism contract (same as [[RefQueries]]): every emitted double is
+  * produced by an operation sequence that is bit-identical in Spark and in
+  * the DuckDB oracle — integer arithmetic wherever possible, and where a
+  * float is unavoidable (cosine), a SEQUENTIAL left-fold over the array in
+  * both engines (Spark `aggregate`, DuckDB `list_reduce`), so a 1000-executor
+  * cluster and the single-node oracle produce the same bytes.
+  *
+  * Scale design (100 TB discipline), per operator:
+  *   - exact dedup: one hash-groupBy shuffle on a 60-bit content fingerprint;
+  *     map-side partial aggregation; no sort, no driver materialization.
+  *   - MinHash/LSH: signatures are computed scan-side (pure column
+  *     expressions, no shuffle); the candidate join shuffles on the BAND
+  *     bucket key — never all-pairs. Verification joins only the candidate
+  *     ids back to shingle sets (|candidates| ≪ |corpus|²).
+  *   - cosine top-k: the QUERY side is broadcast (bounded, user-supplied);
+  *     the corpus is scanned once, never shuffled; only the per-query top-k
+  *     window (|queries| × k rows upstream of the final sort) shuffles.
+  *   - text stats: embarrassingly parallel scan — zero shuffles before the
+  *     deterministic output sort.
+  */
+object ExtQueries {
+  import RefQueries.table
+
+  // ---- e_exact_dedup ------------------------------------------------------
+
+  /** Exact content deduplication. A re-crawl is simulated by unioning the
+    * corpus with an id-shifted copy of itself (ids + 1,000,000 — the realistic
+    * "same page fetched twice" shape); rows are fingerprinted with the
+    * cross-engine 60-bit [[hash64]] and deduplicated keeping the LOWEST id
+    * per content hash (deterministic survivor rule).
+    *
+    * At scale: one shuffle on content_hash, partial-aggregated map-side.
+    * A 100 TB corpus dedups with |distinct contents| reducer state, not
+    * |rows|; no row text crosses the shuffle — only (hash, id). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val recrawl = docs.withColumn("doc_id", col("doc_id") + lit(1000000L))
+    docs.unionByName(recrawl)
+      .select(col("doc_id"), hash64(col("text")).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("content_hash"), col("n_copies"))
+      .orderBy("doc_id")
+  }
+
+  // ---- e_text_stats -------------------------------------------------------
+
+  /** Per-document text statistics for quality filtering: token counts,
+    * distinct-token and stopword ratios, mean token length, and a quality
+    * flag — the standard pretraining-corpus heuristics (length bounds +
+    * stopword-density band). All counts are exact integers; the two ratios
+    * are a single int→double division each (bit-identical cross-engine).
+    * Zero shuffles: a pure projected scan until the output sort. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val totalLen = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+    val nStop = size(filter(toks, t => t === "the" || t === "a"))
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        length(col("text")).as("n_chars"),
+        nTok.as("n_tokens"),
+        size(array_distinct(toks)).as("n_uniq"),
+        nStop.as("n_stop"),
+        (totalLen.cast("double") / nTok.cast("double")).as("avg_token_len"),
+        (nStop.cast("double") / nTok.cast("double")).as("stop_ratio"),
+        (nTok >= 20 && nTok <= 1000 &&
+          (nStop.cast("double") / nTok.cast("double")) < 0.3).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  // ---- e_multimodal_cols --------------------------------------------------
+
+  /** Multimodal column plumbing: media payloads ride as opaque `binary`
+    * columns inside a typed struct `{mime, payload, meta{lang, source}}`,
+    * joined 1:1 with an embedding column. The "decode" step on a real
+    * pipeline (image/audio libs) is deliberately a deterministic stand-in —
+    * byte length + first embedding coordinate — but the Spark-side plumbing
+    * (struct schema, nested-field projection, binary column, broadcastable
+    * 1:1 join) is the real thing.
+    *
+    * At scale the embeddings side joins on the same key the corpus is
+    * partitioned by (doc id), so with co-partitioned storage this is a
+    * zero-shuffle zip; here it is a plain equi-join. */
+  def multimodalCols(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val emb = table(spark, dir, "embeddings")
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .withColumn("media", struct(
+        lit("text/plain").as("mime"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(col("lang"), col("source")).as("meta")))
+      .withColumn("feat", struct(
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_coord")))
+      .select(
+        col("doc_id"),
+        col("media.mime").as("mime"),
+        length(col("media.payload")).as("n_bytes"),
+        col("media.meta.lang").as("lang"),
+        col("media.meta.source").as("source"),
+        col("feat.dim").as("dim"),
+        col("feat.first_coord").as("first_coord"),
+        col("label"))
+      .orderBy("doc_id")
+  }
+
+  // ---- e_cosine_topk ------------------------------------------------------
+
+  /** Sequential left-fold sum of a double-array column — deterministic
+    * order of IEEE additions, matching DuckDB `list_reduce` exactly. */
+  private def seqSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  private def l2norm(a: Column): Column =
+    sqrt(seqSum(transform(a, v => v.cast("double") * v.cast("double"))))
+
+  /** Brute-force cosine top-k over the embedding column — the exact baseline
+    * every ANN variant is graded against. A bounded query set (8 vectors) is
+    * broadcast against the corpus; per pair the dot product is a sequential
+    * fold over `zip_with` products; top-10 per query via a ranking window
+    * with a pinned tie-break (score DESC, cid ASC).
+    *
+    * At scale: corpus scanned once and never shuffled (queries broadcast);
+    * the only shuffle is the per-query window over |queries|·|corpus| scored
+    * rows — for real corpora cut that with a per-partition partial top-k
+    * (the LSH-bucketed variant) before the window. */
+  def cosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("nq", l2norm(col("qe")))
+    val c = emb
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .withColumn("nc", l2norm(col("ce")))
+    val dot = seqSum(zip_with(col("qe"), col("ce"),
+      (x, y) => x.cast("double") * y.cast("double")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("score", dot / (col("nq") * col("nc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cid"), col("score"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  // ---- e_minhash_dedup ----------------------------------------------------
+
+  /** Universal-hash family constants for MinHash: h_i(x) = (A(i)·x + B(i))
+    * mod P with P = 2³¹−1 (Mersenne prime). A(i), B(i) < P and x < P keep
+    * every product under 2⁶² — no signed-64 overflow. The SAME literals are
+    * embedded in the DuckDB oracle SQL ([[ExtOracles]]). */
+  private[queries] val NumHashes = 16
+  private[queries] val NumBands = 4
+  private[queries] val RowsPerBand = NumHashes / NumBands
+  private[queries] val MinhashA: IndexedSeq[Long] =
+    (0 until NumHashes).map(i => (2L * i + 1) * 1000003L % IntModulus)
+  private[queries] val MinhashB: IndexedSeq[Long] =
+    (0 until NumHashes).map(i => (i + 1L) * 7368787L % IntModulus)
+
+  /** MinHash + banded-LSH near-duplicate detection with exact-Jaccard
+    * verification — the scale path for fuzzy dedup (all-pairs is banned).
+    *
+    * Near-duplicates are synthesized deterministically: each document gets a
+    * variant with its first 5 tokens dropped (id + 1,000,000) — the "same
+    * article, different boilerplate" shape. Pipeline, identical in both
+    * engines:
+    *   1. 3-token shingles (distinct) per doc — [[shingles]];
+    *   2. shingle → 31-bit hash ([[hash31]]: md5-based, cross-engine);
+    *   3. 16 minhashes via the pinned universal-hash family;
+    *   4. 4 bands × 4 rows: band signature = joined minhash run;
+    *   5. candidate pairs = docs sharing ANY (band, signature) bucket —
+    *      an equi-join on the bucket key, shuffle ∝ |docs|·bands;
+    *   6. verify candidates with EXACT Jaccard on shingle sets; keep
+    *      J ≥ 0.5, tested integer-side (2·|∩| ≥ |∪|) — no floats anywhere.
+    *
+    * Output is pure integers (ids + intersection/union sizes), so the oracle
+    * compare is exact by construction. */
+  def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val variant = docs.select(
+      (col("doc_id") + lit(1000000L)).as("doc_id"),
+      array_join(slice(tokens(col("text")), lit(6), size(tokens(col("text")))), " ").as("text"))
+    val all = docs.unionByName(variant)
+
+    val shd = all
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("ds"))
+    val sigs = shd
+      .withColumn("hs", transform(col("ds"), s => hash31(s)))
+      .select(col("doc_id"), col("ds"),
+        array((0 until NumHashes).map { i =>
+          array_min(transform(col("hs"),
+            h => (h * lit(MinhashA(i)) + lit(MinhashB(i))) % lit(IntModulus)))
+        }: _*).as("sig"))
+
+    val bands = sigs.select(
+      col("doc_id"),
+      explode(array((0 until NumBands).map { b =>
+        struct(
+          lit(b).as("band"),
+          concat_ws("-", (0 until RowsPerBand).map(r =>
+            element_at(col("sig"), b * RowsPerBand + r + 1)): _*).as("bsig"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    cand
+      .join(shd.select(col("doc_id").as("doc_a"), col("ds").as("ds_a")), Seq("doc_a"))
+      .join(shd.select(col("doc_id").as("doc_b"), col("ds").as("ds_b")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ds_a"), col("ds_b"))).as("n_inter"),
+        size(array_union(col("ds_a"), col("ds_b"))).as("n_union"))
+      .filter(lit(2) * col("n_inter") >= col("n_union"))
+      .orderBy("doc_a", "doc_b")
+  }
+}
