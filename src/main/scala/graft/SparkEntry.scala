@@ -28,6 +28,8 @@ object SparkEntry {
     "q_anti_join"         -> (RefQueries.antiJoin _),
     "q_broadcast_join"    -> (RefQueries.broadcastJoin _),
     "q_daily_agg"         -> (RefQueries.dailyAgg _),
+    "q_daily_agg_rounded" -> (RefQueries.dailyAggRounded _),
+    "q_exists_probe"      -> (RefQueries.existsProbe _),
     "q_engagement_ratio"  -> (RefQueries.engagementRatio _),
     "q_top_category"      -> (RefQueries.topCategory _),
     "q_mode_udaf"         -> (RefQueries.modeUdaf _),

@@ -62,6 +62,25 @@ object RefOracles {
         |  max(l_discount) AS max_disc
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_daily_agg_rounded" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS date,
+        |    CAST(count(*) AS HUGEINT) * 1000000 AS q,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DECIMAL(38,6)) * 1000000 AS HUGEINT) * 100 AS p_qty,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DECIMAL(38,6)) * 1000000 AS HUGEINT) * 100 AS p_price,
+        |    CAST(CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DECIMAL(38,6)) * 1000000 AS HUGEINT) * 100 AS p_disc
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT flag, date,
+        |  CAST(p_qty//q   + CASE WHEN 2*(p_qty%q)   > q THEN 1 WHEN 2*(p_qty%q)   = q THEN (p_qty//q)%2   ELSE 0 END AS DOUBLE)/100.0 AS avg_qty,
+        |  CAST(p_price//q + CASE WHEN 2*(p_price%q) > q THEN 1 WHEN 2*(p_price%q) = q THEN (p_price//q)%2 ELSE 0 END AS DOUBLE)/100.0 AS avg_price,
+        |  CAST(p_disc//q  + CASE WHEN 2*(p_disc%q)  > q THEN 1 WHEN 2*(p_disc%q)  = q THEN (p_disc//q)%2  ELSE 0 END AS DOUBLE)/100.0 AS avg_disc
+        |FROM g ORDER BY flag, date""".stripMargin,
+
+    "q_exists_probe" ->
+      """SELECT count(*) AS found FROM (
+        |  SELECT 1 FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) = DATE '1996-03-15' LIMIT 1)""".stripMargin,
+
     "q_engagement_ratio" ->
       """SELECT flag, date,
         |  CASE WHEN total_qty > 0

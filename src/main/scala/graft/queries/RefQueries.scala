@@ -152,6 +152,42 @@ object RefQueries {
         max(col("l_discount")).as("max_disc"))
       .orderBy("flag", "date")
 
+  /** A3+F4: the daily means ROUNDED to 2 dp half-even — the reference's
+    * exact semantics (`round(mean, 2)` at trending_daily_aggregates.py:69,72,
+    * 75 — Python round is banker's rounding). Spark `bround` is HALF_EVEN
+    * (`round` would be HALF_UP and diverge); the DuckDB oracle uses
+    * `round_even`. Means come off the deterministic decimal-sum path first,
+    * so both engines round the identical double. */
+  def dailyAggRounded(spark: SparkSession, dir: String): DataFrame = {
+    // bround on a DOUBLE would round its shortest decimal repr while DuckDB
+    // rounds the true binary value — they disagree on exact .xx5 ties. So
+    // round while still DECIMAL: sum(decimal)/count is decimal division
+    // (result scale 6 — exact for ≤2-dp inputs at these group sizes), bround
+    // is then exact half-even, and only the final 2-dp value becomes double.
+    // The oracle computes the same thing via exact HUGEINT arithmetic.
+    def avg2(c: Column): Column =
+      bround(sum(c.cast("decimal(28,6)")) / count(lit(1)), 2).cast("double")
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"), to_date(col("l_shipdate")).as("date"))
+      .agg(
+        avg2(col("l_quantity")).as("avg_qty"),
+        avg2(col("l_extendedprice")).as("avg_price"),
+        avg2(col("l_discount")).as("avg_disc"))
+      .orderBy("flag", "date")
+  }
+
+  /** T1+A1: the existence probe — `LIMIT 1` then a count, the set-oriented
+    * form of the reference's branch guard (`SELECT id … WHERE date=… LIMIT 1`
+    * at trending_daily_ingestion.py:47-55). Deterministic (0 or 1) no matter
+    * which row the limit picks; at scale the scan short-circuits after the
+    * first matching row of the pruned partition. */
+  def existsProbe(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) === lit("1996-03-15").cast("date"))
+      .select(lit(1).as("one"))
+      .limit(1)
+      .agg(count(lit(1)).as("found"))
+
   /** A4+F5: derived post-aggregate expression with a divide-by-zero guard
     * (engagement ratio, trending_daily_aggregates.py:79-84:
     * (Σlikes + 2·Σcomments)/Σviews × 1000, 0 when Σviews = 0). */
