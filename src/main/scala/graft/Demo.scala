@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDate
+import org.apache.spark.sql.SparkSession
+import graft.agg.WeeklyReport
+import graft.pipeline.Runner
+import graft.schema.{DailyInsight, Schemas}
+
+/** Usage example / smoke driver for the schema-faithful pipeline path:
+  * a synthetic 2025-10-06-shaped day (FIXTURES.md A1) through ingest →
+  * channel enrich → daily insights → weekly report HTML. Run with
+  * `sbt "runMain graft.Demo"`. Writes only under java.io.tmpdir. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val day1 = """{"QA":{"kind":"youtube#videoListResponse","items":[
+ {"id":"v1","snippet":{"publishedAt":"2025-10-05T10:00:00Z","channelId":"c1","title":"Big hit","categoryId":"10"},"contentDetails":{"duration":"PT3M59S"},"statistics":{"viewCount":"7909854","likeCount":"120000","commentCount":"9000"}},
+ {"id":"v2","snippet":{"publishedAt":"2025-10-05T11:30:00Z","channelId":"c2","title":"No likes shown","categoryId":"10"},"contentDetails":{"duration":"P1DT1S"},"statistics":{"viewCount":"50000"}}]},
+"US":{"kind":"youtube#videoListResponse","items":[
+ {"id":"v3","snippet":{"publishedAt":"2025-10-01T00:00:00Z","channelId":"c3","title":"US vid","categoryId":"24"},"contentDetails":{"duration":"P2W"},"statistics":{"viewCount":"1000","likeCount":"10","commentCount":"1"}}]}}"""
+
+    val chanApi = spark.read.schema(Schemas.channelResponseSchema).json(Seq(
+      """{"id":"c1","snippet":{"title":"Chan One","country":"QA","publishedAt":"2020-01-01T00:00:00Z"},"status":{"madeForKids":false},"statistics":{"subscriberCount":"1000","viewCount":"50000","videoCount":"10"},"brandingSettings":{"keywords":"news"}}""",
+      """{"id":"c2","snippet":{"title":"Chan Two","publishedAt":"2021-06-15T12:00:00Z"},"statistics":{"subscriberCount":"20","viewCount":"300","videoCount":"2"},"brandingSettings":{}}""",
+      """{"id":"c3","snippet":{"title":"Chan Three","country":"US","publishedAt":"2019-03-03T03:03:03Z"},"statistics":{},"brandingSettings":{}}""",
+      """{"id":"c4","snippet":{"title":"Chan Four (day2)","publishedAt":"2022-02-02T02:02:02Z"},"statistics":{"subscriberCount":"5"},"brandingSettings":{}}""").toDS())
+
+    val root = Files.createTempDirectory("graft-demo").toString
+    Files.writeString(Paths.get(s"$root/d1.json"), day1)
+    val wh = s"$root/warehouse"
+    val regions = Seq("QA", "US", "GB") // GB absent from the file: skip-if-absent
+
+    println("== day 1 ingest: " + Runner.runIngestDay(spark, s"$root/d1.json", wh,
+      LocalDate.parse("2025-10-06"), regions, chanApi) + " rows")
+    spark.read.parquet(s"$wh/daily_trending_videos").orderBy("id").show(false)
+    spark.read.parquet(s"$wh/channels").orderBy("id").show(false)
+    println("== re-run same day: " + Runner.runIngestDay(spark, s"$root/d1.json", wh,
+      LocalDate.parse("2025-10-06"), regions, chanApi) + " (0 = skipped)")
+    println("== aggregate: " + Runner.runAggregateDay(spark, wh,
+      LocalDate.parse("2025-10-06")) + " insight rows")
+    spark.read.parquet(s"$wh/daily_insights").orderBy("region").show(false)
+
+    // day 2 introduces ONE new channel c4; c1..c3 must not duplicate
+    val day2 = day1.replace("\"channelId\":\"c3\"", "\"channelId\":\"c4\"")
+      .replace("v1", "w1").replace("v2", "w2").replace("v3", "w3")
+    Files.writeString(Paths.get(s"$root/d2.json"), day2)
+    println("== day 2 ingest: " + Runner.runIngestDay(spark, s"$root/d2.json", wh,
+      LocalDate.parse("2025-10-07"), regions, chanApi) + " rows")
+    println("channels now: " + spark.read.parquet(s"$wh/channels").count() + " (expect 4)")
+
+    val ins = spark.read.parquet(s"$wh/daily_insights").as[DailyInsight]
+    val rows = WeeklyReport.computeRows(ins, LocalDate.parse("2025-10-07"))
+    println(WeeklyReport.subject(LocalDate.parse("2025-10-07")))
+    println(WeeklyReport.renderHtml(rows))
+
+    // malformed day file: observe the failure mode
+    Files.writeString(Paths.get(s"$root/bad.json"), "this is not json {{{")
+    try {
+      val n = Runner.runIngestDay(spark, s"$root/bad.json", wh,
+        LocalDate.parse("2025-10-08"), regions, chanApi)
+      println(s"== malformed day: appended $n rows")
+    } catch {
+      case e: Exception =>
+        println("== malformed day threw: " + e.getClass.getSimpleName)
+    }
+    spark.stop()
+  }
+}
