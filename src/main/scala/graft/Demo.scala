@@ -60,6 +60,35 @@ object Demo {
     println(WeeklyReport.subject(LocalDate.parse("2025-10-07")))
     println(WeeklyReport.renderHtml(rows))
 
+    // streaming slice: checkpointed AvailableNow ingest — run twice, the
+    // second pass is a no-op (checkpoint = the reference's skip-if-present)
+    val sin = Files.createDirectories(Paths.get(s"$root/stream-in")).toString
+    val sout = s"$root/stream-out"
+    val sckpt = s"$root/stream-ckpt"
+    val evDf = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-02-01 10:00:00"), "click", 1.5),
+      (2L, java.sql.Timestamp.valueOf("2024-02-01 11:00:00"), "view", 2.5),
+      (3L, java.sql.Timestamp.valueOf("2024-02-02 09:00:00"), "click", 3.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    evDf.coalesce(1).write.mode("append").parquet(sin)
+    graft.streaming.Streaming.ingestAvailableNow(spark, sin, sout, sckpt, evDf.schema)
+      .awaitTermination()
+    println("== stream ingest pass 1: " + spark.read.parquet(sout).count() + " rows")
+    graft.streaming.Streaming.ingestAvailableNow(spark, sin, sout, sckpt, evDf.schema)
+      .awaitTermination()
+    println("== stream ingest pass 2 (no new files): " + spark.read.parquet(sout).count() + " rows")
+
+    // watermarked 1-day tumbling aggregate over the ingested stream
+    val aggCkpt = s"$root/stream-agg-ckpt"
+    val q = graft.streaming.Streaming
+      .dailyAgg(spark.readStream.schema(evDf.schema).parquet(sout))
+      .writeStream.format("memory").queryName("demo_daily_agg")
+      .outputMode("complete").option("checkpointLocation", aggCkpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    println("== streaming daily aggregate:")
+    spark.table("demo_daily_agg").orderBy("date", "event_type").show(false)
+
     // malformed day file: observe the failure mode
     Files.writeString(Paths.get(s"$root/bad.json"), "this is not json {{{")
     try {

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.functions.GraftFunctions.dsum
+
+/** §2.9 gate (not oracle-checkable — test-gated per SURVEY §5): checkpointed
+  * exactly-once file ingest across restarts, and batch/stream parity of the
+  * watermarked daily aggregate. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def events(ids: Range, day: Int): Seq[(Long, Timestamp, String, Double)] =
+    ids.map { i =>
+      (i.toLong,
+        Timestamp.valueOf(f"2024-02-0$day%d ${i % 24}%02d:00:00"),
+        if (i % 2 == 0) "click" else "view",
+        i * 0.5)
+    }
+
+  test("AvailableNow ingest is exactly-once across restarts (checkpoint = A8 guard)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-stream-in").toString
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val schema = events(0 until 1, 1).toDF("event_id", "ts", "event_type", "value").schema
+
+    events(0 until 50, 1).toDF("event_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(in)
+
+    Streaming.ingestAvailableNow(spark, in, out, ckpt, schema).awaitTermination()
+    assert(spark.read.parquet(out).count() === 50L)
+
+    // restart with nothing new: the checkpoint makes the re-run a no-op
+    Streaming.ingestAvailableNow(spark, in, out, ckpt, schema).awaitTermination()
+    assert(spark.read.parquet(out).count() === 50L)
+
+    // drop one new file: exactly the new rows land
+    events(100 until 120, 2).toDF("event_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(in)
+    Streaming.ingestAvailableNow(spark, in, out, ckpt, schema).awaitTermination()
+    assert(spark.read.parquet(out).count() === 70L)
+    assert(spark.read.parquet(out).select("event_id").distinct().count() === 70L)
+  }
+
+  test("watermarked daily window aggregate matches the batch computation") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-stream-agg-in").toString
+    val ckpt = Files.createTempDirectory("graft-stream-agg-ckpt").toString
+    val df = (events(0 until 40, 1) ++ events(40 until 90, 2) ++ events(90 until 100, 3))
+      .toDF("event_id", "ts", "event_type", "value")
+    df.coalesce(1).write.mode("append").parquet(in)
+
+    val stream = spark.readStream.schema(df.schema).parquet(in)
+    val q = Streaming.dailyAgg(stream).writeStream
+      .format("memory").queryName("daily_agg_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("daily_agg_stream")
+      .orderBy("date", "event_type").collect().toSeq
+    val batch = df
+      .groupBy(to_date(col("ts")).as("date"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("date", "event_type").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.size === 6) // 3 days × 2 event types
+  }
+}
