@@ -21,8 +21,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    // clearCache after each run: some queries persist small intermediates
+    // (weekly report, minhash) — without this, the warmup pass would leave
+    // them cached and the measured pass would skip the scans being measured.
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    }
     // warmup: full pass, untimed
     SparkEntry.queries.foreach { case (_, fn) =>
       try runOnce(fn) catch { case _: Throwable => () }

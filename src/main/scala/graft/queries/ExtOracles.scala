@@ -82,22 +82,25 @@ object ExtOracles {
         |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[6:], ' ') AS text
         |  FROM documents),
         |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM all_docs),
+        |th AS (SELECT doc_id, t,
+        |  list_transform(t, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT) % $P) AS h
+        |  FROM toks),
         |sh AS (
         |  SELECT doc_id,
-        |    CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |    CASE WHEN len(t) <= 3
+        |         THEN [CAST('0x'||substr(md5(array_to_string(t, ' ')),1,15) AS BIGINT) % $P]
         |         ELSE list_transform(range(0, len(t) - 2),
-        |                i -> array_to_string(t[i+1:i+3], ' ')) END AS shingles
-        |  FROM toks),
+        |                i -> ((h[i+1] * ${ExtQueries.ShingleC(0)}) % $P
+        |                    + (h[i+2] * ${ExtQueries.ShingleC(1)}) % $P
+        |                    + (h[i+3] * ${ExtQueries.ShingleC(2)}) % $P) % $P) END AS shingles
+        |  FROM th),
         |shd AS (SELECT doc_id, list_distinct(shingles) AS ds FROM sh),
-        |hx AS (SELECT doc_id, ds,
-        |  list_transform(ds, s -> CAST('0x'||substr(md5(s),1,15) AS BIGINT) % $P) AS hs
-        |  FROM shd),
         |mh AS (SELECT doc_id,
         |  list_transform(range(0, ${ExtQueries.NumHashes}), i ->
-        |    list_min(list_transform(hs,
+        |    list_min(list_transform(ds,
         |      h -> (${lst(ExtQueries.MinhashA)}[i+1] * h
         |            + ${lst(ExtQueries.MinhashB)}[i+1]) % $P))) AS sig
-        |  FROM hx),
+        |  FROM shd),
         |bands AS (
         |  SELECT doc_id, b,
         |    array_to_string(sig[${ExtQueries.RowsPerBand}*b+1:${ExtQueries.RowsPerBand}*b+${ExtQueries.RowsPerBand}], '-') AS bsig

@@ -65,17 +65,20 @@ object ExtQueries {
     * are a single int→double division each (bit-identical cross-engine).
     * Zero shuffles: a pure projected scan until the output sort. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks)
-    val totalLen = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
-    val nStop = size(filter(toks, t => t === "the" || t === "a"))
-    table(spark, dir, "documents")
+    // tokenize ONCE into a column — referencing the split expression from
+    // every output column would re-run the regex split per column.
+    val toked = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("tk"))
+    val nTok = size(col("tk"))
+    val totalLen = aggregate(transform(col("tk"), t => length(t)), lit(0), (a, x) => a + x)
+    val nStop = size(filter(col("tk"), t => t === "the" || t === "a"))
+    toked
       .select(
         col("doc_id"),
         col("lang"),
         length(col("text")).as("n_chars"),
         nTok.as("n_tokens"),
-        size(array_distinct(toks)).as("n_uniq"),
+        size(array_distinct(col("tk"))).as("n_uniq"),
         nStop.as("n_stop"),
         (totalLen.cast("double") / nTok.cast("double")).as("avg_token_len"),
         (nStop.cast("double") / nTok.cast("double")).as("stop_ratio"),
@@ -175,6 +178,15 @@ object ExtQueries {
   private[queries] val MinhashB: IndexedSeq[Long] =
     (0 until NumHashes).map(i => (i + 1L) * 7368787L % IntModulus)
 
+  /** Polynomial coefficients for numeric 3-gram shingle hashes:
+    * sh(i) = (th(i)·C1 + th(i+1)·C2 + th(i+2)·C3) mod P over per-TOKEN
+    * hash31 values. Hashing tokens (short, ~n of them) instead of shingle
+    * STRINGS (long, built per position) keeps the md5 count at one per token
+    * and makes the shingle set an array of longs — primitive-path distinct
+    * and set ops. Terms are reduced mod P individually so the running sum
+    * stays far from signed-64 overflow. */
+  private[queries] val ShingleC: IndexedSeq[Long] = IndexedSeq(911382323L, 972663749L, 31L)
+
   /** MinHash + banded-LSH near-duplicate detection with exact-Jaccard
     * verification — the scale path for fuzzy dedup (all-pairs is banned).
     *
@@ -182,9 +194,10 @@ object ExtQueries {
     * variant with its first 5 tokens dropped (id + 1,000,000) — the "same
     * article, different boilerplate" shape. Pipeline, identical in both
     * engines:
-    *   1. 3-token shingles (distinct) per doc — [[shingles]];
-    *   2. shingle → 31-bit hash ([[hash31]]: md5-based, cross-engine);
-    *   3. 16 minhashes via the pinned universal-hash family;
+    *   1. per-token 31-bit hashes ([[hash31]]: md5-based, cross-engine) →
+    *      numeric 3-gram shingle hashes ([[ShingleC]] polynomial), distinct
+    *      per doc;
+    *   2. 16 minhashes via the pinned universal-hash family;
     *   4. 4 bands × 4 rows: band signature = joined minhash run;
     *   5. candidate pairs = docs sharing ANY (band, signature) bucket —
     *      an equi-join on the bucket key, shuffle ∝ |docs|·bands;
@@ -194,22 +207,49 @@ object ExtQueries {
     * Output is pure integers (ids + intersection/union sizes), so the oracle
     * compare is exact by construction. */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val variant = docs.select(
-      (col("doc_id") + lit(1000000L)).as("doc_id"),
-      array_join(slice(tokens(col("text")), lit(6), size(tokens(col("text")))), " ").as("text"))
-    val all = docs.unionByName(variant)
+    // ONE scan: each source row yields both the original and its variant via
+    // a generator (vs a self-union, which scans the corpus twice).
+    val all = table(spark, dir, "documents")
+      .select(explode(array(
+        struct(col("doc_id"), col("text")),
+        struct((col("doc_id") + lit(1000000L)).as("doc_id"),
+          array_join(slice(tokens(col("text")), lit(6), size(tokens(col("text")))), " ")
+            .as("text")))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
 
-    val shd = all
-      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("ds"))
+    // Token hashes are materialized as a COLUMN before shingling: an
+    // expression referenced inside a `transform` lambda is re-evaluated per
+    // element, so embedding the tokenizer there would re-split the text once
+    // per shingle position — O(tokens²) per row (measured 4× the whole
+    // op's scan cost before this was hoisted).
+    val toked = all.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("th", transform(col("tk"), t => hash31(t)))
+
+    // Numeric 3-gram shingle hashes ([[ShingleC]]); a ≤3-token doc hashes
+    // whole as its single shingle. PERSISTED: the distinct-shingle sets are
+    // consumed by the signature path AND both sides of the verification
+    // join — without the persist the corpus is re-scanned and re-shingled
+    // per consumer (8 scans observed). At 100 TB this materialization
+    // (≈ corpus token volume) is the standard minhash-pipeline
+    // intermediate; MEMORY_AND_DISK spills instead of OOM.
+    val shingleExpr = when(size(col("tk")) <= 3,
+        array(pmod(hash64(array_join(col("tk"), " ")), lit(IntModulus))))
+      .otherwise(transform(sequence(lit(0), size(col("tk")) - 3), i =>
+        ShingleC.zipWithIndex.map { case (c, j) =>
+          element_at(col("th"), i + j + 1) * lit(c) % lit(IntModulus)
+        }.reduce(_ + _) % lit(IntModulus)))
+    val shd = toked
+      .select(col("doc_id"), array_distinct(shingleExpr).as("ds"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     val sigs = shd
-      .withColumn("hs", transform(col("ds"), s => hash31(s)))
-      .select(col("doc_id"), col("ds"),
+      .select(col("doc_id"),
         array((0 until NumHashes).map { i =>
-          array_min(transform(col("hs"),
+          array_min(transform(col("ds"),
             h => (h * lit(MinhashA(i)) + lit(MinhashB(i))) % lit(IntModulus)))
         }: _*).as("sig"))
 
+    // PERSISTED: |docs|·NumBands small rows, probed twice by the self-join.
     val bands = sigs.select(
       col("doc_id"),
       explode(array((0 until NumBands).map { b =>
@@ -219,6 +259,7 @@ object ExtQueries {
             element_at(col("sig"), b * RowsPerBand + r + 1)): _*).as("bsig"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+      .persist()
 
     val cand = bands.as("x")
       .join(bands.as("y"),

@@ -40,6 +40,25 @@ object RefQueries {
     else df
   }
 
+  /** The events table pre-filtered to [startIncl, endIncl] BY DATE, with the
+    * predicate expressed on the RAW nanos column so it reaches the parquet
+    * reader. A date filter on the converted `ts` sits above a derived column
+    * and pushes nothing (`PushedFilters: [IsNotNull(ts)]`); the equivalent
+    * raw range — exact because floor(ts/1000) ≥ X·1000 ⟺ ts ≥ X·1000 — prunes
+    * row groups at the scan. At 100 TB with date-partitioned layout this is
+    * the difference between reading one week and reading the table. */
+  def eventsInDateRange(spark: SparkSession, dir: String,
+                        startIncl: String, endIncl: String): DataFrame = {
+    import java.time.LocalDate
+    def nanosAtStartOfDay(d: LocalDate): Long = d.toEpochDay * 86400L * 1000000000L
+    val lo = nanosAtStartOfDay(LocalDate.parse(startIncl))
+    val hi = nanosAtStartOfDay(LocalDate.parse(endIncl).plusDays(1))
+    spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+      .withColumn("ts",
+        timestamp_micros(((col("ts") - pmod(col("ts"), lit(1000))) / 1000).cast("long")))
+  }
+
   // ---- §2.1/§2.8 sources & scalar functions -------------------------------
 
   /** S4+P1+F10: nested-JSON field extraction + flatten (reference flattens
@@ -80,10 +99,13 @@ object RefQueries {
       .orderBy("l_orderkey", "l_linenumber")
 
   /** P5+F7: inclusive BETWEEN over a 7-day window (reference weekly scan,
-    * weekly_report.py:24-27: start = end − 6 days). */
+    * weekly_report.py:24-27: start = end − 6 days). The range predicate is
+    * applied on the raw scan column ([[eventsInDateRange]]) so it pushes to
+    * parquet; the semantic to_date filter stays for self-documentation and
+    * is a no-op on the already-pruned rows. */
   def filterBetween(spark: SparkSession, dir: String): DataFrame = {
     val end = lit("2024-01-14").cast("date")
-    table(spark, dir, "events")
+    eventsInDateRange(spark, dir, "2024-01-08", "2024-01-14")
       .filter(to_date(col("ts")).between(date_sub(end, 6), end))
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .orderBy("event_id")
@@ -296,28 +318,39 @@ object RefQueries {
   /** The full weekly-report semantics (weekly_report.py:23-46): 7-day scan →
     * per-group weekly mode of the daily winning category → conditional
     * aggregates restricted to the winning category (sum/sum/mean). The
-    * reference's two nested Python loops become: two hash aggregates, two
-    * ranking windows, one broadcast join of a ≤|groups|-row frame. */
+    * reference's two nested Python loops become: ONE scan feeding one
+    * fine-grained hash aggregate, from which both the daily totals (bucket
+    * roll-up) and the daily winners derive — at 100 TB the week's partition
+    * is read once, not twice. Sums stay DECIMAL through the roll-up so the
+    * two-level aggregation is bit-identical to a direct single-level sum. */
   def weeklyReport(spark: SparkSession, dir: String): DataFrame = {
-    val end = lit("2024-01-14").cast("date")
-    val week = table(spark, dir, "events")
-      .filter(to_date(col("ts")).between(date_sub(end, 6), end))
+    val week = eventsInDateRange(spark, dir, "2024-01-08", "2024-01-14")
 
-    // daily totals per (event_type, date)
-    val daily = week
-      .groupBy(col("event_type"), to_date(col("ts")).as("date"))
-      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
-
-    // daily winning bucket per (event_type, date): count DESC, bucket ASC
+    // ONE pass: per (event_type, date, bucket) counts + exact-decimal sums.
+    // PERSISTED: bc is |types×dates×buckets| rows (≈350 here, always tiny —
+    // it is post-aggregation), but it feeds four consumers; without the
+    // persist, per-branch column pruning makes the subplans differ, exchange
+    // reuse never fires, and the week's partition is scanned FOUR times.
     val bc = week
       .groupBy(col("event_type"), to_date(col("ts")).as("date"), (col("user_id") % 10).as("bucket"))
-      .agg(count(lit(1)).as("bn"))
+      .agg(count(lit(1)).as("bn"), sum(col("value").cast("decimal(28,6)")).as("v_dec"))
+      .persist()
+
+    // daily totals = roll the buckets up (no second scan)
+    val daily = bc
+      .groupBy(col("event_type"), col("date"))
+      .agg(sum(col("bn")).as("n_events"), sum(col("v_dec")).cast("double").as("total_value"))
+
+    // daily winning bucket per (event_type, date): count DESC, bucket ASC
     val wd = Window.partitionBy(col("event_type"), col("date"))
       .orderBy(col("bn").desc, col("bucket").asc)
     val topd = bc.withColumn("rn", row_number().over(wd))
       .filter(col("rn") === 1)
       .select(col("event_type"), col("date"), col("bucket").as("top_bucket"))
 
+    // `d` is used twice but derives only from the CACHED bc — recomputing it
+    // is two tiny window/join passes over ≤|types×dates×buckets| cached rows,
+    // cheaper than a second cache barrier (measured at sf0.1).
     val d = daily.join(topd, Seq("event_type", "date"))
       .withColumn("ratio", col("total_value") / col("n_events"))
 
