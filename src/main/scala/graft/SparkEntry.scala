@@ -49,6 +49,11 @@ object SparkEntry {
     "e_multimodal_cols"   -> (ExtQueries.multimodalCols _),
     "e_cosine_topk"       -> (ExtQueries.cosineTopk _),
     "e_minhash_dedup"     -> (ExtQueries.minhashDedup _),
+    "e_simhash_dedup"     -> (ExtQueries.simhashDedup _),
+    "e_ngram_jaccard"     -> (ExtQueries.ngramJaccard _),
+    "e_cosine_dedup"      -> (ExtQueries.cosineDedup _),
+    "e_fingerprint"       -> (ExtQueries.fingerprint _),
+    "e_lang_id"           -> (ExtQueries.langId _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -74,6 +74,110 @@ object ExtOracles {
         |SELECT qid, cid, score, rank FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
+    "e_simhash_dedup" ->
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[6:], ' ') AS text
+        |  FROM documents),
+        |th AS (SELECT doc_id,
+        |  list_transform(regexp_split_to_array(trim(text), '\\s+'),
+        |    x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT) % $P) AS h FROM all_docs),
+        |sh AS (SELECT doc_id,
+        |  list_sum(list_transform(range(0,32), i ->
+        |    CASE WHEN list_sum(list_transform(h, t -> CASE WHEN (t >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS sim FROM th),
+        |bands AS (SELECT doc_id, sim, b, (sim >> (8*b)) & 255 AS bv
+        |  FROM sh, (SELECT unnest(range(4)) AS b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sim AS sa, y.sim AS sb
+        |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming FROM cand
+        |WHERE bit_count(xor(sa, sb)) <= 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "e_ngram_jaccard" ->
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, lang, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, lang, source,
+        |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[6:], ' ') AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, lang, source,
+        |  regexp_split_to_array(trim(text), '\\s+') AS t FROM all_docs),
+        |th AS (SELECT doc_id, lang, source, t,
+        |  list_transform(t, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT) % $P) AS h FROM toks),
+        |bg AS (SELECT doc_id, lang, source,
+        |  CASE WHEN len(t) <= 2
+        |       THEN [CAST('0x'||substr(md5(array_to_string(t, ' ')),1,15) AS BIGINT) % $P]
+        |       ELSE list_transform(range(0, len(t) - 1),
+        |              i -> ((h[i+1] * ${ExtQueries.ShingleC(0)}) % $P
+        |                  + (h[i+2] * ${ExtQueries.ShingleC(1)}) % $P) % $P) END AS bigrams
+        |  FROM th),
+        |sets AS (SELECT doc_id, lang, source, list_distinct(bigrams) AS bs FROM bg)
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  len(list_intersect(x.bs, y.bs)) AS n_inter,
+        |  len(list_distinct(list_concat(x.bs, y.bs))) AS n_union
+        |FROM sets x JOIN sets y
+        |  ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+        |WHERE 2 * len(list_intersect(x.bs, y.bs)) >= len(list_distinct(list_concat(x.bs, y.bs)))
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "e_cosine_dedup" ->
+      """WITH all_vecs AS (
+        |  SELECT vec_id, embedding AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(range(0, len(embedding)),
+        |      d -> CAST(CAST(embedding[d+1] AS DOUBLE) * (0.9 + 0.05*CAST(d % 5 AS DOUBLE)) AS FLOAT)) AS e
+        |  FROM embeddings),
+        |sig AS (SELECT vec_id, e,
+        |  list_sum(list_transform(range(0,16), p ->
+        |    CASE WHEN list_reduce(list_transform(range(0,64), d ->
+        |        (CAST(((p*64+d)*2654435761) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5)
+        |          * CAST(e[d+1] AS DOUBLE)), (a,b) -> a+b) > 0
+        |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS s FROM all_vecs),
+        |bands AS (SELECT vec_id, e, b, (s >> (8*b)) & 255 AS bv
+        |  FROM sig, (SELECT unnest(range(2)) AS b)),
+        |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b, x.e AS ea, y.e AS eb
+        |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.vec_id < y.vec_id),
+        |ver AS (SELECT vec_a, vec_b,
+        |  list_reduce(list_transform(list_zip(ea, eb),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a,b) -> a+b)
+        |  / (sqrt(list_reduce(list_transform(ea, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b) -> a+b))
+        |   * sqrt(list_reduce(list_transform(eb, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b) -> a+b))) AS cos
+        |  FROM cand)
+        |SELECT vec_a, vec_b, cos FROM ver WHERE cos >= 0.95
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "e_fingerprint" ->
+      s"""WITH th AS (SELECT doc_id,
+        |  list_transform(regexp_split_to_array(trim(text), '\\s+'),
+        |    x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT) % $P) AS h FROM documents)
+        |SELECT doc_id, len(h) AS n_tokens,
+        |  list_reduce(h, (acc, x) -> (acc * 1000003 + x) % $P) AS fingerprint
+        |FROM th ORDER BY doc_id""".stripMargin,
+
+    "e_lang_id" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |  regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(t, x -> x IN ('der','die','und'))) AS s_de,
+        |  len(list_filter(t, x -> x IN ('the','a','of'))) AS s_en,
+        |  len(list_filter(t, x -> x IN ('el','los','y'))) AS s_es,
+        |  len(list_filter(t, x -> x IN ('le','la','les'))) AS s_fr,
+        |  len(list_filter(t, x -> x IN ('de5','le5'))) AS s_zh
+        |  FROM toks),
+        |g AS (SELECT doc_id, lang, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m,
+        |  s_de, s_en, s_es, s_fr, s_zh FROM s)
+        |SELECT doc_id, lang,
+        |  CASE WHEN m = 0 THEN 'und'
+        |       WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en'
+        |       WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr'
+        |       WHEN s_zh = m THEN 'zh' ELSE 'und' END AS lang_guess,
+        |  m AS marker_hits
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     "e_minhash_dedup" ->
       s"""WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

@@ -206,16 +206,21 @@ object ExtQueries {
     *
     * Output is pure integers (ids + intersection/union sizes), so the oracle
     * compare is exact by construction. */
-  def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    // ONE scan: each source row yields both the original and its variant via
-    // a generator (vs a self-union, which scans the corpus twice).
-    val all = table(spark, dir, "documents")
-      .select(explode(array(
+  /** The corpus plus a deterministic near-duplicate variant of every doc
+    * (first 5 tokens dropped, id + 1,000,000) — ONE scan: each source row
+    * yields both rows via a generator (vs a self-union, which scans twice).
+    * Shared by every fuzzy-dedup operator so they are comparable. */
+  private def docsWithVariants(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("lang"), col("source"), explode(array(
         struct(col("doc_id"), col("text")),
         struct((col("doc_id") + lit(1000000L)).as("doc_id"),
           array_join(slice(tokens(col("text")), lit(6), size(tokens(col("text")))), " ")
             .as("text")))).as("r"))
-      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+      .select(col("r.doc_id").as("doc_id"), col("lang"), col("source"), col("r.text").as("text"))
+
+  def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val all = docsWithVariants(spark, dir).select(col("doc_id"), col("text"))
 
     // Token hashes are materialized as a COLUMN before shingling: an
     // expression referenced inside a `transform` lambda is re-evaluated per
@@ -277,5 +282,191 @@ object ExtQueries {
         size(array_union(col("ds_a"), col("ds_b"))).as("n_union"))
       .filter(lit(2) * col("n_inter") >= col("n_union"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- e_simhash_dedup ----------------------------------------------------
+
+  /** SimHash near-duplicate detection — the third fuzzy-dedup family
+    * (Charikar's scheme: per-bit majority vote over token hashes). 32-bit
+    * signature (kept in a long; the oracle's left-shift is bounded at 63),
+    * candidates via 4 byte-wide signature bands (a bucket equi-join, never
+    * all-pairs), verification = exact Hamming distance ≤ 1 via
+    * bit_count(xor). All-integer output. One fold per bit over the
+    * materialized token-hash column — the tokenizer runs once per row. */
+  def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val toked = docsWithVariants(spark, dir)
+      .select(col("doc_id"), transform(tokens(col("text")), t => hash31(t)).as("th"))
+    val simBits = (0 until 32).map { i =>
+      when(aggregate(col("th"), lit(0),
+        (acc, t) => acc + when(shiftright(t, i).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)) > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = toked.select(col("doc_id"), simBits.as("sim")).persist()
+
+    val bands = sigs.select(col("doc_id"), col("sim"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sim"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+
+    // Hamming filter BEFORE the distinct: the xor/bit_count verify is a few
+    // cycles, so running it on the raw join output and deduplicating only
+    // the survivors shrinks the distinct's shuffle from |candidates|
+    // (millions at scale) to |near-dups|.
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+      .filter(col("hamming") <= 1)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- e_ngram_jaccard ----------------------------------------------------
+
+  /** Blocked pairwise n-gram Jaccard — the non-LSH fuzzy-dedup strategy:
+    * candidate pairs come from a cheap BLOCKING key (lang, source) instead
+    * of signature buckets, then exact bigram-set Jaccard ≥ 0.5 verified in
+    * integers. Blocking bounds the quadratic term by the largest block
+    * (≤ ~110 docs here); the tradeoff vs MinHash-LSH: no hash recall loss,
+    * but pairs grow with block² — use when a natural partition key exists. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val toked = docsWithVariants(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), tokens(col("text")).as("tk"))
+      .withColumn("th", transform(col("tk"), t => hash31(t)))
+    // bigram hashes: polynomial over adjacent token hashes (ShingleC(0..1))
+    val bigrams = when(size(col("tk")) <= 2,
+        array(pmod(hash64(array_join(col("tk"), " ")), lit(IntModulus))))
+      .otherwise(transform(sequence(lit(0), size(col("tk")) - 2), i =>
+        (element_at(col("th"), i + 1) * lit(ShingleC(0)) % lit(IntModulus)
+          + element_at(col("th"), i + 2) * lit(ShingleC(1)) % lit(IntModulus)) % lit(IntModulus)))
+    // INVERTED-INDEX similarity join — the scale formulation of pairwise
+    // Jaccard: explode the (distinct) bigram sets, equi-join postings on
+    // (block, bigram), and COUNT matches per pair = |A∩B|; |A∪B| falls out
+    // as |A|+|B|−|A∩B|. No per-pair array materialization or set ops — the
+    // whole pairwise step is narrow integer columns through one hash join
+    // and one hash aggregate (3.5× faster than array_intersect-per-pair at
+    // sf0.1). Pairs with an empty intersection can never pass the J ≥ 0.5
+    // filter, so postings-only pair generation loses nothing.
+    val sets = toked
+      .select(col("doc_id"), col("lang"), col("source"), array_distinct(bigrams).as("bs"))
+      .withColumn("nb", size(col("bs")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = sets.select(col("lang"), col("source"), col("doc_id"), col("nb"),
+      explode(col("bs")).as("g"))
+
+    postings.as("x")
+      .join(postings.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.nb").as("na"), col("y.nb").as("nbb"))
+      .agg(count(lit(1)).as("n_inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("na") + col("nbb") - col("n_inter")).as("n_union"))
+      .filter(lit(2) * col("n_inter") >= col("n_union"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- e_cosine_dedup -----------------------------------------------------
+
+  /** Embedding-cosine near-duplicate detection via random-hyperplane LSH —
+    * the SCALE path for e_cosine_topk-style similarity (sign of 16 pinned
+    * pseudo-random hyperplane projections → 2 byte-wide signature bands →
+    * bucket join → exact cosine ≥ 0.95 verify). Hyperplane coefficients are
+    * derived arithmetically (Knuth multiplicative constant mod 2³¹, scaled
+    * to [-0.5, 0.5)) so the oracle reproduces them without shipping 1024
+    * literals. Near-duplicates are synthesized as deterministically
+    * perturbed copies (per-dim scale 0.9 + 0.05·(d mod 5), re-rounded to
+    * float32 in both engines). */
+  def cosineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = table(spark, dir, "embeddings")
+      .select(explode(array(
+        struct(col("vec_id"), col("embedding").as("e")),
+        struct((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"),
+            (x, d) => (x.cast("double") * (lit(0.9) + lit(0.05) * (d % 5).cast("double")))
+              .cast("float")).as("e")))).as("r"))
+      .select(col("r.vec_id").as("vec_id"), col("r.e").as("e"))
+
+    def planeDot(p: Int): Column =
+      aggregate(
+        transform(sequence(lit(0), lit(63)), d =>
+          (((lit(p * 64L) + d) * lit(2654435761L) % lit(2147483648L)).cast("double")
+            / lit(2.147483648e9) - lit(0.5)) * element_at(col("e"), (d + 1).cast("int")).cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    // Norms are computed ONCE per vector here, not per candidate pair — at
+    // |candidates| ≫ |vectors| that cuts two of the three folds per pair.
+    val sigBits = (0 until 16).map(p =>
+      when(planeDot(p) > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+    val sigs = vecs
+      .select(col("vec_id"), col("e"), l2norm(col("e")).as("nrm"), sigBits.as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val bands = sigs.select(col("vec_id"), col("e"), col("nrm"),
+        explode(array((0 until 2).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("s"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("bk"))
+      .select(col("vec_id"), col("e"), col("nrm"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+
+    val dot = seqSum(zip_with(col("x.e"), col("y.e"),
+      (x, y) => x.cast("double") * y.cast("double")))
+    // cosine verify BEFORE the distinct (see simhashDedup): only survivors
+    // pay the dedup shuffle.
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        (dot / (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .filter(col("cos") >= 0.95)
+      .distinct()
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // ---- e_fingerprint ------------------------------------------------------
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash over the
+    * token-hash sequence, acc ← (acc·B + h) mod P — distinguishes documents
+    * with equal token SETS but different order (which every set-based dedup
+    * above conflates). One fold per row, zero shuffles before the sort. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), transform(tokens(col("text")), t => hash31(t)).as("th"))
+      .select(col("doc_id"), size(col("th")).as("n_tokens"),
+        aggregate(col("th"), lit(0L),
+          (acc, h) => (acc * lit(1000003L) + h) % lit(IntModulus)).as("fingerprint"))
+      .orderBy("doc_id")
+
+  // ---- e_lang_id ----------------------------------------------------------
+
+  /** Marker-token language identification — the n-gram-heuristic shape of a
+    * corpus lang-ID pass: per-language marker-token counts, argmax with a
+    * PINNED tie order (alphabetical), 'und' when no marker hits. (A real
+    * classifier swaps the marker lists for charset/trigram tables — the
+    * dataflow is identical; declared lang rides along for evaluation.) */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val markers = Seq(
+      "de" -> Seq("der", "die", "und"),
+      "en" -> Seq("the", "a", "of"),
+      "es" -> Seq("el", "los", "y"),
+      "fr" -> Seq("le", "la", "les"),
+      "zh" -> Seq("de5", "le5"))
+    val toked = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
+    val scored = markers.foldLeft(toked) { case (df, (l, ms)) =>
+      df.withColumn(s"s_$l", size(filter(col("tk"), t => ms.map(t === _).reduce(_ || _))))
+    }
+    val best = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
+    val guess = markers.foldLeft(when(best === 0, "und")) { case (w, (l, _)) =>
+      w.when(col(s"s_$l") === best, l)
+    }
+    scored
+      .select(col("doc_id"), col("lang"), guess.otherwise("und").as("lang_guess"),
+        best.as("marker_hits"))
+      .orderBy("doc_id")
   }
 }
