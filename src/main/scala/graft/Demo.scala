@@ -89,6 +89,12 @@ object Demo {
     println("== streaming daily aggregate:")
     spark.table("demo_daily_agg").orderBy("date", "event_type").show(false)
 
+    // multimodal decode plumbing: binary payloads -> per-partition codec
+    val media = graft.multimodal.MediaDecode.mediaFromDocuments(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5))
+    println("== media features (stub codec):")
+    graft.multimodal.MediaDecode.extractFeatures(media).orderBy("doc_id").show(5, false)
+
     // malformed day file: observe the failure mode
     Files.writeString(Paths.get(s"$root/bad.json"), "this is not json {{{")
     try {

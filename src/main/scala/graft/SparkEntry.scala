@@ -52,6 +52,7 @@ object SparkEntry {
     "e_simhash_dedup"     -> (ExtQueries.simhashDedup _),
     "e_ngram_jaccard"     -> (ExtQueries.ngramJaccard _),
     "e_cosine_dedup"      -> (ExtQueries.cosineDedup _),
+    "e_cosine_topk_lsh"   -> (ExtQueries.cosineTopkLsh _),
     "e_fingerprint"       -> (ExtQueries.fingerprint _),
     "e_lang_id"           -> (ExtQueries.langId _),
   )

@@ -150,6 +150,30 @@ object ExtOracles {
         |SELECT vec_a, vec_b, cos FROM ver WHERE cos >= 0.95
         |ORDER BY vec_a, vec_b""".stripMargin,
 
+    "e_cosine_topk_lsh" ->
+      """WITH sig AS (SELECT vec_id, embedding AS e,
+        |  sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)),
+        |    (a,b) -> a+b)) AS nrm,
+        |  list_sum(list_transform(range(0,16), p ->
+        |    CASE WHEN list_reduce(list_transform(range(0,64), d ->
+        |        (CAST(((p*64+d)*2654435761) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5)
+        |          * CAST(embedding[d+1] AS DOUBLE)), (a,b) -> a+b) > 0
+        |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS s
+        |  FROM embeddings),
+        |bands AS (SELECT vec_id, e, nrm, b, (s >> (8*b)) & 255 AS bv
+        |  FROM sig, (SELECT unnest(range(2)) AS b)),
+        |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid,
+        |  list_reduce(list_transform(list_zip(q.e, c.e),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a,b) -> a+b)
+        |    / (q.nrm * c.nrm) AS score
+        |  FROM bands q JOIN bands c ON q.b = c.b AND q.bv = c.bv
+        |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |ranked AS (SELECT qid, cid, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rank
+        |  FROM cand)
+        |SELECT qid, cid, score, rank FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
     "e_fingerprint" ->
       s"""WITH th AS (SELECT doc_id,
         |  list_transform(regexp_split_to_array(trim(text), '\\s+'),

@@ -427,6 +427,61 @@ object ExtQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  // ---- e_cosine_topk_lsh --------------------------------------------------
+
+  /** LSH-bucketed approximate nearest-neighbor search — the SCALE path for
+    * [[cosineTopk]]: instead of scoring every (query, corpus) pair, each
+    * query scores only corpus vectors sharing a hyperplane-signature band
+    * bucket. Candidates per query ≈ |corpus| / 2^bandBits · bands, so cost
+    * drops from |Q|·|corpus| to |Q|·candidates at the price of recall
+    * (bucket misses) — the approximate results are still bit-deterministic,
+    * and the oracle replicates the same buckets exactly.
+    *
+    * Recall caveat (measured): hyperplane buckets capture HIGH-cosine
+    * neighbors — on the near-duplicate workload ([[cosineDedup]], cos≈0.99)
+    * bucket recall is 97%, but on this uniformly-random corpus (best
+    * cos≈0.37) top-k recall vs the brute-force baseline is near zero, as the
+    * collision probability (1−θ/π)^rowsPerBand predicts. Use the bucketed
+    * path when genuine near neighbors exist; widen bands or fall back to
+    * [[cosineTopk]] otherwise. */
+  def cosineTopkLsh(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("e"))
+    def planeDot(p: Int): Column =
+      aggregate(
+        transform(sequence(lit(0), lit(63)), d =>
+          (((lit(p * 64L) + d) * lit(2654435761L) % lit(2147483648L)).cast("double")
+            / lit(2.147483648e9) - lit(0.5)) * element_at(col("e"), (d + 1).cast("int")).cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val sigBits = (0 until 16).map(p =>
+      when(planeDot(p) > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+    val sigs = vecs
+      .select(col("vec_id"), col("e"), l2norm(col("e")).as("nrm"), sigBits.as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sigs.select(col("vec_id"), col("e"), col("nrm"),
+        explode(array((0 until 2).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("s"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("bk"))
+      .select(col("vec_id"), col("e"), col("nrm"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+
+    val q = bands.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("nq"),
+        col("band"), col("bv"))
+    val cand = bands.as("c")
+      .join(broadcast(q), Seq("band", "bv"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        (seqSum(zip_with(col("qe"), col("e"),
+          (x, y) => x.cast("double") * y.cast("double"))) / (col("nq") * col("nrm"))).as("score"))
+      .distinct() // a pair can share both bands
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cid"), col("score"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   // ---- e_fingerprint ------------------------------------------------------
 
   /** Order-sensitive document fingerprint: polynomial rolling hash over the
