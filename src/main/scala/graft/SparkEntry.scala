@@ -42,6 +42,7 @@ object SparkEntry {
     "q_report_rows"       -> (RefQueries.reportRows _),
     "q_pt_duration"       -> (RefQueries.ptDuration _),
     "q_ts_normalize"      -> (RefQueries.tsNormalize _),
+    "q_explode_seq"       -> (RefQueries.explodeSeq _),
     "q_date_format"       -> (RefQueries.dateFormat _),
     // LLM-data-pipeline extension operators (SURVEY.md §7.5)
     "e_exact_dedup"       -> (ExtQueries.exactDedup _),

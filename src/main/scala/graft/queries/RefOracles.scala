@@ -193,6 +193,11 @@ object RefOracles {
         |         (event_id % 60) * 60 + ((event_id * 7) % 60) END AS secs
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "q_explode_seq" ->
+      """SELECT event_id, pos, event_id * pos AS weight
+        |FROM events, LATERAL (SELECT unnest(range(1, event_id % 4 + 2)) AS pos) t
+        |ORDER BY event_id, pos""".stripMargin,
+
     "q_ts_normalize" ->
       """SELECT event_id, date_trunc('second', ts) AS ts_norm
         |FROM events ORDER BY event_id""".stripMargin,

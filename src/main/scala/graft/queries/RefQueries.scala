@@ -415,6 +415,21 @@ object RefQueries {
       .orderBy("event_id")
   }
 
+  /** §2.10 UDTF/generator with an oracle-checked call site: the reference's
+    * core unnesting walks `items[]` per region (trending_daily_ingestion.py:
+    * 154-160 — the schema-faithful form lives in graft.ingest.Flatten). Here
+    * a deterministic per-row array is synthesized and exploded so the
+    * generator semantics are hash-checked against DuckDB's LATERAL unnest.
+    * At scale explode is a narrow op — rows fan out within the partition,
+    * no shuffle. */
+  def explodeSeq(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(col("event_id"),
+        explode(sequence(lit(1), (col("event_id") % 4 + 1).cast("int"))).as("pos"))
+      .select(col("event_id"), col("pos"),
+        (col("event_id") * col("pos")).as("weight"))
+      .orderBy("event_id", "pos")
+
   /** F2: timestamp normalization — the reference STRIPS the trailing Z and
     * keeps wall-clock UTC as a naive timestamp (trending_daily_ingestion.py:
     * 44-45). Round-trip: format with Z → strip Z → parse (session TZ UTC). */

@@ -58,6 +58,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LessThan(vec_id,8)"), plan.take(800))
   }
 
+  test("simhash scans documents exactly once (persisted signatures)") {
+    val plan = formatted(ExtQueries.simhashDedup(spark, dir))
+    assert(parquetScans(plan) === 1)
+  }
+
+  test("cosine dedup scans embeddings exactly once (persisted signatures+norms)") {
+    val plan = formatted(ExtQueries.cosineDedup(spark, dir))
+    assert(parquetScans(plan) === 1)
+  }
+
+  test("ngram jaccard scans documents exactly once (persisted bigram sets)") {
+    val plan = formatted(ExtQueries.ngramJaccard(spark, dir))
+    assert(parquetScans(plan) === 1)
+  }
+
   test("broadcast joins: dim-enrich chain broadcasts all three dims") {
     val plan = formatted(RefQueries.broadcastJoin(spark, dir))
     val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
