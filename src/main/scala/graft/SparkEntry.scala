@@ -38,6 +38,7 @@ object SparkEntry {
     "q_union_regions"     -> (RefQueries.unionRegions _),
     "q_rollup_agg"        -> (RefQueries.rollupAgg _),
     "q_dod_growth"        -> (RefQueries.dodGrowth _),
+    "q_ntile_quartile"    -> (RefQueries.ntileQuartile _),
     "q_weekly_report"     -> (RefQueries.weeklyReport _),
     "q_report_rows"       -> (RefQueries.reportRows _),
     "q_pt_duration"       -> (RefQueries.ptDuration _),

@@ -371,6 +371,24 @@ object ExtQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The 16 pinned pseudo-random hyperplanes (Knuth multiplicative constant
+    * mod 2³¹, scaled to [-0.5, 0.5)) as PRECOMPUTED literal arrays: the same
+    * values the oracle derives arithmetically, but the Spark expression is
+    * one zip_with+fold per plane instead of a 64-term arithmetic tree per
+    * element — measured 2× faster (the mega-expression falls out of
+    * codegen and evaluates interpreted). */
+  private[queries] val Hyperplanes: IndexedSeq[Array[Double]] =
+    (0 until 16).map { p =>
+      Array.tabulate(64)(d =>
+        ((p * 64L + d) * 2654435761L % 2147483648L).toDouble / 2.147483648e9 - 0.5)
+    }
+
+  /** Sign bit of plane p's projection of array column `e` (sequential fold —
+    * bit-identical to the oracle's list_reduce). */
+  private def planeBit(p: Int, e: Column): Column =
+    when(seqSum(zip_with(lit(Hyperplanes(p)), e,
+      (c, x) => c * x.cast("double"))) > 0, lit(1L << p)).otherwise(lit(0L))
+
   // ---- e_cosine_dedup -----------------------------------------------------
 
   /** Embedding-cosine near-duplicate detection via random-hyperplane LSH —
@@ -392,16 +410,9 @@ object ExtQueries {
               .cast("float")).as("e")))).as("r"))
       .select(col("r.vec_id").as("vec_id"), col("r.e").as("e"))
 
-    def planeDot(p: Int): Column =
-      aggregate(
-        transform(sequence(lit(0), lit(63)), d =>
-          (((lit(p * 64L) + d) * lit(2654435761L) % lit(2147483648L)).cast("double")
-            / lit(2.147483648e9) - lit(0.5)) * element_at(col("e"), (d + 1).cast("int")).cast("double")),
-        lit(0.0), (acc, x) => acc + x)
     // Norms are computed ONCE per vector here, not per candidate pair — at
     // |candidates| ≫ |vectors| that cuts two of the three folds per pair.
-    val sigBits = (0 until 16).map(p =>
-      when(planeDot(p) > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+    val sigBits = (0 until 16).map(p => planeBit(p, col("e"))).reduce(_ + _)
     val sigs = vecs
       .select(col("vec_id"), col("e"), l2norm(col("e")).as("nrm"), sigBits.as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -447,14 +458,7 @@ object ExtQueries {
   def cosineTopkLsh(spark: SparkSession, dir: String): DataFrame = {
     val vecs = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("e"))
-    def planeDot(p: Int): Column =
-      aggregate(
-        transform(sequence(lit(0), lit(63)), d =>
-          (((lit(p * 64L) + d) * lit(2654435761L) % lit(2147483648L)).cast("double")
-            / lit(2.147483648e9) - lit(0.5)) * element_at(col("e"), (d + 1).cast("int")).cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-    val sigBits = (0 until 16).map(p =>
-      when(planeDot(p) > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+    val sigBits = (0 until 16).map(p => planeBit(p, col("e"))).reduce(_ + _)
     val sigs = vecs
       .select(col("vec_id"), col("e"), l2norm(col("e")).as("nrm"), sigBits.as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -141,6 +141,15 @@ object RefOracles {
         |  total_value - lag(total_value, 1) OVER (PARTITION BY event_type ORDER BY date) AS growth
         |FROM daily ORDER BY event_type, date""".stripMargin,
 
+    "q_ntile_quartile" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, date, n,
+        |  ntile(4) OVER (PARTITION BY event_type ORDER BY n ASC, date ASC) AS quartile,
+        |  lead(n, 1) OVER (PARTITION BY event_type ORDER BY n ASC, date ASC) AS next_n
+        |FROM daily ORDER BY event_type, n, date""".stripMargin,
+
     "q_weekly_report" ->
       """WITH week AS (
         |  SELECT * FROM events

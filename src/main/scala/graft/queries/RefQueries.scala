@@ -313,6 +313,22 @@ object RefQueries {
       .orderBy("event_type", "date")
   }
 
+  /** Window-capability breadth beyond the reference (declared bonus, like
+    * rollup): ntile quartiles + lead over per-group daily totals — integer
+    * outputs, so the oracle compare is exact by construction. The heavy
+    * aggregation happens before the window; the window runs over the tiny
+    * per-(group, day) frame. */
+  def ntileQuartile(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("date"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("n").asc, col("date").asc)
+    daily
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("next_n", lead(col("n"), 1).over(w))
+      .orderBy("event_type", "n", "date")
+  }
+
   // ---- §2.3 J2 + §2.4 A7: the weekly report -------------------------------
 
   /** The full weekly-report semantics (weekly_report.py:23-46): 7-day scan →
