@@ -37,6 +37,7 @@ object SparkEntry {
     "q_dedup_day"         -> (RefQueries.dedupDay _),
     "q_union_regions"     -> (RefQueries.unionRegions _),
     "q_rollup_agg"        -> (RefQueries.rollupAgg _),
+    "q_salted_agg"        -> (RefQueries.saltedAgg _),
     "q_dod_growth"        -> (RefQueries.dodGrowth _),
     "q_ntile_quartile"    -> (RefQueries.ntileQuartile _),
     "q_weekly_report"     -> (RefQueries.weeklyReport _),

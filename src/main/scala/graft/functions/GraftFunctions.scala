@@ -55,15 +55,4 @@ object GraftFunctions {
     * regexp_split_to_array(trim(x),'\s+') matches exactly). */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
-  /** k-word shingles of a token array, joined with single spaces:
-    * ["a","b","c"], k=2 → ["a b","b c"]; shorter docs yield the whole doc as
-    * one shingle. Pure higher-order functions — stays codegen-friendly and
-    * matches the DuckDB list_transform/range oracle formulation.
-    */
-  def shingles(toks: Column, k: Int): Column = {
-    val n = size(toks)
-    when(n <= k, array(array_join(toks, " "))).otherwise(
-      transform(sequence(lit(0), n - k),
-        i => array_join(slice(toks, i + 1, lit(k)), " ")))
-  }
 }

@@ -123,6 +123,11 @@ object RefOracles {
         |SELECT event_id, event_type FROM events WHERE event_type = 'error'
         |ORDER BY event_id""".stripMargin,
 
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_rollup_agg" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,

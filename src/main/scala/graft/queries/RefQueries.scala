@@ -285,6 +285,18 @@ object RefQueries {
       .orderBy("event_id")
   }
 
+  /** Skew-safe salted aggregation (declared 100 TB capability): the
+    * two-level (key, salt) → key aggregate from [[graft.operators.Skew]]
+    * must produce BIT-IDENTICAL results to a direct groupBy — the oracle is
+    * the plain GROUP BY, which is exactly the point: salting changes the
+    * shuffle shape (a hot key spreads over 16 reducers), never the answer. */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedSumCount(
+        table(spark, dir, "events"),
+        col("event_type"), col("value"), col("event_id"), salts = 16)
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+
   /** Grouping-sets capability (SURVEY §2.4: reference has none; we expose
     * rollup as the declared extension). */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =

@@ -27,13 +27,6 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
   }
 
-  test("shingles: sliding k-grams, whole-doc when short") {
-    assert(eval1[Seq[String]](shingles(lit(Array("a", "b", "c", "d")), 3))
-      === Seq("a b c", "b c d"))
-    assert(eval1[Seq[String]](shingles(lit(Array("a", "b")), 3)) === Seq("a b"))
-    assert(eval1[Seq[String]](shingles(lit(Array("a", "b", "c")), 3)) === Seq("a b c"))
-  }
-
   test("tokens: trims before splitting so no empty leading token") {
     assert(eval1[Seq[String]](tokens(lit("  a  b c "))) === Seq("a", "b", "c"))
   }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.queries.RefQueries
+
+/** Scale-operator semantics: salted aggregation must not change results;
+  * bucketed joins must not shuffle. */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("salted aggregation is bit-identical to the direct groupBy") {
+    val ev = RefQueries.table(spark, dir, "events")
+    val salted = Skew.saltedSumCount(ev, col("event_type"), col("value"),
+        col("event_id"), salts = 16)
+      .orderBy("key").collect().toSeq
+    val direct = ev.groupBy(col("event_type").as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("total"))
+      .orderBy("key").collect().toSeq
+    assert(salted === direct)
+  }
+
+  test("same-bucketed tables join without an exchange; results match") {
+    val wh = Files.createTempDirectory("graft-bucketed").toString
+    val orders = RefQueries.table(spark, dir, "orders")
+      .withColumnRenamed("o_custkey", "custkey")
+    val cust = RefQueries.table(spark, dir, "customer")
+      .withColumnRenamed("c_custkey", "custkey")
+    Bucketing.writeBucketed(orders, s"$wh/orders_b", "orders_b", "custkey", 8)
+    Bucketing.writeBucketed(cust, s"$wh/customer_b", "customer_b", "custkey", 8)
+
+    // force SMJ so the assertion is about bucketing, not broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.bucketedJoin(spark, "orders_b", "customer_b", "custkey")
+      assert(!Bucketing.hasShuffle(joined), joined.queryExecution.executedPlan.toString.take(800))
+      val expected = orders.join(cust, Seq("custkey")).count()
+      assert(joined.count() === expected)
+
+      // control: the SAME join on plain (unbucketed) frames DOES shuffle
+      val plain = orders.join(cust, Seq("custkey"))
+      assert(Bucketing.hasShuffle(plain))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+}
