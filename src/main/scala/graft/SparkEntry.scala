@@ -38,6 +38,7 @@ object SparkEntry {
     "q_union_regions"     -> (RefQueries.unionRegions _),
     "q_rollup_agg"        -> (RefQueries.rollupAgg _),
     "q_salted_agg"        -> (RefQueries.saltedAgg _),
+    "q_asof_join"         -> (RefQueries.asofJoin _),
     "q_dod_growth"        -> (RefQueries.dodGrowth _),
     "q_ntile_quartile"    -> (RefQueries.ntileQuartile _),
     "q_weekly_report"     -> (RefQueries.weeklyReport _),

@@ -123,6 +123,19 @@ object RefOracles {
         |SELECT event_id, event_type FROM events WHERE event_type = 'error'
         |ORDER BY event_id""".stripMargin,
 
+    "q_asof_join" ->
+      """WITH r AS (
+        |  SELECT user_id % 50 AS k, ts, max_by(event_id, event_id) AS event_id,
+        |         max_by(value, event_id) AS value
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT o_orderkey, o_custkey % 50 AS k,
+        |    TIMESTAMP '2024-01-01' + INTERVAL (o_orderkey % 45) DAY AS t
+        |  FROM orders)
+        |SELECT l.o_orderkey, l.k, r.event_id AS asof_event, r.value AS asof_value
+        |FROM l ASOF LEFT JOIN r ON l.k = r.k AND r.ts <= l.t
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total

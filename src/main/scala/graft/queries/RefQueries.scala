@@ -297,6 +297,29 @@ object RefQueries {
       .withColumnRenamed("key", "event_type")
       .orderBy("event_type")
 
+  /** As-of join capability ([[graft.operators.AsofJoin]] — union-sort-window
+    * algorithm, one shuffle): each order is matched to the LATEST event at or
+    * before its (synthesized, deterministic) timestamp within its key bucket.
+    * The right side is pre-deduplicated per (key, ts) with max_by so "latest"
+    * is pinned; the oracle is DuckDB's native ASOF LEFT JOIN. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val r = table(spark, dir, "events")
+      .groupBy(pmod(col("user_id"), lit(50)).as("k"), col("ts"))
+      .agg(max_by(col("event_id"), col("event_id")).as("event_id"),
+        max_by(col("value"), col("event_id")).as("value"))
+    val l = table(spark, dir, "orders")
+      .select(col("o_orderkey"), pmod(col("o_custkey"), lit(50)).as("k"),
+        expr("timestampadd(DAY, CAST(o_orderkey % 45 AS INT), TIMESTAMP'2024-01-01 00:00:00')").as("t"))
+    graft.operators.AsofJoin.asof(
+        l, col("k"), col("t"),
+        r, col("k"), col("ts"),
+        struct(col("event_id"), col("value")))
+      .select(col("o_orderkey"), col("k"),
+        col("asof.event_id").as("asof_event"),
+        col("asof.value").as("asof_value"))
+      .orderBy("o_orderkey")
+  }
+
   /** Grouping-sets capability (SURVEY §2.4: reference has none; we expose
     * rollup as the declared extension). */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =

@@ -24,6 +24,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted === direct)
   }
 
+  test("as-of join: inclusive <=, latest-wins, null when nothing precedes") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val right = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 1L),
+      ("a", ts("2024-01-01 12:00:00"), 2L),
+      ("b", ts("2024-01-01 11:00:00"), 3L)).toDF("k", "t", "v")
+    val left = Seq(
+      ("a", ts("2024-01-01 09:00:00"), "before-any"),
+      ("a", ts("2024-01-01 10:00:00"), "exactly-at"),   // inclusive: matches v=1
+      ("a", ts("2024-01-01 11:59:00"), "between"),      // matches v=1
+      ("a", ts("2024-01-01 23:00:00"), "after-all"),    // latest: v=2
+      ("c", ts("2024-01-01 12:00:00"), "no-such-key")).toDF("k", "t", "name")
+    val out = AsofJoin.asof(left, col("k"), col("t"),
+        right, col("k"), col("t"), struct(col("v")))
+      .select(col("name"), col("asof.v").as("v"))
+      .collect().map(r => r.getAs[String]("name") -> Option(r.get(1))).toMap
+    assert(out("before-any") === None)
+    assert(out("exactly-at") === Some(1L))
+    assert(out("between") === Some(1L))
+    assert(out("after-all") === Some(2L))
+    assert(out("no-such-key") === None)
+  }
+
   test("same-bucketed tables join without an exchange; results match") {
     val wh = Files.createTempDirectory("graft-bucketed").toString
     val orders = RefQueries.table(spark, dir, "orders")
