@@ -39,6 +39,8 @@ object SparkEntry {
     "q_rollup_agg"        -> (RefQueries.rollupAgg _),
     "q_salted_agg"        -> (RefQueries.saltedAgg _),
     "q_asof_join"         -> (RefQueries.asofJoin _),
+    "q_range_join"        -> (RefQueries.rangeJoin _),
+    "e_token_count"       -> (ExtQueries.tokenCount _),
     "q_dod_growth"        -> (RefQueries.dodGrowth _),
     "q_ntile_quartile"    -> (RefQueries.ntileQuartile _),
     "q_weekly_report"     -> (RefQueries.weeklyReport _),

@@ -174,6 +174,13 @@ object ExtOracles {
         |SELECT qid, cid, score, rank FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
+    "e_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+        |  len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS n_uniq_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "e_fingerprint" ->
       s"""WITH th AS (SELECT doc_id,
         |  list_transform(regexp_split_to_array(trim(text), '\\s+'),

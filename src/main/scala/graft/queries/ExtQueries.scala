@@ -486,6 +486,23 @@ object ExtQueries {
       .orderBy("qid", "rank")
   }
 
+  // ---- e_token_count ------------------------------------------------------
+
+  /** Token counting two ways (north-star "token counting" item): whitespace
+    * split vs a BPE-ish regex segmentation (letter runs / digit runs /
+    * single punctuation — the GPT-2-pattern shape without the library).
+    * The pattern uses a literal space class, not \s, so the Java (Spark)
+    * and RE2 (DuckDB) dialects agree byte-for-byte. Pure projected scan. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        size(bpe).as("n_bpe_tokens"),
+        size(array_distinct(bpe)).as("n_uniq_bpe"))
+      .orderBy("doc_id")
+  }
+
   // ---- e_fingerprint ------------------------------------------------------
 
   /** Order-sensitive document fingerprint: polynomial rolling hash over the

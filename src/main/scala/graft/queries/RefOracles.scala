@@ -123,6 +123,12 @@ object RefOracles {
         |SELECT event_id, event_type FROM events WHERE event_type = 'error'
         |ORDER BY event_id""".stripMargin,
 
+    "q_range_join" ->
+      """SELECT o_orderkey, p_partkey, o_totalprice, p_retailprice
+        |FROM orders JOIN part
+        |  ON o_totalprice >= p_retailprice AND o_totalprice < p_retailprice + 100
+        |ORDER BY o_orderkey, p_partkey""".stripMargin,
+
     "q_asof_join" ->
       """WITH r AS (
         |  SELECT user_id % 50 AS k, ts, max_by(event_id, event_id) AS event_id,

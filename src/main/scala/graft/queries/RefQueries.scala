@@ -320,6 +320,22 @@ object RefQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Range-join capability ([[graft.operators.RangeJoin]] — binned interval
+    * containment): orders priced inside a part's [retail, retail+100) band.
+    * The equi-join-on-bin plan replaces the nested-loop a bare inequality
+    * join would get; the oracle is DuckDB's plain inequality join (which its
+    * own IEJoin optimizes — two different algorithms, same rows). */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val points = table(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val intervals = table(spark, dir, "part").select(col("p_partkey"), col("p_retailprice"))
+    graft.operators.RangeJoin.pointInInterval(
+        points, col("o_totalprice"),
+        intervals, col("p_retailprice"), col("p_retailprice") + lit(100.0),
+        binWidth = 100.0)
+      .select(col("o_orderkey"), col("p_partkey"), col("o_totalprice"), col("p_retailprice"))
+      .orderBy("o_orderkey", "p_partkey")
+  }
+
   /** Grouping-sets capability (SURVEY §2.4: reference has none; we expose
     * rollup as the declared extension). */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
