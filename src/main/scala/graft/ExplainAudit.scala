@@ -8,6 +8,7 @@ import org.apache.spark.sql.execution.ExplainMode
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -41,6 +41,7 @@ object SparkEntry {
     "q_asof_join"         -> (RefQueries.asofJoin _),
     "q_range_join"        -> (RefQueries.rangeJoin _),
     "e_token_count"       -> (ExtQueries.tokenCount _),
+    "e_distinct_sketch"   -> (ExtQueries.distinctSketch _),
     "q_dod_growth"        -> (RefQueries.dodGrowth _),
     "q_ntile_quartile"    -> (RefQueries.ntileQuartile _),
     "q_weekly_report"     -> (RefQueries.weeklyReport _),

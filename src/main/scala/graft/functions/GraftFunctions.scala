@@ -15,10 +15,27 @@ import org.apache.spark.sql.functions._
   */
 object GraftFunctions {
 
-  /** Register graft's custom Catalyst expressions for SQL use. Idempotent. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "iso_duration_seconds", exprs => ParseIso8601Duration(exprs.head), "scala_udf")
+  private val registeredSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register graft's custom Catalyst expressions for SQL use. Idempotent
+    * AND once-per-session (re-registration would log a replaced-function
+    * warning on every call site). */
+  def register(spark: SparkSession): Unit = synchronized {
+    if (registeredSessions.add(spark)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "iso_duration_seconds", exprs => ParseIso8601Duration(exprs.head), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "nanos_to_micros", exprs => NanosToMicros(exprs.head), "scala_udf")
+    }
+  }
+
+  /** Floor-division nanos→micros via the named [[NanosToMicros]] expression —
+    * the node [[graft.plans.NanosDatePushdown]] keys its rewrite on. */
+  def nanosToMicros(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    call_function("nanos_to_micros", c)
   }
 
   /** ISO-8601 duration string → seconds (custom Catalyst expression, §2.8 F1). */

@@ -189,6 +189,12 @@ object ExtOracles {
         |  list_reduce(h, (acc, x) -> (acc * 1000003 + x) % $P) AS fingerprint
         |FROM th ORDER BY doc_id""".stripMargin,
 
+    "e_distinct_sketch" ->
+      """SELECT event_type,
+        |  count(DISTINCT CAST('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15) AS BIGINT) % 16384) AS k_slots,
+        |  count(DISTINCT user_id) AS exact_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "e_lang_id" ->
       """WITH toks AS (SELECT doc_id, lang,
         |  regexp_split_to_array(trim(text), '\s+') AS t FROM documents),

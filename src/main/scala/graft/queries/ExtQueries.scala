@@ -517,6 +517,32 @@ object ExtQueries {
           (acc, h) => (acc * lit(1000003L) + h) % lit(IntModulus)).as("fingerprint"))
       .orderBy("doc_id")
 
+  // ---- e_distinct_sketch --------------------------------------------------
+
+  /** Linear-counting distinct sketch (the "novel sketch" capability): hash
+    * every value into an m=16384-slot bitmap; the number of OCCUPIED slots k
+    * estimates the cardinality as −m·ln(1−k/m). The sketch state (k per
+    * group) is pure integers — computed identically in both engines via the
+    * cross-engine [[hash64]] — so the oracle compare is exact; the ln-based
+    * estimator is applied downstream (tests assert <5% error vs exact).
+    *
+    * At scale: the bitmap is a bounded 2KB-per-group structure; the shuffle
+    * carries (group, slot) pairs deduplicated map-side — never raw values.
+    * (Spark's built-in approx_count_distinct is HLL++ — better error per
+    * byte, but its state isn't reproducible cross-engine, which is what the
+    * oracle demands; linear counting is exact-error-analyzable AND portable.) */
+  val SketchSlots = 16384
+
+  def distinctSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    ev.groupBy(col("event_type"))
+      .agg(
+        countDistinct(pmod(hash64(col("user_id").cast("string")), lit(SketchSlots)))
+          .as("k_slots"),
+        countDistinct(col("user_id")).as("exact_distinct"))
+      .orderBy("event_type")
+  }
+
   // ---- e_lang_id ----------------------------------------------------------
 
   /** Marker-token language identification — the n-gram-heuristic shape of a

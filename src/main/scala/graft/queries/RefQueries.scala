@@ -29,34 +29,18 @@ object RefQueries {
     * TIMESTAMP(NANOS) which Spark's reader rejects by default (DuckDB
     * truncates it to micros); graft reads nanos as long (session conf
     * `spark.sql.legacy.parquet.nanosAsLong` — set once at session build in
-    * Verify/Bench/tests, NOT mutated here) and floor-divides to micros:
-    * `(ts - pmod(ts,1000)) / 1000` is true floor division, correct for
-    * pre-1970 timestamps too (plain `div` truncates toward zero). */
+    * Verify/Bench/tests, NOT mutated here) and floor-divides to micros via
+    * the NAMED [[graft.functions.NanosToMicros]] expression. Naming the
+    * conversion is load-bearing: the [[graft.plans.NanosDatePushdown]]
+    * optimizer rule (installed via GraftExtensions at session build)
+    * recognizes date predicates over this node and appends the equivalent
+    * raw-nanos range predicate, so `filter(to_date($"ts") === d)` written
+    * naturally STILL reaches the parquet reader as a pushed range. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts",
-        timestamp_micros(((col("ts") - pmod(col("ts"), lit(1000))) / 1000).cast("long")))
+      df.withColumn("ts", timestamp_micros(nanosToMicros(spark, col("ts"))))
     else df
-  }
-
-  /** The events table pre-filtered to [startIncl, endIncl] BY DATE, with the
-    * predicate expressed on the RAW nanos column so it reaches the parquet
-    * reader. A date filter on the converted `ts` sits above a derived column
-    * and pushes nothing (`PushedFilters: [IsNotNull(ts)]`); the equivalent
-    * raw range — exact because floor(ts/1000) ≥ X·1000 ⟺ ts ≥ X·1000 — prunes
-    * row groups at the scan. At 100 TB with date-partitioned layout this is
-    * the difference between reading one week and reading the table. */
-  def eventsInDateRange(spark: SparkSession, dir: String,
-                        startIncl: String, endIncl: String): DataFrame = {
-    import java.time.LocalDate
-    def nanosAtStartOfDay(d: LocalDate): Long = d.toEpochDay * 86400L * 1000000000L
-    val lo = nanosAtStartOfDay(LocalDate.parse(startIncl))
-    val hi = nanosAtStartOfDay(LocalDate.parse(endIncl).plusDays(1))
-    spark.read.parquet(s"$dir/events.parquet")
-      .filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
-      .withColumn("ts",
-        timestamp_micros(((col("ts") - pmod(col("ts"), lit(1000))) / 1000).cast("long")))
   }
 
   // ---- §2.1/§2.8 sources & scalar functions -------------------------------
@@ -99,13 +83,12 @@ object RefQueries {
       .orderBy("l_orderkey", "l_linenumber")
 
   /** P5+F7: inclusive BETWEEN over a 7-day window (reference weekly scan,
-    * weekly_report.py:24-27: start = end − 6 days). The range predicate is
-    * applied on the raw scan column ([[eventsInDateRange]]) so it pushes to
-    * parquet; the semantic to_date filter stays for self-documentation and
-    * is a no-op on the already-pruned rows. */
+    * weekly_report.py:24-27: start = end − 6 days). Written in the NATURAL
+    * declarative form — the [[graft.plans.NanosDatePushdown]] rule derives
+    * the pushable raw-nanos range automatically (PlanSpec pins it). */
   def filterBetween(spark: SparkSession, dir: String): DataFrame = {
     val end = lit("2024-01-14").cast("date")
-    eventsInDateRange(spark, dir, "2024-01-08", "2024-01-14")
+    table(spark, dir, "events")
       .filter(to_date(col("ts")).between(date_sub(end, 6), end))
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .orderBy("event_id")
@@ -391,7 +374,9 @@ object RefQueries {
     * is read once, not twice. Sums stay DECIMAL through the roll-up so the
     * two-level aggregation is bit-identical to a direct single-level sum. */
   def weeklyReport(spark: SparkSession, dir: String): DataFrame = {
-    val week = eventsInDateRange(spark, dir, "2024-01-08", "2024-01-14")
+    val end = lit("2024-01-14").cast("date")
+    val week = table(spark, dir, "events")
+      .filter(to_date(col("ts")).between(date_sub(end, 6), end))
 
     // ONE pass: per (event_type, date, bucket) counts + exact-decimal sums.
     // PERSISTED: bc is |types×dates×buckets| rows (≈350 here, always tiny —

@@ -24,6 +24,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted === direct)
   }
 
+  test("linear-counting sketch estimates within 5% of exact cardinality") {
+    val out = graft.queries.ExtQueries.distinctSketch(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val m = graft.queries.ExtQueries.SketchSlots.toDouble
+      val k = r.getAs[Long]("k_slots").toDouble
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val est = -m * math.log1p(-k / m)
+      assert(math.abs(est - exact) / exact < 0.05,
+        s"${r.getAs[String]("event_type")}: est=$est exact=$exact")
+    }
+  }
+
   test("as-of join: inclusive <=, latest-wins, null when nothing precedes") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -34,6 +34,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LessThan(ts,1705276800000000000)"), plan.take(800))
   }
 
+  test("NanosDatePushdown: every comparison shape yields a pushed raw range") {
+    import org.apache.spark.sql.functions._
+    val ev = RefQueries.table(spark, dir, "events")
+    val d = lit("2024-01-14").cast("date")
+    val cases = Seq(
+      "=="  -> ev.filter(to_date(col("ts")) === d),
+      ">="  -> ev.filter(to_date(col("ts")) >= d),
+      "<="  -> ev.filter(to_date(col("ts")) <= d),
+      ">"   -> ev.filter(to_date(col("ts")) > d),
+      "<"   -> ev.filter(to_date(col("ts")) < d))
+    for ((name, df) <- cases) {
+      val plan = formatted(df.select("event_id"))
+      assert(plan.contains("GreaterThanOrEqual(ts,") || plan.contains("LessThan(ts,"),
+        s"op $name: no raw range pushed\n${plan.take(600)}")
+    }
+  }
+
   test("column pruning: q_count_guard reads only the filter column") {
     val plan = formatted(RefQueries.countGuard(spark, dir))
     assert(plan.contains("ReadSchema: struct<l_shipdate"), plan.take(500))
