@@ -22,16 +22,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // clearCache after each run: some queries persist small intermediates
-    // (weekly report, minhash) — without this, the warmup pass would leave
-    // them cached and the measured pass would skip the scans being measured.
-    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      spark.catalog.clearCache()
-    }
+    // clearCache between runs OUTSIDE the timed window: some queries persist
+    // small intermediates (weekly report, minhash) — without the clear, the
+    // warmup pass would leave them cached and the measured pass would skip
+    // the scans being measured; timing the teardown itself would instead
+    // bill cache eviction to whichever query just ran.
     // warmup: full pass, untimed
     SparkEntry.queries.foreach { case (_, fn) =>
       try runOnce(fn) catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
     // measure: per-query MEDIAN of 3 passes — observed run-to-run noise at
     // sf0.1 is ±1s/query, so a single sample misattributes scheduler/GC
@@ -41,7 +42,9 @@ object Bench {
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try runOnce(fn) catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        name -> elapsed
       }
     }
     val results = SparkEntry.queries.keys.map { name =>

@@ -19,8 +19,11 @@ object ExplainAudit {
     for (name <- keys) {
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
-      val scans = plan.linesIterator.count(_.contains("Scan parquet"))
-      val codegenSpans = plan.linesIterator.count(_.trim.startsWith("* "))
+      // DISTINCT node ids: formatted mode reprints a node wherever its
+      // subtree appears (e.g. inside each InMemoryRelation), so raw line
+      // counts overstate scans for persisted plans.
+      val scans = """\((\d+)\) Scan parquet""".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet.size
       println(s"######## $name  [parquet scans: $scans]")
       plan.linesIterator
         .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))

@@ -3,9 +3,10 @@ package graft.agg
 import java.time.LocalDate
 import java.time.format.DateTimeFormatter
 import java.util.Locale
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.GraftFunctions.avg2
 import graft.schema.{DailyInsight, ReportRow}
 
 /** P5 + J2 + A7 + F6 + S7: the weekly report (reference:
@@ -17,9 +18,6 @@ import graft.schema.{DailyInsight, ReportRow}
   * sink by design).
   */
 object WeeklyReport {
-
-  private def avg2(c: Column): Column =
-    bround(sum(c.cast("decimal(28,6)")) / count(c), 2).cast("double")
 
   /** The report rows for the week ending `endDate` (inclusive, 7 days —
     * start = end − 6, reference :24-27). */

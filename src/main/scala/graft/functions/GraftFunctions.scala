@@ -67,6 +67,20 @@ object GraftFunctions {
     * division. Identical bytes in Spark and DuckDB. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
+  /** The pinned 2-dp HALF-EVEN mean (reference `round(mean, 2)` semantics):
+    * exact decimal sum, decimal division, bround while still decimal — never
+    * round the double (engines disagree on binary-vs-shortest-repr ties).
+    *
+    * PRECONDITION (documented, not silent): Spark's decimal division keeps
+    * scale 6 here, so the pre-bround value is the true mean rounded at the
+    * 6th decimal. For ≤2-dp inputs that intermediate rounding cannot cross
+    * a .xx5 boundary while groups stay under ~10⁷ rows (mean granularity
+    * 1/(100·n) > 5e-7). Beyond that, compute the mean via the exact integer
+    * formulation (see the q_daily_agg_rounded ORACLE's HUGEINT floor/mod
+    * form) — Spark decimal ops alone cannot hold the exact rational. */
+  def avg2(c: Column): Column =
+    bround(sum(c.cast("decimal(28,6)")) / count(lit(1)), 2).cast("double")
+
   /** Whitespace tokenization shared by the text operators — `trim` first so
     * leading blanks don't produce an empty token (DuckDB's
     * regexp_split_to_array(trim(x),'\s+') matches exactly). */

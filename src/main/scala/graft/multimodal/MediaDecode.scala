@@ -31,21 +31,22 @@ object MediaDecode {
   /** The stand-in for a real decoder handle (libjpeg/ffmpeg context, model
     * weights, …): expensive to construct, reused across a partition. */
   final class StubCodec {
-    def decode(payload: Array[Byte]): (Int, Int, Int) = {
+    /** One pass over the payload: FNV-1a digest, from which the fake
+      * dimensions derive — decode and checksum share the hash instead of
+      * scanning the bytes twice. */
+    def checksum(payload: Array[Byte]): Long = {
       var h = 1469598103934665603L // FNV-1a 64
       var i = 0
       while (i < payload.length) { h = (h ^ (payload(i) & 0xff)) * 1099511628211L; i += 1 }
+      h
+    }
+    def decodeFromDigest(h: Long): (Int, Int, Int) = {
       val w = 64 + (Math.floorMod(h, 1024L)).toInt
       val ht = 64 + (Math.floorMod(h >>> 10, 1024L)).toInt
       val frames = 1 + (Math.floorMod(h >>> 20, 30L)).toInt
       (w, ht, frames)
     }
-    def checksum(payload: Array[Byte]): Long = {
-      var h = 1469598103934665603L
-      var i = 0
-      while (i < payload.length) { h = (h ^ (payload(i) & 0xff)) * 1099511628211L; i += 1 }
-      h
-    }
+    def decode(payload: Array[Byte]): (Int, Int, Int) = decodeFromDigest(checksum(payload))
   }
 
   /** Decode + feature-extract over a typed media dataset. `initCounter`
@@ -59,9 +60,9 @@ object MediaDecode {
       val codec = new StubCodec        // once per partition — the whole point
       initCounter.foreach(_.add(1L))
       rows.map { r =>
-        val (w, h, f) = codec.decode(r.payload)
-        MediaFeatures(r.doc_id, r.mime, r.payload.length,
-          codec.checksum(r.payload), w, h, f)
+        val digest = codec.checksum(r.payload)
+        val (w, h, f) = codec.decodeFromDigest(digest)
+        MediaFeatures(r.doc_id, r.mime, r.payload.length, digest, w, h, f)
       }
     }
   }

@@ -59,19 +59,25 @@ object Runner {
     val channelsDir = s"$warehouseDir/channels"
     if (dayExists(spark, videosDir, runDate)) return 0L
 
+    // PERSISTED: the flattened day feeds two actions (channel anti-join and
+    // the table append) — without the persist the raw JSON is read and
+    // flattened twice per run.
     val videos = Flatten.ingestDay(spark, rawJsonPath, regions, runDate)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val knownIds =
+        try spark.read.parquet(channelsDir).select(col("id"))
+        catch { case _: AnalysisException => spark.emptyDataFrame.withColumn("id", lit("")) }
+      val newIds = Channels.newChannelIds(videos, knownIds)
+      val newChannels = Channels.mkChannels(
+        channelApi.join(broadcast(newIds), Seq("id"), "left_semi"))
+      newChannels.write.mode("append").parquet(channelsDir)
 
-    val knownIds =
-      try spark.read.parquet(channelsDir).select(col("id"))
-      catch { case _: AnalysisException => spark.emptyDataFrame.withColumn("id", lit("")) }
-    val newIds = Channels.newChannelIds(videos, knownIds)
-    val newChannels = Channels.mkChannels(
-      channelApi.join(broadcast(newIds), Seq("id"), "left_semi"))
-    newChannels.write.mode("append").parquet(channelsDir)
-
-    appendIfAbsent(videos.toDF(), videosDir, runDate)
-    spark.read.parquet(videosDir)
-      .filter(col("date") === lit(Date.valueOf(runDate))).count()
+      appendIfAbsent(videos.toDF(), videosDir, runDate)
+      // verification read of the just-written (date-pruned) partition
+      spark.read.parquet(videosDir)
+        .filter(col("date") === lit(Date.valueOf(runDate))).count()
+    } finally videos.unpersist()
   }
 
   /** The daily aggregation run (reference trending_daily_aggregates.py:116-143):

@@ -37,6 +37,11 @@ object RefQueries {
     * raw-nanos range predicate, so `filter(to_date($"ts") === d)` written
     * naturally STILL reaches the parquet reader as a pushed range. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Defensive for externally-built sessions (the driver contract hands us
+    // an arbitrary SparkSession): set the nanos conf only if absent — a
+    // one-time guarded set, not the per-call mutation this used to be.
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
       df.withColumn("ts", timestamp_micros(nanosToMicros(spark, col("ts"))))
@@ -163,15 +168,10 @@ object RefQueries {
     * (`round` would be HALF_UP and diverge); the DuckDB oracle uses
     * `round_even`. Means come off the deterministic decimal-sum path first,
     * so both engines round the identical double. */
-  def dailyAggRounded(spark: SparkSession, dir: String): DataFrame = {
-    // bround on a DOUBLE would round its shortest decimal repr while DuckDB
-    // rounds the true binary value — they disagree on exact .xx5 ties. So
-    // round while still DECIMAL: sum(decimal)/count is decimal division
-    // (result scale 6 — exact for ≤2-dp inputs at these group sizes), bround
-    // is then exact half-even, and only the final 2-dp value becomes double.
-    // The oracle computes the same thing via exact HUGEINT arithmetic.
-    def avg2(c: Column): Column =
-      bround(sum(c.cast("decimal(28,6)")) / count(lit(1)), 2).cast("double")
+  def dailyAggRounded(spark: SparkSession, dir: String): DataFrame =
+    // 2-dp half-even means via the shared [[avg2]] (see its scaladoc for
+    // the decimal-scale precondition); the oracle computes the same value
+    // via exact HUGEINT floor/mod arithmetic.
     table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag").as("flag"), to_date(col("l_shipdate")).as("date"))
       .agg(
@@ -179,7 +179,6 @@ object RefQueries {
         avg2(col("l_extendedprice")).as("avg_price"),
         avg2(col("l_discount")).as("avg_disc"))
       .orderBy("flag", "date")
-  }
 
   /** T1+A1: the existence probe — `LIMIT 1` then a count, the set-oriented
     * form of the reference's branch guard (`SELECT id … WHERE date=… LIMIT 1`

@@ -42,6 +42,25 @@ class DailyInsightsSpec extends AnyFunSuite {
     assert(out.top_category_id === 5L)
   }
 
+  test("null/non-numeric categories count in metrics but get no mode vote") {
+    import spark.implicits._
+    // two uncategorizable videos + one real category: metrics include all
+    // three rows, the mode ignores the nulls, nothing crashes the encoder
+    val vids = Seq(
+      video("N", "a", 4L, cat = null),
+      video("N", "b", 2L, cat = "oops"),
+      video("N", "c", 6L, cat = "9"))
+    val out = DailyInsights.compute(vids.toDS()).collect()(0)
+    assert(out.total_likes === 12L)
+    assert(out.average_likes === 4.0)
+    assert(out.top_category_id === 9L)
+    // a region-day with NO categorized videos degrades to -1, not a crash
+    val allNull = Seq(video("M", "x", 1L, cat = null), video("M", "y", 2L, cat = "n/a"))
+    val out2 = DailyInsights.compute(allNull.toDS()).collect()(0)
+    assert(out2.top_category_id === -1L)
+    assert(out2.total_likes === 3L)
+  }
+
   test("zero total views -> engagement ratio 0, averages still defined") {
     import spark.implicits._
     val vids = Seq(video("Z", "z1", 5L, views = 0L), video("Z", "z2", 3L, views = 0L))
