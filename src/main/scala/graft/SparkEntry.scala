@@ -44,6 +44,8 @@ object SparkEntry {
     "e_distinct_sketch"   -> (ExtQueries.distinctSketch _),
     "q_dod_growth"        -> (RefQueries.dodGrowth _),
     "q_ntile_quartile"    -> (RefQueries.ntileQuartile _),
+    "q_order_stats"       -> (RefQueries.orderStats _),
+    "q_sessionize"        -> (RefQueries.sessionize _),
     "q_weekly_report"     -> (RefQueries.weeklyReport _),
     "q_report_rows"       -> (RefQueries.reportRows _),
     "q_pt_duration"       -> (RefQueries.ptDuration _),

@@ -174,6 +174,38 @@ object RefOracles {
         |  lead(n, 1) OVER (PARTITION BY event_type ORDER BY n ASC, date ASC) AS next_n
         |FROM daily ORDER BY event_type, n, date""".stripMargin,
 
+    "q_order_stats" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, max(n) AS n,
+        |  max(CASE WHEN rn = ceil(n * 0.5) THEN value END) AS p50,
+        |  max(CASE WHEN rn = ceil(n * 0.9) THEN value END) AS p90,
+        |  max(CASE WHEN rn = ceil(n * 0.99) THEN value END) AS p99
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_us(ts)//1000000 - epoch_us(prev_ts)//1000000 > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |c AS (
+        |  SELECT user_id, ts, event_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM s)
+        |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM c GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
     "q_weekly_report" ->
       """WITH week AS (
         |  SELECT * FROM events

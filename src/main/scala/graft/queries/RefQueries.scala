@@ -362,6 +362,53 @@ object RefQueries {
       .orderBy("event_type", "n", "date")
   }
 
+  /** Analytic breadth (SURVEY §2.5 notes percentiles absent in the
+    * reference): EXACT order-statistic percentiles — the value at rank
+    * ⌈q·n⌉ under a pinned total order (value, then event_id) — rather than
+    * interpolated quantiles, whose interpolation arithmetic differs across
+    * engines. Rank selection is engine-agnostic by construction. */
+  def orderStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    table(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") === ceil(col("n") * 0.5), col("value"))).as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.9), col("value"))).as("p90"),
+        max(when(col("rn") === ceil(col("n") * 0.99), col("value"))).as("p99"))
+      .orderBy("event_type")
+  }
+
+  /** Gap-based sessionization (batch form): a new session starts when the
+    * gap to the user's previous event exceeds 30 minutes; sessions aggregate
+    * to (user, session) rows. Equal-timestamp ties cannot move a session
+    * boundary (gap 0), so the output is order-deterministic. The streaming
+    * stateful form lives in [[graft.streaming.Streaming.sessionize]] and is
+    * parity-tested against this. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id")
+  }
+
   // ---- §2.3 J2 + §2.4 A7: the weekly report -------------------------------
 
   /** The full weekly-report semantics (weekly_report.py:23-46): 7-day scan →

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 import graft.functions.GraftFunctions.dsum
 
@@ -54,4 +55,52 @@ object Streaming {
       .select(
         to_date(col("w.start")).as("date"),
         col("event_type"), col("n"), col("total_value"))
+
+  /** One event of a user's stream, for the stateful sessionizer. */
+  case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
+  /** One closed session. */
+  case class Session(user_id: Long, session_id: Long,
+                     session_start: Timestamp, session_end: Timestamp, n_events: Long)
+  /** Carry-over state between micro-batches: the user's open session. */
+  case class SessionState(nextId: Long, start: Timestamp, end: Timestamp, n: Long)
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState` — the
+    * KeyValueGroupedDataset surface the windowed built-ins can't express
+    * (session boundaries depend on inter-event GAPS, not fixed windows).
+    * Events within a micro-batch arrive unordered per key, so each batch
+    * sorts its group slice; the open session carries across batches in
+    * [[SessionState]] and closes when a >30-minute gap (or the next batch's
+    * first event) proves it ended. Parity with the batch window formulation
+    * ([[graft.queries.RefQueries.sessionize]]) is test-pinned.
+    *
+    * At scale: state is ONE small record per active user, and the shuffle
+    * carries events grouped by user — the same partitioning the batch form
+    * needs for its window. */
+  def sessionize(events: Dataset[SessionEvent]): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+          var closed = Vector.empty[Session]
+          var cur = state.getOption
+          for (e <- sorted) {
+            cur = cur match {
+              case None => Some(SessionState(1L, e.ts, e.ts, 1L))
+              case Some(s) if e.ts.getTime / 1000 - s.end.getTime / 1000 > 1800 =>
+                closed :+= Session(user, s.nextId, s.start, s.end, s.n)
+                Some(SessionState(s.nextId + 1, e.ts, e.ts, 1L))
+              case Some(s) =>
+                Some(s.copy(end = e.ts, n = s.n + 1))
+            }
+          }
+          // the final open session closes with the stream (AvailableNow) —
+          // emit it and keep state so a further batch could reopen/continue
+          cur.foreach(state.update)
+          closed.iterator ++ cur.map(s => Session(user, s.nextId, s.start, s.end, s.n)).iterator
+      }
+  }
 }

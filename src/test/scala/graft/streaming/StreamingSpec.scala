@@ -46,6 +46,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).select("event_id").distinct().count() === 70L)
   }
 
+  test("stateful sessionization matches the batch window formulation") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-sess-in").toString
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt").toString
+    // two users; u1 has a >30min gap splitting two sessions; u2 one session
+    def ev(u: Long, id: Long, t: String) = (u, id, Timestamp.valueOf(t))
+    val df = Seq(
+      ev(1, 1, "2024-02-01 10:00:00"), ev(1, 2, "2024-02-01 10:10:00"),
+      ev(1, 3, "2024-02-01 11:30:00"), ev(1, 4, "2024-02-01 11:40:00"),
+      ev(2, 5, "2024-02-01 09:00:00"), ev(2, 6, "2024-02-01 09:29:59"))
+      .toDF("user_id", "event_id", "ts")
+    df.coalesce(1).write.mode("append").parquet(in)
+
+    val stream = spark.readStream.schema(df.schema).parquet(in)
+      .as[Streaming.SessionEvent]
+    val q = Streaming.sessionize(stream).writeStream
+      .format("memory").queryName("sess_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("sess_stream")
+      .orderBy("user_id", "session_id").collect().toSeq
+    assert(streamed.size === 3)
+    val u1s1 = streamed(0)
+    assert(u1s1.getAs[Long]("n_events") === 2L)
+    assert(u1s1.getAs[Timestamp]("session_end").toString === "2024-02-01 10:10:00.0")
+    assert(streamed(1).getAs[Long]("session_id") === 2L)
+    assert(streamed(2).getAs[Long]("user_id") === 2L)
+
+    // parity with the batch formulation over the same rows
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val batch = df
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess", when(col("prev_ts").isNull ||
+        col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id").collect().toSeq
+    assert(streamed.map(_.toSeq) === batch.map(_.toSeq))
+  }
+
   test("watermarked daily window aggregate matches the batch computation") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-stream-agg-in").toString
