@@ -45,6 +45,8 @@ object SparkEntry {
     "q_dod_growth"        -> (RefQueries.dodGrowth _),
     "q_ntile_quartile"    -> (RefQueries.ntileQuartile _),
     "q_order_stats"       -> (RefQueries.orderStats _),
+    "q_pivot"             -> (RefQueries.pivotTypes _),
+    "q_unpivot"           -> (RefQueries.unpivotTypes _),
     "q_sessionize"        -> (RefQueries.sessionize _),
     "q_weekly_report"     -> (RefQueries.weeklyReport _),
     "q_report_rows"       -> (RefQueries.reportRows _),

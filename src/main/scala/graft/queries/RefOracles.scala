@@ -174,6 +174,22 @@ object RefOracles {
         |  lead(n, 1) OVER (PARTITION BY event_type ORDER BY n ASC, date ASC) AS next_n
         |FROM daily ORDER BY event_type, n, date""".stripMargin,
 
+    "q_pivot" ->
+      """SELECT CAST(ts AS DATE) AS date,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT CAST(ts AS DATE) AS date, event_type, count(*) AS n
+        |FROM events
+        |WHERE event_type IN ('click','view','purchase','error','signup')
+        |GROUP BY 1, 2 HAVING count(*) > 0
+        |ORDER BY date, event_type""".stripMargin,
+
     "q_order_stats" ->
       """WITH r AS (
         |  SELECT event_type, event_id, value,

@@ -362,6 +362,32 @@ object RefQueries {
       .orderBy("event_type", "n", "date")
   }
 
+  /** Reshaping capability: PIVOT — one row per date, one count column per
+    * event type. The type list is pinned (Spark's pivot with an explicit
+    * value list avoids the extra distinct-discovery scan a dynamic pivot
+    * needs — at 100 TB the two-pass dynamic form doubles the read). */
+  def pivotTypes(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "error", "signup")
+    table(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("date"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy("date")
+  }
+
+  /** Reshaping capability: UNPIVOT (melt) — the pivoted frame back to long
+    * form via `stack`, dropping the zero-filled combinations. */
+  def unpivotTypes(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "error", "signup")
+    val stackArgs = types.map(t => s"'$t', `$t`").mkString(", ")
+    pivotTypes(spark, dir)
+      .select(col("date"),
+        expr(s"stack(${types.size}, $stackArgs) AS (event_type, n)"))
+      .filter(col("n") > 0)
+      .orderBy("date", "event_type")
+  }
+
   /** Analytic breadth (SURVEY §2.5 notes percentiles absent in the
     * reference): EXACT order-statistic percentiles — the value at rank
     * ⌈q·n⌉ under a pinned total order (value, then event_id) — rather than
