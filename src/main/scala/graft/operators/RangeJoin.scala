@@ -15,10 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** @return each point row joined to every interval row containing it. */
+  /** @return each point row joined to every interval row containing it.
+    * Precondition (checked): the two frames' column names are disjoint and
+    * neither uses the reserved `_bin`/`_x`/`_lo`/`_hi` temporaries — a
+    * shared name would survive the using-column join as an ambiguous pair,
+    * and a reserved name would be silently overwritten. Fail fast instead. */
   def pointInInterval(points: DataFrame, x: Column,
                       intervals: DataFrame, lo: Column, hi: Column,
                       binWidth: Double): DataFrame = {
+    val reserved = Set("_bin", "_x", "_lo", "_hi")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"pointInInterval requires disjoint column names; shared: ${overlap.mkString(", ")}")
+    val clash = (points.columns ++ intervals.columns).toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"pointInInterval reserves ${reserved.mkString("/")}; rename: ${clash.mkString(", ")}")
     val binned = intervals
       .withColumn("_lo", lo).withColumn("_hi", hi)
       .withColumn("_bin",

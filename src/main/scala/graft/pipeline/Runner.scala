@@ -94,6 +94,11 @@ object Runner {
       .as[TrendingVideo]
     val insights = DailyInsights.compute(videos)
     appendIfAbsent(insights.toDF(), insightsDir, runDate)
+    // compute() persists its internal per-category aggregate; the runner
+    // owns its session, so drop all cached state now that the day is
+    // written — a daily/backfill loop must not accumulate one pinned
+    // cache entry per day.
+    spark.catalog.clearCache()
     spark.read.parquet(insightsDir)
       .filter(col("date") === lit(Date.valueOf(runDate))).count()
   }

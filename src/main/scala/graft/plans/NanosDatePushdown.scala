@@ -25,6 +25,18 @@ import graft.functions.NanosToMicros
   */
 object NanosDatePushdown extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Post-build installation path for externally-constructed sessions
+    * (extensions can only be injected at builder time;
+    * `experimental.extraOptimizations` runs as a late optimizer batch).
+    * Idempotent. Prefer `.withExtensions(new GraftExtensions)` where the
+    * builder is yours — the extension point runs inside the main fixed-point
+    * batch, before join planning. */
+  def ensureInstalled(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.contains(NanosDatePushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ NanosDatePushdown
+  }
+
   // stay far from Long overflow when scaling micros→nanos
   private def inRange(micros: Long): Boolean = math.abs(micros) < 9000000000000000L
   private def nanos(micros: Long): Expression = Literal(micros * 1000L)

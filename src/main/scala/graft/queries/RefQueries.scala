@@ -38,10 +38,17 @@ object RefQueries {
     * naturally STILL reaches the parquet reader as a pushed range. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Defensive for externally-built sessions (the driver contract hands us
-    // an arbitrary SparkSession): set the nanos conf only if absent — a
-    // one-time guarded set, not the per-call mutation this used to be.
+    // an arbitrary SparkSession): graft's events queries REQUIRE
+    // nanosAsLong=true (the fixture is TIMESTAMP_NS parquet), so table()
+    // enforces it when not already true — conf.getOption cannot distinguish
+    // "unset" from the registered default ("false"), and proceeding without
+    // it just crashes the read. Guarded to avoid per-call churn; callers
+    // needing false for their own nanos data should use a separate session.
+    // The rule that makes date filters pushable is appended post-build too
+    // (extensions cannot be injected after construction; extraOptimizations can).
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.plans.NanosDatePushdown.ensureInstalled(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
       df.withColumn("ts", timestamp_micros(nanosToMicros(spark, col("ts"))))

@@ -68,14 +68,27 @@ object Streaming {
     * KeyValueGroupedDataset surface the windowed built-ins can't express
     * (session boundaries depend on inter-event GAPS, not fixed windows).
     * Events within a micro-batch arrive unordered per key, so each batch
-    * sorts its group slice; the open session carries across batches in
-    * [[SessionState]] and closes when a >30-minute gap (or the next batch's
-    * first event) proves it ended. Parity with the batch window formulation
-    * ([[graft.queries.RefQueries.sessionize]]) is test-pinned.
+    * sorts its group slice by the FULL timestamp (millis + nanos — getTime
+    * alone truncates the microsecond component and would mis-order
+    * sub-millisecond events); the open session carries across batches in
+    * [[SessionState]].
+    *
+    * Output semantics: a CHANGELOG, not a final table. A session row is
+    * emitted when it CLOSES (a later event proves the gap), and the
+    * still-open session is emitted as a snapshot at the end of each batch
+    * that touched it — so when input spans several micro-batches, an open
+    * session appears once per batch with growing n_events. Downstream
+    * consumers keep the LAST row per (user_id, session_id); [[latestSessions]]
+    * is that compaction. This is the upsert shape real sinks want — an
+    * append sink that must never see a key twice should instead close
+    * sessions by event-time timeout and accept that open sessions are
+    * withheld until the watermark passes.
     *
     * At scale: state is ONE small record per active user, and the shuffle
     * carries events grouped by user — the same partitioning the batch form
-    * needs for its window. */
+    * needs for its window. Parity with the batch formulation
+    * ([[graft.queries.RefQueries.sessionize]]) after compaction is
+    * test-pinned, including a multi-batch run. */
   def sessionize(events: Dataset[SessionEvent]): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -84,7 +97,8 @@ object Streaming {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = it.toVector
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
           var closed = Vector.empty[Session]
           var cur = state.getOption
           for (e <- sorted) {
@@ -97,10 +111,19 @@ object Streaming {
                 Some(s.copy(end = e.ts, n = s.n + 1))
             }
           }
-          // the final open session closes with the stream (AvailableNow) —
-          // emit it and keep state so a further batch could reopen/continue
           cur.foreach(state.update)
           closed.iterator ++ cur.map(s => Session(user, s.nextId, s.start, s.end, s.n)).iterator
       }
+  }
+
+  /** Compact the [[sessionize]] changelog to its latest snapshot per
+    * (user, session): the row with the highest n_events wins (a session
+    * only ever grows within an id). */
+  def latestSessions(changelog: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("n_events").desc)
+    changelog.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 }

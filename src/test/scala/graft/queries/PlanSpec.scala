@@ -34,20 +34,26 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LessThan(ts,1705276800000000000)"), plan.take(800))
   }
 
-  test("NanosDatePushdown: every comparison shape yields a pushed raw range") {
+  test("NanosDatePushdown: every comparison shape pushes its exact raw bounds") {
     import org.apache.spark.sql.functions._
     val ev = RefQueries.table(spark, dir, "events")
     val d = lit("2024-01-14").cast("date")
+    val lo = "1705190400000000000" // 2024-01-14T00:00 UTC in nanos
+    val hi = "1705276800000000000" // 2024-01-15T00:00 UTC in nanos
+    // each shape must push EXACTLY the bounds its semantics imply — an
+    // either-bound check would let a half-emitted range (or a mis-scaled
+    // literal) pass silently
     val cases = Seq(
-      "=="  -> ev.filter(to_date(col("ts")) === d),
-      ">="  -> ev.filter(to_date(col("ts")) >= d),
-      "<="  -> ev.filter(to_date(col("ts")) <= d),
-      ">"   -> ev.filter(to_date(col("ts")) > d),
-      "<"   -> ev.filter(to_date(col("ts")) < d))
-    for ((name, df) <- cases) {
+      ("==", ev.filter(to_date(col("ts")) === d),
+        Seq(s"GreaterThanOrEqual(ts,$lo)", s"LessThan(ts,$hi)")),
+      (">=", ev.filter(to_date(col("ts")) >= d), Seq(s"GreaterThanOrEqual(ts,$lo)")),
+      ("<=", ev.filter(to_date(col("ts")) <= d), Seq(s"LessThan(ts,$hi)")),
+      (">", ev.filter(to_date(col("ts")) > d), Seq(s"GreaterThanOrEqual(ts,$hi)")),
+      ("<", ev.filter(to_date(col("ts")) < d), Seq(s"LessThan(ts,$lo)")))
+    for ((name, df, expected) <- cases) {
       val plan = formatted(df.select("event_id"))
-      assert(plan.contains("GreaterThanOrEqual(ts,") || plan.contains("LessThan(ts,"),
-        s"op $name: no raw range pushed\n${plan.take(600)}")
+      for (e <- expected)
+        assert(plan.contains(e), s"op $name: missing pushed bound $e\n${plan.take(600)}")
     }
   }
 
