@@ -33,6 +33,14 @@ object DailyInsights {
                             partN: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     bround(sum(partSum) / sum(partN), 2).cast("double")
 
+  /** CACHING CONTRACT: this method `persist()`s the shared fine-grained
+    * aggregate (tiny — |regions×dates×categories| rows) and cannot unpersist
+    * it before the caller materializes the lazily-returned Dataset. Callers
+    * that invoke it repeatedly in one session (the Runner, Verify and Bench
+    * already do) should `spark.catalog.clearCache()` after materializing, or
+    * cache entries accumulate one per invocation. Same contract as the
+    * persisting ExtQueries operators (minhashDedup / ngramJaccard /
+    * cosineDedup / cosineTopkLsh). */
   def compute(videos: Dataset[TrendingVideo]): Dataset[DailyInsight] = {
     val spark = videos.sparkSession
     import spark.implicits._

@@ -71,15 +71,26 @@ object GraftFunctions {
     * exact decimal sum, decimal division, bround while still decimal — never
     * round the double (engines disagree on binary-vs-shortest-repr ties).
     *
-    * PRECONDITION (documented, not silent): Spark's decimal division keeps
-    * scale 6 here, so the pre-bround value is the true mean rounded at the
-    * 6th decimal. For ≤2-dp inputs that intermediate rounding cannot cross
-    * a .xx5 boundary while groups stay under ~10⁷ rows (mean granularity
-    * 1/(100·n) > 5e-7). Beyond that, compute the mean via the exact integer
-    * formulation (see the q_daily_agg_rounded ORACLE's HUGEINT floor/mod
-    * form) — Spark decimal ops alone cannot hold the exact rational. */
-  def avg2(c: Column): Column =
-    bround(sum(c.cast("decimal(28,6)")) / count(lit(1)), 2).cast("double")
+    * PRECONDITION (ENFORCED): Spark's decimal division keeps scale 6 here,
+    * so the pre-bround value is the true mean rounded at the 6th decimal.
+    * For ≤2-dp inputs that intermediate rounding cannot cross a .xx5
+    * boundary while groups stay under ~10⁷ rows (mean granularity
+    * 1/(100·n) > 5e-7). Beyond [[Avg2GroupLimit]] the group RAISES instead
+    * of silently diverging from the exact half-even oracle — at that size
+    * compute the mean via the exact integer formulation (see the
+    * q_daily_agg_rounded ORACLE's HUGEINT floor/mod form); Spark decimal
+    * ops alone cannot hold the exact rational. The guard is one comparison
+    * per GROUP (not per row) — free at any scale. */
+  val Avg2GroupLimit: Long = 10000000L
+
+  def avg2(c: Column): Column = {
+    val n = count(lit(1))
+    when(n <= Avg2GroupLimit,
+        bround(sum(c.cast("decimal(28,6)")) / n, 2).cast("double"))
+      .otherwise(raise_error(lit(
+        s"avg2: group exceeds $Avg2GroupLimit rows — the scale-6 decimal mean is no " +
+          "longer exact at 2dp half-even; use the exact integer formulation")).cast("double"))
+  }
 
   /** Whitespace tokenization shared by the text operators — `trim` first so
     * leading blanks don't produce an empty token (DuckDB's

@@ -24,6 +24,14 @@ object AsofJoin {
            right: DataFrame, rightKey: Column, rightTime: Column,
            payload: Column): DataFrame = {
     val leftCols = left.columns
+    // Fail fast (same contract as RangeJoin): the internal temporaries and
+    // the output column are reserved — colliding left columns would be
+    // silently replaced (`asof`) or produce an opaque ambiguous-column error.
+    val reserved = Seq("_k", "_t", "_p", "_tag", "asof")
+    val clash = leftCols.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"asof: left frame must not contain reserved column(s) ${clash.mkString(", ")} " +
+        "(internal temporaries _k/_t/_p/_tag and the output column `asof`)")
     val r = right.select(rightKey.as("_k"), rightTime.as("_t"),
       payload.as("_p"), lit(0).as("_tag"))
     val l = left.select((col("*") +: Seq(leftKey.as("_k"), leftTime.as("_t"),

@@ -1,6 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
 /** Bucketed (co-located) join support — the storage-level answer to "this
   * join shuffles the fact table every day". Writing both sides bucketed and
@@ -28,8 +31,17 @@ object Bucketing {
                    key: String): DataFrame =
     spark.table(left).join(spark.table(right), Seq(key))
 
-  /** True iff the physical plan repartitions (an `Exchange hashpartitioning`
-    * appears) — the thing bucketing exists to eliminate. */
-  def hasShuffle(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+  /** True iff the physical plan repartitions — the thing bucketing exists to
+    * eliminate. Detected structurally ([[ShuffleExchangeLike]] nodes, which
+    * covers hash, range AND rebalance exchanges), not by plan-string
+    * matching, so the check cannot pass vacuously if Spark's rendering
+    * changes; recurses into AQE's wrapped plan, whose nodes `collect` does
+    * not traverse. */
+  def hasShuffle(df: DataFrame): Boolean = {
+    def shuffles(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case e: ShuffleExchangeLike   => Seq(e: SparkPlan)
+    }.flatten
+    shuffles(df.queryExecution.executedPlan).nonEmpty
+  }
 }

@@ -218,7 +218,8 @@ object RefOracles {
         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM s)
-        |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+        |SELECT user_id, session_id,
+        |  min(epoch_us(ts)) AS session_start, max(epoch_us(ts)) AS session_end,
         |  count(*) AS n_events
         |FROM c GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
 

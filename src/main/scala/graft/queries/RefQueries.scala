@@ -46,8 +46,18 @@ object RefQueries {
     // needing false for their own nanos data should use a separate session.
     // The rule that makes date filters pushable is appended post-build too
     // (extensions cannot be injected after construction; extraOptimizations can).
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")) {
+      // Make the session-wide behavior change VISIBLE to the session owner:
+      // graft-built sessions (Verify/Bench/tests) set the conf at build time
+      // and never reach this branch, so hitting it means graft is mutating a
+      // session it does not own — other TIMESTAMP_NS parquet reads in this
+      // session will now surface raw nanos longs.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "graft: setting spark.sql.legacy.parquet.nanosAsLong=true on an externally-built " +
+          "SparkSession (required to read the TIMESTAMP_NS events fixture); other " +
+          "TIMESTAMP_NS parquet reads in this session will yield raw nanos longs")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     graft.plans.NanosDatePushdown.ensureInstalled(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
@@ -435,9 +445,14 @@ object RefQueries {
           .orderBy(col("ts").asc, col("event_id").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
+      // Session bounds as epoch-MICROS integers, not raw timestamps: the
+      // fixture is TIMESTAMP_NS parquet and engines hash sub-micro timestamp
+      // representations differently even at equal instants (determinism
+      // contract: integers beat temporal types). unix_micros(min(ts)) ≡
+      // DuckDB min(epoch_us(ts)) exactly.
       .agg(
-        min(col("ts")).as("session_start"),
-        max(col("ts")).as("session_end"),
+        min(unix_micros(col("ts"))).as("session_start"),
+        max(unix_micros(col("ts"))).as("session_end"),
         count(lit(1)).as("n_events"))
       .orderBy("user_id", "session_id")
   }
