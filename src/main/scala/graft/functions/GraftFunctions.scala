@@ -28,7 +28,24 @@ object GraftFunctions {
         "iso_duration_seconds", exprs => ParseIso8601Duration(exprs.head), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "nanos_to_micros", exprs => NanosToMicros(exprs.head), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "hyperplane_bands", exprs => HyperplaneBands(exprs.head,
+          litInt(exprs(1), "planes"), litInt(exprs(2), "bands")), "scala_udf")
     }
+  }
+
+  private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                     what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"hyperplane_bands: $what must be an integer literal, got $other")
+  }
+
+  /** LSH band bucket values for an embedding column — one fused pass over
+    * the vector for ALL hyperplane projections ([[HyperplaneLsh]]). */
+  def hyperplaneBands(spark: SparkSession, c: Column, planes: Int, bands: Int): Column = {
+    register(spark)
+    call_function("hyperplane_bands", c, lit(planes), lit(bands))
   }
 
   /** Floor-division nanos→micros via the named [[NanosToMicros]] expression —

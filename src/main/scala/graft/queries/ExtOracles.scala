@@ -124,21 +124,23 @@ object ExtOracles {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "e_cosine_dedup" ->
-      """WITH all_vecs AS (
+      s"""WITH all_vecs AS (
         |  SELECT vec_id, embedding AS e FROM embeddings
         |  UNION ALL
         |  SELECT vec_id + 1000000 AS vec_id,
         |    list_transform(range(0, len(embedding)),
         |      d -> CAST(CAST(embedding[d+1] AS DOUBLE) * (0.9 + 0.05*CAST(d % 5 AS DOUBLE)) AS FLOAT)) AS e
         |  FROM embeddings),
-        |sig AS (SELECT vec_id, e,
-        |  list_sum(list_transform(range(0,16), p ->
-        |    CASE WHEN list_reduce(list_transform(range(0,64), d ->
-        |        (CAST(((p*64+d)*2654435761) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5)
-        |          * CAST(e[d+1] AS DOUBLE)), (a,b) -> a+b) > 0
-        |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS s FROM all_vecs),
-        |bands AS (SELECT vec_id, e, b, (s >> (8*b)) & 255 AS bv
-        |  FROM sig, (SELECT unnest(range(2)) AS b)),
+        |proj AS (SELECT vec_id, e,
+        |  list_transform(range(0, ${ExtQueries.DedupPlanes}), p ->
+        |    list_reduce(list_transform(range(0,64), d ->
+        |      (CAST(((p*64+d)*2654435761) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5)
+        |        * CAST(e[d+1] AS DOUBLE)), (a,b) -> a+b)) AS pr FROM all_vecs),
+        |bands AS (SELECT vec_id, e, b,
+        |  list_sum(list_transform(range(0, ${ExtQueries.DedupBandBits}), r ->
+        |    CASE WHEN pr[b*${ExtQueries.DedupBandBits}+r+1] > 0
+        |         THEN (CAST(1 AS BIGINT) << r) ELSE 0 END)) AS bv
+        |  FROM proj, (SELECT unnest(range(${ExtQueries.DedupBands})) AS b)),
         |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b, x.e AS ea, y.e AS eb
         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.vec_id < y.vec_id),
         |ver AS (SELECT vec_a, vec_b,
@@ -151,17 +153,19 @@ object ExtOracles {
         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "e_cosine_topk_lsh" ->
-      """WITH sig AS (SELECT vec_id, embedding AS e,
+      s"""WITH proj AS (SELECT vec_id, embedding AS e,
         |  sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)),
         |    (a,b) -> a+b)) AS nrm,
-        |  list_sum(list_transform(range(0,16), p ->
-        |    CASE WHEN list_reduce(list_transform(range(0,64), d ->
-        |        (CAST(((p*64+d)*2654435761) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5)
-        |          * CAST(embedding[d+1] AS DOUBLE)), (a,b) -> a+b) > 0
-        |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS s
+        |  list_transform(range(0, ${ExtQueries.AnnPlanes}), p ->
+        |    list_reduce(list_transform(range(0,64), d ->
+        |      (CAST(((p*64+d)*2654435761) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5)
+        |        * CAST(embedding[d+1] AS DOUBLE)), (a,b) -> a+b)) AS pr
         |  FROM embeddings),
-        |bands AS (SELECT vec_id, e, nrm, b, (s >> (8*b)) & 255 AS bv
-        |  FROM sig, (SELECT unnest(range(2)) AS b)),
+        |bands AS (SELECT vec_id, e, nrm, b,
+        |  list_sum(list_transform(range(0, ${ExtQueries.AnnBandBits}), r ->
+        |    CASE WHEN pr[b*${ExtQueries.AnnBandBits}+r+1] > 0
+        |         THEN (CAST(1 AS BIGINT) << r) ELSE 0 END)) AS bv
+        |  FROM proj, (SELECT unnest(range(${ExtQueries.AnnBands})) AS b)),
         |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid,
         |  list_reduce(list_transform(list_zip(q.e, c.e),
         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a,b) -> a+b)

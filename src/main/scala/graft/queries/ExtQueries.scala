@@ -373,35 +373,53 @@ object ExtQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** The 16 pinned pseudo-random hyperplanes (Knuth multiplicative constant
-    * mod 2³¹, scaled to [-0.5, 0.5)) as PRECOMPUTED literal arrays: the same
-    * values the oracle derives arithmetically, but the Spark expression is
-    * one zip_with+fold per plane instead of a 64-term arithmetic tree per
-    * element — measured 2× faster (the mega-expression falls out of
-    * codegen and evaluates interpreted). */
-  private[queries] val Hyperplanes: IndexedSeq[Array[Double]] =
-    (0 until 16).map { p =>
-      Array.tabulate(64)(d =>
-        ((p * 64L + d) * 2654435761L % 2147483648L).toDouble / 2.147483648e9 - 0.5)
-    }
+  /** LSH signature sizing (cosine family). The near-dup DEDUP path uses
+    * 64 planes → 4 bands × 16 bits: 2¹⁶ = 65,536 buckets per band, so the
+    * in-bucket self-join is bounded by corpus/2¹⁶ rows per bucket — at 10⁹
+    * vectors that is ~15k/bucket, and band bits should GROW with log₂(corpus)
+    * (the knob is a parameter now, not a constant). The ANN path uses
+    * 32 planes → 4 bands × 8 bits: coarser buckets on purpose — top-k wants
+    * candidate RECALL on a general corpus, near-dup dedup wants candidate
+    * PRECISION on a high-cosine one; sizing rule: bits ≈ log₂(corpus /
+    * target-bucket-size), bands ≈ desired recall boost. Coefficients for
+    * plane p are the same arithmetic derivation in both engines
+    * ([[graft.functions.HyperplaneLsh]]). */
+  private[queries] val DedupPlanes = 64
+  private[queries] val DedupBands = 4
+  private[queries] val DedupBandBits = DedupPlanes / DedupBands
+  private[queries] val AnnPlanes = 32
+  private[queries] val AnnBands = 4
+  private[queries] val AnnBandBits = AnnPlanes / AnnBands
 
-  /** Sign bit of plane p's projection of array column `e` (sequential fold —
-    * bit-identical to the oracle's list_reduce). */
-  private def planeBit(p: Int, e: Column): Column =
-    when(seqSum(zip_with(lit(Hyperplanes(p)), e,
-      (c, x) => c * x.cast("double"))) > 0, lit(1L << p)).otherwise(lit(0L))
+  /** (vec_id, e, nrm, band, bv) rows: one per (vector, band), bucket value
+    * from the fused single-pass [[graft.functions.HyperplaneLsh]] signature
+    * (replaces per-plane interpreted zip_with folds — the bench's former
+    * hottest scan). */
+  private def withBandBuckets(spark: SparkSession, vecs: DataFrame,
+                              planes: Int, bands: Int): DataFrame =
+    vecs
+      .select(col("vec_id"), col("e"), l2norm(col("e")).as("nrm"),
+        graft.functions.GraftFunctions.hyperplaneBands(spark, col("e"), planes, bands).as("bvs"))
+      .select(col("vec_id"), col("e"), col("nrm"), posexplode(col("bvs")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bv")
 
   // ---- e_cosine_dedup -----------------------------------------------------
 
   /** Embedding-cosine near-duplicate detection via random-hyperplane LSH —
-    * the SCALE path for e_cosine_topk-style similarity (sign of 16 pinned
-    * pseudo-random hyperplane projections → 2 byte-wide signature bands →
-    * bucket join → exact cosine ≥ 0.95 verify). Hyperplane coefficients are
-    * derived arithmetically (Knuth multiplicative constant mod 2³¹, scaled
-    * to [-0.5, 0.5)) so the oracle reproduces them without shipping 1024
-    * literals. Near-duplicates are synthesized as deterministically
-    * perturbed copies (per-dim scale 0.9 + 0.05·(d mod 5), re-rounded to
-    * float32 in both engines). */
+    * the SCALE path for e_cosine_topk-style similarity (sign of
+    * [[DedupPlanes]] pinned pseudo-random hyperplane projections →
+    * [[DedupBands]] × [[DedupBandBits]]-bit signature bands → bucket join →
+    * exact cosine ≥ 0.95 verify). Hyperplane coefficients are derived
+    * arithmetically (Knuth multiplicative constant mod 2³¹, scaled to
+    * [-0.5, 0.5)) so the oracle reproduces them without shipping
+    * planes × dims literals. Near-duplicates are synthesized as
+    * deterministically perturbed copies (per-dim scale 0.9 + 0.05·(d mod 5),
+    * re-rounded to float32 in both engines).
+    *
+    * CACHING CONTRACT: persists the signature frame; callers invoking
+    * repeatedly in one session should clearCache() after materializing
+    * (see [[graft.agg.DailyInsights.compute]]). */
   def cosineDedup(spark: SparkSession, dir: String): DataFrame = {
     val vecs = table(spark, dir, "embeddings")
       .select(explode(array(
@@ -414,16 +432,9 @@ object ExtQueries {
 
     // Norms are computed ONCE per vector here, not per candidate pair — at
     // |candidates| ≫ |vectors| that cuts two of the three folds per pair.
-    val sigBits = (0 until 16).map(p => planeBit(p, col("e"))).reduce(_ + _)
-    val sigs = vecs
-      .select(col("vec_id"), col("e"), l2norm(col("e")).as("nrm"), sigBits.as("s"))
+    // PERSISTED: both sides of the bucket self-join probe it.
+    val bands = withBandBuckets(spark, vecs, DedupPlanes, DedupBands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val bands = sigs.select(col("vec_id"), col("e"), col("nrm"),
-        explode(array((0 until 2).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("s"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("bk"))
-      .select(col("vec_id"), col("e"), col("nrm"), col("bk.band").as("band"), col("bk.bv").as("bv"))
 
     val dot = seqSum(zip_with(col("x.e"), col("y.e"),
       (x, y) => x.cast("double") * y.cast("double")))
@@ -454,21 +465,16 @@ object ExtQueries {
     * neighbors — on the near-duplicate workload ([[cosineDedup]], cos≈0.99)
     * bucket recall is 97%, but on this uniformly-random corpus (best
     * cos≈0.37) top-k recall vs the brute-force baseline is near zero, as the
-    * collision probability (1−θ/π)^rowsPerBand predicts. Use the bucketed
+    * collision probability (1−θ/π)^bandBits predicts. Use the bucketed
     * path when genuine near neighbors exist; widen bands or fall back to
-    * [[cosineTopk]] otherwise. */
+    * [[cosineTopk]] otherwise. Band sizing for ANN stays coarse
+    * ([[AnnBandBits]] bits) deliberately — see the sizing note above
+    * [[DedupPlanes]]. */
   def cosineTopkLsh(spark: SparkSession, dir: String): DataFrame = {
     val vecs = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("e"))
-    val sigBits = (0 until 16).map(p => planeBit(p, col("e"))).reduce(_ + _)
-    val sigs = vecs
-      .select(col("vec_id"), col("e"), l2norm(col("e")).as("nrm"), sigBits.as("s"))
+    val bands = withBandBuckets(spark, vecs, AnnPlanes, AnnBands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sigs.select(col("vec_id"), col("e"), col("nrm"),
-        explode(array((0 until 2).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("s"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("bk"))
-      .select(col("vec_id"), col("e"), col("nrm"), col("bk.band").as("band"), col("bk.bv").as("bv"))
 
     val q = bands.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("nq"),
