@@ -48,6 +48,7 @@ object SparkEntry {
     "q_pivot"             -> (RefQueries.pivotTypes _),
     "q_unpivot"           -> (RefQueries.unpivotTypes _),
     "q_sessionize"        -> (RefQueries.sessionize _),
+    "q_nested_map_array"  -> (RefQueries.nestedMapArray _),
     "q_weekly_report"     -> (RefQueries.weeklyReport _),
     "q_report_rows"       -> (RefQueries.reportRows _),
     "q_pt_duration"       -> (RefQueries.ptDuration _),

@@ -49,14 +49,19 @@ object Flatten {
     *                (P3; an explicit parameter — the reference captures
     *                "today" at DAG-parse time, a staleness bug we fix per
     *                SURVEY §7.6 #5). */
+  /** (region, item) rows from the region-keyed day object — the shared
+    * explode step of [[flatten]] and [[nestedExtras]]. */
+  private def itemsPerRegion(raw: DataFrame, regions: Seq[String]): DataFrame =
+    raw.select(explode(array(regions.map(r =>
+        struct(lit(r).as("region"), col(s"`$r`").as("resp"))): _*)).as("rr"))
+      .filter(col("rr.resp").isNotNull)                       // skip-if-absent (:155)
+      .select(col("rr.region").as("region"), explode(col("rr.resp.items")).as("v"))
+
   def flatten(raw: DataFrame, regions: Seq[String], runDate: LocalDate): Dataset[TrendingVideo] = {
     val spark = raw.sparkSession
     register(spark)
     import spark.implicits._
-    val perRegion = raw.select(explode(array(regions.map(r =>
-        struct(lit(r).as("region"), col(s"`$r`").as("resp"))): _*)).as("rr"))
-      .filter(col("rr.resp").isNotNull)                       // skip-if-absent (:155)
-      .select(col("rr.region").as("region"), explode(col("rr.resp.items")).as("v"))
+    val perRegion = itemsPerRegion(raw, regions)
     perRegion.select(
         col("v.id").as("id"),
         lit(Date.valueOf(runDate)).as("date"),
@@ -71,6 +76,21 @@ object Flatten {
         col("region"))
       .as[TrendingVideo]
   }
+
+  /** F10 (complete surface): the declared-but-optional nested fields the
+    * curated rows drop — `snippet.tags` (array), `snippet.thumbnails`
+    * (MAP-of-struct, accessed with `element_at`), and
+    * `contentDetails.regionRestriction.blocked` (array) — projected
+    * straight off the raw day frame (reference shape:
+    * assets/2025-10-06.json:15-53,69-74). Null-safe: items without the
+    * optional fields yield null columns, not errors. */
+  def nestedExtras(raw: DataFrame, regions: Seq[String]): DataFrame =
+    itemsPerRegion(raw, regions).select(
+      col("region"),
+      col("v.id").as("id"),
+      col("v.snippet.tags").as("tags"),
+      element_at(col("v.snippet.thumbnails"), "high").as("thumb_high"),
+      col("v.contentDetails.regionRestriction.blocked").as("blocked"))
 
   /** Convenience: read + flatten in one call. */
   def ingestDay(spark: SparkSession, path: String, regions: Seq[String],

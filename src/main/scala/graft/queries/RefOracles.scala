@@ -202,6 +202,15 @@ object RefOracles {
         |  max(CASE WHEN rn = ceil(n * 0.99) THEN value END) AS p99
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q_nested_map_array" ->
+      """WITH t AS (
+        |  SELECT doc_id, (regexp_split_to_array(trim(text), '\s+'))[1:3] AS tags,
+        |    length(text)*2 AS thumb_w
+        |  FROM documents)
+        |SELECT doc_id, i AS tag_pos, tags[i+1] AS tag, thumb_w
+        |FROM t, LATERAL (SELECT unnest(range(len(t.tags))) AS i) s
+        |ORDER BY doc_id, tag_pos""".stripMargin,
+
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,

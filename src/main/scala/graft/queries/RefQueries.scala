@@ -457,6 +457,33 @@ object RefQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** F10 (map/array access, oracle-checked form): build a map-of-struct
+    * column and a tags-like array from `documents`, then `element_at` map
+    * access + `posexplode` — the exact operator surface the YouTube
+    * `snippet.thumbnails` map and `snippet.tags` array need. The
+    * fixture-shape form (real nested JSON) is
+    * [[graft.ingest.Flatten.nestedExtras]] + its spec; this variant runs on
+    * the oracle-checkable parquet tables.
+    *
+    * The ORACLE computes the map-extracted value arithmetically instead of
+    * via DuckDB MAP extraction, whose return shape changed across DuckDB
+    * versions (list in 1.0, scalar later) — version-sensitive constructs
+    * are banned by the determinism contract. */
+  def nestedMapArray(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        slice(tokens(col("text")), 1, 3).as("tags"),
+        map_from_arrays(
+          array(lit("default"), lit("high")),
+          array(
+            struct(length(col("text")).cast("long").as("w")),
+            struct((length(col("text")) * 2).cast("long").as("w")))).as("thumbs"))
+      .select(col("doc_id"), posexplode(col("tags")),
+        element_at(col("thumbs"), "high").getField("w").as("thumb_w"))
+      .select(col("doc_id"), col("pos").cast("long").as("tag_pos"),
+        col("col").as("tag"), col("thumb_w"))
+      .orderBy("doc_id", "tag_pos")
+
   // ---- §2.3 J2 + §2.4 A7: the weekly report -------------------------------
 
   /** The full weekly-report semantics (weekly_report.py:23-46): 7-day scan →

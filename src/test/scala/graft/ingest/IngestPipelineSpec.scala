@@ -23,7 +23,10 @@ class IngestPipelineSpec extends AnyFunSuite {
       |  "QA": {"kind": "youtube#videoListResponse", "etag": "e1", "items": [
       |    {"kind": "youtube#video", "id": "v1",
       |     "snippet": {"publishedAt": "2025-10-05T10:00:00Z", "channelId": "c1",
-      |                 "title": "t1", "categoryId": "10", "tags": ["a", "b"]},
+      |                 "title": "t1", "categoryId": "10", "tags": ["a", "b"],
+      |                 "thumbnails": {
+      |                   "default": {"url": "http://e/d.jpg", "width": 120, "height": 90},
+      |                   "high": {"url": "http://e/h.jpg", "width": 480, "height": 360}}},
       |     "contentDetails": {"duration": "PT3M59S"},
       |     "statistics": {"viewCount": "100", "likeCount": "10", "commentCount": "5"}},
       |    {"kind": "youtube#video", "id": "v2",
@@ -93,6 +96,29 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(byId("v1").category_id === "10")              // numeric-as-string preserved
     assert(byId("v1").publish_date.toInstant.toString === "2025-10-05T10:00:00Z")
     assert(videos.collect().forall(_.date.toLocalDate == runDate))
+  }
+
+  test("nested extras: tags array, thumbnails map access, blocked array (F10)") {
+    val dir = tmpDir("graft-raw-nested")
+    Files.writeString(Paths.get(s"$dir/2025-10-06.json"), rawJson)
+    val raw = Flatten.readRawDay(spark, s"$dir/2025-10-06.json", regions)
+    val df = Flatten.nestedExtras(raw, regions)
+    val byId = df.collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(byId.size === 6)
+
+    // tags array: present on v1, null where the optional field is absent
+    assert(byId("v1").getAs[Seq[String]]("tags") === Seq("a", "b"))
+    assert(byId("v2").isNullAt(byId("v2").fieldIndex("tags")))
+
+    // thumbnails MAP access: element_at(map, 'high') -> struct(url,w,h)
+    val th = byId("v1").getAs[org.apache.spark.sql.Row]("thumb_high")
+    assert(th.getAs[String]("url") === "http://e/h.jpg")
+    assert(th.getAs[Int]("width") === 480 && th.getAs[Int]("height") === 360)
+    assert(byId("v2").isNullAt(byId("v2").fieldIndex("thumb_high")))
+
+    // regionRestriction.blocked array: present on v3 only
+    assert(byId("v3").getAs[Seq[String]]("blocked") === Seq("US"))
+    assert(byId("v1").isNullAt(byId("v1").fieldIndex("blocked")))
   }
 
   test("pipeline: ingest + aggregate end-to-end, idempotent on re-run") {
