@@ -33,15 +33,18 @@ object Demo {
       """{"id":"c4","snippet":{"title":"Chan Four (day2)","publishedAt":"2022-02-02T02:02:02Z"},"statistics":{"subscriberCount":"5"},"brandingSettings":{}}""").toDS())
 
     val root = Files.createTempDirectory("graft-demo").toString
-    Files.writeString(Paths.get(s"$root/d1.json"), day1)
     val wh = s"$root/warehouse"
     val regions = Seq("QA", "US", "GB") // GB absent from the file: skip-if-absent
 
-    println("== day 1 ingest: " + Runner.runIngestDay(spark, s"$root/d1.json", wh,
+    // S3: raw payload lands in the date-keyed lake first (replayable source
+    // of truth), then ingest reads from the lake path
+    val d1dir = graft.ingest.Lake.writeRawDayText(spark, day1, s"$root/lake",
+      LocalDate.parse("2025-10-06"))
+    println("== day 1 ingest: " + Runner.runIngestDay(spark, d1dir, wh,
       LocalDate.parse("2025-10-06"), regions, chanApi) + " rows")
     spark.read.parquet(s"$wh/daily_trending_videos").orderBy("id").show(false)
     spark.read.parquet(s"$wh/channels").orderBy("id").show(false)
-    println("== re-run same day: " + Runner.runIngestDay(spark, s"$root/d1.json", wh,
+    println("== re-run same day: " + Runner.runIngestDay(spark, d1dir, wh,
       LocalDate.parse("2025-10-06"), regions, chanApi) + " (0 = skipped)")
     println("== aggregate: " + Runner.runAggregateDay(spark, wh,
       LocalDate.parse("2025-10-06")) + " insight rows")
@@ -50,8 +53,9 @@ object Demo {
     // day 2 introduces ONE new channel c4; c1..c3 must not duplicate
     val day2 = day1.replace("\"channelId\":\"c3\"", "\"channelId\":\"c4\"")
       .replace("v1", "w1").replace("v2", "w2").replace("v3", "w3")
-    Files.writeString(Paths.get(s"$root/d2.json"), day2)
-    println("== day 2 ingest: " + Runner.runIngestDay(spark, s"$root/d2.json", wh,
+    val d2dir = graft.ingest.Lake.writeRawDayText(spark, day2, s"$root/lake",
+      LocalDate.parse("2025-10-07"))
+    println("== day 2 ingest: " + Runner.runIngestDay(spark, d2dir, wh,
       LocalDate.parse("2025-10-07"), regions, chanApi) + " rows")
     println("channels now: " + spark.read.parquet(s"$wh/channels").count() + " (expect 4)")
 

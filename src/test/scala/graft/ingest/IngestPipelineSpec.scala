@@ -98,6 +98,37 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(videos.collect().forall(_.date.toLocalDate == runDate))
   }
 
+  test("lake: date-keyed raw-day write -> read-back round trip (S3)") {
+    val direct = {
+      val dir = tmpDir("graft-lake-direct")
+      Files.writeString(Paths.get(s"$dir/2025-10-06.json"), rawJson)
+      Flatten.ingestDay(spark, s"$dir/2025-10-06.json", regions, runDate)
+        .collect().sortBy(_.id).toSeq
+    }
+
+    // raw-text form: payload bytes written verbatim under date=YYYY-MM-DD
+    val lake = tmpDir("graft-lake")
+    val dayDir = Lake.writeRawDayText(spark, rawJson, lake, runDate)
+    assert(dayDir === s"$lake/date=2025-10-06")
+    val viaText = Flatten
+      .flatten(Lake.readRawDay(spark, lake, runDate, regions), regions, runDate)
+      .collect().sortBy(_.id).toSeq
+    assert(viaText === direct)
+
+    // frame form: parsed raw frame re-serialized with df.write.json
+    val lake2 = tmpDir("graft-lake2")
+    Lake.writeRawDay(Lake.readRawDay(spark, lake, runDate, regions), lake2, runDate)
+    val viaJson = Flatten
+      .flatten(Lake.readRawDay(spark, lake2, runDate, regions), regions, runDate)
+      .collect().sortBy(_.id).toSeq
+    assert(viaJson === direct)
+
+    // re-write of the same day overwrites (fixed object name), no duplication
+    Lake.writeRawDayText(spark, rawJson, lake, runDate)
+    assert(Flatten.flatten(Lake.readRawDay(spark, lake, runDate, regions),
+      regions, runDate).count() === direct.size.toLong)
+  }
+
   test("nested extras: tags array, thumbnails map access, blocked array (F10)") {
     val dir = tmpDir("graft-raw-nested")
     Files.writeString(Paths.get(s"$dir/2025-10-06.json"), rawJson)
