@@ -426,6 +426,29 @@ object RefQueries {
       .orderBy("event_type")
   }
 
+  /** The 100 TB companion to [[orderStats]]: one-pass `percentile_approx`
+    * (Greenwald–Khanna sketch — bounded memory per group, mergeable partials,
+    * NO per-group window sort). The exact form pays a full sort of every
+    * group; at 10⁹ rows/group this sketch is the only tractable path, with
+    * rank error ≤ n/accuracy. NOT oracle-checked: DuckDB's approx_quantile
+    * is a t-digest — different sketch, different values; the driver records
+    * the rows-only check and the spec pins approx ≡ exact at small n (GK
+    * with accuracy ≥ n degenerates to exact rank selection, same ⌈q·n⌉
+    * convention as [[orderStats]]). */
+  def orderStatsApprox(spark: SparkSession, dir: String): DataFrame = {
+    val ps = percentile_approx(col("value"),
+      array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
+    table(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), ps.as("ps"))
+      .select(col("event_type"), col("n"),
+        element_at(col("ps"), 1).as("p50"),
+        element_at(col("ps"), 2).as("p90"),
+        element_at(col("ps"), 3).as("p99"))
+      .orderBy("event_type")
+  }
+
   /** Gap-based sessionization (batch form): a new session starts when the
     * gap to the user's previous event exceeds 30 minutes; sessions aggregate
     * to (user, session) rows. Equal-timestamp ties cannot move a session

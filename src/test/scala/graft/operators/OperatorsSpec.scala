@@ -37,6 +37,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentiles match the exact order statistics at small n") {
+    // GK sketch with accuracy >= group size degenerates to exact rank
+    // selection — at sf0.001 every group is far under the 10000 accuracy,
+    // so the one-pass scale path must agree with the rank-exact form.
+    val exact = RefQueries.orderStats(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val approx = RefQueries.orderStatsApprox(spark, dir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val e = exact(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") === e.getAs[Long]("n"))
+      for (c <- Seq("p50", "p90", "p99"))
+        assert(r.getAs[Double](c) === e.getAs[Double](c),
+          s"${r.getAs[String]("event_type")}.$c")
+    }
+  }
+
   test("as-of join: inclusive <=, latest-wins, null when nothing precedes") {
     import spark.implicits._
     import java.sql.Timestamp
