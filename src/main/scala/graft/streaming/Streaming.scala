@@ -56,6 +56,23 @@ object Streaming {
         to_date(col("w.start")).as("date"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Watermarked tumbling 7-DAY aggregate — the weekly report's scan as a
+    * streaming window (SURVEY §2.9 third mapping; reference
+    * weekly_report.py:24-27 scans Monday..Sunday). `startTime = "4 days"`
+    * aligns window boundaries to MONDAY: epoch day zero (1970-01-01) is a
+    * Thursday, so unaligned 7-day windows would start Thursdays and split
+    * every reference week across two windows. Same state shape as
+    * [[dailyAgg]] — one row per (week × group); the longer window only
+    * delays finalization, it does not grow state. */
+  def weeklyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "7 days", "7 days", "4 days").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(
+        to_date(col("w.start")).as("week_start"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** One event of a user's stream, for the stateful sessionizer. */
   case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
   /** One closed session. */

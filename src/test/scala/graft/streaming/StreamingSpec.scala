@@ -155,4 +155,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.size === 6) // 3 days × 2 event types
   }
+
+  test("watermarked 7-day window aggregate matches Monday-aligned batch weeks") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-stream-wk-in").toString
+    val ckpt = Files.createTempDirectory("graft-stream-wk-ckpt").toString
+    // 2024-02-01 is a Thursday: days 1-4 land in week Mon 2024-01-29,
+    // days 5-9 in week Mon 2024-02-05 — two Monday-aligned windows.
+    val df = (1 to 9).flatMap(d => events(d * 10 until d * 10 + 10, d))
+      .toDF("event_id", "ts", "event_type", "value")
+    df.coalesce(1).write.mode("append").parquet(in)
+
+    val q = Streaming.weeklyAgg(spark.readStream.schema(df.schema).parquet(in))
+      .writeStream
+      .format("memory").queryName("weekly_agg_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("weekly_agg_stream")
+      .orderBy("week_start", "event_type").collect().toSeq
+    // independent batch formulation: Monday via date arithmetic, not window()
+    val batch = df
+      .groupBy(
+        date_sub(to_date(col("ts")),
+          (dayofweek(to_date(col("ts"))) + lit(5)) % 7).as("week_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("week_start", "event_type").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.map(_.getAs[java.sql.Date]("week_start")).distinct ===
+      Seq(java.sql.Date.valueOf("2024-01-29"), java.sql.Date.valueOf("2024-02-05")))
+  }
 }
