@@ -29,8 +29,11 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "nanos_to_micros", exprs => NanosToMicros(exprs.head), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "hyperplane_bands", exprs => HyperplaneBands(exprs.head,
-          litInt(exprs(1), "planes"), litInt(exprs(2), "bands")), "scala_udf")
+        "hyperplane_bands", { exprs =>
+          require(exprs.length == 3,
+            s"hyperplane_bands(vector, planes, bands) takes 3 arguments, got ${exprs.length}")
+          HyperplaneBands(exprs.head, litInt(exprs(1), "planes"), litInt(exprs(2), "bands"))
+        }, "scala_udf")
     }
   }
 

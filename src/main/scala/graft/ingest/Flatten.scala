@@ -43,12 +43,6 @@ object Flatten {
       .schema(Schemas.rawDaySchema(regions))
       .json(path)
 
-  /** Flatten the raw day frame into the curated video rows.
-    *
-    * @param runDate the run date attached as the literal `date` column
-    *                (P3; an explicit parameter — the reference captures
-    *                "today" at DAG-parse time, a staleness bug we fix per
-    *                SURVEY §7.6 #5). */
   /** (region, item) rows from the region-keyed day object — the shared
     * explode step of [[flatten]] and [[nestedExtras]]. */
   private def itemsPerRegion(raw: DataFrame, regions: Seq[String]): DataFrame =
@@ -57,6 +51,12 @@ object Flatten {
       .filter(col("rr.resp").isNotNull)                       // skip-if-absent (:155)
       .select(col("rr.region").as("region"), explode(col("rr.resp.items")).as("v"))
 
+  /** Flatten the raw day frame into the curated video rows.
+    *
+    * @param runDate the run date attached as the literal `date` column
+    *                (P3; an explicit parameter — the reference captures
+    *                "today" at DAG-parse time, a staleness bug we fix per
+    *                SURVEY §7.6 #5). */
   def flatten(raw: DataFrame, regions: Seq[String], runDate: LocalDate): Dataset[TrendingVideo] = {
     val spark = raw.sparkSession
     register(spark)

@@ -2,8 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
 
 /** Bucketed (co-located) join support — the storage-level answer to "this
   * join shuffles the fact table every day". Writing both sides bucketed and
@@ -38,8 +38,14 @@ object Bucketing {
     * changes; recurses into AQE's wrapped plan, whose nodes `collect` does
     * not traverse. */
   def hasShuffle(df: DataFrame): Boolean = {
+    // Leaf wrappers AQE introduces once stages materialize (QueryStageExec,
+    // ReusedExchangeExec) hide their subtree from collect — recurse into
+    // each, or an executed plan's shuffles would go undetected (a false
+    // "no shuffle" is exactly the vacuous pass this method must not give).
     def shuffles(p: SparkPlan): Seq[SparkPlan] = p.collect {
       case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec        => shuffles(q.plan)
+      case r: ReusedExchangeExec    => shuffles(r.child)
       case e: ShuffleExchangeLike   => Seq(e: SparkPlan)
     }.flatten
     shuffles(df.queryExecution.executedPlan).nonEmpty

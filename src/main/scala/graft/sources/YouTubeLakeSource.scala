@@ -13,6 +13,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{DataTypes, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** S1 (stretch, SURVEY §2.1): a REAL `DataSourceV2` `TableProvider` for the
   * raw YouTube day lake — `spark.read.format("graft-youtube").load(lakeRoot)`.
@@ -62,9 +63,9 @@ object YouTubeLakeSource {
   private val DayFile = "(\\d{4}-\\d{2}-\\d{2})\\.json".r
 
   /** (epochDay, file) pairs for every day data file under `root`. */
-  private[sources] def listDayFiles(root: String): Seq[(Int, String)] = {
+  private[sources] def listDayFiles(root: String, conf: Configuration): Seq[(Int, String)] = {
     val p = new Path(root)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     def dataFiles(dir: Path): Seq[FileStatus] =
       fs.listStatus(dir).toSeq.filter { f =>
         val n = f.getPath.getName
@@ -94,19 +95,26 @@ private class YouTubeLakeTable(path: String) extends Table with SupportsRead {
       override def build(): Scan = this
       override def readSchema(): StructType = YouTubeLakeSource.schema
       override def toBatch: Batch = this
+      // The SESSION's Hadoop conf, not a bare `new Configuration()`: lake
+      // roots on object stores carry their credentials/endpoints in
+      // spark.hadoop.* — dropping them would break exactly the deployment
+      // this source exists for. Captured driver-side, shipped serialized.
+      private def hadoopConf =
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
       override def planInputPartitions(): Array[InputPartition] =
-        YouTubeLakeSource.listDayFiles(path)
+        YouTubeLakeSource.listDayFiles(path, hadoopConf)
           .map { case (day, file) => DayFilePartition(day, file): InputPartition }
           .toArray
       override def createReaderFactory(): PartitionReaderFactory =
-        DayFileReaderFactory()
+        DayFileReaderFactory(new SerializableConfiguration(hadoopConf))
     }
 }
 
 /** One raw day file — the unit of read parallelism. */
 private case class DayFilePartition(epochDay: Int, file: String) extends InputPartition
 
-private case class DayFileReaderFactory() extends PartitionReaderFactory {
+private case class DayFileReaderFactory(conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DayFilePartition]
     new PartitionReader[InternalRow] {
@@ -114,7 +122,7 @@ private case class DayFileReaderFactory() extends PartitionReaderFactory {
       // by top-level region key, emit (date, region, region-subtree JSON).
       private val rows: Iterator[InternalRow] = {
         val hp = new Path(p.file)
-        val in = hp.getFileSystem(new Configuration()).open(hp)
+        val in = hp.getFileSystem(conf.value).open(hp)
         val bytes = try in.readAllBytes() finally in.close()
         val root = new ObjectMapper().readTree(bytes)
         root.fieldNames().asScala.map { k =>

@@ -100,6 +100,11 @@ class OperatorsSpec extends AnyFunSuite {
       // control: the SAME join on plain (unbucketed) frames DOES shuffle
       val plain = orders.join(cust, Seq("custkey"))
       assert(Bucketing.hasShuffle(plain))
+      // ...and still reports it AFTER execution, when AQE has rewritten the
+      // exchanges into materialized query stages (leaf wrappers)
+      plain.count()
+      assert(Bucketing.hasShuffle(plain),
+        "shuffle went undetected in the post-execution AQE plan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS orders_b")
