@@ -70,6 +70,9 @@ object SparkEntry {
     "e_cosine_topk_lsh"   -> (ExtQueries.cosineTopkLsh _),
     "e_fingerprint"       -> (ExtQueries.fingerprint _),
     "e_lang_id"           -> (ExtQueries.langId _),
+    "e_stratified_sample" -> (ExtQueries.stratifiedSample _),
+    "e_top_tokens"        -> (ExtQueries.topTokens _),
+    "e_decontaminate"     -> (ExtQueries.decontaminate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

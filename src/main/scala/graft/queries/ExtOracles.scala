@@ -219,6 +219,45 @@ object ExtOracles {
         |  m AS marker_hits
         |FROM g ORDER BY doc_id""".stripMargin,
 
+    "e_stratified_sample" ->
+      """SELECT doc_id, lang, source,
+        |  CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 100 AS bucket
+        |FROM documents
+        |WHERE CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 100
+        |  < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "e_top_tokens" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token),
+        |ranked AS (SELECT lang, token, n,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
+        |  FROM cnt)
+        |SELECT lang, rank, token, n FROM ranked WHERE rank <= 10
+        |ORDER BY lang, rank""".stripMargin,
+
+    "e_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id, t,
+        |  list_transform(t, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT) % $P) AS h
+        |  FROM toks),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(t) <= 3
+        |    THEN [CAST('0x'||substr(md5(array_to_string(t, ' ')),1,15) AS BIGINT) % $P]
+        |    ELSE list_transform(range(0, len(t) - 2),
+        |           i -> ((h[i+1] * ${ExtQueries.ShingleC(0)}) % $P
+        |               + (h[i+2] * ${ExtQueries.ShingleC(1)}) % $P
+        |               + (h[i+3] * ${ExtQueries.ShingleC(2)}) % $P) % $P) END) AS ds
+        |  FROM th),
+        |corpus AS (SELECT doc_id, unnest(ds) AS g FROM sh WHERE doc_id >= 20),
+        |bench AS (SELECT DISTINCT unnest(ds) AS g FROM sh WHERE doc_id < 20)
+        |SELECT c.doc_id, count(DISTINCT c.g) AS n_shared
+        |FROM corpus c JOIN bench b ON c.g = b.g
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
     "e_minhash_dedup" ->
       s"""WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

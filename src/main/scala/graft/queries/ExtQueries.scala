@@ -551,6 +551,81 @@ object ExtQueries {
       .orderBy("event_type")
   }
 
+  // ---- e_stratified_sample ------------------------------------------------
+
+  /** Deterministic stratified sampling — the data-MIXING primitive of a
+    * pretraining pipeline (up/down-weight sources and languages without a
+    * random seed whose replay depends on partitioning). Each row's fate is a
+    * pure function of its id: bucket = hash64(doc_id) mod 100, kept iff
+    * bucket < the stratum's rate (English 50%, everything else 20% here —
+    * the knob a mixing config would supply). Zero shuffles before the output
+    * sort; re-running on a re-partitioned — or 1000×-larger — corpus keeps
+    * the SAME rows, which is what makes ablation experiments comparable. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(hash64(col("doc_id").cast("string")), lit(100L))
+    val rate = when(col("lang") === "en", 50L).otherwise(20L)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), bucket.as("bucket"))
+      .filter(col("bucket") < rate)
+      .orderBy("doc_id")
+  }
+
+  // ---- e_top_tokens -------------------------------------------------------
+
+  /** Per-language top-10 vocabulary by frequency — corpus-statistics pass
+    * (tokenizer vocabularies, stopword discovery). Shape at scale: the
+    * explode fans out |tokens| rows but the hash aggregate combines
+    * map-side, so the shuffle carries |distinct (lang, token)| partial
+    * counts, not token instances; the rank window then shuffles only the
+    * aggregated vocabulary. Ties pinned (count DESC, token ASC). */
+  def topTokens(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("token").asc)
+    table(spark, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("lang"), col("rank"), col("token"), col("n"))
+      .orderBy("lang", "rank")
+  }
+
+  // ---- e_decontaminate ----------------------------------------------------
+
+  /** Benchmark decontamination — flag corpus documents sharing any 3-gram
+    * shingle with a held-out eval set (docs 0-19 stand in for the
+    * benchmark), the pass every serious pretraining pipeline runs before
+    * training. Same shingle pipeline as [[minhashDedup]] (hash31 tokens →
+    * [[ShingleC]] polynomial → distinct), then an inverted-index join:
+    * corpus postings against BROADCAST benchmark postings (the eval set is
+    * small by definition — no shuffle of the corpus side), counting
+    * DISTINCT shared shingles per corpus doc. The two branches carry
+    * complementary pushed id predicates, so the benchmark "scan" prunes to
+    * the eval rows and the corpus is read once; only (doc_id, shingle)
+    * matches reach the aggregate. In production the eval set is its own
+    * tiny table — same plan, no filter needed. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val shingled = table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("th", transform(col("tk"), t => hash31(t)))
+      .select(col("doc_id"), array_distinct(
+        when(size(col("tk")) <= 3,
+          array(pmod(hash64(array_join(col("tk"), " ")), lit(IntModulus))))
+        .otherwise(transform(sequence(lit(0), size(col("tk")) - 3), i =>
+          ShingleC.zipWithIndex.map { case (c, j) =>
+            element_at(col("th"), i + j + 1) * lit(c) % lit(IntModulus)
+          }.reduce(_ + _) % lit(IntModulus)))).as("ds"))
+    val corpus = shingled.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), explode(col("ds")).as("g"))
+    val bench = shingled.filter(col("doc_id") < 20)
+      .select(explode(col("ds")).as("g")).distinct()
+    corpus.join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   // ---- e_lang_id ----------------------------------------------------------
 
   /** Marker-token language identification — the n-gram-heuristic shape of a

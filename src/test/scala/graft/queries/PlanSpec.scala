@@ -57,6 +57,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("e_decontaminate: benchmark side broadcasts, id predicates pushed") {
+    val plan = formatted(ExtQueries.decontaminate(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), "corpus side must not shuffle for the join")
+    assert(plan.contains("GreaterThanOrEqual(doc_id,20)"), "corpus id filter not pushed")
+    assert(plan.contains("LessThan(doc_id,20)"), "benchmark id filter not pushed")
+  }
+
+  test("e_stratified_sample: zero shuffles before the output sort") {
+    val df = ExtQueries.stratifiedSample(spark, dir)
+    val plan = formatted(df)
+    assert(parquetScans(plan) === 1, plan.take(400))
+    // the only exchange allowed is the rangepartitioning for orderBy
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.forall(_ == "rangepartitioning"), exchanges.toString)
+  }
+
   test("column pruning: q_count_guard reads only the filter column") {
     val plan = formatted(RefQueries.countGuard(spark, dir))
     assert(plan.contains("ReadSchema: struct<l_shipdate"), plan.take(500))
