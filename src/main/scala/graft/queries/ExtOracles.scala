@@ -10,6 +10,25 @@ object ExtOracles {
   private val P = graft.functions.GraftFunctions.IntModulus
   private def lst(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
 
+  /** Shared shingle-set CTEs: `sh` yields (doc_id, ds) — ds the DISTINCT
+    * numeric 3-gram shingle hashes of `src`(doc_id, text). The SQL twin of
+    * `ExtQueries.shingleSets`, defined once for the same reason: every
+    * consumer (e_minhash_dedup, e_decontaminate) must derive bit-identical
+    * sets or the cross-engine compare silently diverges. */
+  private def shingleCtes(src: String): String =
+    s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM $src),
+      |th AS (SELECT doc_id, t,
+      |  list_transform(t, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT) % $P) AS h
+      |  FROM toks),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(t) <= 3
+      |    THEN [CAST('0x'||substr(md5(array_to_string(t, ' ')),1,15) AS BIGINT) % $P]
+      |    ELSE list_transform(range(0, len(t) - 2),
+      |           i -> ((h[i+1] * ${ExtQueries.ShingleC(0)}) % $P
+      |               + (h[i+2] * ${ExtQueries.ShingleC(1)}) % $P
+      |               + (h[i+3] * ${ExtQueries.ShingleC(2)}) % $P) % $P) END) AS ds
+      |  FROM th)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "e_exact_dedup" ->
       """WITH all_docs AS (
@@ -239,19 +258,7 @@ object ExtOracles {
         |ORDER BY lang, rank""".stripMargin,
 
     "e_decontaminate" ->
-      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-        |  FROM documents),
-        |th AS (SELECT doc_id, t,
-        |  list_transform(t, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT) % $P) AS h
-        |  FROM toks),
-        |sh AS (SELECT doc_id,
-        |  list_distinct(CASE WHEN len(t) <= 3
-        |    THEN [CAST('0x'||substr(md5(array_to_string(t, ' ')),1,15) AS BIGINT) % $P]
-        |    ELSE list_transform(range(0, len(t) - 2),
-        |           i -> ((h[i+1] * ${ExtQueries.ShingleC(0)}) % $P
-        |               + (h[i+2] * ${ExtQueries.ShingleC(1)}) % $P
-        |               + (h[i+3] * ${ExtQueries.ShingleC(2)}) % $P) % $P) END) AS ds
-        |  FROM th),
+      s"""WITH ${shingleCtes("documents")},
         |corpus AS (SELECT doc_id, unnest(ds) AS g FROM sh WHERE doc_id >= 20),
         |bench AS (SELECT DISTINCT unnest(ds) AS g FROM sh WHERE doc_id < 20)
         |SELECT c.doc_id, count(DISTINCT c.g) AS n_shared
@@ -265,26 +272,13 @@ object ExtOracles {
         |  SELECT doc_id + 1000000 AS doc_id,
         |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[6:], ' ') AS text
         |  FROM documents),
-        |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM all_docs),
-        |th AS (SELECT doc_id, t,
-        |  list_transform(t, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT) % $P) AS h
-        |  FROM toks),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(t) <= 3
-        |         THEN [CAST('0x'||substr(md5(array_to_string(t, ' ')),1,15) AS BIGINT) % $P]
-        |         ELSE list_transform(range(0, len(t) - 2),
-        |                i -> ((h[i+1] * ${ExtQueries.ShingleC(0)}) % $P
-        |                    + (h[i+2] * ${ExtQueries.ShingleC(1)}) % $P
-        |                    + (h[i+3] * ${ExtQueries.ShingleC(2)}) % $P) % $P) END AS shingles
-        |  FROM th),
-        |shd AS (SELECT doc_id, list_distinct(shingles) AS ds FROM sh),
+        |${shingleCtes("all_docs")},
         |mh AS (SELECT doc_id,
         |  list_transform(range(0, ${ExtQueries.NumHashes}), i ->
         |    list_min(list_transform(ds,
         |      h -> (${lst(ExtQueries.MinhashA)}[i+1] * h
         |            + ${lst(ExtQueries.MinhashB)}[i+1]) % $P))) AS sig
-        |  FROM shd),
+        |  FROM sh),
         |bands AS (
         |  SELECT doc_id, b,
         |    array_to_string(sig[${ExtQueries.RowsPerBand}*b+1:${ExtQueries.RowsPerBand}*b+${ExtQueries.RowsPerBand}], '-') AS bsig
@@ -298,8 +292,8 @@ object ExtOracles {
         |    len(list_intersect(sa.ds, sb.ds)) AS n_inter,
         |    len(list_distinct(list_concat(sa.ds, sb.ds))) AS n_union
         |  FROM cand c
-        |  JOIN shd sa ON sa.doc_id = c.doc_a
-        |  JOIN shd sb ON sb.doc_id = c.doc_b)
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b)
         |SELECT doc_a, doc_b, n_inter, n_union FROM verified
         |WHERE 2 * n_inter >= n_union
         |ORDER BY doc_a, doc_b""".stripMargin,

@@ -219,32 +219,41 @@ object ExtQueries {
             .as("text")))).as("r"))
       .select(col("r.doc_id").as("doc_id"), col("lang"), col("source"), col("r.text").as("text"))
 
-  def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val all = docsWithVariants(spark, dir).select(col("doc_id"), col("text"))
-
-    // Token hashes are materialized as a COLUMN before shingling: an
-    // expression referenced inside a `transform` lambda is re-evaluated per
-    // element, so embedding the tokenizer there would re-split the text once
-    // per shingle position — O(tokens²) per row (measured 4× the whole
-    // op's scan cost before this was hoisted).
-    val toked = all.select(col("doc_id"), tokens(col("text")).as("tk"))
+  /** `(doc_id, ds)`: distinct numeric 3-gram shingle-hash sets from a
+    * `(doc_id, text)` frame — THE shared shingle pipeline ([[minhashDedup]],
+    * [[decontaminate]]). ONE definition on purpose: the cross-engine
+    * contract requires the Spark and oracle derivations to stay
+    * bit-identical, so a second copy would be a parity time bomb (the
+    * oracle side is likewise shared — [[ExtOracles.shingleCtes]]).
+    *
+    * Token hashes are materialized as a COLUMN before shingling: an
+    * expression referenced inside a `transform` lambda is re-evaluated per
+    * element, so embedding the tokenizer there would re-split the text once
+    * per shingle position — O(tokens²) per row (measured 4× the whole
+    * op's scan cost before this was hoisted). A ≤3-token doc hashes whole
+    * as its single shingle. */
+  private def shingleSets(docs: DataFrame): DataFrame = {
+    val toked = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
       .withColumn("th", transform(col("tk"), t => hash31(t)))
-
-    // Numeric 3-gram shingle hashes ([[ShingleC]]); a ≤3-token doc hashes
-    // whole as its single shingle. PERSISTED: the distinct-shingle sets are
-    // consumed by the signature path AND both sides of the verification
-    // join — without the persist the corpus is re-scanned and re-shingled
-    // per consumer (8 scans observed). At 100 TB this materialization
-    // (≈ corpus token volume) is the standard minhash-pipeline
-    // intermediate; MEMORY_AND_DISK spills instead of OOM.
     val shingleExpr = when(size(col("tk")) <= 3,
         array(pmod(hash64(array_join(col("tk"), " ")), lit(IntModulus))))
       .otherwise(transform(sequence(lit(0), size(col("tk")) - 3), i =>
         ShingleC.zipWithIndex.map { case (c, j) =>
           element_at(col("th"), i + j + 1) * lit(c) % lit(IntModulus)
         }.reduce(_ + _) % lit(IntModulus)))
-    val shd = toked
-      .select(col("doc_id"), array_distinct(shingleExpr).as("ds"))
+    toked.select(col("doc_id"), array_distinct(shingleExpr).as("ds"))
+  }
+
+  def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val all = docsWithVariants(spark, dir).select(col("doc_id"), col("text"))
+
+    // PERSISTED: the distinct-shingle sets are consumed by the signature
+    // path AND both sides of the verification join — without the persist
+    // the corpus is re-scanned and re-shingled per consumer (8 scans
+    // observed). At 100 TB this materialization (≈ corpus token volume) is
+    // the standard minhash-pipeline intermediate; MEMORY_AND_DISK spills
+    // instead of OOM.
+    val shd = shingleSets(all)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val sigs = shd
@@ -606,16 +615,8 @@ object ExtQueries {
     * matches reach the aggregate. In production the eval set is its own
     * tiny table — same plan, no filter needed. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val shingled = table(spark, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .withColumn("th", transform(col("tk"), t => hash31(t)))
-      .select(col("doc_id"), array_distinct(
-        when(size(col("tk")) <= 3,
-          array(pmod(hash64(array_join(col("tk"), " ")), lit(IntModulus))))
-        .otherwise(transform(sequence(lit(0), size(col("tk")) - 3), i =>
-          ShingleC.zipWithIndex.map { case (c, j) =>
-            element_at(col("th"), i + j + 1) * lit(c) % lit(IntModulus)
-          }.reduce(_ + _) % lit(IntModulus)))).as("ds"))
+    val shingled = shingleSets(
+      table(spark, dir, "documents").select(col("doc_id"), col("text")))
     val corpus = shingled.filter(col("doc_id") >= 20)
       .select(col("doc_id"), explode(col("ds")).as("g"))
     val bench = shingled.filter(col("doc_id") < 20)

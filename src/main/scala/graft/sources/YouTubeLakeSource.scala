@@ -98,8 +98,10 @@ private class YouTubeLakeTable(path: String) extends Table with SupportsRead {
       // The SESSION's Hadoop conf, not a bare `new Configuration()`: lake
       // roots on object stores carry their credentials/endpoints in
       // spark.hadoop.* — dropping them would break exactly the deployment
-      // this source exists for. Captured driver-side, shipped serialized.
-      private def hadoopConf =
+      // this source exists for. Captured ONCE at scan build (a val): the
+      // active-session thread-local is only guaranteed here, and planning
+      // and reader-factory creation must see the same snapshot.
+      private val hadoopConf =
         org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
       override def planInputPartitions(): Array[InputPartition] =
         YouTubeLakeSource.listDayFiles(path, hadoopConf)

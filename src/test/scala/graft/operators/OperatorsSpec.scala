@@ -101,8 +101,11 @@ class OperatorsSpec extends AnyFunSuite {
       val plain = orders.join(cust, Seq("custkey"))
       assert(Bucketing.hasShuffle(plain))
       // ...and still reports it AFTER execution, when AQE has rewritten the
-      // exchanges into materialized query stages (leaf wrappers)
-      plain.count()
+      // exchanges into materialized query stages (leaf wrappers). collect(),
+      // not count(): count() builds its OWN QueryExecution and would leave
+      // THIS df's adaptive plan unexecuted — the assertion would then pass
+      // even with the QueryStageExec recursion removed (verified).
+      plain.collect()
       assert(Bucketing.hasShuffle(plain),
         "shuffle went undetected in the post-execution AQE plan")
     } finally {
