@@ -609,14 +609,21 @@ object ExtQueries {
     * [[ShingleC]] polynomial → distinct), then an inverted-index join:
     * corpus postings against BROADCAST benchmark postings (the eval set is
     * small by definition — no shuffle of the corpus side), counting
-    * DISTINCT shared shingles per corpus doc. The two branches carry
-    * complementary pushed id predicates, so the benchmark "scan" prunes to
-    * the eval rows and the corpus is read once; only (doc_id, shingle)
+    * DISTINCT shared shingles per corpus doc. Only (doc_id, shingle)
     * matches reach the aggregate. In production the eval set is its own
-    * tiny table — same plan, no filter needed. */
+    * tiny table — same plan, no filter needed.
+    *
+    * The shingle frame is PERSISTED like [[minhashDedup]]'s — and not only
+    * for the two consumers: without the materialization boundary, Spark's
+    * generate-filter inference (`isnotnull(ds) AND size(ds) > 0` derived
+    * from the explode) is pushed below the projections and INLINES the
+    * whole shingle pipeline into the scan filter — re-evaluating the
+    * token-hash transform per element_at, the O(tokens²) re-eval trap in
+    * optimizer-made form (measured 110 s vs 3 s at sf0.1). */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val shingled = shingleSets(
       table(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = shingled.filter(col("doc_id") >= 20)
       .select(col("doc_id"), explode(col("ds")).as("g"))
     val bench = shingled.filter(col("doc_id") < 20)

@@ -57,12 +57,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("e_decontaminate: benchmark side broadcasts, id predicates pushed") {
-    val plan = formatted(ExtQueries.decontaminate(spark, dir))
+  test("e_decontaminate: benchmark broadcasts; shingles materialized once") {
+    val df = ExtQueries.decontaminate(spark, dir)
+    val plan = formatted(df)
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
     assert(!plan.contains("SortMergeJoin"), "corpus side must not shuffle for the join")
-    assert(plan.contains("GreaterThanOrEqual(doc_id,20)"), "corpus id filter not pushed")
-    assert(plan.contains("LessThan(doc_id,20)"), "benchmark id filter not pushed")
+    // ONE scan: both branches read the persisted shingle frame. The persist
+    // is load-bearing beyond reuse — without it, generate-filter inference
+    // pushes isnotnull(ds)/size(ds)>0 into the scan filter with the whole
+    // shingle pipeline inlined per element_at (measured 110s vs 5s at
+    // sf0.1), so a second scan appearing here means that regression is back.
+    assert(parquetScans(plan) === 1, plan.take(400))
+    spark.catalog.clearCache()
   }
 
   test("e_stratified_sample: zero shuffles before the output sort") {
