@@ -73,6 +73,8 @@ object SparkEntry {
     "e_stratified_sample" -> (ExtQueries.stratifiedSample _),
     "e_top_tokens"        -> (ExtQueries.topTokens _),
     "e_decontaminate"     -> (ExtQueries.decontaminate _),
+    "e_repetition"        -> (ExtQueries.repetition _),
+    "e_cosine_topk_ivf"   -> (ExtQueries.cosineTopkIvf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -265,6 +265,56 @@ object ExtOracles {
         |FROM corpus c JOIN bench b ON c.g = b.g
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
+    "e_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |b AS (SELECT doc_id, tk,
+        |  CASE WHEN len(tk) <= 1 THEN CAST([] AS VARCHAR[])
+        |       ELSE list_transform(range(0, len(tk) - 1), i -> tk[i+1] || ' ' || tk[i+2])
+        |  END AS bg FROM t),
+        |r AS (SELECT doc_id, len(tk) AS n_tokens,
+        |  CASE WHEN len(tk) > 0
+        |    THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+        |    ELSE 0.0 END AS dup_token_ratio,
+        |  CASE WHEN len(bg) > 0
+        |    THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+        |    ELSE 0.0 END AS dup_bigram_ratio
+        |  FROM b)
+        |SELECT doc_id, n_tokens, dup_token_ratio, dup_bigram_ratio,
+        |  dup_bigram_ratio > CAST(0.2 AS DOUBLE) AS repetitive
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "e_cosine_topk_ivf" ->
+      """WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce,
+        |  sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)),
+        |    (acc,x) -> acc+x)) AS ncent
+        |  FROM embeddings WHERE vec_id < 4),
+        |vecs AS (SELECT vec_id, embedding AS e,
+        |  sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)),
+        |    (acc,x) -> acc+x)) AS nrm
+        |  FROM embeddings),
+        |sims AS (SELECT v.vec_id, v.e, v.nrm, c.cent_id,
+        |  list_reduce(list_transform(list_zip(v.e, c.ce),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc,x) -> acc+x)
+        |    / (v.nrm * c.ncent) AS csim
+        |  FROM vecs v, cents c),
+        |assigned AS (SELECT vec_id, e, nrm, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cent_id ASC) AS crank FROM sims)
+        |  WHERE crank = 1),
+        |q AS (SELECT vec_id AS qid, e AS qe, nrm AS nq, cell
+        |  FROM assigned WHERE vec_id < 8),
+        |scored AS (SELECT q.qid, a.vec_id AS cid,
+        |  list_reduce(list_transform(list_zip(q.qe, a.e),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc,x) -> acc+x)
+        |    / (q.nq * a.nrm) AS score
+        |  FROM assigned a JOIN q ON a.cell = q.cell AND a.vec_id <> q.qid),
+        |ranked AS (SELECT qid, cid, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, cid, score, rank FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
     "e_minhash_dedup" ->
       s"""WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

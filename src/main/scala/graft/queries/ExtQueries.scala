@@ -503,6 +503,51 @@ object ExtQueries {
       .orderBy("qid", "rank")
   }
 
+  // ---- e_cosine_topk_ivf --------------------------------------------------
+
+  /** IVF-style approximate nearest-neighbor search — the OTHER standard ANN
+    * family next to [[cosineTopkLsh]]: partition the corpus into cells by
+    * nearest CENTROID, then search only the query's cell (nprobe = 1).
+    * Centroids here are 4 pinned seed vectors (vec_id < 4) standing in for
+    * k-means output — deterministic by construction, which a trained
+    * quantizer cross-engine is not; the dataflow (assign → in-cell search)
+    * is the real IVF shape. Assignment = argmax cosine over the BROADCAST
+    * centroid set with a pinned tie-break; at scale the corpus is scanned
+    * once, never shuffled except the |corpus|-row cell column, and each
+    * query touches |corpus|/cells candidates instead of |corpus|. Raising
+    * recall = probing more cells (nprobe), the standard IVF knob. */
+  def cosineTopkIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      .withColumn("ncent", l2norm(col("ce")))
+    val vecs = emb.select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", l2norm(col("e")))
+    val simToCent = seqSum(zip_with(col("e"), col("ce"),
+      (x, y) => x.cast("double") * y.cast("double"))) / (col("nrm") * col("ncent"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    val assigned = vecs.crossJoin(broadcast(cents))
+      .withColumn("csim", simToCent)
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val q = assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("nq"), col("cell"))
+    val score = seqSum(zip_with(col("qe"), col("e"),
+      (x, y) => x.cast("double") * y.cast("double"))) / (col("nq") * col("nrm"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid").asc)
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), score.as("score"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cid"), col("score"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   // ---- e_token_count ------------------------------------------------------
 
   /** Token counting two ways (north-star "token counting" item): whitespace
@@ -631,6 +676,35 @@ object ExtQueries {
     corpus.join(broadcast(bench), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  // ---- e_repetition -------------------------------------------------------
+
+  /** Repetition-based quality signals — the Gopher-rule family (duplicate
+    * n-gram fraction; docs above threshold are boilerplate/spam-like and
+    * filtered before training). Ratios are 1 − distinct/total over token
+    * unigrams and STRING bigrams (no hashing — plain equality dedup, so
+    * cross-engine parity is structural; each ratio is one int→double
+    * division). Zero shuffles before the output sort; the flag threshold
+    * (dup-bigram > 0.2) is Gopher's published cut. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toked = table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val bigrams = transform(sequence(lit(0), size(col("tk")) - 2), i =>
+      concat(element_at(col("tk"), i + 1), lit(" "), element_at(col("tk"), i + 2)))
+    val dupRatio = (total: Column, uniq: Column) =>
+      when(total > 0, lit(1.0) - uniq.cast("double") / total.cast("double"))
+        .otherwise(lit(0.0))
+    toked
+      .withColumn("bg", when(size(col("tk")) <= 1, array().cast("array<string>"))
+        .otherwise(bigrams))
+      .select(
+        col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        dupRatio(size(col("tk")), size(array_distinct(col("tk")))).as("dup_token_ratio"),
+        dupRatio(size(col("bg")), size(array_distinct(col("bg")))).as("dup_bigram_ratio"))
+      .withColumn("repetitive", col("dup_bigram_ratio") > 0.2)
       .orderBy("doc_id")
   }
 
