@@ -45,8 +45,8 @@ object SparkEntry {
     "q_dod_growth"        -> (RefQueries.dodGrowth _),
     "q_ntile_quartile"    -> (RefQueries.ntileQuartile _),
     "q_order_stats"       -> (RefQueries.orderStats _),
-    // rows-only check: approx sketch values are engine-specific (GK vs
-    // t-digest) — parity with the exact form is test-gated instead
+    // oracle-checked against the exact rank-selection SQL: GK accuracy ≥ n
+    // at verify SF degenerates to exact (scale caveat in the scaladoc)
     "q_order_stats_approx" -> (RefQueries.orderStatsApprox _),
     "q_pivot"             -> (RefQueries.pivotTypes _),
     "q_unpivot"           -> (RefQueries.unpivotTypes _),

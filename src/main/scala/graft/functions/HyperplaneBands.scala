@@ -41,13 +41,15 @@ object HyperplaneLsh {
     *         oracle exercises). */
   def bandBuckets(arr: ArrayData, planes: Int, bands: Int, isFloat: Boolean): ArrayData = {
     val dims = arr.numElements()
-    // Enforced here (not just documented): beyond SeedStride the coefficient
-    // rows run out (AIOOBE on executors); below it the projection is
-    // well-defined Spark-side but any oracle SQL hardcoding range(0,64)
-    // must be re-pinned to the actual dim — fail loud on the former.
-    require(dims <= SeedStride,
+    // EXACT-dims contract, enforced (not just documented): beyond SeedStride
+    // the coefficient rows run out (AIOOBE on executors); below it the
+    // projection is well-defined Spark-side but the oracle SQL hardcodes
+    // range(0,64), whose out-of-range indexing yields NULL products, a NULL
+    // fold, and a silently flipped sign bit — so BOTH directions fail loud.
+    require(dims == SeedStride,
       s"hyperplane_bands: vector has $dims dims; the pinned coefficient table " +
-        s"supports at most $SeedStride (extend SeedStride AND the oracle derivation together)")
+        s"and the oracle's range(0,$SeedStride) derivation require exactly " +
+        s"$SeedStride (change SeedStride AND the oracle derivation together)")
     val xs = new Array[Double](dims)
     var d = 0
     while (d < dims) {

@@ -505,20 +505,41 @@ object ExtQueries {
 
   // ---- e_cosine_topk_ivf --------------------------------------------------
 
+  /** Number of IVF cells (pinned seed centroids, vec_id < [[IvfCells]]). */
+  private[queries] val IvfCells = 4
+
   /** IVF-style approximate nearest-neighbor search — the OTHER standard ANN
     * family next to [[cosineTopkLsh]]: partition the corpus into cells by
-    * nearest CENTROID, then search only the query's cell (nprobe = 1).
-    * Centroids here are 4 pinned seed vectors (vec_id < 4) standing in for
-    * k-means output — deterministic by construction, which a trained
-    * quantizer cross-engine is not; the dataflow (assign → in-cell search)
-    * is the real IVF shape. Assignment = argmax cosine over the BROADCAST
-    * centroid set with a pinned tie-break; at scale the corpus is scanned
-    * once, never shuffled except the |corpus|-row cell column, and each
-    * query touches |corpus|/cells candidates instead of |corpus|. Raising
-    * recall = probing more cells (nprobe), the standard IVF knob. */
-  def cosineTopkIvf(spark: SparkSession, dir: String): DataFrame = {
+    * nearest CENTROID, then search only the query's nearest cell. The
+    * oracle-checked entry point fixes nprobe = 1; [[cosineTopkIvfNprobe]]
+    * exposes the recall knob. */
+  def cosineTopkIvf(spark: SparkSession, dir: String): DataFrame =
+    cosineTopkIvfNprobe(spark, dir, nprobe = 1)
+
+  /** IVF search probing each query's `nprobe` nearest cells — the standard
+    * IVF recall-vs-cost knob: candidates per query ≈ nprobe·|corpus|/cells,
+    * recall grows monotonically with nprobe and reaches the exact
+    * [[cosineTopk]] result at nprobe = cells (spec-measured on this corpus).
+    * Centroids are [[IvfCells]] pinned seed vectors standing in for k-means
+    * output — deterministic by construction, which a trained quantizer
+    * cross-engine is not; the dataflow (assign → probe → in-cell search) is
+    * the real IVF shape. Corpus assignment = argmax cosine over the
+    * BROADCAST centroid set with a pinned tie-break — the corpus is scanned
+    * once and never shuffled except the |corpus|-row cell column; the query
+    * side re-ranks the same centroid set (|Q|·cells rows, negligible) and
+    * keeps rank ≤ nprobe cells per query. Each corpus vector lives in
+    * exactly one cell, so probing distinct cells never duplicates a
+    * candidate pair.
+    *
+    * CACHING CONTRACT: persists the assigned-corpus frame (both the probe
+    * join and the query-side filter read it); callers invoking repeatedly in
+    * one session should clearCache() after materializing (see
+    * [[graft.agg.DailyInsights.compute]]). */
+  def cosineTopkIvfNprobe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= IvfCells,
+      s"nprobe must be in [1, $IvfCells], got $nprobe")
     val emb = table(spark, dir, "embeddings")
-    val cents = emb.filter(col("vec_id") < 4)
+    val cents = emb.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
       .withColumn("ncent", l2norm(col("ce")))
     val vecs = emb.select(col("vec_id"), col("embedding").as("e"))
@@ -534,8 +555,15 @@ object ExtQueries {
       .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val q = assigned.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("nq"), col("cell"))
+    // Query-side probe list: the query's nprobe nearest centroids, one row
+    // per (query, probed cell). The query set is bounded (vec_id < 8), so
+    // this cross join is |Q|·cells rows and the result broadcasts.
+    val q = vecs.filter(col("vec_id") < 8).crossJoin(broadcast(cents))
+      .withColumn("csim", simToCent)
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") <= nprobe)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("nq"),
+        col("cent_id").as("cell"))
     val score = seqSum(zip_with(col("qe"), col("e"),
       (x, y) => x.cast("double") * y.cast("double"))) / (col("nq") * col("nrm"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid").asc)

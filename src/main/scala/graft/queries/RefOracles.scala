@@ -7,7 +7,25 @@ package graft.queries
   * so values are bit-identical.
   */
 object RefOracles {
+  /** Exact ⌈q·n⌉ rank-selection percentiles. Shared by `q_order_stats` and
+    * `q_order_stats_approx`: GK `percentile_approx` with accuracy ≥ n
+    * degenerates to the same rank selection (see
+    * [[RefQueries.orderStatsApprox]] for the scale caveat). */
+  private val orderStatsSql: String =
+    """WITH r AS (
+      |  SELECT event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, max(n) AS n,
+      |  max(CASE WHEN rn = ceil(n * 0.5) THEN value END) AS p50,
+      |  max(CASE WHEN rn = ceil(n * 0.9) THEN value END) AS p90,
+      |  max(CASE WHEN rn = ceil(n * 0.99) THEN value END) AS p99
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q_order_stats" -> orderStatsSql,
+    "q_order_stats_approx" -> orderStatsSql,
     "q_json_flatten" ->
       """SELECT event_id, event_type, TRY_CAST(props->>'k' AS BIGINT) AS k,
         |CAST(ts AS DATE) AS date FROM events ORDER BY event_id""".stripMargin,
@@ -190,18 +208,6 @@ object RefOracles {
         |GROUP BY 1, 2 HAVING count(*) > 0
         |ORDER BY date, event_type""".stripMargin,
 
-    "q_order_stats" ->
-      """WITH r AS (
-        |  SELECT event_type, event_id, value,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
-        |    count(*) OVER (PARTITION BY event_type) AS n
-        |  FROM events)
-        |SELECT event_type, max(n) AS n,
-        |  max(CASE WHEN rn = ceil(n * 0.5) THEN value END) AS p50,
-        |  max(CASE WHEN rn = ceil(n * 0.9) THEN value END) AS p90,
-        |  max(CASE WHEN rn = ceil(n * 0.99) THEN value END) AS p99
-        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
-
     "q_nested_map_array" ->
       """WITH t AS (
         |  SELECT doc_id, (regexp_split_to_array(trim(text), '\s+'))[1:3] AS tags,
@@ -224,8 +230,11 @@ object RefOracles {
         |  FROM g),
         |c AS (
         |  SELECT user_id, ts, event_id,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    -- CAST is load-bearing: DuckDB's windowed sum returns HUGEINT (int128),
+        |    -- which materializes as float64 (1.0 vs Spark's int64 1) and diverges
+        |    -- under a serialized-value hash despite comparing numerically equal.
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM s)
         |SELECT user_id, session_id,
         |  min(epoch_us(ts)) AS session_start, max(epoch_us(ts)) AS session_end,

@@ -70,4 +70,28 @@ class HyperplaneBandsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](HyperplaneBands(child, 64, 3))  // not divisible
     intercept[IllegalArgumentException](HyperplaneBands(child, 0, 1))
   }
+
+  // Dims contract boundary (ScalaCheck, plain Prop — no scalatestplus in the
+  // offline cache): EXACTLY SeedStride dims succeed; anything else fails with
+  // the pinned message, so a future dims bump cannot silently shear the
+  // oracle's range(0,64) derivation (cross-engine sign-bit divergence).
+  test("dims contract: exactly SeedStride succeeds, any other dim fails loud") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    assert(HyperplaneLsh.SeedStride == 64, "oracle SQL pins range(0,64)")
+    // boundary success: 64 dims through both eval paths
+    assert(HyperplaneLsh.bandBuckets(
+      new GenericArrayData(sample), 64, 4, isFloat = false).numElements() == 4)
+
+    val badDims = Gen.chooseNum(1, 200).suchThat(_ != HyperplaneLsh.SeedStride)
+    val prop = Prop.forAll(badDims) { dims =>
+      val xs = Array.tabulate(dims)(d => math.cos(d * 0.9))
+      val e = intercept[IllegalArgumentException] {
+        HyperplaneLsh.bandBuckets(new GenericArrayData(xs), 64, 4, isFloat = false)
+      }
+      e.getMessage.contains(s"vector has $dims dims") &&
+        e.getMessage.contains("require exactly 64")
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -43,6 +43,14 @@ def main(sf_dir, out_dir):
         bad = None
         for c in got.columns:
             a, b = got[c], exp[c]
+            # The driver hashes SERIALIZED values, so an int64-vs-float64 column
+            # (e.g. DuckDB HUGEINT window sums arriving as float64) is a real
+            # divergence even when the values compare numerically equal. Fail
+            # loud instead of coercing — this gap hid q_sessionize for 2 rounds.
+            kinds = {a.dtype.kind, b.dtype.kind}
+            if kinds == {'i', 'f'} or kinds == {'u', 'f'}:
+                bad = (c, 'dtype', str(a.dtype), str(b.dtype), 0)
+                break
             try:
                 if a.dtype.kind == 'f' or b.dtype.kind == 'f':
                     ae = a.astype('float64'); be = b.astype('float64')
@@ -57,7 +65,11 @@ def main(sf_dir, out_dir):
                 break
         if bad:
             c, i, av, bv, n = bad
-            print(f"FAIL {name}: col {c} row {i}: spark={av!r} oracle={bv!r} ({n} diffs)")
+            if i == 'dtype':
+                print(f"FAIL {name}: col {c} dtype-kind mismatch spark={av} oracle={bv}"
+                      " (int-vs-float serializes differently under the driver hash)")
+            else:
+                print(f"FAIL {name}: col {c} row {i}: spark={av!r} oracle={bv!r} ({n} diffs)")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)")
