@@ -75,6 +75,10 @@ object SparkEntry {
     "e_decontaminate"     -> (ExtQueries.decontaminate _),
     "e_repetition"        -> (ExtQueries.repetition _),
     "e_cosine_topk_ivf"   -> (ExtQueries.cosineTopkIvf _),
+    "e_pii_redact"        -> (ExtQueries.piiRedact _),
+    "e_dup_clusters"      -> (ExtQueries.dupClusters _),
+    "e_quality_filter"    -> (ExtQueries.qualityFilter _),
+    "e_domain_stats"      -> (ExtQueries.domainStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

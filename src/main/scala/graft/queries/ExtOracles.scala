@@ -29,6 +29,41 @@ object ExtOracles {
       |               + (h[i+3] * ${ExtQueries.ShingleC(2)}) % $P) % $P) END) AS ds
       |  FROM th)""".stripMargin
 
+  /** The minhash near-dup pipeline through its `verified` CTE — shared by
+    * `e_minhash_dedup` (pair output) and `e_dup_clusters` (connected
+    * components over the pairs), the SQL twin of
+    * `ExtQueries.minhashVerifiedPairs`. One definition for the same reason
+    * as [[shingleCtes]]: duplicated derivations drift. */
+  private lazy val minhashBody: String =
+    s"""all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[6:], ' ') AS text
+      |  FROM documents),
+      |${shingleCtes("all_docs")},
+      |mh AS (SELECT doc_id,
+      |  list_transform(range(0, ${ExtQueries.NumHashes}), i ->
+      |    list_min(list_transform(ds,
+      |      h -> (${lst(ExtQueries.MinhashA)}[i+1] * h
+      |            + ${lst(ExtQueries.MinhashB)}[i+1]) % $P))) AS sig
+      |  FROM sh),
+      |bands AS (
+      |  SELECT doc_id, b,
+      |    array_to_string(sig[${ExtQueries.RowsPerBand}*b+1:${ExtQueries.RowsPerBand}*b+${ExtQueries.RowsPerBand}], '-') AS bsig
+      |  FROM mh, (SELECT unnest(range(${ExtQueries.NumBands})) AS b)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y
+      |    ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+      |verified AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    len(list_intersect(sa.ds, sb.ds)) AS n_inter,
+      |    len(list_distinct(list_concat(sa.ds, sb.ds))) AS n_union
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.doc_a
+      |  JOIN sh sb ON sb.doc_id = c.doc_b)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "e_exact_dedup" ->
       """WITH all_docs AS (
@@ -316,36 +351,116 @@ object ExtOracles {
         |ORDER BY qid, rank""".stripMargin,
 
     "e_minhash_dedup" ->
-      s"""WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id,
-        |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[6:], ' ') AS text
-        |  FROM documents),
-        |${shingleCtes("all_docs")},
-        |mh AS (SELECT doc_id,
-        |  list_transform(range(0, ${ExtQueries.NumHashes}), i ->
-        |    list_min(list_transform(ds,
-        |      h -> (${lst(ExtQueries.MinhashA)}[i+1] * h
-        |            + ${lst(ExtQueries.MinhashB)}[i+1]) % $P))) AS sig
-        |  FROM sh),
-        |bands AS (
-        |  SELECT doc_id, b,
-        |    array_to_string(sig[${ExtQueries.RowsPerBand}*b+1:${ExtQueries.RowsPerBand}*b+${ExtQueries.RowsPerBand}], '-') AS bsig
-        |  FROM mh, (SELECT unnest(range(${ExtQueries.NumBands})) AS b)),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bands x JOIN bands y
-        |    ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
-        |verified AS (
-        |  SELECT c.doc_a, c.doc_b,
-        |    len(list_intersect(sa.ds, sb.ds)) AS n_inter,
-        |    len(list_distinct(list_concat(sa.ds, sb.ds))) AS n_union
-        |  FROM cand c
-        |  JOIN sh sa ON sa.doc_id = c.doc_a
-        |  JOIN sh sb ON sb.doc_id = c.doc_b)
+      s"""WITH $minhashBody
         |SELECT doc_a, doc_b, n_inter, n_union FROM verified
         |WHERE 2 * n_inter >= n_union
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "e_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashBody,
+        |pairs AS (SELECT doc_a, doc_b FROM verified WHERE 2 * n_inter >= n_union),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |reach(v, l) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+        |lab AS (SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY v),
+        |sized AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM lab GROUP BY cluster_id)
+        |SELECT l.doc_id, l.cluster_id, s.cluster_size
+        |FROM lab l JOIN sized s USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "e_pii_redact" ->
+      s"""WITH aug AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 > 0
+        |         THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com.'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ' or user' || CAST(doc_id AS VARCHAR) || 'b@example.com'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 4 > 0
+        |         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0
+        |         THEN ' from ' || CAST(doc_id % 256 AS VARCHAR)
+        |           || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |           || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+        |           || '.' || CAST((doc_id * 31) % 256 AS VARCHAR)
+        |         ELSE '' END AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(t, '${ExtQueries.EmailPat}')) AS n_emails,
+        |    len(regexp_extract_all(t, '${ExtQueries.PhonePat}')) AS n_phones,
+        |    len(regexp_extract_all(t, '${ExtQueries.Ipv4Pat}')) AS n_ips,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '${ExtQueries.EmailPat}', '<EMAIL>', 'g'),
+        |      '${ExtQueries.Ipv4Pat}', '<IP>', 'g'),
+        |      '${ExtQueries.PhonePat}', '<PHONE>', 'g') AS redacted
+        |  FROM aug)
+        |SELECT doc_id, n_emails, n_phones, n_ips,
+        |  length(redacted) AS n_chars_redacted,
+        |  CAST('0x'||substr(md5(redacted),1,15) AS BIGINT) AS redacted_fp
+        |FROM red ORDER BY doc_id""".stripMargin,
+
+    "e_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, source,
+        |    len(tk) AS n_tokens,
+        |    len(list_distinct(tk)) AS n_uniq,
+        |    list_sum(list_transform(tk, x -> length(x))) AS total_len,
+        |    len(list_filter(tk, x -> length(x) >= 15)) AS n_long_tokens,
+        |    len(list_filter(tk, x -> x IN ('the','a','of'))) AS n_stop
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, lang, source, n_tokens,
+        |    CAST(total_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+        |    CAST(1 AS DOUBLE) - CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_ratio,
+        |    n_long_tokens, n_stop FROM s)
+        |SELECT doc_id, lang, source, n_tokens, mean_token_len, dup_ratio,
+        |  n_long_tokens, n_stop,
+        |  CASE WHEN n_tokens < 25 THEN 'too_short'
+        |       WHEN n_tokens > 500 THEN 'too_long'
+        |       WHEN mean_token_len < CAST(3 AS DOUBLE) THEN 'tokens_too_short'
+        |       WHEN mean_token_len > CAST(10 AS DOUBLE) THEN 'tokens_too_long'
+        |       WHEN n_long_tokens > 0 THEN 'has_garbage_token'
+        |       WHEN dup_ratio > CAST(0.85 AS DOUBLE) THEN 'too_repetitive'
+        |       WHEN n_stop = 0 THEN 'no_stopwords'
+        |       ELSE 'keep' END AS verdict,
+        |  (n_tokens >= 25 AND n_tokens <= 500
+        |    AND mean_token_len >= CAST(3 AS DOUBLE) AND mean_token_len <= CAST(10 AS DOUBLE)
+        |    AND n_long_tokens = 0 AND dup_ratio <= CAST(0.85 AS DOUBLE)
+        |    AND n_stop > 0) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "e_domain_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, source, len(tk) AS n_tokens,
+        |    (len(tk) >= 25 AND len(list_filter(tk, x -> x IN ('the','a','of'))) > 0) AS q
+        |  FROM t)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens,
+        |  CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS quality_rate,
+        |  CASE WHEN CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         >= CAST(0.9 AS DOUBLE) THEN 'high'
+        |       WHEN CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         >= CAST(0.8 AS DOUBLE) THEN 'mid'
+        |       ELSE 'low' END AS tier
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
   )
 }

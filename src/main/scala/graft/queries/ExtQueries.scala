@@ -244,7 +244,14 @@ object ExtQueries {
     toked.select(col("doc_id"), array_distinct(shingleExpr).as("ds"))
   }
 
-  def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
+  def minhashDedup(spark: SparkSession, dir: String): DataFrame =
+    minhashVerifiedPairs(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** The verified near-duplicate pair stream WITHOUT the output sort —
+    * shared by [[minhashDedup]] (which just orders it) and [[dupClusters]]
+    * (which feeds it into connected components; a sort before a self-join
+    * would be a wasted shuffle). */
+  private def minhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     val all = docsWithVariants(spark, dir).select(col("doc_id"), col("text"))
 
     // PERSISTED: the distinct-shingle sets are consumed by the signature
@@ -290,7 +297,6 @@ object ExtQueries {
         size(array_intersect(col("ds_a"), col("ds_b"))).as("n_inter"),
         size(array_union(col("ds_a"), col("ds_b"))).as("n_union"))
       .filter(lit(2) * col("n_inter") >= col("n_union"))
-      .orderBy("doc_a", "doc_b")
   }
 
   // ---- e_simhash_dedup ----------------------------------------------------
@@ -763,5 +769,194 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"), guess.otherwise("und").as("lang_guess"),
         best.as("marker_hits"))
       .orderBy("doc_id")
+  }
+
+  // ---- e_pii_redact -------------------------------------------------------
+
+  /** PII patterns shared by the Spark op and the oracle SQL — kept to the
+    * Java-regex ∩ RE2 common dialect (character classes, bounded repetition;
+    * no lookarounds, no \d shorthand whose Unicode semantics differ). */
+  private[queries] val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[queries] val Ipv4Pat  = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"""
+  private[queries] val PhonePat = """555-[0-9]{4}"""
+
+  /** PII detection + redaction — the compliance pass every training-data
+    * pipeline runs before anything ships: count and mask e-mail addresses,
+    * phone numbers and IPv4 literals. The fixture text contains no PII, so
+    * spans are INJECTED deterministically per doc_id (varying by residue so
+    * counts differ across rows: ids ≡ 0 mod 3 get no e-mail, ≡ 0 mod 5 get
+    * two, etc.) — same synthesis-then-operate pattern as [[cosineDedup]]'s
+    * perturbed vectors. Redaction order is pinned (e-mail → IP → phone;
+    * each later pattern cannot match inside an earlier placeholder) and the
+    * redacted text is emitted as a 60-bit fingerprint, not raw (hash compare
+    * + no giant string column through the driver).
+    *
+    * At scale: zero shuffles — a pure projected scan until the output sort;
+    * regex evaluation is per-row, embarrassingly parallel. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val idS = col("doc_id").cast("string")
+    val aug = concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(3)) > 0,
+        concat(lit(" Contact user"), idS, lit("@example.com."))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" or user"), idS, lit("b@example.com"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) > 0,
+        concat(lit(" call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit(" from "),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+          pmod(col("doc_id") * 7, lit(256)).cast("string"), lit("."),
+          pmod(col("doc_id") * 13, lit(256)).cast("string"), lit("."),
+          pmod(col("doc_id") * 31, lit(256)).cast("string"))).otherwise(lit("")))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("t"), lit(EmailPat), lit("<EMAIL>")),
+        lit(Ipv4Pat), lit("<IP>")),
+      lit(PhonePat), lit("<PHONE>"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), aug.as("t"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(PhonePat), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("t"), lit(Ipv4Pat), lit(0))).as("n_ips"),
+        redacted.as("red"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        length(col("red")).as("n_chars_redacted"),
+        hash64(col("red")).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
+  // ---- e_dup_clusters -----------------------------------------------------
+
+  /** Connected components over the verified near-duplicate pairs — the step
+    * that turns pairwise dedup output into DEDUP DECISIONS: each component
+    * is one content cluster, its canonical id is the minimum member id (the
+    * same survivor rule as [[exactDedup]]), and "drop everything whose
+    * doc_id ≠ cluster_id" is then a stateless filter.
+    *
+    * Algorithm: min-label propagation to fixpoint — labels start as own ids;
+    * each round every vertex takes the min of its own and its neighbors'
+    * labels. The driver loop is the standard CC-on-Spark shape (GraphX/
+    * GraphFrames do the same): iterations = component DIAMETER, and near-dup
+    * clusters are shallow by construction (a dup of a dup of X is a dup
+    * of X), so 2-3 rounds converge. The per-round driver action is an
+    * aggregate-to-scalar convergence check, not a row collect. At adversarial
+    * diameters (long chains) switch to large-star/small-star path doubling
+    * (O(log d) rounds); the 20-round guard makes that failure loud, not
+    * silent. Each round shuffles (edge endpoints × labels) — edges and
+    * labels are persisted so rounds do not replay the minhash pipeline.
+    *
+    * CACHING CONTRACT: persists pairs/edges/labels; callers invoking
+    * repeatedly in one session should clearCache() after materializing. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = minhashVerifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+      .persist(lvl)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(lvl)
+
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .persist(lvl)
+    var converged = false
+    var round = 0
+    while (!converged && round < 20) {
+      val neighborMin = edges.join(labels.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist(lvl)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("v"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    require(converged, "dup_clusters: min-label propagation did not converge in 20 " +
+      "rounds — component diameter is pathological; use path doubling")
+
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("v").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  // ---- e_quality_filter ---------------------------------------------------
+
+  /** Gopher-style quality-rule battery — the composite keep/drop gate a
+    * pretraining corpus runs after text extraction: token-count bounds,
+    * mean-token-length band, garbage-token screen, repetition screen,
+    * stopword presence. Emits every signal (for threshold tuning), the
+    * boolean gate, and the FIRST failing rule as a verdict string (the
+    * standard "reject reason" telemetry). Signals are exact integers or
+    * single int→double divisions; the rule order is pinned so the verdict
+    * is deterministic. Zero shuffles — pure projected scan until the sort. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toked = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        tokens(col("text")).as("tk"))
+    val nTok = size(col("tk"))
+    val totalLen = aggregate(transform(col("tk"), t => length(t)), lit(0), (a, x) => a + x)
+    val sig = toked.select(
+      col("doc_id"), col("lang"), col("source"),
+      nTok.as("n_tokens"),
+      (totalLen.cast("double") / nTok.cast("double")).as("mean_token_len"),
+      (lit(1.0) - size(array_distinct(col("tk"))).cast("double") / nTok.cast("double"))
+        .as("dup_ratio"),
+      size(filter(col("tk"), t => length(t) >= 15)).as("n_long_tokens"),
+      size(filter(col("tk"), t => t === "the" || t === "a" || t === "of")).as("n_stop"))
+    val keep = col("n_tokens") >= 25 && col("n_tokens") <= 500 &&
+      col("mean_token_len") >= 3.0 && col("mean_token_len") <= 10.0 &&
+      col("n_long_tokens") === 0 && col("dup_ratio") <= 0.85 && col("n_stop") > 0
+    val verdict =
+      when(col("n_tokens") < 25, "too_short")
+        .when(col("n_tokens") > 500, "too_long")
+        .when(col("mean_token_len") < 3.0, "tokens_too_short")
+        .when(col("mean_token_len") > 10.0, "tokens_too_long")
+        .when(col("n_long_tokens") > 0, "has_garbage_token")
+        .when(col("dup_ratio") > 0.85, "too_repetitive")
+        .when(col("n_stop") === 0, "no_stopwords")
+        .otherwise("keep")
+    sig
+      .withColumn("verdict", verdict)
+      .withColumn("keep", keep)
+      .orderBy("doc_id")
+  }
+
+  // ---- e_domain_stats -----------------------------------------------------
+
+  /** Per-source (per-domain) corpus statistics — the rollup behind domain
+    * filtering and mixture weighting: doc/token volumes, language spread, a
+    * quality rate, and a pinned-threshold tier label. One hash-aggregate
+    * shuffle carrying |sources| partial rows (map-side combined); the
+    * distinct-lang count rides the same shuffle. Ratios are single
+    * int→double divisions (bit-identical cross-engine); tier thresholds
+    * compare those exact doubles against literals. */
+  def domainStats(spark: SparkSession, dir: String): DataFrame = {
+    val toked = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), tokens(col("text")).as("tk"))
+    val q = size(col("tk")) >= 25 &&
+      size(filter(col("tk"), t => t === "the" || t === "a" || t === "of")) > 0
+    val rate = sum(when(col("q"), 1L).otherwise(0L)).cast("double") /
+      count(lit(1)).cast("double")
+    toked
+      .select(col("lang"), col("source"), size(col("tk")).as("n_tokens"), q.as("q"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1)).cast("double")).as("avg_tokens"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+        rate.as("quality_rate"),
+        when(rate >= 0.9, "high").when(rate >= 0.8, "mid").otherwise("low").as("tier"))
+      .orderBy("source")
   }
 }
