@@ -846,11 +846,19 @@ object ExtQueries {
     * aggregate-to-scalar convergence check, not a row collect. At adversarial
     * diameters (long chains) switch to large-star/small-star path doubling
     * (O(log d) rounds); the 20-round guard makes that failure loud, not
-    * silent. Each round shuffles (edge endpoints × labels) — edges and
-    * labels are persisted so rounds do not replay the minhash pipeline.
+    * silent. Each round shuffles (edge endpoints × labels).
     *
-    * CACHING CONTRACT: persists pairs/edges/labels; callers invoking
-    * repeatedly in one session should clearCache() after materializing. */
+    * Per-round frames are `localCheckpoint`ed, not persisted: each round's
+    * plan references the previous round's THREE times, so with lazy caching
+    * the analyzed plan (and Catalyst's per-action work on it) grows ~3^round
+    * even though execution reads the cache — measured 3 s → 15 s per round
+    * by round 4 and 68 s total at sf0.1; checkpointing truncates the lineage
+    * and holds rounds flat (total 8 s). The checkpoint RDDs are session-local
+    * and reclaimed by the ContextCleaner once unreferenced.
+    *
+    * CACHING CONTRACT: persists pairs/edges (probed every round); callers
+    * invoking repeatedly in one session should clearCache() after
+    * materializing. */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pairs = minhashVerifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
@@ -861,21 +869,24 @@ object ExtQueries {
 
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
-      .persist(lvl)
+      .localCheckpoint(true)
     var converged = false
     var round = 0
     while (!converged && round < 20) {
       val neighborMin = edges.join(labels.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v"))
         .agg(min(col("label")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("v"), "left")
+      // carry the convergence flag inside the propagation join (labels only
+      // ever DECREASE, so changed ⇔ new < old) — a separate old-vs-new join
+      // would cost one more shuffle per round
+      val stepped = labels.withColumnRenamed("label", "old")
+        .join(neighborMin, Seq("v"), "left")
         .select(col("v"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist(lvl)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("v"))
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("label"),
+          (coalesce(col("nmin"), col("old")) < col("old")).as("chg"))
+        .localCheckpoint(true)
+      val changed = stepped.filter(col("chg")).count()
+      labels = stepped.select(col("v"), col("label"))
       converged = changed == 0
       round += 1
     }
