@@ -21,9 +21,13 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        spark.catalog.clearCache() // drop per-query persisted intermediates
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // ALWAYS drop per-query persisted intermediates: a query that throws
+        // after persisting (e.g. a convergence guard) must not leak its
+        // caches into every subsequent key's executor memory
+        spark.catalog.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -9,6 +9,10 @@ object ExtOracles {
 
   private val P = graft.functions.GraftFunctions.IntModulus
   private def lst(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
+  /** `'the', 'a', 'of'` — the quality stopword list as a SQL IN-list,
+    * interpolated so the oracle can never drift from
+    * [[ExtQueries.Stopwords]]. */
+  private val stopwordList: String = ExtQueries.Stopwords.map(s => s"'$s'").mkString(", ")
 
   /** Shared shingle-set CTEs: `sh` yields (doc_id, ds) — ds the DISTINCT
     * numeric 3-gram shingle hashes of `src`(doc_id, text). The SQL twin of
@@ -408,16 +412,16 @@ object ExtOracles {
         |FROM red ORDER BY doc_id""".stripMargin,
 
     "e_quality_filter" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\s+') AS tk
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\\s+') AS tk
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, lang, source,
         |    len(tk) AS n_tokens,
         |    len(list_distinct(tk)) AS n_uniq,
         |    list_sum(list_transform(tk, x -> length(x))) AS total_len,
-        |    len(list_filter(tk, x -> length(x) >= 15)) AS n_long_tokens,
-        |    len(list_filter(tk, x -> x IN ('the','a','of'))) AS n_stop
+        |    len(list_filter(tk, x -> length(x) >= ${ExtQueries.QfGarbageTokenLen})) AS n_long_tokens,
+        |    len(list_filter(tk, x -> x IN ($stopwordList))) AS n_stop
         |  FROM t),
         |r AS (
         |  SELECT doc_id, lang, source, n_tokens,
@@ -426,27 +430,29 @@ object ExtOracles {
         |    n_long_tokens, n_stop FROM s)
         |SELECT doc_id, lang, source, n_tokens, mean_token_len, dup_ratio,
         |  n_long_tokens, n_stop,
-        |  CASE WHEN n_tokens < 25 THEN 'too_short'
-        |       WHEN n_tokens > 500 THEN 'too_long'
-        |       WHEN mean_token_len < CAST(3 AS DOUBLE) THEN 'tokens_too_short'
-        |       WHEN mean_token_len > CAST(10 AS DOUBLE) THEN 'tokens_too_long'
+        |  CASE WHEN n_tokens < ${ExtQueries.QfMinTokens} THEN 'too_short'
+        |       WHEN n_tokens > ${ExtQueries.QfMaxTokens} THEN 'too_long'
+        |       WHEN mean_token_len < CAST(${ExtQueries.QfMinMeanLen} AS DOUBLE) THEN 'tokens_too_short'
+        |       WHEN mean_token_len > CAST(${ExtQueries.QfMaxMeanLen} AS DOUBLE) THEN 'tokens_too_long'
         |       WHEN n_long_tokens > 0 THEN 'has_garbage_token'
-        |       WHEN dup_ratio > CAST(0.85 AS DOUBLE) THEN 'too_repetitive'
+        |       WHEN dup_ratio > CAST(${ExtQueries.QfMaxDupRatio} AS DOUBLE) THEN 'too_repetitive'
         |       WHEN n_stop = 0 THEN 'no_stopwords'
         |       ELSE 'keep' END AS verdict,
-        |  (n_tokens >= 25 AND n_tokens <= 500
-        |    AND mean_token_len >= CAST(3 AS DOUBLE) AND mean_token_len <= CAST(10 AS DOUBLE)
-        |    AND n_long_tokens = 0 AND dup_ratio <= CAST(0.85 AS DOUBLE)
+        |  (n_tokens >= ${ExtQueries.QfMinTokens} AND n_tokens <= ${ExtQueries.QfMaxTokens}
+        |    AND mean_token_len >= CAST(${ExtQueries.QfMinMeanLen} AS DOUBLE)
+        |    AND mean_token_len <= CAST(${ExtQueries.QfMaxMeanLen} AS DOUBLE)
+        |    AND n_long_tokens = 0 AND dup_ratio <= CAST(${ExtQueries.QfMaxDupRatio} AS DOUBLE)
         |    AND n_stop > 0) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
 
     "e_domain_stats" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\s+') AS tk
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\\s+') AS tk
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, lang, source, len(tk) AS n_tokens,
-        |    (len(tk) >= 25 AND len(list_filter(tk, x -> x IN ('the','a','of'))) > 0) AS q
+        |    (len(tk) >= ${ExtQueries.QfMinTokens}
+        |      AND len(list_filter(tk, x -> x IN ($stopwordList))) > 0) AS q
         |  FROM t)
         |SELECT source,
         |  CAST(count(*) AS BIGINT) AS n_docs,
@@ -457,9 +463,9 @@ object ExtOracles {
         |  CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    AS quality_rate,
         |  CASE WHEN CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-        |         >= CAST(0.9 AS DOUBLE) THEN 'high'
+        |         >= CAST(${ExtQueries.DsTierHigh} AS DOUBLE) THEN 'high'
         |       WHEN CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-        |         >= CAST(0.8 AS DOUBLE) THEN 'mid'
+        |         >= CAST(${ExtQueries.DsTierMid} AS DOUBLE) THEN 'mid'
         |       ELSE 'low' END AS tier
         |FROM s GROUP BY source ORDER BY source""".stripMargin,
   )

@@ -535,12 +535,9 @@ object ExtQueries {
     * side re-ranks the same centroid set (|Q|·cells rows, negligible) and
     * keeps rank ≤ nprobe cells per query. Each corpus vector lives in
     * exactly one cell, so probing distinct cells never duplicates a
-    * candidate pair.
-    *
-    * CACHING CONTRACT: persists the assigned-corpus frame (both the probe
-    * join and the query-side filter read it); callers invoking repeatedly in
-    * one session should clearCache() after materializing (see
-    * [[graft.agg.DailyInsights.compute]]). */
+    * candidate pair. The assigned corpus is NOT persisted: the probe join
+    * is its only consumer (the query side derives from the raw vectors), so
+    * a cache would be pure materialization overhead. */
   def cosineTopkIvfNprobe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= IvfCells,
       s"nprobe must be in [1, $IvfCells], got $nprobe")
@@ -559,7 +556,6 @@ object ExtQueries {
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Query-side probe list: the query's nprobe nearest centroids, one row
     // per (query, probed cell). The query set is bounded (vec_id < 8), so
@@ -901,6 +897,20 @@ object ExtQueries {
 
   // ---- e_quality_filter ---------------------------------------------------
 
+  /** Quality-rule thresholds and the stopword list — shared with the oracle
+    * SQL by interpolation (same single-definition discipline as [[EmailPat]]
+    * / [[MinhashA]]: an unlinked literal copy would let one edit silently
+    * split the engines). [[Stopwords]] also feeds [[domainStats]]. */
+  private[queries] val QfMinTokens = 25
+  private[queries] val QfMaxTokens = 500
+  private[queries] val QfMinMeanLen = 3.0
+  private[queries] val QfMaxMeanLen = 10.0
+  private[queries] val QfGarbageTokenLen = 15
+  private[queries] val QfMaxDupRatio = 0.85
+  private[queries] val Stopwords = Seq("the", "a", "of")
+
+  private def isStopword(t: Column): Column = Stopwords.map(t === _).reduce(_ || _)
+
   /** Gopher-style quality-rule battery — the composite keep/drop gate a
     * pretraining corpus runs after text extraction: token-count bounds,
     * mean-token-length band, garbage-token screen, repetition screen,
@@ -921,18 +931,18 @@ object ExtQueries {
       (totalLen.cast("double") / nTok.cast("double")).as("mean_token_len"),
       (lit(1.0) - size(array_distinct(col("tk"))).cast("double") / nTok.cast("double"))
         .as("dup_ratio"),
-      size(filter(col("tk"), t => length(t) >= 15)).as("n_long_tokens"),
-      size(filter(col("tk"), t => t === "the" || t === "a" || t === "of")).as("n_stop"))
-    val keep = col("n_tokens") >= 25 && col("n_tokens") <= 500 &&
-      col("mean_token_len") >= 3.0 && col("mean_token_len") <= 10.0 &&
-      col("n_long_tokens") === 0 && col("dup_ratio") <= 0.85 && col("n_stop") > 0
+      size(filter(col("tk"), t => length(t) >= QfGarbageTokenLen)).as("n_long_tokens"),
+      size(filter(col("tk"), t => isStopword(t))).as("n_stop"))
+    val keep = col("n_tokens") >= QfMinTokens && col("n_tokens") <= QfMaxTokens &&
+      col("mean_token_len") >= QfMinMeanLen && col("mean_token_len") <= QfMaxMeanLen &&
+      col("n_long_tokens") === 0 && col("dup_ratio") <= QfMaxDupRatio && col("n_stop") > 0
     val verdict =
-      when(col("n_tokens") < 25, "too_short")
-        .when(col("n_tokens") > 500, "too_long")
-        .when(col("mean_token_len") < 3.0, "tokens_too_short")
-        .when(col("mean_token_len") > 10.0, "tokens_too_long")
+      when(col("n_tokens") < QfMinTokens, "too_short")
+        .when(col("n_tokens") > QfMaxTokens, "too_long")
+        .when(col("mean_token_len") < QfMinMeanLen, "tokens_too_short")
+        .when(col("mean_token_len") > QfMaxMeanLen, "tokens_too_long")
         .when(col("n_long_tokens") > 0, "has_garbage_token")
-        .when(col("dup_ratio") > 0.85, "too_repetitive")
+        .when(col("dup_ratio") > QfMaxDupRatio, "too_repetitive")
         .when(col("n_stop") === 0, "no_stopwords")
         .otherwise("keep")
     sig
@@ -950,11 +960,13 @@ object ExtQueries {
     * distinct-lang count rides the same shuffle. Ratios are single
     * int→double divisions (bit-identical cross-engine); tier thresholds
     * compare those exact doubles against literals. */
+  private[queries] val DsTierHigh = 0.9
+  private[queries] val DsTierMid = 0.8
+
   def domainStats(spark: SparkSession, dir: String): DataFrame = {
     val toked = table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), tokens(col("text")).as("tk"))
-    val q = size(col("tk")) >= 25 &&
-      size(filter(col("tk"), t => t === "the" || t === "a" || t === "of")) > 0
+    val q = size(col("tk")) >= QfMinTokens && size(filter(col("tk"), t => isStopword(t))) > 0
     val rate = sum(when(col("q"), 1L).otherwise(0L)).cast("double") /
       count(lit(1)).cast("double")
     toked
@@ -967,7 +979,8 @@ object ExtQueries {
         (sum(col("n_tokens")).cast("double") / count(lit(1)).cast("double")).as("avg_tokens"),
         sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
         rate.as("quality_rate"),
-        when(rate >= 0.9, "high").when(rate >= 0.8, "mid").otherwise("low").as("tier"))
+        when(rate >= DsTierHigh, "high").when(rate >= DsTierMid, "mid")
+          .otherwise("low").as("tier"))
       .orderBy("source")
   }
 }

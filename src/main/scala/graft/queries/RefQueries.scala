@@ -434,19 +434,32 @@ object RefQueries {
     *
     * ORACLE-CHECKED via the exact ⌈q·n⌉ rank-selection SQL: GK with
     * accuracy ≥ n degenerates to exact rank selection under the same ⌈q·n⌉
-    * convention (spec-pinned), and the accuracy here (10⁶) exceeds the
-    * per-group n at every verify/bench SF (≤ 2·10⁴ at sf0.1). SCALE CAVEAT:
-    * at a real 10⁹-rows-per-group corpus you would tune accuracy back down
-    * (memory is O(accuracy·log n)) and accept rank error ≤ n/accuracy —
-    * the sketch values then stop being oracle-comparable (DuckDB's
-    * approx_quantile is a t-digest: different sketch, different values). */
+    * convention (spec-pinned), and the accuracy here ([[OrderStatsAccuracy]])
+    * exceeds the per-group n at every verify/bench SF (≤ 2·10⁴ at sf0.1).
+    * The precondition is ENFORCED, not just documented (same pattern as
+    * [[graft.functions.GraftFunctions.avg2]]'s group limit): a group larger
+    * than the accuracy RAISES instead of silently emitting sketch values
+    * that diverge from the exact oracle — one comparison per group. SCALE
+    * CAVEAT: at a real 10⁹-rows-per-group corpus you would tune accuracy
+    * back down (memory is O(accuracy·log n)) and accept rank error
+    * ≤ n/accuracy — the sketch values then stop being oracle-comparable
+    * (DuckDB's approx_quantile is a t-digest: different sketch, different
+    * values). */
+  private[queries] val OrderStatsAccuracy = 1000000
+
   def orderStatsApprox(spark: SparkSession, dir: String): DataFrame = {
     val ps = percentile_approx(col("value"),
-      array(lit(0.5), lit(0.9), lit(0.99)), lit(1000000))
+      array(lit(0.5), lit(0.9), lit(0.99)), lit(OrderStatsAccuracy))
+    val n = count(lit(1))
+    val guarded = when(n <= OrderStatsAccuracy, ps)
+      .otherwise(raise_error(lit(
+        s"order_stats_approx: group exceeds accuracy $OrderStatsAccuracy — GK no longer " +
+          "degenerates to exact rank selection; raise the accuracy or accept sketch " +
+          "values and drop the exact oracle")).cast("array<double>"))
     table(spark, dir, "events")
       .select(col("event_type"), col("value"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), ps.as("ps"))
+      .agg(n.as("n"), guarded.as("ps"))
       .select(col("event_type"), col("n"),
         element_at(col("ps"), 1).as("p50"),
         element_at(col("ps"), 2).as("p90"),

@@ -43,12 +43,15 @@ def main(sf_dir, out_dir):
         bad = None
         for c in got.columns:
             a, b = got[c], exp[c]
-            # The driver hashes SERIALIZED values, so an int64-vs-float64 column
-            # (e.g. DuckDB HUGEINT window sums arriving as float64) is a real
-            # divergence even when the values compare numerically equal. Fail
-            # loud instead of coercing — this gap hid q_sessionize for 2 rounds.
-            kinds = {a.dtype.kind, b.dtype.kind}
-            if kinds == {'i', 'f'} or kinds == {'u', 'f'}:
+            # The driver hashes SERIALIZED values, so any dtype-KIND mismatch
+            # (int-vs-float from a DuckDB HUGEINT window sum, bool-vs-int,
+            # datetime-vs-int, ...) is a real divergence even when the values
+            # compare equal after pandas coercion (1.0 == 1, True == 1). Fail
+            # loud instead of coercing — the int/float case alone hid
+            # q_sessionize for 2 rounds. Width-only differences within the
+            # same signedness family are the one safe pair.
+            ka, kb = a.dtype.kind, b.dtype.kind
+            if ka != kb and {ka, kb} != {'i', 'u'}:
                 bad = (c, 'dtype', str(a.dtype), str(b.dtype), 0)
                 break
             try:
@@ -67,7 +70,7 @@ def main(sf_dir, out_dir):
             c, i, av, bv, n = bad
             if i == 'dtype':
                 print(f"FAIL {name}: col {c} dtype-kind mismatch spark={av} oracle={bv}"
-                      " (int-vs-float serializes differently under the driver hash)")
+                      " (different kinds serialize differently under the driver hash)")
             else:
                 print(f"FAIL {name}: col {c} row {i}: spark={av!r} oracle={bv!r} ({n} diffs)")
             n_fail += 1
