@@ -79,6 +79,7 @@ object SparkEntry {
     "e_dup_clusters"      -> (ExtQueries.dupClusters _),
     "e_quality_filter"    -> (ExtQueries.qualityFilter _),
     "e_domain_stats"      -> (ExtQueries.domainStats _),
+    "e_freq_rank_score"   -> (ExtQueries.freqRankScore _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

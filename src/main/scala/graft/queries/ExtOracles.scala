@@ -468,5 +468,25 @@ object ExtOracles {
         |         >= CAST(${ExtQueries.DsTierMid} AS DOUBLE) THEN 'mid'
         |       ELSE 'low' END AS tier
         |FROM s GROUP BY source ORDER BY source""".stripMargin,
+
+    "e_freq_rank_score" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token,
+        |    CAST(row_number() OVER (ORDER BY count(*) DESC, token ASC) AS BIGINT) AS rank
+        |  FROM tok GROUP BY token
+        |  QUALIFY rank <= ${ExtQueries.FreqRankVocab}),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    coalesce(v.rank, ${ExtQueries.FreqRankVocab + 1}) AS r,
+        |    CASE WHEN v.rank IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tok t LEFT JOIN vocab v USING (token))
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  CAST(sum(r) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_rank
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

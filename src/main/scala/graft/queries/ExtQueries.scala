@@ -983,4 +983,45 @@ object ExtQueries {
           .otherwise("low").as("tier"))
       .orderBy("source")
   }
+
+  // ---- e_freq_rank_score --------------------------------------------------
+
+  /** Top-vocabulary size for the frequency-rank score; out-of-vocabulary
+    * tokens take penalty rank [[FreqRankVocab]] + 1. */
+  private[queries] val FreqRankVocab = 20
+
+  /** Frequency-rank language-model proxy — the deterministic stand-in for
+    * perplexity-based quality scoring (CCNet-style): pass 1 builds a
+    * top-[[FreqRankVocab]] vocabulary ranked by corpus frequency (the
+    * "model"), pass 2 scores each document by the mean rank of its tokens,
+    * OOV tokens at penalty rank V+1. Real perplexity needs log-probs, whose
+    * transcendental rounding differs across engines; ranks are integers and
+    * the score is one int→double division — bit-identical by construction.
+    *
+    * At scale: the two corpus scans are the standard two-pass model-build
+    * shape — pass 1 map-side-combines to \|vocab\| partials (persisting the
+    * exploded token stream would cost token-volume storage for one reuse,
+    * strictly worse than the re-scan); the vocab table is Zipf-bounded and
+    * BROADCAST, so pass 2 never shuffles the corpus — only \|docs\| partial
+    * aggregates. The vocab ranking window is a single-partition sort over
+    * \|vocab\| rows (bounded, post-aggregation), not over the corpus. */
+  def freqRankScore(spark: SparkSession, dir: String): DataFrame = {
+    val tok = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val w = Window.orderBy(col("n").desc, col("token").asc)
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= FreqRankVocab)
+      .select(col("token"), col("rank").cast("long").as("rank"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rank"), lit(FreqRankVocab + 1L)).as("r"),
+        when(col("rank").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("oov")).as("n_oov"),
+        (sum(col("r")).cast("double") / count(lit(1)).cast("double")).as("mean_rank"))
+      .orderBy("doc_id")
+  }
 }

@@ -143,4 +143,25 @@ object Streaming {
     changelog.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Streaming exact dedup — the continuous-ingest form of
+    * [[graft.queries.ExtQueries.exactDedup]]: first-seen-wins on the same
+    * cross-engine 60-bit content fingerprint, so a document crawled twice
+    * (in one batch or months apart) ships once. `dropDuplicates` keys state
+    * on the HASH only — state is \|distinct contents\| × 12 bytes, never the
+    * text, and survives restarts through the checkpoint (exactly-once across
+    * re-crawls is the point).
+    *
+    * Survivor semantics differ from the batch form BY DESIGN: a stream keeps
+    * the FIRST ARRIVAL (it cannot know a lower id arrives later); the batch
+    * form keeps the min id. The surviving fingerprint SET is identical —
+    * parity-tested against the batch operator. At a bounded dedup horizon
+    * (e.g. re-crawls land within 30 days), swap in
+    * `dropDuplicatesWithinWatermark` so the watermark evicts state instead
+    * of growing it forever. */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.hash64(col("text")).as("content_hash"))
+      .dropDuplicates("content_hash")
 }

@@ -189,4 +189,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.getAs[java.sql.Date]("week_start")).distinct ===
       Seq(java.sql.Date.valueOf("2024-01-29"), java.sql.Date.valueOf("2024-02-05")))
   }
+
+  test("streaming dedup keeps one row per content across micro-batches") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-dedup-in").toString
+    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
+    // one file of re-crawl copies (high ids) + one of originals, processed
+    // as SEPARATE micro-batches (maxFilesPerTrigger=1): dedup state must
+    // suppress the second batch's duplicates across the batch boundary
+    val docs = (0 until 40).map(i => (i.toLong, s"doc body number ${i % 25}"))
+    docs.map { case (id, t) => (id + 1000000L, t) }
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    docs.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+
+    val q = Streaming.dedupStream(spark.readStream
+        .schema(docs.toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", 1).parquet(in))
+      .writeStream
+      .format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("dedup_stream").collect()
+    // 80 input rows, 25 distinct contents — exactly one survivor each,
+    // never both members of an (original, re-crawl) id pair
+    assert(streamed.length === 25)
+    assert(streamed.map(_.getAs[Long]("content_hash")).distinct.length === 25)
+    val ids = streamed.map(_.getAs[Long]("doc_id")).toSet
+    assert((0 until 40).forall(i => !(ids(i.toLong) && ids(i + 1000000L))))
+    // the surviving fingerprint SET matches the batch operator (survivor
+    // IDS differ by design: first-arrival vs min-id)
+    val batchHashes = docs.flatMap { case (id, t) => Seq((id, t), (id + 1000000L, t)) }
+      .toDF("doc_id", "text")
+      .select(graft.functions.GraftFunctions.hash64(col("text")).as("h"))
+      .distinct().as[Long].collect().toSet
+    assert(streamed.map(_.getAs[Long]("content_hash")).toSet === batchHashes)
+  }
 }
