@@ -20,7 +20,6 @@ class IvfRecallSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
     val recalls = Seq(1, 2, ExtQueries.IvfCells).map { np =>
       val pairs = topkPairs(ExtQueries.cosineTopkIvfNprobe(spark, dir, np))
-      spark.catalog.clearCache() // CACHING CONTRACT of the persisting operator
       np -> (pairs & exact).size.toDouble / exact.size
     }
     val byProbe = recalls.toMap
@@ -37,7 +36,6 @@ class IvfRecallSpec extends AnyFunSuite {
   test("nprobe = cells reproduces the exact baseline rows bit-for-bit") {
     val exact = ExtQueries.cosineTopk(spark, dir).collect()
     val full = ExtQueries.cosineTopkIvfNprobe(spark, dir, ExtQueries.IvfCells).collect()
-    spark.catalog.clearCache()
     assert(full === exact)
   }
 
