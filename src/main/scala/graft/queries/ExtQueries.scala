@@ -833,62 +833,22 @@ object ExtQueries {
     * same survivor rule as [[exactDedup]]), and "drop everything whose
     * doc_id ≠ cluster_id" is then a stateless filter.
     *
-    * Algorithm: min-label propagation to fixpoint — labels start as own ids;
-    * each round every vertex takes the min of its own and its neighbors'
-    * labels. The driver loop is the standard CC-on-Spark shape (GraphX/
-    * GraphFrames do the same): iterations = component DIAMETER, and near-dup
-    * clusters are shallow by construction (a dup of a dup of X is a dup
-    * of X), so 2-3 rounds converge. The per-round driver action is an
-    * aggregate-to-scalar convergence check, not a row collect. At adversarial
-    * diameters (long chains) switch to large-star/small-star path doubling
-    * (O(log d) rounds); the 20-round guard makes that failure loud, not
-    * silent. Each round shuffles (edge endpoints × labels).
+    * The component computation is the shared
+    * [[graft.operators.ConnectedComponents]] operator — min-label
+    * propagation with pointer jumping, O(log diameter) rounds, per-round
+    * lineage truncation (see its scaladoc for the algorithm and the
+    * measured 3^round plan-blowup trap it avoids). Near-dup clusters are
+    * shallow, so a handful of rounds converge here; the jump is what keeps
+    * adversarial chain-shaped components (dup of a dup of a dup …) from
+    * scaling rounds with chain length.
     *
-    * Per-round frames are `localCheckpoint`ed, not persisted: each round's
-    * plan references the previous round's THREE times, so with lazy caching
-    * the analyzed plan (and Catalyst's per-action work on it) grows ~3^round
-    * even though execution reads the cache — measured 3 s → 15 s per round
-    * by round 4 and 68 s total at sf0.1; checkpointing truncates the lineage
-    * and holds rounds flat (total 8 s). The checkpoint RDDs are session-local
-    * and reclaimed by the ContextCleaner once unreferenced.
-    *
-    * CACHING CONTRACT: persists pairs/edges (probed every round); callers
-    * invoking repeatedly in one session should clearCache() after
-    * materializing. */
+    * CACHING CONTRACT: the component operator persists the pair/edge frames
+    * probed every round; callers invoking repeatedly in one session should
+    * clearCache() after materializing. */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pairs = minhashVerifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
-      .persist(lvl)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(lvl)
-
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("label", col("v"))
-      .localCheckpoint(true)
-    var converged = false
-    var round = 0
-    while (!converged && round < 20) {
-      val neighborMin = edges.join(labels.withColumnRenamed("v", "src"), "src")
-        .groupBy(col("dst").as("v"))
-        .agg(min(col("label")).as("nmin"))
-      // carry the convergence flag inside the propagation join (labels only
-      // ever DECREASE, so changed ⇔ new < old) — a separate old-vs-new join
-      // would cost one more shuffle per round
-      val stepped = labels.withColumnRenamed("label", "old")
-        .join(neighborMin, Seq("v"), "left")
-        .select(col("v"),
-          least(col("old"), coalesce(col("nmin"), col("old"))).as("label"),
-          (coalesce(col("nmin"), col("old")) < col("old")).as("chg"))
-        .localCheckpoint(true)
-      val changed = stepped.filter(col("chg")).count()
-      labels = stepped.select(col("v"), col("label"))
-      converged = changed == 0
-      round += 1
-    }
-    require(converged, "dup_clusters: min-label propagation did not converge in 20 " +
-      "rounds — component diameter is pathological; use path doubling")
-
+    val pairs = minhashVerifiedPairs(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = graft.operators.ConnectedComponents.components(pairs)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("label"))
       .select(col("v").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
