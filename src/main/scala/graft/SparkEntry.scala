@@ -80,6 +80,7 @@ object SparkEntry {
     "e_quality_filter"    -> (ExtQueries.qualityFilter _),
     "e_domain_stats"      -> (ExtQueries.domainStats _),
     "e_freq_rank_score"   -> (ExtQueries.freqRankScore _),
+    "e_semantic_dedup"    -> (ExtQueries.semanticDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -469,6 +469,39 @@ object ExtOracles {
         |       ELSE 'low' END AS tier
         |FROM s GROUP BY source ORDER BY source""".stripMargin,
 
+    "e_semantic_dedup" ->
+      s"""WITH all_vecs AS (
+        |  SELECT vec_id, embedding AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(range(0, len(embedding)),
+        |      d -> CAST(CAST(embedding[d+1] AS DOUBLE) * (0.9 + 0.05*CAST(d % 5 AS DOUBLE)) AS FLOAT)) AS e
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, e AS ce,
+        |  sqrt(list_reduce(list_transform(e, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b)) AS ncent
+        |  FROM all_vecs WHERE vec_id < ${ExtQueries.IvfCells}),
+        |vecs AS (SELECT vec_id, e,
+        |  sqrt(list_reduce(list_transform(e, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b)) AS nrm
+        |  FROM all_vecs),
+        |sims AS (SELECT v.vec_id, v.e, v.nrm, c.cent_id,
+        |  list_reduce(list_transform(list_zip(v.e, c.ce),
+        |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b)
+        |    / (v.nrm * c.ncent) AS csim
+        |  FROM vecs v, cents c),
+        |assigned AS (SELECT vec_id, e, nrm, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cent_id ASC) AS crank FROM sims)
+        |  WHERE crank = 1),
+        |dup AS (SELECT DISTINCT y.vec_id
+        |  FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |  WHERE list_reduce(list_transform(list_zip(x.e, y.e),
+        |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b)
+        |    / (x.nrm * y.nrm) >= ${ExtQueries.SemDedupTheta})
+        |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+        |  (d.vec_id IS NULL) AS keep
+        |FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
+
     "e_freq_rank_score" ->
       s"""WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token

@@ -578,6 +578,71 @@ object ExtQueries {
       .orderBy("qid", "rank")
   }
 
+  // ---- e_semantic_dedup ---------------------------------------------------
+
+  /** Cosine threshold above which two same-cell vectors are semantic
+    * duplicates (lower than [[cosineDedup]]'s 0.95 near-dup bar on
+    * purpose: semantic dedup prunes REDUNDANCY, not just near-copies). */
+  private[queries] val SemDedupTheta = 0.9
+
+  /** SemDeDup-style semantic deduplication — the cluster-then-compare
+    * family next to the LSH one ([[cosineDedup]]): partition the corpus
+    * into centroid cells (the [[IvfCells]] pinned seeds standing in for
+    * k-means, as in [[cosineTopkIvfNprobe]]), compute pairwise cosine ONLY
+    * within a cell, and drop every vector that has a smaller-id neighbor
+    * above [[SemDedupTheta]] — the deterministic form of "keep one
+    * representative per semantic group". Emits the keep/drop DECISION per
+    * vector, the stateless-filter shape downstream mixing wants.
+    *
+    * At scale: the in-cell self-join is (N/cells)² per cell — SemDeDup's
+    * own cost model; cells grow ~√N with the corpus (k-means k is a
+    * parameter), which keeps the per-cell quadratic bounded. Assignment is
+    * one broadcast-centroid argmax scan; only (id, cell) and norms shuffle
+    * for the self-join, never the text.
+    *
+    * CACHING CONTRACT: persists the assigned frame (BOTH sides of the
+    * in-cell self-join and the final decision join probe it); callers
+    * invoking repeatedly in one session should clearCache() after
+    * materializing. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val vecsAll = table(spark, dir, "embeddings")
+      .select(explode(array(
+        struct(col("vec_id"), col("embedding").as("e")),
+        struct((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"),
+            (x, d) => (x.cast("double") * (lit(0.9) + lit(0.05) * (d % 5).cast("double")))
+              .cast("float")).as("e")))).as("r"))
+      .select(col("r.vec_id").as("vec_id"), col("r.e").as("e"))
+    val cents = table(spark, dir, "embeddings").filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      .withColumn("ncent", l2norm(col("ce")))
+    val vecs = vecsAll.withColumn("nrm", l2norm(col("e")))
+    val simToCent = seqSum(zip_with(col("e"), col("ce"),
+      (x, y) => x.cast("double") * y.cast("double"))) / (col("nrm") * col("ncent"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    val assigned = vecs.crossJoin(broadcast(cents))
+      .withColumn("csim", simToCent)
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val pairCos = seqSum(zip_with(col("x.e"), col("y.e"),
+      (a, b) => a.cast("double") * b.cast("double"))) / (col("x.nrm") * col("y.nrm"))
+    val dups = assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .filter(pairCos >= SemDedupTheta)
+      .select(col("y.vec_id").as("vec_id"))
+      .distinct()
+      .withColumn("dup", lit(true))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("dup").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
   // ---- e_token_count ------------------------------------------------------
 
   /** Token counting two ways (north-star "token counting" item): whitespace

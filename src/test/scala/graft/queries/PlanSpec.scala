@@ -129,4 +129,33 @@ class PlanSpec extends AnyFunSuite {
     assert(broadcasts >= 3, s"expected 3 broadcast joins, plan:\n${plan.take(1200)}")
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("pii redact / quality filter: single pruned scan, no joins") {
+    for ((name, df) <- Seq(
+        ("pii", ExtQueries.piiRedact(spark, dir)),
+        ("quality", ExtQueries.qualityFilter(spark, dir)))) {
+      val plan = formatted(df)
+      assert(parquetScans(plan) === 1, s"$name: ${plan.take(400)}")
+      assert(!plan.contains("Join"), s"$name must be a pure scan")
+    }
+    // regex work must not read columns it does not need
+    assert(formatted(ExtQueries.piiRedact(spark, dir))
+      .contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("domain stats: one scan, one partial-aggregated shuffle on source") {
+    val df = ExtQueries.domainStats(spark, dir)
+    val plan = formatted(df)
+    assert(parquetScans(plan) === 1)
+    assert(plan.contains("HashAggregate")) // map-side partials before exchange
+    assert(!plan.contains("doc_id"), "pruning: doc_id is unused in the aggregate")
+  }
+
+  test("freq-rank score: vocab side broadcasts, corpus never sort-merge-joins") {
+    val plan = formatted(ExtQueries.freqRankScore(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "the Zipf-bounded vocab must broadcast — a shuffle join here means the " +
+        "corpus token stream is being re-partitioned at 100 TB")
+  }
 }
