@@ -469,6 +469,25 @@ object ExtOracles {
         |       ELSE 'low' END AS tier
         |FROM s GROUP BY source ORDER BY source""".stripMargin,
 
+    "e_seq_pack" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    -- CAST: DuckDB window sums return HUGEINT (the q_sessionize lesson)
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  cum - n_tokens AS start_off,
+        |  (cum - n_tokens) // ${ExtQueries.PackBlockTokens} AS first_block,
+        |  (cum - 1) // ${ExtQueries.PackBlockTokens} AS last_block,
+        |  (cum - 1) // ${ExtQueries.PackBlockTokens}
+        |    - (cum - n_tokens) // ${ExtQueries.PackBlockTokens} + 1 AS n_blocks
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+
     "e_semantic_dedup" ->
       s"""WITH all_vecs AS (
         |  SELECT vec_id, embedding AS e FROM embeddings

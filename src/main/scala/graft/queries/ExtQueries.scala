@@ -1009,6 +1009,40 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  // ---- e_seq_pack ---------------------------------------------------------
+
+  /** Fixed block size (in tokens) for sequence packing. */
+  private[queries] val PackBlockTokens = 256L
+
+  /** Sequence packing — the step that turns a cleaned corpus into training
+    * sequences: documents are concatenated in pinned order (doc_id) and
+    * chunked into fixed [[PackBlockTokens]]-token blocks (GPT-style
+    * concatenation packing); each document learns its byte-offset analog
+    * (start_off) and the block range it spans. Packing is PER SOURCE, which
+    * is both the realistic unit (no cross-shard concatenation) and what
+    * keeps the running sum distributed — the window partitions by source
+    * instead of forcing a single global cumulative partition.
+    *
+    * All outputs are integer arithmetic over one windowed sum (cast to
+    * BIGINT oracle-side: DuckDB window sums return HUGEINT — the
+    * q_sessionize lesson). One scan, one window shuffle on source. */
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = PackBlockTokens
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_off"),
+        expr(s"(cum - n_tokens) div $b").as("first_block"),
+        expr(s"(cum - 1) div $b").as("last_block"),
+        (expr(s"(cum - 1) div $b") - expr(s"(cum - n_tokens) div $b") + lit(1L))
+          .as("n_blocks"))
+      .orderBy("source", "doc_id")
+  }
+
   // ---- e_freq_rank_score --------------------------------------------------
 
   /** Top-vocabulary size for the frequency-rank score; out-of-vocabulary
