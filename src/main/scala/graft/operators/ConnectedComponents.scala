@@ -60,6 +60,10 @@ object ConnectedComponents {
         .select(col("v"),
           least(col("old"), coalesce(col("nmin"), col("old"))).as("label"),
           (coalesce(col("nmin"), col("old")) < col("old")).as("chg"))
+        // checkpointed BEFORE the self-join below: both jump sides read this
+        // frame, and without materialization the neighbor-min subtree would
+        // plan and execute once per side every round
+        .localCheckpoint(true)
       // pointer jump: adopt the label's own label (labels are vertex ids,
       // and a label can only shrink, so the jump is always a relaxation)
       val next = stepped.as("a")

@@ -514,6 +514,29 @@ object ExtQueries {
   /** Number of IVF cells (pinned seed centroids, vec_id < [[IvfCells]]). */
   private[queries] val IvfCells = 4
 
+  /** The [[IvfCells]] pinned seed centroids with their norms — the shared
+    * "quantizer" of the cell-partitioned operators ([[cosineTopkIvfNprobe]],
+    * [[semanticDedup]]). ONE definition: cell semantics must not drift
+    * between the ANN and dedup families. */
+  private def centroids(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings").filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      .withColumn("ncent", l2norm(col("ce")))
+
+  /** Each vector of `vecs` (`vec_id`, `e`, `nrm`) crossed with the BROADCAST
+    * centroid set and ranked by cosine (pinned tie-break: centroid id).
+    * Callers keep `crank === 1` for hard assignment or `<= nprobe` for
+    * probing. */
+  private def rankedCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val simToCent = seqSum(zip_with(col("e"), col("ce"),
+      (x, y) => x.cast("double") * y.cast("double"))) / (col("nrm") * col("ncent"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("csim", simToCent)
+      .withColumn("crank", row_number().over(wAssign))
+  }
+
   /** IVF-style approximate nearest-neighbor search — the OTHER standard ANN
     * family next to [[cosineTopkLsh]]: partition the corpus into cells by
     * nearest CENTROID, then search only the query's nearest cell. The
@@ -541,28 +564,18 @@ object ExtQueries {
   def cosineTopkIvfNprobe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= IvfCells,
       s"nprobe must be in [1, $IvfCells], got $nprobe")
-    val emb = table(spark, dir, "embeddings")
-    val cents = emb.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-      .withColumn("ncent", l2norm(col("ce")))
-    val vecs = emb.select(col("vec_id"), col("embedding").as("e"))
+    val cents = centroids(spark, dir)
+    val vecs = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", l2norm(col("e")))
-    val simToCent = seqSum(zip_with(col("e"), col("ce"),
-      (x, y) => x.cast("double") * y.cast("double"))) / (col("nrm") * col("ncent"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cent_id").asc)
-    val assigned = vecs.crossJoin(broadcast(cents))
-      .withColumn("csim", simToCent)
-      .withColumn("crank", row_number().over(wAssign))
+    val assigned = rankedCells(vecs, cents)
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
 
     // Query-side probe list: the query's nprobe nearest centroids, one row
     // per (query, probed cell). The query set is bounded (vec_id < 8), so
     // this cross join is |Q|·cells rows and the result broadcasts.
-    val q = vecs.filter(col("vec_id") < 8).crossJoin(broadcast(cents))
-      .withColumn("csim", simToCent)
-      .withColumn("crank", row_number().over(wAssign))
+    val q = rankedCells(vecs.filter(col("vec_id") < 8), cents)
       .filter(col("crank") <= nprobe)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("nq"),
         col("cent_id").as("cell"))
@@ -587,12 +600,22 @@ object ExtQueries {
 
   /** SemDeDup-style semantic deduplication — the cluster-then-compare
     * family next to the LSH one ([[cosineDedup]]): partition the corpus
-    * into centroid cells (the [[IvfCells]] pinned seeds standing in for
-    * k-means, as in [[cosineTopkIvfNprobe]]), compute pairwise cosine ONLY
-    * within a cell, and drop every vector that has a smaller-id neighbor
-    * above [[SemDedupTheta]] — the deterministic form of "keep one
-    * representative per semantic group". Emits the keep/drop DECISION per
-    * vector, the stateless-filter shape downstream mixing wants.
+    * into centroid cells (the shared [[centroids]] quantizer, as in
+    * [[cosineTopkIvfNprobe]]), compute pairwise cosine ONLY within a cell,
+    * and drop every vector that has a smaller-id neighbor above
+    * [[SemDedupTheta]]. Emits the keep/drop DECISION per vector, the
+    * stateless-filter shape downstream mixing wants.
+    *
+    * Drop-rule semantics, stated precisely: a vector survives iff NO
+    * smaller-id same-cell vector is within θ of it. On similarity CHAINS
+    * (a~b, b~c, a≁c — cosine is not transitive at θ) this drops more than
+    * one-representative-per-group would: c is dropped for its similarity
+    * to the already-dropped b. That bias is CONSERVATIVE (never keeps two
+    * similar vectors; may lose a chain tail) and is the price of a
+    * single-pass, order-deterministic rule — the greedy keep-against-
+    * SURVIVORS rule the SemDeDup paper describes is inherently sequential
+    * per cell and would need an iterative fixpoint (the
+    * [[graft.operators.ConnectedComponents]] treatment) to parallelize.
     *
     * At scale: the in-cell self-join is (N/cells)² per cell — SemDeDup's
     * own cost model; cells grow ~√N with the corpus (k-means k is a
@@ -613,17 +636,8 @@ object ExtQueries {
             (x, d) => (x.cast("double") * (lit(0.9) + lit(0.05) * (d % 5).cast("double")))
               .cast("float")).as("e")))).as("r"))
       .select(col("r.vec_id").as("vec_id"), col("r.e").as("e"))
-    val cents = table(spark, dir, "embeddings").filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-      .withColumn("ncent", l2norm(col("ce")))
-    val vecs = vecsAll.withColumn("nrm", l2norm(col("e")))
-    val simToCent = seqSum(zip_with(col("e"), col("ce"),
-      (x, y) => x.cast("double") * y.cast("double"))) / (col("nrm") * col("ncent"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cent_id").asc)
-    val assigned = vecs.crossJoin(broadcast(cents))
-      .withColumn("csim", simToCent)
-      .withColumn("crank", row_number().over(wAssign))
+    val assigned = rankedCells(vecsAll.withColumn("nrm", l2norm(col("e"))),
+        centroids(spark, dir))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
