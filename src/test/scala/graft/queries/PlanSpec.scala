@@ -158,4 +158,21 @@ class PlanSpec extends AnyFunSuite {
       "the Zipf-bounded vocab must broadcast — a shuffle join here means the " +
         "corpus token stream is being re-partitioned at 100 TB")
   }
+
+  test("seq pack: single pruned scan feeding the per-source window") {
+    val plan = formatted(ExtQueries.seqPack(spark, dir))
+    assert(parquetScans(plan) === 1)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      plan.take(500))
+  }
+
+  test("semantic dedup: generator corpus scan + bounded centroid scan only") {
+    val df = ExtQueries.semanticDedup(spark, dir)
+    val plan = formatted(df)
+    // one corpus+variants generator scan, one 4-row centroid scan — a third
+    // scan means the variant generation regressed to a self-union
+    assert(parquetScans(plan) === 2, plan.take(400))
+    assert(plan.contains("LessThan(vec_id,4)"), "centroid scan must be pruned")
+    spark.catalog.clearCache()
+  }
 }
