@@ -627,7 +627,9 @@ object ExtQueries {
     * in-cell self-join and the final decision join probe it); callers
     * invoking repeatedly in one session should clearCache() after
     * materializing. */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** The corpus + perturbed variants, cell-assigned and PERSISTED (probed
+    * by both sides of the in-cell self-join and the decision join). */
+  private[graft] def semanticAssigned(spark: SparkSession, dir: String): DataFrame = {
     val vecsAll = table(spark, dir, "embeddings")
       .select(explode(array(
         struct(col("vec_id"), col("embedding").as("e")),
@@ -636,19 +638,30 @@ object ExtQueries {
             (x, d) => (x.cast("double") * (lit(0.9) + lit(0.05) * (d % 5).cast("double")))
               .cast("float")).as("e")))).as("r"))
       .select(col("r.vec_id").as("vec_id"), col("r.e").as("e"))
-    val assigned = rankedCells(vecsAll.withColumn("nrm", l2norm(col("e"))),
-        centroids(spark, dir))
+    rankedCells(vecsAll.withColumn("nrm", l2norm(col("e"))), centroids(spark, dir))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
+  /** The in-cell similar pairs (`src` < `dst`, cosine ≥ [[SemDedupTheta]])
+    * both dedup policies are built on — the pairwise rule here and the
+    * greedy keep-against-survivors rule
+    * ([[graft.operators.GreedySelection]], policy-contrast-tested). */
+  private[graft] def semanticSimilarPairs(assigned: DataFrame): DataFrame = {
     val pairCos = seqSum(zip_with(col("x.e"), col("y.e"),
       (a, b) => a.cast("double") * b.cast("double"))) / (col("x.nrm") * col("y.nrm"))
-    val dups = assigned.as("x")
+    assigned.as("x")
       .join(assigned.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .filter(pairCos >= SemDedupTheta)
-      .select(col("y.vec_id").as("vec_id"))
+      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
+  }
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = semanticAssigned(spark, dir)
+    val dups = semanticSimilarPairs(assigned)
+      .select(col("dst").as("vec_id"))
       .distinct()
       .withColumn("dup", lit(true))
     assigned.join(dups, Seq("vec_id"), "left")
