@@ -158,7 +158,11 @@ object Streaming {
     * parity-tested against the batch operator. At a bounded dedup horizon
     * (e.g. re-crawls land within 30 days), swap in
     * `dropDuplicatesWithinWatermark` so the watermark evicts state instead
-    * of growing it forever. */
+    * of growing it forever; at corpus scale also switch the state store to
+    * RocksDB (`spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider) — \|distinct contents\| hashes outgrow the
+    * default in-heap HDFS-backed store long before they trouble a local
+    * RocksDB with changelog checkpointing. */
   def dedupStream(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
