@@ -82,6 +82,7 @@ object SparkEntry {
     "e_freq_rank_score"   -> (ExtQueries.freqRankScore _),
     "e_semantic_dedup"    -> (ExtQueries.semanticDedup _),
     "e_seq_pack"          -> (ExtQueries.seqPack _),
+    "e_frame_sample"      -> (ExtQueries.frameSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

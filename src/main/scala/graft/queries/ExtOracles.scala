@@ -469,6 +469,21 @@ object ExtOracles {
         |       ELSE 'low' END AS tier
         |FROM s GROUP BY source ORDER BY source""".stripMargin,
 
+    "e_frame_sample" ->
+      """WITH meta AS (
+        |  SELECT doc_id,
+        |    octet_length(encode(text)) AS n_bytes,
+        |    CAST(4 + doc_id % 17 AS BIGINT) AS duration_s,
+        |    CAST(24 + 6 * (doc_id % 2) AS BIGINT) AS fps
+        |  FROM documents)
+        |SELECT doc_id, n_bytes, duration_s, fps,
+        |  duration_s * fps AS n_frames,
+        |  ts // 2 AS sample_pos,
+        |  ts AS frame_ts_s,
+        |  ts * fps AS frame_idx
+        |FROM meta, LATERAL (SELECT unnest(range(0, duration_s, 2)) AS ts) s
+        |ORDER BY doc_id, frame_ts_s""".stripMargin,
+
     "e_seq_pack" ->
       s"""WITH t AS (
         |  SELECT doc_id, source,

@@ -1036,6 +1036,48 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  // ---- e_frame_sample -----------------------------------------------------
+
+  /** Frame sampling over multimodal rows — the last named item of the
+    * multimodal plumbing family (decode / feature-extract / frame-sample;
+    * see [[graft.multimodal.MediaDecode]] for the decode stub): each "video"
+    * row carries an opaque binary payload plus a TYPED metadata struct
+    * (duration, fps — derived deterministically from doc_id, like every
+    * fixture synthesis here), and the operator emits one row per sampled
+    * frame (every 2 s) with its timestamp and frame index. The point being
+    * exercised: the sampling PLAN derives entirely from metadata — the
+    * payload is never decoded, so at 100 TB the generator runs on thin
+    * (id, meta) columns while a downstream `mapInPandas`-shaped decoder
+    * fetches only the planned frames. Zero shuffles: scan → generate →
+    * output sort; all-integer output. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val media = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        struct(
+          lit("video/mp4").as("mime"),
+          encode(col("text"), "UTF-8").as("payload"),
+          struct(
+            (lit(4L) + pmod(col("doc_id"), lit(17))).as("duration_s"),
+            (lit(24L) + lit(6) * pmod(col("doc_id"), lit(2))).as("fps")).as("meta"))
+          .as("media"))
+    media
+      .select(col("doc_id"),
+        length(col("media.payload")).as("n_bytes"),
+        col("media.meta.duration_s").as("duration_s"),
+        col("media.meta.fps").as("fps"))
+      // every-2s sample times in [0, duration): Spark sequence is
+      // END-INCLUSIVE, DuckDB range end-exclusive — d-1 here ≡ range(0,d,2)
+      // because the step-2 grid has the same last point under both bounds
+      .withColumn("frame_ts_s",
+        explode(sequence(lit(0L), col("duration_s") - 1, lit(2L))))
+      .select(col("doc_id"), col("n_bytes"), col("duration_s"), col("fps"),
+        (col("duration_s") * col("fps")).as("n_frames"),
+        expr("frame_ts_s div 2").as("sample_pos"),
+        col("frame_ts_s"),
+        (col("frame_ts_s") * col("fps")).as("frame_idx"))
+      .orderBy("doc_id", "frame_ts_s")
+  }
+
   // ---- e_seq_pack ---------------------------------------------------------
 
   /** Fixed block size (in tokens) for sequence packing. */
