@@ -17,29 +17,41 @@ import org.apache.spark.sql.functions._
   * Algorithm: fixpoint over a keep/drop/unknown ternary state. An item is
   * KEPT once every smaller conflicting neighbor is known-dropped (items
   * with no smaller neighbor resolve immediately); an item is DROPPED once
-  * any smaller conflicting neighbor is known-kept. Each round resolves at
-  * least the minimum unresolved item, and in practice a whole "frontier"
-  * per round, so rounds track the conflict-chain depth — shallow for dedup
-  * graphs. The result equals the sequential greedy walk by construction
-  * (spec-checked against a literal sequential reference on random graphs).
+  * any smaller conflicting neighbor is known-kept. The result equals the
+  * sequential greedy walk by construction (spec-checked against a literal
+  * sequential reference on random graphs).
+  *
+  * COMPLEXITY, honestly: rounds = the depth of the longest conflict CHAIN,
+  * and each chain link is a true sequential dependency of the greedy order
+  * (on a path, vertex k cannot resolve before k−1 — lexicographically-first
+  * MIS is P-complete, so no generic pointer-jumping shortcut exists the way
+  * it does for [[ConnectedComponents]]). Dedup conflict graphs are shallow
+  * in practice (dup groups are near-cliques, which resolve in 2 rounds);
+  * pre-clustering with [[ConnectedComponents]] bounds chain depth by
+  * component diameter if the data can be adversarial. Per-round work is
+  * limited to the FRONTIER: only in-edges of still-unresolved items are
+  * aggregated, so total edge visits are O(Σ frontier in-edges), not
+  * O(rounds × |E|).
   *
   * Same loop discipline as [[ConnectedComponents]]: per-round frames are
-  * `localCheckpoint`ed (plan-growth trap), the convergence probe is an
-  * aggregate-to-scalar, and the edge frame is persisted.
+  * `localCheckpoint`ed (plan-growth trap), and the convergence probe is an
+  * aggregate-to-scalar, no row collects.
   *
   * CACHING CONTRACT: persists the conflict-pair frame; callers invoking
   * repeatedly in one session should clearCache() after materializing.
   */
 object GreedySelection {
 
-  /** Guard against a logic bug looping forever; each round must resolve
-    * at least one item, so hitting this means the fixpoint is broken, not
-    * the data. */
+  /** Bound on conflict-CHAIN depth, not a convergence heuristic: each round
+    * resolves at least the minimum unresolved item, so hitting this means
+    * the data has a conflict chain deeper than [[MaxRounds]] — raise the
+    * limit or pre-cluster ([[ConnectedComponents]]) and process components;
+    * it does not indicate a code bug. */
   val MaxRounds = 1000
 
   /** @param pairs conflict edges as two long columns `src` < `dst`
     *              (orientation REQUIRED: src must be the smaller id)
-  * @return one row per item appearing in `pairs`: (`v`, `keep`) */
+    * @return one row per item appearing in `pairs`: (`v`, `keep`) */
   def survivors(pairs: DataFrame): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val p = pairs.select(col("src"), col("dst")).persist(lvl)
@@ -56,8 +68,11 @@ object GreedySelection {
     var unresolved = state.filter(col("st") === 0).count()
     var round = 0
     while (unresolved > 0 && round < MaxRounds) {
-      // per unknown item: does any smaller neighbor keep? are all resolved?
-      val fromSmaller = p
+      // FRONTIER-limited: aggregate only the in-edges of still-unresolved
+      // items — resolved items' edges would recompute the same min/max
+      // every round for nothing
+      val open = state.filter(col("st") === 0).select(col("v").as("dst"))
+      val fromSmaller = p.join(open, Seq("dst"), "leftsemi")
         .join(state.withColumnRenamed("v", "src").withColumnRenamed("st", "sst"), "src")
         .groupBy(col("dst").as("v"))
         .agg(max(col("sst")).as("maxSt"), min(col("sst")).as("minSt"))
@@ -74,8 +89,10 @@ object GreedySelection {
       round += 1
     }
     require(unresolved == 0,
-      s"greedy_selection did not resolve in $MaxRounds rounds — each round must " +
-        "resolve the minimum unresolved item, so this is a bug, not a data problem")
+      s"greedy_selection: a conflict chain deeper than $MaxRounds rounds remains " +
+        "unresolved — raise MaxRounds or pre-cluster with ConnectedComponents " +
+        "and process components separately (greedy order is inherently sequential " +
+        "along chains)")
     state.select(col("v"), (col("st") === 1).as("keep"))
   }
 }

@@ -472,11 +472,10 @@ object ExtOracles {
     "e_frame_sample" ->
       """WITH meta AS (
         |  SELECT doc_id,
-        |    octet_length(encode(text)) AS n_bytes,
         |    CAST(4 + doc_id % 17 AS BIGINT) AS duration_s,
         |    CAST(24 + 6 * (doc_id % 2) AS BIGINT) AS fps
         |  FROM documents)
-        |SELECT doc_id, n_bytes, duration_s, fps,
+        |SELECT doc_id, duration_s, fps,
         |  duration_s * fps AS n_frames,
         |  ts // 2 AS sample_pos,
         |  ts AS frame_ts_s,

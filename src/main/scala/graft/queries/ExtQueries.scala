@@ -598,35 +598,6 @@ object ExtQueries {
     * purpose: semantic dedup prunes REDUNDANCY, not just near-copies). */
   private[queries] val SemDedupTheta = 0.9
 
-  /** SemDeDup-style semantic deduplication — the cluster-then-compare
-    * family next to the LSH one ([[cosineDedup]]): partition the corpus
-    * into centroid cells (the shared [[centroids]] quantizer, as in
-    * [[cosineTopkIvfNprobe]]), compute pairwise cosine ONLY within a cell,
-    * and drop every vector that has a smaller-id neighbor above
-    * [[SemDedupTheta]]. Emits the keep/drop DECISION per vector, the
-    * stateless-filter shape downstream mixing wants.
-    *
-    * Drop-rule semantics, stated precisely: a vector survives iff NO
-    * smaller-id same-cell vector is within θ of it. On similarity CHAINS
-    * (a~b, b~c, a≁c — cosine is not transitive at θ) this drops more than
-    * one-representative-per-group would: c is dropped for its similarity
-    * to the already-dropped b. That bias is CONSERVATIVE (never keeps two
-    * similar vectors; may lose a chain tail) and is the price of a
-    * single-pass, order-deterministic rule — the greedy keep-against-
-    * SURVIVORS rule the SemDeDup paper describes is inherently sequential
-    * per cell and would need an iterative fixpoint (the
-    * [[graft.operators.ConnectedComponents]] treatment) to parallelize.
-    *
-    * At scale: the in-cell self-join is (N/cells)² per cell — SemDeDup's
-    * own cost model; cells grow ~√N with the corpus (k-means k is a
-    * parameter), which keeps the per-cell quadratic bounded. Assignment is
-    * one broadcast-centroid argmax scan; only (id, cell) and norms shuffle
-    * for the self-join, never the text.
-    *
-    * CACHING CONTRACT: persists the assigned frame (BOTH sides of the
-    * in-cell self-join and the final decision join probe it); callers
-    * invoking repeatedly in one session should clearCache() after
-    * materializing. */
   /** The corpus + perturbed variants, cell-assigned and PERSISTED (probed
     * by both sides of the in-cell self-join and the decision join). */
   private[graft] def semanticAssigned(spark: SparkSession, dir: String): DataFrame = {
@@ -658,6 +629,36 @@ object ExtQueries {
       .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
   }
 
+  /** SemDeDup-style semantic deduplication — the cluster-then-compare
+    * family next to the LSH one ([[cosineDedup]]): partition the corpus
+    * into centroid cells (the shared [[centroids]] quantizer, as in
+    * [[cosineTopkIvfNprobe]]), compute pairwise cosine ONLY within a cell,
+    * and drop every vector that has a smaller-id neighbor above
+    * [[SemDedupTheta]]. Emits the keep/drop DECISION per vector, the
+    * stateless-filter shape downstream mixing wants.
+    *
+    * Drop-rule semantics, stated precisely: a vector survives iff NO
+    * smaller-id same-cell vector is within θ of it. On similarity CHAINS
+    * (a~b, b~c, a≁c — cosine is not transitive at θ) this drops more than
+    * one-representative-per-group would: c is dropped for its similarity
+    * to the already-dropped b. That bias is CONSERVATIVE (never keeps two
+    * similar vectors; may lose a chain tail) and is the price of a
+    * single-pass, order-deterministic rule. The greedy keep-against-
+    * SURVIVORS rule the SemDeDup paper describes IS implemented — as the
+    * iterative-fixpoint [[graft.operators.GreedySelection]] operator over
+    * [[semanticSimilarPairs]] (policy-contrast-tested: pairwise-kept ⊆
+    * greedy-kept, and only greedy guarantees domination).
+    *
+    * At scale: the in-cell self-join is (N/cells)² per cell — SemDeDup's
+    * own cost model; cells grow ~√N with the corpus (k-means k is a
+    * parameter), which keeps the per-cell quadratic bounded. Assignment is
+    * one broadcast-centroid argmax scan; only (id, cell) and norms shuffle
+    * for the self-join, never the text.
+    *
+    * CACHING CONTRACT: [[semanticAssigned]] persists the assigned frame
+    * (BOTH sides of the in-cell self-join and the final decision join probe
+    * it); callers invoking repeatedly in one session should clearCache()
+    * after materializing. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val assigned = semanticAssigned(spark, dir)
     val dups = semanticSimilarPairs(assigned)
@@ -1040,29 +1041,28 @@ object ExtQueries {
 
   /** Frame sampling over multimodal rows — the last named item of the
     * multimodal plumbing family (decode / feature-extract / frame-sample;
-    * see [[graft.multimodal.MediaDecode]] for the decode stub): each "video"
-    * row carries an opaque binary payload plus a TYPED metadata struct
+    * see [[graft.multimodal.MediaDecode]] for the decode stub and
+    * [[multimodalCols]] for the payload-carrying struct): the operator
+    * emits one row per sampled frame (every 2 s) with its timestamp and
+    * frame index, planned ENTIRELY from the typed metadata struct
     * (duration, fps — derived deterministically from doc_id, like every
-    * fixture synthesis here), and the operator emits one row per sampled
-    * frame (every 2 s) with its timestamp and frame index. The point being
-    * exercised: the sampling PLAN derives entirely from metadata — the
-    * payload is never decoded, so at 100 TB the generator runs on thin
-    * (id, meta) columns while a downstream `mapInPandas`-shaped decoder
-    * fetches only the planned frames. Zero shuffles: scan → generate →
-    * output sort; all-integer output. */
+    * fixture synthesis here). The load-bearing property: the binary payload
+    * column is never referenced, so columnar pruning keeps it on disk —
+    * the scan reads doc_id alone (plan-pinned ReadSchema) and at 100 TB a
+    * downstream `mapInPandas`-shaped decoder fetches only the planned
+    * frames. Zero shuffles: scan → generate → output sort; all-integer
+    * output. */
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     val media = table(spark, dir, "documents")
       .select(col("doc_id"),
         struct(
           lit("video/mp4").as("mime"),
-          encode(col("text"), "UTF-8").as("payload"),
           struct(
             (lit(4L) + pmod(col("doc_id"), lit(17))).as("duration_s"),
             (lit(24L) + lit(6) * pmod(col("doc_id"), lit(2))).as("fps")).as("meta"))
           .as("media"))
     media
       .select(col("doc_id"),
-        length(col("media.payload")).as("n_bytes"),
         col("media.meta.duration_s").as("duration_s"),
         col("media.meta.fps").as("fps"))
       // every-2s sample times in [0, duration): Spark sequence is
@@ -1070,7 +1070,7 @@ object ExtQueries {
       // because the step-2 grid has the same last point under both bounds
       .withColumn("frame_ts_s",
         explode(sequence(lit(0L), col("duration_s") - 1, lit(2L))))
-      .select(col("doc_id"), col("n_bytes"), col("duration_s"), col("fps"),
+      .select(col("doc_id"), col("duration_s"), col("fps"),
         (col("duration_s") * col("fps")).as("n_frames"),
         expr("frame_ts_s div 2").as("sample_pos"),
         col("frame_ts_s"),

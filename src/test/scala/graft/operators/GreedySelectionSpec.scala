@@ -46,8 +46,14 @@ class GreedySelectionSpec extends AnyFunSuite {
       Map(10L -> true, 11L -> false, 12L -> false, 13L -> false))
   }
 
-  test("long alternating chain resolves (one frontier per round, not one item)") {
+  // On a path each round resolves exactly ONE vertex (vertex k's fate needs
+  // k-1's — the inherent sequential dependency of the greedy order the
+  // scaladoc documents), so this 100-vertex chain takes ~99 rounds and
+  // doubles as a regression test that deep-but-legal chains stay under
+  // MaxRounds rather than tripping the guard.
+  test("long alternating chain resolves, one vertex per round by necessity") {
     val chain = (0L until 99L).map(i => (i, i + 1))
+    assert(chain.length < GreedySelection.MaxRounds)
     val got = distributed(chain)
     assert((0L to 100L by 2).forall(v => got.getOrElse(v, true)))
     assert((1L until 100L by 2).forall(v => !got(v)))

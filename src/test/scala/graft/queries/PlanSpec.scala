@@ -166,6 +166,15 @@ class PlanSpec extends AnyFunSuite {
       plan.take(500))
   }
 
+  test("frame sample: one thin scan, generator plans frames without the payload") {
+    val plan = formatted(ExtQueries.frameSample(spark, dir))
+    assert(parquetScans(plan) === 1)
+    assert(!plan.contains("Join"), "frame planning must not join anything")
+    // the load-bearing pin: the payload/text column must stay on disk —
+    // reading it would make the "thin metadata scan" claim false at 100 TB
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"), plan.take(500))
+  }
+
   test("semantic dedup: generator corpus scan + bounded centroid scan only") {
     val df = ExtQueries.semanticDedup(spark, dir)
     val plan = formatted(df)
