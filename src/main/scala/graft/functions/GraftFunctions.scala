@@ -34,6 +34,12 @@ object GraftFunctions {
             s"hyperplane_bands(vector, planes, bands) takes 3 arguments, got ${exprs.length}")
           HyperplaneBands(exprs.head, litInt(exprs(1), "planes"), litInt(exprs(2), "bands"))
         }, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "simhash_bits", { exprs =>
+          require(exprs.length == 2,
+            s"simhash_bits(token_hashes, bits) takes 2 arguments, got ${exprs.length}")
+          SimHashBits(exprs.head, litInt(exprs(1), "bits"))
+        }, "scala_udf")
     }
   }
 
@@ -49,6 +55,13 @@ object GraftFunctions {
   def hyperplaneBands(spark: SparkSession, c: Column, planes: Int, bands: Int): Column = {
     register(spark)
     call_function("hyperplane_bands", c, lit(planes), lit(bands))
+  }
+
+  /** SimHash signature for a token-hash array — one fused pass over the
+    * array for ALL signature bits ([[SimHashLsh]]). */
+  def simhashBits(spark: SparkSession, c: Column, bits: Int): Column = {
+    register(spark)
+    call_function("simhash_bits", c, lit(bits))
   }
 
   /** Floor-division nanos→micros via the named [[NanosToMicros]] expression —

@@ -313,12 +313,14 @@ object ExtQueries {
   def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val toked = docsWithVariants(spark, dir)
       .select(col("doc_id"), transform(tokens(col("text")), t => hash31(t)).as("th"))
-    val simBits = (0 until 32).map { i =>
-      when(aggregate(col("th"), lit(0),
-        (acc, t) => acc + when(shiftright(t, i).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)) > 0,
-        lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sigs = toked.select(col("doc_id"), simBits.as("sim")).persist()
+    // ONE fused pass for all 32 bits (codegen'd SimHashBits expression) —
+    // the HOF formulation was 32 separate interpreted folds over the
+    // token-hash array per row, the same per-bit-pass shape HyperplaneLsh
+    // replaced for the cosine family
+    val sigs = toked
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhashBits(spark, col("th"), 32).as("sim"))
+      .persist()
 
     val bands = sigs.select(col("doc_id"), col("sim"),
         explode(array((0 until 2).map(b =>
