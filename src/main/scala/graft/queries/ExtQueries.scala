@@ -1133,16 +1133,26 @@ object ExtQueries {
     * exploded token stream would cost token-volume storage for one reuse,
     * strictly worse than the re-scan); the vocab table is Zipf-bounded and
     * BROADCAST, so pass 2 never shuffles the corpus — only \|docs\| partial
-    * aggregates. The vocab ranking window is a single-partition sort over
-    * \|vocab\| rows (bounded, post-aggregation), not over the corpus. */
+    * aggregates. Vocabulary selection is `orderBy(...).limit(V)`, which
+    * plans as TakeOrderedAndProject — every partition keeps its local
+    * top-V and the driver merges \|partitions\|·V rows; the DISTINCT-token
+    * frame (billions of rows at corpus scale) is never sorted globally.
+    * Ranks are then assigned by sorting the ≤V-row result INSIDE one
+    * collect_list array (posexplode position = rank − 1) — bounded by
+    * construction and window-free, so the plan contains no
+    * empty-partition-spec Window node (PlanSpec bans them repo-wide: a
+    * global window is a single-executor sort at 100 TB). */
   def freqRankScore(spark: SparkSession, dir: String): DataFrame = {
     val tok = table(spark, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val w = Window.orderBy(col("n").desc, col("token").asc)
-    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= FreqRankVocab)
-      .select(col("token"), col("rank").cast("long").as("rank"))
+    val topV = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(FreqRankVocab)
+    val vocab = topV
+      .agg(sort_array(collect_list(struct((-col("n")).as("negn"), col("token"))))
+        .as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("s.token").as("token"), (col("pos") + 1).cast("long").as("rank"))
     tok.join(broadcast(vocab), Seq("token"), "left")
       .select(col("doc_id"),
         coalesce(col("rank"), lit(FreqRankVocab + 1L)).as("r"),
