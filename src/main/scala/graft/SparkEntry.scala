@@ -81,6 +81,7 @@ object SparkEntry {
     "e_domain_stats"      -> (ExtQueries.domainStats _),
     "e_freq_rank_score"   -> (ExtQueries.freqRankScore _),
     "e_semantic_dedup"    -> (ExtQueries.semanticDedup _),
+    "e_greedy_dedup"      -> (ExtQueries.greedyDedup _),
     "e_seq_pack"          -> (ExtQueries.seqPack _),
     "e_frame_sample"      -> (ExtQueries.frameSample _),
   )

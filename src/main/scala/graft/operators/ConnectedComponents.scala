@@ -25,10 +25,15 @@ import org.apache.spark.sql.functions._
   * see the dup-clusters scaladoc). Labels only ever DECREASE, so the
   * convergence check rides the same projection (changed ⇔ any min < old) —
   * one aggregate-to-scalar action per round, no row collects.
+  * `localCheckpoint` trades executor-loss tolerance for speed — on a real
+  * cluster with churn, reliable `checkpoint()` is the switch (see
+  * [[IterStorage]] for the full statement).
   *
-  * CACHING CONTRACT: persists the (symmetrized) edge frames probed every
-  * round; callers invoking repeatedly in one session should clearCache()
-  * after materializing their result.
+  * STORAGE CONTRACT: the edge frames and every superseded round's
+  * checkpoint are released before returning ([[IterStorage]],
+  * spec-pinned via getPersistentRDDs); only the RETURNED frame's backing
+  * checkpoint remains persisted — release it the same way (or stop the
+  * session) once consumed.
   */
 object ConnectedComponents {
 
@@ -74,6 +79,11 @@ object ConnectedComponents {
           (col("a.chg") ||
             coalesce(col("b.ll"), col("a.label")) < col("a.label")).as("chg"))
         .localCheckpoint(true)
+      // next is materialized (eager checkpoint): everything it was derived
+      // from is now superseded — release, don't accumulate a block set per
+      // round (storage contract above)
+      IterStorage.release(stepped)
+      IterStorage.release(labels)
       val changed = next.filter(col("chg")).count()
       labels = next.select(col("v"), col("label"))
       converged = changed == 0
@@ -82,6 +92,10 @@ object ConnectedComponents {
     require(converged,
       s"connected_components did not converge in $MaxRounds rounds — impossible " +
         "for a finite graph with doubling reach; this is a bug, not a data problem")
+    // the result rides the FINAL checkpoint only — the edge caches served
+    // the loop and are dead weight from here on
+    p.unpersist(false)
+    edges.unpersist(false)
     labels
   }
 }

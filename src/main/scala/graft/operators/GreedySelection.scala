@@ -34,11 +34,14 @@ import org.apache.spark.sql.functions._
   * O(rounds × |E|).
   *
   * Same loop discipline as [[ConnectedComponents]]: per-round frames are
-  * `localCheckpoint`ed (plan-growth trap), and the convergence probe is an
-  * aggregate-to-scalar, no row collects.
+  * `localCheckpoint`ed (plan-growth trap; executor-loss trade and the
+  * reliable-`checkpoint()` cluster switch documented on [[IterStorage]]),
+  * and the convergence probe is an aggregate-to-scalar, no row collects.
   *
-  * CACHING CONTRACT: persists the conflict-pair frame; callers invoking
-  * repeatedly in one session should clearCache() after materializing.
+  * STORAGE CONTRACT: the conflict-pair cache and every superseded round's
+  * checkpoint are released before returning ([[IterStorage]], spec-pinned);
+  * only the RETURNED frame's backing checkpoint remains persisted —
+  * release it the same way once consumed.
   */
 object GreedySelection {
 
@@ -50,11 +53,25 @@ object GreedySelection {
   val MaxRounds = 1000
 
   /** @param pairs conflict edges as two long columns `src` < `dst`
-    *              (orientation REQUIRED: src must be the smaller id)
+    *              (orientation REQUIRED: src must be the smaller id — the
+    *              "smaller neighbor" logic below reads it as such, so a
+    *              reversed or unordered edge would silently corrupt the
+    *              survivor set; enforced by a one-aggregate runtime guard
+    *              that fails loud on the first misoriented edge)
     * @return one row per item appearing in `pairs`: (`v`, `keep`) */
   def survivors(pairs: DataFrame): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val p = pairs.select(col("src"), col("dst")).persist(lvl)
+
+    // Orientation guard: one aggregate over the frame the loop probes every
+    // round anyway (the action doubles as the cache warm-up), so the check
+    // adds no extra scan of the input lineage. min(dst - src) > 0 iff every
+    // edge satisfies src < dst.
+    val minGap = p.agg(min(col("dst") - col("src"))).head().get(0)
+    require(minGap == null || minGap.asInstanceOf[Long] > 0,
+      "greedy_selection: pairs must be oriented src < dst (the greedy order " +
+        s"reads src as the smaller id); found an edge with dst - src = $minGap. " +
+        "Orient with least/greatest (and drop self-pairs) before calling.")
 
     // state: 0 = unknown, 1 = keep, -1 = drop. Items with no smaller
     // conflicting neighbor (never a dst) start resolved as keep.
@@ -84,6 +101,9 @@ object GreedySelection {
             .otherwise(0)
             .as("st"))
         .localCheckpoint(true)
+      // next is materialized (eager checkpoint): the previous round's state
+      // is superseded — release it (storage contract above)
+      IterStorage.release(state)
       unresolved = next.filter(col("st") === 0).count()
       state = next
       round += 1
@@ -93,6 +113,9 @@ object GreedySelection {
         "unresolved — raise MaxRounds or pre-cluster with ConnectedComponents " +
         "and process components separately (greedy order is inherently sequential " +
         "along chains)")
+    // the result rides the final checkpoint only — the pair cache served
+    // the loop and is dead weight from here on
+    p.unpersist(false)
     state.select(col("v"), (col("st") === 1).as("keep"))
   }
 }

@@ -68,6 +68,35 @@ object ExtOracles {
       |  JOIN sh sa ON sa.doc_id = c.doc_a
       |  JOIN sh sb ON sb.doc_id = c.doc_b)""".stripMargin
 
+  /** The semantic-dedup CTE chain through `assigned` (corpus + perturbed
+    * variants, cell-assigned by argmax cosine over the pinned seed
+    * centroids) — the SQL twin of `ExtQueries.semanticAssigned`, shared by
+    * `e_semantic_dedup` and `e_greedy_dedup` for the same no-drift reason
+    * as [[shingleCtes]]/[[minhashBody]]. */
+  private lazy val semanticAssignedBody: String =
+    s"""all_vecs AS (
+      |  SELECT vec_id, embedding AS e FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(range(0, len(embedding)),
+      |      d -> CAST(CAST(embedding[d+1] AS DOUBLE) * (0.9 + 0.05*CAST(d % 5 AS DOUBLE)) AS FLOAT)) AS e
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, e AS ce,
+      |  sqrt(list_reduce(list_transform(e, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b)) AS ncent
+      |  FROM all_vecs WHERE vec_id < ${ExtQueries.IvfCells}),
+      |vecs AS (SELECT vec_id, e,
+      |  sqrt(list_reduce(list_transform(e, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b)) AS nrm
+      |  FROM all_vecs),
+      |sims AS (SELECT v.vec_id, v.e, v.nrm, c.cent_id,
+      |  list_reduce(list_transform(list_zip(v.e, c.ce),
+      |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b)
+      |    / (v.nrm * c.ncent) AS csim
+      |  FROM vecs v, cents c),
+      |assigned AS (SELECT vec_id, e, nrm, cent_id AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY csim DESC, cent_id ASC) AS crank FROM sims)
+      |  WHERE crank = 1)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "e_exact_dedup" ->
       """WITH all_docs AS (
@@ -503,28 +532,7 @@ object ExtOracles {
         |FROM c ORDER BY source, doc_id""".stripMargin,
 
     "e_semantic_dedup" ->
-      s"""WITH all_vecs AS (
-        |  SELECT vec_id, embedding AS e FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 1000000 AS vec_id,
-        |    list_transform(range(0, len(embedding)),
-        |      d -> CAST(CAST(embedding[d+1] AS DOUBLE) * (0.9 + 0.05*CAST(d % 5 AS DOUBLE)) AS FLOAT)) AS e
-        |  FROM embeddings),
-        |cents AS (SELECT vec_id AS cent_id, e AS ce,
-        |  sqrt(list_reduce(list_transform(e, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b)) AS ncent
-        |  FROM all_vecs WHERE vec_id < ${ExtQueries.IvfCells}),
-        |vecs AS (SELECT vec_id, e,
-        |  sqrt(list_reduce(list_transform(e, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b)) AS nrm
-        |  FROM all_vecs),
-        |sims AS (SELECT v.vec_id, v.e, v.nrm, c.cent_id,
-        |  list_reduce(list_transform(list_zip(v.e, c.ce),
-        |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b)
-        |    / (v.nrm * c.ncent) AS csim
-        |  FROM vecs v, cents c),
-        |assigned AS (SELECT vec_id, e, nrm, cent_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY csim DESC, cent_id ASC) AS crank FROM sims)
-        |  WHERE crank = 1),
+      s"""WITH $semanticAssignedBody,
         |dup AS (SELECT DISTINCT y.vec_id
         |  FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id
         |  WHERE list_reduce(list_transform(list_zip(x.e, y.e),
@@ -534,6 +542,35 @@ object ExtOracles {
         |  (d.vec_id IS NULL) AS keep
         |FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
         |ORDER BY a.vec_id""".stripMargin,
+
+    // The literal sequential greedy walk (keep each vertex in id order
+    // unless a KEPT smaller neighbor conflicts) as a recursive CTE carrying
+    // the kept set — the same reference semantics the operator's ScalaCheck
+    // spec pins. Iterations = |conflicted vertices|, each a scan of the
+    // (small) pairs CTE: fine at verify SF; the DISTRIBUTED form is the
+    // operator itself.
+    "e_greedy_dedup" ->
+      s"""WITH RECURSIVE $semanticAssignedBody,
+        |pairs AS (SELECT x.vec_id AS src, y.vec_id AS dst
+        |  FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |  WHERE list_reduce(list_transform(list_zip(x.e, y.e),
+        |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b)
+        |    / (x.nrm * y.nrm) >= ${ExtQueries.SemDedupTheta}),
+        |verts AS (SELECT DISTINCT v FROM
+        |  (SELECT src AS v FROM pairs UNION ALL SELECT dst AS v FROM pairs)),
+        |ord AS (SELECT v, row_number() OVER (ORDER BY v ASC) AS rn FROM verts),
+        |walk AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS kept
+        |  UNION ALL
+        |  SELECT o.rn,
+        |    CASE WHEN EXISTS (SELECT 1 FROM pairs p
+        |                      WHERE p.dst = o.v AND list_contains(w.kept, p.src))
+        |      THEN w.kept ELSE list_append(w.kept, o.v) END
+        |  FROM walk w JOIN ord o ON o.rn = w.rn + 1),
+        |final AS (SELECT kept FROM walk ORDER BY rn DESC LIMIT 1)
+        |SELECT o.v, list_contains(f.kept, o.v) AS keep
+        |FROM ord o, final f
+        |ORDER BY o.v""".stripMargin,
 
     "e_freq_rank_score" ->
       s"""WITH tok AS (

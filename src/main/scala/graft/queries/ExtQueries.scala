@@ -513,15 +513,25 @@ object ExtQueries {
 
   // ---- e_cosine_topk_ivf --------------------------------------------------
 
-  /** Number of IVF cells (pinned seed centroids, vec_id < [[IvfCells]]). */
+  /** DEFAULT number of IVF cells (pinned seed centroids, vec_id <
+    * `cells`). This is the oracle-stability default, NOT a design constant:
+    * every cell-partitioned operator takes `cells` as a parameter, because
+    * the in-cell work is (N/cells)² per cell — SemDeDup's own cost model
+    * wants cells ~ √N, so the knob must scale with the corpus, and a
+    * hardcoded value would pin the self-join quadratic at 100 TB. */
   private[queries] val IvfCells = 4
 
-  /** The [[IvfCells]] pinned seed centroids with their norms — the shared
+  /** The `cells` pinned seed centroids with their norms — the shared
     * "quantizer" of the cell-partitioned operators ([[cosineTopkIvfNprobe]],
     * [[semanticDedup]]). ONE definition: cell semantics must not drift
-    * between the ANN and dedup families. */
-  private def centroids(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "embeddings").filter(col("vec_id") < IvfCells)
+    * between the ANN and dedup families. Seed centroids are the first
+    * `cells` vectors — deterministic by construction, standing in for
+    * k-means output (whose float iteration order is not reproducible
+    * cross-engine); at scale you'd feed trained centroids in, keeping
+    * cells ~ √N. */
+  private[graft] def centroids(spark: SparkSession, dir: String,
+      cells: Int = IvfCells): DataFrame =
+    table(spark, dir, "embeddings").filter(col("vec_id") < cells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
       .withColumn("ncent", l2norm(col("ce")))
 
@@ -563,10 +573,11 @@ object ExtQueries {
     * candidate pair. The assigned corpus is NOT persisted: the probe join
     * is its only consumer (the query side derives from the raw vectors), so
     * a cache would be pure materialization overhead. */
-  def cosineTopkIvfNprobe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    require(nprobe >= 1 && nprobe <= IvfCells,
-      s"nprobe must be in [1, $IvfCells], got $nprobe")
-    val cents = centroids(spark, dir)
+  def cosineTopkIvfNprobe(spark: SparkSession, dir: String, nprobe: Int,
+      cells: Int = IvfCells): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cells,
+      s"nprobe must be in [1, $cells], got $nprobe")
+    val cents = centroids(spark, dir, cells)
     val vecs = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", l2norm(col("e")))
@@ -601,8 +612,10 @@ object ExtQueries {
   private[queries] val SemDedupTheta = 0.9
 
   /** The corpus + perturbed variants, cell-assigned and PERSISTED (probed
-    * by both sides of the in-cell self-join and the decision join). */
-  private[graft] def semanticAssigned(spark: SparkSession, dir: String): DataFrame = {
+    * by both sides of the in-cell self-join and the decision join).
+    * `cells` is the quadratic-work knob — see [[semanticDedupCells]]. */
+  private[graft] def semanticAssigned(spark: SparkSession, dir: String,
+      cells: Int = IvfCells): DataFrame = {
     val vecsAll = table(spark, dir, "embeddings")
       .select(explode(array(
         struct(col("vec_id"), col("embedding").as("e")),
@@ -611,7 +624,7 @@ object ExtQueries {
             (x, d) => (x.cast("double") * (lit(0.9) + lit(0.05) * (d % 5).cast("double")))
               .cast("float")).as("e")))).as("r"))
       .select(col("r.vec_id").as("vec_id"), col("r.e").as("e"))
-    rankedCells(vecsAll.withColumn("nrm", l2norm(col("e"))), centroids(spark, dir))
+    rankedCells(vecsAll.withColumn("nrm", l2norm(col("e"))), centroids(spark, dir, cells))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -652,17 +665,31 @@ object ExtQueries {
     * greedy-kept, and only greedy guarantees domination).
     *
     * At scale: the in-cell self-join is (N/cells)² per cell — SemDeDup's
-    * own cost model; cells grow ~√N with the corpus (k-means k is a
-    * parameter), which keeps the per-cell quadratic bounded. Assignment is
-    * one broadcast-centroid argmax scan; only (id, cell) and norms shuffle
+    * own cost model; cells must grow ~√N with the corpus, which keeps the
+    * per-cell quadratic bounded. That knob IS the `cells` parameter of
+    * [[semanticDedupCells]] (this oracle entry point fixes cells =
+    * [[IvfCells]] for cross-engine stability; a 100 TB run passes
+    * cells ≈ √N — [[graft.queries.SemanticCellsSpec]] measures the
+    * candidate-pair count shrinking as cells grows). Assignment is one
+    * broadcast-centroid argmax scan; only (id, cell) and norms shuffle
     * for the self-join, never the text.
     *
     * CACHING CONTRACT: [[semanticAssigned]] persists the assigned frame
     * (BOTH sides of the in-cell self-join and the final decision join probe
     * it); callers invoking repeatedly in one session should clearCache()
     * after materializing. */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = semanticAssigned(spark, dir)
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupCells(spark, dir, IvfCells)
+
+  /** [[semanticDedup]] with the cell count exposed — the √N scaling knob.
+    * More cells ⇒ strictly fewer in-cell candidate pairs (each vector
+    * compares only within its cell) at the recall cost SemDeDup accepts:
+    * a near-duplicate pair split across a cell boundary is not compared.
+    * Duplicate groups sit near one point in embedding space, so they
+    * co-assign for any reasonable quantizer and the kept set is stable
+    * under the cell count (spec-measured at matched θ). */
+  def semanticDedupCells(spark: SparkSession, dir: String, cells: Int): DataFrame = {
+    val assigned = semanticAssigned(spark, dir, cells)
     val dups = semanticSimilarPairs(assigned)
       .select(col("dst").as("vec_id"))
       .distinct()
@@ -671,6 +698,31 @@ object ExtQueries {
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("dup").isNull.as("keep"))
       .orderBy("vec_id")
+  }
+
+  // ---- e_greedy_dedup -----------------------------------------------------
+
+  /** Greedy (keep-against-SURVIVORS) semantic dedup — the SemDeDup-paper
+    * policy [[semanticDedup]]'s scaladoc contrasts itself with, now an
+    * oracle-checked entry point: run the distributed order-greedy MIS
+    * ([[graft.operators.GreedySelection]]) over the same in-cell similar
+    * pairs ([[semanticSimilarPairs]]) and emit (v, keep) per conflicted
+    * vector. Differs from the pairwise rule exactly on similarity CHAINS
+    * (a~b, b~c, a≁c): greedy keeps c (its only conflict b was dropped),
+    * pairwise drops it. The DuckDB oracle is the literal sequential greedy
+    * walk as a recursive CTE carrying the kept set — same shape the
+    * ScalaCheck spec pins the operator against.
+    *
+    * Scale notes live on the operator: frontier-limited rounds bounded by
+    * conflict-chain depth; pairs arrive correctly oriented (src < dst) by
+    * construction here, and the operator now fails loud if they don't. */
+  def greedyDedup(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = semanticAssigned(spark, dir)
+    val out = graft.operators.GreedySelection
+      .survivors(semanticSimilarPairs(assigned))
+      .orderBy("v")
+    assigned.unpersist()
+    out
   }
 
   // ---- e_token_count ------------------------------------------------------
@@ -1097,13 +1149,35 @@ object ExtQueries {
     * All outputs are integer arithmetic over one windowed sum (cast to
     * BIGINT oracle-side: DuckDB window sums return HUGEINT — the
     * q_sessionize lesson). One scan, one window shuffle on source. */
-  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+  def seqPack(spark: SparkSession, dir: String): DataFrame =
+    packTokens(table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")))
+
+  /** The packing arithmetic over a pre-counted (doc_id, source, n_tokens)
+    * frame — split out so the zero-token edge is directly testable.
+    *
+    * GUARD (cross-engine floor-div contract): the block indices use
+    * integer `div`, which truncates toward zero, while the DuckDB oracle's
+    * `//` FLOORS — the two agree only on non-negative operands, and
+    * `cum − 1 ≥ 0` holds exactly when every document has n_tokens ≥ 1
+    * (whitespace tokenization of any string, even empty, yields ≥ 1 token,
+    * so real scans satisfy this structurally; a NULL text or upstream bug
+    * would not). Rather than silently diverging from the oracle, a bad row
+    * raises loud with its doc_id (edge spec-pinned in SeqPackSpec). The
+    * guard is a per-row `when` inside the existing projection — no extra
+    * scan, shuffle, or re-tokenization. */
+  private[graft] def packTokens(counts: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val b = PackBlockTokens
-    table(spark, dir, "documents")
+    counts
       .select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+        when(col("n_tokens") >= 1, col("n_tokens"))
+          .otherwise(raise_error(concat(
+            lit("e_seq_pack: document "), col("doc_id").cast("string"),
+            lit(" has zero or NULL tokens — the cum-1 floor-div contract needs n_tokens >= 1"))))
+          .as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         (col("cum") - col("n_tokens")).as("start_off"),
@@ -1139,9 +1213,12 @@ object ExtQueries {
     * frame (billions of rows at corpus scale) is never sorted globally.
     * Ranks are then assigned by sorting the ≤V-row result INSIDE one
     * collect_list array (posexplode position = rank − 1) — bounded by
-    * construction and window-free, so the plan contains no
-    * empty-partition-spec Window node (PlanSpec bans them repo-wide: a
-    * global window is a single-executor sort at 100 TB). */
+    * construction and window-free: the plan contains no
+    * empty-partition-spec Window node. PlanSpec enforces both properties —
+    * a TakeOrderedAndProject/no-Window pin on this query, and a repo-wide
+    * scan of every registered query's optimized plan that fails on ANY
+    * Window with an empty partition spec (a global window is a
+    * single-executor sort at 100 TB). */
   def freqRankScore(spark: SparkSession, dir: String): DataFrame = {
     val tok = table(spark, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))

@@ -155,11 +155,10 @@ object Streaming {
     * Survivor semantics differ from the batch form BY DESIGN: a stream keeps
     * the FIRST ARRIVAL (it cannot know a lower id arrives later); the batch
     * form keeps the min id. The surviving fingerprint SET is identical —
-    * parity-tested against the batch operator. At a bounded dedup horizon
-    * (e.g. re-crawls land within 30 days), swap in
-    * `dropDuplicatesWithinWatermark` so the watermark evicts state instead
-    * of growing it forever; at corpus scale also switch the state store to
-    * RocksDB (`spark.sql.streaming.stateStore.providerClass` =
+    * parity-tested against the batch operator. At a bounded dedup horizon,
+    * use [[dedupStreamWithinWatermark]] so the watermark evicts state
+    * instead of growing it forever; at corpus scale also switch the state
+    * store to RocksDB (`spark.sql.streaming.stateStore.providerClass` =
     * RocksDBStateStoreProvider) — \|distinct contents\| hashes outgrow the
     * default in-heap HDFS-backed store long before they trouble a local
     * RocksDB with changelog checkpointing. */
@@ -168,4 +167,36 @@ object Streaming {
       .select(col("doc_id"),
         graft.functions.GraftFunctions.hash64(col("text")).as("content_hash"))
       .dropDuplicates("content_hash")
+
+  /** BOUNDED-STATE streaming dedup — [[dedupStream]] for the realistic
+    * contract "re-crawls of the same document land within `horizon` of each
+    * other": `dropDuplicatesWithinWatermark` keys state on the same 60-bit
+    * content fingerprint but lets the event-time watermark EVICT each
+    * fingerprint once no duplicate can still arrive for it, so state is
+    * O(distinct contents per horizon window), not O(distinct contents
+    * ever) — the difference between a state store that reaches steady state
+    * and one that grows for the life of the crawl.
+    *
+    * Semantics at the horizon boundary, pinned by the spec: a duplicate
+    * whose event time falls within `horizon` of the retained first arrival
+    * is dropped; once the watermark (max seen event time − `horizon`)
+    * passes the first arrival's eviction point, the SAME content arriving
+    * again is treated as new and re-emitted. Eviction lags one micro-batch
+    * (cleanup at each batch's end runs with the watermark derived from the
+    * PREVIOUS batch's max event time — standard Structured Streaming
+    * watermark propagation), which only ever errs toward deduplicating
+    * MORE, never toward emitting a duplicate early. That re-emission is
+    * the deliberate trade for bounded state — exact forever-dedup is
+    * [[dedupStream]].
+    *
+    * @param docs    streaming frame with `doc_id`, `text`, and an event-time
+    *                `ts` column (the crawl/ingest time)
+    * @param horizon watermark delay, e.g. "30 days": the maximum event-time
+    *                gap between duplicates that must still dedup */
+  def dedupStreamWithinWatermark(docs: DataFrame, horizon: String): DataFrame =
+    docs
+      .withWatermark("ts", horizon)
+      .select(col("doc_id"), col("ts"),
+        graft.functions.GraftFunctions.hash64(col("text")).as("content_hash"))
+      .dropDuplicatesWithinWatermark("content_hash")
 }

@@ -45,4 +45,22 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(forward == backward)
     assert(forward.values.toSet == Set(1L))
   }
+
+  test("releases all loop storage except the returned frame's checkpoint") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // 40-vertex chain: enough rounds that a per-round leak (the bug class
+    // this pins) would show as MANY leftover ids, not one
+    val out = ConnectedComponents
+      .components((0L until 39L).map(i => (i, i + 1)).toDF("src", "dst"))
+    out.collect()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"loop leaked ${leaked.size} persisted RDDs (only the returned " +
+        s"frame's checkpoint may remain): $leaked")
+    // the documented caller-side release of the result itself
+    IterStorage.release(out)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+  }
 }

@@ -72,6 +72,37 @@ class GreedySelectionSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("misoriented or self-loop pairs fail loud, not silently wrong") {
+    import spark.implicits._
+    // reversed edge: the "smaller neighbor" logic would silently read 2 as
+    // 1's smaller conflict — the guard must refuse instead
+    val reversed = intercept[IllegalArgumentException] {
+      GreedySelection.survivors(Seq((1L, 2L), (3L, 1L)).toDF("src", "dst"))
+    }
+    assert(reversed.getMessage.contains("oriented src < dst"))
+    val selfLoop = intercept[IllegalArgumentException] {
+      GreedySelection.survivors(Seq((2L, 2L)).toDF("src", "dst"))
+    }
+    assert(selfLoop.getMessage.contains("oriented src < dst"))
+  }
+
+  test("releases all loop storage except the returned frame's checkpoint") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // 30-vertex chain resolves one vertex per round: a per-round leak would
+    // leave ~30 ids behind, not one
+    val out = GreedySelection
+      .survivors((0L until 29L).map(i => (i, i + 1)).toDF("src", "dst"))
+    out.collect()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"loop leaked ${leaked.size} persisted RDDs (only the returned " +
+        s"frame's checkpoint may remain): $leaked")
+    IterStorage.release(out)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("on the dedup fixture: independence AND domination hold (pairwise only independence)") {
     import graft.queries.ExtQueries
     val dir = "/root/testdata/sf0.001"

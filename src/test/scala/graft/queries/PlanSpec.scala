@@ -159,6 +159,36 @@ class PlanSpec extends AnyFunSuite {
         "corpus token stream is being re-partitioned at 100 TB")
   }
 
+  test("freq-rank score: vocab via TakeOrderedAndProject, plan entirely window-free") {
+    // the r6→r7 fix this pins: vocab selection must be a distributed
+    // per-partition top-V (TakeOrderedAndProject), never a global sort or a
+    // rank() window — and nothing else in the query may smuggle a Window
+    // back in
+    val plan = formatted(ExtQueries.freqRankScore(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("Window"),
+      "freq-rank must stay window-free: a Window here is the single-" +
+        "partition global sort regression returning")
+  }
+
+  test("repo-wide: no registered query plans a Window with an empty partition spec") {
+    // An empty-partition-spec Window moves EVERY row to one partition — a
+    // single-executor sort at 100 TB. Every windowed operator in the repo
+    // partitions by a real key; this scans all declared queries so the
+    // regression class can never return silently in any of them.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    for ((name, fn) <- graft.SparkEntry.queries) {
+      val df = fn(spark, dir)
+      val offenders = df.queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(offenders.isEmpty,
+        s"$name: Window with empty partition spec — global single-partition " +
+          s"sort at scale:\n${offenders.headOption.fold("")(_.toString)}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("seq pack: single pruned scan feeding the per-source window") {
     val plan = formatted(ExtQueries.seqPack(spark, dir))
     assert(parquetScans(plan) === 1)

@@ -228,4 +228,53 @@ class StreamingSpec extends AnyFunSuite {
       .distinct().as[Long].collect().toSet
     assert(streamed.map(_.getAs[Long]("content_hash")).toSet === batchHashes)
   }
+
+  test("watermarked dedup: duplicate inside the horizon drops, outside re-emits") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val in = Files.createTempDirectory("graft-wmdedup-in").toString
+    val ckpt = Files.createTempDirectory("graft-wmdedup-ckpt").toString
+    val schema = Seq((0L, "x", ts("2024-01-01 00:00:00")))
+      .toDF("doc_id", "text", "ts").schema
+    // four files = four micro-batches (maxFilesPerTrigger=1), horizon 2h:
+    //   batch 1: first "same" (emit) + an in-batch duplicate 30min later (drop)
+    //   batch 2: "same" again 1h after first seen — inside horizon (drop);
+    //            plus "advance" 4 days later (emit), pushing the watermark
+    //            far past the first "same"'s eviction point
+    //   batch 3: unrelated row (emit). Needed because eviction LAGS a
+    //            batch: cleanup at the end of batch N runs with the
+    //            watermark derived from batch N-1's max event time, so this
+    //            batch is where "same body"'s expired fingerprint actually
+    //            leaves the store
+    //   batch 4: "same" once more — its state is gone, so it re-emits: the
+    //            bounded-state trade the scaladoc documents
+    def write(rows: (Long, String, Timestamp)*): Unit =
+      rows.toSeq.toDF("doc_id", "text", "ts")
+        .coalesce(1).write.mode("append").parquet(in)
+    write((1L, "same body", ts("2024-01-01 00:00:00")),
+          (2L, "same body", ts("2024-01-01 00:30:00")))
+    write((3L, "same body", ts("2024-01-01 01:00:00")),
+          (4L, "advance body", ts("2024-01-05 00:00:00")))
+    write((5L, "noise body", ts("2024-01-05 00:30:00")))
+    write((6L, "same body", ts("2024-01-05 01:00:00")))
+
+    val q = Streaming.dedupStreamWithinWatermark(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(in),
+        horizon = "2 hours")
+      .writeStream
+      .format("memory").queryName("wm_dedup_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("wm_dedup_stream").collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    // 2 (same batch) and 3 (within horizon across batches) dedup away;
+    // 6 survives because the watermark evicted "same body"'s fingerprint
+    assert(got === Set(1L, 4L, 5L, 6L), s"emitted: $got")
+  }
 }
