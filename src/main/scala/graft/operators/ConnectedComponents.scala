@@ -51,9 +51,33 @@ object ConnectedComponents {
     val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .persist(lvl)
 
-    var labels = edges.select(col("src").as("v")).distinct()
+    var live = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
       .localCheckpoint(true)
+    val result =
+      try componentsLoop(edges, live, { l => live = l })
+      catch { case t: Throwable =>
+        // failure-path housekeeping: the non-convergence guard must not
+        // leave the edge caches + the last live round's checkpoint behind
+        // for a caller that catches and moves on
+        IterStorage.release(live)
+        p.unpersist(false)
+        edges.unpersist(false)
+        throw t
+      }
+    // the result rides the FINAL checkpoint only — the edge caches served
+    // the loop and are dead weight from here on
+    p.unpersist(false)
+    edges.unpersist(false)
+    result
+  }
+
+  /** The fixpoint itself; returns the converged checkpoint-backed frame.
+    * `track` publishes each round's live frame so the failure path above
+    * can release it (the caller owns release of everything else). */
+  private def componentsLoop(edges: DataFrame, init: DataFrame,
+      track: DataFrame => Unit): DataFrame = {
+    var labels = init
     var converged = false
     var round = 0
     while (!converged && round < MaxRounds) {
@@ -84,18 +108,15 @@ object ConnectedComponents {
       // round (storage contract above)
       IterStorage.release(stepped)
       IterStorage.release(labels)
-      val changed = next.filter(col("chg")).count()
       labels = next.select(col("v"), col("label"))
+      track(labels)
+      val changed = next.filter(col("chg")).count()
       converged = changed == 0
       round += 1
     }
     require(converged,
       s"connected_components did not converge in $MaxRounds rounds — impossible " +
         "for a finite graph with doubling reach; this is a bug, not a data problem")
-    // the result rides the FINAL checkpoint only — the edge caches served
-    // the loop and are dead weight from here on
-    p.unpersist(false)
-    edges.unpersist(false)
     labels
   }
 }

@@ -62,12 +62,28 @@ object GreedySelection {
   def survivors(pairs: DataFrame): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val p = pairs.select(col("src"), col("dst")).persist(lvl)
+    var state: DataFrame = null
+    try {
+      survivorsLoop(p, { s => state = s })
+    } catch { case t: Throwable =>
+      // failure-path housekeeping: a caller that catches (misoriented
+      // input, over-deep chain) and retries must not accumulate a pair
+      // cache + round checkpoint per failed call
+      if (state != null) IterStorage.release(state)
+      p.unpersist(false)
+      throw t
+    }
+  }
 
+  /** The guarded fixpoint; `track` publishes the live round frame so the
+    * failure path above can release it. */
+  private def survivorsLoop(p: DataFrame, track: DataFrame => Unit): DataFrame = {
     // Orientation guard: one aggregate over the frame the loop probes every
     // round anyway (the action doubles as the cache warm-up), so the check
     // adds no extra scan of the input lineage. min(dst - src) > 0 iff every
-    // edge satisfies src < dst.
-    val minGap = p.agg(min(col("dst") - col("src"))).head().get(0)
+    // edge satisfies src < dst. The cast makes the guard type-stable: int-
+    // typed id columns must hit the require message, not a ClassCastException.
+    val minGap = p.agg(min((col("dst") - col("src")).cast("long"))).head().get(0)
     require(minGap == null || minGap.asInstanceOf[Long] > 0,
       "greedy_selection: pairs must be oriented src < dst (the greedy order " +
         s"reads src as the smaller id); found an edge with dst - src = $minGap. " +
@@ -82,6 +98,7 @@ object GreedySelection {
         Seq("v"), "left")
       .select(col("v"), when(col("hasSmaller").isNull, 1).otherwise(0).as("st"))
       .localCheckpoint(true)
+    track(state)
     var unresolved = state.filter(col("st") === 0).count()
     var round = 0
     while (unresolved > 0 && round < MaxRounds) {
@@ -104,8 +121,9 @@ object GreedySelection {
       // next is materialized (eager checkpoint): the previous round's state
       // is superseded — release it (storage contract above)
       IterStorage.release(state)
-      unresolved = next.filter(col("st") === 0).count()
       state = next
+      track(state)
+      unresolved = next.filter(col("st") === 0).count()
       round += 1
     }
     require(unresolved == 0,

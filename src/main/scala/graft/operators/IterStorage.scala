@@ -25,7 +25,7 @@ import org.apache.spark.sql.execution.LogicalRDD
   * `checkpoint()` (with `sparkContext.setCheckpointDir` on durable
   * storage) — same plan-truncation effect, durable blocks, one extra
   * write per round. */
-private[operators] object IterStorage {
+private[graft] object IterStorage {
 
   /** Release the persisted RDD(s) behind a localCheckpointed frame (or a
     * projection over one). Blocking=false: the removal is async, callers

@@ -530,10 +530,15 @@ object ExtQueries {
     * cross-engine); at scale you'd feed trained centroids in, keeping
     * cells ~ √N. */
   private[graft] def centroids(spark: SparkSession, dir: String,
-      cells: Int = IvfCells): DataFrame =
+      cells: Int = IvfCells): DataFrame = {
+    // fail loud, not empty: cells <= 0 would filter the centroid set to
+    // nothing and every downstream cell-partitioned operator would
+    // silently return zero rows
+    require(cells >= 1, s"cell count must be >= 1, got $cells")
     table(spark, dir, "embeddings").filter(col("vec_id") < cells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
       .withColumn("ncent", l2norm(col("ce")))
+  }
 
   /** Each vector of `vecs` (`vec_id`, `e`, `nrm`) crossed with the BROADCAST
     * centroid set and ranked by cosine (pinned tie-break: centroid id).
@@ -716,8 +721,14 @@ object ExtQueries {
     * Scale notes live on the operator: frontier-limited rounds bounded by
     * conflict-chain depth; pairs arrive correctly oriented (src < dst) by
     * construction here, and the operator now fails loud if they don't. */
-  def greedyDedup(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = semanticAssigned(spark, dir)
+  def greedyDedup(spark: SparkSession, dir: String): DataFrame =
+    greedyDedupCells(spark, dir, IvfCells)
+
+  /** [[greedyDedup]] with the cell count exposed — the same √N scaling
+    * knob as [[semanticDedupCells]], same contract: the in-cell pair
+    * volume the greedy fixpoint consumes is (N/cells)² per cell. */
+  def greedyDedupCells(spark: SparkSession, dir: String, cells: Int): DataFrame = {
+    val assigned = semanticAssigned(spark, dir, cells)
     val out = graft.operators.GreedySelection
       .survivors(semanticSimilarPairs(assigned))
       .orderBy("v")

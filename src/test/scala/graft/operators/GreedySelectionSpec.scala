@@ -84,6 +84,12 @@ class GreedySelectionSpec extends AnyFunSuite {
       GreedySelection.survivors(Seq((2L, 2L)).toDF("src", "dst"))
     }
     assert(selfLoop.getMessage.contains("oriented src < dst"))
+    // int-typed id columns must hit the same message, not a
+    // ClassCastException from unboxing the aggregate result
+    val intTyped = intercept[IllegalArgumentException] {
+      GreedySelection.survivors(Seq((2, 1)).toDF("src", "dst"))
+    }
+    assert(intTyped.getMessage.contains("oriented src < dst"))
   }
 
   test("releases all loop storage except the returned frame's checkpoint") {

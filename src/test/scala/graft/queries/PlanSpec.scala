@@ -176,15 +176,36 @@ class PlanSpec extends AnyFunSuite {
     // single-executor sort at 100 TB. Every windowed operator in the repo
     // partitions by a real key; this scans all declared queries so the
     // regression class can never return silently in any of them.
+    //
+    // The scan must DESCEND THROUGH CACHE BOUNDARIES: a persist() turns its
+    // whole subtree into an InMemoryRelation leaf (e.g. semantic dedup's
+    // cell-assignment window lives behind one), so a logical-plan-only
+    // collect would be vacuous for exactly the cached queries — the known
+    // vacuous-plan-assertion trap. Checkpoint-backed results (the two
+    // iterative operators) are a LogicalRDD leaf with no plan left to
+    // inspect; their loop bodies are window-free by construction and
+    // covered by their own operator specs.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def fromPhysical(p: SparkPlan): Seq[String] = p.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w.toString)
+      case s: InMemoryTableScanExec => fromPhysical(s.relation.cachedPlan)
+    }.flatten
     for ((name, fn) <- graft.SparkEntry.queries) {
       val df = fn(spark, dir)
       val offenders = df.queryExecution.optimizedPlan.collect {
-        case w: LogicalWindow if w.partitionSpec.isEmpty => w
-      }
+        case w: LogicalWindow if w.partitionSpec.isEmpty => Seq(w.toString)
+        case r: InMemoryRelation => fromPhysical(r.cachedPlan)
+      }.flatten
       assert(offenders.isEmpty,
         s"$name: Window with empty partition spec — global single-partition " +
-          s"sort at scale:\n${offenders.headOption.fold("")(_.toString)}")
+          s"sort at scale:\n${offenders.headOption.getOrElse("")}")
+      // the two iterative queries RUN at construction and return a
+      // checkpoint-backed frame: release it, or each suite run leaks one
+      // block set per eager query (clearCache alone cannot)
+      graft.operators.IterStorage.release(df)
       spark.catalog.clearCache()
     }
   }
