@@ -82,6 +82,8 @@ object SparkEntry {
     "e_freq_rank_score"   -> (ExtQueries.freqRankScore _),
     "e_semantic_dedup"    -> (ExtQueries.semanticDedup _),
     "e_greedy_dedup"      -> (ExtQueries.greedyDedup _),
+    "e_boilerplate"       -> (ExtQueries.boilerplate _),
+    "e_tfidf_terms"       -> (ExtQueries.tfidfTerms _),
     "e_seq_pack"          -> (ExtQueries.seqPack _),
     "e_frame_sample"      -> (ExtQueries.frameSample _),
   )

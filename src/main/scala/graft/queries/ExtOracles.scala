@@ -572,6 +572,46 @@ object ExtOracles {
         |FROM ord o, final f
         |ORDER BY o.v""".stripMargin,
 
+    // Within-source document frequency over the shared shingle derivation;
+    // shingleCtes carries no source column, so the oracle re-attaches it by
+    // doc_id (the Spark side passes it through the derivation instead — the
+    // same numbers, different plumbing).
+    "e_boilerplate" ->
+      s"""WITH ${shingleCtes("documents")},
+        |posting AS (
+        |  SELECT s.doc_id, d.source,
+        |    CAST(len(s.ds) AS BIGINT) AS n_shingles, unnest(s.ds) AS sh
+        |  FROM sh s JOIN documents d USING (doc_id)),
+        |wdf AS (SELECT doc_id, source, n_shingles,
+        |  count(*) OVER (PARTITION BY source, sh) AS df FROM posting)
+        |SELECT doc_id, source, n_shingles,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(n_shingles AS DOUBLE) AS boiler_frac,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 2 < n_shingles AS keep
+        |FROM wdf GROUP BY doc_id, source, n_shingles
+        |ORDER BY doc_id""".stripMargin,
+
+    "e_tfidf_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.token, CAST(t.tf AS BIGINT) AS tf,
+        |    CAST(d.df AS BIGINT) AS df,
+        |    CAST(t.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+        |      / CAST(d.df AS DOUBLE) AS score
+        |  FROM tf t JOIN dfreq d USING (token), n),
+        |ranked AS (SELECT doc_id, token, tf, df, score,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, token, tf, df, score, rank FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
     "e_freq_rank_score" ->
       s"""WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token

@@ -232,8 +232,15 @@ object ExtQueries {
     * per shingle position — O(tokens²) per row (measured 4× the whole
     * op's scan cost before this was hoisted). A ≤3-token doc hashes whole
     * as its single shingle. */
-  private def shingleSets(docs: DataFrame): DataFrame = {
-    val toked = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+  private def shingleSets(docs: DataFrame): DataFrame =
+    shingleSetsKeeping(docs, Nil)
+
+  /** [[shingleSets]] with passthrough columns (e.g. `source` for the
+    * per-domain boilerplate statistics) — kept as ONE definition so a
+    * passthrough consumer can never fork the shingle derivation. */
+  private def shingleSetsKeeping(docs: DataFrame, keep: Seq[String]): DataFrame = {
+    val keyCols = col("doc_id") +: keep.map(col)
+    val toked = docs.select(keyCols :+ tokens(col("text")).as("tk"): _*)
       .withColumn("th", transform(col("tk"), t => hash31(t)))
     val shingleExpr = when(size(col("tk")) <= 3,
         array(pmod(hash64(array_join(col("tk"), " ")), lit(IntModulus))))
@@ -241,7 +248,7 @@ object ExtQueries {
         ShingleC.zipWithIndex.map { case (c, j) =>
           element_at(col("th"), i + j + 1) * lit(c) % lit(IntModulus)
         }.reduce(_ + _) % lit(IntModulus)))
-    toked.select(col("doc_id"), array_distinct(shingleExpr).as("ds"))
+    toked.select(keyCols :+ array_distinct(shingleExpr).as("ds"): _*)
   }
 
   def minhashDedup(spark: SparkSession, dir: String): DataFrame =
@@ -1251,5 +1258,90 @@ object ExtQueries {
         sum(col("oov")).as("n_oov"),
         (sum(col("r")).cast("double") / count(lit(1)).cast("double")).as("mean_rank"))
       .orderBy("doc_id")
+  }
+
+  // ---- e_boilerplate ------------------------------------------------------
+
+  /** Within-source boilerplate detection at shingle granularity — the C4
+    * cleaning rule ("drop any span that occurs more than once in the
+    * corpus/domain": C4 does it per three-sentence span, CCNet per
+    * paragraph hash) re-expressed over the shared 3-gram shingle
+    * derivation, since this corpus has no line structure. A shingle that
+    * appears in ≥ 2 DISTINCT documents of the same source is domain
+    * boilerplate (navigation, headers, templates repeat across a domain's
+    * pages; genuine content does not); each document reports how much of
+    * it is boilerplate and a keep verdict (< 50% boilerplate).
+    *
+    * At scale, deliberately JOIN-FREE: the within-source document
+    * frequency rides a window partitioned by (source, shingle) over the
+    * exploded posting stream — one shuffle on a fine-grained key (no
+    * skew: a single shingle's postings are one domain's repeats), then
+    * one partial-aggregated shuffle back to doc_id. The frequent-shingle
+    * set is NOT broadcast anywhere because it is not vocab-bounded: at
+    * 100 TB the repeated-shingle population is itself huge, and a
+    * broadcast (or driver-side collect) of it would be the scale bug.
+    * Shingle sets are distinct-per-doc by construction, so count(*) per
+    * (source, shingle) IS document frequency.
+    *
+    * The shingle frame is PERSISTED for the same reason as
+    * [[decontaminate]]'s, despite its single consumer: without the
+    * materialization boundary, generate-filter inference pushes
+    * isnotnull(ds)/size(ds)>0 below the projections and inlines the whole
+    * shingle pipeline into the scan filter, re-evaluating the token-hash
+    * transform per element_at (measured here: 5.9 s vs 0.5 s at sf0.001). */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val shingled = shingleSetsKeeping(table(spark, dir, "documents"), Seq("source"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = shingled
+      .select(col("doc_id"), col("source"),
+        size(col("ds")).cast("long").as("n_shingles"),
+        explode(col("ds")).as("sh"))
+    val wDf = Window.partitionBy(col("source"), col("sh"))
+    posting
+      .withColumn("df", count(lit(1)).over(wDf))
+      .groupBy(col("doc_id"), col("source"), col("n_shingles"))
+      .agg(sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("source"), col("n_shingles"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_shingles").cast("double"))
+          .as("boiler_frac"),
+        (col("n_boiler") * 2 < col("n_shingles")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // ---- e_tfidf_terms ------------------------------------------------------
+
+  /** Top-3 characteristic terms per document by tf·idf — the classic
+    * keyword/topic signal a mixing pipeline wants next to [[langId]] and
+    * [[freqRankScore]]. idf is kept a RATIONAL (tf · N / df as one
+    * multiply + one divide over exact integers) rather than the textbook
+    * log form: transcendental rounding differs across engines, a single
+    * IEEE division does not, and the RANKING is identical either way
+    * (log is monotone). Ties broken by token ascending, pinned.
+    *
+    * At scale: term frequency is one map-side-combined aggregate on
+    * (doc, token); document frequency aggregates THAT (|vocab| rows,
+    * Zipf-bounded) and BROADCASTS back — the corpus-sized tf stream never
+    * reshuffles for the join (same shape as [[freqRankScore]]'s vocab);
+    * N rides a 1-row broadcast cross join. The final top-3 window
+    * partitions by doc_id. */
+  def tfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val wTop = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs").cast("double")
+          / col("df").cast("double"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score"), col("rank"))
+      .orderBy("doc_id", "rank")
   }
 }

@@ -210,6 +210,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate: one scan, JOIN-FREE (df rides a window, nothing broadcast/collected)") {
+    val plan = formatted(ExtQueries.boilerplate(spark, dir))
+    assert(parquetScans(plan) === 1)
+    // the load-bearing scale property: the frequent-shingle set is not
+    // vocab-bounded, so any join against it (broadcast or shuffled) means
+    // someone re-introduced a materialized frequent set
+    assert(!plan.contains("Join"), "boilerplate df must ride the window, not a join")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      plan.take(500))
+    // persist boundary blocks generate-filter inference from inlining the
+    // shingle pipeline into the scan filter (the 12× re-eval trap measured
+    // on this very op: 5.9 s vs 0.5 s at sf0.001)
+    assert(plan.contains("InMemoryTableScan"), "shingle persist boundary is gone")
+    spark.catalog.clearCache()
+  }
+
+  test("tfidf: Zipf-bounded df side broadcasts, corpus tf stream never sort-merge-joins") {
+    val plan = formatted(ExtQueries.tfidfTerms(spark, dir))
+    val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 1, plan.take(800))
+    assert(plan.contains("BroadcastNestedLoopJoin"), "n_docs must ride a 1-row broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "df is |vocab|-bounded and must broadcast — a shuffle join here " +
+        "re-partitions the corpus-sized tf stream at 100 TB")
+  }
+
   test("seq pack: single pruned scan feeding the per-source window") {
     val plan = formatted(ExtQueries.seqPack(spark, dir))
     assert(parquetScans(plan) === 1)

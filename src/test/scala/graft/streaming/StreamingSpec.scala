@@ -229,6 +229,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.getAs[Long]("content_hash")).toSet === batchHashes)
   }
 
+  test("streaming dedup runs on the RocksDB state store (the corpus-scale provider)") {
+    // The scaladoc's 100 TB prescription — RocksDB instead of the in-heap
+    // HDFS-backed default — must be a config swap, not a rewrite: same
+    // query, same results, state keyed identically. This pins it.
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-rocks-in").toString
+    val ckpt = Files.createTempDirectory("graft-rocks-ckpt").toString
+    val docs = (0 until 20).map(i => (i.toLong, s"rocks body ${i % 10}"))
+    docs.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Streaming.dedupStream(spark.readStream
+          .schema(docs.toDF("doc_id", "text").schema).parquet(in))
+        .writeStream
+        .format("memory").queryName("rocks_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.table("rocks_dedup").collect()
+      assert(got.length === 10)
+      assert(got.map(_.getAs[Long]("content_hash")).distinct.length === 10)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("watermarked dedup: duplicate inside the horizon drops, outside re-emits") {
     import spark.implicits._
     import java.sql.Timestamp
