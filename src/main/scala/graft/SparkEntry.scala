@@ -71,6 +71,7 @@ object SparkEntry {
     "e_fingerprint"       -> (ExtQueries.fingerprint _),
     "e_lang_id"           -> (ExtQueries.langId _),
     "e_stratified_sample" -> (ExtQueries.stratifiedSample _),
+    "e_temp_mix"          -> (ExtQueries.tempMix _),
     "e_top_tokens"        -> (ExtQueries.topTokens _),
     "e_decontaminate"     -> (ExtQueries.decontaminate _),
     "e_repetition"        -> (ExtQueries.repetition _),
@@ -80,6 +81,7 @@ object SparkEntry {
     "e_quality_filter"    -> (ExtQueries.qualityFilter _),
     "e_domain_stats"      -> (ExtQueries.domainStats _),
     "e_freq_rank_score"   -> (ExtQueries.freqRankScore _),
+    "e_quality_buckets"   -> (ExtQueries.qualityBuckets _),
     "e_semantic_dedup"    -> (ExtQueries.semanticDedup _),
     "e_greedy_dedup"      -> (ExtQueries.greedyDedup _),
     "e_boilerplate"       -> (ExtQueries.boilerplate _),

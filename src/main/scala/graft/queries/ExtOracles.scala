@@ -314,6 +314,23 @@ object ExtOracles {
         |  < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
         |ORDER BY doc_id""".stripMargin,
 
+    // α = 0.5 temperature mixing: every FP step (divide, sqrt, multiply,
+    // compare) is a single correctly-rounded IEEE op, so the kept set and
+    // the rate column are bit-identical cross-engine by construction.
+    "e_temp_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_docs) AS min_docs FROM counts),
+        |rates AS (SELECT lang, n_docs,
+        |  sqrt(CAST(m.min_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS rate
+        |  FROM counts, m)
+        |SELECT d.doc_id, d.lang, r.n_docs, r.rate
+        |FROM documents d JOIN rates r USING (lang)
+        |WHERE CAST(CAST('0x'||substr(md5('mix:'||CAST(d.doc_id AS VARCHAR)),1,15)
+        |    AS BIGINT) % 1048576 AS DOUBLE) < r.rate * 1048576.0
+        |ORDER BY d.doc_id""".stripMargin,
+
     "e_top_tokens" ->
       """WITH tok AS (
         |  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
@@ -631,5 +648,41 @@ object ExtOracles {
         |  CAST(sum(oov) AS BIGINT) AS n_oov,
         |  CAST(sum(r) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_rank
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same freq-rank derivation carrying lang; thresholds by exact ⌈q·n⌉
+    // rank selection per lang — what Spark's GK sketch degenerates to at
+    // accuracy ≥ n (the orderStatsApprox contract). Quartile percentages
+    // are binary-exact doubles, so the rank arithmetic cannot drift.
+    "e_quality_buckets" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token,
+        |    CAST(row_number() OVER (ORDER BY count(*) DESC, token ASC) AS BIGINT) AS rank
+        |  FROM tok GROUP BY token
+        |  QUALIFY rank <= ${ExtQueries.FreqRankVocab}),
+        |scored AS (
+        |  SELECT t.doc_id, t.lang,
+        |    CAST(sum(coalesce(v.rank, ${ExtQueries.FreqRankVocab + 1})) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS mean_rank
+        |  FROM tok t LEFT JOIN vocab v USING (token)
+        |  GROUP BY t.doc_id, t.lang),
+        |r AS (
+        |  SELECT doc_id, lang, mean_rank,
+        |    row_number() OVER (PARTITION BY lang ORDER BY mean_rank ASC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM scored),
+        |thr AS (
+        |  SELECT lang,
+        |    max(CASE WHEN rn = ceil(n * 0.25) THEN mean_rank END) AS t25,
+        |    max(CASE WHEN rn = ceil(n * 0.5) THEN mean_rank END) AS t50,
+        |    max(CASE WHEN rn = ceil(n * 0.75) THEN mean_rank END) AS t75
+        |  FROM r GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.mean_rank,
+        |  CAST(1 + CAST(s.mean_rank > t.t25 AS INT) + CAST(s.mean_rank > t.t50 AS INT)
+        |    + CAST(s.mean_rank > t.t75 AS INT) AS BIGINT) AS bucket
+        |FROM scored s JOIN thr t USING (lang)
+        |ORDER BY s.doc_id""".stripMargin,
   )
 }

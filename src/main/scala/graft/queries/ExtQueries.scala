@@ -819,6 +819,42 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // ---- e_temp_mix ---------------------------------------------------------
+
+  /** Temperature-scaled language rebalancing — the multilingual mixing rule
+    * (sample language l with probability ∝ p_l^α) at α = 0.5, realized as
+    * deterministic per-document subsampling: keep rate r_l = √(min_n / n_l),
+    * so the rarest language keeps everything and the dominant one is damped
+    * toward parity. Unlike [[stratifiedSample]] (whose rates are a supplied
+    * config), the rates here are DERIVED from the corpus itself — the
+    * self-tuning form a mixing pipeline actually runs. Document fate stays a
+    * pure function of doc_id (salted 60-bit hash into 2^20 buckets, keep iff
+    * bucket < r_l·2^20): partition-layout-invariant and reproducible on a
+    * re-sharded or 1000×-larger corpus. α = 0.5 is the one temperature whose
+    * power is a SINGLE correctly-rounded IEEE op (sqrt) — every FP step here
+    * (divide, sqrt, multiply, compare) is exactly rounded, so cross-engine
+    * parity is structural, with no transcendental pow anywhere.
+    *
+    * At scale: language counts map-side-combine to |langs| partial rows; the
+    * rate table broadcasts back; the corpus-sized side never shuffles — the
+    * only exchanges below the output sort belong to the |langs|-row branch. */
+  def tempMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_docs")).as("min_docs"))))
+      .select(col("lang"), col("n_docs"),
+        sqrt(col("min_docs").cast("double") / col("n_docs").cast("double"))
+          .as("rate"))
+    val bucket =
+      pmod(hash64(concat(lit("mix:"), col("doc_id").cast("string"))), lit(1L << 20))
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(bucket.cast("double") < col("rate") * lit((1L << 20).toDouble))
+      .select(col("doc_id"), col("lang"), col("n_docs"), col("rate"))
+      .orderBy("doc_id")
+  }
+
   // ---- e_top_tokens -------------------------------------------------------
 
   /** Per-language top-10 vocabulary by frequency — corpus-statistics pass
@@ -1237,9 +1273,18 @@ object ExtQueries {
     * scan of every registered query's optimized plan that fails on ANY
     * Window with an empty partition spec (a global window is a
     * single-executor sort at 100 TB). */
-  def freqRankScore(spark: SparkSession, dir: String): DataFrame = {
-    val tok = table(spark, dir, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+  def freqRankScore(spark: SparkSession, dir: String): DataFrame =
+    freqRankScored(table(spark, dir, "documents"), Nil).orderBy("doc_id")
+
+  /** [[freqRankScore]]'s derivation with passthrough grouping columns
+    * (e.g. `lang` for [[qualityBuckets]]' per-language tiers) — ONE
+    * definition, same reason as [[shingleSetsKeeping]]: a passthrough
+    * consumer must not be able to fork the scoring pipeline. Passthroughs
+    * are functionally dependent on doc_id, so widening the groupBy keys
+    * changes no aggregate. */
+  private def freqRankScored(docs: DataFrame, keep: Seq[String]): DataFrame = {
+    val keyCols = col("doc_id") +: keep.map(col)
+    val tok = docs.select(keyCols :+ explode(tokens(col("text"))).as("token"): _*)
     val topV = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(FreqRankVocab)
@@ -1249,14 +1294,63 @@ object ExtQueries {
       .select(posexplode(col("arr")).as(Seq("pos", "s")))
       .select(col("s.token").as("token"), (col("pos") + 1).cast("long").as("rank"))
     tok.join(broadcast(vocab), Seq("token"), "left")
-      .select(col("doc_id"),
+      .select(keyCols ++ Seq(
         coalesce(col("rank"), lit(FreqRankVocab + 1L)).as("r"),
-        when(col("rank").isNull, 1L).otherwise(0L).as("oov"))
-      .groupBy(col("doc_id"))
+        when(col("rank").isNull, 1L).otherwise(0L).as("oov")): _*)
+      .groupBy(keyCols: _*)
       .agg(
         count(lit(1)).as("n_tokens"),
         sum(col("oov")).as("n_oov"),
         (sum(col("r")).cast("double") / count(lit(1)).cast("double")).as("mean_rank"))
+  }
+
+  // ---- e_quality_buckets --------------------------------------------------
+
+  /** Accuracy for the per-language quantile sketch; the guard below keeps
+    * the exact-oracle contract honest (see [[qualityBuckets]]). */
+  private[queries] val QualityBucketAccuracy = 1 << 18
+
+  /** CCNet-style per-language quality tiers: every document is assigned a
+    * quartile bucket (1 = most fluent) of its language's [[freqRankScore]]
+    * distribution — the grouping CCNet uses (by LM perplexity, per
+    * language) to pick what to keep, what to re-clean, and what to drop.
+    * Quartiles (0.25 / 0.5 / 0.75) are the one quantile family whose
+    * percentages are binary-exact doubles, so the ⌈q·n⌉ rank arithmetic
+    * cannot drift cross-engine the way an inexact 1/3 could.
+    *
+    * At scale the point is what this query does NOT do: no ntile, no
+    * per-language sort of the corpus — tier boundaries come from a
+    * one-pass Greenwald–Khanna `percentile_approx` per language (bounded
+    * memory, mergeable partials), broadcast back as a |langs|-row
+    * threshold table, and assignment is three comparisons per row. GK at
+    * [[QualityBucketAccuracy]] ≥ per-language n degenerates to exact
+    * ⌈q·n⌉ rank selection (the [[RefQueries.orderStatsApprox]] contract,
+    * spec-pinned there), which is what makes the DuckDB oracle exact; a
+    * bigger-than-accuracy language raises loud rather than silently
+    * diverging. The scored frame is persisted: it feeds both the
+    * threshold aggregate and the assignment join. */
+  def qualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = freqRankScored(table(spark, dir, "documents"), Seq("lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = count(lit(1))
+    val ps = percentile_approx(col("mean_rank"),
+      array(lit(0.25), lit(0.5), lit(0.75)), lit(QualityBucketAccuracy))
+    val thr = scored.groupBy(col("lang"))
+      .agg(when(n <= QualityBucketAccuracy, ps)
+        .otherwise(raise_error(lit(
+          s"quality_buckets: language group exceeds accuracy $QualityBucketAccuracy — " +
+            "GK no longer degenerates to exact rank selection; raise the accuracy or " +
+            "accept sketch thresholds and drop the exact oracle")).cast("array<double>"))
+        .as("ts"))
+      .select(col("lang"),
+        element_at(col("ts"), 1).as("t25"),
+        element_at(col("ts"), 2).as("t50"),
+        element_at(col("ts"), 3).as("t75"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("mean_rank"),
+        (lit(1L) + (col("mean_rank") > col("t25")).cast("long")
+          + (col("mean_rank") > col("t50")).cast("long")
+          + (col("mean_rank") > col("t75")).cast("long")).as("bucket"))
       .orderBy("doc_id")
   }
 

@@ -236,6 +236,29 @@ class PlanSpec extends AnyFunSuite {
         "re-partitions the corpus-sized tf stream at 100 TB")
   }
 
+  test("temp mix: rate table broadcasts back, corpus side never shuffle-joins") {
+    val plan = formatted(ExtQueries.tempMix(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(plan.contains("BroadcastNestedLoopJoin"), "min_docs must ride a 1-row broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "the |langs|-row rate table must broadcast — a shuffle join here " +
+        "re-partitions the corpus at 100 TB")
+  }
+
+  test("quality buckets: GK thresholds broadcast, no Window/ntile, scored persisted once") {
+    val plan = formatted(ExtQueries.qualityBuckets(spark, dir))
+    // the load-bearing scale property: tier boundaries come from a one-pass
+    // percentile_approx aggregate, NOT a per-language sort of the corpus
+    assert(!plan.contains("Window"), "bucket assignment must not rank/ntile the corpus")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), "the |langs|-row threshold table must broadcast")
+    assert(plan.contains("InMemoryTableScan"), "scored frame persist boundary is gone")
+    // two parquet scans = freqRankScore's documented two-pass model build
+    // (vocab pass + scoring pass); a third means the persist stopped sharing
+    assert(parquetScans(plan) === 2, plan.take(400))
+    spark.catalog.clearCache()
+  }
+
   test("seq pack: single pruned scan feeding the per-source window") {
     val plan = formatted(ExtQueries.seqPack(spark, dir))
     assert(parquetScans(plan) === 1)
