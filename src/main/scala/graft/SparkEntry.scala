@@ -60,6 +60,7 @@ object SparkEntry {
     "q_date_format"       -> (RefQueries.dateFormat _),
     // LLM-data-pipeline extension operators (SURVEY.md §7.5)
     "e_exact_dedup"       -> (ExtQueries.exactDedup _),
+    "e_incr_dedup"        -> (ExtQueries.incrDedup _),
     "e_text_stats"        -> (ExtQueries.textStats _),
     "e_multimodal_cols"   -> (ExtQueries.multimodalCols _),
     "e_cosine_topk"       -> (ExtQueries.cosineTopk _),

@@ -314,6 +314,25 @@ object ExtOracles {
         |  < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
         |ORDER BY doc_id""".stripMargin,
 
+    // The batch is 20% exact re-ingests (doc_id+1M, same text) and 20%
+    // suffix-mangled revisions (doc_id+2M, first 5 tokens dropped — the
+    // simhash-fixture device). The Spark side's Bloom prefilter is a pure
+    // optimization, so the oracle is the plain NOT EXISTS anti-join.
+    "e_incr_dedup" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 < 2
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string((regexp_split_to_array(trim(text), '\s+'))[6:], ' ') AS text
+        |  FROM documents WHERE doc_id % 10 >= 8),
+        |fpb AS (SELECT doc_id,
+        |  CAST('0x'||substr(md5(text),1,15) AS BIGINT) AS content_hash FROM batch),
+        |fpe AS (SELECT
+        |  CAST('0x'||substr(md5(text),1,15) AS BIGINT) AS content_hash FROM documents)
+        |SELECT b.doc_id, b.content_hash FROM fpb b
+        |WHERE NOT EXISTS (SELECT 1 FROM fpe e WHERE e.content_hash = b.content_hash)
+        |ORDER BY b.doc_id""".stripMargin,
+
     // α = 0.5 temperature mixing: every FP step (divide, sqrt, multiply,
     // compare) is a single correctly-rounded IEEE op, so the kept set and
     // the rate column are bit-identical cross-engine by construction.

@@ -855,6 +855,84 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // ---- e_incr_dedup -------------------------------------------------------
+
+  /** Bloom filter geometry for [[incrDedup]]: 1024 64-bit words = 2^16 bits,
+    * probed at two positions (the low and next-low 16 bits of the 60-bit
+    * content fingerprint). At |existing| = n the false-positive rate is
+    * (1 − e^(−2n/2^16))² — ~2% at n = 5000; production sizes m ~ 16n bits
+    * the same way, it is one constant. */
+  private[queries] val BloomWords = 1024
+  private val BloomMask = (BloomWords * 64 - 1).toLong // 2^16 − 1
+
+  /** Incremental ingest dedup — the snapshot-shaped form every continuously
+    * crawled corpus runs: an incoming batch is screened against the EXISTING
+    * corpus's content fingerprints, exact re-fetches dropped, genuinely new
+    * documents kept (first-seen-wins; the streaming twin is
+    * [[graft.streaming.Streaming.dedupStream]]). The fixture synthesizes the
+    * batch from the corpus itself — 20% exact re-ingests (must all drop) and
+    * 20% suffix-mangled revisions (must all survive) — the same device the
+    * simhash/ngram fixtures use; in production the batch is its own table
+    * and the query is unchanged.
+    *
+    * The scale piece is the BLOOM PREFILTER: the existing side folds its
+    * fingerprints into a [[BloomWords]]-word bit array (integer-only: two
+    * bit positions per fingerprint, bit_or partial-aggregates — mergeable
+    * map-side like any sum), which BROADCASTS as one row. Batch rows whose
+    * two probe bits aren't both set are definitely-new and bypass the
+    * anti-join entirely — only the ~2% false positives plus true duplicates
+    * pay the shuffle. The anti-join side is the slim fingerprint INDEX
+    * (2 columns), never document payloads: at 100 TB the batch's text never
+    * reshuffles — misses keep it scan-local, and hits carry only
+    * (doc_id, hash). The Bloom is a pure optimization — the oracle is the
+    * plain NOT EXISTS, and survivors are identical with the filter deleted. */
+  def incrDedup(spark: SparkSession, dir: String): DataFrame =
+    incrDedupImpl(spark, dir, useBloom = true)
+
+  /** [[incrDedup]] with the Bloom prefilter switchable — `useBloom = false`
+    * routes every batch row through the anti-join, which is the semantic
+    * definition; IncrDedupSpec pins that both paths return identical
+    * survivors (the Bloom-soundness property: no false NEGATIVES ever). */
+  private[queries] def incrDedupImpl(
+      spark: SparkSession, dir: String, useBloom: Boolean): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val existing = docs
+      .select(hash64(col("text")).as("content_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mangled = array_join(
+      slice(tokens(col("text")), 6, Int.MaxValue), " ")
+    val batch = docs.filter(pmod(col("doc_id"), lit(10L)) < 2)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .union(docs.filter(pmod(col("doc_id"), lit(10L)) >= 8)
+        .select((col("doc_id") + 2000000L).as("doc_id"), mangled.as("text")))
+      .select(col("doc_id"), hash64(col("text")).as("content_hash"))
+    // bloom build: two positions per fingerprint → (word, mask) partials →
+    // bit_or → one map<word,bits> row (≤ BloomWords entries), broadcast
+    val positions = existing.select(explode(array(
+        col("content_hash").bitwiseAND(lit(BloomMask)).as("p"),
+        shiftright(col("content_hash"), 16).bitwiseAND(lit(BloomMask)).as("p"))).as("pos"))
+    val bloom = positions
+      .select(shiftright(col("pos"), 6).as("word"),
+        expr("shiftleft(1L, int(pos % 64))").as("mask"))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+      .agg(map_from_arrays(collect_list(col("word")), collect_list(col("bits")))
+        .as("bloom"))
+    def bitSet(p: String): String =
+      s"(coalesce(element_at(bloom, $p div 64), 0L) & shiftleft(1L, int($p % 64))) != 0"
+    val probed =
+      if (!useBloom) batch.withColumn("hit", lit(true))
+      else batch.crossJoin(broadcast(bloom))
+        .withColumn("p1", col("content_hash").bitwiseAND(lit(BloomMask)))
+        .withColumn("p2", shiftright(col("content_hash"), 16).bitwiseAND(lit(BloomMask)))
+        .withColumn("hit", expr(s"${bitSet("p1")} AND ${bitSet("p2")}"))
+    val definitelyNew = probed.filter(!col("hit"))
+      .select(col("doc_id"), col("content_hash"))
+    val survivors = probed.filter(col("hit"))
+      .join(existing, Seq("content_hash"), "left_anti")
+      .select(col("doc_id"), col("content_hash"))
+    definitelyNew.union(survivors).orderBy("doc_id")
+  }
+
   // ---- e_top_tokens -------------------------------------------------------
 
   /** Per-language top-10 vocabulary by frequency — corpus-statistics pass

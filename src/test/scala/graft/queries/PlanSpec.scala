@@ -236,6 +236,16 @@ class PlanSpec extends AnyFunSuite {
         "re-partitions the corpus-sized tf stream at 100 TB")
   }
 
+  test("incr dedup: bloom row broadcasts, existing fingerprints materialized once") {
+    val plan = formatted(ExtQueries.incrDedup(spark, dir))
+    // the single-row bloom map reaches every batch partition as a broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    // existing side feeds BOTH the bloom build and the anti-join from one
+    // materialization — a second parquet scan of it means the persist broke
+    assert(plan.contains("InMemoryTableScan"), "existing-fingerprint persist is gone")
+    spark.catalog.clearCache()
+  }
+
   test("temp mix: rate table broadcasts back, corpus side never shuffle-joins") {
     val plan = formatted(ExtQueries.tempMix(spark, dir))
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
