@@ -88,6 +88,9 @@ object SparkEntry {
     "e_boilerplate"       -> (ExtQueries.boilerplate _),
     "e_tfidf_terms"       -> (ExtQueries.tfidfTerms _),
     "e_seq_pack"          -> (ExtQueries.seqPack _),
+    "e_zorder"            -> (ExtQueries.zorder _),
+    "e_knn_graph"         -> (ExtQueries.knnGraph _),
+    "e_chunk_dedup"       -> (ExtQueries.chunkDedup _),
     "e_frame_sample"      -> (ExtQueries.frameSample _),
   )
 

@@ -97,7 +97,79 @@ object ExtOracles {
       |      ORDER BY csim DESC, cent_id ASC) AS crank FROM sims)
       |  WHERE crank = 1)""".stripMargin
 
+  /** The 32-term bit interleave of `e_zorder`, generated from the same
+    * [[ExtQueries.ZOrderBits]] constant the Spark side weaves with — the
+    * two formulas cannot drift. */
+  private val zTerms: String =
+    (0 until ExtQueries.ZOrderBits).map(i =>
+      s"((uid16 >> $i) & 1) * ${1L << (2 * i + 1)} + ((day16 >> $i) & 1) * ${1L << (2 * i)}")
+      .mkString(" + ")
+
+  /** The cell-assignment CTE chain of `e_knn_graph` — the SQL twin of
+    * `ExtQueries.knnGraphCells`' assignment (the base corpus, unlike
+    * [[semanticAssignedBody]] which assigns corpus + perturbed variants). */
+  private lazy val knnAssignedBody: String =
+    s"""cents AS (SELECT vec_id AS cent_id, embedding AS ce,
+      |  sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b)) AS ncent
+      |  FROM embeddings WHERE vec_id < ${ExtQueries.IvfCells}),
+      |vecs AS (SELECT vec_id, embedding AS e,
+      |  sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b)) AS nrm
+      |  FROM embeddings),
+      |sims AS (SELECT v.vec_id, v.e, v.nrm, c.cent_id,
+      |  list_reduce(list_transform(list_zip(v.e, c.ce),
+      |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b)
+      |    / (v.nrm * c.ncent) AS csim
+      |  FROM vecs v, cents c),
+      |assigned AS (SELECT vec_id, e, nrm, cent_id AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY csim DESC, cent_id ASC) AS crank FROM sims)
+      |  WHERE crank = 1)""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "e_zorder" ->
+      s"""WITH dims AS (
+        |  SELECT event_id,
+        |    user_id % 65536 AS uid16,
+        |    (epoch_us(ts) // 86400000000) % 65536 AS day16
+        |  FROM events)
+        |SELECT event_id, uid16, day16, ($zTerms) AS zkey
+        |FROM dims ORDER BY zkey, event_id""".stripMargin,
+
+    "e_knn_graph" ->
+      s"""WITH $knnAssignedBody,
+        |pairs AS (SELECT x.vec_id AS src, y.vec_id AS nbr,
+        |  list_reduce(list_transform(list_zip(x.e, y.e),
+        |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b)
+        |    / (x.nrm * y.nrm) AS score
+        |  FROM assigned x JOIN assigned y
+        |    ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+        |ranked AS (SELECT src, nbr, score,
+        |  CAST(row_number() OVER (PARTITION BY src
+        |    ORDER BY score DESC, nbr ASC) AS INT) AS rank
+        |  FROM pairs)
+        |SELECT src, nbr, score, rank FROM ranked
+        |WHERE rank <= ${ExtQueries.KnnK} ORDER BY src, rank""".stripMargin,
+
+    "e_chunk_dedup" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+        |ch AS (SELECT doc_id,
+        |  unnest(range(0, CAST(ceil(len(t) / ${ExtQueries.ChunkTokens}.0) AS BIGINT))) AS chunk_idx,
+        |  unnest(list_transform(range(0, CAST(ceil(len(t) / ${ExtQueries.ChunkTokens}.0) AS BIGINT)),
+        |    i -> CAST('0x'||substr(md5(array_to_string(
+        |      t[i*${ExtQueries.ChunkTokens}+1:i*${ExtQueries.ChunkTokens}+${ExtQueries.ChunkTokens}], ' ')),1,15) AS BIGINT))) AS chash
+        |  FROM toks),
+        |occ AS (SELECT doc_id, chunk_idx, chash,
+        |  row_number() OVER (PARTITION BY chash ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ch)
+        |SELECT doc_id,
+        |  count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS kept_frac
+        |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "e_exact_dedup" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

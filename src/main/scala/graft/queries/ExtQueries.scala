@@ -1516,4 +1516,140 @@ object ExtQueries {
         col("score"), col("rank"))
       .orderBy("doc_id", "rank")
   }
+
+  // ---- e_zorder -----------------------------------------------------------
+
+  /** Bits per dimension interleaved into the Z-order key (16 + 16 → a
+    * 32-bit key). Shared with the oracle SQL so the two bit-weavings can
+    * never drift. */
+  private[queries] val ZOrderBits = 16
+
+  /** Z-order (Morton-curve) clustering key over the events fact — the
+    * multi-dimensional LAYOUT operator (Delta `OPTIMIZE ZORDER BY` /
+    * Iceberg sort-order shape): interleave the low [[ZOrderBits]] bits of
+    * the two pruning dimensions (user bucket, event day) so that sorting
+    * by the single `zkey` co-locates rows that are close in BOTH
+    * dimensions. Files written in this order carry min-max ranges that are
+    * tight on user_id AND on date simultaneously, so a predicate on either
+    * dimension (or both) prunes row groups — one layout serving two filter
+    * columns, where a plain sort serves only its leading column.
+    *
+    * At scale this feeds `df.repartitionByRange($"zkey").sortWithinPartitions
+    * ($"zkey").write` — the layout step IS the one intentional range
+    * shuffle. The key itself is pure bit arithmetic (shift/and/or per bit,
+    * whole-stage codegen'd, zero shuffles); day = floor(epoch_us / 86 400e6),
+    * exact cross-engine because event timestamps are post-1970 (non-negative
+    * micros, so `div` ≡ DuckDB `//` — same reasoning as [[packTokens]]'s
+    * floor-div note, here guaranteed by the fixture's domain). */
+  def zorder(spark: SparkSession, dir: String): DataFrame = {
+    val dims = table(spark, dir, "events")
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(65536L)).as("uid16"),
+        pmod(expr("unix_micros(ts) div 86400000000"), lit(65536L)).as("day16"))
+    val zkey = (0 until ZOrderBits).map { i =>
+      shiftleft(shiftright(col("uid16"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(col("day16"), i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+    dims.select(col("event_id"), col("uid16"), col("day16"), zkey.as("zkey"))
+      .orderBy("zkey", "event_id")
+  }
+
+  // ---- e_knn_graph --------------------------------------------------------
+
+  /** Neighbors kept per node in the k-NN graph. */
+  private[queries] val KnnK = 3
+
+  /** Cell-bucketed k-nearest-neighbor GRAPH over the embedding corpus —
+    * every vector is a query (the self-join shape), unlike [[cosineTopk]]
+    * where a bounded external query set broadcasts. The all-pairs O(N²)
+    * graph is cut to in-cell candidates with the shared [[centroids]]
+    * quantizer (exactly [[cosineTopkIvfNprobe]]'s assignment, nprobe = 1
+    * on both sides), then each node keeps its top-[[KnnK]] in-cell
+    * neighbors by exact cosine with a pinned tie-break. The k-NN graph is
+    * the substrate for graph-based dedup/clustering ([[dupClusters]]
+    * consumes pair lists of exactly this shape) and for HNSW-style ANN
+    * index construction.
+    *
+    * At scale: candidate volume is Σ|cell|² = N²/cells for balanced cells
+    * — the same √N cell-count knob as [[semanticDedupCells]] (`cells`
+    * parameter; the oracle entry point pins [[IvfCells]]). Only
+    * (id, vector, norm, cell) shuffles on the cell key; the per-node
+    * top-k window partitions on node id — fine-grained, no skew. A
+    * boundary-straddling true neighbor is missed at nprobe = 1; raising
+    * recall is the same nprobe trade measured in [[IvfRecallSpec]].
+    *
+    * CACHING CONTRACT: the assigned frame is persisted (both sides of the
+    * in-cell self-join probe it); callers should clearCache() after
+    * materializing, as with [[semanticDedup]]. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraphCells(spark, dir, IvfCells)
+
+  /** [[knnGraph]] with the cell count exposed — the √N scaling knob. */
+  def knnGraphCells(spark: SparkSession, dir: String, cells: Int): DataFrame = {
+    val vecs = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", l2norm(col("e")))
+    val assigned = rankedCells(vecs, centroids(spark, dir, cells))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val score = seqSum(zip_with(col("x.e"), col("y.e"),
+      (a, b) => a.cast("double") * b.cast("double"))) / (col("x.nrm") * col("y.nrm"))
+    val wTop = Window.partitionBy(col("src"))
+      .orderBy(col("score").desc, col("nbr").asc)
+    assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src"), col("y.vec_id").as("nbr"), score.as("score"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= KnnK)
+      .orderBy("src", "rank")
+  }
+
+  // ---- e_chunk_dedup ------------------------------------------------------
+
+  /** Tokens per non-overlapping chunk for [[chunkDedup]]. */
+  private[queries] val ChunkTokens = 8
+
+  /** First-occurrence chunk-level deduplication — the CCNet paragraph-hash
+    * rule re-expressed over fixed [[ChunkTokens]]-token chunks (this corpus
+    * has no line structure; cf. [[boilerplate]], which is the C4
+    * within-DOMAIN frequency rule over overlapping shingles — this one is
+    * global, non-overlapping, and keep-first rather than drop-frequent).
+    * Every chunk occurrence is kept iff it is the FIRST occurrence of its
+    * hash corpus-wide in (doc_id, chunk_idx) order; each document reports
+    * how many of its chunks survive.
+    *
+    * At scale: chunk hashes are computed scan-side (pure column
+    * expressions); the first-occurrence rule is a map-side-combined
+    * `min(struct(doc_id, chunk_idx))` per hash — an AGGREGATE, deliberately
+    * not a row_number window: a boilerplate chunk shared by millions of
+    * documents lands its whole posting list on one window partition, while
+    * the aggregate reduces it to one survivor row in partials. The decision
+    * join back is co-partitioned on the same hash key (one shuffle,
+    * reused). Only (hash, doc_id, chunk_idx) ever shuffles — never text. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val posting = table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L),
+            floor((size(col("tk")) - 1) / lit(ChunkTokens.toDouble)).cast("long")),
+          i => hash64(array_join(
+            slice(col("tk"), i * ChunkTokens + 1, lit(ChunkTokens)), " ")))))
+      .toDF("doc_id", "chunk_idx", "chash")
+    val first = posting.groupBy(col("chash"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+    posting.join(first, Seq("chash"))
+      .withColumn("kept",
+        col("first.doc_id") === col("doc_id") &&
+          col("first.chunk_idx") === col("chunk_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("kept").cast("long")).as("n_kept"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        (col("n_chunks") - col("n_kept")).as("n_dup"),
+        (col("n_kept").cast("double") / col("n_chunks").cast("double"))
+          .as("kept_frac"))
+      .orderBy("doc_id")
+  }
 }

@@ -294,4 +294,36 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LessThan(vec_id,4)"), "centroid scan must be pruned")
     spark.catalog.clearCache()
   }
+
+  test("zorder: pure bit-arithmetic scan — only the intentional layout range shuffle") {
+    val plan = formatted(ExtQueries.zorder(spark, dir))
+    assert(parquetScans(plan) === 1)
+    assert(!plan.contains("Join") && !plan.contains("Window"))
+    // the ONE exchange is the final range sort (the layout step itself);
+    // a hash exchange would mean the key computation is shuffling data
+    assert(!plan.contains("hashpartitioning("),
+      "zkey must be computed scan-side, not across a shuffle")
+    assert(plan.contains("rangepartitioning("), plan.take(600))
+    // pruning: only the three needed columns leave the scan
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint>"),
+      plan.take(600))
+  }
+
+  test("chunk dedup: first-occurrence rule is an aggregate, never a per-hash window") {
+    // the scale property: a boilerplate chunk shared by millions of docs
+    // must reduce via map-side min-partials, not land a million-row posting
+    // list on one window partition
+    val plan = formatted(ExtQueries.chunkDedup(spark, dir))
+    assert(!plan.contains("Window"),
+      "per-chash window = single-partition skew on hot chunks; keep the min(struct) aggregate")
+    assert(plan.contains("HashAggregate"), plan.take(400))
+  }
+
+  test("knn graph: candidates join on the cell key, never a cartesian corpus product") {
+    val plan = formatted(ExtQueries.knnGraph(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      "in-cell candidate generation must equi-join on cell — a cartesian " +
+        "product is the all-pairs O(N^2) graph at 100 TB")
+    spark.catalog.clearCache()
+  }
 }
