@@ -150,6 +150,44 @@ object ExtOracles {
         |SELECT src, nbr, score, rank FROM ranked
         |WHERE rank <= ${ExtQueries.KnnK} ORDER BY src, rank""".stripMargin,
 
+    "e_cosine_topk_pq" ->
+      s"""WITH subs AS (SELECT unnest(range(0, ${ExtQueries.PqSubspaces})) AS sub),
+        |codes AS (SELECT e.vec_id AS code_id, s.sub,
+        |    e.embedding[s.sub*${ExtQueries.PqSubDim}+1:s.sub*${ExtQueries.PqSubDim}+${ExtQueries.PqSubDim}] AS cv
+        |  FROM embeddings e, subs s WHERE e.vec_id < ${ExtQueries.PqCodes}),
+        |vecsub AS (SELECT e.vec_id, s.sub,
+        |    e.embedding[s.sub*${ExtQueries.PqSubDim}+1:s.sub*${ExtQueries.PqSubDim}+${ExtQueries.PqSubDim}] AS sv
+        |  FROM embeddings e, subs s),
+        |dists AS (SELECT v.vec_id, v.sub, c.code_id,
+        |  list_reduce(list_transform(list_zip(v.sv, c.cv),
+        |    p -> (CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))*(CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))),
+        |    (a,b)->a+b) AS d2
+        |  FROM vecsub v JOIN codes c USING (sub)),
+        |enc AS (SELECT vec_id, sub, code_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY d2 ASC, code_id ASC) AS rk FROM dists) WHERE rk = 1),
+        |q AS (SELECT vec_id AS qid, embedding AS qe,
+        |    sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b)) AS nq
+        |  FROM embeddings WHERE vec_id < 8),
+        |lut AS (SELECT q.qid, q.nq, c.sub, c.code_id,
+        |  list_reduce(list_transform(list_zip(
+        |      q.qe[c.sub*${ExtQueries.PqSubDim}+1:c.sub*${ExtQueries.PqSubDim}+${ExtQueries.PqSubDim}], c.cv),
+        |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b) AS pdot,
+        |  list_reduce(list_transform(c.cv, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b) AS pn2
+        |  FROM q, codes c),
+        |g AS (SELECT l.qid, l.nq, e.vec_id AS cid,
+        |    list_reduce(list(l.pdot ORDER BY l.sub), (a,b)->a+b) AS dotsum,
+        |    list_reduce(list(l.pn2 ORDER BY l.sub), (a,b)->a+b) AS n2sum
+        |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code_id = l.code_id
+        |  WHERE e.vec_id <> l.qid
+        |  GROUP BY l.qid, l.nq, e.vec_id),
+        |ranked AS (SELECT qid, cid, dotsum / (nq * sqrt(n2sum)) AS score,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY dotsum / (nq * sqrt(n2sum)) DESC, cid ASC) AS INT) AS rank
+        |  FROM g)
+        |SELECT qid, cid, score, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
     "e_chunk_dedup" ->
       s"""WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),

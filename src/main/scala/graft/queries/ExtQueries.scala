@@ -1606,6 +1606,89 @@ object ExtQueries {
       .orderBy("src", "rank")
   }
 
+  // ---- e_cosine_topk_pq ---------------------------------------------------
+
+  /** PQ geometry: [[PqDim]]-dim embeddings cut into [[PqSubspaces]]
+    * subvectors of [[PqSubDim]] dims, each encoded as one of [[PqCodes]]
+    * codebook entries — 4 × 3 bits ≈ 2 bytes per vector instead of 256. */
+  private[queries] val PqDim = 64
+  private[queries] val PqSubspaces = 4
+  private[queries] val PqSubDim: Int = PqDim / PqSubspaces
+  private[queries] val PqCodes = 8
+
+  /** Product-quantization approximate top-k — the THIRD classic ANN family
+    * next to the hash-bucketed ([[cosineTopkLsh]]) and cell-partitioned
+    * ([[cosineTopkIvf]]) ones, attacking a different cost: memory. Each
+    * corpus vector is ENCODED once as [[PqSubspaces]] small code ids
+    * (nearest codebook entry per subvector, L2, pinned tie-break); a query
+    * is answered from the codes alone via the asymmetric-distance lookup
+    * table — dot(query_sub, code_sub) per (subspace, code), built per
+    * query, [[PqCodes]]·[[PqSubspaces]] entries — so scoring never touches
+    * a raw corpus vector. Scores are the cosine against the RECONSTRUCTED
+    * (quantized) vector; like every ANN entry here the exact [[cosineTopk]]
+    * is the graded baseline and the codebook is pinned seed subvectors
+    * (first [[PqCodes]] corpus rows), deterministic where a trained one is
+    * not.
+    *
+    * At scale: encoding is one broadcast-codebook scan + a map-side-
+    * combined argmin aggregate (never a per-vector shuffle of raw data);
+    * the encoded corpus — ~2 bytes/vector — is what a 100 TB ANN index
+    * actually keeps hot. Scoring joins the code stream to the BROADCAST
+    * LUT on (subspace, code) and folds the [[PqSubspaces]] partials per
+    * (query, candidate) in pinned subspace order (collect-sort-fold, the
+    * bounded-group pattern from [[freqRankScore]]), so every emitted
+    * double is a sequential fold cross-engine. */
+  def cosineTopkPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        when(size(col("embedding")) === PqDim, col("embedding"))
+          .otherwise(raise_error(lit(
+            s"e_cosine_topk_pq: embedding dim must be $PqDim"))).as("embedding"))
+    val subs = explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub")
+    def subvec(v: Column, sub: Column): Column = slice(v, sub * PqSubDim + 1, lit(PqSubDim))
+    val vecsub = emb.select(col("vec_id"), col("embedding"), subs)
+      .select(col("vec_id"), col("sub"), subvec(col("embedding"), col("sub")).as("sv"))
+    val codes = emb.filter(col("vec_id") < PqCodes)
+      .select(col("vec_id").as("code_id"), col("embedding"), subs)
+      .select(col("code_id"), col("sub"), subvec(col("embedding"), col("sub")).as("cv"))
+    // encode: nearest code per (vector, subspace) — argmin as a map-side-
+    // combined min(struct) aggregate, tie-break code_id ascending
+    val d2 = seqSum(zip_with(col("sv"), col("cv"),
+      (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))))
+    val enc = vecsub.join(broadcast(codes), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code_id"), d2.as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("code_id"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.code_id").as("code_id"))
+    // per-query lookup table over (subspace, code): partial dot + partial
+    // reconstructed-norm² — |Q|·M·K rows, broadcast
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("nq", l2norm(col("qe")))
+    val pdot = seqSum(zip_with(col("qv"), col("cv"),
+      (x, y) => x.cast("double") * y.cast("double")))
+    val lut = q.select(col("qid"), col("nq"), col("qe"), subs)
+      .select(col("qid"), col("nq"), col("sub"), subvec(col("qe"), col("sub")).as("qv"))
+      .join(codes, Seq("sub"))
+      .select(col("qid"), col("nq"), col("sub"), col("code_id"),
+        pdot.as("pdot"), seqSum(transform(col("cv"),
+          v => v.cast("double") * v.cast("double"))).as("pn2"))
+    // fold the M subspace partials in pinned sub order (bounded group)
+    val parts = sort_array(collect_list(struct(col("sub"), col("pdot"), col("pn2"))))
+    val scored = enc.join(broadcast(lut), Seq("sub", "code_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("nq"), col("vec_id"))
+      .agg(parts.as("ps"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        (aggregate(col("ps"), lit(0.0), (a, x) => a + x.getField("pdot")) /
+          (col("nq") * sqrt(aggregate(col("ps"), lit(0.0),
+            (a, x) => a + x.getField("pn2"))))).as("score"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 10)
+      .orderBy("qid", "rank")
+  }
+
   // ---- e_chunk_dedup ------------------------------------------------------
 
   /** Tokens per non-overlapping chunk for [[chunkDedup]]. */

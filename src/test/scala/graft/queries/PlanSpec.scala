@@ -319,6 +319,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan.take(400))
   }
 
+  test("pq topk: codebook and LUT broadcast — the encoded corpus never sort-merge-joins") {
+    val plan = formatted(ExtQueries.cosineTopkPq(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"),
+      "the (subspace, code) LUT is bounded and must broadcast — a shuffle " +
+        "join re-partitions the encoded corpus stream at 100 TB")
+  }
+
   test("knn graph: candidates join on the cell key, never a cartesian corpus product") {
     val plan = formatted(ExtQueries.knnGraph(spark, dir))
     assert(!plan.contains("CartesianProduct"),
