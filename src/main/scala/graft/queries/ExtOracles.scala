@@ -446,6 +446,29 @@ object ExtOracles {
     // α = 0.5 temperature mixing: every FP step (divide, sqrt, multiply,
     // compare) is a single correctly-rounded IEEE op, so the kept set and
     // the rate column are bit-identical cross-engine by construction.
+    "e_epoch_mix" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |src AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |  FROM tok GROUP BY source),
+        |mx AS (SELECT max(src_tokens) AS max_tokens FROM src),
+        |w AS (SELECT source,
+        |  least(${ExtQueries.EpochCap},
+        |    CAST(mx.max_tokens AS DOUBLE) / CAST(src_tokens AS DOUBLE)) AS epochs
+        |  FROM src, mx),
+        |d AS (SELECT t.doc_id, t.source, w.epochs,
+        |  CAST('0x'||substr(md5('epoch:'||CAST(t.doc_id AS VARCHAR)),1,15) AS BIGINT)
+        |    % ${1L << 20} AS bucket
+        |  FROM tok t JOIN w USING (source))
+        |SELECT doc_id, source, epochs,
+        |  CAST(floor(epochs) AS BIGINT)
+        |    + CASE WHEN CAST(bucket AS DOUBLE)
+        |             < (epochs - floor(epochs)) * ${(1L << 20).toDouble} THEN 1 ELSE 0 END
+        |    AS n_repeats
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     "e_temp_mix" ->
       """WITH counts AS (
         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs

@@ -855,6 +855,55 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // ---- e_epoch_mix --------------------------------------------------------
+
+  /** Epoch cap: no source repeats more than this many times, the standard
+    * guard against a tiny source being upsampled into memorization. */
+  private[queries] val EpochCap = 4.0
+
+  /** Per-source epoch-weighted UPSAMPLING plan — the data-mixture shape
+    * published pretraining recipes use (N epochs over small high-value
+    * sources, ~1 over the bulk): each source's epoch weight equalizes
+    * token share against the largest source, capped at [[EpochCap]], and
+    * every document gets an integer repeat count — base ⌊w⌋ epochs plus
+    * one more with probability frac(w), decided by deterministic hash
+    * fate. The complement of [[tempMix]]: that op drops to rebalance
+    * (keep-rate ≤ 1), this one REPEATS to rebalance (repeat ≥ 1); emitting
+    * the plan as (doc, n_repeats) keeps the operator stateless — the
+    * consumer explodes it into the epoch stream.
+    *
+    * Determinism: w = max_tokens/src_tokens is one exact IEEE division;
+    * floor/subtract/multiply/compare are single correctly-rounded ops (no
+    * pow, same structural argument as [[tempMix]]); fate is the salted
+    * 60-bit hash into 2^20 buckets, a pure function of doc_id —
+    * reproducible on a re-sharded corpus.
+    *
+    * At scale: token counts map-side-combine to |sources| partials, the
+    * |sources|-row weight table broadcasts back, the corpus never
+    * shuffles — zero exchanges below the output sort on the corpus-sized
+    * branch. */
+  def epochMix(spark: SparkSession, dir: String): DataFrame = {
+    val toked = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val srcTok = toked.groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
+    val w = srcTok
+      .crossJoin(broadcast(srcTok.agg(max(col("src_tokens")).as("max_tokens"))))
+      .select(col("source"),
+        least(lit(EpochCap),
+          col("max_tokens").cast("double") / col("src_tokens").cast("double"))
+          .as("epochs"))
+    val bucket =
+      pmod(hash64(concat(lit("epoch:"), col("doc_id").cast("string"))), lit(1L << 20))
+    toked.join(broadcast(w), Seq("source"))
+      .select(col("doc_id"), col("source"), col("epochs"),
+        (floor(col("epochs")) +
+          when(bucket.cast("double") <
+            (col("epochs") - floor(col("epochs"))) * lit((1L << 20).toDouble), 1L)
+            .otherwise(0L)).as("n_repeats"))
+      .orderBy("doc_id")
+  }
+
   // ---- e_incr_dedup -------------------------------------------------------
 
   /** Bloom filter geometry for [[incrDedup]]: 1024 64-bit words = 2^16 bits,

@@ -319,6 +319,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan.take(400))
   }
 
+  test("epoch mix: weight table broadcasts back, corpus side never shuffle-joins") {
+    val plan = formatted(ExtQueries.epochMix(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"),
+      "the |sources|-row epoch-weight table must broadcast — a shuffle join " +
+        "re-partitions the whole corpus at 100 TB")
+  }
+
   test("pq topk: codebook and LUT broadcast — the encoded corpus never sort-merge-joins") {
     val plan = formatted(ExtQueries.cosineTopkPq(spark, dir))
     assert(plan.contains("BroadcastHashJoin"), plan.take(600))
