@@ -1759,7 +1759,13 @@ object ExtQueries {
     * documents lands its whole posting list on one window partition, while
     * the aggregate reduces it to one survivor row in partials. The decision
     * join back is co-partitioned on the same hash key (one shuffle,
-    * reused). Only (hash, doc_id, chunk_idx) ever shuffles — never text. */
+    * reused). Only (hash, doc_id, chunk_idx) ever shuffles — never text.
+    *
+    * The posting frame is PERSISTED: both the survivor aggregate and the
+    * decision join consume it, and without the materialization boundary
+    * each branch re-runs the tokenize + per-chunk MD5 over the full corpus
+    * (same rationale as [[decontaminate]]/[[boilerplate]]; single scan
+    * plan-pinned). Callers should clearCache() after materializing. */
   def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val posting = table(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("tk"))
@@ -1770,6 +1776,7 @@ object ExtQueries {
           i => hash64(array_join(
             slice(col("tk"), i * ChunkTokens + 1, lit(ChunkTokens)), " ")))))
       .toDF("doc_id", "chunk_idx", "chash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val first = posting.groupBy(col("chash"))
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
     posting.join(first, Seq("chash"))

@@ -317,6 +317,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"),
       "per-chash window = single-partition skew on hot chunks; keep the min(struct) aggregate")
     assert(plan.contains("HashAggregate"), plan.take(400))
+    // persisted posting: tokenize + per-chunk MD5 must run once, not once
+    // per consuming branch
+    assert(parquetScans(plan) === 1, plan.take(400))
+    spark.catalog.clearCache()
   }
 
   test("epoch mix: weight table broadcasts back, corpus side never shuffle-joins") {
