@@ -40,6 +40,12 @@ object GraftFunctions {
             s"simhash_bits(token_hashes, bits) takes 2 arguments, got ${exprs.length}")
           SimHashBits(exprs.head, litInt(exprs(1), "bits"))
         }, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "morton_interleave", { exprs =>
+          require(exprs.length == 3,
+            s"morton_interleave(x, y, bits) takes 3 arguments, got ${exprs.length}")
+          MortonInterleave(exprs.head, exprs(1), litInt(exprs(2), "bits"))
+        }, "scala_udf")
     }
   }
 
@@ -62,6 +68,13 @@ object GraftFunctions {
   def simhashBits(spark: SparkSession, c: Column, bits: Int): Column = {
     register(spark)
     call_function("simhash_bits", c, lit(bits))
+  }
+
+  /** Morton (Z-order) interleave of two long columns' low `bits` bits —
+    * one fused loop for the whole key ([[Morton]]). */
+  def mortonInterleave(spark: SparkSession, x: Column, y: Column, bits: Int): Column = {
+    register(spark)
+    call_function("morton_interleave", x, y, lit(bits))
   }
 
   /** Floor-division nanos→micros via the named [[NanosToMicros]] expression —

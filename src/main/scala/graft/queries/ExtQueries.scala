@@ -1584,9 +1584,12 @@ object ExtQueries {
     * columns, where a plain sort serves only its leading column.
     *
     * At scale this feeds `df.repartitionByRange($"zkey").sortWithinPartitions
-    * ($"zkey").write` — the layout step IS the one intentional range
-    * shuffle. The key itself is pure bit arithmetic (shift/and/or per bit,
-    * whole-stage codegen'd, zero shuffles); day = floor(epoch_us / 86 400e6),
+    * ($"zkey").write` ([[graft.operators.Layout.clusteredWrite]]) — the
+    * layout step IS the one intentional range shuffle. The key itself is
+    * the fused codegen'd [[graft.functions.MortonInterleave]] expression
+    * (one JIT loop instead of a 32-node shift/and/add subtree — ZorderSpec
+    * pins it against an independent reference interleave, the oracle
+    * against the expanded arithmetic form); day = floor(epoch_us / 86 400e6),
     * exact cross-engine because event timestamps are post-1970 (non-negative
     * micros, so `div` ≡ DuckDB `//` — same reasoning as [[packTokens]]'s
     * floor-div note, here guaranteed by the fixture's domain). */
@@ -1595,11 +1598,8 @@ object ExtQueries {
       .select(col("event_id"),
         pmod(col("user_id"), lit(65536L)).as("uid16"),
         pmod(expr("unix_micros(ts) div 86400000000"), lit(65536L)).as("day16"))
-    val zkey = (0 until ZOrderBits).map { i =>
-      shiftleft(shiftright(col("uid16"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
-        shiftleft(shiftright(col("day16"), i).bitwiseAND(lit(1L)), 2 * i)
-    }.reduce(_ + _)
-    dims.select(col("event_id"), col("uid16"), col("day16"), zkey.as("zkey"))
+    dims.select(col("event_id"), col("uid16"), col("day16"),
+        mortonInterleave(spark, col("uid16"), col("day16"), ZOrderBits).as("zkey"))
       .orderBy("zkey", "event_id")
   }
 
