@@ -74,6 +74,7 @@ object SparkEntry {
     "e_stratified_sample" -> (ExtQueries.stratifiedSample _),
     "e_temp_mix"          -> (ExtQueries.tempMix _),
     "e_epoch_mix"         -> (ExtQueries.epochMix _),
+    "e_span_mask"         -> (ExtQueries.spanMask _),
     "e_top_tokens"        -> (ExtQueries.topTokens _),
     "e_decontaminate"     -> (ExtQueries.decontaminate _),
     "e_repetition"        -> (ExtQueries.repetition _),

@@ -446,6 +446,28 @@ object ExtOracles {
     // α = 0.5 temperature mixing: every FP step (divide, sqrt, multiply,
     // compare) is a single correctly-rounded IEEE op, so the kept set and
     // the rate column are bit-identical cross-engine by construction.
+    "e_span_mask" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+        |n AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM tok),
+        |eligible AS (SELECT doc_id, t, n, n // ${ExtQueries.SpanEvery} AS n_spans
+        |  FROM n WHERE n >= ${ExtQueries.SpanEvery}),
+        |spans AS (SELECT doc_id, t, n, n_spans,
+        |  unnest(range(0, n_spans)) AS i FROM eligible),
+        |placed AS (SELECT doc_id, t, i AS span_idx,
+        |    (i * n) // n_spans AS a,
+        |    ((i + 1) * n) // n_spans - (i * n) // n_spans AS seg_len
+        |  FROM spans),
+        |o AS (SELECT doc_id, t, span_idx,
+        |    a + CAST('0x'||substr(md5('span:'||CAST(doc_id AS VARCHAR)
+        |          ||':'||CAST(span_idx AS VARCHAR)),1,15) AS BIGINT)
+        |        % (seg_len - ${ExtQueries.SpanLen - 1}) AS start_tok
+        |  FROM placed)
+        |SELECT doc_id, span_idx, start_tok,
+        |  CAST(${ExtQueries.SpanLen} AS BIGINT) AS span_len,
+        |  array_to_string(t[start_tok+1:start_tok+${ExtQueries.SpanLen}], ' ') AS span_text
+        |FROM o ORDER BY doc_id, span_idx""".stripMargin,
+
     "e_epoch_mix" ->
       s"""WITH tok AS (
         |  SELECT doc_id, source,

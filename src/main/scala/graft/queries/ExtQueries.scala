@@ -904,6 +904,51 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // ---- e_span_mask --------------------------------------------------------
+
+  /** Span geometry: one [[SpanLen]]-token span per [[SpanEvery]] tokens —
+    * the T5 recipe's ~15% corruption budget at mean span 3, made exact
+    * integers (3/20 = 0.15). */
+  private[queries] val SpanLen = 3
+  private[queries] val SpanEvery = 20
+
+  /** Deterministic span-corruption PLAN — the denoising-objective prep step
+    * (T5/UL2 span masking): each document ≥ [[SpanEvery]] tokens gets
+    * ⌊n/[[SpanEvery]]⌋ spans of [[SpanLen]] tokens, one per equal token
+    * segment, placed inside its segment by salted hash fate — non-
+    * overlapping BY CONSTRUCTION (a span never leaves its segment), no
+    * iterative rejection sampling. Emits (doc, span_idx, start, len,
+    * span_text): the masked-target stream a seq2seq batch builder consumes.
+    * Like [[epochMix]]/[[seqPack]] the operator plans rather than
+    * materializes — the corpus text rides through untouched.
+    *
+    * Determinism: segment bounds are integer floor-divisions of
+    * non-negative values (`div` ≡ DuckDB `//`); placement is the salted
+    * 60-bit hash mod the segment slack — a pure function of (doc_id,
+    * span_idx), reproducible on any re-sharding. Zero shuffles: the
+    * generator fans out ≤ n/[[SpanEvery]] rows per doc scan-side and
+    * nothing exchanges until the output sort. */
+  def spanMask(spark: SparkSession, dir: String): DataFrame = {
+    val toked = table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .filter(col("n") >= SpanEvery)
+      .withColumn("n_spans", expr(s"n div $SpanEvery"))
+    toked
+      .select(col("doc_id"), col("tk"), col("n"), col("n_spans"),
+        explode(sequence(lit(0L), col("n_spans") - 1)).as("i"))
+      .withColumn("a", expr("(i * n) div n_spans"))
+      .withColumn("seg_len", expr("((i + 1) * n) div n_spans") - col("a"))
+      .withColumn("start_tok", col("a") +
+        pmod(hash64(concat(lit("span:"), col("doc_id").cast("string"),
+          lit(":"), col("i").cast("string"))), col("seg_len") - lit(SpanLen - 1)))
+      .select(col("doc_id"), col("i").as("span_idx"), col("start_tok"),
+        lit(SpanLen.toLong).as("span_len"),
+        array_join(slice(col("tk"), (col("start_tok") + 1).cast("int"),
+          lit(SpanLen)), " ").as("span_text"))
+      .orderBy("doc_id", "span_idx")
+  }
+
   // ---- e_incr_dedup -------------------------------------------------------
 
   /** Bloom filter geometry for [[incrDedup]]: 1024 64-bit words = 2^16 bits,

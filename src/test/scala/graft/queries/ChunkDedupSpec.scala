@@ -35,12 +35,14 @@ class ChunkDedupSpec extends AnyFunSuite {
     val got = ExtQueries.chunkDedup(spark, dir)
       .select("doc_id", "n_chunks", "n_kept").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    spark.catalog.clearCache() // chunkDedup persists its posting frame
     assert(got == want)
   }
 
   test("duplicated document keeps zero chunks; n_dup and kept_frac are consistent") {
     val rows = ExtQueries.chunkDedup(spark, dir)
       .select("doc_id", "n_chunks", "n_kept", "n_dup", "kept_frac").collect()
+    spark.catalog.clearCache() // chunkDedup persists its posting frame
     rows.foreach { r =>
       assert(r.getLong(1) - r.getLong(2) == r.getLong(3))
       assert(r.getDouble(4) == r.getLong(2).toDouble / r.getLong(1).toDouble)
