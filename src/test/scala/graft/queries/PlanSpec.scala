@@ -331,6 +331,15 @@ class PlanSpec extends AnyFunSuite {
         "re-partitions the whole corpus at 100 TB")
   }
 
+  test("span mask: zero-shuffle generator scan — only the output sort exchanges") {
+    val plan = formatted(ExtQueries.spanMask(spark, dir))
+    assert(parquetScans(plan) === 1)
+    assert(!plan.contains("Join") && !plan.contains("Window"))
+    assert(!plan.contains("hashpartitioning("),
+      "span planning is per-row generation — any hash exchange means the " +
+        "corpus is being re-partitioned for no reason")
+  }
+
   test("pq topk: codebook and LUT broadcast — the encoded corpus never sort-merge-joins") {
     val plan = formatted(ExtQueries.cosineTopkPq(spark, dir))
     assert(plan.contains("BroadcastHashJoin"), plan.take(600))
