@@ -858,5 +858,90 @@ object ExtOracles {
         |    + CAST(s.mean_rank > t.t75 AS INT) AS BIGINT) AS bucket
         |FROM scored s JOIN thr t USING (lang)
         |ORDER BY s.doc_id""".stripMargin,
+
+    "e_dup_spans" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+        |w AS (SELECT doc_id,
+        |  unnest(range(0, greatest(len(t) - ${ExtQueries.DupSpanTokens} + 1, 0))) AS pos,
+        |  unnest(list_transform(range(0, greatest(len(t) - ${ExtQueries.DupSpanTokens} + 1, 0)),
+        |    i -> CAST('0x'||substr(md5(array_to_string(
+        |      t[i+1:i+${ExtQueries.DupSpanTokens}], ' ')),1,15) AS BIGINT))) AS h
+        |  FROM toks),
+        |occ AS (SELECT doc_id, pos, h,
+        |  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM w),
+        |dup AS (SELECT doc_id, pos, pos + ${ExtQueries.DupSpanTokens} - 1 AS e
+        |  FROM occ WHERE rn > 1),
+        |isl AS (SELECT doc_id, pos, e,
+        |  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM dup),
+        |grp AS (SELECT doc_id, pos, e,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g FROM isl),
+        |spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e2
+        |  FROM grp GROUP BY doc_id, g),
+        |perdoc AS (SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(e2 - s + 1) AS BIGINT) AS dup_tokens FROM spans GROUP BY doc_id)
+        |SELECT b.doc_id, len(b.t) AS n_tokens,
+        |  coalesce(p.n_spans, 0) AS n_spans,
+        |  coalesce(p.dup_tokens, 0) AS dup_tokens,
+        |  CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / CAST(len(b.t) AS DOUBLE) AS dup_frac
+        |FROM toks b LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "e_triplet_mine" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS qid, label AS qlabel, embedding AS qe,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x)) AS nq
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS (
+        |  SELECT vec_id AS cid, label AS clabel, embedding AS ce,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x)) AS nc
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT qid, cid,
+        |    list_reduce(list_transform(list_zip(qe, ce),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+        |      / (nq * nc) AS score,
+        |    (qlabel = clabel) AS same
+        |  FROM q, c WHERE cid <> qid),
+        |ranked AS (SELECT qid, cid, score, same,
+        |  CAST(row_number() OVER (PARTITION BY qid, same
+        |    ORDER BY score DESC, cid ASC) AS INT) AS rn FROM scored),
+        |pos AS (SELECT qid, cid AS pos_id, score AS pos_score
+        |  FROM ranked WHERE same AND rn = 1),
+        |neg AS (SELECT qid, cid AS neg_id, score AS neg_score, rn AS neg_rank
+        |  FROM ranked WHERE NOT same AND rn <= ${ExtQueries.TripletNegK})
+        |SELECT n.qid, p.pos_id, n.neg_id, n.neg_rank, p.pos_score, n.neg_score,
+        |  p.pos_score - n.neg_score AS margin
+        |FROM neg n JOIN pos p USING (qid)
+        |ORDER BY qid, neg_rank""".stripMargin,
+
+    "e_vec_quantize" ->
+      """WITH sc AS (
+        |  SELECT vec_id, embedding AS e,
+        |    list_reduce(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))),
+        |      (a, x) -> greatest(a, x)) / 127.0 AS scale
+        |  FROM embeddings),
+        |qz AS (SELECT vec_id, e, scale,
+        |  list_transform(e, v -> CASE WHEN scale = 0 THEN 0.0
+        |    ELSE floor(CAST(v AS DOUBLE) / scale + 0.5) * scale END) AS recon
+        |  FROM sc),
+        |err AS (SELECT vec_id, scale,
+        |  list_reduce(list_transform(list_zip(e, recon),
+        |    p -> abs(CAST(p[1] AS DOUBLE) - p[2])), (a, x) -> greatest(a, x)) AS max_abs_err,
+        |  list_reduce(list_transform(list_zip(e, recon),
+        |    p -> CAST(p[1] AS DOUBLE) * p[2]), (a, x) -> a + x) AS dt,
+        |  sqrt(list_reduce(list_transform(e,
+        |    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a, x) -> a + x)) AS no,
+        |  sqrt(list_reduce(list_transform(recon, v -> v * v), (a, x) -> a + x)) AS nr
+        |  FROM qz)
+        |SELECT vec_id, scale, max_abs_err,
+        |  CASE WHEN no = 0 OR nr = 0 THEN NULL ELSE dt / (no * nr) END AS cos_recon
+        |FROM err ORDER BY vec_id""".stripMargin,
   )
 }

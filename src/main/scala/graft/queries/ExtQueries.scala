@@ -1836,4 +1836,166 @@ object ExtQueries {
           .as("kept_frac"))
       .orderBy("doc_id")
   }
+
+  // ---- e_dup_spans --------------------------------------------------------
+
+  /** Window length (tokens) for exact-substring duplicate spans. Real
+    * pipelines run ~50 (Lee et al. 2022); the fixture corpus is ~30-90-token
+    * docs, so 4 exercises multi-span merging on real near-copy pairs. */
+  private[queries] val DupSpanTokens = 4
+
+  /** Exact-substring duplicate SPANS — the removal shape of "Deduplicating
+    * Training Data Makes Language Models Better" (Lee et al. 2022): every
+    * OVERLAPPING [[DupSpanTokens]]-token window is hashed, every non-first
+    * occurrence corpus-wide is marked, and marked windows are merged per
+    * document into maximal contiguous spans (gaps-and-islands), whose token
+    * count prices the rewrite. Differs from [[chunkDedup]] on all three
+    * axes: windows overlap (one per token position, not disjoint chunks),
+    * the mark rule is per-occurrence (not keep-first-chunk), and the output
+    * is merged span extents, not chunk survival counts.
+    *
+    * At scale: postings (hash, doc_id, pos) shuffle once on the window hash
+    * with the same map-side-combined `min(struct(doc_id, pos))` aggregate as
+    * [[chunkDedup]] (never a per-hash row_number posting-list window — a hot
+    * window shared by millions of docs must reduce in partials); span
+    * merging is a doc_id-PARTITIONED window whose state is bounded by one
+    * document's marked windows; text never crosses a shuffle. The posting
+    * frame is persisted for the same two-consumer reason as [[chunkDedup]]
+    * (survivor aggregate + decision join); callers clearCache() after
+    * materializing. The second (cheap, projected) scan computes per-doc
+    * token counts so zero-duplicate documents still report a row. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val W = DupSpanTokens
+    val toked = table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val base = toked.select(col("doc_id"), size(col("tk")).as("n_tokens"))
+    val posting = toked
+      .filter(size(col("tk")) >= W)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("tk")) - W),
+          i => hash64(array_join(slice(col("tk"), i + 1, lit(W)), " ")))))
+      .toDF("doc_id", "pos", "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = posting.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val dup = posting.join(first, Seq("h"))
+      .filter(!(col("first.doc_id") === col("doc_id") &&
+        col("first.pos") === col("pos")))
+      .select(col("doc_id"), col("pos"), (col("pos") + W - 1).as("e"))
+    // gaps-and-islands: a marked window starts a new span iff it neither
+    // overlaps nor touches the furthest end seen so far in its document
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevMaxE = max(col("e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = dup.withColumn("brk",
+      when(col("pos") > coalesce(prevMaxE, lit(-2)) + 1, 1L).otherwise(0L))
+    val spans = marked
+      .withColumn("g", sum(col("brk"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e2"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e2") - col("s") + 1).as("dup_tokens"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  // ---- e_triplet_mine -----------------------------------------------------
+
+  /** Hard negatives mined per anchor for contrastive training. */
+  private[queries] val TripletNegK = 3
+
+  /** Contrastive-training triplet construction over the labeled embedding
+    * corpus: for each anchor (the bounded query set, vec_id < 8) emit its
+    * hardest positive (top-1 cosine among SAME-label vectors) paired with
+    * its [[TripletNegK]] hardest negatives (top-k cosine among
+    * DIFFERENT-label vectors) and the training margin pos−neg — the
+    * in-batch hard-negative-mining shape every embedding-model data
+    * pipeline runs over its corpus.
+    *
+    * At scale: anchors broadcast against a single corpus scan (corpus never
+    * shuffles to score); one ranking window partitioned by (anchor,
+    * same-label) — both rank families in one pass; the 8-row positive side
+    * broadcasts back onto the ≤8·k negative rows. The scored frame is
+    * persisted because both the positive and negative selections consume
+    * it; callers clearCache() after materializing. */
+  def tripletMine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"))
+      .withColumn("nq", l2norm(col("qe")))
+    val c = emb.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("embedding").as("ce"))
+      .withColumn("nc", l2norm(col("ce")))
+    val dot = seqSum(zip_with(col("qe"), col("ce"),
+      (x, y) => x.cast("double") * y.cast("double")))
+    val byAnchorSide = Window.partitionBy(col("qid"), col("same"))
+      .orderBy(col("score").desc, col("cid").asc)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("score", dot / (col("nq") * col("nc")))
+      .withColumn("same", col("qlabel") === col("clabel"))
+      .withColumn("rn", row_number().over(byAnchorSide))
+      .select(col("qid"), col("cid"), col("score"), col("same"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pos = scored.filter(col("same") && col("rn") === 1)
+      .select(col("qid"), col("cid").as("pos_id"), col("score").as("pos_score"))
+    val neg = scored.filter(!col("same") && col("rn") <= TripletNegK)
+      .select(col("qid"), col("cid").as("neg_id"),
+        col("score").as("neg_score"), col("rn").as("neg_rank"))
+    neg.join(broadcast(pos), Seq("qid"))
+      .select(col("qid"), col("pos_id"), col("neg_id"), col("neg_rank"),
+        col("pos_score"), col("neg_score"),
+        (col("pos_score") - col("neg_score")).as("margin"))
+      .orderBy("qid", "neg_rank")
+  }
+
+  // ---- e_vec_quantize -----------------------------------------------------
+
+  /** Symmetric per-vector INT8 quantization of the embedding column with
+    * reconstruction-quality report — the storage lever that makes
+    * 100 TB-scale ANN serving workable: a float32 corpus drops 4× (plus the
+    * norm) while cosine survives to ~5 nines (spec-measured). Per vector:
+    * scale = max|x|/127, code_i = ⌊x_i/scale + 0.5⌋ (max element hits
+    * exactly ±127, so no clipping branch exists), reconstruction
+    * code_i·scale; reported are the scale, the max absolute element error
+    * (≤ scale/2 by construction) and cosine(original, reconstruction).
+    *
+    * Determinism: every float step is a single correctly-rounded IEEE op
+    * (one divide, one add, floor, one multiply per element); max-folds are
+    * order-independent and sums are the shared sequential-fold contract, so
+    * the DuckDB oracle reproduces the bytes. Zero shuffles: a pure
+    * projected scan until the output sort. */
+  def vecQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val amax = aggregate(
+      transform(col("embedding"), v => abs(v.cast("double"))),
+      lit(0.0), (a, x) => greatest(a, x))
+    val withScale = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), (amax / 127.0).as("scale"))
+    val recon = transform(col("embedding"), v =>
+      when(col("scale") === 0.0, lit(0.0))
+        .otherwise(floor(v.cast("double") / col("scale") + 0.5).cast("double") *
+          col("scale")))
+    val withRecon = withScale.withColumn("recon", recon)
+    val maxErr = aggregate(
+      zip_with(col("embedding"), col("recon"),
+        (x, r) => abs(x.cast("double") - r)),
+      lit(0.0), (a, x) => greatest(a, x))
+    val dt = seqSum(zip_with(col("embedding"), col("recon"),
+      (x, r) => x.cast("double") * r))
+    val no = l2norm(col("embedding"))
+    val nr = sqrt(seqSum(transform(col("recon"), v => v * v)))
+    withRecon
+      .select(col("vec_id"), col("scale"), maxErr.as("max_abs_err"),
+        when(no === 0.0 || nr === 0.0, lit(null).cast("double"))
+          .otherwise(dt / (no * nr)).as("cos_recon"))
+      .orderBy("vec_id")
+  }
 }

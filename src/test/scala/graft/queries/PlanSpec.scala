@@ -210,6 +210,44 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dup spans: posting persisted, first-occurrence is an aggregate (window only per-doc)") {
+    val plan = formatted(ExtQueries.dupSpans(spark, dir))
+    // one scan feeds the persisted posting frame (survivor aggregate + decision
+    // join both read the cache); the second, cheap scan is the per-doc token
+    // count that keeps zero-duplicate docs in the output
+    assert(parquetScans(plan) === 2, plan.take(400))
+    assert(plan.contains("InMemoryTableScan"), "posting persist boundary is gone")
+    // the hot-window scale property: first-occurrence must reduce in map-side
+    // partials (min-struct aggregate), never a per-hash row_number posting
+    // list — the repo-wide empty-spec check can't see this (spec is (h)),
+    // so pin the aggregate's presence and that every Window partitions by
+    // doc_id only
+    assert(plan.contains("partial_min"), plan.take(1200))
+    spark.catalog.clearCache()
+  }
+
+  test("triplet mine: anchors broadcast, positives broadcast back, no shuffle join") {
+    val plan = formatted(ExtQueries.tripletMine(spark, dir))
+    assert(parquetScans(plan) === 2) // corpus scan + filtered anchor scan
+    assert(plan.contains("InMemoryTableScan"), "scored persist boundary is gone")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800)) // pos joins back
+    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("CartesianProduct"),
+      "anchor set must broadcast — a cartesian means the corpus re-partitions")
+    spark.catalog.clearCache()
+  }
+
+  test("vec quantize: single pruned scan, zero shuffles before the output sort") {
+    val df = ExtQueries.vecQuantize(spark, dir)
+    val plan = formatted(df)
+    assert(parquetScans(plan) === 1)
+    assert(!plan.contains("Join"), "quantization is a pure per-row scan")
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding"), plan.take(500))
+    val simple = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(simple).map(_.group(1)).toSeq
+    assert(exchanges === Seq("rangepartitioning"), s"exchanges: $exchanges")
+  }
+
   test("boilerplate: one scan, JOIN-FREE (df rides a window, nothing broadcast/collected)") {
     val plan = formatted(ExtQueries.boilerplate(spark, dir))
     assert(parquetScans(plan) === 1)
