@@ -64,6 +64,7 @@ object SparkEntry {
     "e_text_stats"        -> (ExtQueries.textStats _),
     "e_multimodal_cols"   -> (ExtQueries.multimodalCols _),
     "e_cosine_topk"       -> (ExtQueries.cosineTopk _),
+    "e_cosine_topk_agg"   -> (ExtQueries.cosineTopkAgg _),
     "e_minhash_dedup"     -> (ExtQueries.minhashDedup _),
     "e_simhash_dedup"     -> (ExtQueries.simhashDedup _),
     "e_ngram_jaccard"     -> (ExtQueries.ngramJaccard _),

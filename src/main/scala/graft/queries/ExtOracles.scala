@@ -125,6 +125,33 @@ object ExtOracles {
       |      ORDER BY csim DESC, cent_id ASC) AS crank FROM sims)
       |  WHERE crank = 1)""".stripMargin
 
+  /** Exact brute-force cosine top-k — shared verbatim by `e_cosine_topk`
+    * (window execution) and `e_cosine_topk_agg` (bounded-state aggregate
+    * execution): both must hash-match this one definition. */
+  private lazy val cosineTopkSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qe,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x)) AS nq
+      |  FROM embeddings WHERE vec_id < 8),
+      |c AS (
+      |  SELECT vec_id AS cid, embedding AS ce,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x)) AS nc
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.qid, c.cid,
+      |    list_reduce(list_transform(list_zip(q.qe, c.ce),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |      / (q.nq * c.nc) AS score
+      |  FROM q, c WHERE c.cid <> q.qid),
+      |ranked AS (
+      |  SELECT qid, cid, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rank
+      |  FROM scored)
+      |SELECT qid, cid, score, rank FROM ranked WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
+
   val sql: Map[String, String] = Map(
     "e_zorder" ->
       s"""WITH dims AS (
@@ -247,29 +274,12 @@ object ExtOracles {
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |ORDER BY d.doc_id""".stripMargin,
 
-    "e_cosine_topk" ->
-      """WITH q AS (
-        |  SELECT vec_id AS qid, embedding AS qe,
-        |    sqrt(list_reduce(list_transform(embedding,
-        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x)) AS nq
-        |  FROM embeddings WHERE vec_id < 8),
-        |c AS (
-        |  SELECT vec_id AS cid, embedding AS ce,
-        |    sqrt(list_reduce(list_transform(embedding,
-        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x)) AS nc
-        |  FROM embeddings),
-        |scored AS (
-        |  SELECT q.qid, c.cid,
-        |    list_reduce(list_transform(list_zip(q.qe, c.ce),
-        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
-        |      / (q.nq * c.nc) AS score
-        |  FROM q, c WHERE c.cid <> q.qid),
-        |ranked AS (
-        |  SELECT qid, cid, score,
-        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rank
-        |  FROM scored)
-        |SELECT qid, cid, score, rank FROM ranked WHERE rank <= 10
-        |ORDER BY qid, rank""".stripMargin,
+    "e_cosine_topk" -> cosineTopkSql,
+
+    // e_cosine_topk_agg computes the SAME exact top-k (bounded-state
+    // aggregate execution instead of a ranking window), so it shares the
+    // oracle text — one definition, zero drift
+    "e_cosine_topk_agg" -> cosineTopkSql,
 
     "e_simhash_dedup" ->
       s"""WITH all_docs AS (

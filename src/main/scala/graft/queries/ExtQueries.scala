@@ -141,8 +141,10 @@ object ExtQueries {
     *
     * At scale: corpus scanned once and never shuffled (queries broadcast);
     * the only shuffle is the per-query window over |queries|·|corpus| scored
-    * rows — for real corpora cut that with a per-partition partial top-k
-    * (the LSH-bucketed variant) before the window. */
+    * rows — the known cost of the window formulation, kept here as the
+    * readable baseline. [[cosineTopkAgg]] is the same query with that
+    * shuffle cut to |queries|·k rows per partition (bounded-state top-k
+    * aggregate); the LSH/IVF/PQ variants cut the scoring itself. */
   def cosineTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val q = emb.filter(col("vec_id") < 8)
@@ -161,6 +163,42 @@ object ExtQueries {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("qid"), col("cid"), col("score"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  // ---- e_cosine_topk_agg --------------------------------------------------
+
+  /** Exact cosine top-k via the bounded-state [[graft.functions.TopKByScoreAggregator]]
+    * — bit-identical results to [[cosineTopk]], structurally different
+    * execution: per-group top-k is a map-side-combining AGGREGATE, not a
+    * ranking window. The window form shuffles every scored row
+    * (|queries|·|corpus|) into per-query partitions; this form's partial
+    * buffers cap at 4k candidates per (query × partition), so each
+    * partition contributes ≤ k rows and only |queries|·|partitions|·k rows
+    * cross the wire — the per-group-top-k shape that survives 100 TB.
+    * Selection under the total order (score DESC, cid ASC) is
+    * arrival-order-independent, so the same DuckDB oracle hash-matches. */
+  def cosineTopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{ScoredId, TopKByScoreAggregator}
+    val agg = new TopKByScoreAggregator(10)
+    val topk = udaf(agg, agg.inputEncoder)
+    val emb = table(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("nq", l2norm(col("qe")))
+    val c = emb
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .withColumn("nc", l2norm(col("ce")))
+    val dot = seqSum(zip_with(col("qe"), col("ce"),
+      (x, y) => x.cast("double") * y.cast("double")))
+    c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("score", dot / (col("nq") * col("nc")))
+      .groupBy(col("qid"))
+      .agg(topk(col("score"), col("cid")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
       .orderBy("qid", "rank")
   }
 

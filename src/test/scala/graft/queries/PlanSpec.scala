@@ -210,6 +210,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine topk agg: per-group top-k is a map-side-combined aggregate, window-free") {
+    val plan = formatted(ExtQueries.cosineTopkAgg(spark, dir))
+    // the scale property this execution buys: partial ObjectHashAggregate
+    // buffers cap at 4k candidates per (query × partition), so only
+    // |queries|·|partitions|·k rows shuffle — never the |queries|·|corpus|
+    // scored stream the window formulation exchanges
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(!plan.contains("Window"), "top-k must stay an aggregate, not a ranking window")
+    assert(parquetScans(plan) === 2) // corpus scan + filtered query scan
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("dup spans: posting persisted, first-occurrence is an aggregate (window only per-doc)") {
     val plan = formatted(ExtQueries.dupSpans(spark, dir))
     // one scan feeds the persisted posting frame (survivor aggregate + decision
