@@ -1705,10 +1705,14 @@ object ExtQueries {
     * At scale: candidate volume is Σ|cell|² = N²/cells for balanced cells
     * — the same √N cell-count knob as [[semanticDedupCells]] (`cells`
     * parameter; the oracle entry point pins [[IvfCells]]). Only
-    * (id, vector, norm, cell) shuffles on the cell key; the per-node
-    * top-k window partitions on node id — fine-grained, no skew. A
-    * boundary-straddling true neighbor is missed at nprobe = 1; raising
-    * recall is the same nprobe trade measured in [[IvfRecallSpec]].
+    * (id, vector, norm, cell) shuffles on the cell key; per-node top-k is
+    * the bounded-state [[graft.functions.TopKByScoreAggregator]] (as in
+    * [[cosineTopkAgg]]) — with N groups of |cell| candidates each, a
+    * ranking window would shuffle the whole N·|cell| scored pair stream,
+    * while the aggregate's map-side partials cap at 4k per (node ×
+    * partition) so only N·k rows cross the wire. A boundary-straddling
+    * true neighbor is missed at nprobe = 1; raising recall is the same
+    * nprobe trade measured in [[IvfRecallSpec]].
     *
     * CACHING CONTRACT: the assigned frame is persisted (both sides of the
     * in-cell self-join probe it); callers should clearCache() after
@@ -1727,14 +1731,17 @@ object ExtQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val score = seqSum(zip_with(col("x.e"), col("y.e"),
       (a, b) => a.cast("double") * b.cast("double"))) / (col("x.nrm") * col("y.nrm"))
-    val wTop = Window.partitionBy(col("src"))
-      .orderBy(col("score").desc, col("nbr").asc)
+    val agg = new graft.functions.TopKByScoreAggregator(KnnK)
+    val topk = udaf(agg, agg.inputEncoder)
     assigned.as("x")
       .join(assigned.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("src"), col("y.vec_id").as("nbr"), score.as("score"))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= KnnK)
+      .groupBy(col("src"))
+      .agg(topk(col("score"), col("nbr")).as("tk"))
+      .select(col("src"), posexplode(col("tk")))
+      .select(col("src"), col("col.id").as("nbr"), col("col.score").as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
       .orderBy("src", "rank")
   }
 

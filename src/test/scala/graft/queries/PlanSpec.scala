@@ -403,6 +403,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       "in-cell candidate generation must equi-join on cell — a cartesian " +
         "product is the all-pairs O(N^2) graph at 100 TB")
+    // with N groups (every vector a query), per-node top-k must be the
+    // bounded-state aggregate — a ranking window here shuffles the whole
+    // N·|cell| scored pair stream. Node-collect on the OUTER plan only:
+    // the persisted assignment frame legitimately contains the
+    // vec_id-partitioned cell-rank window inside its cached subtree.
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    import org.apache.spark.sql.execution.window.WindowExec
+    val outerWindows = ExtQueries.knnGraph(spark, dir)
+      .queryExecution.executedPlan.collect { case w: WindowExec => w }
+    assert(outerWindows.isEmpty, "per-node top-k regressed to a ranking window")
     spark.catalog.clearCache()
   }
 }
