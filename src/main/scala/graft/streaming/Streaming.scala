@@ -199,4 +199,55 @@ object Streaming {
       .select(col("doc_id"), col("ts"),
         graft.functions.GraftFunctions.hash64(col("text")).as("content_hash"))
       .dropDuplicatesWithinWatermark("content_hash")
+
+  // ---- trending tokens ----------------------------------------------------
+
+  /** Watermarked per-window token counts over a document stream — the
+    * reference pipeline's core product (a trending report) as a continuous
+    * query instead of a cron batch: tokens explode scan-side, counts
+    * aggregate into tumbling `every` windows, and APPEND mode emits each
+    * (window_start, token, n) row exactly once — in the micro-batch whose
+    * watermark closes its window.
+    *
+    * At scale: aggregation state is |open windows| × |distinct tokens|
+    * partial counts (map-side combined), never documents; `horizon` bounds
+    * how long a window stays open, so state reaches steady state. */
+  def tokenWindowCounts(docs: DataFrame, horizon: String, every: String): DataFrame =
+    docs
+      .withWatermark("ts", horizon)
+      .select(col("ts"),
+        explode(graft.functions.GraftFunctions.tokens(col("text"))).as("token"))
+      .groupBy(window(col("ts"), every), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("token"), col("n"))
+
+  /** Batch-side finalizer for [[startTrending]]: top-`k` tokens per closed
+    * window, ties pinned (count DESC, token ASC). Runs inside foreachBatch
+    * over FINALIZED windows only — a closed window's rows all land in the
+    * same micro-batch (windowed state flushes atomically once the watermark
+    * passes), so the per-window ranking is always complete, never partial.
+    * The ranking window partitions by window_start: group size is bounded
+    * by one window's distinct tokens, and only closed windows' counts —
+    * not the document stream — reach it. */
+  def trendingTokens(closedCounts: DataFrame, k: Int): DataFrame = {
+    val byWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start")).orderBy(col("n").desc, col("token").asc)
+    closedCounts
+      .withColumn("rank", row_number().over(byWindow))
+      .filter(col("rank") <= k)
+  }
+
+  /** Continuous trending-tokens report: [[tokenWindowCounts]] wired through
+    * foreachBatch → [[trendingTokens]] → `write`. The sink callback receives
+    * one top-k frame per micro-batch, containing exactly the windows that
+    * batch closed (possibly none). Checkpointed: each window's report is
+    * produced exactly once across restarts. */
+  def startTrending(docs: DataFrame, horizon: String, every: String, k: Int,
+      ckpt: String)(write: DataFrame => Unit): StreamingQuery =
+    tokenWindowCounts(docs, horizon, every).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) => write(trendingTokens(batch, k)) }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -305,4 +305,50 @@ class StreamingSpec extends AnyFunSuite {
     // 6 survives because the watermark evicted "same body"'s fingerprint
     assert(got === Set(1L, 4L, 5L, 6L), s"emitted: $got")
   }
+
+  test("trending tokens emits each window's top-k exactly once, on finalization") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-trend-in").toString
+    val ckpt = Files.createTempDirectory("graft-trend-ckpt").toString
+    def doc(id: Long, t: String, text: String) =
+      (id, Timestamp.valueOf(t), text)
+    // window 1 [10:00, 11:00): spark×4, agg×3, scan×3 (tie with agg), row×1
+    val w1 = Seq(
+      doc(1, "2024-02-01 10:00:00", "spark agg scan"),
+      doc(2, "2024-02-01 10:10:00", "spark agg scan row"),
+      doc(3, "2024-02-01 10:30:00", "spark spark agg scan"))
+    val w2 = Seq(doc(4, "2024-02-01 13:00:00", "later tokens here"))
+    val w3 = Seq(doc(5, "2024-02-01 15:00:00", "even later"))
+    val schema = w1.toDF("doc_id", "ts", "text").schema
+    // three files → three micro-batches: window 1 must finalize in the
+    // batch whose watermark (derived from the PREVIOUS batch's max event
+    // time) passes 11:00 — batch 3 — and only then reach the sink
+    for (f <- Seq(w1, w2, w3))
+      f.toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").parquet(in)
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Timestamp, String, Long, Int)]
+    val emptyBatches = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val q = Streaming.startTrending(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+      horizon = "1 minute", every = "1 hour", k = 3, ckpt = ckpt) { topk =>
+      val rows = topk.collect()
+      emptyBatches += rows.isEmpty
+      collected ++= rows.map(r => (r.getAs[Timestamp]("window_start"),
+        r.getAs[String]("token"), r.getAs[Long]("n"), r.getAs[Int]("rank")))
+    }
+    q.awaitTermination()
+
+    // window 1's top-3 with pinned ties (count DESC, token ASC): spark(4) >
+    // agg(3) = scan(3) → agg before scan; row(1) cut by k=3. Window 2
+    // finalizes via AvailableNow's closing no-data batch (watermark 14:59
+    // passes its 14:00 end): all-ties rank alphabetically.
+    val w1Start = Timestamp.valueOf("2024-02-01 10:00:00")
+    val w2Start = Timestamp.valueOf("2024-02-01 13:00:00")
+    assert(collected.toSeq === Seq(
+      (w1Start, "spark", 4L, 1), (w1Start, "agg", 3L, 2), (w1Start, "scan", 3L, 3),
+      (w2Start, "here", 1L, 1), (w2Start, "later", 1L, 2), (w2Start, "tokens", 1L, 3)))
+    // window 3 never finalized (watermark 14:59 < its 16:00 end) — withheld,
+    // not partially emitted; each finalized window arrived in ONE batch
+    assert(emptyBatches.count(_ == false) === 2)
+  }
 }
