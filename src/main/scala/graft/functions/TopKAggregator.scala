@@ -65,3 +65,51 @@ class TopKByScoreAggregator(k: Int)
   /** Input encoder for the udaf() call site — (score, id) column pair. */
   def inputEncoder: Encoder[ScoredId] = ExpressionEncoder[ScoredId]()
 }
+
+/** One (count, token) candidate for bounded top-k vocabulary selection. */
+case class CountedToken(n: Long, token: String)
+
+/** [[TopKByScoreAggregator]]'s string-payload sibling: top-k by
+  * (count DESC, token ASC) for vocabulary-style selections whose identity
+  * is a string, not a numeric id. Same bounded-state contract — partial
+  * buffers cap at 4·k per (group × partition) and truncation to k is
+  * lossless — and the same determinism argument: selection under a total
+  * order is independent of arrival and merge order (tokens are distinct
+  * within a group by construction at every call site, being group-by
+  * keys upstream). Kept as its own small class rather than a generic
+  * payload parameter: a type-parameterized Aggregator would drag implicit
+  * encoder plumbing through every call site for two concrete uses. */
+class TopKTokensAggregator(k: Int)
+    extends Aggregator[CountedToken, mutable.ArrayBuffer[CountedToken], Seq[CountedToken]] {
+  require(k > 0, s"top-k needs k > 0, got $k")
+  private val cap = 4 * k
+
+  override def zero: mutable.ArrayBuffer[CountedToken] = mutable.ArrayBuffer.empty
+
+  private def compact(b: mutable.ArrayBuffer[CountedToken]): mutable.ArrayBuffer[CountedToken] = {
+    val kept = b.sortBy(t => (-t.n, t.token)).take(k)
+    b.clear()
+    b ++= kept
+  }
+
+  override def reduce(b: mutable.ArrayBuffer[CountedToken], v: CountedToken): mutable.ArrayBuffer[CountedToken] = {
+    b += v
+    if (b.length > cap) compact(b) else b
+  }
+
+  override def merge(a: mutable.ArrayBuffer[CountedToken], b: mutable.ArrayBuffer[CountedToken]): mutable.ArrayBuffer[CountedToken] = {
+    a ++= b
+    if (a.length > cap) compact(a) else a
+  }
+
+  /** Final order IS the rank order: count DESC, token ASC. */
+  override def finish(b: mutable.ArrayBuffer[CountedToken]): Seq[CountedToken] =
+    b.sortBy(t => (-t.n, t.token)).take(k).toSeq
+
+  override def bufferEncoder: Encoder[mutable.ArrayBuffer[CountedToken]] =
+    Encoders.kryo[mutable.ArrayBuffer[CountedToken]]
+  override def outputEncoder: Encoder[Seq[CountedToken]] = ExpressionEncoder[Seq[CountedToken]]()
+
+  /** Input encoder for the udaf() call site — (n, token) column pair. */
+  def inputEncoder: Encoder[CountedToken] = ExpressionEncoder[CountedToken]()
+}

@@ -1071,18 +1071,24 @@ object ExtQueries {
     * (tokenizer vocabularies, stopword discovery). Shape at scale: the
     * explode fans out |tokens| rows but the hash aggregate combines
     * map-side, so the shuffle carries |distinct (lang, token)| partial
-    * counts, not token instances; the rank window then shuffles only the
-    * aggregated vocabulary. Ties pinned (count DESC, token ASC). */
+    * counts, not token instances. Per-lang top-k is the bounded-state
+    * [[graft.functions.TopKTokensAggregator]] — with only |langs| groups,
+    * a ranking window would land each language's ENTIRE vocabulary on one
+    * partition (the coarse-group degenerate case of the problem
+    * [[cosineTopkAgg]] solves), while the aggregate's partials cap at 4k
+    * per (lang × partition). Ties pinned (count DESC, token ASC). */
   def topTokens(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("n").desc, col("token").asc)
+    val agg = new graft.functions.TopKTokensAggregator(10)
+    val topk = udaf(agg, agg.inputEncoder)
     table(spark, dir, "documents")
       .select(col("lang"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("lang"), col("token"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select(col("lang"), col("rank"), col("token"), col("n"))
+      .groupBy(col("lang"))
+      .agg(topk(col("n"), col("token")).as("tk"))
+      .select(col("lang"), posexplode(col("tk")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.token").as("token"), col("col.n").as("n"))
       .orderBy("lang", "rank")
   }
 

@@ -36,6 +36,18 @@ class TopKAggregatorSpec extends AnyFunSuite {
     }
   }
 
+  test("token variant: compaction, split-merge, and tie order match the full sort") {
+    val a = new TopKTokensAggregator(k)
+    val toks = (0 until 150).map(i => CountedToken((i * 31) % 17, f"t$i%03d"))
+    def expect(xs: Seq[CountedToken]) = xs.sortBy(t => (-t.n, t.token)).take(k)
+    assert(a.finish(toks.foldLeft(a.zero)(a.reduce)) == expect(toks))
+    val (l, r) = toks.splitAt(77)
+    assert(a.finish(a.merge(l.foldLeft(a.zero)(a.reduce),
+      r.foldLeft(a.zero)(a.reduce))) == expect(toks))
+    val tied = Seq(CountedToken(5, "zz"), CountedToken(5, "aa"), CountedToken(5, "mm"))
+    assert(a.finish(tied.foldLeft(a.zero)(a.reduce)).map(_.token) == Seq("aa", "mm", "zz"))
+  }
+
   test("ties break toward the lowest id; short groups return all") {
     val a = agg
     val tied = Seq(ScoredId(0.5, 9), ScoredId(0.5, 2), ScoredId(0.5, 7), ScoredId(0.5, 1))

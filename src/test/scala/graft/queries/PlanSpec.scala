@@ -222,6 +222,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("top tokens: per-lang top-k is a bounded aggregate, window-free") {
+    // |langs| groups is the coarse-group degenerate case: a ranking window
+    // lands a whole language's vocabulary on ONE partition
+    val plan = formatted(ExtQueries.topTokens(spark, dir))
+    assert(parquetScans(plan) === 1)
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(!plan.contains("Window"), "per-lang top-k regressed to a ranking window")
+  }
+
   test("dup spans: posting persisted, first-occurrence is an aggregate (window only per-doc)") {
     val plan = formatted(ExtQueries.dupSpans(spark, dir))
     // one scan feeds the persisted posting frame (survivor aggregate + decision
