@@ -1971,11 +1971,15 @@ object ExtQueries {
     * pipeline runs over its corpus.
     *
     * At scale: anchors broadcast against a single corpus scan (corpus never
-    * shuffles to score); one ranking window partitioned by (anchor,
-    * same-label) — both rank families in one pass; the 8-row positive side
-    * broadcasts back onto the ≤8·k negative rows. The scored frame is
-    * persisted because both the positive and negative selections consume
-    * it; callers clearCache() after materializing. */
+    * shuffles to score); both rank families come from ONE bounded-state
+    * top-k aggregate grouped by (anchor, same-label) — the
+    * [[graft.functions.TopKByScoreAggregator]], so per (group × partition)
+    * at most 4k candidates buffer and only |anchors|·2·k rows ever
+    * materialize (a ranking window here would shuffle the whole
+    * |anchors|·|corpus| scored stream); the 8-row positive side broadcasts
+    * back onto the ≤8·k negative rows. The tiny RANKED frame (≤ |anchors|
+    * ·2·k rows) is persisted because the positive and negative selections
+    * both consume it; callers clearCache() after materializing. */
   def tripletMine(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val q = emb.filter(col("vec_id") < 8)
@@ -1987,18 +1991,21 @@ object ExtQueries {
       .withColumn("nc", l2norm(col("ce")))
     val dot = seqSum(zip_with(col("qe"), col("ce"),
       (x, y) => x.cast("double") * y.cast("double")))
-    val byAnchorSide = Window.partitionBy(col("qid"), col("same"))
-      .orderBy(col("score").desc, col("cid").asc)
-    val scored = c.crossJoin(broadcast(q))
+    val agg = new graft.functions.TopKByScoreAggregator(TripletNegK)
+    val topk = udaf(agg, agg.inputEncoder)
+    val ranked = c.crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid"))
       .withColumn("score", dot / (col("nq") * col("nc")))
       .withColumn("same", col("qlabel") === col("clabel"))
-      .withColumn("rn", row_number().over(byAnchorSide))
-      .select(col("qid"), col("cid"), col("score"), col("same"), col("rn"))
+      .groupBy(col("qid"), col("same"))
+      .agg(topk(col("score"), col("cid")).as("tk"))
+      .select(col("qid"), col("same"), posexplode(col("tk")))
+      .select(col("qid"), col("same"), col("col.id").as("cid"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pos = scored.filter(col("same") && col("rn") === 1)
+    val pos = ranked.filter(col("same") && col("rn") === 1)
       .select(col("qid"), col("cid").as("pos_id"), col("score").as("pos_score"))
-    val neg = scored.filter(!col("same") && col("rn") <= TripletNegK)
+    val neg = ranked.filter(!col("same") && col("rn") <= TripletNegK)
       .select(col("qid"), col("cid").as("neg_id"),
         col("score").as("neg_score"), col("rn").as("neg_rank"))
     neg.join(broadcast(pos), Seq("qid"))

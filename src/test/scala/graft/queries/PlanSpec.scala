@@ -247,10 +247,13 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("triplet mine: anchors broadcast, positives broadcast back, no shuffle join") {
+  test("triplet mine: anchors broadcast, top-k is a bounded aggregate, no shuffle join") {
     val plan = formatted(ExtQueries.tripletMine(spark, dir))
     assert(parquetScans(plan) === 2) // corpus scan + filtered anchor scan
-    assert(plan.contains("InMemoryTableScan"), "scored persist boundary is gone")
+    assert(plan.contains("InMemoryTableScan"), "ranked persist boundary is gone")
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(!plan.contains("Window"),
+      "rank families regressed to a ranking window over the scored stream")
     assert(plan.contains("BroadcastHashJoin"), plan.take(800)) // pos joins back
     assert(!plan.contains("SortMergeJoin"))
     assert(!plan.contains("CartesianProduct"),
