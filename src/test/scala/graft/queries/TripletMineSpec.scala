@@ -28,7 +28,7 @@ class TripletMineSpec extends AnyFunSuite {
         r.getSeq[Float](1).toArray))
     val got = ExtQueries.tripletMine(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
-    spark.catalog.clearCache() // tripletMine persists its scored frame
+    spark.catalog.clearCache() // tripletMine persists its ranked frame
     val byId = vecs.map(v => v._1 -> v).toMap
     for ((qid, _, qe) <- vecs.filter(_._1 < 8)) {
       val qlabel = byId(qid)._2
