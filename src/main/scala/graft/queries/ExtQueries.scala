@@ -1407,6 +1407,11 @@ object ExtQueries {
   /** Fixed block size (in tokens) for sequence packing. */
   private[queries] val PackBlockTokens = 256L
 
+  /** Documents per prefix-scan segment — the two-level running-sum knob:
+    * level-3 window groups are at most this many rows, level-2 handles
+    * |docs|/width segment rows per source. */
+  private[queries] val PackSegDocs = 128L
+
   /** Sequence packing — the step that turns a cleaned corpus into training
     * sequences: documents are concatenated in pinned order (doc_id) and
     * chunked into fixed [[PackBlockTokens]]-token blocks (GPT-style
@@ -1416,9 +1421,10 @@ object ExtQueries {
     * keeps the running sum distributed — the window partitions by source
     * instead of forcing a single global cumulative partition.
     *
-    * All outputs are integer arithmetic over one windowed sum (cast to
-    * BIGINT oracle-side: DuckDB window sums return HUGEINT — the
-    * q_sessionize lesson). One scan, one window shuffle on source. */
+    * All outputs are integer arithmetic over the distributed running sum
+    * (cast to BIGINT oracle-side: DuckDB window sums return HUGEINT — the
+    * q_sessionize lesson). One scan (persisted count frame feeds both
+    * prefix-scan levels). */
   def seqPack(spark: SparkSession, dir: String): DataFrame =
     packTokens(table(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
@@ -1436,19 +1442,44 @@ object ExtQueries {
     * would not). Rather than silently diverging from the oracle, a bad row
     * raises loud with its doc_id (edge spec-pinned in SeqPackSpec). The
     * guard is a per-row `when` inside the existing projection — no extra
-    * scan, shuffle, or re-tokenization. */
+    * scan, shuffle, or re-tokenization.
+    *
+    * DISTRIBUTED PREFIX SCAN: a naive per-source running sum puts a
+    * source's ENTIRE document stream through one window partition — the
+    * coarse-group single-partition sort at 100 TB. This is the classic
+    * two-level parallel prefix sum instead: docs land in deterministic
+    * [[PackSegDocs]]-wide doc_id segments; per-(source, segment) totals
+    * aggregate map-side; an EXCLUSIVE prefix over the |docs|/width segment
+    * rows yields each segment's starting offset (tiny window); and the
+    * within-segment cumsum is a window whose group is bounded by the
+    * segment width. cum = segment offset + within-segment running sum —
+    * identical integers to the single-window form (spec-pinned). The
+    * offsets join is left unhinted: Catalyst broadcasts it while
+    * |docs|/width fits (AQE decides at runtime), and the level-2 window's
+    * per-source row count shrinks by the width factor — widen
+    * [[PackSegDocs]] (or recurse) as the corpus grows. */
   private[graft] def packTokens(counts: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val b = PackBlockTokens
-    counts
+    val guarded = counts
       .select(col("doc_id"), col("source"),
         when(col("n_tokens") >= 1, col("n_tokens"))
           .otherwise(raise_error(concat(
             lit("e_seq_pack: document "), col("doc_id").cast("string"),
             lit(" has zero or NULL tokens — the cum-1 floor-div contract needs n_tokens >= 1"))))
           .as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seg", expr(s"doc_id div $PackSegDocs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wSeg = Window.partitionBy(col("source")).orderBy(col("seg").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = guarded.groupBy(col("source"), col("seg"))
+      .agg(sum(col("n_tokens")).as("seg_tokens"))
+      .withColumn("seg_off", coalesce(sum(col("seg_tokens")).over(wSeg), lit(0L)))
+      .select(col("source"), col("seg"), col("seg_off"))
+    val wIn = Window.partitionBy(col("source"), col("seg"))
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    guarded.join(offsets, Seq("source", "seg"))
+      .withColumn("cum", col("seg_off") + sum(col("n_tokens")).over(wIn))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         (col("cum") - col("n_tokens")).as("start_off"),
         expr(s"(cum - n_tokens) div $b").as("first_block"),

@@ -331,11 +331,15 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("seq pack: single pruned scan feeding the per-source window") {
+  test("seq pack: single pruned scan feeding the two-level prefix scan") {
     val plan = formatted(ExtQueries.seqPack(spark, dir))
     assert(parquetScans(plan) === 1)
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
       plan.take(500))
+    // both prefix-scan levels read the persisted count frame — a second
+    // scan here means the tokenize re-runs per level
+    assert(plan.contains("InMemoryTableScan"), "guarded count persist boundary is gone")
+    spark.catalog.clearCache()
   }
 
   test("frame sample: one thin scan, generator plans frames without the payload") {

@@ -23,6 +23,7 @@ class SeqPackSpec extends AnyFunSuite {
     val ex = intercept[Throwable] {
       ExtQueries.packTokens(bad).collect()
     }
+    spark.catalog.clearCache() // packTokens persists its guarded count frame
     val msg = messages(ex)
     assert(msg.contains("e_seq_pack") && msg.contains("7"), msg.take(500))
   }
@@ -34,7 +35,31 @@ class SeqPackSpec extends AnyFunSuite {
     val ex = intercept[Throwable] {
       ExtQueries.packTokens(bad).collect()
     }
+    spark.catalog.clearCache()
     assert(messages(ex).contains("e_seq_pack"))
+  }
+
+  test("two-level prefix scan equals the sequential per-source running sum") {
+    import spark.implicits._
+    // 600 docs across 5 segments (width 128), 3 sources interleaved, token
+    // counts varied — every segment boundary and an off-boundary source mix
+    val counts = (0L until 600L).map(i =>
+      (i, s"src${i % 3}", 1L + (i * 7919) % 512))
+    val got = ExtQueries.packTokens(counts.toDF("doc_id", "source", "n_tokens"))
+      .select("doc_id", "start_off", "first_block", "last_block", "n_blocks")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    spark.catalog.clearCache()
+    val b = ExtQueries.PackBlockTokens
+    val want = counts.groupBy(_._2).values.flatMap { group =>
+      var cum = 0L
+      group.sortBy(_._1).map { case (id, _, n) =>
+        cum += n
+        val first = (cum - n) / b; val last = (cum - 1) / b
+        id -> ((cum - n, first, last, last - first + 1))
+      }
+    }.toMap
+    assert(got == want)
   }
 
   test("block arithmetic on a hand-computed fixture (boundary-straddling doc)") {
