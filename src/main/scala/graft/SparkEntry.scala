@@ -80,6 +80,7 @@ object SparkEntry {
     "e_decontaminate"     -> (ExtQueries.decontaminate _),
     "e_repetition"        -> (ExtQueries.repetition _),
     "e_cosine_topk_ivf"   -> (ExtQueries.cosineTopkIvf _),
+    "e_ann_recall"        -> (ExtQueries.annRecall _),
     "e_cosine_topk_pq"    -> (ExtQueries.cosineTopkPq _),
     "e_pii_redact"        -> (ExtQueries.piiRedact _),
     "e_dup_clusters"      -> (ExtQueries.dupClusters _),

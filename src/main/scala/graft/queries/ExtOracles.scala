@@ -152,7 +152,9 @@ object ExtOracles {
       |SELECT qid, cid, score, rank FROM ranked WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
-  val sql: Map[String, String] = Map(
+  /** Every oracle except the composed evaluation entries (which reference
+    * other entries' SQL verbatim — see [[sql]]). */
+  private lazy val baseSql: Map[String, String] = Map(
     "e_zorder" ->
       s"""WITH dims AS (
         |  SELECT event_id,
@@ -954,4 +956,25 @@ object ExtOracles {
         |  CASE WHEN no = 0 OR nr = 0 THEN NULL ELSE dt / (no * nr) END AS cos_recon
         |FROM err ORDER BY vec_id""".stripMargin,
   )
+
+  /** Full oracle map. `e_ann_recall` COMPOSES the four top-k entries as
+    * parenthesized subqueries — literally the same SQL strings the graded
+    * keys run, so the evaluation can never drift from what it evaluates. */
+  val sql: Map[String, String] = baseSql + ("e_ann_recall" ->
+    s"""WITH ex AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk")}) t),
+      |lsh AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_lsh")}) u),
+      |ivf AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_ivf")}) v),
+      |pq AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_pq")}) w)
+      |SELECT ex.qid, count(*) AS n_exact,
+      |  CAST(count(lsh.cid) AS BIGINT) AS n_lsh,
+      |  CAST(count(ivf.cid) AS BIGINT) AS n_ivf,
+      |  CAST(count(pq.cid) AS BIGINT) AS n_pq,
+      |  CAST(count(lsh.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_lsh,
+      |  CAST(count(ivf.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivf,
+      |  CAST(count(pq.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_pq
+      |FROM ex
+      |LEFT JOIN lsh ON ex.qid = lsh.qid AND ex.cid = lsh.cid
+      |LEFT JOIN ivf ON ex.qid = ivf.qid AND ex.cid = ivf.cid
+      |LEFT JOIN pq ON ex.qid = pq.qid AND ex.cid = pq.cid
+      |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin)
 }

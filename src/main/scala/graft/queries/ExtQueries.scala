@@ -202,6 +202,43 @@ object ExtQueries {
       .orderBy("qid", "rank")
   }
 
+  // ---- e_ann_recall -------------------------------------------------------
+
+  /** ANN evaluation harness as a first-class oracle-checked query:
+    * recall@10 of each approximate family — hash-bucketed ([[cosineTopkLsh]]),
+    * cell-partitioned ([[cosineTopkIvf]]), quantized ([[cosineTopkPq]]) —
+    * against the exact [[cosineTopk]] baseline, per query. This is the
+    * measurement every ANN deployment runs before trading exactness for
+    * speed; making it a declared query keeps the recall numbers themselves
+    * under the cross-engine hash gate (the DuckDB oracle composes the same
+    * four top-k SQL texts, so the evaluation can never drift from what it
+    * evaluates).
+    *
+    * At scale: each rank list is |queries|·k rows — the evaluation joins
+    * tiny frames regardless of corpus size (each family's own scale story
+    * lives in its own operator); left joins on the (qid, cid) pair, which
+    * is unique per list, so counts are exact hit counts. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val ex = cosineTopk(spark, dir).select(col("qid"), col("cid"))
+    val lsh = cosineTopkLsh(spark, dir).select(col("qid").as("lq"), col("cid").as("lc"))
+    val ivf = cosineTopkIvf(spark, dir).select(col("qid").as("iq"), col("cid").as("ic"))
+    val pq = cosineTopkPq(spark, dir).select(col("qid").as("pqq"), col("cid").as("pc"))
+    val hits = ex
+      .join(lsh, col("qid") === col("lq") && col("cid") === col("lc"), "left")
+      .join(ivf, col("qid") === col("iq") && col("cid") === col("ic"), "left")
+      .join(pq, col("qid") === col("pqq") && col("cid") === col("pc"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("lc")).as("n_lsh"),
+        count(col("ic")).as("n_ivf"),
+        count(col("pc")).as("n_pq"))
+    hits.select(col("qid"), col("n_exact"), col("n_lsh"), col("n_ivf"), col("n_pq"),
+        (col("n_lsh").cast("double") / col("n_exact").cast("double")).as("recall_lsh"),
+        (col("n_ivf").cast("double") / col("n_exact").cast("double")).as("recall_ivf"),
+        (col("n_pq").cast("double") / col("n_exact").cast("double")).as("recall_pq"))
+      .orderBy("qid")
+  }
+
   // ---- e_minhash_dedup ----------------------------------------------------
 
   /** Universal-hash family constants for MinHash: h_i(x) = (A(i)·x + B(i))
