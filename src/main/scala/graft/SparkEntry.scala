@@ -100,6 +100,9 @@ object SparkEntry {
     "e_triplet_mine"      -> (ExtQueries.tripletMine _),
     "e_vec_quantize"      -> (ExtQueries.vecQuantize _),
     "e_frame_sample"      -> (ExtQueries.frameSample _),
+    "e_split"             -> (ExtQueries.corpusSplit _),
+    "e_centroid_score"    -> (ExtQueries.centroidScore _),
+    "e_dedup_eval"        -> (ExtQueries.dedupEval _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

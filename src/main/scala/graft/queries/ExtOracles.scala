@@ -955,12 +955,110 @@ object ExtOracles {
         |SELECT vec_id, scale, max_abs_err,
         |  CASE WHEN no = 0 OR nr = 0 THEN NULL ELSE dt / (no * nr) END AS cos_recon
         |FROM err ORDER BY vec_id""".stripMargin,
+
+    // Leakage-safe split: the fate bucket hashes CONTENT (salted), so
+    // byte-identical duplicates share a split by construction.
+    "e_split" ->
+      """SELECT doc_id, lang, source, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang, source,
+        |  CAST('0x'||substr(md5(text||':split'),1,15) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Nearest-centroid classifier: centroid components are INTEGER sums of
+    // fixed-point quantized elements (floor(v*2^20 + 0.5) — exact and
+    // order-invariant; double->decimal casts do NOT round identically
+    // across engines); cosine is scale-invariant so the unnormalized
+    // fixed-point sum vector IS the centroid direction (no mean divide and
+    // no dequantization exist in either engine).
+    "e_centroid_score" ->
+      """WITH comp AS (
+        |  SELECT label, dim,
+        |    CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))
+        |      AS DOUBLE) AS s
+        |  FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+        |          unnest(embedding) AS v FROM embeddings)
+        |  GROUP BY label, dim),
+        |cents AS (
+        |  SELECT label AS clabel, list(s ORDER BY dim) AS ce FROM comp GROUP BY label),
+        |cn AS (SELECT clabel, ce,
+        |  sqrt(list_reduce(list_transform(ce, x -> x * x), (a, b) -> a + b)) AS ncent
+        |  FROM cents),
+        |vecs AS (SELECT vec_id, label, embedding AS e,
+        |  sqrt(list_reduce(list_transform(embedding,
+        |    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |scored AS (SELECT v.vec_id, v.label, c.clabel,
+        |  list_reduce(list_transform(list_zip(v.e, c.ce),
+        |    p -> CAST(p[1] AS DOUBLE) * p[2]), (a, b) -> a + b)
+        |    / (v.nrm * c.ncent) AS score
+        |  FROM vecs v, cn c WHERE v.nrm > 0),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, clabel ASC) AS rnk FROM scored)
+        |SELECT vec_id, label,
+        |  MAX(CASE WHEN rnk = 1 THEN clabel END) AS pred_label,
+        |  MAX(CASE WHEN rnk = 1 THEN score END) AS score,
+        |  MAX(CASE WHEN rnk = 1 THEN score END)
+        |    - MAX(CASE WHEN rnk = 2 THEN score END) AS margin,
+        |  CAST(CASE WHEN MAX(CASE WHEN rnk = 1 THEN clabel END) = label
+        |    THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM ranked GROUP BY vec_id, label ORDER BY vec_id""".stripMargin,
   )
 
   /** Full oracle map. `e_ann_recall` COMPOSES the four top-k entries as
     * parenthesized subqueries — literally the same SQL strings the graded
     * keys run, so the evaluation can never drift from what it evaluates. */
-  val sql: Map[String, String] = baseSql + ("e_ann_recall" ->
+  /** `e_dedup_eval` — recall/precision of the signature families vs the
+    * exact-Jaccard ground truth. COMPOSES [[minhashBody]] (whose `sh` CTE is
+    * the one shingle-set definition and whose `verified` CTE is the minhash
+    * family's output) and derives the simhash signature from the SAME `th`
+    * per-token-hash CTE the shingles use — the evaluation cannot drift from
+    * the operators it grades. Truth pairs come from an inverted-index
+    * postings join (pairs sharing ≥ 1 shingle), never all-pairs. */
+  private lazy val dedupEvalSql: String =
+    s"""WITH $minhashBody,
+      |post AS (SELECT doc_id, unnest(ds) AS h2 FROM sh),
+      |pc AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_int
+      |  FROM post x JOIN post y ON x.h2 = y.h2 AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(ds) AS n FROM sh),
+      |truth AS (SELECT doc_a, doc_b FROM pc
+      |  JOIN sz sa ON sa.doc_id = pc.doc_a
+      |  JOIN sz sb ON sb.doc_id = pc.doc_b
+      |  WHERE 2 * n_int >= sa.n + sb.n - n_int),
+      |mh_pred AS (SELECT doc_a, doc_b FROM verified WHERE 2 * n_inter >= n_union),
+      |ssim AS (SELECT doc_id,
+      |  list_sum(list_transform(range(0, 32), i ->
+      |    CASE WHEN list_sum(list_transform(h,
+      |           t -> CASE WHEN (t >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS sim FROM th),
+      |sbands AS (SELECT doc_id, sim, b, (sim >> (16 * b)) & 65535 AS bv
+      |  FROM ssim, (SELECT unnest(range(2)) AS b)),
+      |sim_pred AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM sbands x JOIN sbands y
+      |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+      |  WHERE bit_count(xor(x.sim, y.sim)) <= 1),
+      |fam AS (
+      |  SELECT 'minhash' AS family,
+      |    (SELECT count(*) FROM truth) AS n_truth,
+      |    (SELECT count(*) FROM mh_pred) AS n_pred,
+      |    (SELECT count(*) FROM truth t JOIN mh_pred p
+      |       ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b) AS n_hit
+      |  UNION ALL
+      |  SELECT 'simhash',
+      |    (SELECT count(*) FROM truth),
+      |    (SELECT count(*) FROM sim_pred),
+      |    (SELECT count(*) FROM truth t JOIN sim_pred p
+      |       ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b))
+      |SELECT family, n_truth, n_pred, n_hit,
+      |  CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall,
+      |  CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE) AS "precision"
+      |FROM fam ORDER BY family""".stripMargin
+
+  val sql: Map[String, String] = baseSql +
+    ("e_dedup_eval" -> dedupEvalSql) + ("e_ann_recall" ->
     s"""WITH ex AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk")}) t),
       |lsh AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_lsh")}) u),
       |ivf AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_ivf")}) v),

@@ -2124,4 +2124,147 @@ object ExtQueries {
           .otherwise(dt / (no * nr)).as("cos_recon"))
       .orderBy("vec_id")
   }
+
+  // ---- e_split ------------------------------------------------------------
+
+  /** Deterministic leakage-safe train/validation/test split (80/10/10).
+    * The fate bucket hashes the document CONTENT (salted [[hash64]] of the
+    * text), not the id: byte-identical duplicates land in the SAME split by
+    * construction, so a duplicated page can never leak from train into the
+    * held-out sets — the split-time guarantee a pretraining pipeline needs
+    * even before dedup runs. Assignment is a pure function of content,
+    * hence reproducible across re-crawls, re-shards, and cluster sizes.
+    *
+    * At scale: zero shuffles before the output sort — one projected scan,
+    * partition-layout-invariant (spec-pinned). The salt (":split")
+    * decorrelates the split fate from every other hash-fate operator
+    * ([[stratifiedSample]], [[tempMix]]) so subsampling composed with
+    * splitting stays unbiased. */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(hash64(concat(col("text"), lit(":split"))), lit(100L))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")))
+      .orderBy("doc_id")
+  }
+
+  // ---- e_centroid_score ---------------------------------------------------
+
+  /** Nearest-centroid embedding classifier — the model-based quality/domain
+    * filtering shape (a fastText-style classifier distilled to its linear
+    * core): per-label mean-direction centroids are learned from the corpus,
+    * every vector is scored against all of them by cosine, and the argmax
+    * label, best score, top-2 margin, and agreement with the true label are
+    * emitted. Low-margin rows are exactly the ones a curation pipeline
+    * routes to human review or a bigger model.
+    *
+    * Determinism: centroid components are INTEGER sums of fixed-point
+    * quantized elements (⌊v·2²⁰ + 0.5⌋ — the same single-rounded
+    * floor(x+0.5) contract [[vecQuantize]] proves cross-engine; decimal
+    * casts of doubles do NOT round identically across engines), so the
+    * per-label sum is exact and partition-order-invariant — the one way a
+    * distributed mean can hash-match a single-node oracle. Cosine is
+    * scale-invariant, so the unnormalized fixed-point sum vector serves as
+    * the centroid direction: no mean divide and no dequantization exist at
+    * all. Sums stay inside int64 up to ~3·10¹² rows per label (|v|·2²⁰ ≈
+    * 3·10⁶ each); beyond that, widen the shift or shard the sum. Every
+    * double afterwards follows the sequential-fold contract.
+    *
+    * At scale: the explode shuffles |labels|·dim partial sums (map-side
+    * combined — never N·dim rows); the |labels|-row centroid table
+    * broadcasts back onto one corpus scan; per-vector ranking is a bounded
+    * collect_list aggregate over exactly |labels| candidate rows (a model
+    * constant), so the post-score shuffle carries N slim rows, no vectors. */
+  def centroidScore(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val comp = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "dim", "v")
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(floor(col("v").cast("double") * lit(1048576.0) + 0.5)
+        .cast("long")).cast("double").as("s"))
+    val cents = comp.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("pairs"))
+      .select(col("label").as("clabel"),
+        transform(col("pairs"), p => p("s")).as("ce"))
+      .withColumn("ncent", sqrt(seqSum(transform(col("ce"), x => x * x))))
+    val vecs = emb.select(col("vec_id"), col("label"), col("embedding").as("e"))
+      .withColumn("nrm", l2norm(col("e")))
+      .filter(col("nrm") > 0.0)
+    val dot = seqSum(zip_with(col("e"), col("ce"),
+      (x, y) => x.cast("double") * y))
+    val ranked = vecs.crossJoin(broadcast(cents))
+      .withColumn("score", dot / (col("nrm") * col("ncent")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(array_sort(collect_list(
+        struct((-col("score")).as("ns"), col("clabel")))).as("r"))
+    ranked.select(col("vec_id"), col("label"),
+        col("r")(0)("clabel").as("pred_label"),
+        (-col("r")(0)("ns")).as("score"),
+        (col("r")(1)("ns") - col("r")(0)("ns")).as("margin"),
+        when(col("r")(0)("clabel") === col("label"), 1L).otherwise(0L)
+          .as("correct"))
+      .orderBy("vec_id")
+  }
+
+  // ---- e_dedup_eval -------------------------------------------------------
+
+  /** Fuzzy-dedup evaluation harness as a first-class oracle-checked query —
+    * the dedup twin of [[annRecall]]: recall and precision of the
+    * signature-based families ([[minhashDedup]], [[simhashDedup]]) against
+    * the EXACT ground truth (all pairs with 3-gram-shingle Jaccard ≥ 0.5,
+    * found by an inverted-index postings join — never all-pairs). This is
+    * the measurement run before trusting an LSH configuration's recall at a
+    * new threshold; keeping it a declared query puts the recall numbers
+    * themselves under the cross-engine hash gate.
+    *
+    * Built-in sanity: minhash VERIFIES candidates with the same exact
+    * Jaccard criterion, so its predicted pairs are a subset of truth —
+    * precision 1.0 and n_hit = n_pred structurally (spec-pinned). SimHash
+    * answers a different contract (Hamming ≤ 1), so both its recall and
+    * precision are informative.
+    *
+    * At scale: exact ground truth is inherently postings-join-priced
+    * (candidates = pairs sharing ≥ 1 shingle), so — like every recall
+    * evaluation — this harness runs on a bounded sample, while each graded
+    * family's own operator carries the 100 TB path; the metric frames
+    * joined here are |pairs|-sized, never corpus-sized. */
+  def dedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val shd = shingleSets(docsWithVariants(spark, dir)
+        .select(col("doc_id"), col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val post = shd.select(col("doc_id"), explode(col("ds")).as("h"))
+    val pairCounts = post.as("x")
+      .join(post.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = shd.select(col("doc_id"), size(col("ds")).as("n"))
+    val truth = pairCounts
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(lit(2) * col("n_inter") >= col("na") + col("nb") - col("n_inter"))
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    def metrics(family: String, pred: DataFrame): DataFrame = {
+      val p = pred.select(col("doc_a"), col("doc_b"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(p.agg(count(lit(1)).as("n_pred")))
+        .crossJoin(truth.join(p, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_hit")))
+        .select(lit(family).as("family"),
+          col("n_truth"), col("n_pred"), col("n_hit"))
+    }
+    metrics("minhash", minhashDedup(spark, dir))
+      .unionAll(metrics("simhash", simhashDedup(spark, dir)))
+      .select(col("family"), col("n_truth"), col("n_pred"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_truth").cast("double"))
+          .as("recall"),
+        (col("n_hit").cast("double") / col("n_pred").cast("double"))
+          .as("precision"))
+      .orderBy("family")
+  }
 }

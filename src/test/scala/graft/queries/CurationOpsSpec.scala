@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+/** `e_split` / `e_centroid_score` / `e_dedup_eval` — the corpus-curation
+  * trio added in round 8: leakage-safe splitting, nearest-centroid
+  * classifier scoring, and the dedup-family evaluation harness. */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("split: content-hash fate — byte-identical texts always share a split") {
+    val out = ExtQueries.corpusSplit(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val perText = out.join(docs, Seq("doc_id"))
+      .groupBy(col("text"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .agg(max(col("n_splits"))).head.getLong(0)
+    assert(perText == 1L, "a duplicated text must never straddle splits")
+  }
+
+  test("split: 80/10/10 shape, total coverage, bucket range") {
+    val rows = ExtQueries.corpusSplit(spark, dir).collect()
+    val n = rows.length.toDouble
+    val by = rows.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(by.keySet.subsetOf(Set("train", "val", "test")))
+    assert(by.values.sum.toDouble == n, "every document gets exactly one split")
+    assert(by("train") / n > 0.7 && by("train") / n < 0.9)
+    assert(by("val") / n > 0.03 && by("val") / n < 0.18)
+    assert(by("test") / n > 0.03 && by("test") / n < 0.18)
+    assert(rows.forall { r =>
+      val b = r.getAs[Long]("bucket"); b >= 0L && b < 100L
+    })
+  }
+
+  test("centroid score: matches a sequential reference walk exactly") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .sortBy(_._1)
+    // fixed-point centroid sums per label, in dim order
+    val cents: Map[Int, Array[Double]] = emb.groupBy(_._2).map { case (l, vs) =>
+      val d = vs.head._3.length
+      val s = Array.ofDim[Long](d)
+      vs.foreach { case (_, _, v) =>
+        var i = 0
+        while (i < d) { s(i) += math.floor(v(i).toDouble * 1048576.0 + 0.5).toLong; i += 1 }
+      }
+      l -> s.map(_.toDouble)
+    }
+    def fold(xs: Iterator[Double]): Double = xs.foldLeft(0.0)(_ + _)
+    val ncent = cents.map { case (l, c) => l -> math.sqrt(fold(c.iterator.map(x => x * x))) }
+    val got = ExtQueries.centroidScore(spark, dir).collect()
+    assert(got.length == emb.length)
+    got.foreach { r =>
+      val (vid, label) = (r.getLong(0), r.getInt(1))
+      val v = emb.find(_._1 == vid).get._3
+      val nrm = math.sqrt(fold(v.iterator.map(x => x.toDouble * x.toDouble)))
+      val scores = cents.keys.toSeq.sorted.map { l =>
+        val c = cents(l)
+        val dot = fold(v.iterator.zip(c.iterator).map { case (x, y) => x.toDouble * y })
+        (l, dot / (nrm * ncent(l)))
+      }
+      val ranked = scores.sortBy { case (l, s) => (-s, l) }
+      assert(r.getAs[Int]("pred_label") == ranked.head._1, s"vec $vid pred")
+      assert(r.getAs[Double]("score") == ranked.head._2, s"vec $vid score")
+      assert(r.getAs[Double]("margin") ==
+        -ranked(1)._2 - (-ranked.head._2), s"vec $vid margin")
+      assert(r.getAs[Long]("correct") ==
+        (if (ranked.head._1 == label) 1L else 0L), s"vec $vid correct")
+    }
+  }
+
+  test("dedup eval: minhash precision is structurally 1.0; counts consistent") {
+    val rows = ExtQueries.dedupEval(spark, dir).collect()
+    spark.catalog.clearCache() // dedupEval + family pipelines persist
+    assert(rows.map(_.getString(0)).toSeq == Seq("minhash", "simhash"))
+    val Array(mh, sh) = rows
+    val nTruth = mh.getAs[Long]("n_truth")
+    assert(nTruth > 0 && sh.getAs[Long]("n_truth") == nTruth)
+    // minhash verifies candidates with the SAME exact-Jaccard criterion the
+    // truth set uses, so predicted ⊆ truth: n_hit = n_pred, precision = 1
+    assert(mh.getAs[Long]("n_hit") == mh.getAs[Long]("n_pred"))
+    assert(mh.getAs[Double]("precision") == 1.0)
+    assert(mh.getAs[Double]("recall") > 0.0 && mh.getAs[Double]("recall") <= 1.0)
+    // simhash answers a different contract (Hamming ≤ 1): both metrics free,
+    // but hits can never exceed either side
+    assert(sh.getAs[Long]("n_hit") <= math.min(sh.getAs[Long]("n_pred"), nTruth))
+    assert(sh.getAs[Double]("recall") >= 0.0 && sh.getAs[Double]("recall") <= 1.0)
+    assert(sh.getAs[Double]("precision") >= 0.0 && sh.getAs[Double]("precision") <= 1.0)
+  }
+}
