@@ -200,6 +200,23 @@ object Streaming {
         graft.functions.GraftFunctions.hash64(col("text")).as("content_hash"))
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-static enrichment: every arriving document picks up its
+    * source's curation profile (tier, quality rate — the
+    * [[graft.queries.ExtQueries.domainStats]] shape) from a STATIC
+    * dimension, the standard "annotate the firehose with slowly-changing
+    * reference data" join. Stateless by construction — Spark re-plans the
+    * static side per micro-batch, so a refreshed dimension table is picked
+    * up on the next trigger without restarting the query, and no streaming
+    * state accumulates (unlike stream-stream joins, which buffer both
+    * sides).
+    *
+    * At scale: the dimension is |sources| rows — broadcast, so the document
+    * stream never shuffles; a left join keeps documents from never-seen
+    * sources flowing (nulls, not drops: a curation pipeline must not lose
+    * data because the profile table lags the crawl). */
+  def enrichStream(docs: DataFrame, sourceDim: DataFrame): DataFrame =
+    docs.join(broadcast(sourceDim), Seq("source"), "left")
+
   // ---- trending tokens ----------------------------------------------------
 
   /** Watermarked per-window token counts over a document stream — the

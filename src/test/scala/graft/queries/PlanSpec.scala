@@ -431,4 +431,24 @@ class PlanSpec extends AnyFunSuite {
     assert(outerWindows.isEmpty, "per-node top-k regressed to a ranking window")
     spark.catalog.clearCache()
   }
+
+  test("split: zero shuffles before the output sort (pure hash-fate scan)") {
+    val df = ExtQueries.corpusSplit(spark, dir)
+    assert(parquetScans(formatted(df)) === 1)
+    val simple = df.queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(simple).map(_.group(1)).toSeq
+    assert(exchanges === Seq("rangepartitioning"), s"exchanges: $exchanges\n$simple")
+  }
+
+  test("centroid score: |labels|-row centroid table broadcasts, corpus never sort-merge-joins") {
+    val plan = formatted(ExtQueries.centroidScore(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "the centroid table is |labels| rows — a shuffle join here re-partitions " +
+        "the whole embedding corpus at 100 TB")
+    assert(!plan.contains("CartesianProduct"),
+      "the centroid cross-join must stay broadcast-bounded")
+  }
 }

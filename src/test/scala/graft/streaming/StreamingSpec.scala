@@ -351,4 +351,40 @@ class StreamingSpec extends AnyFunSuite {
     // not partially emitted; each finalized window arrived in ONE batch
     assert(emptyBatches.count(_ == false) === 2)
   }
+
+  test("stream-static enrichment: stateless broadcast join, unknown sources kept") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-enrich-in").toString
+    val ckpt = Files.createTempDirectory("graft-enrich-ckpt").toString
+    Seq((1L, "alpha.example", "aa"), (2L, "beta.example", "bb"),
+        (3L, "unknown.example", "cc"))
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    val dim = Seq(("alpha.example", "high", 0.9), ("beta.example", "low", 0.2))
+      .toDF("source", "tier", "quality_rate")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in).schema).parquet(in)
+    val q = Streaming.enrichStream(stream, dim)
+      .writeStream
+      .format("memory").queryName("enrich_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // stateless: the progress report must show zero state rows
+    q.awaitTermination()
+    val got = spark.table("enrich_stream")
+      .select("doc_id", "tier", "quality_rate").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, Some("high"), Some(0.9)),
+      (2L, Some("low"), Some(0.2)),
+      (3L, None, None)), "left join: never-seen sources flow with nulls")
+    assert(q.lastProgress.stateOperators.isEmpty ||
+      q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+      "stream-static joins must accumulate no streaming state")
+  }
 }
