@@ -97,6 +97,7 @@ object SparkEntry {
     "e_knn_graph"         -> (ExtQueries.knnGraph _),
     "e_chunk_dedup"       -> (ExtQueries.chunkDedup _),
     "e_dup_spans"         -> (ExtQueries.dupSpans _),
+    "e_dup_span_removal"  -> (ExtQueries.dupSpanRemoval _),
     "e_triplet_mine"      -> (ExtQueries.tripletMine _),
     "e_vec_quantize"      -> (ExtQueries.vecQuantize _),
     "e_frame_sample"      -> (ExtQueries.frameSample _),

@@ -125,6 +125,35 @@ object ExtOracles {
       |      ORDER BY csim DESC, cent_id ASC) AS crank FROM sims)
       |  WHERE crank = 1)""".stripMargin
 
+  /** The duplicate-span DETECTION chain (tokens → overlapping window hashes
+    * → non-first occurrences → merged per-doc spans) — the SQL twin of
+    * `ExtQueries.dupSpanChain`, shared by `e_dup_spans` (report) and
+    * `e_dup_span_removal` (rewrite) so the two can never disagree about
+    * what counts as a duplicated span. */
+  private lazy val dupSpanBody: String =
+    s"""toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+      |w AS (SELECT doc_id,
+      |  unnest(range(0, greatest(len(t) - ${ExtQueries.DupSpanTokens} + 1, 0))) AS pos,
+      |  unnest(list_transform(range(0, greatest(len(t) - ${ExtQueries.DupSpanTokens} + 1, 0)),
+      |    i -> CAST('0x'||substr(md5(array_to_string(
+      |      t[i+1:i+${ExtQueries.DupSpanTokens}], ' ')),1,15) AS BIGINT))) AS h
+      |  FROM toks),
+      |occ AS (SELECT doc_id, pos, h,
+      |  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM w),
+      |dup AS (SELECT doc_id, pos, pos + ${ExtQueries.DupSpanTokens} - 1 AS e
+      |  FROM occ WHERE rn > 1),
+      |isl AS (SELECT doc_id, pos, e,
+      |  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM dup),
+      |grp AS (SELECT doc_id, pos, e,
+      |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g FROM isl),
+      |spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e2
+      |  FROM grp GROUP BY doc_id, g)""".stripMargin
+
   /** Exact brute-force cosine top-k — shared verbatim by `e_cosine_topk`
     * (window execution) and `e_cosine_topk_agg` (bounded-state aggregate
     * execution): both must hash-match this one definition. */
@@ -872,28 +901,7 @@ object ExtOracles {
         |ORDER BY s.doc_id""".stripMargin,
 
     "e_dup_spans" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
-        |w AS (SELECT doc_id,
-        |  unnest(range(0, greatest(len(t) - ${ExtQueries.DupSpanTokens} + 1, 0))) AS pos,
-        |  unnest(list_transform(range(0, greatest(len(t) - ${ExtQueries.DupSpanTokens} + 1, 0)),
-        |    i -> CAST('0x'||substr(md5(array_to_string(
-        |      t[i+1:i+${ExtQueries.DupSpanTokens}], ' ')),1,15) AS BIGINT))) AS h
-        |  FROM toks),
-        |occ AS (SELECT doc_id, pos, h,
-        |  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM w),
-        |dup AS (SELECT doc_id, pos, pos + ${ExtQueries.DupSpanTokens} - 1 AS e
-        |  FROM occ WHERE rn > 1),
-        |isl AS (SELECT doc_id, pos, e,
-        |  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
-        |    THEN 1 ELSE 0 END AS brk
-        |  FROM dup),
-        |grp AS (SELECT doc_id, pos, e,
-        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g FROM isl),
-        |spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e2
-        |  FROM grp GROUP BY doc_id, g),
+      s"""WITH $dupSpanBody,
         |perdoc AS (SELECT doc_id, count(*) AS n_spans,
         |  CAST(sum(e2 - s + 1) AS BIGINT) AS dup_tokens FROM spans GROUP BY doc_id)
         |SELECT b.doc_id, len(b.t) AS n_tokens,
@@ -901,6 +909,24 @@ object ExtOracles {
         |  coalesce(p.dup_tokens, 0) AS dup_tokens,
         |  CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / CAST(len(b.t) AS DOUBLE) AS dup_frac
         |FROM toks b LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // The rewrite step of the Lee et al. shape: tokens inside marked spans
+    // are cut, survivors rejoined with single spaces (both engines rebuild
+    // from the token array, so whitespace normalization is structural).
+    "e_dup_span_removal" ->
+      s"""WITH $dupSpanBody,
+        |pos_tok AS (SELECT doc_id, unnest(range(0, len(t))) AS pos,
+        |  unnest(t) AS tok FROM toks),
+        |kept AS (SELECT p.doc_id, p.pos, p.tok FROM pos_tok p
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |    WHERE sp.doc_id = p.doc_id AND p.pos >= sp.s AND p.pos <= sp.e2)),
+        |cl AS (SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(tok, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, len(b.t) AS n_tokens,
+        |  len(b.t) - coalesce(c.n_kept, 0) AS n_removed,
+        |  coalesce(c.clean_text, '') AS clean_text
+        |FROM toks b LEFT JOIN cl c USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
 
     "e_triplet_mine" ->

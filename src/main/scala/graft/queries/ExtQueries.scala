@@ -1983,11 +1983,14 @@ object ExtQueries {
     * (survivor aggregate + decision join); callers clearCache() after
     * materializing. The second (cheap, projected) scan computes per-doc
     * token counts so zero-duplicate documents still report a row. */
-  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared detection chain of [[dupSpans]] and [[dupSpanRemoval]]:
+    * (tokenized corpus, merged per-doc duplicate spans) — ONE definition so
+    * the report and the rewrite can never disagree about what counts as a
+    * duplicated span. Returns (toked: doc_id·tk, spans: doc_id·s·e2). */
+  private def dupSpanChain(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val W = DupSpanTokens
     val toked = table(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("tk"))
-    val base = toked.select(col("doc_id"), size(col("tk")).as("n_tokens"))
     val posting = toked
       .filter(size(col("tk")) >= W)
       .select(col("doc_id"),
@@ -2013,6 +2016,12 @@ object ExtQueries {
         .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("g"))
       .agg(min(col("pos")).as("s"), max(col("e")).as("e2"))
+    (toked, spans)
+  }
+
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val (toked, spans) = dupSpanChain(spark, dir)
+    val base = toked.select(col("doc_id"), size(col("tk")).as("n_tokens"))
     val perDoc = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e2") - col("s") + 1).as("dup_tokens"))
@@ -2022,6 +2031,43 @@ object ExtQueries {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
           col("n_tokens").cast("double")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  // ---- e_dup_span_removal -------------------------------------------------
+
+  /** The REWRITE step that completes the Lee et al. 2022 shape: [[dupSpans]]
+    * detects the duplicated extents, this operator cuts them out — every
+    * token inside a marked span (a non-first occurrence corpus-wide) is
+    * dropped and the survivors are rejoined into the cleaned text the
+    * training pipeline actually ships. First occurrences stay, so each
+    * duplicated passage survives exactly once across the corpus. Both
+    * operators share ONE detection chain ([[dupSpanChain]]): the report and
+    * the rewrite cannot disagree about what counts as a duplicate.
+    *
+    * Whitespace is normalized by construction (the clean text is the kept
+    * token array rejoined with single spaces) — identical in both engines
+    * since both rebuild from the token array, never from substring offsets.
+    *
+    * At scale: detection is [[dupSpans]]' postings shuffle; the rewrite adds
+    * one join keyed on doc_id between the token scan and the per-doc span
+    * lists (only docs WITH duplicates have a row; state per doc is its span
+    * count, bounded by n_tokens/W); the span cut is a scan-side
+    * filter-with-index over the token array — document text crosses the
+    * doc_id exchange once, as the join's probe side, and nothing else. */
+  def dupSpanRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val (toked, spans) = dupSpanChain(spark, dir)
+    val spanArr = spans.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e2")))).as("spans"))
+    toked.join(spanArr, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tk"),
+        coalesce(col("spans"),
+          array().cast("array<struct<s:int,e2:int>>")).as("sp"))
+      .withColumn("kept", filter(col("tk"), (t, i) =>
+        !exists(col("sp"), r => i >= r("s") && i <= r("e2"))))
+      .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        (size(col("tk")) - size(col("kept"))).as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
       .orderBy("doc_id")
   }
 

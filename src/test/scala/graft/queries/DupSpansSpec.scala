@@ -73,4 +73,35 @@ class DupSpansSpec extends AnyFunSuite {
       if (nSpans > 0) assert(dupTok >= W)
     }
   }
+
+  test("removal rewrite: cuts exactly the reported extents, sequential-walk clean text") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // independent walk: drop tokens covered by merged non-first spans
+    val seen = scala.collection.mutable.Set.empty[Long]
+    val want = docs.map { case (id, text) =>
+      val t = text.trim.split("\\s+").toSeq
+      val dupStarts = windows(text).zipWithIndex.collect {
+        case (h, pos) if !seen.add(h) => pos
+      }
+      val coveredPos = dupStarts.flatMap(p => p until p + W).toSet
+      val kept = t.zipWithIndex.collect { case (tok, i) if !coveredPos(i) => tok }
+      id -> ((t.length, t.length - kept.length, kept.mkString(" ")))
+    }.toMap
+    val report = ExtQueries.dupSpans(spark, dir)
+      .select("doc_id", "dup_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = ExtQueries.dupSpanRemoval(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    spark.catalog.clearCache() // both operators persist the posting frame
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (nTok, nRemoved, clean)) =>
+      assert((nTok, nRemoved.toLong, clean) ==
+        ((want(id)._1, want(id)._2.toLong, want(id)._3)), s"doc $id")
+      // the rewrite and the report agree: tokens removed = extents reported
+      assert(nRemoved.toLong == report(id), s"doc $id removed-vs-reported")
+    }
+  }
 }
