@@ -2295,12 +2295,20 @@ object ExtQueries {
       .filter(lit(2) * col("n_inter") >= col("na") + col("nb") - col("n_inter"))
       .select(col("doc_a"), col("doc_b"))
       .persist()
+    // ONE full-outer join per family computes all three counts in a single
+    // pass, so each family's detection pipeline executes exactly once — the
+    // separate count/hit formulation consumed `pred` twice and re-ran the
+    // whole unpersisted family pipeline for the hit join. Truth and pred
+    // pairs are unique, so the join is 1:1 and the indicator sums are exact
+    // set cardinalities.
     def metrics(family: String, pred: DataFrame): DataFrame = {
-      val p = pred.select(col("doc_a"), col("doc_b"))
-      truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(p.agg(count(lit(1)).as("n_pred")))
-        .crossJoin(truth.join(p, Seq("doc_a", "doc_b"))
-          .agg(count(lit(1)).as("n_hit")))
+      val t = truth.withColumn("in_t", lit(1L))
+      val p = pred.select(col("doc_a"), col("doc_b")).withColumn("in_p", lit(1L))
+      t.join(p, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(coalesce(sum(col("in_t")), lit(0L)).as("n_truth"),
+          coalesce(sum(col("in_p")), lit(0L)).as("n_pred"),
+          count(when(col("in_t").isNotNull && col("in_p").isNotNull, 1))
+            .as("n_hit"))
         .select(lit(family).as("family"),
           col("n_truth"), col("n_pred"), col("n_hit"))
     }
