@@ -96,6 +96,7 @@ object SparkEntry {
     "e_zorder"            -> (ExtQueries.zorder _),
     "e_knn_graph"         -> (ExtQueries.knnGraph _),
     "e_chunk_dedup"       -> (ExtQueries.chunkDedup _),
+    "e_chunk_split"       -> (ExtQueries.chunkSplit _),
     "e_dup_spans"         -> (ExtQueries.dupSpans _),
     "e_dup_span_removal"  -> (ExtQueries.dupSpanRemoval _),
     "e_triplet_mine"      -> (ExtQueries.tripletMine _),

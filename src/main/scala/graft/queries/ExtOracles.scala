@@ -911,6 +911,28 @@ object ExtOracles {
         |FROM toks b LEFT JOIN perdoc p USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
 
+    // Overlapping passage chunking: integer floor-div chunk counts
+    // (`//` ≡ Spark `div`), chunk text rebuilt from the token array in both
+    // engines. The final chunk always reaches the tail; short docs yield
+    // one whole-doc chunk.
+    "e_chunk_split" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+        |base AS (SELECT doc_id, t, len(t) AS n,
+        |  (greatest(len(t) - ${ExtQueries.SplitChunkTokens}, 0)
+        |    + ${ExtQueries.SplitChunkStride - 1}) // ${ExtQueries.SplitChunkStride} + 1 AS n_chunks
+        |  FROM toks),
+        |ch AS (SELECT doc_id, t, n, unnest(range(n_chunks)) AS chunk_idx FROM base)
+        |SELECT doc_id, n AS n_tokens, chunk_idx,
+        |  chunk_idx * ${ExtQueries.SplitChunkStride} AS start_pos,
+        |  least(n - chunk_idx * ${ExtQueries.SplitChunkStride},
+        |    ${ExtQueries.SplitChunkTokens}) AS n_chunk_tokens,
+        |  array_to_string(t[chunk_idx * ${ExtQueries.SplitChunkStride} + 1
+        |    : chunk_idx * ${ExtQueries.SplitChunkStride} + ${ExtQueries.SplitChunkTokens}], ' ')
+        |    AS chunk_text
+        |FROM ch
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
     // The rewrite step of the Lee et al. shape: tokens inside marked spans
     // are cut, survivors rejoined with single spaces (both engines rebuild
     // from the token array, so whitespace normalization is structural).

@@ -2071,6 +2071,52 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // ---- e_chunk_split ------------------------------------------------------
+
+  /** Chunk length / stride for [[chunkSplit]] — overlap = T − S = 16. */
+  private[queries] val SplitChunkTokens = 64
+  private[queries] val SplitChunkStride = 48
+
+  /** Overlapping passage chunking — the preprocessing step every
+    * embedding/RAG and fixed-context pipeline runs before encoding: each
+    * document is cut into [[SplitChunkTokens]]-token chunks at stride
+    * [[SplitChunkStride]] (16 tokens of overlap, so no sentence is stranded at a
+    * chunk boundary), with the chunk count chosen so the final chunk always
+    * reaches the document's tail: ⌈max(n−T, 0)/S⌉ + 1 starts. Short docs
+    * (n ≤ T) yield exactly one whole-doc chunk. Emits (doc_id, chunk_idx,
+    * start_pos, n_chunk_tokens, chunk_text) — the unit of work downstream
+    * encoders consume. Complements [[seqPack]]: packing concatenates whole
+    * docs into fixed blocks, chunking splits within docs with overlap.
+    *
+    * All arithmetic is non-negative integer floor-div (`div` ≡ DuckDB `//`),
+    * and chunk text is rebuilt from the token array in both engines, so the
+    * oracle compare is exact by construction.
+    *
+    * At scale: zero shuffles before the output sort — chunks fan out
+    * scan-side from a generator (~n/S rows per doc); no join, no state. */
+  def chunkSplit(spark: SparkSession, dir: String): DataFrame = {
+    val T = SplitChunkTokens
+    val S = SplitChunkStride
+    val toked = table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .withColumn("n_chunks",
+        expr(s"(greatest(n - $T, 0) + ${S - 1}) div $S") + 1)
+    toked
+      .select(col("doc_id"), col("n"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1), i =>
+          struct((i * S).as("start_pos"),
+            least(col("n") - i * S, lit(T)).as("n_chunk_tokens"),
+            array_join(slice(col("tk"), i * S + 1, lit(T)), " ")
+              .as("chunk_text")))))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("pos").cast("int").as("chunk_idx"),
+        col("col.start_pos").as("start_pos"),
+        col("col.n_chunk_tokens").as("n_chunk_tokens"),
+        col("col.chunk_text").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // ---- e_triplet_mine -----------------------------------------------------
 
   /** Hard negatives mined per anchor for contrastive training. */
