@@ -92,6 +92,7 @@ object SparkEntry {
     "e_greedy_dedup"      -> (ExtQueries.greedyDedup _),
     "e_boilerplate"       -> (ExtQueries.boilerplate _),
     "e_tfidf_terms"       -> (ExtQueries.tfidfTerms _),
+    "e_bm25_topk"         -> (ExtQueries.bm25Topk _),
     "e_seq_pack"          -> (ExtQueries.seqPack _),
     "e_zorder"            -> (ExtQueries.zorder _),
     "e_knn_graph"         -> (ExtQueries.knnGraph _),

@@ -911,6 +911,43 @@ object ExtOracles {
         |FROM toks b LEFT JOIN perdoc p USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
 
+    // BM25 lexical top-k with rational idf (no transcendentals — the same
+    // device as e_tfidf_terms); per-doc scores fold per-term contributions
+    // in pinned query-term order, matching the Spark-side sort_array fold.
+    "e_bm25_topk" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+        |base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+        |stats AS (SELECT count(*) AS n_docs, sum(n) AS total_tokens FROM base),
+        |q AS (SELECT * FROM (VALUES
+        |${ExtQueries.Bm25Queries.map { case (qid, ts) =>
+             s"  ($qid, [${ts.map(t => s"'$t'").mkString(", ")}])" }.mkString(",\n")}
+        |  ) AS v(qid, terms)),
+        |qt AS (SELECT qid, generate_subscripts(terms, 1) - 1 AS tidx,
+        |  unnest(terms) AS term FROM q),
+        |tok AS (SELECT doc_id, n, unnest(t) AS term FROM base),
+        |tf AS (SELECT doc_id, n, term, count(*) AS tf FROM tok
+        |  WHERE term IN (SELECT DISTINCT term FROM qt)
+        |  GROUP BY doc_id, n, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |contrib AS (SELECT qt.qid, qt.tidx, tf.doc_id,
+        |  ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+        |    / (CAST(d.df AS DOUBLE) + 0.5))
+        |  * ((CAST(tf.tf AS DOUBLE) * 2.2)
+        |    / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(tf.n AS DOUBLE)
+        |        / (CAST(s.total_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
+        |    AS c
+        |  FROM tf JOIN dfreq d USING (term) JOIN qt ON qt.term = tf.term, stats s),
+        |scores AS (SELECT qid, doc_id,
+        |  list_reduce(list_prepend(0.0, list(c ORDER BY tidx)),
+        |    (a, x) -> a + x) AS score
+        |  FROM contrib GROUP BY qid, doc_id),
+        |ranked AS (SELECT qid, doc_id, score,
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, doc_id ASC) AS rank FROM scores)
+        |SELECT qid, doc_id, score, rank FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
     // Overlapping passage chunking: integer floor-div chunk counts
     // (`//` ≡ Spark `div`), chunk text rebuilt from the token array in both
     // engines. The final chunk always reaches the tail; short docs yield

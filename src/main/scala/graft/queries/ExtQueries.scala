@@ -2071,6 +2071,77 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // ---- e_bm25_topk --------------------------------------------------------
+
+  /** Pinned query set for [[bm25Topk]] — bounded, like the ANN query side. */
+  private[queries] val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("spark", "window", "agg"),
+    1 -> Seq("customer", "query", "merge"),
+    2 -> Seq("vector", "hash"))
+
+  /** BM25 lexical top-k retrieval — the sparse/keyword side of the search
+    * stack, complementing the dense ANN family ([[cosineTopk]] etc.): for
+    * each pinned query, the 10 highest-scoring documents under a BM25
+    * scoring with k1 = 1.2, b = 0.75 and a RATIONAL idf
+    * ((N − df + 0.5)/(df + 0.5) — the same no-transcendental device as
+    * [[tfidfTerms]]: per-term monotone ≡ the log form, and every FP step a
+    * single correctly-rounded IEEE op, so the scores themselves hash-match
+    * cross-engine where a log-based idf could not).
+    *
+    * Determinism: per-document scores fold per-term contributions in PINNED
+    * query-term order (a ≤|terms|-element sort_array/fold — the engine's
+    * partition layout can never reorder the sum); ties break doc_id ASC.
+    *
+    * At scale: the corpus token stream is FILTERED to the broadcast query
+    * vocabulary before anything aggregates — postings are |matching terms|
+    * per doc, not |tokens|; tf/df reduce map-side; df and the 1-row corpus
+    * stats broadcast back; per-query top-k is the bounded-state
+    * [[graft.functions.TopKByScoreAggregator]] (only |queries|·k rows per
+    * partition shuffle, never the scored stream). */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toked = table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+    val stats = toked.agg(count(lit(1)).as("n_docs"),
+      sum(col("n")).as("total_tokens"))
+    val qterms = Bm25Queries
+      .flatMap { case (qid, ts) => ts.zipWithIndex.map { case (t, i) => (qid, i, t) } }
+      .toDF("qid", "tidx", "term")
+    val tf = toked
+      .select(col("doc_id"), col("n"), explode(col("tk")).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("n"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("c",
+        ((col("n_docs").cast("double") - col("df").cast("double") + 0.5)
+          / (col("df").cast("double") + 0.5)) *
+        ((col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) *
+              (col("n").cast("double") / col("avgdl"))))))
+    val scores = contrib
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("tidx"), col("c")))).as("cs"))
+      .withColumn("score",
+        aggregate(transform(col("cs"), p => p("c")), lit(0.0), (a, x) => a + x))
+    val agg10 = new graft.functions.TopKByScoreAggregator(10)
+    val topk = udaf(agg10, agg10.inputEncoder)
+    scores.groupBy(col("qid"))
+      .agg(topk(col("score"), col("doc_id")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.id").as("doc_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   // ---- e_chunk_split ------------------------------------------------------
 
   /** Chunk length / stride for [[chunkSplit]] — overlap = T − S = 16. */

@@ -432,6 +432,18 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("bm25: query vocab/df/stats broadcast, top-k is a bounded aggregate, window-free") {
+    val plan = formatted(ExtQueries.bm25Topk(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "the query vocabulary, df table and corpus stats are all bounded — a " +
+        "shuffle join here re-partitions the corpus token stream at 100 TB")
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(!plan.contains("Window"),
+      "per-query top-k must stay the bounded-state aggregate, never a " +
+        "ranking window over the scored stream")
+  }
+
   test("split: zero shuffles before the output sort (pure hash-fate scan)") {
     val df = ExtQueries.corpusSplit(spark, dir)
     assert(parquetScans(formatted(df)) === 1)
