@@ -1142,8 +1142,34 @@ object ExtOracles {
       |  CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE) AS "precision"
       |FROM fam ORDER BY family""".stripMargin
 
+  /** `e_rank_fusion` — RRF over the three approximate families' top-k
+    * lists. COMPOSES the graded family SQL texts verbatim (same device as
+    * `e_ann_recall`): the fusion cannot drift from the rankings it fuses.
+    * Contributions 1/(60+rank) fold in pinned family order, matching the
+    * Spark-side sorted fold. */
+  private lazy val rankFusionSql: String =
+    s"""WITH lshf AS (SELECT qid, cid, rank FROM (${baseSql("e_cosine_topk_lsh")}) a),
+      |ivff AS (SELECT qid, cid, rank FROM (${baseSql("e_cosine_topk_ivf")}) b),
+      |pqf AS (SELECT qid, cid, rank FROM (${baseSql("e_cosine_topk_pq")}) c),
+      |tagged AS (
+      |  SELECT qid, cid, rank, 0 AS fidx FROM lshf
+      |  UNION ALL SELECT qid, cid, rank, 1 AS fidx FROM ivff
+      |  UNION ALL SELECT qid, cid, rank, 2 AS fidx FROM pqf),
+      |fused AS (SELECT qid, cid,
+      |  list_reduce(list_prepend(0.0,
+      |    list(1.0 / (60.0 + CAST(rank AS DOUBLE)) ORDER BY fidx)),
+      |    (a, x) -> a + x) AS rrf,
+      |  count(*) AS n_lists
+      |  FROM tagged GROUP BY qid, cid),
+      |rankedf AS (SELECT qid, cid, rrf, n_lists,
+      |  row_number() OVER (PARTITION BY qid
+      |    ORDER BY rrf DESC, cid ASC) AS rank FROM fused)
+      |SELECT qid, cid, rrf, n_lists, rank FROM rankedf WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
+
   val sql: Map[String, String] = baseSql +
-    ("e_dedup_eval" -> dedupEvalSql) + ("e_ann_recall" ->
+    ("e_dedup_eval" -> dedupEvalSql) +
+    ("e_rank_fusion" -> rankFusionSql) + ("e_ann_recall" ->
     s"""WITH ex AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk")}) t),
       |lsh AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_lsh")}) u),
       |ivf AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_ivf")}) v),

@@ -2071,6 +2071,60 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // ---- e_rank_fusion ------------------------------------------------------
+
+  /** Reciprocal-rank-fusion constant — the standard k = 60 of Cormack &
+    * Clarke's RRF: score(d) = Σ_lists 1/(k + rank_list(d)). */
+  private[queries] val RrfK = 60
+
+  /** Rank fusion over the three approximate ANN families — the ensemble
+    * step of a hybrid-search stack: the LSH, IVF and PQ top-k lists for
+    * each query are fused by reciprocal-rank fusion (RRF, k = 60) into one
+    * consensus ranking that is robust to any single family's blind spots
+    * (a bucketing miss, a cell-boundary miss, a quantization error — the
+    * three families fail independently, which is exactly when rank fusion
+    * helps). Emits the fused top-10 with the per-family vote count.
+    *
+    * Determinism: RRF contributions are exact rationals 1/(60 + rank)
+    * evaluated as single IEEE divides and folded in PINNED family order
+    * (lsh, ivf, pq) via a ≤3-element sorted fold; ties break doc_id ASC.
+    *
+    * At scale: the fused frames are |queries|·k rows regardless of corpus
+    * size — fusion costs nothing; each family's own operator carries the
+    * corpus-scale story. The oracle COMPOSES the three families' SQL texts,
+    * so the fusion can never drift from the rankings it fuses. */
+  def rankFusion(spark: SparkSession, dir: String): DataFrame = {
+    val fams = Seq(
+      (0, cosineTopkLsh(spark, dir)),
+      (1, cosineTopkIvf(spark, dir)),
+      (2, cosineTopkPq(spark, dir)))
+    val tagged = fams.map { case (fidx, df) =>
+      df.select(col("qid"), col("cid"), col("rank"), lit(fidx).as("fidx"))
+    }.reduce(_ unionAll _)
+    val fused = tagged
+      .withColumn("c", lit(1.0) / (lit(RrfK.toDouble) + col("rank").cast("double")))
+      .groupBy(col("qid"), col("cid"))
+      .agg(array_sort(collect_list(struct(col("fidx"), col("c")))).as("cs"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rrf",
+        aggregate(transform(col("cs"), p => p("c")), lit(0.0), (a, x) => a + x))
+      // PERSISTED: consumed by the top-k aggregate AND the n_lists join-back
+      // — without it all three family pipelines execute twice (the
+      // dedup-eval lesson). ≤ |queries|·3k rows; callers clearCache().
+      .persist()
+    val agg10 = new graft.functions.TopKByScoreAggregator(10)
+    val topk = udaf(agg10, agg10.inputEncoder)
+    val top = fused.groupBy(col("qid"))
+      .agg(topk(col("rrf"), col("cid")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.id").as("cid"),
+        col("col.score").as("rrf"), (col("pos") + 1).cast("int").as("rank"))
+    top.join(fused.select(col("qid"), col("cid"), col("n_lists")),
+        Seq("qid", "cid"))
+      .select(col("qid"), col("cid"), col("rrf"), col("n_lists"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   // ---- e_bm25_topk --------------------------------------------------------
 
   /** Pinned query set for [[bm25Topk]] — bounded, like the ANN query side. */

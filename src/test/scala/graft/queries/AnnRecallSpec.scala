@@ -32,4 +32,35 @@ class AnnRecallSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("rank fusion matches RRF recomputed from the collected family lists") {
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Int] =
+      df.select("qid", "cid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val fams = Seq(
+      ranks(ExtQueries.cosineTopkLsh(spark, dir)),
+      ranks(ExtQueries.cosineTopkIvf(spark, dir)),
+      ranks(ExtQueries.cosineTopkPq(spark, dir)))
+    val want = fams.flatMap(_.keys).distinct
+      .map { key =>
+        val contribs = fams.flatMap(_.get(key)).map(r => 1.0 / (60.0 + r.toDouble))
+        key -> ((contribs.foldLeft(0.0)(_ + _), contribs.length))
+      }.toMap
+    val got = ExtQueries.rankFusion(spark, dir).collect()
+    spark.catalog.clearCache() // fusion + family pipelines persist
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getDouble(2) == want(key)._1, s"$key rrf")
+      assert(r.getLong(3) == want(key)._2.toLong, s"$key n_lists")
+    }
+    // per query: exactly 10 rows, ranked by (rrf DESC, cid ASC) over ALL
+    // fused candidates — the top-k must agree with a full sort
+    got.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.length == 10, s"qid $qid row count")
+      val expectTop = want.collect { case ((q, c), (s, _)) if q == qid => (c, s) }
+        .toSeq.sortBy { case (c, s) => (-s, c) }.take(10).map(_._1)
+      assert(rows.sortBy(_.getInt(4)).map(_.getLong(1)).toSeq == expectTop,
+        s"qid $qid fused order")
+    }
+  }
 }
