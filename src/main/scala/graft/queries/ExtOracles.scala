@@ -911,6 +911,45 @@ object ExtOracles {
         |FROM toks b LEFT JOIN perdoc p USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
 
+    // First BPE iteration: adjacent char pairs weighted by token frequency,
+    // over DISTINCT words. All-integer; ties pinned (count DESC, pair ASC).
+    "e_bpe_merges" ->
+      """WITH vocab AS (
+        |  SELECT w, count(*) AS wc FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents) GROUP BY w),
+        |pairs AS (
+        |  SELECT substring(w, i, 2) AS pair, wc FROM (
+        |    SELECT w, wc, unnest(range(1, length(w))) AS i
+        |    FROM vocab WHERE length(w) >= 2)),
+        |agg AS (SELECT pair, sum(wc) AS n FROM pairs GROUP BY pair)
+        |SELECT pair, CAST(n AS BIGINT) AS n FROM agg
+        |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+
+    // Snapshot diff: both snapshots reduce to (id, fingerprint) before one
+    // full-outer join; the previous snapshot is the pinned fixture derivation.
+    "e_snapshot_diff" ->
+      """WITH cur AS (
+        |  SELECT doc_id,
+        |    CAST('0x'||substr(md5(text),1,15) AS BIGINT) AS h_cur FROM documents),
+        |prev AS (
+        |  SELECT doc_id,
+        |    CAST('0x'||substr(md5(CASE WHEN doc_id % 7 = 0
+        |      THEN array_to_string((regexp_split_to_array(trim(text), '\s+'))[2:], ' ')
+        |      ELSE text END),1,15) AS BIGINT) AS h_prev
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |    CAST('0x'||substr(md5('gone:'||text),1,15) AS BIGINT) AS h_prev
+        |  FROM documents)
+        |SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+        |  CASE WHEN p.h_prev IS NULL THEN 'added'
+        |       WHEN c.h_cur IS NULL THEN 'removed'
+        |       WHEN c.h_cur = p.h_prev THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     // BM25 lexical top-k with rational idf (no transcendentals — the same
     // device as e_tfidf_terms); per-doc scores fold per-term contributions
     // in pinned query-term order, matching the Spark-side sort_array fold.

@@ -2071,6 +2071,69 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // ---- e_bpe_merges -------------------------------------------------------
+
+  /** Vocabulary-induction primitive — the first iteration of BPE tokenizer
+    * training over the corpus: every adjacent character pair inside every
+    * token, weighted by corpus token frequency, ranked to yield the top-20
+    * merge candidates (what a BPE trainer would merge first). A real
+    * trainer iterates this against its growing symbol table; the heavy,
+    * corpus-sized step is exactly this weighted pair count, which is why it
+    * belongs in the engine.
+    *
+    * At scale: token frequencies map-side-combine to |vocab| rows first, so
+    * pair extraction runs over DISTINCT words (Zipf-bounded), not token
+    * instances; pair counts combine again to |alphabet|² partials; the
+    * top-20 is a distributed TakeOrderedAndProject with pinned ties (count
+    * DESC, pair ASC). All-integer arithmetic — exact cross-engine. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = table(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    vocab
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), col("wc"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"), col("wc"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(20)
+  }
+
+  // ---- e_snapshot_diff ----------------------------------------------------
+
+  /** Crawl-to-crawl incremental diff — the change-data primitive an
+    * ingest pipeline runs between snapshots: per document id, whether it
+    * was ADDED (new id), REMOVED (id gone), CHANGED (same id, different
+    * content fingerprint) or UNCHANGED. The previous snapshot is derived
+    * deterministically from the fixture: ids ≡ 0 (mod 5) are withheld from
+    * it (→ added now), ids ≡ 0 (mod 7) carry a first-token-dropped revision
+    * (→ changed), and an id-shifted tail (+3,000,000) exists only in the
+    * previous snapshot (→ removed).
+    *
+    * At scale: both snapshots reduce to (doc_id, content fingerprint) slim
+    * rows before the ONE full-outer equi-join on doc_id — text never
+    * crosses the shuffle, and the join co-partitions on the id both tables
+    * would already be bucketed by in a warehouse layout. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val cur = docs.select(col("doc_id"), hash64(col("text")).as("h_cur"))
+    val prevText = when(col("doc_id") % 7 === 0,
+      array_join(slice(tokens(col("text")), lit(2), size(tokens(col("text")))), " "))
+      .otherwise(col("text"))
+    val prev = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), hash64(prevText).as("h_prev"))
+      .unionAll(docs.select((col("doc_id") + 3000000L).as("doc_id"),
+        hash64(concat(lit("gone:"), col("text"))).as("h_prev")))
+    cur.join(prev, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_prev").isNull, lit("added"))
+          .when(col("h_cur").isNull, lit("removed"))
+          .when(col("h_cur") === col("h_prev"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+      .orderBy("doc_id")
+  }
+
   // ---- e_rank_fusion ------------------------------------------------------
 
   /** Reciprocal-rank-fusion constant — the standard k = 60 of Cormack &

@@ -75,6 +75,40 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe merges: top-20 pairs match the sequential weighted pair count") {
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).trim.split("\\s+"))
+    val wc = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairCounts = scala.collection.mutable.Map.empty[String, Long]
+    wc.foreach { case (w, c) =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+      }
+    }
+    val want = pairCounts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = ExtQueries.bpeMerges(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("snapshot diff: every fixture-derived status lands where the rule says") {
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = ExtQueries.snapshotDiff(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == ids.size * 2, "current ids + the removed tail")
+    ids.foreach { id =>
+      val expected =
+        if (id % 5 == 0) "added"
+        else if (id % 7 == 0) "changed"
+        else "unchanged"
+      assert(got(id) == expected, s"doc $id")
+      assert(got(id + 3000000L) == "removed", s"doc ${id + 3000000L}")
+    }
+  }
+
   test("dedup eval: minhash precision is structurally 1.0; counts consistent") {
     val rows = ExtQueries.dedupEval(spark, dir).collect()
     spark.catalog.clearCache() // dedupEval + family pipelines persist
