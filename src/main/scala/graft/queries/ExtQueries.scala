@@ -344,7 +344,14 @@ object ExtQueries {
     // instead of OOM.
     val shd = shingleSets(all)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashVerifiedPairsFrom(shd)
+  }
 
+  /** [[minhashVerifiedPairs]] over a CALLER-materialized shingle frame —
+    * lets [[dedupEval]] share ONE shingle materialization between its
+    * exact-Jaccard truth set and the minhash family it grades, instead of
+    * shingling the corpus twice. */
+  private def minhashVerifiedPairsFrom(shd: DataFrame): DataFrame = {
     val sigs = shd
       .select(col("doc_id"),
         array((0 until NumHashes).map { i =>
@@ -2546,7 +2553,10 @@ object ExtQueries {
         .select(lit(family).as("family"),
           col("n_truth"), col("n_pred"), col("n_hit"))
     }
-    metrics("minhash", minhashDedup(spark, dir))
+    // the minhash family is graded THROUGH the same materialized shingle
+    // frame the truth set uses — one shingling pass, and structurally the
+    // same sets (a second derivation could silently drift)
+    metrics("minhash", minhashVerifiedPairsFrom(shd))
       .unionAll(metrics("simhash", simhashDedup(spark, dir)))
       .select(col("family"), col("n_truth"), col("n_pred"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_truth").cast("double"))
