@@ -96,6 +96,7 @@ object SparkEntry {
     "e_bm25_topk"         -> (ExtQueries.bm25Topk _),
     "e_bpe_merges"        -> (ExtQueries.bpeMerges _),
     "e_snapshot_diff"     -> (ExtQueries.snapshotDiff _),
+    "e_curation_funnel"   -> (ExtQueries.curationFunnel _),
     "e_seq_pack"          -> (ExtQueries.seqPack _),
     "e_zorder"            -> (ExtQueries.zorder _),
     "e_knn_graph"         -> (ExtQueries.knnGraph _),

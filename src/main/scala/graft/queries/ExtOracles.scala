@@ -38,15 +38,12 @@ object ExtOracles {
     * components over the pairs), the SQL twin of
     * `ExtQueries.minhashVerifiedPairs`. One definition for the same reason
     * as [[shingleCtes]]: duplicated derivations drift. */
-  private lazy val minhashBody: String =
-    s"""all_docs AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id,
-      |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[6:], ' ') AS text
-      |  FROM documents),
-      |${shingleCtes("all_docs")},
-      |mh AS (SELECT doc_id,
+  /** The minhash signature → banded candidates → exact-Jaccard `verified`
+    * chain, reading the `sh` shingle CTE — factored out of [[minhashBody]]
+    * so `e_curation_funnel` can run the SAME chain over a different corpus
+    * (its stage-1 survivors). */
+  private lazy val minhashSigCtes: String =
+    s"""mh AS (SELECT doc_id,
       |  list_transform(range(0, ${ExtQueries.NumHashes}), i ->
       |    list_min(list_transform(ds,
       |      h -> (${lst(ExtQueries.MinhashA)}[i+1] * h
@@ -67,6 +64,55 @@ object ExtOracles {
       |  FROM cand c
       |  JOIN sh sa ON sa.doc_id = c.doc_a
       |  JOIN sh sb ON sb.doc_id = c.doc_b)""".stripMargin
+
+  private lazy val minhashBody: String =
+    s"""all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[6:], ' ') AS text
+      |  FROM documents),
+      |${shingleCtes("all_docs")},
+      |$minhashSigCtes""".stripMargin
+
+  /** The Gopher quality-rule CTE chain over `src`(doc_id, lang, source,
+    * text), ending in `qr` (signals + verdict + keep) — ONE SQL rule
+    * definition shared by `e_quality_filter` and `e_curation_funnel`,
+    * mirroring `ExtQueries.qualitySignals`. */
+  private def qualityCtes(src: String): String =
+    s"""qt AS (
+      |  SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\\s+') AS tk
+      |  FROM $src),
+      |qs AS (
+      |  SELECT doc_id, lang, source,
+      |    len(tk) AS n_tokens,
+      |    len(list_distinct(tk)) AS n_uniq,
+      |    list_sum(list_transform(tk, x -> length(x))) AS total_len,
+      |    len(list_filter(tk, x -> length(x) >= ${ExtQueries.QfGarbageTokenLen})) AS n_long_tokens,
+      |    len(list_filter(tk, x -> x IN ($stopwordList))) AS n_stop
+      |  FROM qt),
+      |qv AS (
+      |  SELECT doc_id, lang, source, n_tokens,
+      |    CAST(total_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+      |    CAST(1 AS DOUBLE) - CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_ratio,
+      |    n_long_tokens, n_stop FROM qs),
+      |qr AS (
+      |  SELECT doc_id, lang, source, n_tokens, mean_token_len, dup_ratio,
+      |    n_long_tokens, n_stop,
+      |    CASE WHEN n_tokens < ${ExtQueries.QfMinTokens} THEN 'too_short'
+      |         WHEN n_tokens > ${ExtQueries.QfMaxTokens} THEN 'too_long'
+      |         WHEN mean_token_len < CAST(${ExtQueries.QfMinMeanLen} AS DOUBLE) THEN 'tokens_too_short'
+      |         WHEN mean_token_len > CAST(${ExtQueries.QfMaxMeanLen} AS DOUBLE) THEN 'tokens_too_long'
+      |         WHEN n_long_tokens > 0 THEN 'has_garbage_token'
+      |         WHEN dup_ratio > CAST(${ExtQueries.QfMaxDupRatio} AS DOUBLE) THEN 'too_repetitive'
+      |         WHEN n_stop = 0 THEN 'no_stopwords'
+      |         ELSE 'keep' END AS verdict,
+      |    (n_tokens >= ${ExtQueries.QfMinTokens} AND n_tokens <= ${ExtQueries.QfMaxTokens}
+      |      AND mean_token_len >= CAST(${ExtQueries.QfMinMeanLen} AS DOUBLE)
+      |      AND mean_token_len <= CAST(${ExtQueries.QfMaxMeanLen} AS DOUBLE)
+      |      AND n_long_tokens = 0 AND dup_ratio <= CAST(${ExtQueries.QfMaxDupRatio} AS DOUBLE)
+      |      AND n_stop > 0) AS keep
+      |  FROM qv)""".stripMargin
 
   /** The semantic-dedup CTE chain through `assigned` (corpus + perturbed
     * variants, cell-assigned by argmax cosine over the pinned seed
@@ -673,38 +719,45 @@ object ExtOracles {
         |FROM red ORDER BY doc_id""".stripMargin,
 
     "e_quality_filter" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\\s+') AS tk
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, lang, source,
-        |    len(tk) AS n_tokens,
-        |    len(list_distinct(tk)) AS n_uniq,
-        |    list_sum(list_transform(tk, x -> length(x))) AS total_len,
-        |    len(list_filter(tk, x -> length(x) >= ${ExtQueries.QfGarbageTokenLen})) AS n_long_tokens,
-        |    len(list_filter(tk, x -> x IN ($stopwordList))) AS n_stop
-        |  FROM t),
-        |r AS (
-        |  SELECT doc_id, lang, source, n_tokens,
-        |    CAST(total_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
-        |    CAST(1 AS DOUBLE) - CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_ratio,
-        |    n_long_tokens, n_stop FROM s)
+      s"""WITH ${qualityCtes("documents")}
         |SELECT doc_id, lang, source, n_tokens, mean_token_len, dup_ratio,
-        |  n_long_tokens, n_stop,
-        |  CASE WHEN n_tokens < ${ExtQueries.QfMinTokens} THEN 'too_short'
-        |       WHEN n_tokens > ${ExtQueries.QfMaxTokens} THEN 'too_long'
-        |       WHEN mean_token_len < CAST(${ExtQueries.QfMinMeanLen} AS DOUBLE) THEN 'tokens_too_short'
-        |       WHEN mean_token_len > CAST(${ExtQueries.QfMaxMeanLen} AS DOUBLE) THEN 'tokens_too_long'
-        |       WHEN n_long_tokens > 0 THEN 'has_garbage_token'
-        |       WHEN dup_ratio > CAST(${ExtQueries.QfMaxDupRatio} AS DOUBLE) THEN 'too_repetitive'
-        |       WHEN n_stop = 0 THEN 'no_stopwords'
-        |       ELSE 'keep' END AS verdict,
-        |  (n_tokens >= ${ExtQueries.QfMinTokens} AND n_tokens <= ${ExtQueries.QfMaxTokens}
-        |    AND mean_token_len >= CAST(${ExtQueries.QfMinMeanLen} AS DOUBLE)
-        |    AND mean_token_len <= CAST(${ExtQueries.QfMaxMeanLen} AS DOUBLE)
-        |    AND n_long_tokens = 0 AND dup_ratio <= CAST(${ExtQueries.QfMaxDupRatio} AS DOUBLE)
-        |    AND n_stop > 0) AS keep
-        |FROM r ORDER BY doc_id""".stripMargin,
+        |  n_long_tokens, n_stop, verdict, keep
+        |FROM qr ORDER BY doc_id""".stripMargin,
+
+    // End-to-end curation funnel: composes the SAME shingle/minhash chain
+    // and the SAME quality-rule CTEs the graded operators use, staged over
+    // the re-crawl fixture corpus; per-doc drop attribution.
+    "e_curation_funnel" ->
+      s"""WITH fbase AS (SELECT doc_id, lang, source, text FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, lang, source, text FROM fbase
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, lang, source, text FROM fbase
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, lang, source,
+        |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[6:], ' ') AS text
+        |  FROM fbase),
+        |wh AS (SELECT doc_id, lang, source, text,
+        |  CAST('0x'||substr(md5(text),1,15) AS BIGINT) AS h FROM corpus),
+        |es AS (SELECT h, min(doc_id) AS surv FROM wh GROUP BY h),
+        |dropexact AS (SELECT w.doc_id FROM wh w JOIN es e USING (h)
+        |  WHERE w.doc_id <> e.surv),
+        |surv1 AS (SELECT doc_id, lang, source, text FROM corpus
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dropexact)),
+        |${shingleCtes("surv1")},
+        |$minhashSigCtes,
+        |dropnear AS (SELECT DISTINCT doc_b AS doc_id FROM verified
+        |  WHERE 2 * n_inter >= n_union),
+        |surv2 AS (SELECT doc_id, lang, source, text FROM surv1
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dropnear)),
+        |${qualityCtes("surv2")},
+        |dropqual AS (SELECT doc_id FROM qr WHERE NOT keep)
+        |SELECT c.doc_id,
+        |  CASE WHEN c.doc_id IN (SELECT doc_id FROM dropexact) THEN 'exact_dup'
+        |       WHEN c.doc_id IN (SELECT doc_id FROM dropnear) THEN 'near_dup'
+        |       WHEN c.doc_id IN (SELECT doc_id FROM dropqual) THEN 'quality'
+        |       ELSE 'kept' END AS stage
+        |FROM corpus c ORDER BY c.doc_id""".stripMargin,
 
     "e_domain_stats" ->
       s"""WITH t AS (

@@ -1340,8 +1340,15 @@ object ExtQueries {
     * standard "reject reason" telemetry). Signals are exact integers or
     * single int→double divisions; the rule order is pinned so the verdict
     * is deterministic. Zero shuffles — pure projected scan until the sort. */
-  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
-    val toked = table(spark, dir, "documents")
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    qualitySignals(table(spark, dir, "documents")).orderBy("doc_id")
+
+  /** The Gopher-style rule battery over ANY (doc_id, lang, source, text)
+    * frame — ONE rule definition shared by [[qualityFilter]] (the full
+    * report) and [[curationFunnel]] (the quality stage), so the funnel can
+    * never apply a drifted copy of the rules. */
+  private def qualitySignals(docs: DataFrame): DataFrame = {
+    val toked = docs
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         tokens(col("text")).as("tk"))
     val nTok = size(col("tk"))
@@ -1369,7 +1376,6 @@ object ExtQueries {
     sig
       .withColumn("verdict", verdict)
       .withColumn("keep", keep)
-      .orderBy("doc_id")
   }
 
   // ---- e_domain_stats -----------------------------------------------------
@@ -2075,6 +2081,74 @@ object ExtQueries {
       .select(col("doc_id"), size(col("tk")).as("n_tokens"),
         (size(col("tk")) - size(col("kept"))).as("n_removed"),
         array_join(col("kept"), " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  // ---- e_curation_funnel --------------------------------------------------
+
+  /** The end-to-end curation FUNNEL — the composite a pretraining-data
+    * pipeline actually runs, staged over one corpus with per-document drop
+    * attribution: (1) exact dedup (min-id survivor per 60-bit content
+    * fingerprint), (2) near-dup dedup (minhash-LSH verified pairs over the
+    * stage-1 survivors, drop the higher id of each pair), (3) the Gopher
+    * quality battery over what remains. Every document exits with exactly
+    * one stage label — `exact_dup`, `near_dup`, `quality`, or `kept` — the
+    * attrition report data teams audit before a training run.
+    *
+    * The fixture corpus is the realistic re-crawl mix: originals + exact
+    * re-fetches (ids + 1,000,000, same bytes) + boilerplate-shifted
+    * revisions (ids + 2,000,000, first 5 tokens dropped), fanned out from
+    * ONE scan by a generator. Stages REUSE the graded operators' own
+    * derivations — [[minhashVerifiedPairsFrom]] over a shared shingle
+    * frame, [[qualitySignals]]'s single rule definition — so the funnel
+    * cannot drift from the operators it composes.
+    *
+    * At scale: stage 1 is one hash-groupBy on (fingerprint, id) slim rows;
+    * stage 2 is the minhash pipeline's banded equi-join over survivors
+    * (never all-pairs); stage 3 is a zero-shuffle scan; the label assembly
+    * joins id-only frames. Text crosses a shuffle only where the composed
+    * operators already require it. The corpus and survivor frames are
+    * persisted (each feeds ≥2 stages); callers clearCache(). */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        posexplode(array(
+          struct(lit(0L).as("shift"), col("text").as("t")),
+          struct(lit(1000000L).as("shift"), col("text").as("t")),
+          struct(lit(2000000L).as("shift"),
+            array_join(slice(tokens(col("text")), lit(6),
+              size(tokens(col("text")))), " ").as("t")))))
+      .select((col("doc_id") + col("col.shift")).as("doc_id"),
+        col("lang"), col("source"), col("col.t").as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withHash = corpus.withColumn("h", hash64(col("text")))
+    val exactSurv = withHash.groupBy(col("h")).agg(min(col("doc_id")).as("surv"))
+    // PERSISTED (ids only): each drop frame feeds its stage's anti-join AND
+    // the final label assembly — unpersisted, the minhash pipeline would
+    // execute twice (the dedup-eval lesson)
+    val dropExact = withHash.join(exactSurv, Seq("h"))
+      .filter(col("doc_id") =!= col("surv"))
+      .select(col("doc_id"))
+      .persist()
+    val surv1 = corpus.join(dropExact, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shd = shingleSets(surv1.select(col("doc_id"), col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropNear = minhashVerifiedPairsFrom(shd)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .persist()
+    val surv2 = surv1.join(dropNear, Seq("doc_id"), "left_anti")
+    val dropQual = qualitySignals(surv2)
+      .filter(!col("keep")).select(col("doc_id"))
+    corpus.select(col("doc_id"))
+      .join(dropExact.withColumn("s1", lit(1)), Seq("doc_id"), "left")
+      .join(dropNear.withColumn("s2", lit(1)), Seq("doc_id"), "left")
+      .join(dropQual.withColumn("s3", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("s1").isNotNull, lit("exact_dup"))
+          .when(col("s2").isNotNull, lit("near_dup"))
+          .when(col("s3").isNotNull, lit("quality"))
+          .otherwise(lit("kept")).as("stage"))
       .orderBy("doc_id")
   }
 

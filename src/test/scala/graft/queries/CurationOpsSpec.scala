@@ -109,6 +109,33 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("curation funnel: stage labels partition the corpus and agree with the composed operators") {
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val got = ExtQueries.curationFunnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    spark.catalog.clearCache() // funnel persists corpus/survivor/drop frames
+    assert(got.size.toLong == 3 * n, "originals + re-fetches + revisions")
+    // every exact re-fetch (+1M, identical bytes) must fall at stage 1
+    (0L until n).foreach { id =>
+      assert(got(id + 1000000L) == "exact_dup", s"re-fetch of $id")
+    }
+    // cross-operator consistency: an ORIGINAL doc that reached the quality
+    // stage must carry the same verdict e_quality_filter gives it directly
+    val qualKeep = ExtQueries.qualityFilter(spark, dir)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (0L until n).foreach { id =>
+      got(id) match {
+        case "quality" => assert(!qualKeep(id), s"doc $id dropped but battery keeps")
+        case "kept"    => assert(qualKeep(id), s"doc $id kept but battery drops")
+        case _         => () // dropped before the quality stage
+      }
+    }
+    val byStage = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byStage.keySet.subsetOf(Set("exact_dup", "near_dup", "quality", "kept")))
+    assert(byStage("kept") > 0, "a funnel that keeps nothing is a bug")
+  }
+
   test("dedup eval: minhash precision is structurally 1.0; counts consistent") {
     val rows = ExtQueries.dedupEval(spark, dir).collect()
     spark.catalog.clearCache() // dedupEval + family pipelines persist
