@@ -99,6 +99,20 @@ object Demo {
     println("== media features (stub codec):")
     graft.multimodal.MediaDecode.extractFeatures(media).orderBy("doc_id").show(5, false)
 
+    // LLM-data-curation slice: the end-to-end funnel's attrition report,
+    // lexical search, and ANN rank fusion over the fixture tables
+    val sf = "/root/testdata/sf0.001"
+    println("== curation funnel attrition (originals + re-fetches + revisions):")
+    graft.queries.ExtQueries.curationFunnel(spark, sf)
+      .groupBy("stage").count().orderBy("stage").show(false)
+    println("== BM25 lexical search, query 0 top-5:")
+    graft.queries.ExtQueries.bm25Topk(spark, sf)
+      .filter($"qid" === 0 && $"rank" <= 5).show(false)
+    println("== ANN rank fusion (LSH+IVF+PQ consensus), query 0 top-5:")
+    graft.queries.ExtQueries.rankFusion(spark, sf)
+      .filter($"qid" === 0 && $"rank" <= 5).show(false)
+    spark.catalog.clearCache() // funnel/fusion persist intermediates
+
     // malformed day file: observe the failure mode
     Files.writeString(Paths.get(s"$root/bad.json"), "this is not json {{{")
     try {
