@@ -108,6 +108,7 @@ object SparkEntry {
     "e_vec_quantize"      -> (ExtQueries.vecQuantize _),
     "e_frame_sample"      -> (ExtQueries.frameSample _),
     "e_split"             -> (ExtQueries.corpusSplit _),
+    "e_split_contamination" -> (ExtQueries.splitContamination _),
     "e_centroid_score"    -> (ExtQueries.centroidScore _),
     "e_dedup_eval"        -> (ExtQueries.dedupEval _),
   )

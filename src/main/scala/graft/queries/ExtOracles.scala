@@ -1259,9 +1259,24 @@ object ExtOracles {
       |SELECT qid, cid, rrf, n_lists, rank FROM rankedf WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
+  /** `e_split_contamination` — COMPOSES the graded `e_split` and
+    * `e_decontaminate` SQL texts (same device as `e_ann_recall`), so the
+    * audit cannot drift from the split/contamination definitions. */
+  private lazy val splitContaminationSql: String =
+    s"""WITH sp AS (SELECT doc_id, split FROM (${baseSql("e_split")}) s
+      |  WHERE doc_id >= 20),
+      |con AS (SELECT doc_id FROM (${baseSql("e_decontaminate")}) d)
+      |SELECT sp.split, count(*) AS n_docs,
+      |  CAST(count(con.doc_id) AS BIGINT) AS n_contaminated,
+      |  CAST(count(con.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    AS contamination_rate
+      |FROM sp LEFT JOIN con ON sp.doc_id = con.doc_id
+      |GROUP BY sp.split ORDER BY sp.split""".stripMargin
+
   val sql: Map[String, String] = baseSql +
     ("e_dedup_eval" -> dedupEvalSql) +
-    ("e_rank_fusion" -> rankFusionSql) + ("e_ann_recall" ->
+    ("e_rank_fusion" -> rankFusionSql) +
+    ("e_split_contamination" -> splitContaminationSql) + ("e_ann_recall" ->
     s"""WITH ex AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk")}) t),
       |lsh AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_lsh")}) u),
       |ivf AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_ivf")}) v),

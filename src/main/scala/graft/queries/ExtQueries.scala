@@ -2512,6 +2512,37 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // ---- e_split_contamination ----------------------------------------------
+
+  /** Split-level contamination audit — the leakage report a team reads
+    * before trusting held-out numbers: per train/val/test split (from the
+    * leakage-safe [[corpusSplit]]), how many corpus documents share ≥ 1
+    * 3-gram shingle with the benchmark set ([[decontaminate]]'s criterion),
+    * and the contamination rate. A contaminated TEST split means the eval
+    * was memorizable no matter how clean training was — this report is why
+    * decontamination runs before splitting in a production pipeline.
+    *
+    * Composes the two graded operators' own derivations (and the oracle
+    * composes their SQL texts), so the audit cannot drift from the split
+    * and contamination definitions it reports on.
+    *
+    * At scale: both inputs are id-keyed slim frames (the split assignment
+    * and the contaminated-id set); the report is one |splits|-row
+    * aggregate, map-side combined. */
+  def splitContamination(spark: SparkSession, dir: String): DataFrame = {
+    val splits = corpusSplit(spark, dir)
+      .select(col("doc_id"), col("split"))
+      .filter(col("doc_id") >= 20) // decontaminate's corpus side
+    val contam = decontaminate(spark, dir)
+      .select(col("doc_id"), lit(1L).as("c"))
+    splits.join(contam, Seq("doc_id"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), count(col("c")).as("n_contaminated"))
+      .withColumn("contamination_rate",
+        col("n_contaminated").cast("double") / col("n_docs").cast("double"))
+      .orderBy("split")
+  }
+
   // ---- e_centroid_score ---------------------------------------------------
 
   /** Nearest-centroid embedding classifier — the model-based quality/domain

@@ -109,6 +109,27 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("split contamination: counts recompute from the two composed operators") {
+    val splits = ExtQueries.corpusSplit(spark, dir)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).filter(_._1 >= 20)
+    val contam = ExtQueries.decontaminate(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    spark.catalog.clearCache() // decontaminate persists shingles
+    val want = splits.groupBy(_._2).view.mapValues { xs =>
+      (xs.length.toLong, xs.count(x => contam(x._1)).toLong)
+    }.toMap
+    val got = ExtQueries.splitContamination(spark, dir).collect()
+    spark.catalog.clearCache()
+    assert(got.map(_.getString(0)).toSeq == got.map(_.getString(0)).sorted.toSeq)
+    got.foreach { r =>
+      val (n, c) = want(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == c, s"split ${r.getString(0)}")
+      assert(r.getDouble(3) == c.toDouble / n.toDouble)
+    }
+    assert(got.map(_.getLong(1)).sum == splits.length.toLong, "every doc counted once")
+  }
+
   test("curation funnel: stage labels partition the corpus and agree with the composed operators") {
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
     val got = ExtQueries.curationFunnel(spark, dir).collect()
