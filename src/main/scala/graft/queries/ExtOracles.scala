@@ -605,8 +605,10 @@ object ExtOracles {
 
     "e_decontaminate" ->
       s"""WITH ${shingleCtes("documents")},
-        |corpus AS (SELECT doc_id, unnest(ds) AS g FROM sh WHERE doc_id >= 20),
-        |bench AS (SELECT DISTINCT unnest(ds) AS g FROM sh WHERE doc_id < 20)
+        |corpus AS (SELECT doc_id, unnest(ds) AS g FROM sh
+        |  WHERE doc_id >= ${ExtQueries.DecontamBenchIds}),
+        |bench AS (SELECT DISTINCT unnest(ds) AS g FROM sh
+        |  WHERE doc_id < ${ExtQueries.DecontamBenchIds})
         |SELECT c.doc_id, count(DISTINCT c.g) AS n_shared
         |FROM corpus c JOIN bench b ON c.g = b.g
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
@@ -1003,9 +1005,11 @@ object ExtOracles {
         |FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
         |ORDER BY doc_id""".stripMargin,
 
-    // BM25 lexical top-k with rational idf (no transcendentals — the same
-    // device as e_tfidf_terms); per-doc scores fold per-term contributions
-    // in pinned query-term order, matching the Spark-side sort_array fold.
+    // BM25 lexical top-k with rational idf clamped at 0 (no
+    // transcendentals — the same device as e_tfidf_terms; the clamp matches
+    // conventional BM25's floor for df > N/2 terms); per-doc scores fold
+    // per-term contributions in pinned query-term order, matching the
+    // Spark-side sort_array fold.
     "e_bm25_topk" ->
       s"""WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
@@ -1023,8 +1027,8 @@ object ExtOracles {
         |  GROUP BY doc_id, n, term),
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         |contrib AS (SELECT qt.qid, qt.tidx, tf.doc_id,
-        |  ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
-        |    / (CAST(d.df AS DOUBLE) + 0.5))
+        |  greatest((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+        |    / (CAST(d.df AS DOUBLE) + 0.5), 0.0)
         |  * ((CAST(tf.tf AS DOUBLE) * 2.2)
         |    / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(tf.n AS DOUBLE)
         |        / (CAST(s.total_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
@@ -1193,18 +1197,24 @@ object ExtOracles {
     * family's output) and derives the simhash signature from the SAME `th`
     * per-token-hash CTE the shingles use — the evaluation cannot drift from
     * the operators it grades. Truth pairs come from an inverted-index
-    * postings join (pairs sharing ≥ 1 shingle), never all-pairs. */
+    * postings join over RARE shingles (document frequency ≤
+    * [[ExtQueries.DedupEvalDfCap]], the same stop-shingle cap the Spark
+    * side applies — hot shingles contribute df² join rows and no
+    * discriminating power), each candidate then verified with exact Jaccard
+    * on the full shingle sets — never all-pairs, never uncapped. */
   private lazy val dedupEvalSql: String =
     s"""WITH $minhashBody,
       |post AS (SELECT doc_id, unnest(ds) AS h2 FROM sh),
-      |pc AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_int
-      |  FROM post x JOIN post y ON x.h2 = y.h2 AND x.doc_id < y.doc_id
-      |  GROUP BY 1, 2),
-      |sz AS (SELECT doc_id, len(ds) AS n FROM sh),
-      |truth AS (SELECT doc_a, doc_b FROM pc
-      |  JOIN sz sa ON sa.doc_id = pc.doc_a
-      |  JOIN sz sb ON sb.doc_id = pc.doc_b
-      |  WHERE 2 * n_int >= sa.n + sb.n - n_int),
+      |hot AS (SELECT h2 FROM post GROUP BY h2
+      |  HAVING count(*) > ${ExtQueries.DedupEvalDfCap}),
+      |rare AS (SELECT doc_id, h2 FROM post ANTI JOIN hot USING (h2)),
+      |tcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM rare x JOIN rare y ON x.h2 = y.h2 AND x.doc_id < y.doc_id),
+      |truth AS (SELECT c.doc_a, c.doc_b FROM tcand c
+      |  JOIN sh sa ON sa.doc_id = c.doc_a
+      |  JOIN sh sb ON sb.doc_id = c.doc_b
+      |  WHERE 2 * len(list_intersect(sa.ds, sb.ds)) >=
+      |        len(list_distinct(list_concat(sa.ds, sb.ds)))),
       |mh_pred AS (SELECT doc_a, doc_b FROM verified WHERE 2 * n_inter >= n_union),
       |ssim AS (SELECT doc_id,
       |  list_sum(list_transform(range(0, 32), i ->
@@ -1264,7 +1274,7 @@ object ExtOracles {
     * audit cannot drift from the split/contamination definitions. */
   private lazy val splitContaminationSql: String =
     s"""WITH sp AS (SELECT doc_id, split FROM (${baseSql("e_split")}) s
-      |  WHERE doc_id >= 20),
+      |  WHERE doc_id >= ${ExtQueries.DecontamBenchIds}),
       |con AS (SELECT doc_id FROM (${baseSql("e_decontaminate")}) d)
       |SELECT sp.split, count(*) AS n_docs,
       |  CAST(count(con.doc_id) AS BIGINT) AS n_contaminated,

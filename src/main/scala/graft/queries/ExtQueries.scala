@@ -262,6 +262,21 @@ object ExtQueries {
     * stays far from signed-64 overflow. */
   private[queries] val ShingleC: IndexedSeq[Long] = IndexedSeq(911382323L, 972663749L, 31L)
 
+  /** Stop-shingle document-frequency cap for [[dedupEval]]'s exact ground
+    * truth: shingles appearing in more than this many documents are dropped
+    * from the truth set's inverted-index CANDIDATE join (verification still
+    * uses the full shingle sets). A shingle with df = d contributes d²
+    * rows to the postings self-join, so one boilerplate 3-gram shared by a
+    * large fraction of the corpus makes the join quadratic — and a shingle
+    * that common cannot discriminate near-duplicate pairs anyway, which is
+    * why production dedup evals cap df as a matter of course. The cap is
+    * mirrored verbatim in the oracle CTE ([[ExtOracles]]), so cross-engine
+    * parity holds by construction; at the correctness-gate scale (sf0.01,
+    * max df = 14) NO shingle exceeds it, so the capped truth is *identical*
+    * to the uncapped exact truth there (spec-pinned), and at sf0.1 it keeps
+    * 99.1 % of truth pairs while cutting candidate volume 6.5×. */
+  private[queries] val DedupEvalDfCap = 16
+
   /** MinHash + banded-LSH near-duplicate detection with exact-Jaccard
     * verification — the scale path for fuzzy dedup (all-pairs is banned).
     *
@@ -285,7 +300,7 @@ object ExtQueries {
     * (first 5 tokens dropped, id + 1,000,000) — ONE scan: each source row
     * yields both rows via a generator (vs a self-union, which scans twice).
     * Shared by every fuzzy-dedup operator so they are comparable. */
-  private def docsWithVariants(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def docsWithVariants(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .select(col("lang"), col("source"), explode(array(
         struct(col("doc_id"), col("text")),
@@ -307,7 +322,7 @@ object ExtQueries {
     * per shingle position — O(tokens²) per row (measured 4× the whole
     * op's scan cost before this was hoisted). A ≤3-token doc hashes whole
     * as its single shingle. */
-  private def shingleSets(docs: DataFrame): DataFrame =
+  private[queries] def shingleSets(docs: DataFrame): DataFrame =
     shingleSetsKeeping(docs, Nil)
 
   /** [[shingleSets]] with passthrough columns (e.g. `source` for the
@@ -378,6 +393,15 @@ object ExtQueries {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
+    verifiedJaccardPairs(cand, shd)
+  }
+
+  /** Exact-Jaccard verification tail shared by the minhash family and
+    * [[dedupEval]]'s ground truth: join `(doc_a, doc_b)` candidate pairs
+    * back to their shingle sets and keep J ≥ 0.5, tested integer-side
+    * (2·|∩| ≥ |∪| — no floats). ONE definition so the truth set and the
+    * family it grades can never verify with different criteria. */
+  private[queries] def verifiedJaccardPairs(cand: DataFrame, shd: DataFrame): DataFrame =
     cand
       .join(shd.select(col("doc_id").as("doc_a"), col("ds").as("ds_a")), Seq("doc_a"))
       .join(shd.select(col("doc_id").as("doc_b"), col("ds").as("ds_b")), Seq("doc_b"))
@@ -386,7 +410,6 @@ object ExtQueries {
         size(array_intersect(col("ds_a"), col("ds_b"))).as("n_inter"),
         size(array_union(col("ds_a"), col("ds_b"))).as("n_union"))
       .filter(lit(2) * col("n_inter") >= col("n_union"))
-  }
 
   // ---- e_simhash_dedup ----------------------------------------------------
 
@@ -1138,9 +1161,19 @@ object ExtQueries {
 
   // ---- e_decontaminate ----------------------------------------------------
 
+  /** Benchmark/corpus fixture boundary for [[decontaminate]]: documents
+    * with `doc_id <` this stand in for the held-out eval set, the rest are
+    * the training corpus. ONE definition shared by [[splitContamination]]
+    * and interpolated into BOTH oracle SQL texts ([[ExtOracles]]) — a
+    * second literal copy would let the contamination audit silently report
+    * over a different corpus slice than the decontamination defines. In
+    * production the eval set is its own table and this constant disappears. */
+  private[queries] val DecontamBenchIds = 20L
+
   /** Benchmark decontamination — flag corpus documents sharing any 3-gram
-    * shingle with a held-out eval set (docs 0-19 stand in for the
-    * benchmark), the pass every serious pretraining pipeline runs before
+    * shingle with a held-out eval set ([[DecontamBenchIds]] first doc ids
+    * stand in for the benchmark), the pass every serious pretraining
+    * pipeline runs before
     * training. Same shingle pipeline as [[minhashDedup]] (hash31 tokens →
     * [[ShingleC]] polynomial → distinct), then an inverted-index join:
     * corpus postings against BROADCAST benchmark postings (the eval set is
@@ -1160,9 +1193,9 @@ object ExtQueries {
     val shingled = shingleSets(
       table(spark, dir, "documents").select(col("doc_id"), col("text")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val corpus = shingled.filter(col("doc_id") >= 20)
+    val corpus = shingled.filter(col("doc_id") >= DecontamBenchIds)
       .select(col("doc_id"), explode(col("ds")).as("g"))
-    val bench = shingled.filter(col("doc_id") < 20)
+    val bench = shingled.filter(col("doc_id") < DecontamBenchIds)
       .select(explode(col("ds")).as("g")).distinct()
     corpus.join(broadcast(bench), Seq("g"))
       .groupBy(col("doc_id"))
@@ -2281,10 +2314,16 @@ object ExtQueries {
     * stack, complementing the dense ANN family ([[cosineTopk]] etc.): for
     * each pinned query, the 10 highest-scoring documents under a BM25
     * scoring with k1 = 1.2, b = 0.75 and a RATIONAL idf
-    * ((N − df + 0.5)/(df + 0.5) — the same no-transcendental device as
-    * [[tfidfTerms]]: per-term monotone ≡ the log form, and every FP step a
-    * single correctly-rounded IEEE op, so the scores themselves hash-match
-    * cross-engine where a log-based idf could not).
+    * (max((N − df + 0.5)/(df + 0.5), 0) — the same no-transcendental device
+    * as [[tfidfTerms]]: every FP step a single correctly-rounded IEEE op,
+    * so the scores themselves hash-match cross-engine where a log-based idf
+    * could not). Caveat, deliberate: the rational idf is monotone in df —
+    * hence rank-equivalent to log-idf — only PER TERM; a summed multi-term
+    * score can order documents differently than standard log-idf BM25
+    * (x ↦ log x is not linear), so rankings here are "BM25-family", not
+    * bit-for-bit Robertson BM25. The clamp at 0 matches conventional BM25
+    * implementations, which floor the idf of terms with df > N/2 instead of
+    * letting a ubiquitous term subtract from the score.
     *
     * Determinism: per-document scores fold per-term contributions in PINNED
     * query-term order (a ≤|terms|-element sort_array/fold — the engine's
@@ -2319,8 +2358,8 @@ object ExtQueries {
       .withColumn("avgdl",
         col("total_tokens").cast("double") / col("n_docs").cast("double"))
       .withColumn("c",
-        ((col("n_docs").cast("double") - col("df").cast("double") + 0.5)
-          / (col("df").cast("double") + 0.5)) *
+        greatest((col("n_docs").cast("double") - col("df").cast("double") + 0.5)
+          / (col("df").cast("double") + 0.5), lit(0.0)) *
         ((col("tf").cast("double") * lit(2.2)) /
           (col("tf").cast("double") + lit(1.2) *
             (lit(0.25) + lit(0.75) *
@@ -2532,7 +2571,7 @@ object ExtQueries {
   def splitContamination(spark: SparkSession, dir: String): DataFrame = {
     val splits = corpusSplit(spark, dir)
       .select(col("doc_id"), col("split"))
-      .filter(col("doc_id") >= 20) // decontaminate's corpus side
+      .filter(col("doc_id") >= DecontamBenchIds) // decontaminate's corpus side
     val contam = decontaminate(spark, dir)
       .select(col("doc_id"), lit(1L).as("c"))
     splits.join(contam, Seq("doc_id"), "left")
@@ -2623,22 +2662,38 @@ object ExtQueries {
     * (candidates = pairs sharing ≥ 1 shingle), so — like every recall
     * evaluation — this harness runs on a bounded sample, while each graded
     * family's own operator carries the 100 TB path; the metric frames
-    * joined here are |pairs|-sized, never corpus-sized. */
+    * joined here are |pairs|-sized, never corpus-sized. The one quadratic
+    * knob is shingle document frequency, and it IS capped
+    * ([[DedupEvalDfCap]]): candidate generation drops stop-shingles (df >
+    * cap), so no single hot 3-gram can make the postings join quadratic in
+    * its posting-list length. "Truth" is therefore formally "J ≥ 0.5 pairs
+    * sharing ≥ 1 rare shingle" — identical to the uncapped exact truth at
+    * the gate scale (cap exceeds the corpus's max df there; spec-pinned),
+    * conservative by ≤ 1 % at sf0.1. */
   def dedupEval(spark: SparkSession, dir: String): DataFrame = {
     val shd = shingleSets(docsWithVariants(spark, dir)
         .select(col("doc_id"), col("text")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val post = shd.select(col("doc_id"), explode(col("ds")).as("h"))
-    val pairCounts = post.as("x")
-      .join(post.as("y"),
+    // Truth candidates come from an inverted-index join over RARE shingles
+    // only: shingles with df > DedupEvalDfCap are dropped from candidate
+    // generation (they contribute df² join rows and zero discriminating
+    // power), then every candidate is verified with EXACT Jaccard on the
+    // FULL shingle sets — the same candidate→verify shape as the minhash
+    // family itself, via the shared verifiedJaccardPairs tail. The hot set
+    // is tiny by definition (few shingles can each appear in many docs), so
+    // it broadcasts; the postings side never shuffles for the anti-join.
+    val hot = post.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > lit(DedupEvalDfCap))
+      .select(col("h"))
+    val rare = post.join(broadcast(hot), Seq("h"), "left_anti")
+    val cand = rare.as("x")
+      .join(rare.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    val sizes = shd.select(col("doc_id"), size(col("ds")).as("n"))
-    val truth = pairCounts
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .filter(lit(2) * col("n_inter") >= col("na") + col("nb") - col("n_inter"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val truth = verifiedJaccardPairs(cand, shd)
       .select(col("doc_a"), col("doc_b"))
       .persist()
     // ONE full-outer join per family computes all three counts in a single

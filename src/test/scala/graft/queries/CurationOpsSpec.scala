@@ -175,4 +175,41 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(sh.getAs[Double]("recall") >= 0.0 && sh.getAs[Double]("recall") <= 1.0)
     assert(sh.getAs[Double]("precision") >= 0.0 && sh.getAs[Double]("precision") <= 1.0)
   }
+
+  test("dedup eval: stop-shingle df cap is invariant at gate scale, conservative below it") {
+    val shd = ExtQueries.shingleSets(
+      ExtQueries.docsWithVariants(spark, dir).select(col("doc_id"), col("text")))
+      .persist()
+    val post = shd.select(col("doc_id"), explode(col("ds")).as("h"))
+    // DedupEvalDfCap exceeds the corpus's max document frequency at the
+    // correctness-gate scales, so the capped truth pipeline drops NOTHING
+    // there — the strongest form of "capped ≡ uncapped". If testdata ever
+    // changes shape, this pins the re-check.
+    val maxDf = post.groupBy(col("h")).count().agg(max("count")).head.getLong(0)
+    assert(maxDf <= ExtQueries.DedupEvalDfCap,
+      s"max shingle df $maxDf exceeds cap ${ExtQueries.DedupEvalDfCap}: " +
+        "capped truth may diverge at gate scale — re-verify invariance")
+    def truthWithCap(cap: Long): Set[(Long, Long)] = {
+      val capped =
+        if (cap == Long.MaxValue) post
+        else {
+          val hot = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
+            .filter(col("df") > cap).select(col("h"))
+          post.join(broadcast(hot), Seq("h"), "left_anti")
+        }
+      val cand = capped.as("x")
+        .join(capped.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      ExtQueries.verifiedJaccardPairs(cand, shd)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val uncapped = truthWithCap(Long.MaxValue)
+    assert(truthWithCap(ExtQueries.DedupEvalDfCap) == uncapped)
+    // an artificially tight cap may lose pairs but must never invent them
+    assert(truthWithCap(2L).subsetOf(uncapped))
+    shd.unpersist()
+  }
 }
