@@ -1269,6 +1269,37 @@ object ExtOracles {
       |SELECT qid, cid, rrf, n_lists, rank FROM rankedf WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
+  /** `e_hybrid_search` — dense+sparse hybrid retrieval: the three ANN
+    * family SQL texts (filtered to the hybrid query ids) RRF-fused with the
+    * `e_bm25_topk` lexical list, fidx order lsh, ivf, pq, bm25 — matching
+    * the Spark-side pinned fold. COMPOSES the four graded SQL texts
+    * verbatim (same device as `e_rank_fusion`). */
+  private lazy val hybridSearchSql: String =
+    s"""WITH lshf AS (SELECT qid, cid, rank FROM (${baseSql("e_cosine_topk_lsh")}) a
+      |  WHERE qid < ${ExtQueries.Bm25Queries.size}),
+      |ivff AS (SELECT qid, cid, rank FROM (${baseSql("e_cosine_topk_ivf")}) b
+      |  WHERE qid < ${ExtQueries.Bm25Queries.size}),
+      |pqf AS (SELECT qid, cid, rank FROM (${baseSql("e_cosine_topk_pq")}) c
+      |  WHERE qid < ${ExtQueries.Bm25Queries.size}),
+      |bmf AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id AS cid, rank
+      |  FROM (${baseSql("e_bm25_topk")}) d),
+      |tagged AS (
+      |  SELECT qid, cid, rank, 0 AS fidx FROM lshf
+      |  UNION ALL SELECT qid, cid, rank, 1 AS fidx FROM ivff
+      |  UNION ALL SELECT qid, cid, rank, 2 AS fidx FROM pqf
+      |  UNION ALL SELECT qid, cid, rank, 3 AS fidx FROM bmf),
+      |fused AS (SELECT qid, cid,
+      |  list_reduce(list_prepend(0.0,
+      |    list(1.0 / (60.0 + CAST(rank AS DOUBLE)) ORDER BY fidx)),
+      |    (a, x) -> a + x) AS rrf,
+      |  count(*) AS n_lists
+      |  FROM tagged GROUP BY qid, cid),
+      |rankedf AS (SELECT qid, cid, rrf, n_lists,
+      |  row_number() OVER (PARTITION BY qid
+      |    ORDER BY rrf DESC, cid ASC) AS rank FROM fused)
+      |SELECT qid, cid, rrf, n_lists, rank FROM rankedf WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
+
   /** `e_split_contamination` — COMPOSES the graded `e_split` and
     * `e_decontaminate` SQL texts (same device as `e_ann_recall`), so the
     * audit cannot drift from the split/contamination definitions. */
@@ -1286,6 +1317,7 @@ object ExtOracles {
   val sql: Map[String, String] = baseSql +
     ("e_dedup_eval" -> dedupEvalSql) +
     ("e_rank_fusion" -> rankFusionSql) +
+    ("e_hybrid_search" -> hybridSearchSql) +
     ("e_split_contamination" -> splitContaminationSql) + ("e_ann_recall" ->
     s"""WITH ex AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk")}) t),
       |lsh AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_lsh")}) u),

@@ -2270,11 +2270,20 @@ object ExtQueries {
     * size — fusion costs nothing; each family's own operator carries the
     * corpus-scale story. The oracle COMPOSES the three families' SQL texts,
     * so the fusion can never drift from the rankings it fuses. */
-  def rankFusion(spark: SparkSession, dir: String): DataFrame = {
-    val fams = Seq(
+  def rankFusion(spark: SparkSession, dir: String): DataFrame =
+    rrfFuse(Seq(
       (0, cosineTopkLsh(spark, dir)),
       (1, cosineTopkIvf(spark, dir)),
-      (2, cosineTopkPq(spark, dir)))
+      (2, cosineTopkPq(spark, dir))))
+
+  /** The RRF ensemble shared by [[rankFusion]] and [[hybridSearch]]: fuse
+    * `(fidx, list)` ranked lists — each `(qid, cid, rank)` — into the
+    * consensus top-10 per query with the per-list vote count. ONE
+    * definition so the dense-only and hybrid ensembles can never fold
+    * contributions differently (pinned `fidx` order via a ≤|lists|-element
+    * sorted fold — the engine's partition layout can never reorder the
+    * IEEE sum). */
+  private def rrfFuse(fams: Seq[(Int, DataFrame)]): DataFrame = {
     val tagged = fams.map { case (fidx, df) =>
       df.select(col("qid"), col("cid"), col("rank"), lit(fidx).as("fidx"))
     }.reduce(_ unionAll _)
@@ -2286,8 +2295,8 @@ object ExtQueries {
       .withColumn("rrf",
         aggregate(transform(col("cs"), p => p("c")), lit(0.0), (a, x) => a + x))
       // PERSISTED: consumed by the top-k aggregate AND the n_lists join-back
-      // — without it all three family pipelines execute twice (the
-      // dedup-eval lesson). ≤ |queries|·3k rows; callers clearCache().
+      // — without it every input family pipeline executes twice (the
+      // dedup-eval lesson). ≤ |queries|·|lists|·k rows; callers clearCache().
       .persist()
     val agg10 = new graft.functions.TopKByScoreAggregator(10)
     val topk = udaf(agg10, agg10.inputEncoder)
@@ -2300,6 +2309,35 @@ object ExtQueries {
         Seq("qid", "cid"))
       .select(col("qid"), col("cid"), col("rrf"), col("n_lists"), col("rank"))
       .orderBy("qid", "rank")
+  }
+
+  // ---- e_hybrid_search ----------------------------------------------------
+
+  /** Hybrid dense+sparse retrieval — the ensemble every RAG/curation stack
+    * actually runs: the three dense ANN lists (LSH, IVF, PQ) RRF-fused with
+    * [[bm25Topk]]'s lexical list. The fixture embeds document `i` as vector
+    * `i`, so the dense candidate `cid` and the lexical `doc_id` share one id
+    * space; the hybrid query set is the [[Bm25Queries]] qids, each paired
+    * with query vector `vec_id = qid` on the dense side (the ANN families
+    * already rank every `vec_id < 8`, so the dense lists are FILTERED to the
+    * hybrid qids, not recomputed). A document surfaced by both modalities
+    * accumulates votes from up to 4 lists; one that only matches keywords
+    * (or only lives near in embedding space) still surfaces — the blind
+    * spots are disjoint, which is the whole point of hybrid retrieval.
+    *
+    * Determinism and scale both inherit from [[rrfFuse]] and the four graded
+    * operators; fusion itself touches |queries|·k rows per list. The oracle
+    * composes the four families' SQL texts verbatim, so the ensemble cannot
+    * drift from the lists it fuses. */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val nq = Bm25Queries.size
+    def dense(df: DataFrame): DataFrame = df.filter(col("qid") < nq)
+    rrfFuse(Seq(
+      (0, dense(cosineTopkLsh(spark, dir))),
+      (1, dense(cosineTopkIvf(spark, dir))),
+      (2, dense(cosineTopkPq(spark, dir))),
+      (3, bm25Topk(spark, dir).select(col("qid").cast("bigint").as("qid"),
+        col("doc_id").as("cid"), col("rank")))))
   }
 
   // ---- e_bm25_topk --------------------------------------------------------

@@ -63,4 +63,37 @@ class AnnRecallSpec extends AnyFunSuite {
         s"qid $qid fused order")
     }
   }
+
+  test("hybrid search matches RRF recomputed from the three dense lists plus bm25") {
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Int] =
+      df.select("qid", "cid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val nq = ExtQueries.Bm25Queries.size
+    val dense = Seq(
+      ranks(ExtQueries.cosineTopkLsh(spark, dir)),
+      ranks(ExtQueries.cosineTopkIvf(spark, dir)),
+      ranks(ExtQueries.cosineTopkPq(spark, dir)))
+      .map(_.filter { case ((q, _), _) => q < nq })
+    val bm25 = ExtQueries.bm25Topk(spark, dir)
+      .select("qid", "doc_id", "rank").collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1)) -> r.getInt(2)).toMap
+    val fams = dense :+ bm25
+    val want = fams.flatMap(_.keys).distinct
+      .map { key =>
+        val contribs = fams.flatMap(_.get(key)).map(r => 1.0 / (60.0 + r.toDouble))
+        key -> ((contribs.foldLeft(0.0)(_ + _), contribs.length))
+      }.toMap
+    val got = ExtQueries.hybridSearch(spark, dir).collect()
+    spark.catalog.clearCache() // fusion + family pipelines persist
+    assert(got.map(_.getLong(0)).toSet == (0L until nq.toLong).toSet,
+      "hybrid queries are exactly the bm25 qids")
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getDouble(2) == want(key)._1, s"$key rrf")
+      assert(r.getLong(3) == want(key)._2.toLong, s"$key n_lists")
+    }
+    // a doc surfaced by BOTH modalities must outvote single-list docs:
+    // at least one fused row carries votes from more than one list
+    assert(got.exists(_.getLong(3) > 1L), "no cross-modality consensus found")
+  }
 }
