@@ -65,6 +65,31 @@ object ExtOracles {
       |  JOIN sh sa ON sa.doc_id = c.doc_a
       |  JOIN sh sb ON sb.doc_id = c.doc_b)""".stripMargin
 
+  /** Centroid-assignment CTEs — `assigned` yields (vec_id, e, nrm, cell):
+    * every vector hard-assigned to its max-cosine seed centroid (pinned
+    * tie-break cent_id ASC), the SQL twin of `ExtQueries.rankedCells` over
+    * `ExtQueries.centroids`. Shared by `e_cosine_topk_ivf` (serving) and
+    * `e_kmeans_iter` (training) so the two sides of the index can never
+    * disagree on the cell boundary. */
+  private lazy val centAssignCtes: String =
+    s"""cents AS (SELECT vec_id AS cent_id, embedding AS ce,
+      |  sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)),
+      |    (acc,x) -> acc+x)) AS ncent
+      |  FROM embeddings WHERE vec_id < ${ExtQueries.IvfCells}),
+      |vecs AS (SELECT vec_id, embedding AS e,
+      |  sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)),
+      |    (acc,x) -> acc+x)) AS nrm
+      |  FROM embeddings),
+      |sims AS (SELECT v.vec_id, v.e, v.nrm, c.cent_id,
+      |  list_reduce(list_transform(list_zip(v.e, c.ce),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc,x) -> acc+x)
+      |    / (v.nrm * c.ncent) AS csim
+      |  FROM vecs v, cents c),
+      |assigned AS (SELECT vec_id, e, nrm, cent_id AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY csim DESC, cent_id ASC) AS crank FROM sims)
+      |  WHERE crank = 1)""".stripMargin
+
   private lazy val minhashBody: String =
     s"""all_docs AS (
       |  SELECT doc_id, text FROM documents
@@ -633,23 +658,7 @@ object ExtOracles {
         |FROM r ORDER BY doc_id""".stripMargin,
 
     "e_cosine_topk_ivf" ->
-      """WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce,
-        |  sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)),
-        |    (acc,x) -> acc+x)) AS ncent
-        |  FROM embeddings WHERE vec_id < 4),
-        |vecs AS (SELECT vec_id, embedding AS e,
-        |  sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)),
-        |    (acc,x) -> acc+x)) AS nrm
-        |  FROM embeddings),
-        |sims AS (SELECT v.vec_id, v.e, v.nrm, c.cent_id,
-        |  list_reduce(list_transform(list_zip(v.e, c.ce),
-        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc,x) -> acc+x)
-        |    / (v.nrm * c.ncent) AS csim
-        |  FROM vecs v, cents c),
-        |assigned AS (SELECT vec_id, e, nrm, cent_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY csim DESC, cent_id ASC) AS crank FROM sims)
-        |  WHERE crank = 1),
+      s"""WITH $centAssignCtes,
         |q AS (SELECT vec_id AS qid, e AS qe, nrm AS nq, cell
         |  FROM assigned WHERE vec_id < 8),
         |scored AS (SELECT q.qid, a.vec_id AS cid,
@@ -662,6 +671,22 @@ object ExtOracles {
         |  FROM scored)
         |SELECT qid, cid, score, rank FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    // One spherical-k-means Lloyd step over the SAME assignment CTEs the
+    // IVF serving path uses; the update sums fixed-point-quantized UNIT
+    // member elements (the e_centroid_score exactness device), so c_fp is
+    // an exact order-invariant integer and c_new two IEEE ops from it.
+    "e_kmeans_iter" ->
+      s"""WITH $centAssignCtes,
+        |comp AS (SELECT cell, generate_subscripts(e, 1) - 1 AS dim,
+        |  CAST(unnest(e) AS DOUBLE) / nrm AS u
+        |  FROM assigned WHERE nrm > 0)
+        |SELECT cell, CAST(dim AS INTEGER) AS dim,
+        |  count(*) AS n_members,
+        |  CAST(SUM(CAST(floor(u * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS c_fp,
+        |  CAST(SUM(CAST(floor(u * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / (1048576.0 * CAST(count(*) AS DOUBLE)) AS c_new
+        |FROM comp GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
 
     "e_minhash_dedup" ->
       s"""WITH $minhashBody
@@ -742,24 +767,29 @@ object ExtOracles {
         |wh AS (SELECT doc_id, lang, source, text,
         |  CAST('0x'||substr(md5(text),1,15) AS BIGINT) AS h FROM corpus),
         |es AS (SELECT h, min(doc_id) AS surv FROM wh GROUP BY h),
-        |dropexact AS (SELECT w.doc_id FROM wh w JOIN es e USING (h)
+        |dropexact AS (SELECT w.doc_id, e.surv FROM wh w JOIN es e USING (h)
         |  WHERE w.doc_id <> e.surv),
         |surv1 AS (SELECT doc_id, lang, source, text FROM corpus
         |  WHERE doc_id NOT IN (SELECT doc_id FROM dropexact)),
         |${shingleCtes("surv1")},
         |$minhashSigCtes,
-        |dropnear AS (SELECT DISTINCT doc_b AS doc_id FROM verified
-        |  WHERE 2 * n_inter >= n_union),
+        |dropnear AS (SELECT doc_b AS doc_id, min(doc_a) AS surv FROM verified
+        |  WHERE 2 * n_inter >= n_union GROUP BY doc_b),
         |surv2 AS (SELECT doc_id, lang, source, text FROM surv1
         |  WHERE doc_id NOT IN (SELECT doc_id FROM dropnear)),
         |${qualityCtes("surv2")},
         |dropqual AS (SELECT doc_id FROM qr WHERE NOT keep)
         |SELECT c.doc_id,
-        |  CASE WHEN c.doc_id IN (SELECT doc_id FROM dropexact) THEN 'exact_dup'
-        |       WHEN c.doc_id IN (SELECT doc_id FROM dropnear) THEN 'near_dup'
+        |  CASE WHEN de.doc_id IS NOT NULL THEN 'exact_dup'
+        |       WHEN dn.doc_id IS NOT NULL THEN 'near_dup'
         |       WHEN c.doc_id IN (SELECT doc_id FROM dropqual) THEN 'quality'
-        |       ELSE 'kept' END AS stage
-        |FROM corpus c ORDER BY c.doc_id""".stripMargin,
+        |       ELSE 'kept' END AS stage,
+        |  CASE WHEN de.doc_id IS NOT NULL THEN de.surv
+        |       WHEN dn.doc_id IS NOT NULL THEN dn.surv END AS survivor_id
+        |FROM corpus c
+        |LEFT JOIN dropexact de ON de.doc_id = c.doc_id
+        |LEFT JOIN dropnear dn ON dn.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     "e_domain_stats" ->
       s"""WITH t AS (

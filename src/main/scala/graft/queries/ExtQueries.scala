@@ -721,6 +721,59 @@ object ExtQueries {
       .orderBy("qid", "rank")
   }
 
+  // ---- e_kmeans_iter ------------------------------------------------------
+
+  /** One Lloyd iteration of spherical k-means — the trainer step behind
+    * every "pinned seed vectors standing in for k-means output" centroid
+    * set in this file ([[cosineTopkIvfNprobe]], [[semanticAssigned]],
+    * [[cosineTopkPq]]'s codebook): assign each vector to its max-cosine
+    * centroid (the SAME [[rankedCells]] assignment the IVF family runs —
+    * shared on purpose, so training and serving can never disagree on the
+    * cell boundary), then re-estimate each centroid from its members.
+    *
+    * The update is the SPHERICAL k-means rule — sum of UNIT-normalized
+    * members, not the plain mean — for two load-bearing reasons: (a) for
+    * the cosine objective Σ cos(v, c_assigned(v)) the spherical centroid is
+    * the exact argmax over the update step, so one iteration provably never
+    * decreases the objective (spec-pinned with a quantization epsilon);
+    * the plain mean only guarantees that for squared-Euclidean k-means.
+    * (b) each unit element v_d/‖v‖ is ONE IEEE divide of cross-engine-
+    * identical operands, then the [[centroidScore]] fixed-point device
+    * (floor(u·2²⁰ + 0.5) summed as int64) makes the distributed per-cell
+    * sum exact and partition-order-invariant — `c_fp` hash-matches the
+    * single-node oracle bit-for-bit, and `c_new` = c_fp/(2²⁰·n) is two
+    * correctly-rounded IEEE ops from exact integers. Cosine is
+    * scale-invariant, so c_fp IS the new centroid direction; c_new exists
+    * for interpretability.
+    *
+    * At scale: one corpus scan; the explode shuffles |cells|·dim map-side-
+    * combined partial sums (never N·dim rows); centroids broadcast for the
+    * assignment. Chain iterations by feeding `c_fp` back as the next
+    * centroid table — each round is this same one-scan shape, the standard
+    * distributed-k-means cost. */
+  def kmeansIter(spark: SparkSession, dir: String): DataFrame = {
+    val cents = centroids(spark, dir, IvfCells)
+    val vecs = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", l2norm(col("e")))
+    val assigned = rankedCells(vecs, cents)
+      .filter(col("crank") === 1)
+      .select(col("cent_id").as("cell"), col("e"), col("nrm"))
+    assigned
+      .filter(col("nrm") > 0.0) // a zero vector has no direction to vote with
+      .select(col("cell"), col("nrm"), posexplode(col("e")))
+      .select(col("cell"), col("pos").as("dim"),
+        (col("col").cast("double") / col("nrm")).as("u"))
+      .groupBy(col("cell"), col("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(floor(col("u") * lit(1048576.0) + 0.5).cast("long")).as("c_fp"))
+      .select(col("cell"), col("dim").cast("int").as("dim"),
+        col("n_members"), col("c_fp"),
+        (col("c_fp").cast("double")
+          / (lit(1048576.0) * col("n_members").cast("double"))).as("c_new"))
+      .orderBy("cell", "dim")
+  }
+
   // ---- e_semantic_dedup ---------------------------------------------------
 
   /** Cosine threshold above which two same-cell vectors are semantic
@@ -2156,32 +2209,45 @@ object ExtQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withHash = corpus.withColumn("h", hash64(col("text")))
     val exactSurv = withHash.groupBy(col("h")).agg(min(col("doc_id")).as("surv"))
-    // PERSISTED (ids only): each drop frame feeds its stage's anti-join AND
-    // the final label assembly — unpersisted, the minhash pipeline would
-    // execute twice (the dedup-eval lesson)
+    // PERSISTED (id + survivor only): each drop frame feeds its stage's
+    // anti-join AND the final label assembly — unpersisted, the minhash
+    // pipeline would execute twice (the dedup-eval lesson). Every dropped
+    // row carries WHICH surviving document shadowed it (the min-id of its
+    // exact-hash group / the kept side of its near-dup pairs) — real
+    // attrition reports need the survivor for spot-audit, not just the
+    // stage label.
     val dropExact = withHash.join(exactSurv, Seq("h"))
       .filter(col("doc_id") =!= col("surv"))
-      .select(col("doc_id"))
+      .select(col("doc_id"), col("surv"))
       .persist()
     val surv1 = corpus.join(dropExact, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shd = shingleSets(surv1.select(col("doc_id"), col("text")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a doc can near-dup-pair with several lower-id survivors: attribute to
+    // the smallest (deterministic; in a chain the named survivor may itself
+    // be a near-dup drop — the audit follows the chain, same as the drop
+    // rule itself)
     val dropNear = minhashVerifiedPairsFrom(shd)
-      .select(col("doc_b").as("doc_id")).distinct()
+      .groupBy(col("doc_b")).agg(min(col("doc_a")).as("surv"))
+      .select(col("doc_b").as("doc_id"), col("surv"))
       .persist()
     val surv2 = surv1.join(dropNear, Seq("doc_id"), "left_anti")
     val dropQual = qualitySignals(surv2)
       .filter(!col("keep")).select(col("doc_id"))
     corpus.select(col("doc_id"))
-      .join(dropExact.withColumn("s1", lit(1)), Seq("doc_id"), "left")
-      .join(dropNear.withColumn("s2", lit(1)), Seq("doc_id"), "left")
+      .join(dropExact.select(col("doc_id"), col("surv").as("surv_e")), Seq("doc_id"), "left")
+      .join(dropNear.select(col("doc_id"), col("surv").as("surv_n")), Seq("doc_id"), "left")
       .join(dropQual.withColumn("s3", lit(1)), Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("s1").isNotNull, lit("exact_dup"))
-          .when(col("s2").isNotNull, lit("near_dup"))
+        when(col("surv_e").isNotNull, lit("exact_dup"))
+          .when(col("surv_n").isNotNull, lit("near_dup"))
           .when(col("s3").isNotNull, lit("quality"))
-          .otherwise(lit("kept")).as("stage"))
+          .otherwise(lit("kept")).as("stage"),
+        // quality drops and kept docs have no shadowing survivor: null
+        when(col("surv_e").isNotNull, col("surv_e"))
+          .when(col("surv_n").isNotNull, col("surv_n"))
+          .as("survivor_id"))
       .orderBy("doc_id")
   }
 

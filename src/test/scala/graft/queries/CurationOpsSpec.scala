@@ -132,13 +132,32 @@ class CurationOpsSpec extends AnyFunSuite {
 
   test("curation funnel: stage labels partition the corpus and agree with the composed operators") {
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
-    val got = ExtQueries.curationFunnel(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = ExtQueries.curationFunnel(spark, dir).collect()
+    val got = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    val surv = rows.map(r =>
+      r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
     spark.catalog.clearCache() // funnel persists corpus/survivor/drop frames
     assert(got.size.toLong == 3 * n, "originals + re-fetches + revisions")
-    // every exact re-fetch (+1M, identical bytes) must fall at stage 1
+    // every exact re-fetch (+1M, identical bytes) must fall at stage 1,
+    // attributed to the byte-identical original that shadowed it
     (0L until n).foreach { id =>
       assert(got(id + 1000000L) == "exact_dup", s"re-fetch of $id")
+      assert(surv(id + 1000000L).contains(id), s"re-fetch survivor of $id")
+    }
+    // survivor attribution is exactly the dropped-by-a-duplicate stages:
+    // present iff exact_dup or near_dup, always a lower id, and an exact
+    // drop's survivor is never itself an exact drop (min-id of the group)
+    rows.foreach { r =>
+      val (id, stage) = (r.getLong(0), r.getString(1))
+      surv(id) match {
+        case Some(s) =>
+          assert(stage == "exact_dup" || stage == "near_dup", s"doc $id")
+          assert(s < id, s"survivor $s of $id must be the lower id")
+          if (stage == "exact_dup")
+            assert(got(s) != "exact_dup", s"exact survivor $s of $id re-dropped")
+        case None =>
+          assert(stage == "quality" || stage == "kept", s"doc $id lacks survivor")
+      }
     }
     // cross-operator consistency: an ORIGINAL doc that reached the quality
     // stage must carry the same verdict e_quality_filter gives it directly
