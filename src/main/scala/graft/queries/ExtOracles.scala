@@ -1330,6 +1330,48 @@ object ExtOracles {
       |SELECT qid, cid, rrf, n_lists, rank FROM rankedf WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
+  /** `e_cosine_topk_beam` — greedy beam search over the knn-graph
+    * substrate: COMPOSES the graded `e_knn_graph` SQL text as its
+    * adjacency, then unrolls the FIXED `BeamRounds` expand-score-prune
+    * rounds as generated CTE blocks (bounded rounds keep the plan and the
+    * result deterministic; a recursive CTE would hide the round count the
+    * Spark side pins). Entry set, beam width, tie-breaks and the
+    * dot-product fold all mirror `ExtQueries.cosineTopkBeam`. */
+  private lazy val beamSearchSql: String = {
+    val B = ExtQueries.BeamWidth
+    val nrmSql = "sqrt(list_reduce(list_transform(embedding, " +
+      "v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (acc,x) -> acc+x))"
+    def scoreAndPrune(r: Int): String =
+      s"""sc$r AS (SELECT c.qid, c.cid,
+         |  list_reduce(list_transform(list_zip(q.qe, v.e),
+         |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (acc,x) -> acc+x)
+         |    / (q.nq * v.nrm) AS score
+         |  FROM cand$r c JOIN vw v ON v.cid = c.cid JOIN qv q ON q.qid = c.qid),
+         |beam$r AS (SELECT qid, cid, score FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY qid ORDER BY score DESC, cid ASC) AS rn FROM sc$r)
+         |  WHERE rn <= $B)""".stripMargin
+    def round(r: Int): String =
+      s"""cand$r AS (SELECT DISTINCT qid, cid FROM (
+         |  SELECT qid, cid FROM beam${r - 1}
+         |  UNION ALL
+         |  SELECT b.qid, a.nbr AS cid FROM beam${r - 1} b
+         |  JOIN adj a ON a.src = b.cid) u),
+         |${scoreAndPrune(r)}""".stripMargin
+    s"""WITH adj AS (SELECT src, nbr FROM (${baseSql("e_knn_graph")}) g),
+      |vw AS (SELECT vec_id AS cid, embedding AS e, $nrmSql AS nrm FROM embeddings),
+      |qv AS (SELECT vec_id AS qid, embedding AS qe, $nrmSql AS nq FROM embeddings
+      |  WHERE vec_id < 8),
+      |cand0 AS (SELECT q.qid, v.cid FROM qv q, vw v
+      |  WHERE v.cid < ${ExtQueries.IvfCells}),
+      |${scoreAndPrune(0)},
+      |${(1 to ExtQueries.BeamRounds).map(round).mkString(",\n")}
+      |SELECT qid, cid, score, CAST(rank AS INTEGER) AS rank FROM (
+      |  SELECT qid, cid, score, row_number() OVER (
+      |    PARTITION BY qid ORDER BY score DESC, cid ASC) AS rank
+      |  FROM beam${ExtQueries.BeamRounds} WHERE cid <> qid) f
+      |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
   /** `e_split_contamination` — COMPOSES the graded `e_split` and
     * `e_decontaminate` SQL texts (same device as `e_ann_recall`), so the
     * audit cannot drift from the split/contamination definitions. */
@@ -1348,21 +1390,26 @@ object ExtOracles {
     ("e_dedup_eval" -> dedupEvalSql) +
     ("e_rank_fusion" -> rankFusionSql) +
     ("e_hybrid_search" -> hybridSearchSql) +
-    ("e_split_contamination" -> splitContaminationSql) + ("e_ann_recall" ->
+    ("e_split_contamination" -> splitContaminationSql) +
+    ("e_cosine_topk_beam" -> beamSearchSql) + ("e_ann_recall" ->
     s"""WITH ex AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk")}) t),
       |lsh AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_lsh")}) u),
       |ivf AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_ivf")}) v),
-      |pq AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_pq")}) w)
+      |pq AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_pq")}) w),
+      |beam AS (SELECT qid, cid FROM ($beamSearchSql) x)
       |SELECT ex.qid, count(*) AS n_exact,
       |  CAST(count(lsh.cid) AS BIGINT) AS n_lsh,
       |  CAST(count(ivf.cid) AS BIGINT) AS n_ivf,
       |  CAST(count(pq.cid) AS BIGINT) AS n_pq,
+      |  CAST(count(beam.cid) AS BIGINT) AS n_beam,
       |  CAST(count(lsh.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_lsh,
       |  CAST(count(ivf.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivf,
-      |  CAST(count(pq.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_pq
+      |  CAST(count(pq.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_pq,
+      |  CAST(count(beam.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_beam
       |FROM ex
       |LEFT JOIN lsh ON ex.qid = lsh.qid AND ex.cid = lsh.cid
       |LEFT JOIN ivf ON ex.qid = ivf.qid AND ex.cid = ivf.cid
       |LEFT JOIN pq ON ex.qid = pq.qid AND ex.cid = pq.cid
+      |LEFT JOIN beam ON ex.qid = beam.qid AND ex.cid = beam.cid
       |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin)
 }

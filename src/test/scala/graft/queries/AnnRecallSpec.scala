@@ -17,7 +17,8 @@ class AnnRecallSpec extends AnyFunSuite {
     val fams = Map(
       "n_lsh" -> pairs(ExtQueries.cosineTopkLsh(spark, dir)),
       "n_ivf" -> pairs(ExtQueries.cosineTopkIvf(spark, dir)),
-      "n_pq" -> pairs(ExtQueries.cosineTopkPq(spark, dir)))
+      "n_pq" -> pairs(ExtQueries.cosineTopkPq(spark, dir)),
+      "n_beam" -> pairs(ExtQueries.cosineTopkBeam(spark, dir)))
     val got = ExtQueries.annRecall(spark, dir).collect()
     spark.catalog.clearCache() // the family pipelines persist intermediates
     assert(got.length == 8)
@@ -31,6 +32,36 @@ class AnnRecallSpec extends AnyFunSuite {
           want.toDouble / 10.0, s"qid $qid recall for $colName")
       }
     }
+  }
+
+  test("beam search equals a literal re-run of the bounded-round greedy search") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val adj = ExtQueries.knnGraph(spark, dir).select("src", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def topB(q: Long, cands: Set[Long], b: Int): Seq[Long] =
+      cands.toSeq.map(c => (c, cos(emb(q), emb(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(b).map(_._1)
+    val want = (0L until 8L).flatMap { q =>
+      var beam = topB(q, (0L until ExtQueries.IvfCells.toLong).toSet,
+        ExtQueries.BeamWidth)
+      for (_ <- 1 to ExtQueries.BeamRounds)
+        beam = topB(q,
+          beam.toSet ++ beam.flatMap(c => adj.getOrElse(c, Nil)),
+          ExtQueries.BeamWidth)
+      beam.filter(_ != q).zipWithIndex.map { case (c, i) => (q, c, i + 1) }
+    }.toSet
+    val got = ExtQueries.cosineTopkBeam(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    spark.catalog.clearCache() // beam + knn-graph pipelines persist
+    assert(got == want, "beam search must match the literal greedy re-run")
   }
 
   test("rank fusion matches RRF recomputed from the collected family lists") {
