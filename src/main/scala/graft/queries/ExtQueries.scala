@@ -2386,14 +2386,24 @@ object ExtQueries {
       .select(col("doc_id"), hash64(prevText).as("h_prev"))
       .unionAll(docs.select((col("doc_id") + 3000000L).as("doc_id"),
         hash64(concat(lit("gone:"), col("text"))).as("h_prev")))
+    fingerprintDiff(cur, prev).orderBy("doc_id")
+  }
+
+  /** The snapshot-diff CORE — `(doc_id, h_cur)` vs `(doc_id, h_prev)`
+    * fingerprint frames full-outer-joined into a per-id
+    * added/changed/unchanged/removed changelog. ONE definition shared by
+    * the batch operator ([[snapshotDiff]]) and the streaming change capture
+    * ([[graft.streaming.Streaming.startChangeCapture]]), so the continuous
+    * and batch CDC paths cannot drift: parity holds by construction, not by
+    * test alone. Both inputs are slim id+hash frames — the join never
+    * carries document bodies. */
+  private[graft] def fingerprintDiff(cur: DataFrame, prev: DataFrame): DataFrame =
     cur.join(prev, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("h_prev").isNull, lit("added"))
           .when(col("h_cur").isNull, lit("removed"))
           .when(col("h_cur") === col("h_prev"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
-      .orderBy("doc_id")
-  }
 
   // ---- e_rank_fusion ------------------------------------------------------
 

@@ -217,6 +217,68 @@ object Streaming {
   def enrichStream(docs: DataFrame, sourceDim: DataFrame): DataFrame =
     docs.join(broadcast(sourceDim), Seq("source"), "left")
 
+  // ---- change capture -----------------------------------------------------
+
+  /** Streaming change capture — the continuous form of
+    * [[graft.queries.ExtQueries.snapshotDiff]], for the crawl pipeline
+    * whose upstream delivers periodic FULL snapshots (the common contract
+    * for partner dumps and re-crawls): each micro-batch is one snapshot,
+    * and `foreachBatch` diffs it against the warehouse's retained
+    * fingerprints to emit a per-id added/changed/unchanged/removed
+    * changelog, then publishes the snapshot's fingerprints for the next
+    * batch. The diff itself IS the batch operator's
+    * [[graft.queries.ExtQueries.fingerprintDiff]] — shared derivation, so
+    * stream/batch parity holds by construction (and is spec-pinned
+    * end-to-end anyway).
+    *
+    * Exactly-once across restarts: fingerprints are published to a
+    * VERSIONED subdirectory keyed by the micro-batch id (`v=<batchId>`) and
+    * the previous state is the highest version BELOW the current id — so a
+    * replayed batch (after a crash between emit and checkpoint commit)
+    * overwrites its own version and diffs against the same predecessor,
+    * converging to the same changelog instead of compounding. Nothing is
+    * overwritten in place; the read side never races the write side.
+    *
+    * At scale: state is the fingerprint table — |corpus| slim (id, hash)
+    * rows, the same intermediate every incremental-crawl store keeps — and
+    * the diff is one full-outer join of id-keyed frames per snapshot;
+    * document text never reaches the join. `emit` receives the changelog
+    * frame and must materialize it (write/collect) before returning, the
+    * standard foreachBatch contract. */
+  def startChangeCapture(snapshots: DataFrame, fingerprintDir: String,
+      ckpt: String)(emit: DataFrame => Unit): StreamingQuery =
+    snapshots.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // consumed by the diff AND the fingerprint publish — persist so the
+        // snapshot hashes once, not once per consumer
+        val cur = batch
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions.hash64(col("text")).as("h_cur"))
+          .persist()
+        try {
+          val base = new java.io.File(fingerprintDir)
+          val prevVersion = Option(base.listFiles())
+            .getOrElse(Array.empty)
+            .flatMap(f => f.getName.stripPrefix("v=").toLongOption
+              .filter(_ => f.getName.startsWith("v=")))
+            .filter(_ < batchId)
+            .maxOption
+          val prev = prevVersion match {
+            case Some(v) => spark.read.parquet(s"$fingerprintDir/v=$v")
+              .select(col("doc_id"), col("h").as("h_prev"))
+            case None => cur.select(col("doc_id"), col("h_cur").as("h_prev")).limit(0)
+          }
+          emit(graft.queries.ExtQueries.fingerprintDiff(cur, prev))
+          cur.select(col("doc_id"), col("h_cur").as("h"))
+            .write.mode("overwrite").parquet(s"$fingerprintDir/v=$batchId")
+        } finally cur.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   // ---- trending tokens ----------------------------------------------------
 
   /** Watermarked per-window token counts over a document stream — the

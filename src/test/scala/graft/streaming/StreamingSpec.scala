@@ -352,6 +352,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(emptyBatches.count(_ == false) === 2)
   }
 
+  test("change capture: per-snapshot changelog matches the batch diff core") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-cdc-in").toString
+    val fp = Files.createTempDirectory("graft-cdc-fp").toString
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    val snap1 = (0L until 10L).map(i => (i, s"content of doc $i"))
+    val snap2 = (0L until 8L).map { i =>
+      (i, if (i == 3L) "revised content of doc 3" else s"content of doc $i")
+    } ++ Seq((10L, "brand new doc 10"), (11L, "brand new doc 11"))
+    // two FULL snapshots, processed as separate micro-batches
+    snap1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    snap2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Map[Long, String]]
+    def stream() = Streaming.startChangeCapture(
+      spark.readStream.schema(snap1.toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", 1).parquet(in),
+      fp, ckpt) { changes =>
+      batches += changes.collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    stream().awaitTermination()
+
+    assert(batches.length == 2)
+    // first snapshot diffs against nothing: everything is an add
+    assert(batches(0) == snap1.map(_._1 -> "added").toMap)
+    // second snapshot: adds, a change, removals, the rest unchanged
+    val want2 = Map(3L -> "changed", 8L -> "removed", 9L -> "removed",
+      10L -> "added", 11L -> "added") ++
+      Seq(0L, 1L, 2L, 4L, 5L, 6L, 7L).map(_ -> "unchanged")
+    assert(batches(1) == want2)
+    // stream/batch parity end-to-end: the emitted changelog equals the
+    // batch diff core applied to the two static snapshots
+    def fps(s: Seq[(Long, String)], h: String) = s.toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.GraftFunctions.hash64(col("text")).as(h))
+    val batchDiff = graft.queries.ExtQueries
+      .fingerprintDiff(fps(snap2, "h_cur"), fps(snap1, "h_prev"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batches(1) == batchDiff)
+    // restart with nothing new: the checkpoint makes the re-run emit nothing
+    stream().awaitTermination()
+    assert(batches.length == 2)
+  }
+
   test("stream-static enrichment: stateless broadcast join, unknown sources kept") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-enrich-in").toString
