@@ -54,7 +54,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // harness/operator split: harness keys re-execute their constituent
+    // operators by design, so their group total grows with composition
+    // depth, not operator regressions — report both so a future slowdown
+    // stays attributable to the right group
+    val harness = results.collect {
+      case (k, v) if SparkEntry.harnessKeys(k) => v
+    }.sum
+    val hk = SparkEntry.harnessKeys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_harness":$harness,"total_operators":${total - harness},"harness_keys":$hk,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

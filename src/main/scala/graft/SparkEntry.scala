@@ -116,6 +116,17 @@ object SparkEntry {
     "e_dedup_eval"        -> (ExtQueries.dedupEval _),
   )
 
+  /** Keys that are evaluation harnesses / composites: they RE-EXECUTE other
+    * graded operators by design (the composition pattern that keeps an
+    * evaluation from drifting from what it evaluates), so their bench cost
+    * is the sum of their constituents plus the comparison itself. Bench
+    * reports this group's total separately from the plain-operator total —
+    * a regression in a harness key that does NOT show in any operator key
+    * is comparison overhead; one that does is the operator's. */
+  val harnessKeys: Set[String] = Set(
+    "e_ann_recall", "e_dedup_eval", "e_rank_fusion", "e_hybrid_search",
+    "e_split_contamination", "e_curation_funnel")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = RefOracles.sql ++ ExtOracles.sql

@@ -28,18 +28,26 @@ def main(sf_dir: str, out_json: str, runs: int = 3) -> None:
     all_runs = [one_run(sf_dir) for _ in range(runs)]
     keys = all_runs[0]["queries"].keys()
     med = {k: statistics.median(r["queries"][k] for r in all_runs) for k in keys}
+    # harness keys re-execute their constituent operators by design — keep
+    # the two group totals separate so regressions stay attributable
+    hk = set(all_runs[0].get("harness_keys", []))
     result = {
         "metric": "total_quiet",
         "value": sum(med.values()),
         "unit": "sec",
         "estimator": f"per-query median of {runs} runs",
         "runs": runs,
+        "total_harness": sum(v for k, v in med.items() if k in hk),
+        "total_operators": sum(v for k, v in med.items() if k not in hk),
+        "harness_keys": sorted(hk),
         "queries": med,
         "sf": sf_dir,
     }
     with open(out_json, "w") as f:
         json.dump(result, f, indent=1)
-    print(f"{out_json}: total {result['value']:.1f}s over {len(med)} queries ({runs} runs)")
+    print(f"{out_json}: total {result['value']:.1f}s over {len(med)} queries "
+          f"({runs} runs; harness {result['total_harness']:.1f}s / "
+          f"operators {result['total_operators']:.1f}s)")
 
 
 if __name__ == "__main__":
