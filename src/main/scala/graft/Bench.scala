@@ -13,6 +13,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev-only key filter (comma-separated); the driver leaves it unset, so
+    // the recorded artifacts always cover the full key set
+    val keyFilter = sys.env.get("SPARK_GRAFT_KEYS")
+      .map(_.split(',').map(_.trim).toSet)
+    val queries = keyFilter match {
+      case Some(ks) => SparkEntry.queries.filter { case (k, _) => ks(k) }
+      case None => SparkEntry.queries
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
@@ -30,7 +38,7 @@ object Bench {
     // the scans being measured; timing the teardown itself would instead
     // bill cache eviction to whichever query just ran.
     // warmup: full pass, untimed
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try runOnce(fn) catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
@@ -39,7 +47,7 @@ object Bench {
     // hiccups to whichever query they landed on.
     val passes = 3
     val samples = (1 to passes).map { _ =>
-      SparkEntry.queries.map { case (name, fn) =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try runOnce(fn) catch { case _: Throwable => () }
         val elapsed = (System.nanoTime() - t0) / 1e9
@@ -47,7 +55,7 @@ object Bench {
         name -> elapsed
       }
     }
-    val results = SparkEntry.queries.keys.map { name =>
+    val results = queries.keys.map { name =>
       val xs = samples.map(_(name)).sorted
       name -> xs(xs.size / 2)
     }.toMap

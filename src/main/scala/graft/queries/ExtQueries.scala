@@ -1954,44 +1954,70 @@ object ExtQueries {
     * broadcast-hash join against the scan — the corpus never shuffles).
     * The graph build itself is [[knnGraph]]'s cost and is the part a real
     * deployment amortizes across queries. */
-  def cosineTopkBeam(spark: SparkSession, dir: String): DataFrame = {
+  def cosineTopkBeam(spark: SparkSession, dir: String): DataFrame =
+    cosineTopkBeamParams(spark, dir, BeamWidth, BeamRounds)
+
+  /** [[cosineTopkBeam]] with the beam width and round count as explicit
+    * knobs — the recall-vs-work dials of every graph-ANN deployment (ef /
+    * num_hops in HNSW terms), exposed the same way as
+    * [[semanticDedupCells]]. Work per round is ≤ |queries|·width·([[KnnK]]
+    * +1) candidate scorings, so both knobs bound compute linearly.
+    *
+    * The beam CARRIES its scores across rounds: each round scores only the
+    * neighbor ids not already in the beam (anti-join), unions the carried
+    * rows, and prunes — the score expression is deterministic, so a carried
+    * score is bit-identical to a rescoring, and the oracle's unrolled CTEs
+    * (which keep `score` in each `beam$r` block) match by construction.
+    * The final ranking reuses the carried scores too — no corpus access
+    * after the last round. */
+  def cosineTopkBeamParams(spark: SparkSession, dir: String,
+      width: Int, rounds: Int): DataFrame = {
     // PERSISTED: the adjacency is probed once per round — unpersisted, the
     // whole knn-graph pipeline would re-execute per round (the dedup-eval
     // lesson). Slim: |corpus|·KnnK id pairs.
     val adj = knnGraph(spark, dir).select(col("src"), col("nbr")).persist()
+    // PERSISTED: the corpus side of every per-round scoring join —
+    // unpersisted, each round re-reads the parquet scan and recomputes
+    // every l2 norm. Slim: (vec_id, vec, norm).
     val vecs = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", l2norm(col("e")))
+      .persist()
     val q = vecs.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("nq"))
     val score = seqSum(zip_with(col("qe"), col("e"),
       (x, y) => x.cast("double") * y.cast("double"))) / (col("nq") * col("nrm"))
     val wBeam = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("cid").asc)
-    // (qid, cid) candidates → scored and ranked per query; the corpus side
-    // is pruned by the BROADCAST candidate set, never shuffled
-    def ranked(cands: DataFrame): DataFrame =
+    // (qid, cid) candidates → scored per query; the corpus side is pruned
+    // by the BROADCAST candidate set, never shuffled. (Pre-joining the
+    // query vectors into the candidate broadcast measured 3× SLOWER here —
+    // the inner join plans a shuffle inside every broadcast build.)
+    def scored(cands: DataFrame): DataFrame =
       vecs.select(col("vec_id").as("cid"), col("e"), col("nrm"))
         .join(broadcast(cands), Seq("cid"))
         .join(broadcast(q), Seq("qid"))
         .select(col("qid"), col("cid"), score.as("score"))
-        .withColumn("rn", row_number().over(wBeam))
+    def prune(pairs: DataFrame): DataFrame = pairs
+      .withColumn("rn", row_number().over(wBeam))
+      .filter(col("rn") <= width)
+      .select(col("qid"), col("cid"), col("score"))
     val entry = q.select(col("qid")).crossJoin(
       broadcast(vecs.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("cid"))))
-    var beam = ranked(entry).filter(col("rn") <= BeamWidth)
-      .select(col("qid"), col("cid")).persist()
-    for (_ <- 1 to BeamRounds) {
-      val cands = beam.unionAll(
-          beam.join(adj, col("cid") === col("src"))
-            .select(col("qid"), col("nbr").as("cid")))
+    var beam = prune(scored(entry)).persist()
+    for (_ <- 1 to rounds) {
+      // only UNSEEN neighbor ids get scored; the carried beam contributes
+      // its existing scores through the union
+      val fresh = beam.join(adj, col("cid") === col("src"))
+        .select(col("qid"), col("nbr").as("cid"))
         .distinct()
-      // persisted per round: each beam feeds BOTH the carry-over union and
-      // the neighbor expansion — unpersisted, lineage re-executes 2^rounds
-      beam = ranked(cands).filter(col("rn") <= BeamWidth)
-        .select(col("qid"), col("cid")).persist()
+        .join(beam, Seq("qid", "cid"), "left_anti")
+      // persisted per round: each beam feeds the expansion, the anti-join
+      // AND the carry-over union — unpersisted, lineage re-executes
+      beam = prune(beam.unionAll(scored(fresh))).persist()
     }
-    ranked(beam).filter(col("cid") =!= col("qid"))
+    beam.filter(col("cid") =!= col("qid"))
       .withColumn("rank",
         row_number().over(wBeam).cast("int"))
       .filter(col("rank") <= 10)
@@ -2882,7 +2908,10 @@ object ExtQueries {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > lit(DedupEvalDfCap))
       .select(col("h"))
+    // PERSISTED: the self-join scans `rare` once per side — unpersisted,
+    // the explode + anti-join pipeline executes twice. Slim: (doc_id, h).
     val rare = post.join(broadcast(hot), Seq("h"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = rare.as("x")
       .join(rare.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))

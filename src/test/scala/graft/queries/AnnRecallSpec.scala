@@ -64,6 +64,26 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(got == want, "beam search must match the literal greedy re-run")
   }
 
+  test("beam rounds knob: per-query best score is non-decreasing in rounds") {
+    // greedy beam with carried candidates: round r+1 prunes a SUPERSET of
+    // round r's beam, and at most one beam slot is the query itself, so the
+    // best non-self score can only improve — the invariant that makes the
+    // rounds knob a pure recall-vs-work dial
+    def best(rounds: Int): Map[Long, Double] = {
+      val m = ExtQueries
+        .cosineTopkBeamParams(spark, dir, ExtQueries.BeamWidth, rounds)
+        .collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getDouble(2)).max).toMap
+      spark.catalog.clearCache() // beam + knn-graph pipelines persist
+      m
+    }
+    val byRound = (0 to ExtQueries.BeamRounds).map(best)
+    assert(byRound.last.keySet == (0L until 8L).toSet)
+    for (r <- 1 until byRound.size; q <- byRound(r - 1).keys)
+      assert(byRound(r)(q) >= byRound(r - 1)(q),
+        s"round $r qid $q: best score regressed")
+  }
+
   test("rank fusion matches RRF recomputed from the collected family lists") {
     def ranks(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Int] =
       df.select("qid", "cid", "rank").collect()
