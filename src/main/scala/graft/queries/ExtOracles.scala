@@ -1372,6 +1372,53 @@ object ExtOracles {
       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   }
 
+  /** `e_kmeans_train` — chained spherical Lloyd steps: iteration 1 IS the
+    * shared `centAssignCtes` assignment (the serving-path boundary), and
+    * each later iteration is a generated CTE block assigning against the
+    * previous update's `c_fp` vectors (cosine is scale-invariant, so the
+    * exact integer sums serve as centroid directions — every value entering
+    * an assignment is bit-identical cross-engine). Unrolled like
+    * `beamSearchSql`: a recursive CTE would hide the iteration count the
+    * Spark side pins. Mirrors `ExtQueries.kmeansTrainIters`. */
+  private lazy val kmeansTrainSql: String = {
+    // update block over an assigned CTE (vec_id, e, nrm, cell)
+    def upd(asg: String, t: Int): String =
+      s"""comp$t AS (SELECT cell, generate_subscripts(e, 1) - 1 AS dim,
+         |  CAST(unnest(e) AS DOUBLE) / nrm AS u
+         |  FROM $asg WHERE nrm > 0),
+         |upd$t AS (SELECT cell, dim, count(*) AS n_members,
+         |  CAST(SUM(CAST(floor(u * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS c_fp
+         |  FROM comp$t GROUP BY cell, dim)""".stripMargin
+    // iteration t >= 2: centroids from upd{t-1}, then assign + update
+    def round(t: Int): String =
+      s"""cvec${t - 1} AS (SELECT cell AS cent_id,
+         |  list(CAST(c_fp AS DOUBLE) ORDER BY dim) AS ce
+         |  FROM upd${t - 1} GROUP BY cell),
+         |cents$t AS (SELECT * FROM (SELECT cent_id, ce,
+         |  sqrt(list_reduce(list_transform(ce, x -> x * x), (acc, y) -> acc + y))
+         |    AS ncent FROM cvec${t - 1}) WHERE ncent > 0),
+         |sims$t AS (SELECT v.vec_id, v.e, v.nrm, c.cent_id,
+         |  list_reduce(list_transform(list_zip(v.e, c.ce),
+         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc,x) -> acc+x)
+         |    / (v.nrm * c.ncent) AS csim
+         |  FROM vecs v, cents$t c),
+         |asg$t AS (SELECT vec_id, e, nrm, cent_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, cent_id ASC) AS crank FROM sims$t)
+         |  WHERE crank = 1),
+         |${upd(s"asg$t", t)}""".stripMargin
+    val unions = (1 to ExtQueries.KmeansIters)
+      .map(t => s"SELECT $t AS iter, cell, dim, n_members, c_fp FROM upd$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $centAssignCtes,
+      |${upd("assigned", 1)},
+      |${(2 to ExtQueries.KmeansIters).map(round).mkString(",\n")}
+      |SELECT CAST(iter AS INTEGER) AS iter, cell, CAST(dim AS INTEGER) AS dim,
+      |  n_members, c_fp,
+      |  CAST(c_fp AS DOUBLE) / (1048576.0 * CAST(n_members AS DOUBLE)) AS c_new
+      |FROM ($unions) u ORDER BY iter, cell, dim""".stripMargin
+  }
+
   /** `e_split_contamination` — COMPOSES the graded `e_split` and
     * `e_decontaminate` SQL texts (same device as `e_ann_recall`), so the
     * audit cannot drift from the split/contamination definitions. */
@@ -1391,6 +1438,7 @@ object ExtOracles {
     ("e_rank_fusion" -> rankFusionSql) +
     ("e_hybrid_search" -> hybridSearchSql) +
     ("e_split_contamination" -> splitContaminationSql) +
+    ("e_kmeans_train" -> kmeansTrainSql) +
     ("e_cosine_topk_beam" -> beamSearchSql) + ("e_ann_recall" ->
     s"""WITH ex AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk")}) t),
       |lsh AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_lsh")}) u),

@@ -761,9 +761,17 @@ object ExtQueries {
     val vecs = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", l2norm(col("e")))
-    val assigned = rankedCells(vecs, cents)
-      .filter(col("crank") === 1)
-      .select(col("cent_id").as("cell"), col("e"), col("nrm"))
+    withCNew(lloydUpdate(rankedCells(vecs, cents).filter(col("crank") === 1)
+      .select(col("cent_id").as("cell"), col("e"), col("nrm"))))
+      .orderBy("cell", "dim")
+  }
+
+  /** The spherical Lloyd UPDATE over an assigned corpus (`cell`, `e`,
+    * `nrm`) → (`cell`, `dim`, `n_members`, `c_fp`): per-cell sums of
+    * fixed-point-quantized unit member elements — ONE definition shared by
+    * the single-step [[kmeansIter]] and the chained [[kmeansTrain]], so the
+    * two cannot disagree on what an iteration computes. */
+  private def lloydUpdate(assigned: DataFrame): DataFrame =
     assigned
       .filter(col("nrm") > 0.0) // a zero vector has no direction to vote with
       .select(col("cell"), col("nrm"), posexplode(col("e")))
@@ -772,11 +780,75 @@ object ExtQueries {
       .groupBy(col("cell"), col("dim"))
       .agg(count(lit(1)).as("n_members"),
         sum(floor(col("u") * lit(1048576.0) + 0.5).cast("long")).as("c_fp"))
-      .select(col("cell"), col("dim").cast("int").as("dim"),
-        col("n_members"), col("c_fp"),
-        (col("c_fp").cast("double")
-          / (lit(1048576.0) * col("n_members").cast("double"))).as("c_new"))
-      .orderBy("cell", "dim")
+
+  /** Projects a [[lloydUpdate]] frame to the published schema: `c_new` =
+    * c_fp / (2²⁰·n), two correctly-rounded IEEE ops from exact integers. */
+  private def withCNew(upd: DataFrame): DataFrame =
+    upd.select(col("cell"), col("dim").cast("int").as("dim"),
+      col("n_members"), col("c_fp"),
+      (col("c_fp").cast("double")
+        / (lit(1048576.0) * col("n_members").cast("double"))).as("c_new"))
+
+  /** DEFAULT chained-iteration count for the oracle-checked
+    * [[kmeansTrain]] — an oracle-stability pin like [[IvfCells]], not a
+    * design constant: [[kmeansTrainIters]] takes the count as a knob. */
+  private[queries] val KmeansIters = 3
+
+  /** CHAINED spherical k-means training — [[KmeansIters]] Lloyd steps with
+    * each step's `c_fp` sums fed back as the next step's centroid table.
+    * Emits every iteration's update rows (`iter`, `cell`, `dim`,
+    * `n_members`, `c_fp`, `c_new`) so convergence is auditable from the
+    * result itself (n_members migration, c_fp deltas shrinking). */
+  def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
+    kmeansTrainIters(spark, dir, KmeansIters)
+
+  /** [[kmeansTrain]] with the iteration count as an explicit knob.
+    *
+    * Chaining stays cross-engine-exact because the fed-back centroid IS
+    * the integer `c_fp` vector: cosine is scale-invariant, so c_fp (exact,
+    * order-invariant int64 sums, elements < 2⁵³ — cast to double losslessly)
+    * serves as the new centroid direction without ever materializing the
+    * inexact mean. Every per-element value entering iteration t+1's
+    * assignment is therefore bit-identical in Spark and the oracle, and the
+    * assignment itself is the SAME [[rankedCells]] ranking the IVF serving
+    * path runs. An emptied cell (or an all-zero c_fp) drops out of the
+    * centroid table — the standard k-means degeneracy, surfaced rather than
+    * papered over (both engines drop it identically via the `ncent > 0`
+    * guard).
+    *
+    * At scale each iteration is the [[kmeansIter]] shape: one pass over the
+    * persisted corpus (scan once, not per-iteration re-read), |cells|·dim
+    * map-side-combined partials, centroids broadcast — iterations multiply
+    * the ONE-scan cost, which is the canonical distributed-k-means bill. */
+  def kmeansTrainIters(spark: SparkSession, dir: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"iteration count must be >= 1, got $iters")
+    // PERSISTED: assignment scans the corpus once per iteration —
+    // unpersisted, each iteration re-reads the parquet and recomputes norms
+    val vecs = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", l2norm(col("e")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = centroids(spark, dir, IvfCells)
+    val perIter = (1 to iters).map { it =>
+      val upd = lloydUpdate(rankedCells(vecs, cents).filter(col("crank") === 1)
+        .select(col("cent_id").as("cell"), col("e"), col("nrm")))
+        // persisted per iteration: each update feeds BOTH the output union
+        // and the next iteration's broadcast centroid table — unpersisted,
+        // the whole assignment lineage re-executes per consumer
+        .persist()
+      cents = upd
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("c_fp")))).as("ds"))
+        .select(col("cell").as("cent_id"),
+          transform(col("ds"), s => s.getField("c_fp").cast("double")).as("ce"))
+        .withColumn("ncent", l2norm(col("ce")))
+        .filter(col("ncent") > 0.0)
+      withCNew(upd).withColumn("iter", lit(it))
+    }
+    perIter.reduce(_ unionAll _)
+      .select(col("iter"), col("cell"), col("dim"), col("n_members"),
+        col("c_fp"), col("c_new"))
+      .orderBy("iter", "cell", "dim")
   }
 
   // ---- e_semantic_dedup ---------------------------------------------------
