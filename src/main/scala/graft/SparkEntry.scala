@@ -85,6 +85,7 @@ object SparkEntry {
     "e_hybrid_search"     -> (ExtQueries.hybridSearch _),
     "e_kmeans_iter"       -> (ExtQueries.kmeansIter _),
     "e_kmeans_train"      -> (ExtQueries.kmeansTrain _),
+    "e_ivf_trained"       -> (ExtQueries.cosineTopkIvfTrained _),
     "e_cosine_topk_beam"  -> (ExtQueries.cosineTopkBeam _),
     "e_cosine_topk_pq"    -> (ExtQueries.cosineTopkPq _),
     "e_pii_redact"        -> (ExtQueries.piiRedact _),

@@ -1380,43 +1380,99 @@ object ExtOracles {
     * an assignment is bit-identical cross-engine). Unrolled like
     * `beamSearchSql`: a recursive CTE would hide the iteration count the
     * Spark side pins. Mirrors `ExtQueries.kmeansTrainIters`. */
-  private lazy val kmeansTrainSql: String = {
-    // update block over an assigned CTE (vec_id, e, nrm, cell)
-    def upd(asg: String, t: Int): String =
-      s"""comp$t AS (SELECT cell, generate_subscripts(e, 1) - 1 AS dim,
-         |  CAST(unnest(e) AS DOUBLE) / nrm AS u
-         |  FROM $asg WHERE nrm > 0),
-         |upd$t AS (SELECT cell, dim, count(*) AS n_members,
-         |  CAST(SUM(CAST(floor(u * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS c_fp
-         |  FROM comp$t GROUP BY cell, dim)""".stripMargin
-    // iteration t >= 2: centroids from upd{t-1}, then assign + update
+  // ---- kmeans training chain ----------------------------------------------
+
+  /** Update block over an assigned CTE (vec_id, e, nrm, cell) → `upd{t}`. */
+  private def lloydUpdCte(asg: String, t: Int): String =
+    s"""comp$t AS (SELECT cell, generate_subscripts(e, 1) - 1 AS dim,
+       |  CAST(unnest(e) AS DOUBLE) / nrm AS u
+       |  FROM $asg WHERE nrm > 0),
+       |upd$t AS (SELECT cell, dim, count(*) AS n_members,
+       |  CAST(SUM(CAST(floor(u * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS c_fp
+       |  FROM comp$t GROUP BY cell, dim)""".stripMargin
+
+  /** Centroid table `cents{t+1}` rebuilt from `upd{t}` — the exact c_fp
+    * int64 vector cast to double losslessly; `ncent > 0` drops emptied /
+    * all-zero cells, mirroring `ExtQueries.centsFromUpdate`. */
+  private def centsFromUpdCte(t: Int): String =
+    s"""cvec$t AS (SELECT cell AS cent_id,
+       |  list(CAST(c_fp AS DOUBLE) ORDER BY dim) AS ce
+       |  FROM upd$t GROUP BY cell),
+       |cents${t + 1} AS (SELECT * FROM (SELECT cent_id, ce,
+       |  sqrt(list_reduce(list_transform(ce, x -> x * x), (acc, y) -> acc + y))
+       |    AS ncent FROM cvec$t) WHERE ncent > 0)""".stripMargin
+
+  /** Max-cosine hard assignment of `vecs` against `cents{t}` → `asg{t}`
+    * (vec_id, e, nrm, cell) — the generated-name twin of the `assigned`
+    * CTE inside `centAssignCtes`. */
+  private def assignCte(t: Int): String =
+    s"""sims$t AS (SELECT v.vec_id, v.e, v.nrm, c.cent_id,
+       |  list_reduce(list_transform(list_zip(v.e, c.ce),
+       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc,x) -> acc+x)
+       |    / (v.nrm * c.ncent) AS csim
+       |  FROM vecs v, cents$t c),
+       |asg$t AS (SELECT vec_id, e, nrm, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY csim DESC, cent_id ASC) AS crank FROM sims$t)
+       |  WHERE crank = 1)""".stripMargin
+
+  /** The full `iters`-step training chain as CTE text: iteration 1 IS the
+    * shared `centAssignCtes` assignment, later iterations are generated
+    * blocks (`cents{t}` → `asg{t}` → `upd{t}`). Shared by `e_kmeans_train`
+    * (which unions the `upd{t}`) and `e_ivf_trained` (which serves from
+    * `cents{iters+1}`). */
+  private def kmeansChainCtes(iters: Int): String = {
     def round(t: Int): String =
-      s"""cvec${t - 1} AS (SELECT cell AS cent_id,
-         |  list(CAST(c_fp AS DOUBLE) ORDER BY dim) AS ce
-         |  FROM upd${t - 1} GROUP BY cell),
-         |cents$t AS (SELECT * FROM (SELECT cent_id, ce,
-         |  sqrt(list_reduce(list_transform(ce, x -> x * x), (acc, y) -> acc + y))
-         |    AS ncent FROM cvec${t - 1}) WHERE ncent > 0),
-         |sims$t AS (SELECT v.vec_id, v.e, v.nrm, c.cent_id,
-         |  list_reduce(list_transform(list_zip(v.e, c.ce),
-         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc,x) -> acc+x)
-         |    / (v.nrm * c.ncent) AS csim
-         |  FROM vecs v, cents$t c),
-         |asg$t AS (SELECT vec_id, e, nrm, cent_id AS cell FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY csim DESC, cent_id ASC) AS crank FROM sims$t)
-         |  WHERE crank = 1),
-         |${upd(s"asg$t", t)}""".stripMargin
+      s"""${centsFromUpdCte(t - 1)},
+         |${assignCte(t)},
+         |${lloydUpdCte(s"asg$t", t)}""".stripMargin
+    s"""$centAssignCtes,
+      |${lloydUpdCte("assigned", 1)}${
+        if (iters < 2) ""
+        else ",\n" + (2 to iters).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  /** `e_kmeans_train` — chained spherical Lloyd steps: iteration 1 IS the
+    * shared `centAssignCtes` assignment (the serving-path boundary), and
+    * each later iteration is a generated CTE block assigning against the
+    * previous update's `c_fp` vectors (cosine is scale-invariant, so the
+    * exact integer sums serve as centroid directions — every value entering
+    * an assignment is bit-identical cross-engine). Unrolled like
+    * `beamSearchSql`: a recursive CTE would hide the iteration count the
+    * Spark side pins. Mirrors `ExtQueries.kmeansTrainIters`. */
+  private lazy val kmeansTrainSql: String = {
     val unions = (1 to ExtQueries.KmeansIters)
       .map(t => s"SELECT $t AS iter, cell, dim, n_members, c_fp FROM upd$t")
       .mkString("\n  UNION ALL ")
-    s"""WITH $centAssignCtes,
-      |${upd("assigned", 1)},
-      |${(2 to ExtQueries.KmeansIters).map(round).mkString(",\n")}
+    s"""WITH ${kmeansChainCtes(ExtQueries.KmeansIters)}
       |SELECT CAST(iter AS INTEGER) AS iter, cell, CAST(dim AS INTEGER) AS dim,
       |  n_members, c_fp,
       |  CAST(c_fp AS DOUBLE) / (1048576.0 * CAST(n_members AS DOUBLE)) AS c_new
       |FROM ($unions) u ORDER BY iter, cell, dim""".stripMargin
+  }
+
+  /** `e_ivf_trained` — IVF serving from the TRAINED quantizer: COMPOSES the
+    * `e_kmeans_train` chain (final centroid table `cents{K+1}`) into the
+    * SAME assign + in-cell-search shape as `e_cosine_topk_ivf`, so any
+    * result difference vs the seed-centroid key is attributable to the
+    * quantizer alone. Mirrors `ExtQueries.cosineTopkIvfTrained`. */
+  private lazy val ivfTrainedSql: String = {
+    val K = ExtQueries.KmeansIters
+    s"""WITH ${kmeansChainCtes(K)},
+      |${centsFromUpdCte(K)},
+      |${assignCte(K + 1)},
+      |q AS (SELECT vec_id AS qid, e AS qe, nrm AS nq, cell
+      |  FROM asg${K + 1} WHERE vec_id < 8),
+      |scored AS (SELECT q.qid, a.vec_id AS cid,
+      |  list_reduce(list_transform(list_zip(q.qe, a.e),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc,x) -> acc+x)
+      |    / (q.nq * a.nrm) AS score
+      |  FROM asg${K + 1} a JOIN q ON a.cell = q.cell AND a.vec_id <> q.qid),
+      |ranked AS (SELECT qid, cid, score,
+      |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rank
+      |  FROM scored)
+      |SELECT qid, cid, score, rank FROM ranked WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
   }
 
   /** `e_split_contamination` — COMPOSES the graded `e_split` and
@@ -1439,6 +1495,7 @@ object ExtOracles {
     ("e_hybrid_search" -> hybridSearchSql) +
     ("e_split_contamination" -> splitContaminationSql) +
     ("e_kmeans_train" -> kmeansTrainSql) +
+    ("e_ivf_trained" -> ivfTrainedSql) +
     ("e_cosine_topk_beam" -> beamSearchSql) + ("e_ann_recall" ->
     s"""WITH ex AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk")}) t),
       |lsh AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_lsh")}) u),

@@ -699,7 +699,16 @@ object ExtQueries {
       cells: Int = IvfCells): DataFrame = {
     require(nprobe >= 1 && nprobe <= cells,
       s"nprobe must be in [1, $cells], got $nprobe")
-    val cents = centroids(spark, dir, cells)
+    ivfServe(spark, dir, centroids(spark, dir, cells), nprobe)
+  }
+
+  /** The IVF serve body against an ARBITRARY centroid table (`cent_id`,
+    * `ce`, `ncent`) — factored out so the seed-centroid entry points and
+    * the trained-centroid [[cosineTopkIvfTrained]] run the SAME dataflow;
+    * an index must not behave differently depending on where its quantizer
+    * came from. */
+  private def ivfServe(spark: SparkSession, dir: String, cents: DataFrame,
+      nprobe: Int): DataFrame = {
     val vecs = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", l2norm(col("e")))
@@ -820,7 +829,28 @@ object ExtQueries {
     * persisted corpus (scan once, not per-iteration re-read), |cells|·dim
     * map-side-combined partials, centroids broadcast — iterations multiply
     * the ONE-scan cost, which is the canonical distributed-k-means bill. */
-  def kmeansTrainIters(spark: SparkSession, dir: String, iters: Int): DataFrame = {
+  def kmeansTrainIters(spark: SparkSession, dir: String, iters: Int): DataFrame =
+    kmeansChain(spark, dir, iters)._1
+
+  /** Rebuilds a centroid table (`cent_id`, `ce`, `ncent`) from a
+    * [[lloydUpdate]] frame: the exact `c_fp` int64 vector, cast to double
+    * losslessly, IS the new centroid direction (cosine is scale-invariant).
+    * The `ncent > 0` guard drops emptied / all-zero cells — the standard
+    * k-means degeneracy, surfaced identically in both engines. */
+  private def centsFromUpdate(upd: DataFrame): DataFrame =
+    upd.groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c_fp")))).as("ds"))
+      .select(col("cell").as("cent_id"),
+        transform(col("ds"), s => s.getField("c_fp").cast("double")).as("ce"))
+      .withColumn("ncent", l2norm(col("ce")))
+      .filter(col("ncent") > 0.0)
+
+  /** The training chain: (all-iterations update frame, FINAL centroid
+    * table). The final table is what [[cosineTopkIvfTrained]] serves from —
+    * returned from here so training and trained-serving share one chain
+    * definition instead of re-deriving it. */
+  private def kmeansChain(spark: SparkSession, dir: String,
+      iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, s"iteration count must be >= 1, got $iters")
     // PERSISTED: assignment scans the corpus once per iteration —
     // unpersisted, each iteration re-reads the parquet and recomputes norms
@@ -836,20 +866,26 @@ object ExtQueries {
         // and the next iteration's broadcast centroid table — unpersisted,
         // the whole assignment lineage re-executes per consumer
         .persist()
-      cents = upd
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("c_fp")))).as("ds"))
-        .select(col("cell").as("cent_id"),
-          transform(col("ds"), s => s.getField("c_fp").cast("double")).as("ce"))
-        .withColumn("ncent", l2norm(col("ce")))
-        .filter(col("ncent") > 0.0)
+      cents = centsFromUpdate(upd)
       withCNew(upd).withColumn("iter", lit(it))
     }
-    perIter.reduce(_ unionAll _)
+    val all = perIter.reduce(_ unionAll _)
       .select(col("iter"), col("cell"), col("dim"), col("n_members"),
         col("c_fp"), col("c_new"))
       .orderBy("iter", "cell", "dim")
+    (all, cents)
   }
+
+  /** IVF serving from the TRAINED quantizer — closes the train→serve loop
+    * the seed-centroid scaladocs promise ("at scale you'd feed trained
+    * centroids in"): [[kmeansChain]]'s final centroid table drives the
+    * SAME [[ivfServe]] dataflow as [[cosineTopkIvf]]. nprobe stays 1, so
+    * any result difference vs `e_cosine_topk_ivf` is attributable to the
+    * quantizer alone — the controlled comparison a recall eval wants
+    * (spec-measured; on a corpus with real cluster structure the trained
+    * cells cut the exact-neighbor split across cell boundaries). */
+  def cosineTopkIvfTrained(spark: SparkSession, dir: String): DataFrame =
+    ivfServe(spark, dir, kmeansChain(spark, dir, KmeansIters)._2, nprobe = 1)
 
   // ---- e_semantic_dedup ---------------------------------------------------
 
