@@ -41,6 +41,12 @@ object GraftFunctions {
           SimHashBits(exprs.head, litInt(exprs(1), "bits"))
         }, "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "minhash_sigs", { exprs =>
+          require(exprs.length == 2,
+            s"minhash_sigs(shingle_hashes, num_hashes) takes 2 arguments, got ${exprs.length}")
+          MinhashSigs(exprs.head, litInt(exprs(1), "num_hashes"))
+        }, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "morton_interleave", { exprs =>
           require(exprs.length == 3,
             s"morton_interleave(x, y, bits) takes 3 arguments, got ${exprs.length}")
@@ -68,6 +74,13 @@ object GraftFunctions {
   def simhashBits(spark: SparkSession, c: Column, bits: Int): Column = {
     register(spark)
     call_function("simhash_bits", c, lit(bits))
+  }
+
+  /** MinHash signature for a shingle-hash array — one fused pass over the
+    * array for ALL hash functions ([[MinhashLsh]]). */
+  def minhashSigs(spark: SparkSession, c: Column, numHashes: Int): Column = {
+    register(spark)
+    call_function("minhash_sigs", c, lit(numHashes))
   }
 
   /** Morton (Z-order) interleave of two long columns' low `bits` bits —

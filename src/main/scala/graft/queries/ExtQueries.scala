@@ -253,10 +253,13 @@ object ExtQueries {
   private[queries] val NumHashes = 16
   private[queries] val NumBands = 4
   private[queries] val RowsPerBand = NumHashes / NumBands
+  // re-exports of the ONE pinned derivation in MinhashLsh (the fused
+  // signature expression computes with the same tables; the oracle SQL
+  // interpolates these literals — three consumers, one formula)
   private[queries] val MinhashA: IndexedSeq[Long] =
-    (0 until NumHashes).map(i => (2L * i + 1) * 1000003L % IntModulus)
+    graft.functions.MinhashLsh.A.take(NumHashes).toIndexedSeq
   private[queries] val MinhashB: IndexedSeq[Long] =
-    (0 until NumHashes).map(i => (i + 1L) * 7368787L % IntModulus)
+    graft.functions.MinhashLsh.B.take(NumHashes).toIndexedSeq
 
   /** Polynomial coefficients for numeric 3-gram shingle hashes:
     * sh(i) = (th(i)·C1 + th(i+1)·C2 + th(i+2)·C3) mod P over per-TOKEN
@@ -372,12 +375,14 @@ object ExtQueries {
     * exact-Jaccard truth set and the minhash family it grades, instead of
     * shingling the corpus twice. */
   private def minhashVerifiedPairsFrom(shd: DataFrame): DataFrame = {
+    // ONE fused pass over the shingle set for all NumHashes signature
+    // elements (codegen'd MinhashSigs expression) — the HOF formulation was
+    // NumHashes separate interpreted transform+array_min folds per row, the
+    // same per-pass shape SimHashBits and HyperplaneBands replaced
     val sigs = shd
       .select(col("doc_id"),
-        array((0 until NumHashes).map { i =>
-          array_min(transform(col("ds"),
-            h => (h * lit(MinhashA(i)) + lit(MinhashB(i))) % lit(IntModulus)))
-        }: _*).as("sig"))
+        graft.functions.GraftFunctions.minhashSigs(
+          shd.sparkSession, col("ds"), NumHashes).as("sig"))
 
     // PERSISTED: |docs|·NumBands small rows, probed twice by the self-join.
     val bands = sigs.select(
