@@ -103,6 +103,7 @@ object SparkEntry {
     "e_snapshot_diff"     -> (ExtQueries.snapshotDiff _),
     "e_curation_funnel"   -> (ExtQueries.curationFunnel _),
     "e_seq_pack"          -> (ExtQueries.seqPack _),
+    "e_train_order"       -> (ExtQueries.trainOrder _),
     "e_zorder"            -> (ExtQueries.zorder _),
     "e_knn_graph"         -> (ExtQueries.knnGraph _),
     "e_chunk_dedup"       -> (ExtQueries.chunkDedup _),

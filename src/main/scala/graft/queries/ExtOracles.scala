@@ -848,6 +848,25 @@ object ExtOracles {
         |    - (cum - n_tokens) // ${ExtQueries.PackBlockTokens} + 1 AS n_blocks
         |FROM c ORDER BY source, doc_id""".stripMargin,
 
+    // Two-level position arithmetic mirrored exactly (k >= 0 keeps // and
+    // Spark's div in agreement — the e_seq_pack floor-div contract); the
+    // triangular-join exclusive prefix produces the same integers a global
+    // window would, which DuckDB verifies by construction here.
+    "e_train_order" ->
+      s"""WITH keyed AS (SELECT doc_id, source,
+        |    CAST('0x'||substr(md5('${ExtQueries.TrainOrderSalt}'||text),1,15) AS BIGINT) AS k
+        |  FROM documents),
+        |segd AS (SELECT doc_id, source, k,
+        |  k // ${ExtQueries.TrainOrderSegWidth} AS seg FROM keyed),
+        |cnt AS (SELECT seg, count(*) AS c FROM segd GROUP BY seg),
+        |offs AS (SELECT a.seg, CAST(coalesce(sum(b.c), 0) AS BIGINT) AS seg_off
+        |  FROM cnt a LEFT JOIN cnt b ON b.seg < a.seg GROUP BY a.seg),
+        |rn AS (SELECT doc_id, source, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY k ASC, doc_id ASC) AS r
+        |  FROM segd)
+        |SELECT rn.doc_id, rn.source, CAST(o.seg_off + rn.r AS BIGINT) AS pos
+        |FROM rn JOIN offs o USING (seg) ORDER BY pos""".stripMargin,
+
     "e_semantic_dedup" ->
       s"""WITH $semanticAssignedBody,
         |dup AS (SELECT DISTINCT y.vec_id

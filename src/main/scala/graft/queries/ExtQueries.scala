@@ -1656,6 +1656,57 @@ object ExtQueries {
       .orderBy("doc_id", "frame_ts_s")
   }
 
+  // ---- e_train_order ------------------------------------------------------
+
+  /** Salt prefix for the [[trainOrder]] shuffle key — part of the pinned
+    * cross-engine contract (the oracle interpolates it); change it and
+    * every position changes. A per-epoch reshuffle would vary this salt. */
+  private[queries] val TrainOrderSalt = "shuf1:"
+
+  /** Segment width over hash64's [0, 2⁶⁰) key space: 2⁵² → at most 256
+    * segments. A design CONSTANT, not a corpus knob: segment count bounds
+    * the offsets join (|segs|² pairs) while each segment holds ~N/256 rows
+    * — at 100 TB you'd widen the constant's exponent down (more segments),
+    * which only grows the trivially-small offsets join. */
+  private[queries] val TrainOrderSegWidth = 1L << 52
+
+  /** Deterministic global training-order shuffle — the reproducible
+    * permutation every training run needs before batching: order by a
+    * salted CONTENT hash (identical bytes always land adjacent under the
+    * same salt, and a re-run on re-ingested data reproduces the order
+    * exactly — a row-number over arrival order would not), tie-broken by
+    * doc_id. Contiguous positions come from the SAME two-level device as
+    * [[packTokens]]'s prefix sums, with the level-1 prefix as a bounded
+    * TRIANGULAR JOIN instead of a global window: hash-range segments
+    * ([[TrainOrderSegWidth]]) give per-segment counts; each segment's
+    * exclusive offset is Σ counts of lower segments (≤ 256² pairs,
+    * broadcast); within-segment rank is a window whose partition is the
+    * segment. No empty-partition window anywhere — the repo-wide PlanSpec
+    * assertion holds — and the corpus shuffles ONCE (to its segment),
+    * which is the intentional shuffle any global permutation must pay. */
+  def trainOrder(spark: SparkSession, dir: String): DataFrame = {
+    // PERSISTED: consumed by the per-segment counts AND the rank join —
+    // unpersisted, the corpus is re-scanned and re-hashed per consumer
+    val keyed = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        hash64(concat(lit(TrainOrderSalt), col("text"))).as("k"))
+      .withColumn("seg", expr(s"k div $TrainOrderSegWidth"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = keyed.groupBy(col("seg")).agg(count(lit(1)).as("c"))
+    val offs = cnt.as("a")
+      .join(broadcast(cnt.as("b")), col("b.seg") < col("a.seg"), "left")
+      .groupBy(col("a.seg").as("seg"))
+      .agg(coalesce(sum(col("b.c")), lit(0L)).as("seg_off"))
+    val wSeg = Window.partitionBy(col("seg"))
+      .orderBy(col("k").asc, col("doc_id").asc)
+    keyed
+      .withColumn("r", row_number().over(wSeg))
+      .join(broadcast(offs), Seq("seg"))
+      .select(col("doc_id"), col("source"),
+        (col("seg_off") + col("r")).as("pos"))
+      .orderBy("pos")
+  }
+
   // ---- e_seq_pack ---------------------------------------------------------
 
   /** Fixed block size (in tokens) for sequence packing. */
