@@ -88,6 +88,8 @@ object SparkEntry {
     "e_ivf_trained"       -> (ExtQueries.cosineTopkIvfTrained _),
     "e_cosine_topk_beam"  -> (ExtQueries.cosineTopkBeam _),
     "e_cosine_topk_pq"    -> (ExtQueries.cosineTopkPq _),
+    "e_pq_train"          -> (ExtQueries.pqTrain _),
+    "e_pq_trained"        -> (ExtQueries.cosineTopkPqTrained _),
     "e_pii_redact"        -> (ExtQueries.piiRedact _),
     "e_dup_clusters"      -> (ExtQueries.dupClusters _),
     "e_quality_filter"    -> (ExtQueries.qualityFilter _),
@@ -98,6 +100,7 @@ object SparkEntry {
     "e_greedy_dedup"      -> (ExtQueries.greedyDedup _),
     "e_boilerplate"       -> (ExtQueries.boilerplate _),
     "e_tfidf_terms"       -> (ExtQueries.tfidfTerms _),
+    "e_bigram_lm"         -> (ExtQueries.bigramLm _),
     "e_bm25_topk"         -> (ExtQueries.bm25Topk _),
     "e_bpe_merges"        -> (ExtQueries.bpeMerges _),
     "e_snapshot_diff"     -> (ExtQueries.snapshotDiff _),

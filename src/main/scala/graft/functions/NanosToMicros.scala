@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -14,6 +15,17 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * arithmetic tree could not be matched or trusted the same way.
   */
 case class NanosToMicros(child: Expression) extends UnaryExpression {
+
+  // LONG ONLY, no implicit coercion: applied to a TIMESTAMP/_NTZ column this
+  // would "work" (internal micros reinterpreted as nanos) and silently shift
+  // every timestamp by 1000× — exactly what happened when the events fixture
+  // changed physical type under round 8's unconditional conversion. Failing
+  // analysis is the correct behavior.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nanos_to_micros expects a raw-nanos BIGINT column, got $other")
+  }
 
   override def dataType: DataType = LongType
   override def prettyName: String = "nanos_to_micros"

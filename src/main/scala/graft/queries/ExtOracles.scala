@@ -252,6 +252,122 @@ object ExtOracles {
       |SELECT qid, cid, score, rank FROM ranked WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
+  // ---- PQ family: shared codebook / serve CTE text -------------------------
+
+  /** DuckDB list-slice of an embedding into subspace `sub`'s subvector. */
+  private def pqSliceSql(v: String, sub: String): String =
+    s"$v[$sub*${ExtQueries.PqSubDim}+1:$sub*${ExtQueries.PqSubDim}+${ExtQueries.PqSubDim}]"
+
+  /** `subs` + `vecsub` — the subspace index and the corpus cut into
+    * per-subspace subvectors. Shared by the seed-codebook serve, the
+    * training chain, and the trained serve (one definition, like
+    * `ExtQueries.pqVecsub`). */
+  private def pqCommonCtes: String =
+    s"""subs AS (SELECT unnest(range(0, ${ExtQueries.PqSubspaces})) AS sub),
+      |vecsub AS (SELECT e.vec_id, s.sub,
+      |    ${pqSliceSql("e.embedding", "s.sub")} AS sv
+      |  FROM embeddings e, subs s)""".stripMargin
+
+  /** The pinned seed codebook (first [[ExtQueries.PqCodes]] corpus rows) as
+    * a CTE named `name` — the twin of `ExtQueries.pqSeedCodes`. */
+  private def pqSeedCodesCte(name: String): String =
+    s"""$name AS (SELECT e.vec_id AS code_id, s.sub,
+      |    ${pqSliceSql("e.embedding", "s.sub")} AS cv
+      |  FROM embeddings e, subs s WHERE e.vec_id < ${ExtQueries.PqCodes})""".stripMargin
+
+  /** The per-subspace squared-L2 fold between `sv` and `cv` columns. */
+  private def pqD2Sql: String =
+    """list_reduce(list_transform(list_zip(v.sv, c.cv),
+      |    p -> (CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))*(CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))),
+      |    (a,b)->a+b)""".stripMargin
+
+  /** The PQ encode + asymmetric-distance serve against codebook CTE
+    * `codes` — the twin of `ExtQueries.pqServe`, a TAIL (assumes `subs` /
+    * `vecsub` / `codes` are already defined upstream in the WITH chain). */
+  private def pqServeSql(codes: String): String =
+    s"""dists AS (SELECT v.vec_id, v.sub, c.code_id,
+      |  $pqD2Sql AS d2
+      |  FROM vecsub v JOIN $codes c USING (sub)),
+      |enc AS (SELECT vec_id, sub, code_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY d2 ASC, code_id ASC) AS rk FROM dists) WHERE rk = 1),
+      |q AS (SELECT vec_id AS qid, embedding AS qe,
+      |    sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b)) AS nq
+      |  FROM embeddings WHERE vec_id < 8),
+      |lut AS (SELECT q.qid, q.nq, c.sub, c.code_id,
+      |  list_reduce(list_transform(list_zip(
+      |      ${pqSliceSql("q.qe", "c.sub")}, c.cv),
+      |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b) AS pdot,
+      |  list_reduce(list_transform(c.cv, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b) AS pn2
+      |  FROM q, $codes c),
+      |g AS (SELECT l.qid, l.nq, e.vec_id AS cid,
+      |    list_reduce(list(l.pdot ORDER BY l.sub), (a,b)->a+b) AS dotsum,
+      |    list_reduce(list(l.pn2 ORDER BY l.sub), (a,b)->a+b) AS n2sum
+      |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code_id = l.code_id
+      |  WHERE e.vec_id <> l.qid
+      |  GROUP BY l.qid, l.nq, e.vec_id),
+      |ranked AS (SELECT qid, cid, dotsum / (nq * sqrt(n2sum)) AS score,
+      |  CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY dotsum / (nq * sqrt(n2sum)) DESC, cid ASC) AS INT) AS rank
+      |  FROM g)
+      |SELECT qid, cid, score, rank FROM ranked
+      |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  /** One PQ-training Lloyd round: assign `vecsub` against `codes{t}` (min
+    * squared L2, tie-break code_id — the SAME `pqD2Sql` distance the serve
+    * encoder uses), fixed-point-sum the member elements per (sub, code,
+    * dim), and rebuild `codes{t+1}` from the exact means. Mirrors one
+    * iteration of `ExtQueries.pqTrainChain`. */
+  private def pqRoundCtes(t: Int): String =
+    s"""dist$t AS (SELECT v.vec_id, v.sub, v.sv, c.code_id,
+      |  $pqD2Sql AS d2
+      |  FROM vecsub v JOIN codes$t c USING (sub)),
+      |asg$t AS (SELECT sub, code_id, sv FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY d2 ASC, code_id ASC) AS rk FROM dist$t) WHERE rk = 1),
+      |comp$t AS (SELECT sub, code_id, generate_subscripts(sv, 1) - 1 AS dim,
+      |  CAST(unnest(sv) AS DOUBLE) AS x FROM asg$t),
+      |upd$t AS (SELECT sub, code_id, dim, count(*) AS n_members,
+      |  CAST(SUM(CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS c_fp
+      |  FROM comp$t GROUP BY sub, code_id, dim),
+      |codes${t + 1} AS (SELECT code_id, sub,
+      |  list(CAST(c_fp AS DOUBLE) / (1048576.0 * CAST(n_members AS DOUBLE))
+      |    ORDER BY dim) AS cv
+      |  FROM upd$t GROUP BY code_id, sub)""".stripMargin
+
+  /** The full `iters`-round PQ training chain (seed codebook = `codes1`,
+    * final codebook = `codes{iters+1}`). Shared by `e_pq_train` (which
+    * unions the `upd{t}`) and `e_pq_trained` (which serves from the final
+    * codebook) — the `kmeansChainCtes` device for the quantized family. */
+  private def pqChainCtes(iters: Int): String =
+    s"""$pqCommonCtes,
+      |${pqSeedCodesCte("codes1")},
+      |${(1 to iters).map(pqRoundCtes).mkString(",\n")}""".stripMargin
+
+  /** `e_pq_train` — chained per-subspace L2 k-means codebook training.
+    * Mirrors `ExtQueries.pqTrain`. */
+  private lazy val pqTrainSql: String = {
+    val unions = (1 to ExtQueries.PqTrainIters)
+      .map(t => s"SELECT $t AS iter, sub, code_id, dim, n_members, c_fp FROM upd$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${pqChainCtes(ExtQueries.PqTrainIters)}
+      |SELECT CAST(iter AS INTEGER) AS iter, CAST(sub AS INTEGER) AS sub,
+      |  code_id, CAST(dim AS INTEGER) AS dim, n_members, c_fp,
+      |  CAST(c_fp AS DOUBLE) / (1048576.0 * CAST(n_members AS DOUBLE)) AS c_new
+      |FROM ($unions) u ORDER BY iter, sub, code_id, dim""".stripMargin
+  }
+
+  /** `e_pq_trained` — PQ serving from the TRAINED codebook: COMPOSES the
+    * `e_pq_train` chain (final codebook `codes{K+1}`) into the SAME
+    * encode + LUT serve as `e_cosine_topk_pq`, so any result difference vs
+    * the seed-codebook key is attributable to the codebook alone. Mirrors
+    * `ExtQueries.cosineTopkPqTrained`. */
+  private lazy val pqTrainedSql: String = {
+    val K = ExtQueries.PqTrainIters
+    s"""WITH ${pqChainCtes(K)},
+      |${pqServeSql(s"codes${K + 1}")}""".stripMargin
+  }
+
   /** Every oracle except the composed evaluation entries (which reference
     * other entries' SQL verbatim — see [[sql]]). */
   private lazy val baseSql: Map[String, String] = Map(
@@ -280,42 +396,9 @@ object ExtOracles {
         |WHERE rank <= ${ExtQueries.KnnK} ORDER BY src, rank""".stripMargin,
 
     "e_cosine_topk_pq" ->
-      s"""WITH subs AS (SELECT unnest(range(0, ${ExtQueries.PqSubspaces})) AS sub),
-        |codes AS (SELECT e.vec_id AS code_id, s.sub,
-        |    e.embedding[s.sub*${ExtQueries.PqSubDim}+1:s.sub*${ExtQueries.PqSubDim}+${ExtQueries.PqSubDim}] AS cv
-        |  FROM embeddings e, subs s WHERE e.vec_id < ${ExtQueries.PqCodes}),
-        |vecsub AS (SELECT e.vec_id, s.sub,
-        |    e.embedding[s.sub*${ExtQueries.PqSubDim}+1:s.sub*${ExtQueries.PqSubDim}+${ExtQueries.PqSubDim}] AS sv
-        |  FROM embeddings e, subs s),
-        |dists AS (SELECT v.vec_id, v.sub, c.code_id,
-        |  list_reduce(list_transform(list_zip(v.sv, c.cv),
-        |    p -> (CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))*(CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))),
-        |    (a,b)->a+b) AS d2
-        |  FROM vecsub v JOIN codes c USING (sub)),
-        |enc AS (SELECT vec_id, sub, code_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-        |      ORDER BY d2 ASC, code_id ASC) AS rk FROM dists) WHERE rk = 1),
-        |q AS (SELECT vec_id AS qid, embedding AS qe,
-        |    sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b)) AS nq
-        |  FROM embeddings WHERE vec_id < 8),
-        |lut AS (SELECT q.qid, q.nq, c.sub, c.code_id,
-        |  list_reduce(list_transform(list_zip(
-        |      q.qe[c.sub*${ExtQueries.PqSubDim}+1:c.sub*${ExtQueries.PqSubDim}+${ExtQueries.PqSubDim}], c.cv),
-        |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b) AS pdot,
-        |  list_reduce(list_transform(c.cv, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b) AS pn2
-        |  FROM q, codes c),
-        |g AS (SELECT l.qid, l.nq, e.vec_id AS cid,
-        |    list_reduce(list(l.pdot ORDER BY l.sub), (a,b)->a+b) AS dotsum,
-        |    list_reduce(list(l.pn2 ORDER BY l.sub), (a,b)->a+b) AS n2sum
-        |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code_id = l.code_id
-        |  WHERE e.vec_id <> l.qid
-        |  GROUP BY l.qid, l.nq, e.vec_id),
-        |ranked AS (SELECT qid, cid, dotsum / (nq * sqrt(n2sum)) AS score,
-        |  CAST(row_number() OVER (PARTITION BY qid
-        |    ORDER BY dotsum / (nq * sqrt(n2sum)) DESC, cid ASC) AS INT) AS rank
-        |  FROM g)
-        |SELECT qid, cid, score, rank FROM ranked
-        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+      s"""WITH $pqCommonCtes,
+        |${pqSeedCodesCte("codes")},
+        |${pqServeSql("codes")}""".stripMargin,
 
     "e_chunk_dedup" ->
       s"""WITH toks AS (
@@ -928,6 +1011,34 @@ object ExtOracles {
         |FROM wdf GROUP BY doc_id, source, n_shingles
         |ORDER BY doc_id""".stripMargin,
 
+    "e_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |vocab AS (SELECT count(DISTINCT tok) AS v FROM (
+        |  SELECT unnest(t) AS tok FROM toks)),
+        |bg AS (SELECT doc_id,
+        |  unnest(list_transform(range(0, len(t) - 1),
+        |    i -> CAST('0x'||substr(md5(t[i+1]),1,15) AS BIGINT))) AS hp,
+        |  unnest(list_transform(range(0, len(t) - 1),
+        |    i -> CAST('0x'||substr(md5(t[i+1]||chr(31)||t[i+2]),1,15) AS BIGINT))) AS hb
+        |  FROM toks WHERE len(t) >= 2),
+        |cnt1 AS (SELECT hp, count(*) AS c1 FROM bg GROUP BY hp),
+        |cnt2 AS (SELECT hb, count(*) AS c2 FROM bg GROUP BY hb),
+        |ps AS (SELECT b.doc_id,
+        |  CAST(floor((CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+        |    * 1073741824.0 + 0.5) AS BIGINT) AS pq
+        |  FROM bg b JOIN cnt2 USING (hb) JOIN cnt1 USING (hp), vocab),
+        |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(SUM(pq) AS BIGINT) AS p_fp FROM ps GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(p_fp, 0) AS p_fp,
+        |  CASE WHEN COALESCE(n_bigrams, 0) > 0 THEN
+        |    CAST(p_fp AS DOUBLE) / (1073741824.0 * CAST(n_bigrams AS DOUBLE))
+        |  END AS avg_prob
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "e_tfidf_terms" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
@@ -1515,6 +1626,8 @@ object ExtOracles {
     ("e_split_contamination" -> splitContaminationSql) +
     ("e_kmeans_train" -> kmeansTrainSql) +
     ("e_ivf_trained" -> ivfTrainedSql) +
+    ("e_pq_train" -> pqTrainSql) +
+    ("e_pq_trained" -> pqTrainedSql) +
     ("e_cosine_topk_beam" -> beamSearchSql) + ("e_ann_recall" ->
     s"""WITH ex AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk")}) t),
       |lsh AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_lsh")}) u),

@@ -1991,6 +1991,74 @@ object ExtQueries {
       .orderBy("doc_id", "rank")
   }
 
+  // ---- e_bigram_lm --------------------------------------------------------
+
+  /** Corpus-trained bigram language-model scoring — the CCNet-style
+    * likelihood quality signal the heuristic filters ([[textStats]],
+    * [[qualityFilter]]) can't express: train add-one-smoothed bigram
+    * statistics over the WHOLE corpus in one pass, then score every
+    * document by its own bigrams' average conditional probability
+    * P(cur|prev) = (c(prev,cur)+1)/(c(prev·)+V). A document of improbable
+    * token transitions (boilerplate soup, wrong-language text, mojibake)
+    * scores low; fluent in-distribution text scores high.
+    *
+    * Deliberately LOG-FREE: real perplexity averages log-probabilities, but
+    * `log` is not correctly-rounded-identical across engines (the same
+    * last-ulp hazard that made [[bm25Topk]] use a rational idf), so the
+    * score is the plain average probability — likelihood-monotone per
+    * bigram, though document rankings can differ from true perplexity
+    * (which weights improbable bigrams more heavily). Each probability is
+    * one int→int division (correctly rounded), scaled by 2³⁰ (exponent
+    * shift, exact) and fixed-point-quantized (the [[centroidScore]]
+    * device), so the per-document sum `p_fp` is an exact, partition-order-
+    * invariant int64 and `avg_prob` is two correctly-rounded IEEE ops from
+    * exact integers.
+    *
+    * At scale: the bigram stream is hashed SCAN-SIDE — only (doc_id,
+    * h_prev, h_bigram) int64 triples ever shuffle, never token text (the
+    * [[chunkDedup]] discipline); both count tables are map-side-combined
+    * hash aggregates; scoring re-joins the stream to the counts on the
+    * same hashed keys (co-partitioned), and the vocab size is a 1-row
+    * broadcast. The stream is PERSISTED: the two count tables and the
+    * scoring join all consume it — unpersisted, the tokenize + hash scan
+    * runs three times (callers clearCache() after materializing). */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val toked = table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val pairs = transform(
+      sequence(lit(0), size(col("tk")) - 2),
+      i => struct(
+        hash64(element_at(col("tk"), i + 1)).as("hp"),
+        // unit-separator delimiter: "ab"+"c" and "a"+"bc" must not collide
+        hash64(concat_ws("\u001f", element_at(col("tk"), i + 1),
+          element_at(col("tk"), i + 2))).as("hb")))
+    val bg = toked.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.hp").as("hp"), col("p.hb").as("hb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = toked.select(explode(col("tk")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val cnt1 = bg.groupBy(col("hp")).agg(count(lit(1)).as("c1"))
+    val cnt2 = bg.groupBy(col("hb")).agg(count(lit(1)).as("c2"))
+    val pq = floor(((col("c2") + 1).cast("double")
+      / (col("c1") + col("v")).cast("double")) * lit(1073741824.0) + 0.5)
+      .cast("long")
+    val scored = bg.join(cnt2, Seq("hb")).join(cnt1, Seq("hp"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), pq.as("pq"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("pq")).as("p_fp"))
+    table(spark, dir, "documents").select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("p_fp"), lit(0L)).as("p_fp"))
+      .withColumn("avg_prob", when(col("n_bigrams") > 0,
+        col("p_fp").cast("double")
+          / (lit(1073741824.0) * col("n_bigrams").cast("double"))))
+      .orderBy("doc_id")
+  }
+
   // ---- e_zorder -----------------------------------------------------------
 
   /** Bits per dimension interleaved into the Z-order key (16 + 16 → a
@@ -2222,22 +2290,50 @@ object ExtQueries {
     * bounded-group pattern from [[freqRankScore]]), so every emitted
     * double is a sequential fold cross-engine. */
   def cosineTopkPq(spark: SparkSession, dir: String): DataFrame = {
-    val emb = table(spark, dir, "embeddings")
+    val emb = pqEmb(spark, dir)
+    pqServe(emb, pqSeedCodes(emb))
+  }
+
+  /** The `embeddings` scan with the PQ dimension guard — fail loud, not
+    * garbage slices, if the corpus dimension ever drifts from [[PqDim]]. */
+  private def pqEmb(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
       .select(col("vec_id"),
         when(size(col("embedding")) === PqDim, col("embedding"))
           .otherwise(raise_error(lit(
             s"e_cosine_topk_pq: embedding dim must be $PqDim"))).as("embedding"))
-    val subs = explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub")
-    def subvec(v: Column, sub: Column): Column = slice(v, sub * PqSubDim + 1, lit(PqSubDim))
-    val vecsub = emb.select(col("vec_id"), col("embedding"), subs)
-      .select(col("vec_id"), col("sub"), subvec(col("embedding"), col("sub")).as("sv"))
-    val codes = emb.filter(col("vec_id") < PqCodes)
-      .select(col("vec_id").as("code_id"), col("embedding"), subs)
-      .select(col("code_id"), col("sub"), subvec(col("embedding"), col("sub")).as("cv"))
+
+  private def pqSubs: Column = explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub")
+  private def pqSlice(v: Column, sub: Column): Column =
+    slice(v, sub * PqSubDim + 1, lit(PqSubDim))
+
+  /** Corpus cut into per-subspace subvectors: (vec_id, sub, sv). */
+  private def pqVecsub(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"), pqSubs)
+      .select(col("vec_id"), col("sub"), pqSlice(col("embedding"), col("sub")).as("sv"))
+
+  /** The PINNED seed codebook — first [[PqCodes]] corpus rows cut into
+    * subvectors (code_id, sub, cv), deterministic by construction; the
+    * training chain ([[pqTrainChain]]) starts from exactly this table. */
+  private def pqSeedCodes(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < PqCodes)
+      .select(col("vec_id").as("code_id"), col("embedding"), pqSubs)
+      .select(col("code_id"), col("sub"), pqSlice(col("embedding"), col("sub")).as("cv"))
+
+  /** Per-(subspace) squared L2 between a subvector `sv` and a codebook
+    * entry `cv` — sequential fold, bit-identical cross-engine. */
+  private def pqD2: Column = seqSum(zip_with(col("sv"), col("cv"),
+    (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))))
+
+  /** The PQ encode + asymmetric-distance serve body against an ARBITRARY
+    * codebook table (`code_id`, `sub`, `cv`) — factored out (the
+    * [[ivfServe]] device) so the seed-codebook [[cosineTopkPq]] and the
+    * trained-codebook [[cosineTopkPqTrained]] run the SAME dataflow. */
+  private def pqServe(emb: DataFrame, codes: DataFrame): DataFrame = {
+    val vecsub = pqVecsub(emb)
     // encode: nearest code per (vector, subspace) — argmin as a map-side-
     // combined min(struct) aggregate, tie-break code_id ascending
-    val d2 = seqSum(zip_with(col("sv"), col("cv"),
-      (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))))
+    val d2 = pqD2
     val enc = vecsub.join(broadcast(codes), Seq("sub"))
       .select(col("vec_id"), col("sub"), col("code_id"), d2.as("d2"))
       .groupBy(col("vec_id"), col("sub"))
@@ -2250,8 +2346,8 @@ object ExtQueries {
       .withColumn("nq", l2norm(col("qe")))
     val pdot = seqSum(zip_with(col("qv"), col("cv"),
       (x, y) => x.cast("double") * y.cast("double")))
-    val lut = q.select(col("qid"), col("nq"), col("qe"), subs)
-      .select(col("qid"), col("nq"), col("sub"), subvec(col("qe"), col("sub")).as("qv"))
+    val lut = q.select(col("qid"), col("nq"), col("qe"), pqSubs)
+      .select(col("qid"), col("nq"), col("sub"), pqSlice(col("qe"), col("sub")).as("qv"))
       .join(codes, Seq("sub"))
       .select(col("qid"), col("nq"), col("sub"), col("code_id"),
         pdot.as("pdot"), seqSum(transform(col("cv"),
@@ -2270,6 +2366,104 @@ object ExtQueries {
     scored.withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= 10)
       .orderBy("qid", "rank")
+  }
+
+  // ---- e_pq_train / e_pq_trained ------------------------------------------
+
+  /** DEFAULT chained-iteration count for the oracle-checked [[pqTrain]] —
+    * an oracle-stability pin like [[KmeansIters]]; [[pqTrainChain]] takes
+    * the count as a knob. */
+  private[queries] val PqTrainIters = 2
+
+  /** Per-subspace L2 k-means codebook TRAINING — the trainer behind
+    * [[cosineTopkPq]]'s "pinned seed subvectors standing in for a trained
+    * codebook": [[PqSubspaces]] independent k-means problems (one per
+    * subspace, [[PqCodes]] clusters each) run in ONE dataflow, keyed by
+    * (sub, code). Each iteration assigns every subvector to its min-L2
+    * codebook entry (the SAME [[pqD2]] distance the serving encoder uses —
+    * shared on purpose, so training and encoding can never disagree on the
+    * cell boundary), then re-estimates each entry as the member MEAN.
+    *
+    * Unlike the spherical [[kmeansIter]], the L2 objective wants the plain
+    * mean and the distance is NOT scale-invariant, so the fed-back entry
+    * must be the materialized mean itself: per (sub, code, dim) the member
+    * elements are fixed-point-quantized (floor(x·2²⁰ + 0.5) as int64 — the
+    * [[centroidScore]] exactness device; elements are raw float32 values,
+    * exact in double, so quantization is deterministic), summed exactly and
+    * order-invariantly, and `c_new` = c_fp/(2²⁰·n) is two correctly-rounded
+    * IEEE ops from exact integers — bit-identical cross-engine, which makes
+    * the NEXT iteration's assignment (and the final serve) hash-matchable.
+    * An emptied code drops out of the codebook — the standard k-means
+    * degeneracy, surfaced identically in both engines.
+    *
+    * Emits every iteration's update rows (`iter`, `sub`, `code_id`, `dim`,
+    * `n_members`, `c_fp`, `c_new`) so convergence is auditable from the
+    * result itself (member migration across iters, c_fp deltas shrinking).
+    *
+    * At scale each iteration is one pass over the persisted subvector
+    * corpus: codebooks broadcast (M·K·subdim values — tiny), the argmin is
+    * a map-side-combined min(struct) aggregate, and only |subs|·|codes|·dim
+    * partial sums shuffle — never N·dim rows. The spec measures in-cell
+    * distortion non-increasing over the chain. */
+  def pqTrain(spark: SparkSession, dir: String): DataFrame =
+    pqTrainChain(spark, dir, PqTrainIters)._1
+
+  /** PQ serving from the TRAINED codebook — closes the train→serve loop
+    * for the quantized ANN family exactly as [[cosineTopkIvfTrained]] does
+    * for the cell-partitioned one: [[pqTrainChain]]'s final codebook drives
+    * the SAME [[pqServe]] dataflow as [[cosineTopkPq]], so any result
+    * difference vs `e_cosine_topk_pq` is attributable to the codebook
+    * alone (spec-measured: trained codes cut quantization distortion). */
+  def cosineTopkPqTrained(spark: SparkSession, dir: String): DataFrame = {
+    val emb = pqEmb(spark, dir)
+    pqServe(emb, pqTrainChain(spark, dir, PqTrainIters)._2)
+  }
+
+  /** The PQ training chain: (all-iterations update frame, FINAL codebook
+    * table (`code_id`, `sub`, `cv`)). Returned together so [[pqTrain]] and
+    * [[cosineTopkPqTrained]] share one chain definition. */
+  private def pqTrainChain(spark: SparkSession, dir: String,
+      iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"iteration count must be >= 1, got $iters")
+    // PERSISTED: every iteration (and nothing else) scans the subvector
+    // corpus — unpersisted, each round re-reads the parquet and re-slices
+    val vecsub = pqVecsub(pqEmb(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var codes = pqSeedCodes(pqEmb(spark, dir))
+    val cNew = (col("c_fp").cast("double")
+      / (lit(1048576.0) * col("n_members").cast("double")))
+    val perIter = (1 to iters).map { it =>
+      // argmin code per (vector, subspace), the member subvector riding
+      // along in the min-struct (d2 + code_id already pick a unique winner)
+      val asg = vecsub.join(broadcast(codes), Seq("sub"))
+        .select(col("vec_id"), col("sub"), pqD2.as("d2"), col("code_id"), col("sv"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d2"), col("code_id"), col("sv"))).as("m"))
+        .select(col("sub"), col("m.code_id").as("code_id"), col("m.sv").as("sv"))
+      val upd = asg
+        .select(col("sub"), col("code_id"), posexplode(col("sv")))
+        .select(col("sub"), col("code_id"), col("pos").as("dim"),
+          col("col").cast("double").as("x"))
+        .groupBy(col("sub"), col("code_id"), col("dim"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(floor(col("x") * lit(1048576.0) + 0.5).cast("long")).as("c_fp"))
+        // persisted per iteration: each update feeds BOTH the output union
+        // and the next codebook — unpersisted, the assignment re-executes
+        .persist()
+      codes = upd
+        .select(col("sub"), col("code_id"), col("dim"), cNew.as("cnew"))
+        .groupBy(col("code_id"), col("sub"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("cnew")))).as("ds"))
+        .select(col("code_id"), col("sub"),
+          transform(col("ds"), s => s.getField("cnew")).as("cv"))
+      upd.withColumn("iter", lit(it))
+    }
+    val all = perIter.reduce(_ unionAll _)
+      .select(col("iter"), col("sub"), col("code_id"),
+        col("dim").cast("int").as("dim"), col("n_members"), col("c_fp"),
+        cNew.as("c_new"))
+      .orderBy("iter", "sub", "code_id", "dim")
+    (all, codes)
   }
 
   // ---- e_chunk_dedup ------------------------------------------------------

@@ -25,17 +25,25 @@ import graft.functions.LongModeAggregator
   */
 object RefQueries {
 
-  /** Load a driver test table. The driver's `events.parquet` carries
-    * TIMESTAMP(NANOS) which Spark's reader rejects by default (DuckDB
-    * truncates it to micros); graft reads nanos as long (session conf
-    * `spark.sql.legacy.parquet.nanosAsLong` — set once at session build in
-    * Verify/Bench/tests, NOT mutated here) and floor-divides to micros via
-    * the NAMED [[graft.functions.NanosToMicros]] expression. Naming the
-    * conversion is load-bearing: the [[graft.plans.NanosDatePushdown]]
-    * optimizer rule (installed via GraftExtensions at session build)
-    * recognizes date predicates over this node and appends the equivalent
-    * raw-nanos range predicate, so `filter(to_date($"ts") === d)` written
-    * naturally STILL reaches the parquet reader as a pushed range. */
+  /** Load a driver test table. The `events.parquet` fixture's `ts` physical
+    * type is GENERATOR-OWNED and has shipped as both TIMESTAMP(NANOS)
+    * (rounds 1-8) and TIMESTAMP(MICROS)/NTZ (round 9+), so table() adapts to
+    * what it reads instead of assuming:
+    *   - long (nanos surfaced by `spark.sql.legacy.parquet.nanosAsLong`) →
+    *     floor-divide to micros via the NAMED
+    *     [[graft.functions.NanosToMicros]] expression. Naming the conversion
+    *     is load-bearing: the [[graft.plans.NanosDatePushdown]] optimizer
+    *     rule recognizes date predicates over this node and appends the
+    *     equivalent raw-nanos range predicate, so `filter(to_date($"ts") ===
+    *     d)` written naturally STILL reaches the parquet reader as a pushed
+    *     range.
+    *   - TIMESTAMP_NTZ → cast to session-TZ timestamp. The session is UTC
+    *     everywhere graft builds it, so the micros value is unchanged and
+    *     downstream schemas/outputs stay byte-identical to the nanos path;
+    *     Spark's own UnwrapCastInBinaryComparison + date-range rewrite push
+    *     these filters without any custom rule.
+    * Either way every query downstream sees one stable shape: `ts` as a
+    * session-TZ TIMESTAMP in micros. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Defensive for externally-built sessions (the driver contract hands us
     // an arbitrary SparkSession): graft's events queries REQUIRE
@@ -60,9 +68,19 @@ object RefQueries {
     }
     graft.plans.NanosDatePushdown.ensureInstalled(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(nanosToMicros(spark, col("ts"))))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType =>      // TIMESTAMP_NS fixture read raw via nanosAsLong
+          df.withColumn("ts", timestamp_micros(nanosToMicros(spark, col("ts"))))
+        case TimestampNTZType => // TIMESTAMP_MICROS fixture; UTC session ⇒ same micros
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType => df
+        case other => throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other (expected nanos-as-long, " +
+            "timestamp_ntz, or timestamp)")
+      }
+    } else df
   }
 
   // ---- §2.1/§2.8 sources & scalar functions -------------------------------

@@ -28,15 +28,26 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LessThan(l_shipdate"), plan.take(500))
   }
 
-  test("P5: 7-day BETWEEN is pushed to the events scan as a raw-nanos range") {
+  test("P5: 7-day BETWEEN is pushed to the events scan as an exact ts range") {
     val plan = formatted(RefQueries.filterBetween(spark, dir))
-    assert(plan.contains("GreaterThanOrEqual(ts,1704672000000000000)"), plan.take(800))
-    assert(plan.contains("LessThan(ts,1705276800000000000)"), plan.take(800))
+    // the fixture's ts is TIMESTAMP_MICROS: Spark's own unwrap rules push
+    // the exact closed-open day range onto the ntz column
+    assert(plan.contains("GreaterThanOrEqual(ts,2024-01-08T00:00)"), plan.take(800))
+    assert(plan.contains("LessThan(ts,2024-01-15T00:00)"), plan.take(800))
   }
 
   test("NanosDatePushdown: every comparison shape pushes its exact raw bounds") {
     import org.apache.spark.sql.functions._
-    val ev = RefQueries.table(spark, dir, "events")
+    // the shipped fixture is TIMESTAMP_MICROS now, so exercise the custom
+    // rule on what it exists for: a RAW-NANOS long column (the shape the
+    // rounds-1-8 fixture had, and what any nanos-precision feed produces).
+    // Written through table()'s long branch via a synthetic parquet.
+    val tmp = java.nio.file.Files.createTempDirectory("nanos-ev").toString
+    spark.range(0, 1000)
+      .select(col("id").as("event_id"),
+        (lit(1705190400000000000L) + col("id") * 864000000000L).as("ts"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val ev = RefQueries.table(spark, tmp, "events")
     val d = lit("2024-01-14").cast("date")
     val lo = "1705190400000000000" // 2024-01-14T00:00 UTC in nanos
     val hi = "1705276800000000000" // 2024-01-15T00:00 UTC in nanos
@@ -370,9 +381,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning("),
       "zkey must be computed scan-side, not across a shuffle")
     assert(plan.contains("rangepartitioning("), plan.take(600))
-    // pruning: only the three needed columns leave the scan
-    assert(plan.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint>"),
-      plan.take(600))
+    // pruning: only the three needed columns leave the scan (ts's physical
+    // type is generator-owned — nanos-as-long or timestamp — so not pinned)
+    assert("ReadSchema: struct<event_id:bigint,ts:\\w+,user_id:bigint>".r
+      .findFirstIn(plan).isDefined, plan.take(600))
   }
 
   test("chunk dedup: first-occurrence rule is an aggregate, never a per-hash window") {
