@@ -90,6 +90,7 @@ object SparkEntry {
     "e_cosine_topk_pq"    -> (ExtQueries.cosineTopkPq _),
     "e_pq_train"          -> (ExtQueries.pqTrain _),
     "e_pq_trained"        -> (ExtQueries.cosineTopkPqTrained _),
+    "e_pagerank"          -> (ExtQueries.pageRank _),
     "e_pii_redact"        -> (ExtQueries.piiRedact _),
     "e_dup_clusters"      -> (ExtQueries.dupClusters _),
     "e_quality_filter"    -> (ExtQueries.qualityFilter _),

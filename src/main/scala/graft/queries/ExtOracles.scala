@@ -1619,7 +1619,35 @@ object ExtOracles {
       |FROM sp LEFT JOIN con ON sp.doc_id = con.doc_id
       |GROUP BY sp.split ORDER BY sp.split""".stripMargin
 
+  /** `e_pagerank` — COMPOSES the graded `e_knn_graph` SQL text as its edge
+    * list (the `e_ann_recall` device), then unrolls the integer-exact
+    * power iteration: fixed-point masses, damping as `*85 // 100`, integer
+    * division by out-degree. All operands are non-negative, where DuckDB's
+    * floor `//` and Spark's truncating `div` agree — the whole recurrence
+    * is exact int64 on both engines. Mirrors `ExtQueries.pageRank`. */
+  private lazy val pageRankSql: String = {
+    val S = ExtQueries.PrScale
+    val rounds = (1 to ExtQueries.PageRankIters).map { t =>
+      s"""c$t AS (SELECT e.nbr AS vec_id,
+        |  CAST(SUM(((p.mass * 85) // 100) // e.deg) AS BIGINT) AS inflow
+        |  FROM edges e JOIN pr${t - 1} p ON e.src = p.vec_id GROUP BY e.nbr),
+        |pr$t AS (SELECT em.vec_id,
+        |  (($S * 15) // 100) // nn.n + COALESCE(c$t.inflow, 0) AS mass
+        |  FROM embeddings em CROSS JOIN nn
+        |  LEFT JOIN c$t ON em.vec_id = c$t.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eg AS (SELECT src, nbr FROM (${baseSql("e_knn_graph")}) g),
+      |deg AS (SELECT src, count(*) AS deg FROM eg GROUP BY src),
+      |edges AS (SELECT eg.src, eg.nbr, deg.deg FROM eg JOIN deg USING (src)),
+      |nn AS (SELECT count(*) AS n FROM embeddings),
+      |pr0 AS (SELECT vec_id, $S // nn.n AS mass FROM embeddings CROSS JOIN nn),
+      |$rounds
+      |SELECT vec_id, mass, CAST(mass AS DOUBLE) / $S.0 AS pr
+      |FROM pr${ExtQueries.PageRankIters} ORDER BY vec_id""".stripMargin
+  }
+
   val sql: Map[String, String] = baseSql +
+    ("e_pagerank" -> pageRankSql) +
     ("e_dedup_eval" -> dedupEvalSql) +
     ("e_rank_fusion" -> rankFusionSql) +
     ("e_hybrid_search" -> hybridSearchSql) +

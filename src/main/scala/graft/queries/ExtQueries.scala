@@ -2155,6 +2155,80 @@ object ExtQueries {
       .orderBy("src", "rank")
   }
 
+  // ---- e_pagerank ---------------------------------------------------------
+
+  /** Power-iteration rounds for the oracle-checked [[pageRank]] — an
+    * oracle-stability pin like [[KmeansIters]]/[[PqTrainIters]]. */
+  private[queries] val PageRankIters = 2
+
+  /** Fixed-point scale for PageRank mass (2⁴⁰): ranks are probabilities
+    * ≤ 1, so scaled masses fit comfortably in int64 even summed over
+    * every in-edge of a hub node. */
+  private[queries] val PrScale = 1L << 40
+
+  /** PageRank centrality over the [[knnGraph]] similarity graph — the
+    * importance signal a curation pipeline uses to weight documents by how
+    * central they are in the corpus's similarity structure (repetitive
+    * boilerplate clusters score high and get capped; isolated outliers
+    * score low and get reviewed).
+    *
+    * ENTIRELY INTEGER arithmetic, by construction: mass is int64
+    * fixed-point ([[PrScale]]), the damping factor 0.85 is the integer
+    * computation `m*85 div 100`, and per-edge contributions divide by the
+    * out-degree with integer `div` — every operation is exact and
+    * partition-order-invariant (the [[centroidScore]] device extended from
+    * sums to the whole recurrence), so [[PageRankIters]] rounds produce
+    * bit-identical int64 masses on any partitioning AND in DuckDB.
+    * Truncation loses ≤1/2⁴⁰ of mass per division — bounded, deterministic,
+    * and identical cross-engine (all masses are non-negative, where
+    * floor and truncate agree). Dangling nodes (a cell with fewer members
+    * than [[KnnK]]+1 can leave a node without out-edges) simply leak their
+    * damped mass — the standard no-redistribution variant, applied
+    * identically in the oracle.
+    *
+    * At scale: the edge list (|V|·k rows after [[knnGraph]]) is JOINED
+    * WITH ITS OUT-DEGREES ONCE and persisted hash-partitioned by `src`, so
+    * every iteration reuses that layout — the per-round cost is shuffling
+    * the SLIM rank frame (vec_id, mass) to the edges' partitioning, one
+    * map-side-combined sum of contributions by destination, and a left
+    * join back to the node set for the teleport term. Nothing about the
+    * corpus (vectors, text) moves after graph construction. */
+  def pageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRankIters(spark, dir, PageRankIters)
+
+  /** [[pageRank]] with the round count exposed. */
+  def pageRankIters(spark: SparkSession, dir: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"iteration count must be >= 1, got $iters")
+    val edges = knnGraph(spark, dir).select(col("src"), col("nbr"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // one co-partitioned (src, nbr, deg) frame, reused by every round
+    val edgesDeg = edges.join(deg, Seq("src"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = table(spark, dir, "embeddings").select(col("vec_id"))
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    // uniform start: floor(S/N) per node (the ≤1/2⁴⁰ remainder leaks, same
+    // truncation both engines)
+    var pr = nodes.crossJoin(broadcast(nRow))
+      .select(col("vec_id"), expr(s"$PrScale div n").as("mass"))
+    for (_ <- 1 to iters) {
+      val inflow = edgesDeg
+        .join(pr.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .select(col("nbr").as("vec_id"),
+          expr("((mass * 85) div 100) div deg").as("c"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("c")).as("inflow"))
+      pr = nodes.crossJoin(broadcast(nRow))
+        .join(inflow, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (expr(s"(($PrScale * 15) div 100) div n")
+            + coalesce(col("inflow"), lit(0L))).as("mass"))
+    }
+    pr.select(col("vec_id"), col("mass"),
+        (col("mass").cast("double") / lit(PrScale.toDouble)).as("pr"))
+      .orderBy("vec_id")
+  }
+
   // ---- e_cosine_topk_beam -------------------------------------------------
 
   /** Beam width (candidates kept per query per round) and the FIXED round
