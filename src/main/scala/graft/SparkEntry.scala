@@ -91,6 +91,8 @@ object SparkEntry {
     "e_pq_train"          -> (ExtQueries.pqTrain _),
     "e_pq_trained"        -> (ExtQueries.cosineTopkPqTrained _),
     "e_pagerank"          -> (ExtQueries.pageRank _),
+    "e_importance_sample" -> (ExtQueries.importanceSample _),
+    "e_domain_cap"        -> (ExtQueries.domainCap _),
     "e_pii_redact"        -> (ExtQueries.piiRedact _),
     "e_dup_clusters"      -> (ExtQueries.dupClusters _),
     "e_quality_filter"    -> (ExtQueries.qualityFilter _),

@@ -1039,6 +1039,17 @@ object ExtOracles {
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    "e_domain_cap" ->
+      s"""WITH pr AS (SELECT doc_id, source,
+        |  CAST('0x'||substr(md5('cap:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+        |    % 1048576 AS priority
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, priority,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY priority ASC, doc_id ASC) AS rk FROM pr)
+        |SELECT doc_id, source, priority, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= ${ExtQueries.DomainCapK} ORDER BY doc_id""".stripMargin,
+
     "e_tfidf_terms" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
@@ -1646,8 +1657,25 @@ object ExtOracles {
       |FROM pr${ExtQueries.PageRankIters} ORDER BY vec_id""".stripMargin
   }
 
+  /** `e_importance_sample` — COMPOSES the graded `e_bigram_lm` SQL text as
+    * its score, then applies the exact-integer cross-multiplied acceptance
+    * (u·max < p_fp·2²⁰ — no float division anywhere). Mirrors
+    * `ExtQueries.importanceSample`. */
+  private lazy val importanceSampleSql: String =
+    s"""WITH b AS (SELECT doc_id, n_bigrams, p_fp
+      |    FROM (${baseSql("e_bigram_lm")}) t),
+      |mx AS (SELECT max(p_fp) AS m FROM b),
+      |u AS (SELECT doc_id, n_bigrams, p_fp,
+      |  CAST('0x'||substr(md5('imp:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+      |    % 1048576 AS u
+      |  FROM b)
+      |SELECT u.doc_id, u.n_bigrams, u.p_fp, u.u
+      |FROM u, mx WHERE u.u * mx.m < u.p_fp * 1048576
+      |ORDER BY u.doc_id""".stripMargin
+
   val sql: Map[String, String] = baseSql +
     ("e_pagerank" -> pageRankSql) +
+    ("e_importance_sample" -> importanceSampleSql) +
     ("e_dedup_eval" -> dedupEvalSql) +
     ("e_rank_fusion" -> rankFusionSql) +
     ("e_hybrid_search" -> hybridSearchSql) +

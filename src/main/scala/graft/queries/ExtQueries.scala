@@ -2022,7 +2022,13 @@ object ExtQueries {
     * broadcast. The stream is PERSISTED: the two count tables and the
     * scoring join all consume it — unpersisted, the tokenize + hash scan
     * runs three times (callers clearCache() after materializing). */
-  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLmBody(spark, dir).orderBy("doc_id")
+
+  /** The unordered [[bigramLm]] frame — shared with [[importanceSample]]
+    * (the [[pqServe]] single-definition device, so the sampler and the
+    * graded score can never drift). */
+  private def bigramLmBody(spark: SparkSession, dir: String): DataFrame = {
     val toked = table(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("tk"))
     val pairs = transform(
@@ -2056,6 +2062,77 @@ object ExtQueries {
       .withColumn("avg_prob", when(col("n_bigrams") > 0,
         col("p_fp").cast("double")
           / (lit(1073741824.0) * col("n_bigrams").cast("double"))))
+  }
+
+  // ---- e_importance_sample ------------------------------------------------
+
+  /** LM-likelihood importance sampling — the distribution-matching sampler
+    * (DSIR/CCNet shape) a pretraining mix runs AFTER hard quality gates:
+    * instead of a keep/drop threshold, each document is kept with
+    * probability proportional to its [[bigramLm]] likelihood score, so
+    * fluent text is oversampled smoothly and improbable text is damped but
+    * not erased. Acceptance is EXACT-INTEGER end to end: the document's
+    * salted 2²⁰-bucket fate u and the corpus-max score m are cross-
+    * multiplied — keep iff u·m < p_fp·2²⁰ — so no float division or
+    * rounding can diverge between engines (both sides are int64 products
+    * of exact integers; p_fp ≤ 2³⁰·|bigrams| and u < 2²⁰ keep the products
+    * far from overflow). Documents with no bigrams have p_fp = 0 and are
+    * never kept — the sampler inherits the score's domain.
+    *
+    * At scale: the score derivation is [[bigramLm]]'s own dataflow (shared
+    * body, not a copy); the max is a 1-row broadcast; the acceptance test
+    * is a scan-side predicate — the sampler adds ZERO shuffles beyond the
+    * score itself, and document fate is partition-layout-invariant
+    * (re-sharding or growing the corpus keeps the same decisions for
+    * unchanged scores, the [[stratifiedSample]] reproducibility
+    * contract). */
+  def importanceSample(spark: SparkSession, dir: String): DataFrame = {
+    val scored = bigramLmBody(spark, dir)
+    val mx = scored.agg(max(col("p_fp")).as("m"))
+    val u = pmod(hash64(concat(lit("imp:"), col("doc_id").cast("string"))),
+      lit(1L << 20))
+    scored.crossJoin(broadcast(mx))
+      .withColumn("u", u)
+      .filter(col("u") * col("m") < col("p_fp") * lit(1L << 20))
+      .select(col("doc_id"), col("n_bigrams"), col("p_fp"), col("u"))
+      .orderBy("doc_id")
+  }
+
+  // ---- e_domain_cap -------------------------------------------------------
+
+  /** Per-source document cap for [[domainCap]]. */
+  private[queries] val DomainCapK = 100
+
+  /** Per-domain document capping — the anti-domination rule (C4/RefinedWeb
+    * shape): no source may contribute more than [[DomainCapK]] documents,
+    * and WHICH documents survive is a deterministic pseudo-random draw
+    * (salted 2²⁰-bucket priority, doc_id tie-break), not arrival order —
+    * so re-running on a re-sharded or appended corpus keeps a stable
+    * sample rather than "first K encountered".
+    *
+    * Per-source selection uses the bounded-state
+    * [[graft.functions.TopKByScoreAggregator]] rather than a ranking
+    * window: a hot domain at 100 TB would put its entire document list on
+    * one partition under `row_number().over(partitionBy(source))`, while
+    * the aggregate's map-side partials cap at 4k rows per (source ×
+    * partition) and only |sources|·|partitions|·k slim rows shuffle. Top-k
+    * under the total order (priority ASC, doc_id ASC) is a selection from
+    * the input set — merge-order-invariant, so the kept set is identical
+    * on any partitioning and in the oracle's window formulation. */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    val pri = pmod(hash64(concat(lit("cap:"), col("doc_id").cast("string"))),
+      lit(1L << 20))
+    val agg = new graft.functions.TopKByScoreAggregator(DomainCapK)
+    val topk = udaf(agg, agg.inputEncoder)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), pri.as("priority"))
+      // aggregator keeps score DESC — negate so low priority wins
+      .groupBy(col("source"))
+      .agg(topk((-col("priority")).cast("double"), col("doc_id")).as("tk"))
+      .select(col("source"), posexplode(col("tk")))
+      .select(col("col.id").as("doc_id"), col("source"),
+        (-col("col.score")).cast("long").as("priority"),
+        (col("pos") + 1).cast("int").as("rk"))
       .orderBy("doc_id")
   }
 

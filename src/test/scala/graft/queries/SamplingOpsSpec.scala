@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** `e_domain_cap` + `e_importance_sample` — the two deterministic samplers
+  * added on top of [[ExtQueries.stratifiedSample]]/[[ExtQueries.tempMix]]:
+  * per-domain capping (bounded-state top-k selection) and LM-likelihood
+  * importance sampling (exact-integer acceptance). Both are checked against
+  * sequential driver-side replays of their selection rules. */
+class SamplingOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("domain cap: never more than K per source, selection matches the sequential draw") {
+    val got = ExtQueries.domainCap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val perSource = got.groupBy(_._2)
+    assert(perSource.values.forall(_.length <= ExtQueries.DomainCapK))
+    // ranks are contiguous 1..n within each source under (priority, doc_id)
+    perSource.foreach { case (src, rows) =>
+      val ordered = rows.sortBy(t => (t._3, t._1))
+      assert(ordered.map(_._4).toSeq == (1 to rows.length), s"source=$src")
+    }
+    // the kept set is exactly the first K of the full deterministic order —
+    // replay it from the raw table
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.hash64
+    val all = RefQueries.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        pmod(hash64(concat(lit("cap:"), col("doc_id").cast("string"))),
+          lit(1L << 20)).as("priority"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = all.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(t => (t._3, t._1)).take(ExtQueries.DomainCapK).toSeq
+    }.map(t => (t._1, t._2, t._3)).toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet == want)
+  }
+
+  /** Driver-side replica of hash64(s) mod 2^20 (first 60 md5 bits). */
+  private def bucket20(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % (1L << 20)
+  }
+
+  test("importance sample: kept set IS {u*max < p_fp*2^20}, replayed exactly") {
+    val scores = ExtQueries.bigramLm(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))   // (doc_id, p_fp)
+    spark.catalog.clearCache()
+    val kept = ExtQueries.importanceSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))   // (doc_id, u)
+    spark.catalog.clearCache()
+    val m = scores.map(_._2).max
+    assert(m > 0)
+    // full sequential replay of the acceptance rule over EVERY document
+    val want = scores.collect {
+      case (id, p) if bucket20(s"imp:$id") * m < p * (1L << 20) =>
+        id -> bucket20(s"imp:$id")
+    }.toMap
+    assert(kept.toMap == want)
+    // the sampler behaves like a sampler: keeps something, drops something,
+    // and every zero-score document is dropped (inherits the score domain)
+    assert(kept.nonEmpty && kept.length < scores.length)
+    val keptIds = kept.map(_._1).toSet
+    assert(scores.filter(_._2 == 0L).forall(t => !keptIds.contains(t._1)))
+  }
+}
