@@ -93,6 +93,7 @@ object SparkEntry {
     "e_pagerank"          -> (ExtQueries.pageRank _),
     "e_importance_sample" -> (ExtQueries.importanceSample _),
     "e_domain_cap"        -> (ExtQueries.domainCap _),
+    "e_semantic_decontaminate" -> (ExtQueries.semanticDecontaminate _),
     "e_pii_redact"        -> (ExtQueries.piiRedact _),
     "e_dup_clusters"      -> (ExtQueries.dupClusters _),
     "e_quality_filter"    -> (ExtQueries.qualityFilter _),

@@ -721,6 +721,27 @@ object ExtOracles {
         |FROM corpus c JOIN bench b ON c.g = b.g
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
+    "e_semantic_decontaminate" ->
+      s"""WITH emb AS (SELECT vec_id, embedding AS e,
+        |  sqrt(list_reduce(list_transform(embedding,
+        |    v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b)) AS nrm
+        |  FROM embeddings),
+        |bench AS (SELECT vec_id AS bench_id, e AS be, nrm AS bn FROM emb
+        |  WHERE vec_id < ${ExtQueries.DecontamBenchIds}),
+        |corpus AS (SELECT vec_id, e, nrm FROM emb
+        |  WHERE vec_id >= ${ExtQueries.DecontamBenchIds}),
+        |cos AS (SELECT c.vec_id, b.bench_id,
+        |  list_reduce(list_transform(list_zip(c.e, b.be),
+        |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b)
+        |    / (c.nrm * b.bn) AS cos
+        |  FROM corpus c, bench b),
+        |r AS (SELECT vec_id, bench_id, cos,
+        |  row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cos DESC, bench_id ASC) AS rk FROM cos)
+        |SELECT vec_id, bench_id, cos AS max_cos,
+        |  cos >= ${ExtQueries.SemDedupTheta} AS contaminated
+        |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
     "e_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
         |  FROM documents),

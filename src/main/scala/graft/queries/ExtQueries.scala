@@ -1374,6 +1374,54 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // ---- e_semantic_decontaminate -------------------------------------------
+
+  /** Embedding-space benchmark decontamination — the SEMANTIC complement of
+    * the n-gram [[decontaminate]]: a paraphrased eval item shares no
+    * 3-gram shingle with its source but sits next to it in embedding
+    * space, so serious pipelines run BOTH passes. The same
+    * [[DecontamBenchIds]] boundary carves the held-out set (here over
+    * `embeddings.vec_id` — in production the eval set is its own tiny
+    * table); every corpus vector reports its nearest benchmark item
+    * (max cosine, bench_id tie-break ascending) and is flagged at the
+    * [[SemDedupTheta]] near-duplicate bar — ONE threshold shared with
+    * [[semanticDedup]], so "contaminated" and "semantic duplicate" can
+    * never mean different similarities.
+    *
+    * ZERO-SHUFFLE scoring: the benchmark side is collapsed to a single
+    * sorted array row and broadcast, and the per-corpus-vector argmax is a
+    * sequential `aggregate` fold over that array INSIDE the corpus scan's
+    * projection — no join, no group-by; the only exchange in the plan is
+    * the output sort. The fold keeps the running best as a (cos, id)
+    * struct with a strict `>` compare, so ties resolve to the lowest
+    * bench_id (the array is sorted) — deterministic on any partitioning
+    * and identical to the oracle's window formulation. */
+  def semanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", l2norm(col("e")))
+    val benchArr = emb.filter(col("vec_id") < DecontamBenchIds)
+      .agg(array_sort(collect_list(
+        struct(col("vec_id").as("bid"), col("e").as("be"), col("nrm").as("bn"))))
+        .as("bs"))
+    val dot = (b: Column) => seqSum(zip_with(col("e"), b,
+      (x, y) => x.cast("double") * y.cast("double")))
+    emb.filter(col("vec_id") >= DecontamBenchIds)
+      .crossJoin(broadcast(benchArr))
+      .select(col("vec_id"),
+        aggregate(col("bs"),
+          struct(lit(-2.0).as("cos"), lit(-1L).as("bid")),
+          (acc, b) => {
+            val c = dot(b.getField("be")) / (col("nrm") * b.getField("bn"))
+            when(c > acc.getField("cos"),
+              struct(c.as("cos"), b.getField("bid").as("bid"))).otherwise(acc)
+          }).as("best"))
+      .select(col("vec_id"), col("best.bid").as("bench_id"),
+        col("best.cos").as("max_cos"),
+        (col("best.cos") >= SemDedupTheta).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   // ---- e_repetition -------------------------------------------------------
 
   /** Repetition-based quality signals — the Gopher-rule family (duplicate
