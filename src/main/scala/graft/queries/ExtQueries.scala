@@ -1599,7 +1599,9 @@ object ExtQueries {
     * frame — ONE rule definition shared by [[qualityFilter]] (the full
     * report) and [[curationFunnel]] (the quality stage), so the funnel can
     * never apply a drifted copy of the rules. */
-  private def qualitySignals(docs: DataFrame): DataFrame = {
+  /** Shared with [[graft.streaming.Streaming.qualityGateStream]] — the
+    * stream applies THIS body, so online and offline gating cannot drift. */
+  private[graft] def qualitySignals(docs: DataFrame): DataFrame = {
     val toked = docs
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         tokens(col("text")).as("tk"))

@@ -217,6 +217,24 @@ object Streaming {
   def enrichStream(docs: DataFrame, sourceDim: DataFrame): DataFrame =
     docs.join(broadcast(sourceDim), Seq("source"), "left")
 
+  /** Online quality gating — the Gopher-rule battery applied AT INGEST so
+    * rejected documents never reach the lake: the stream runs the batch
+    * operator's OWN [[graft.queries.ExtQueries.qualitySignals]] body (one
+    * definition — the online gate and the offline
+    * `e_quality_filter` grade cannot drift; parity is additionally pinned
+    * end-to-end by the spec). Stateless by construction: every signal is a
+    * per-document projection, so no streaming state accumulates, any
+    * trigger/micro-batch boundary yields identical verdicts, and the gate
+    * composes freely with [[dedupStreamWithinWatermark]] upstream or
+    * [[enrichStream]] downstream.
+    *
+    * At scale this placement is the point: dropping (or tagging) rejects
+    * in-flight means the lake write, the warehouse append, and every
+    * downstream batch pass size to the KEPT corpus — the quality cut is
+    * paid once at the edge instead of re-filtered by each consumer. */
+  def qualityGateStream(docs: DataFrame): DataFrame =
+    graft.queries.ExtQueries.qualitySignals(docs)
+
   // ---- change capture -----------------------------------------------------
 
   /** Streaming change capture — the continuous form of
