@@ -111,7 +111,15 @@ object Demo {
     println("== ANN rank fusion (LSH+IVF+PQ consensus), query 0 top-5:")
     graft.queries.ExtQueries.rankFusion(spark, sf)
       .filter($"qid" === 0 && $"rank" <= 5).show(false)
-    spark.catalog.clearCache() // funnel/fusion persist intermediates
+    println("== PageRank centrality over the knn similarity graph, top-5:")
+    graft.queries.ExtQueries.pageRank(spark, sf)
+      .orderBy($"mass".desc, $"vec_id").show(5, false)
+    println("== LM-likelihood importance sampling + per-domain cap:")
+    val imp = graft.queries.ExtQueries.importanceSample(spark, sf)
+    println(s"   importance sampler kept ${imp.count()} documents")
+    graft.queries.ExtQueries.domainCap(spark, sf)
+      .groupBy("source").count().orderBy("source").show(false)
+    spark.catalog.clearCache() // funnel/fusion/graph ops persist intermediates
 
     // malformed day file: observe the failure mode
     Files.writeString(Paths.get(s"$root/bad.json"), "this is not json {{{")
