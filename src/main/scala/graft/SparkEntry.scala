@@ -94,6 +94,7 @@ object SparkEntry {
     "e_importance_sample" -> (ExtQueries.importanceSample _),
     "e_domain_cap"        -> (ExtQueries.domainCap _),
     "e_semantic_decontaminate" -> (ExtQueries.semanticDecontaminate _),
+    "e_canonical_pick"    -> (ExtQueries.canonicalPick _),
     "e_pii_redact"        -> (ExtQueries.piiRedact _),
     "e_dup_clusters"      -> (ExtQueries.dupClusters _),
     "e_quality_filter"    -> (ExtQueries.qualityFilter _),

@@ -1694,8 +1694,34 @@ object ExtOracles {
       |FROM u, mx WHERE u.u * mx.m < u.p_fp * 1048576
       |ORDER BY u.doc_id""".stripMargin
 
+  /** `e_canonical_pick` — COMPOSES the graded `e_dup_clusters` text (the
+    * cluster assignment) with the shared `qualityCtes` battery (the rank),
+    * then picks per-cluster best under (keep DESC, n_tokens DESC, doc_id
+    * ASC). Mirrors `ExtQueries.canonicalPick`. */
+  private lazy val canonicalPickSql: String =
+    s"""WITH dc AS (SELECT doc_id, cluster_id
+      |    FROM (${baseSql("e_dup_clusters")}) t),
+      |dv AS (
+      |  SELECT doc_id, lang, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, lang, source,
+      |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[6:], ' ') AS text
+      |  FROM documents),
+      |${qualityCtes("dv")},
+      |j AS (SELECT dc.doc_id, dc.cluster_id,
+      |  CASE WHEN qr.keep THEN 1 ELSE 0 END AS k, qr.n_tokens
+      |  FROM dc JOIN qr USING (doc_id)),
+      |r AS (SELECT cluster_id, doc_id,
+      |  row_number() OVER (PARTITION BY cluster_id
+      |    ORDER BY k DESC, n_tokens DESC, doc_id ASC) AS rk FROM j),
+      |c AS (SELECT cluster_id, doc_id AS canonical_id FROM r WHERE rk = 1)
+      |SELECT j.doc_id, j.cluster_id, c.canonical_id,
+      |  j.doc_id = c.canonical_id AS is_canonical
+      |FROM j JOIN c USING (cluster_id) ORDER BY j.doc_id""".stripMargin
+
   val sql: Map[String, String] = baseSql +
     ("e_pagerank" -> pageRankSql) +
+    ("e_canonical_pick" -> canonicalPickSql) +
     ("e_importance_sample" -> importanceSampleSql) +
     ("e_dedup_eval" -> dedupEvalSql) +
     ("e_rank_fusion" -> rankFusionSql) +

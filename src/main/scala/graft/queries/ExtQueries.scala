@@ -1568,6 +1568,49 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // ---- e_canonical_pick ---------------------------------------------------
+
+  /** Quality-aware survivor selection — the dedup DECISION rule upgraded
+    * from "keep the minimum id" to what curation pipelines actually want:
+    * within each [[dupClusters]] near-duplicate cluster, keep the BEST
+    * member — quality-gate passers first ([[qualitySignals]] `keep`), then
+    * the longest (`n_tokens`), then lowest doc_id as the final
+    * deterministic tie-break. Emits every clustered document with its
+    * cluster, the chosen canonical id, and the keep/drop verdict — the
+    * id-keyed action table a rewrite pass applies statelessly.
+    *
+    * COMPOSES two graded operators (the [[splitContamination]] device):
+    * the cluster assignment is [[dupClusters]]' own derivation and the
+    * quality rank is [[qualitySignals]]' own columns, so the pick can
+    * never disagree with either grade; the oracle composes both SQL texts.
+    *
+    * At scale: both inputs are slim id-keyed frames (clustered ids are a
+    * corpus fraction; quality signals project to 3 columns here), the
+    * per-cluster argmax is ONE map-side-combined max(struct) aggregate —
+    * selection under the total order (keep DESC, n_tokens DESC, doc_id
+    * ASC) is merge-order-invariant like every argmax in the repo — and
+    * the canonical table joins back on the cluster key it was grouped by
+    * (co-partitioned, no extra exchange). */
+  def canonicalPick(spark: SparkSession, dir: String): DataFrame = {
+    val clustered = dupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    // rank over the SAME universe the clusters cover (corpus + re-crawl
+    // variants) — ranking only the base table would silently drop every
+    // variant member from its cluster's decision
+    val quality = qualitySignals(docsWithVariants(spark, dir))
+      .select(col("doc_id"),
+        when(col("keep"), 1L).otherwise(0L).as("k"), col("n_tokens"))
+    val j = clustered.join(quality, Seq("doc_id"))
+    val canon = j.groupBy(col("cluster_id"))
+      .agg(max(struct(col("k"), col("n_tokens"),
+        (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("cluster_id"), (-col("m.nid")).as("canonical_id"))
+    j.join(canon, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   // ---- e_quality_filter ---------------------------------------------------
 
   /** Quality-rule thresholds and the stopword list — shared with the oracle
