@@ -182,6 +182,25 @@ class PlanSpec extends AnyFunSuite {
         "partition global sort regression returning")
   }
 
+  test("domain cap: bounded-state aggregate, not a ranking window") {
+    val plan = formatted(ExtQueries.domainCap(spark, dir))
+    // the per-source top-k must execute as the typed aggregator (map-side
+    // partial buffers) — a Window here would move each domain's whole
+    // document list to one partition
+    assert(plan.contains("ObjectHashAggregate"), plan.take(600))
+    assert(!plan.contains("Window"), plan.take(600))
+  }
+
+  test("pagerank: iterations reuse the persisted degree-annotated edges") {
+    val plan = formatted(ExtQueries.pageRank(spark, dir))
+    // both power-iteration rounds must probe the SAME cached edge frame —
+    // re-deriving the knn graph per round would re-run the cell self-join
+    assert(plan.contains("InMemoryTableScan"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"),
+      "corpus-scale cross products must never appear")
+    spark.catalog.clearCache()
+  }
+
   test("repo-wide: no registered query plans a Window with an empty partition spec") {
     // An empty-partition-spec Window moves EVERY row to one partition — a
     // single-executor sort at 100 TB. Every windowed operator in the repo
