@@ -95,6 +95,7 @@ object SparkEntry {
     "e_domain_cap"        -> (ExtQueries.domainCap _),
     "e_semantic_decontaminate" -> (ExtQueries.semanticDecontaminate _),
     "e_canonical_pick"    -> (ExtQueries.canonicalPick _),
+    "e_lm_buckets"        -> (ExtQueries.lmBuckets _),
     "e_pii_redact"        -> (ExtQueries.piiRedact _),
     "e_dup_clusters"      -> (ExtQueries.dupClusters _),
     "e_quality_filter"    -> (ExtQueries.qualityFilter _),

@@ -1719,9 +1719,32 @@ object ExtOracles {
       |  j.doc_id = c.canonical_id AS is_canonical
       |FROM j JOIN c USING (cluster_id) ORDER BY j.doc_id""".stripMargin
 
+  /** `e_lm_buckets` — COMPOSES the graded `e_bigram_lm` SQL as the score,
+    * then per-language exact ⌈q·n⌉ quartile thresholds (the
+    * `e_quality_buckets` rank-selection shape) over the int64 `p_fp`.
+    * Mirrors `ExtQueries.lmBuckets`. */
+  private lazy val lmBucketsSql: String =
+    s"""WITH b AS (SELECT doc_id, p_fp FROM (${baseSql("e_bigram_lm")}) t),
+      |s AS (SELECT b.doc_id, d.lang, b.p_fp
+      |  FROM b JOIN documents d USING (doc_id)),
+      |r AS (SELECT doc_id, lang, p_fp,
+      |  row_number() OVER (PARTITION BY lang ORDER BY p_fp ASC, doc_id ASC) AS rn,
+      |  count(*) OVER (PARTITION BY lang) AS n FROM s),
+      |thr AS (SELECT lang,
+      |  max(CASE WHEN rn = ceil(n * 0.25) THEN p_fp END) AS t25,
+      |  max(CASE WHEN rn = ceil(n * 0.5) THEN p_fp END) AS t50,
+      |  max(CASE WHEN rn = ceil(n * 0.75) THEN p_fp END) AS t75
+      |  FROM r GROUP BY lang)
+      |SELECT s.doc_id, s.lang, s.p_fp,
+      |  CAST(1 + CAST(s.p_fp > t.t25 AS INT) + CAST(s.p_fp > t.t50 AS INT)
+      |    + CAST(s.p_fp > t.t75 AS INT) AS BIGINT) AS bucket
+      |FROM s JOIN thr t USING (lang)
+      |ORDER BY s.doc_id""".stripMargin
+
   val sql: Map[String, String] = baseSql +
     ("e_pagerank" -> pageRankSql) +
     ("e_canonical_pick" -> canonicalPickSql) +
+    ("e_lm_buckets" -> lmBucketsSql) +
     ("e_importance_sample" -> importanceSampleSql) +
     ("e_dedup_eval" -> dedupEvalSql) +
     ("e_rank_fusion" -> rankFusionSql) +

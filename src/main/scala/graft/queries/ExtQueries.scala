@@ -2157,6 +2157,52 @@ object ExtQueries {
           / (lit(1073741824.0) * col("n_bigrams").cast("double"))))
   }
 
+  // ---- e_lm_buckets -------------------------------------------------------
+
+  /** CCNet-proper curriculum tiers: per-language quartile buckets of the
+    * [[bigramLm]] LIKELIHOOD score (bucket 1 = most fluent quarter) — the
+    * grouping CCNet actually computes (LM score, per language), where
+    * [[qualityBuckets]] uses the vocabulary-rank proxy. Sharing
+    * [[bigramLmBody]] keeps the bucket boundaries and the graded score one
+    * definition; the score being an EXACT int64 (`p_fp`) makes every
+    * threshold comparison integer-exact — no float boundary can put a
+    * document in different tiers on different engines.
+    *
+    * Same scale shape as [[qualityBuckets]]: no ntile, no per-language
+    * corpus sort — thresholds come from the one-pass GK sketch per
+    * language (accuracy-guarded so it degenerates to exact ⌈q·n⌉ rank
+    * selection, raising loud past [[QualityBucketAccuracy]]), broadcast
+    * back as a |langs|-row table; assignment is three integer comparisons
+    * per row. The scored frame persists: thresholds and assignment both
+    * consume it. */
+  def lmBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = bigramLmBody(spark, dir)
+      .join(table(spark, dir, "documents").select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("p_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = count(lit(1))
+    val ps = percentile_approx(col("p_fp"),
+      array(lit(0.25), lit(0.5), lit(0.75)), lit(QualityBucketAccuracy))
+    val thr = scored.groupBy(col("lang"))
+      .agg(when(n <= QualityBucketAccuracy, ps)
+        .otherwise(raise_error(lit(
+          s"lm_buckets: language group exceeds accuracy $QualityBucketAccuracy — " +
+            "GK no longer degenerates to exact rank selection; raise the accuracy or " +
+            "accept sketch thresholds and drop the exact oracle")).cast("array<bigint>"))
+        .as("ts"))
+      .select(col("lang"),
+        element_at(col("ts"), 1).as("t25"),
+        element_at(col("ts"), 2).as("t50"),
+        element_at(col("ts"), 3).as("t75"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("p_fp"),
+        (lit(1L) + (col("p_fp") > col("t25")).cast("long")
+          + (col("p_fp") > col("t50")).cast("long")
+          + (col("p_fp") > col("t75")).cast("long")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
   // ---- e_importance_sample ------------------------------------------------
 
   /** LM-likelihood importance sampling — the distribution-matching sampler

@@ -41,4 +41,32 @@ class BigramLmSpec extends AnyFunSuite {
     val ps = rows.filter(_.getLong(1) > 0).map(_.getDouble(3)).distinct
     assert(ps.length > 1, "every document scored identically — no signal")
   }
+
+  test("e_lm_buckets: assignment matches exact per-language rank selection") {
+    val langs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pfp = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = ExtQueries.lmBuckets(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    assert(got.length == rows.length)
+    // sequential replay: per-lang sorted (p_fp, doc_id), thresholds at
+    // ceil(q*n) ranks, bucket = 1 + thresholds strictly below the score
+    val byLang = got.groupBy(_._2)
+    byLang.foreach { case (lang, docs) =>
+      val sorted = docs.map(d => (d._3, d._1)).sortBy(identity)
+      val n = sorted.length
+      def thrAt(q: Double) = sorted(math.ceil(n * q).toInt - 1)._1
+      val (t25, t50, t75) = (thrAt(0.25), thrAt(0.5), thrAt(0.75))
+      docs.foreach { case (id, _, p, bucket) =>
+        val want = 1L + (if (p > t25) 1 else 0) + (if (p > t50) 1 else 0) +
+          (if (p > t75) 1 else 0)
+        assert(bucket == want, s"doc=$id lang=$lang p=$p")
+        assert(p == pfp(id) && langs(id) == lang)
+      }
+    }
+    // curriculum is non-degenerate: more than one tier appears
+    assert(got.map(_._4).distinct.length > 1)
+  }
 }
