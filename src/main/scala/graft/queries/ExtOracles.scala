@@ -1759,20 +1759,28 @@ object ExtOracles {
       |lsh AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_lsh")}) u),
       |ivf AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_ivf")}) v),
       |pq AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_pq")}) w),
-      |beam AS (SELECT qid, cid FROM ($beamSearchSql) x)
+      |beam AS (SELECT qid, cid FROM ($beamSearchSql) x),
+      |ivf_t AS (SELECT qid, cid FROM ($ivfTrainedSql) y),
+      |pq_t AS (SELECT qid, cid FROM ($pqTrainedSql) z)
       |SELECT ex.qid, count(*) AS n_exact,
       |  CAST(count(lsh.cid) AS BIGINT) AS n_lsh,
       |  CAST(count(ivf.cid) AS BIGINT) AS n_ivf,
       |  CAST(count(pq.cid) AS BIGINT) AS n_pq,
       |  CAST(count(beam.cid) AS BIGINT) AS n_beam,
+      |  CAST(count(ivf_t.cid) AS BIGINT) AS n_ivf_t,
+      |  CAST(count(pq_t.cid) AS BIGINT) AS n_pq_t,
       |  CAST(count(lsh.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_lsh,
       |  CAST(count(ivf.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivf,
       |  CAST(count(pq.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_pq,
-      |  CAST(count(beam.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_beam
+      |  CAST(count(beam.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_beam,
+      |  CAST(count(ivf_t.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivf_t,
+      |  CAST(count(pq_t.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_pq_t
       |FROM ex
       |LEFT JOIN lsh ON ex.qid = lsh.qid AND ex.cid = lsh.cid
       |LEFT JOIN ivf ON ex.qid = ivf.qid AND ex.cid = ivf.cid
       |LEFT JOIN pq ON ex.qid = pq.qid AND ex.cid = pq.cid
       |LEFT JOIN beam ON ex.qid = beam.qid AND ex.cid = beam.cid
+      |LEFT JOIN ivf_t ON ex.qid = ivf_t.qid AND ex.cid = ivf_t.cid
+      |LEFT JOIN pq_t ON ex.qid = pq_t.qid AND ex.cid = pq_t.cid
       |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin)
 }

@@ -208,10 +208,13 @@ object ExtQueries {
     * recall@10 of each approximate family — hash-bucketed ([[cosineTopkLsh]]),
     * cell-partitioned ([[cosineTopkIvf]]), quantized ([[cosineTopkPq]]),
     * graph-searched ([[cosineTopkBeam]]) — against the exact [[cosineTopk]]
-    * baseline, per query. This is the measurement every ANN deployment runs
+    * baseline, per query, PLUS the two TRAINED variants
+    * ([[cosineTopkIvfTrained]], [[cosineTopkPqTrained]]) so the benefit of
+    * the k-means/PQ training chains is itself a graded number, not just a
+    * spec measurement. This is the measurement every ANN deployment runs
     * before trading exactness for speed; making it a declared query keeps
     * the recall numbers themselves under the cross-engine hash gate (the
-    * DuckDB oracle composes the same five top-k SQL texts, so the
+    * DuckDB oracle composes the same seven top-k SQL texts, so the
     * evaluation can never drift from what it evaluates).
     *
     * At scale: each rank list is |queries|·k rows — the evaluation joins
@@ -220,27 +223,28 @@ object ExtQueries {
     * is unique per list, so counts are exact hit counts. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val ex = cosineTopk(spark, dir).select(col("qid"), col("cid"))
-    val lsh = cosineTopkLsh(spark, dir).select(col("qid").as("lq"), col("cid").as("lc"))
-    val ivf = cosineTopkIvf(spark, dir).select(col("qid").as("iq"), col("cid").as("ic"))
-    val pq = cosineTopkPq(spark, dir).select(col("qid").as("pqq"), col("cid").as("pc"))
-    val beam = cosineTopkBeam(spark, dir).select(col("qid").as("bq"), col("cid").as("bc"))
-    val hits = ex
-      .join(lsh, col("qid") === col("lq") && col("cid") === col("lc"), "left")
-      .join(ivf, col("qid") === col("iq") && col("cid") === col("ic"), "left")
-      .join(pq, col("qid") === col("pqq") && col("cid") === col("pc"), "left")
-      .join(beam, col("qid") === col("bq") && col("cid") === col("bc"), "left")
-      .groupBy(col("qid"))
+    val lists = Seq(
+      "lsh" -> cosineTopkLsh(spark, dir),
+      "ivf" -> cosineTopkIvf(spark, dir),
+      "pq" -> cosineTopkPq(spark, dir),
+      "beam" -> cosineTopkBeam(spark, dir),
+      "ivf_t" -> cosineTopkIvfTrained(spark, dir),
+      "pq_t" -> cosineTopkPqTrained(spark, dir))
+    val joined = lists.foldLeft(ex) { case (acc, (tag, df)) =>
+      val slim = df.select(col("qid").as(s"${tag}_q"), col("cid").as(s"${tag}_c"))
+      acc.join(slim,
+        col("qid") === col(s"${tag}_q") && col("cid") === col(s"${tag}_c"), "left")
+    }
+    val hits = joined.groupBy(col("qid"))
       .agg(count(lit(1)).as("n_exact"),
-        count(col("lc")).as("n_lsh"),
-        count(col("ic")).as("n_ivf"),
-        count(col("pc")).as("n_pq"),
-        count(col("bc")).as("n_beam"))
-    hits.select(col("qid"), col("n_exact"), col("n_lsh"), col("n_ivf"),
-        col("n_pq"), col("n_beam"),
-        (col("n_lsh").cast("double") / col("n_exact").cast("double")).as("recall_lsh"),
-        (col("n_ivf").cast("double") / col("n_exact").cast("double")).as("recall_ivf"),
-        (col("n_pq").cast("double") / col("n_exact").cast("double")).as("recall_pq"),
-        (col("n_beam").cast("double") / col("n_exact").cast("double")).as("recall_beam"))
+        lists.map { case (tag, _) => count(col(s"${tag}_c")).as(s"n_$tag") }: _*)
+    hits.select(
+      Seq(col("qid"), col("n_exact")) ++
+        lists.map { case (tag, _) => col(s"n_$tag") } ++
+        lists.map { case (tag, _) =>
+          (col(s"n_$tag").cast("double") / col("n_exact").cast("double"))
+            .as(s"recall_$tag")
+        }: _*)
       .orderBy("qid")
   }
 

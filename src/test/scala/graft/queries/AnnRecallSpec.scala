@@ -18,7 +18,9 @@ class AnnRecallSpec extends AnyFunSuite {
       "n_lsh" -> pairs(ExtQueries.cosineTopkLsh(spark, dir)),
       "n_ivf" -> pairs(ExtQueries.cosineTopkIvf(spark, dir)),
       "n_pq" -> pairs(ExtQueries.cosineTopkPq(spark, dir)),
-      "n_beam" -> pairs(ExtQueries.cosineTopkBeam(spark, dir)))
+      "n_beam" -> pairs(ExtQueries.cosineTopkBeam(spark, dir)),
+      "n_ivf_t" -> pairs(ExtQueries.cosineTopkIvfTrained(spark, dir)),
+      "n_pq_t" -> pairs(ExtQueries.cosineTopkPqTrained(spark, dir)))
     val got = ExtQueries.annRecall(spark, dir).collect()
     spark.catalog.clearCache() // the family pipelines persist intermediates
     assert(got.length == 8)
