@@ -2116,9 +2116,12 @@ object ExtQueries {
     * [[chunkDedup]] discipline); both count tables are map-side-combined
     * hash aggregates; scoring re-joins the stream to the counts on the
     * same hashed keys (co-partitioned), and the vocab size is a 1-row
-    * broadcast. The stream is PERSISTED: the two count tables and the
-    * scoring join all consume it — unpersisted, the tokenize + hash scan
-    * runs three times (callers clearCache() after materializing). */
+    * broadcast. TWO persists make "one pass over the text" literally true:
+    * the tokenized frame (consumed by the bigram stream AND the vocab
+    * count — unpersisted, the vocab branch re-scans and re-tokenizes the
+    * whole corpus, a second full text pass at 100 TB) and the hashed
+    * stream itself (consumed by both count tables and the scoring join).
+    * Callers clearCache() after materializing. */
   def bigramLm(spark: SparkSession, dir: String): DataFrame =
     bigramLmBody(spark, dir).orderBy("doc_id")
 
@@ -2128,6 +2131,7 @@ object ExtQueries {
   private def bigramLmBody(spark: SparkSession, dir: String): DataFrame = {
     val toked = table(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = transform(
       sequence(lit(0), size(col("tk")) - 2),
       i => struct(
@@ -2230,7 +2234,10 @@ object ExtQueries {
     * unchanged scores, the [[stratifiedSample]] reproducibility
     * contract). */
   def importanceSample(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the max aggregate AND the acceptance filter both consume
+    // the scored frame — unpersisted, the whole LM derivation runs twice
     val scored = bigramLmBody(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mx = scored.agg(max(col("p_fp")).as("m"))
     val u = pmod(hash64(concat(lit("imp:"), col("doc_id").cast("string"))),
       lit(1L << 20))
