@@ -2388,10 +2388,10 @@ object ExtQueries {
     * oracle-stability pin like [[KmeansIters]]/[[PqTrainIters]]. */
   private[queries] val PageRankIters = 2
 
-  /** Fixed-point scale for PageRank mass (2⁴⁰): ranks are probabilities
-    * ≤ 1, so scaled masses fit comfortably in int64 even summed over
-    * every in-edge of a hub node. */
-  private[queries] val PrScale = 1L << 40
+  /** Fixed-point scale for PageRank mass — the operator's own constant
+    * ([[graft.operators.PageRank.Scale]]), aliased for oracle
+    * interpolation. */
+  private[queries] val PrScale = graft.operators.PageRank.Scale
 
   /** PageRank centrality over the [[knnGraph]] similarity graph — the
     * importance signal a curation pipeline uses to weight documents by how
@@ -2423,36 +2423,19 @@ object ExtQueries {
   def pageRank(spark: SparkSession, dir: String): DataFrame =
     pageRankIters(spark, dir, PageRankIters)
 
-  /** [[pageRank]] with the round count exposed. */
+  /** [[pageRank]] with the round count exposed — delegates to the general
+    * [[graft.operators.PageRank]] engine (the [[ConnectedComponents]]
+    * pattern: the reusable graph operator lives in `operators/`, the query
+    * binds it to the knn graph and the embedding vertex universe). */
   def pageRankIters(spark: SparkSession, dir: String, iters: Int): DataFrame = {
-    require(iters >= 1, s"iteration count must be >= 1, got $iters")
-    val edges = knnGraph(spark, dir).select(col("src"), col("nbr"))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // one co-partitioned (src, nbr, deg) frame, reused by every round
-    val edgesDeg = edges.join(deg, Seq("src"))
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = table(spark, dir, "embeddings").select(col("vec_id"))
-    val nRow = nodes.agg(count(lit(1)).as("n"))
-    // uniform start: floor(S/N) per node (the ≤1/2⁴⁰ remainder leaks, same
-    // truncation both engines)
-    var pr = nodes.crossJoin(broadcast(nRow))
-      .select(col("vec_id"), expr(s"$PrScale div n").as("mass"))
-    for (_ <- 1 to iters) {
-      val inflow = edgesDeg
-        .join(pr.withColumnRenamed("vec_id", "src"), Seq("src"))
-        .select(col("nbr").as("vec_id"),
-          expr("((mass * 85) div 100) div deg").as("c"))
-        .groupBy(col("vec_id"))
-        .agg(sum(col("c")).as("inflow"))
-      pr = nodes.crossJoin(broadcast(nRow))
-        .join(inflow, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          (expr(s"(($PrScale * 15) div 100) div n")
-            + coalesce(col("inflow"), lit(0L))).as("mass"))
-    }
-    pr.select(col("vec_id"), col("mass"),
-        (col("mass").cast("double") / lit(PrScale.toDouble)).as("pr"))
+    val edges = knnGraph(spark, dir)
+      .select(col("src"), col("nbr").as("dst"))
+    val nodes = table(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"))
+    graft.operators.PageRank.ranks(edges, nodes, iters)
+      .select(col("id").as("vec_id"), col("mass"),
+        (col("mass").cast("double")
+          / lit(graft.operators.PageRank.Scale.toDouble)).as("pr"))
       .orderBy("vec_id")
   }
 
