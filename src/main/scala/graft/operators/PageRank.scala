@@ -28,9 +28,15 @@ import org.apache.spark.sql.functions._
   * term. Nothing about the underlying corpus moves after graph
   * construction.
   *
-  * CACHING CONTRACT: persists the degree-annotated edge frame; callers
-  * should clearCache() (or unpersist) once the returned frame is
-  * materialized.
+  * Loop/storage discipline (the [[ConnectedComponents]] pattern): each
+  * round's mass frame is `localCheckpoint`ed — an unbounded-iteration
+  * plan would otherwise nest one join tree per round and Catalyst
+  * re-walks the whole tree per action — and every SUPERSEDED round's
+  * checkpoint plus the edge cache are released before returning
+  * ([[IterStorage]]); only the RETURNED frame's backing checkpoint
+  * remains persisted — release it the same way (or stop the session)
+  * once consumed. See [[IterStorage]] for the localCheckpoint-vs-reliable-
+  * checkpoint fault-tolerance statement.
   */
 object PageRank {
 
@@ -67,12 +73,16 @@ object PageRank {
           expr("((mass * 85) div 100) div deg").as("c"))
         .groupBy(col("id"))
         .agg(sum(col("c")).as("inflow"))
-      pr = ids.crossJoin(broadcast(nRow))
+      val next = ids.crossJoin(broadcast(nRow))
         .join(inflow, Seq("id"), "left")
         .select(col("id"),
           (expr(s"(($Scale * 15) div 100) div n")
             + coalesce(col("inflow"), lit(0L))).as("mass"))
+        .localCheckpoint(true)
+      IterStorage.release(pr) // superseded round (no-op for the seed frame)
+      pr = next
     }
+    edgesDeg.unpersist(false) // final checkpoint no longer depends on it
     pr
   }
 }

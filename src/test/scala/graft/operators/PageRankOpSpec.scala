@@ -54,6 +54,24 @@ class PageRankOpSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("releases all loop storage except the returned frame's checkpoint") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // 6 rounds over a ring: a per-round leak would leave ~6 block sets
+    // (plus the edge cache) behind, not one
+    val out = PageRank.ranks(
+      (0L until 10L).map(i => (i, (i + 1) % 10)).toDF("src", "dst"),
+      (0L until 10L).toDF("id"), 6)
+    out.collect()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"loop leaked ${leaked.size} persisted RDDs (only the returned " +
+        s"frame's checkpoint may remain): $leaked")
+    IterStorage.release(out)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("isolated vertices keep exactly the teleport mass; totals never exceed Scale") {
     val got = distributed(Seq((0L, 1L), (1L, 0L)), 5, 2) // 2,3,4 isolated
     val base = ((PageRank.Scale * 15) / 100) / 5

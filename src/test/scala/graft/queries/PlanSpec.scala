@@ -191,13 +191,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(600))
   }
 
-  test("pagerank: iterations reuse the persisted degree-annotated edges") {
-    val plan = formatted(ExtQueries.pageRank(spark, dir))
-    // both power-iteration rounds must probe the SAME cached edge frame —
-    // re-deriving the knn graph per round would re-run the cell self-join
-    assert(plan.contains("InMemoryTableScan"), plan.take(600))
-    assert(!plan.contains("CartesianProduct"),
-      "corpus-scale cross products must never appear")
+  test("pagerank: result is checkpoint-backed (lineage truncated per round)") {
+    // the loop discipline lives in operators/PageRank (storage-contract
+    // test in PageRankOpSpec); here pin that the query surface returns the
+    // truncated form — a deep per-round join tree reappearing means the
+    // checkpoint was dropped
+    val df = ExtQueries.pageRank(spark, dir)
+    val plan = formatted(df)
+    assert(plan.contains("Scan ExistingRDD"), plan.take(600))
+    graft.operators.IterStorage.release(df)
     spark.catalog.clearCache()
   }
 
