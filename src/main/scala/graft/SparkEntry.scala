@@ -68,6 +68,7 @@ object SparkEntry {
     "e_minhash_dedup"     -> (ExtQueries.minhashDedup _),
     "e_simhash_dedup"     -> (ExtQueries.simhashDedup _),
     "e_ngram_jaccard"     -> (ExtQueries.ngramJaccard _),
+    "e_jaccard_prefix"    -> (ExtQueries.jaccardPrefix _),
     "e_cosine_dedup"      -> (ExtQueries.cosineDedup _),
     "e_cosine_topk_lsh"   -> (ExtQueries.cosineTopkLsh _),
     "e_fingerprint"       -> (ExtQueries.fingerprint _),

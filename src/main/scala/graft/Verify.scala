@@ -17,7 +17,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only key filter (comma-separated), mirroring Bench: the driver
+    // leaves it unset, so driver dumps always cover the full key set
+    val keyFilter = sys.env.get("SPARK_GRAFT_KEYS")
+      .map(_.split(',').map(_.trim).toSet)
+    val queries = keyFilter match {
+      case Some(ks) => SparkEntry.queries.filter { case (k, _) => ks(k) }
+      case None => SparkEntry.queries
+    }
+    queries.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -33,6 +33,32 @@ object ExtOracles {
       |               + (h[i+3] * ${ExtQueries.ShingleC(2)}) % $P) % $P) END) AS ds
       |  FROM th)""".stripMargin
 
+  /** Shared bigram-set CTEs: `sets` yields (doc_id, lang, source, bs) — bs
+    * the DISTINCT numeric 2-gram hashes over the variant-augmented corpus.
+    * The SQL twin of `ExtQueries.bigramSetsKeeping` over
+    * `docsWithVariants`, defined once so the blocked (`e_ngram_jaccard`)
+    * and prefix-filtered (`e_jaccard_prefix`) joins verify against the
+    * same sets by construction. */
+  private lazy val bigramSetsCtes: String =
+    s"""all_docs AS (
+      |  SELECT doc_id, lang, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, lang, source,
+      |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[6:], ' ') AS text
+      |  FROM documents),
+      |toks AS (SELECT doc_id, lang, source,
+      |  regexp_split_to_array(trim(text), '\\s+') AS t FROM all_docs),
+      |th AS (SELECT doc_id, lang, source, t,
+      |  list_transform(t, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT) % $P) AS h FROM toks),
+      |bg AS (SELECT doc_id, lang, source,
+      |  CASE WHEN len(t) <= 2
+      |       THEN [CAST('0x'||substr(md5(array_to_string(t, ' ')),1,15) AS BIGINT) % $P]
+      |       ELSE list_transform(range(0, len(t) - 1),
+      |              i -> ((h[i+1] * ${ExtQueries.ShingleC(0)}) % $P
+      |                  + (h[i+2] * ${ExtQueries.ShingleC(1)}) % $P) % $P) END AS bigrams
+      |  FROM th),
+      |sets AS (SELECT doc_id, lang, source, list_distinct(bigrams) AS bs FROM bg)""".stripMargin
+
   /** The minhash near-dup pipeline through its `verified` CTE — shared by
     * `e_minhash_dedup` (pair output) and `e_dup_clusters` (connected
     * components over the pairs), the SQL twin of
@@ -489,30 +515,28 @@ object ExtOracles {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "e_ngram_jaccard" ->
-      s"""WITH all_docs AS (
-        |  SELECT doc_id, lang, source, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, lang, source,
-        |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[6:], ' ') AS text
-        |  FROM documents),
-        |toks AS (SELECT doc_id, lang, source,
-        |  regexp_split_to_array(trim(text), '\\s+') AS t FROM all_docs),
-        |th AS (SELECT doc_id, lang, source, t,
-        |  list_transform(t, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT) % $P) AS h FROM toks),
-        |bg AS (SELECT doc_id, lang, source,
-        |  CASE WHEN len(t) <= 2
-        |       THEN [CAST('0x'||substr(md5(array_to_string(t, ' ')),1,15) AS BIGINT) % $P]
-        |       ELSE list_transform(range(0, len(t) - 1),
-        |              i -> ((h[i+1] * ${ExtQueries.ShingleC(0)}) % $P
-        |                  + (h[i+2] * ${ExtQueries.ShingleC(1)}) % $P) % $P) END AS bigrams
-        |  FROM th),
-        |sets AS (SELECT doc_id, lang, source, list_distinct(bigrams) AS bs FROM bg)
+      s"""WITH $bigramSetsCtes
         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
         |  len(list_intersect(x.bs, y.bs)) AS n_inter,
         |  len(list_distinct(list_concat(x.bs, y.bs))) AS n_union
         |FROM sets x JOIN sets y
         |  ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
         |WHERE 2 * len(list_intersect(x.bs, y.bs)) >= len(list_distinct(list_concat(x.bs, y.bs)))
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // e_jaccard_prefix: SAME bigram sets, NO blocking key — the truth the
+    // prefix-filtered Spark plan must equal is the plain unfiltered
+    // inverted-index join over all postings (prefix filtering is exact by
+    // theorem, so the oracle deliberately does not model the prefix at all).
+    "e_jaccard_prefix" ->
+      s"""WITH $bigramSetsCtes,
+        |post AS (SELECT doc_id, len(bs) AS nb, unnest(bs) AS g FROM sets)
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  count(*) AS n_inter,
+        |  any_value(x.nb) + any_value(y.nb) - count(*) AS n_union
+        |FROM post x JOIN post y ON x.g = y.g AND x.doc_id < y.doc_id
+        |GROUP BY x.doc_id, y.doc_id
+        |HAVING 2 * count(*) >= any_value(x.nb) + any_value(y.nb) - count(*)
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "e_cosine_dedup" ->

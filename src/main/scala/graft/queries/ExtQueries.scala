@@ -469,6 +469,28 @@ object ExtQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** `(doc_id, keep…, bs, nb)`: distinct numeric BIGRAM-hash sets (plus set
+    * size) from a `(doc_id, …, text)` frame — the 2-gram sibling of
+    * [[shingleSetsKeeping]], factored out so the blocked ([[ngramJaccard]])
+    * and prefix-filtered ([[jaccardPrefix]]) similarity joins can never fork
+    * the set derivation they both verify against (oracle side likewise
+    * shared — [[ExtOracles]]'s bigram CTE block). A ≤2-token doc hashes
+    * whole as its single bigram. NOT persisted here: each caller owns the
+    * materialization boundary for its own consumer count. */
+  private def bigramSetsKeeping(docs: DataFrame, keep: Seq[String]): DataFrame = {
+    val keyCols = col("doc_id") +: keep.map(col)
+    val toked = docs.select(keyCols :+ tokens(col("text")).as("tk"): _*)
+      .withColumn("th", transform(col("tk"), t => hash31(t)))
+    // bigram hashes: polynomial over adjacent token hashes (ShingleC(0..1))
+    val bigrams = when(size(col("tk")) <= 2,
+        array(pmod(hash64(array_join(col("tk"), " ")), lit(IntModulus))))
+      .otherwise(transform(sequence(lit(0), size(col("tk")) - 2), i =>
+        (element_at(col("th"), i + 1) * lit(ShingleC(0)) % lit(IntModulus)
+          + element_at(col("th"), i + 2) * lit(ShingleC(1)) % lit(IntModulus)) % lit(IntModulus)))
+    toked.select(keyCols :+ array_distinct(bigrams).as("bs"): _*)
+      .withColumn("nb", size(col("bs")))
+  }
+
   // ---- e_ngram_jaccard ----------------------------------------------------
 
   /** Blocked pairwise n-gram Jaccard — the non-LSH fuzzy-dedup strategy:
@@ -478,15 +500,6 @@ object ExtQueries {
     * (≤ ~110 docs here); the tradeoff vs MinHash-LSH: no hash recall loss,
     * but pairs grow with block² — use when a natural partition key exists. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val toked = docsWithVariants(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"), tokens(col("text")).as("tk"))
-      .withColumn("th", transform(col("tk"), t => hash31(t)))
-    // bigram hashes: polynomial over adjacent token hashes (ShingleC(0..1))
-    val bigrams = when(size(col("tk")) <= 2,
-        array(pmod(hash64(array_join(col("tk"), " ")), lit(IntModulus))))
-      .otherwise(transform(sequence(lit(0), size(col("tk")) - 2), i =>
-        (element_at(col("th"), i + 1) * lit(ShingleC(0)) % lit(IntModulus)
-          + element_at(col("th"), i + 2) * lit(ShingleC(1)) % lit(IntModulus)) % lit(IntModulus)))
     // INVERTED-INDEX similarity join — the scale formulation of pairwise
     // Jaccard: explode the (distinct) bigram sets, equi-join postings on
     // (block, bigram), and COUNT matches per pair = |A∩B|; |A∪B| falls out
@@ -495,9 +508,7 @@ object ExtQueries {
     // and one hash aggregate (3.5× faster than array_intersect-per-pair at
     // sf0.1). Pairs with an empty intersection can never pass the J ≥ 0.5
     // filter, so postings-only pair generation loses nothing.
-    val sets = toked
-      .select(col("doc_id"), col("lang"), col("source"), array_distinct(bigrams).as("bs"))
-      .withColumn("nb", size(col("bs")))
+    val sets = bigramSetsKeeping(docsWithVariants(spark, dir), Seq("lang", "source"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val postings = sets.select(col("lang"), col("source"), col("doc_id"), col("nb"),
       explode(col("bs")).as("g"))
@@ -514,6 +525,78 @@ object ExtQueries {
         (col("na") + col("nbb") - col("n_inter")).as("n_union"))
       .filter(lit(2) * col("n_inter") >= col("n_union"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- e_jaccard_prefix ---------------------------------------------------
+
+  /** GLOBAL prefix-filtered all-pairs Jaccard join — the AllPairs/PPJoin
+    * formulation (Bayardo et al. WWW'07; Xiao et al. WWW'08): identical
+    * J ≥ 0.5 pair semantics to [[ngramJaccard]] but with NO blocking key.
+    * Bigrams get one global total order (document frequency ASC, hash ASC);
+    * a document's PREFIX is its first |bs| − ⌈|bs|/2⌉ + 1 bigrams in that
+    * order, and the prefix-filter theorem guarantees every pair with
+    * J ≥ t collides inside both prefixes — so the candidate join runs on
+    * prefix postings ONLY, and those lists hold each document's RAREST
+    * bigrams (df-ascending order keeps stop-bigrams out of the index
+    * entirely unless a document consists of little else). Candidates also
+    * pass the length filter 2·min(|A|,|B|) ≥ max(|A|,|B|) (J ≥ 0.5 bounds
+    * the size ratio) before the exact integer-side verify (2·|∩| ≥ |∪|).
+    *
+    * At scale this is the fuzzy-dedup join for a corpus with no natural
+    * partition key: [[ngramJaccard]]'s full-posting self-join grows with
+    * Σ_g df(g)² — quadratic in the hottest posting list — while the prefix
+    * index grows with Σ_g df_prefix(g)², and a bigram only counts toward
+    * df_prefix where it falls in a document's rarest half. Candidate
+    * generation is EXACT (theorem, not heuristic): the oracle computes the
+    * unfiltered inverted-index join and the outputs hash-match. Shuffles:
+    * one df aggregate, one per-doc prefix window (bounded by document
+    * length), the prefix equi-join, and the verify join back to `sets`
+    * (persisted — probed by the prefix path and both verify sides). */
+  def jaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val sets = bigramSetsKeeping(docsWithVariants(spark, dir), Nil)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = sets.select(col("doc_id"), col("nb"), explode(col("bs")).as("g"))
+    val dfreq = postings.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val prefix = postings.join(dfreq, Seq("g"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("g").asc)))
+      .filter(col("rn") <= col("nb") - expr("(nb + 1) div 2") + 1)
+    val cand = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          lit(2) * least(col("x.nb"), col("y.nb")) >= greatest(col("x.nb"), col("y.nb")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("bs").as("bs_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("bs").as("bs_b")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("bs_a"), col("bs_b"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (size(col("bs_a")).cast("long") + size(col("bs_b")).cast("long")
+          - col("n_inter")).as("n_union"))
+      .filter(lit(2) * col("n_inter") >= col("n_union"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** [[jaccardPrefix]]'s candidate-pair count vs the unfiltered posting
+    * join's — exposed for the spec to measure the prefix filter actually
+    * pruning (the scale claim), not just matching the truth. */
+  private[queries] def jaccardPrefixCandidateCounts(
+      spark: SparkSession, dir: String): (Long, Long) = {
+    val sets = bigramSetsKeeping(docsWithVariants(spark, dir), Nil)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = sets.select(col("doc_id"), col("nb"), explode(col("bs")).as("g"))
+    val dfreq = postings.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val prefix = postings.join(dfreq, Seq("g"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("g").asc)))
+      .filter(col("rn") <= col("nb") - expr("(nb + 1) div 2") + 1)
+    def pairs(p: DataFrame): Long = p.as("x")
+      .join(p.as("y"), col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    val res = (pairs(prefix), pairs(postings))
+    sets.unpersist()
+    res
   }
 
   /** LSH signature sizing (cosine family). The near-dup DEDUP path uses
