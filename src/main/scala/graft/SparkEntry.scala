@@ -84,6 +84,7 @@ object SparkEntry {
     "e_ann_recall"        -> (ExtQueries.annRecall _),
     "e_rank_fusion"       -> (ExtQueries.rankFusion _),
     "e_hybrid_search"     -> (ExtQueries.hybridSearch _),
+    "e_mmr"               -> (ExtQueries.mmrSelect _),
     "e_kmeans_iter"       -> (ExtQueries.kmeansIter _),
     "e_kmeans_train"      -> (ExtQueries.kmeansTrain _),
     "e_ivf_trained"       -> (ExtQueries.cosineTopkIvfTrained _),
@@ -92,6 +93,7 @@ object SparkEntry {
     "e_pq_train"          -> (ExtQueries.pqTrain _),
     "e_pq_trained"        -> (ExtQueries.cosineTopkPqTrained _),
     "e_pagerank"          -> (ExtQueries.pageRank _),
+    "e_label_prop"        -> (ExtQueries.labelProp _),
     "e_importance_sample" -> (ExtQueries.importanceSample _),
     "e_domain_cap"        -> (ExtQueries.domainCap _),
     "e_semantic_decontaminate" -> (ExtQueries.semanticDecontaminate _),

@@ -59,6 +59,65 @@ object ExtOracles {
       |  FROM th),
       |sets AS (SELECT doc_id, lang, source, list_distinct(bigrams) AS bs FROM bg)""".stripMargin
 
+  /** `e_mmr` — greedy Maximal Marginal Relevance, the `ExtQueries.MmrK`
+    * selection rounds UNROLLED as chained CTEs (the `beamSearchSql` /
+    * `kmeansChainCtes` device): round r picks the argmax of
+    * `0.5·rel − 0.5·max sim-to-sel{r−1}` (cid ASC tie-break) among pool
+    * candidates not yet selected. Pool, relevance and pairwise sims use the
+    * same sequential-fold cosine as `cosineTopkSql`. */
+  private lazy val mmrSql: String = {
+    def round(r: Int): String =
+      s"""pick$r AS (
+        |  SELECT qid, cid, rel, mmr FROM (
+        |    SELECT p.qid, p.cid, p.rel,
+        |      0.5 * p.rel - 0.5 * COALESCE(ms.m, 0.0) AS mmr,
+        |      row_number() OVER (PARTITION BY p.qid
+        |        ORDER BY 0.5 * p.rel - 0.5 * COALESCE(ms.m, 0.0) DESC, p.cid ASC) AS rn
+        |    FROM pool p
+        |    LEFT JOIN (
+        |      SELECT pr.qid, pr.a AS cid, max(pr.sim) AS m
+        |      FROM pairs pr JOIN sel${r - 1} s ON pr.qid = s.qid AND pr.b = s.cid
+        |      GROUP BY pr.qid, pr.a) ms
+        |      ON p.qid = ms.qid AND p.cid = ms.cid
+        |    LEFT JOIN sel${r - 1} ss ON p.qid = ss.qid AND p.cid = ss.cid
+        |    WHERE ss.cid IS NULL) WHERE rn = 1),
+        |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL
+        |  SELECT qid, cid, rel, mmr AS mmr_score, CAST($r AS INT) AS rank FROM pick$r)""".stripMargin
+    s"""WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qe,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x)) AS nq
+      |  FROM embeddings WHERE vec_id < 8),
+      |c AS (
+      |  SELECT vec_id AS cid, embedding AS ce,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x)) AS nc
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.qid, c.cid,
+      |    list_reduce(list_transform(list_zip(q.qe, c.ce),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |      / (q.nq * c.nc) AS rel
+      |  FROM q, c WHERE c.cid <> q.qid),
+      |pool AS (SELECT qid, cid, rel FROM (
+      |  SELECT qid, cid, rel,
+      |    row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid ASC) AS rn
+      |  FROM scored) WHERE rn <= ${ExtQueries.MmrPoolC}),
+      |pairs AS (
+      |  SELECT p1.qid, p1.cid AS a, p2.cid AS b,
+      |    list_reduce(list_transform(list_zip(c1.ce, c2.ce),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |      / (c1.nc * c2.nc) AS sim
+      |  FROM pool p1 JOIN pool p2 ON p1.qid = p2.qid AND p1.cid <> p2.cid
+      |  JOIN c c1 ON c1.cid = p1.cid JOIN c c2 ON c2.cid = p2.cid),
+      |sel0 AS (SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS cid,
+      |  CAST(NULL AS DOUBLE) AS rel, CAST(NULL AS DOUBLE) AS mmr_score,
+      |  CAST(NULL AS INT) AS rank WHERE FALSE),
+      |${(1 to ExtQueries.MmrK).map(round).mkString(",\n")}
+      |SELECT qid, cid, rel, mmr_score, rank FROM sel${ExtQueries.MmrK}
+      |ORDER BY qid, rank""".stripMargin
+  }
+
   /** The minhash near-dup pipeline through its `verified` CTE — shared by
     * `e_minhash_dedup` (pair output) and `e_dup_clusters` (connected
     * components over the pairs), the SQL twin of
@@ -486,6 +545,8 @@ object ExtOracles {
         |ORDER BY d.doc_id""".stripMargin,
 
     "e_cosine_topk" -> cosineTopkSql,
+
+    "e_mmr" -> mmrSql,
 
     // e_cosine_topk_agg computes the SAME exact top-k (bounded-state
     // aggregate execution instead of a ranking window), so it shares the
@@ -1702,6 +1763,39 @@ object ExtOracles {
       |FROM pr${ExtQueries.PageRankIters} ORDER BY vec_id""".stripMargin
   }
 
+  /** `e_label_prop` — COMPOSES the graded `e_knn_graph` SQL text as its
+    * edge list (the `pageRankSql` device), symmetrizes it, then unrolls the
+    * synchronous majority-vote rounds as chained CTEs. The deterministic
+    * argmax mirrors the operator's two-aggregate form: max count per
+    * vertex, then MIN label at that count. Mirrors
+    * `graft.operators.LabelPropagation` bound as `ExtQueries.labelProp`. */
+  private lazy val labelPropSql: String = {
+    val rounds = (1 to ExtQueries.LabelPropIters).map { r =>
+      s"""v$r AS (SELECT e.src, l.label AS nlab, count(*) AS cnt
+        |  FROM ed e JOIN lab${r - 1} l ON e.dst = l.id
+        |  WHERE l.label IS NOT NULL GROUP BY e.src, l.label),
+        |m$r AS (SELECT src, max(cnt) AS mcnt FROM v$r GROUP BY src),
+        |b$r AS (SELECT v.src, min(v.nlab) AS maj
+        |  FROM v$r v JOIN m$r m ON v.src = m.src AND v.cnt = m.mcnt
+        |  GROUP BY v.src),
+        |lab$r AS (SELECT l.id,
+        |  CASE WHEN l.is_seed THEN l.label ELSE COALESCE(b.maj, l.label) END AS label,
+        |  l.is_seed
+        |  FROM lab${r - 1} l LEFT JOIN b$r b ON l.id = b.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH kg AS (SELECT src, nbr FROM (${baseSql("e_knn_graph")}) g),
+      |ed AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT src, nbr AS dst FROM kg
+      |  UNION ALL SELECT nbr AS src, src AS dst FROM kg)),
+      |lab0 AS (SELECT vec_id AS id,
+      |  CASE WHEN vec_id < ${ExtQueries.LabelSeedMax} THEN label END AS label,
+      |  vec_id < ${ExtQueries.LabelSeedMax} AS is_seed
+      |  FROM embeddings),
+      |$rounds
+      |SELECT id AS vec_id, label, is_seed FROM lab${ExtQueries.LabelPropIters}
+      |ORDER BY vec_id""".stripMargin
+  }
+
   /** `e_importance_sample` — COMPOSES the graded `e_bigram_lm` SQL text as
     * its score, then applies the exact-integer cross-multiplied acceptance
     * (u·max < p_fp·2²⁰ — no float division anywhere). Mirrors
@@ -1767,6 +1861,7 @@ object ExtOracles {
 
   val sql: Map[String, String] = baseSql +
     ("e_pagerank" -> pageRankSql) +
+    ("e_label_prop" -> labelPropSql) +
     ("e_canonical_pick" -> canonicalPickSql) +
     ("e_lm_buckets" -> lmBucketsSql) +
     ("e_importance_sample" -> importanceSampleSql) +

@@ -2522,6 +2522,45 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  // ---- e_label_prop -------------------------------------------------------
+
+  /** Seed-id boundary for [[labelProp]]: vectors below it keep their
+    * fixture `label` as ground truth; everything above starts unlabeled. */
+  private[queries] val LabelSeedMax = 100L
+
+  /** Synchronous propagation rounds — an oracle-stability pin like
+    * [[PageRankIters]]. */
+  private[queries] val LabelPropIters = 3
+
+  /** Seeded label propagation over the [[knnGraph]] similarity graph — the
+    * weak-supervision operator: a trusted label subset (the first
+    * [[LabelSeedMax]] vectors keep their fixture `label`) spreads to the
+    * unlabeled corpus along symmetrized knn edges for [[LabelPropIters]]
+    * synchronous rounds (majority vote over labeled neighbors, count DESC /
+    * label ASC tie-break, seeds frozen). This is how a curation pipeline
+    * turns a few thousand human-labeled documents into corpus-wide
+    * domain/quality/topic assignments without a trained classifier.
+    *
+    * Delegates to the general [[graft.operators.LabelPropagation]] engine
+    * (the [[graft.operators.PageRank]] pattern — reusable graph operator in
+    * `operators/`, the query binds it to the knn graph and embedding vertex
+    * universe); determinism and the scale statement live there. The oracle
+    * composes the graded `e_knn_graph` SQL text as its edge list and
+    * unrolls the rounds as chained CTEs. */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val knn = knnGraph(spark, dir).select(col("src"), col("nbr").as("dst"))
+    val edges = knn
+      .unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val emb = table(spark, dir, "embeddings")
+    val nodes = emb.select(col("vec_id").as("id"))
+    val seeds = emb.filter(col("vec_id") < LabelSeedMax)
+      .select(col("vec_id").as("id"), col("label"))
+    graft.operators.LabelPropagation.propagate(edges, seeds, nodes, LabelPropIters)
+      .select(col("id").as("vec_id"), col("label"), col("is_seed"))
+      .orderBy("vec_id")
+  }
+
   // ---- e_cosine_topk_beam -------------------------------------------------
 
   /** Beam width (candidates kept per query per round) and the FIXED round
@@ -3246,6 +3285,85 @@ object ExtQueries {
       (2, dense(cosineTopkPq(spark, dir))),
       (3, bm25Topk(spark, dir).select(col("qid").cast("bigint").as("qid"),
         col("doc_id").as("cid"), col("rank")))))
+  }
+
+  // ---- e_mmr --------------------------------------------------------------
+
+  /** Candidate-pool size / selected-list size for [[mmrSelect]]. */
+  private[queries] val MmrPoolC = 20
+  private[queries] val MmrK = 5
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR'98)
+    * — the diversity-aware selection every retrieval-augmented curation
+    * stack runs after top-k: from each query's [[MmrPoolC]]-candidate pool,
+    * greedily pick [[MmrK]] documents maximizing
+    * `0.5·rel(d) − 0.5·max_{s∈S} sim(d,s)` — relevance balanced against
+    * redundancy with what is already selected (a near-duplicate of an
+    * already-picked document is suppressed even when its raw relevance
+    * ranks it second).
+    *
+    * Cross-engine determinism: `rel` and `sim` are the sequential-fold
+    * cosine (identical doubles both engines); the MMR score is one
+    * multiply/subtract on those doubles; argmax ties break on `cid` ASC.
+    *
+    * At scale: the pool construction is the one corpus-touching stage (the
+    * same broadcast-query scan as [[cosineTopk]]); everything after runs on
+    * |queries|·[[MmrPoolC]] pool rows and |queries|·[[MmrPoolC]]² pairwise
+    * sims — both BOUNDED frames, persisted once, iterated [[MmrK]] rounds
+    * driver-side with each round's selected set persisted (the
+    * [[cosineTopkBeamParams]] loop-storage discipline). The greedy loop
+    * never re-touches the corpus. */
+  def mmrSelect(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("nq", l2norm(col("qe")))
+    val c = emb
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .withColumn("nc", l2norm(col("ce")))
+    val relDot = seqSum(zip_with(col("qe"), col("ce"),
+      (x, y) => x.cast("double") * y.cast("double")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("cid").asc)
+    // pool keeps each candidate's embedding+norm: the pairwise-sim join
+    // below reads them without going back to the corpus
+    val pool = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("rel", relDot / (col("nq") * col("nc")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MmrPoolC)
+      .select(col("qid"), col("cid"), col("rel"), col("ce"), col("nc"))
+      .persist()
+    val pairDot = seqSum(zip_with(col("ae"), col("be"),
+      (x, y) => x.cast("double") * y.cast("double")))
+    val pairs = pool.select(col("qid"), col("cid").as("a"), col("ce").as("ae"),
+        col("nc").as("na"))
+      .join(pool.select(col("qid"), col("cid").as("b"), col("ce").as("be"),
+        col("nc").as("nb")), Seq("qid"))
+      .filter(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        (pairDot / (col("na") * col("nb"))).as("sim"))
+      .persist()
+    val slim = pool.select(col("qid"), col("cid"), col("rel"))
+
+    var sel = slim.limit(0)
+      .select(col("qid"), col("cid"), col("rel"),
+        lit(0.0).as("mmr_score"), lit(0).as("rank"))
+    for (r <- 1 to MmrK) {
+      val remaining = slim.join(sel.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
+      val ms = pairs.join(sel.select(col("qid"), col("cid").as("b")), Seq("qid", "b"))
+        .groupBy(col("qid"), col("a").as("cid")).agg(max(col("sim")).as("maxsim"))
+      val pickW = Window.partitionBy(col("qid"))
+        .orderBy(col("mmr").desc, col("cid").asc)
+      val pick = remaining.join(ms, Seq("qid", "cid"), "left")
+        .withColumn("mmr",
+          lit(0.5) * col("rel") - lit(0.5) * coalesce(col("maxsim"), lit(0.0)))
+        .withColumn("rn", row_number().over(pickW))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("cid"), col("rel"),
+          col("mmr").as("mmr_score"), lit(r).as("rank"))
+      sel = sel.unionByName(pick).persist()
+    }
+    sel.orderBy("qid", "rank")
   }
 
   // ---- e_bm25_topk --------------------------------------------------------
