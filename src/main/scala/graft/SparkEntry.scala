@@ -66,9 +66,11 @@ object SparkEntry {
     "e_cosine_topk"       -> (ExtQueries.cosineTopk _),
     "e_cosine_topk_agg"   -> (ExtQueries.cosineTopkAgg _),
     "e_minhash_dedup"     -> (ExtQueries.minhashDedup _),
+    "e_cross_dedup"       -> (ExtQueries.crossDedup _),
     "e_simhash_dedup"     -> (ExtQueries.simhashDedup _),
     "e_ngram_jaccard"     -> (ExtQueries.ngramJaccard _),
     "e_jaccard_prefix"    -> (ExtQueries.jaccardPrefix _),
+    "e_containment"       -> (ExtQueries.containment _),
     "e_cosine_dedup"      -> (ExtQueries.cosineDedup _),
     "e_cosine_topk_lsh"   -> (ExtQueries.cosineTopkLsh _),
     "e_fingerprint"       -> (ExtQueries.fingerprint _),
@@ -101,6 +103,7 @@ object SparkEntry {
     "e_lm_buckets"        -> (ExtQueries.lmBuckets _),
     "e_pii_redact"        -> (ExtQueries.piiRedact _),
     "e_dup_clusters"      -> (ExtQueries.dupClusters _),
+    "e_soft_dedup"        -> (ExtQueries.softDedup _),
     "e_quality_filter"    -> (ExtQueries.qualityFilter _),
     "e_domain_stats"      -> (ExtQueries.domainStats _),
     "e_freq_rank_score"   -> (ExtQueries.freqRankScore _),

@@ -127,7 +127,12 @@ object ExtOracles {
     * chain, reading the `sh` shingle CTE — factored out of [[minhashBody]]
     * so `e_curation_funnel` can run the SAME chain over a different corpus
     * (its stage-1 survivors). */
-  private lazy val minhashSigCtes: String =
+  /** The minhash signature → banded bucket-key chain (`mh`, `bands`)
+    * reading `sh` — the SQL twin of `ExtQueries.minhashBands`, factored out
+    * of [[minhashSigCtes]] so the self-join (`e_minhash_dedup` family) and
+    * the corpus×batch join (`e_cross_dedup`) bucket with ONE banding
+    * definition. */
+  private lazy val minhashBandCtes: String =
     s"""mh AS (SELECT doc_id,
       |  list_transform(range(0, ${ExtQueries.NumHashes}), i ->
       |    list_min(list_transform(ds,
@@ -137,18 +142,27 @@ object ExtOracles {
       |bands AS (
       |  SELECT doc_id, b,
       |    array_to_string(sig[${ExtQueries.RowsPerBand}*b+1:${ExtQueries.RowsPerBand}*b+${ExtQueries.RowsPerBand}], '-') AS bsig
-      |  FROM mh, (SELECT unnest(range(${ExtQueries.NumBands})) AS b)),
-      |cand AS (
-      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      |  FROM bands x JOIN bands y
-      |    ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
-      |verified AS (
+      |  FROM mh, (SELECT unnest(range(${ExtQueries.NumBands})) AS b))""".stripMargin
+
+  /** The exact-Jaccard `verified` tail reading `cand` + `sh` — the SQL twin
+    * of `ExtQueries.verifiedJaccardPairs`, factored so every candidate
+    * generator (self-join, cross-join) verifies with the same criterion. */
+  private lazy val minhashVerifyCte: String =
+    s"""verified AS (
       |  SELECT c.doc_a, c.doc_b,
       |    len(list_intersect(sa.ds, sb.ds)) AS n_inter,
       |    len(list_distinct(list_concat(sa.ds, sb.ds))) AS n_union
       |  FROM cand c
       |  JOIN sh sa ON sa.doc_id = c.doc_a
       |  JOIN sh sb ON sb.doc_id = c.doc_b)""".stripMargin
+
+  private lazy val minhashSigCtes: String =
+    s"""$minhashBandCtes,
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y
+      |    ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+      |$minhashVerifyCte""".stripMargin
 
   /** Centroid-assignment CTEs — `assigned` yields (vec_id, e, nrm, cell):
     * every vector hard-assigned to its max-cosine seed centroid (pinned
@@ -175,13 +189,20 @@ object ExtOracles {
       |      ORDER BY csim DESC, cent_id ASC) AS crank FROM sims)
       |  WHERE crank = 1)""".stripMargin
 
-  private lazy val minhashBody: String =
+  /** The variant-augmented corpus CTE (`all_docs`) — the SQL twin of
+    * `ExtQueries.docsWithVariants` with the shared [[ExtQueries.VariantIdOffset]]
+    * boundary, factored so consumers that split the universe back into
+    * (corpus, batch) sides reference the same offset definition. */
+  private lazy val allDocsCte: String =
     s"""all_docs AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id,
+      |  SELECT doc_id + ${ExtQueries.VariantIdOffset} AS doc_id,
       |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[6:], ' ') AS text
-      |  FROM documents),
+      |  FROM documents)""".stripMargin
+
+  private lazy val minhashBody: String =
+    s"""$allDocsCte,
       |${shingleCtes("all_docs")},
       |$minhashSigCtes""".stripMargin
 
@@ -883,6 +904,47 @@ object ExtOracles {
         |WHERE 2 * n_inter >= n_union
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Cross-corpus near-dup join: same banding ([[minhashBandCtes]]) and
+    // verify ([[minhashVerifyCte]]) texts as the self-join family, but the
+    // candidate join is corpus × batch across the VariantIdOffset boundary.
+    "e_cross_dedup" ->
+      s"""WITH $allDocsCte,
+        |${shingleCtes("all_docs")},
+        |$minhashBandCtes,
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.bsig = y.bsig
+        |   AND x.doc_id < ${ExtQueries.VariantIdOffset}
+        |   AND y.doc_id >= ${ExtQueries.VariantIdOffset}),
+        |$minhashVerifyCte
+        |SELECT doc_a, doc_b, n_inter, n_union FROM verified
+        |WHERE 2 * n_inter >= n_union
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Asymmetric containment ≥ 0.8 over the shared shingle sets: candidates
+    // from the df-capped rare-postings index ([[rarePostingsCtes]] — the
+    // e_dedup_eval truth device), verified on the FULL sets; the verdict is
+    // integer-side, the reported ratio one IEEE divide.
+    "e_containment" ->
+      s"""WITH $allDocsCte,
+        |${shingleCtes("all_docs")},
+        |$rarePostingsCtes,
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM rare x JOIN rare y ON x.h2 = y.h2 AND x.doc_id < y.doc_id),
+        |ver AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    len(list_intersect(sa.ds, sb.ds)) AS n_inter,
+        |    len(sa.ds) AS n_a, len(sb.ds) AS n_b
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, n_inter, n_a, n_b,
+        |  CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) AS containment
+        |FROM ver WHERE 5 * n_inter >= 4 * least(n_a, n_b)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "e_dup_clusters" ->
       s"""WITH RECURSIVE $minhashBody,
         |pairs AS (SELECT doc_a, doc_b FROM verified WHERE 2 * n_inter >= n_union),
@@ -1468,6 +1530,16 @@ object ExtOracles {
   /** Full oracle map. `e_ann_recall` COMPOSES the four top-k entries as
     * parenthesized subqueries — literally the same SQL strings the graded
     * keys run, so the evaluation can never drift from what it evaluates. */
+  /** The rare-shingle postings chain (`post` → `hot` → `rare`, document
+    * frequency ≤ [[ExtQueries.DedupEvalDfCap]]) reading `sh` — the SQL twin
+    * of `ExtQueries.rareShinglePostings`, shared by `e_dedup_eval` (truth
+    * candidates) and `e_containment` so both cap with one definition. */
+  private lazy val rarePostingsCtes: String =
+    s"""post AS (SELECT doc_id, unnest(ds) AS h2 FROM sh),
+      |hot AS (SELECT h2 FROM post GROUP BY h2
+      |  HAVING count(*) > ${ExtQueries.DedupEvalDfCap}),
+      |rare AS (SELECT doc_id, h2 FROM post ANTI JOIN hot USING (h2))""".stripMargin
+
   /** `e_dedup_eval` — recall/precision of the signature families vs the
     * exact-Jaccard ground truth. COMPOSES [[minhashBody]] (whose `sh` CTE is
     * the one shingle-set definition and whose `verified` CTE is the minhash
@@ -1481,10 +1553,7 @@ object ExtOracles {
     * on the full shingle sets — never all-pairs, never uncapped. */
   private lazy val dedupEvalSql: String =
     s"""WITH $minhashBody,
-      |post AS (SELECT doc_id, unnest(ds) AS h2 FROM sh),
-      |hot AS (SELECT h2 FROM post GROUP BY h2
-      |  HAVING count(*) > ${ExtQueries.DedupEvalDfCap}),
-      |rare AS (SELECT doc_id, h2 FROM post ANTI JOIN hot USING (h2)),
+      |$rarePostingsCtes,
       |tcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       |  FROM rare x JOIN rare y ON x.h2 = y.h2 AND x.doc_id < y.doc_id),
       |truth AS (SELECT c.doc_a, c.doc_b FROM tcand c
@@ -1816,6 +1885,23 @@ object ExtOracles {
     * cluster assignment) with the shared `qualityCtes` battery (the rank),
     * then picks per-cluster best under (keep DESC, n_tokens DESC, doc_id
     * ASC). Mirrors `ExtQueries.canonicalPick`. */
+  /** `e_soft_dedup` — COMPOSES the graded `e_dup_clusters` text (the
+    * `e_canonical_pick` device): the multiplicity is the cluster operator's
+    * own cluster_size, left-joined onto the variant-augmented id universe;
+    * singletons default to 1 and the weight is one IEEE divide. */
+  private lazy val softDedupSql: String =
+    s"""WITH all_ids AS (
+      |  SELECT doc_id FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + ${ExtQueries.VariantIdOffset} AS doc_id FROM documents),
+      |cl AS (SELECT doc_id, cluster_size
+      |    FROM (${baseSql("e_dup_clusters")}) t)
+      |SELECT a.doc_id,
+      |  CAST(COALESCE(cl.cluster_size, 1) AS BIGINT) AS n_dups,
+      |  CAST(1 AS DOUBLE) / CAST(COALESCE(cl.cluster_size, 1) AS DOUBLE) AS weight
+      |FROM all_ids a LEFT JOIN cl ON a.doc_id = cl.doc_id
+      |ORDER BY a.doc_id""".stripMargin
+
   private lazy val canonicalPickSql: String =
     s"""WITH dc AS (SELECT doc_id, cluster_id
       |    FROM (${baseSql("e_dup_clusters")}) t),
@@ -1863,6 +1949,7 @@ object ExtOracles {
     ("e_pagerank" -> pageRankSql) +
     ("e_label_prop" -> labelPropSql) +
     ("e_canonical_pick" -> canonicalPickSql) +
+    ("e_soft_dedup" -> softDedupSql) +
     ("e_lm_buckets" -> lmBucketsSql) +
     ("e_importance_sample" -> importanceSampleSql) +
     ("e_dedup_eval" -> dedupEvalSql) +

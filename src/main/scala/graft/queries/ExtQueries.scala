@@ -308,15 +308,23 @@ object ExtQueries {
     *
     * Output is pure integers (ids + intersection/union sizes), so the oracle
     * compare is exact by construction. */
+  /** Id shift separating a synthesized re-crawl/variant row from its base
+    * document in the augmented universe — shared by every operator that
+    * splits that universe back into (corpus, batch) sides
+    * ([[crossDedup]], [[softDedup]]'s oracle), so the boundary is one
+    * definition and cannot drift (the [[DecontamBenchIds]] lesson). */
+  private[queries] val VariantIdOffset = 1000000L
+
   /** The corpus plus a deterministic near-duplicate variant of every doc
-    * (first 5 tokens dropped, id + 1,000,000) — ONE scan: each source row
-    * yields both rows via a generator (vs a self-union, which scans twice).
-    * Shared by every fuzzy-dedup operator so they are comparable. */
+    * (first 5 tokens dropped, id + [[VariantIdOffset]]) — ONE scan: each
+    * source row yields both rows via a generator (vs a self-union, which
+    * scans twice). Shared by every fuzzy-dedup operator so they are
+    * comparable. */
   private[queries] def docsWithVariants(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .select(col("lang"), col("source"), explode(array(
         struct(col("doc_id"), col("text")),
-        struct((col("doc_id") + lit(1000000L)).as("doc_id"),
+        struct((col("doc_id") + lit(VariantIdOffset)).as("doc_id"),
           array_join(slice(tokens(col("text")), lit(6), size(tokens(col("text")))), " ")
             .as("text")))).as("r"))
       .select(col("r.doc_id").as("doc_id"), col("lang"), col("source"), col("r.text").as("text"))
@@ -379,17 +387,34 @@ object ExtQueries {
     * exact-Jaccard truth set and the minhash family it grades, instead of
     * shingling the corpus twice. */
   private def minhashVerifiedPairsFrom(shd: DataFrame): DataFrame = {
-    // ONE fused pass over the shingle set for all NumHashes signature
-    // elements (codegen'd MinhashSigs expression) — the HOF formulation was
-    // NumHashes separate interpreted transform+array_min folds per row, the
-    // same per-pass shape SimHashBits and HyperplaneBands replaced
+    val bands = minhashBands(shd)
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    verifiedJaccardPairs(cand, shd)
+  }
+
+  /** `(doc_id, band, bsig)` banded-LSH bucket keys from a shingle frame —
+    * the signature+banding head of the minhash family, factored out so the
+    * self-join ([[minhashVerifiedPairsFrom]]) and the corpus×batch join
+    * ([[crossDedup]]) derive candidates from ONE banding definition.
+    *
+    * ONE fused pass over the shingle set for all NumHashes signature
+    * elements (codegen'd MinhashSigs expression) — the HOF formulation was
+    * NumHashes separate interpreted transform+array_min folds per row, the
+    * same per-pass shape SimHashBits and HyperplaneBands replaced.
+    * PERSISTED: |docs|·NumBands small rows, probed twice by either join
+    * shape; callers clearCache() after materializing. */
+  private def minhashBands(shd: DataFrame): DataFrame = {
     val sigs = shd
       .select(col("doc_id"),
         graft.functions.GraftFunctions.minhashSigs(
           shd.sparkSession, col("ds"), NumHashes).as("sig"))
-
-    // PERSISTED: |docs|·NumBands small rows, probed twice by the self-join.
-    val bands = sigs.select(
+    sigs.select(
       col("doc_id"),
       explode(array((0 until NumBands).map { b =>
         struct(
@@ -399,15 +424,6 @@ object ExtQueries {
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
       .persist()
-
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-
-    verifiedJaccardPairs(cand, shd)
   }
 
   /** Exact-Jaccard verification tail shared by the minhash family and
@@ -424,6 +440,45 @@ object ExtQueries {
         size(array_intersect(col("ds_a"), col("ds_b"))).as("n_inter"),
         size(array_union(col("ds_a"), col("ds_b"))).as("n_union"))
       .filter(lit(2) * col("n_inter") >= col("n_union"))
+
+  // ---- e_cross_dedup ------------------------------------------------------
+
+  /** CROSS-corpus near-duplicate join — incremental fuzzy dedup, the shape
+    * a crawl pipeline actually runs: dedup an incoming batch AGAINST the
+    * existing corpus without re-pairing the corpus with itself. The batch
+    * is the deterministic re-crawl variants ([[docsWithVariants]], ids ≥
+    * [[VariantIdOffset]]); candidates come from the SAME banded-LSH bucket
+    * keys as [[minhashDedup]] ([[minhashBands]] — one banding definition),
+    * but the bucket join is corpus×batch instead of a self-join, so
+    * in-batch and in-corpus pairs never materialize; each candidate is
+    * verified with the shared exact-Jaccard tail ([[verifiedJaccardPairs]],
+    * J ≥ 0.5 tested integer-side). The exact-hash sibling is [[incrDedup]]
+    * (byte-identical re-crawls); this operator catches the near-miss
+    * re-crawls exact hashing is blind to.
+    *
+    * At scale the corpus side's band keys are a static INDEX: built once,
+    * stored bucketed on (band, bsig) ([[graft.operators.Bucketing]]), so
+    * each arriving batch shuffles only its own |batch|·bands rows into the
+    * bucket join — the corpus never re-bands and never re-shuffles per
+    * batch, which is what makes this the incremental path (the self-join
+    * family re-pairs the whole universe every run). Output is all-integer
+    * (ids + set sizes), exact-compare safe. */
+  def crossDedup(spark: SparkSession, dir: String): DataFrame = {
+    val all = docsWithVariants(spark, dir).select(col("doc_id"), col("text"))
+    // PERSISTED: probed by the banding path and both verify sides (same
+    // materialization contract as minhashVerifiedPairs).
+    val shd = shingleSets(all)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = minhashBands(shd)
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < lit(VariantIdOffset) &&
+          col("y.doc_id") >= lit(VariantIdOffset))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifiedJaccardPairs(cand, shd).orderBy("doc_a", "doc_b")
+  }
 
   // ---- e_simhash_dedup ----------------------------------------------------
 
@@ -629,6 +684,69 @@ object ExtQueries {
       .select(col("vec_id"), col("e"), col("nrm"), posexplode(col("bvs")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bv")
+
+  // ---- e_containment ------------------------------------------------------
+
+  /** Rare-shingle inverted-index postings `(doc_id, h)` over a shingle
+    * frame: the postings minus stop-shingles (document frequency >
+    * [[DedupEvalDfCap]]) — the candidate-generation index shared by
+    * [[dedupEval]]'s exact truth and [[containment]]. A df-d shingle
+    * contributes d² rows to a postings join and zero discriminating power,
+    * so the cap is what keeps these joins from going quadratic in the
+    * hottest posting list. The hot set is tiny by definition (few shingles
+    * can each appear in many docs), so it broadcasts and the postings side
+    * never shuffles for the anti-join. PERSISTED (slim integer pairs):
+    * every caller self-joins it, which scans both sides. */
+  private def rareShinglePostings(shd: DataFrame): DataFrame = {
+    val post = shd.select(col("doc_id"), explode(col("ds")).as("h"))
+    val hot = post.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > lit(DedupEvalDfCap))
+      .select(col("h"))
+    post.join(broadcast(hot), Seq("h"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Asymmetric set-CONTAINMENT detection — the "is A a quote/subset of B"
+    * relation every Jaccard-thresholded dedup is blind to: a short document
+    * fully embedded in a long one has C = |A∩B|/min(|A|,|B|) ≈ 1 while
+    * J = |A∩B|/|A∪B| is arbitrarily small, so it survives near-dup removal
+    * and leaks the same text twice into training. Emits every pair of the
+    * variant-augmented corpus with containment ≥ 0.8, tested INTEGER-side
+    * (5·|∩| ≥ 4·min(|A|,|B|)); the reported `containment` double is one
+    * IEEE divide from the exact integers. Sets are the SAME 3-gram shingle
+    * sets as the Jaccard family ([[shingleSets]]), so a containment hit
+    * and a Jaccard hit argue about identical evidence.
+    *
+    * Candidates must share ≥ 1 RARE shingle ([[rareShinglePostings]] — the
+    * df-capped index shared with [[dedupEval]]'s truth join, cap mirrored
+    * in the oracle CTE): a pair overlapping ONLY in stop-shingles is
+    * invisible, the standard production tradeoff (such overlap cannot make
+    * a non-trivial document 80 % contained). Verification computes |∩| on
+    * the FULL sets. At scale: candidate volume is bounded by Σ df² over
+    * df ≤ cap shingles, the verify join is |candidates| rows against the
+    * persisted shingle frame — never all-pairs, never uncapped. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val shd = shingleSets(docsWithVariants(spark, dir)
+        .select(col("doc_id"), col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = rareShinglePostings(shd)
+    val cand = rare.as("x")
+      .join(rare.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(shd.select(col("doc_id").as("doc_a"), col("ds").as("ds_a")), Seq("doc_a"))
+      .join(shd.select(col("doc_id").as("doc_b"), col("ds").as("ds_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ds_a"), col("ds_b"))).as("n_inter"),
+        size(col("ds_a")).as("n_a"), size(col("ds_b")).as("n_b"))
+      .filter(lit(5) * col("n_inter") >= lit(4) * least(col("n_a"), col("n_b")))
+      .withColumn("containment",
+        col("n_inter").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .orderBy("doc_a", "doc_b")
+  }
 
   // ---- e_cosine_dedup -----------------------------------------------------
 
@@ -1695,6 +1813,41 @@ object ExtQueries {
     j.join(canon, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
         (col("doc_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  // ---- e_soft_dedup -------------------------------------------------------
+
+  /** Duplicate-aware SOFT deduplication — the modern alternative to
+    * dropping near-duplicates: keep every copy and down-weight each by its
+    * duplicate multiplicity, so a cluster of n near-identical documents
+    * contributes one document's worth of training signal instead of n
+    * (hard dedup is the weight-0/1 special case and loses the cluster's
+    * internal variation). Every document in the variant-augmented universe
+    * gets weight 1/cluster_size from its [[dupClusters]] near-dup cluster;
+    * singletons keep weight 1.0. Emits (doc_id, n_dups, weight) — the
+    * id-keyed weight table a training loader joins per epoch.
+    *
+    * COMPOSES [[dupClusters]] (the [[canonicalPick]] device): the
+    * multiplicity IS the graded cluster operator's own `cluster_size`, so
+    * the weights can never disagree with the clustering they summarize;
+    * the oracle composes the `e_dup_clusters` SQL text. The weight is ONE
+    * IEEE divide from an exact integer — correctly rounded identically in
+    * both engines.
+    *
+    * At scale: the universe side projects to bare ids (zero text
+    * movement), the cluster table is a corpus fraction, and the left join
+    * is id-keyed — the operator adds one slim join to the clustering cost
+    * it composes. */
+  def softDedup(spark: SparkSession, dir: String): DataFrame = {
+    val universe = docsWithVariants(spark, dir).select(col("doc_id"))
+    val clusters = dupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_size"))
+    universe.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("n_dups"),
+        (lit(1.0) / coalesce(col("cluster_size"), lit(1L)).cast("double"))
+          .as("weight"))
       .orderBy("doc_id")
   }
 
@@ -3738,23 +3891,13 @@ object ExtQueries {
     val shd = shingleSets(docsWithVariants(spark, dir)
         .select(col("doc_id"), col("text")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val post = shd.select(col("doc_id"), explode(col("ds")).as("h"))
     // Truth candidates come from an inverted-index join over RARE shingles
-    // only: shingles with df > DedupEvalDfCap are dropped from candidate
-    // generation (they contribute df² join rows and zero discriminating
-    // power), then every candidate is verified with EXACT Jaccard on the
-    // FULL shingle sets — the same candidate→verify shape as the minhash
-    // family itself, via the shared verifiedJaccardPairs tail. The hot set
-    // is tiny by definition (few shingles can each appear in many docs), so
-    // it broadcasts; the postings side never shuffles for the anti-join.
-    val hot = post.groupBy(col("h"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > lit(DedupEvalDfCap))
-      .select(col("h"))
-    // PERSISTED: the self-join scans `rare` once per side — unpersisted,
-    // the explode + anti-join pipeline executes twice. Slim: (doc_id, h).
-    val rare = post.join(broadcast(hot), Seq("h"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // only (the shared rareShinglePostings index — df-capped so no hot
+    // 3-gram can make the join quadratic), then every candidate is
+    // verified with EXACT Jaccard on the FULL shingle sets — the same
+    // candidate→verify shape as the minhash family itself, via the shared
+    // verifiedJaccardPairs tail.
+    val rare = rareShinglePostings(shd)
     val cand = rare.as("x")
       .join(rare.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
