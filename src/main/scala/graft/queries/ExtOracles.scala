@@ -1885,6 +1885,42 @@ object ExtOracles {
     * cluster assignment) with the shared `qualityCtes` battery (the rank),
     * then picks per-cluster best under (keep DESC, n_tokens DESC, doc_id
     * ASC). Mirrors `ExtQueries.canonicalPick`. */
+  /** `e_bpe_train` — the [[ExtQueries.BpeTrainRounds]] chained BPE merge
+    * rounds UNROLLED as generated CTE blocks (the `kmeansChainCtes` /
+    * `beamSearchSql` device). The merge application is the SAME
+    * double-space string-replace the Spark side runs (non-overlapping
+    * left-to-right `replace`, identical in DuckDB and the JVM), so the
+    * chained states are bit-identical by construction; ties pinned
+    * (n DESC, lhs ASC, rhs ASC). */
+  private lazy val bpeTrainSql: String = {
+    def round(r: Int): String =
+      s"""p$r AS (
+        |  SELECT syms[i] AS lhs, syms[i+1] AS rhs, sum(wc) AS n
+        |  FROM (SELECT wc, syms, unnest(range(1, len(syms))) AS i FROM s${r - 1})
+        |  GROUP BY 1, 2),
+        |b$r AS (SELECT lhs, rhs, n FROM p$r
+        |  ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1),
+        |s$r AS (
+        |  SELECT w, wc,
+        |    list_filter(string_split(
+        |      replace(' ' || array_to_string(syms, '  ') || ' ',
+        |              ' ' || b.lhs || '  ' || b.rhs || ' ',
+        |              ' ' || b.lhs || b.rhs || ' '), ' '), x -> x <> '') AS syms
+        |  FROM s${r - 1}, b$r b)""".stripMargin
+    s"""WITH vocab AS (
+      |  SELECT w, count(*) AS wc FROM (
+      |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      |    FROM documents) GROUP BY w),
+      |s0 AS (SELECT w, wc,
+      |  list_filter(string_split(w, ''), x -> x <> '') AS syms FROM vocab),
+      |${(1 to ExtQueries.BpeTrainRounds).map(round).mkString(",\n")}
+      |SELECT iter, lhs, rhs, CAST(n AS BIGINT) AS n FROM (
+      |${(1 to ExtQueries.BpeTrainRounds).map(r =>
+          s"  SELECT CAST($r AS INT) AS iter, lhs, rhs, n FROM b$r")
+          .mkString(" UNION ALL\n")})
+      |ORDER BY iter""".stripMargin
+  }
+
   /** `e_soft_dedup` — COMPOSES the graded `e_dup_clusters` text (the
     * `e_canonical_pick` device): the multiplicity is the cluster operator's
     * own cluster_size, left-joined onto the variant-augmented id universe;
@@ -1950,6 +1986,7 @@ object ExtOracles {
     ("e_label_prop" -> labelPropSql) +
     ("e_canonical_pick" -> canonicalPickSql) +
     ("e_soft_dedup" -> softDedupSql) +
+    ("e_bpe_train" -> bpeTrainSql) +
     ("e_lm_buckets" -> lmBucketsSql) +
     ("e_importance_sample" -> importanceSampleSql) +
     ("e_dedup_eval" -> dedupEvalSql) +

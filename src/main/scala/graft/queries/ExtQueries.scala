@@ -3304,6 +3304,93 @@ object ExtQueries {
       .limit(20)
   }
 
+  // ---- e_bpe_train --------------------------------------------------------
+
+  /** Number of chained BPE merge rounds [[bpeTrain]] runs — like
+    * [[KmeansIters]], a knob kept small enough that the oracle's unrolled
+    * CTE chain stays readable while the chaining logic is fully general. */
+  private[queries] val BpeTrainRounds = 10
+
+  /** CHAINED BPE tokenizer training — the trainer behind [[bpeMerges]]'s
+    * single pair-count pass, completing the trainer family
+    * ([[kmeansTrain]], [[pqTrain]]): [[BpeTrainRounds]] rounds of
+    * count-pairs → pick-best → merge-everywhere over the corpus-frequency-
+    * weighted DISTINCT vocabulary, emitting every round's chosen merge rule
+    * (`iter`, `lhs`, `rhs`, `n`) — the merge table a BPE encoder replays.
+    *
+    * Cross-engine exactness of the MERGE APPLICATION is the crux: both
+    * engines rewrite the symbol sequence through the SAME string device —
+    * symbols joined with TWO spaces, then one non-overlapping left-to-right
+    * `replace(" l  r ", " lr ")`, then split back. The double separator
+    * makes adjacent occurrences not share boundary characters, so the
+    * single-pass replace merges every occurrence exactly like the
+    * sequential BPE scan ("a a a a" → "aa aa", verified in both engines);
+    * with single spaces the second of two back-to-back occurrences would
+    * share its leading space with the first match and survive. Symbols are
+    * space-free by construction (tokens are whitespace-split), so the
+    * encoding is unambiguous. Tie-breaks are pinned (count DESC, lhs ASC,
+    * rhs ASC over grouped-unique pairs); all arithmetic is integer.
+    *
+    * At scale, each round is the [[bpeMerges]] shape: pair extraction runs
+    * over the Zipf-bounded distinct vocabulary (checkpointed once, rewritten
+    * per round — never re-reading the corpus), pair counts map-side-combine
+    * to |symbols|² partials, the argmax is one TakeOrdered whose single
+    * winning row returns to the driver (the convergence-probe allowance) and
+    * re-enters the rewrite as literals — rounds multiply the vocab-pass
+    * cost, not the corpus-scan cost, the canonical BPE-trainer bill. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainRounds(spark, dir, BpeTrainRounds)
+
+  /** [[bpeTrain]] with the round count as an explicit knob.
+    *
+    * Loop storage discipline (the [[graft.operators.ConnectedComponents]]
+    * lesson): the per-round winner is a ONE-ROW argmax, so it comes back to
+    * the driver like the repo's aggregate-to-scalar convergence probes —
+    * re-entering it as literals instead of a crossJoin keeps each round's
+    * plan from embedding the previous round's twice (state + best both
+    * derive from state_{r−1}: the join formulation DOUBLES the plan per
+    * round, measured minutes of analysis time by round 10). The vocabulary
+    * state is `localCheckpoint`ed per round for the same reason — flat
+    * lineage, bounded plans, regardless of round count. */
+  def bpeTrainRounds(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"round count must be >= 1, got $rounds")
+    var state = table(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(col("w"), col("wc"),
+        filter(split(col("w"), ""), x => x =!= "").as("syms"))
+      .localCheckpoint(true)
+    val merges = (1 to rounds).map { it =>
+      val best = state
+        // sequence(1, n-1) DESCENDS for n = 1 (Spark yields [1, 0]), so
+        // single-symbol words must be filtered, not just left pairless
+        .filter(size(col("syms")) >= 2)
+        .select(col("wc"), col("syms"),
+          explode(sequence(lit(1), size(col("syms")) - 1)).as("i"))
+        .select(element_at(col("syms"), col("i")).as("lhs"),
+          element_at(col("syms"), col("i") + 1).as("rhs"), col("wc"))
+        .groupBy(col("lhs"), col("rhs")).agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .collect()(0)
+      val (l, r) = (best.getString(0), best.getString(1))
+      val next = state
+        .withColumn("padded",
+          concat(lit(" "), array_join(col("syms"), "  "), lit(" ")))
+        .select(col("w"), col("wc"),
+          filter(split(
+            replace(col("padded"), lit(s" $l  $r "), lit(s" $l$r ")),
+            " "), x => x =!= "").as("syms"))
+        .localCheckpoint(true)
+      graft.operators.IterStorage.release(state)
+      state = next
+      (it, l, r, best.getLong(2))
+    }
+    graft.operators.IterStorage.release(state)
+    import spark.implicits._
+    merges.toDF("iter", "lhs", "rhs", "n").orderBy("iter")
+  }
+
   // ---- e_snapshot_diff ----------------------------------------------------
 
   /** Crawl-to-crawl incremental diff — the change-data primitive an
