@@ -116,6 +116,7 @@ object SparkEntry {
     "e_bm25_topk"         -> (ExtQueries.bm25Topk _),
     "e_bpe_merges"        -> (ExtQueries.bpeMerges _),
     "e_bpe_train"         -> (ExtQueries.bpeTrain _),
+    "e_bpe_encode"        -> (ExtQueries.bpeEncode _),
     "e_snapshot_diff"     -> (ExtQueries.snapshotDiff _),
     "e_curation_funnel"   -> (ExtQueries.curationFunnel _),
     "e_seq_pack"          -> (ExtQueries.seqPack _),

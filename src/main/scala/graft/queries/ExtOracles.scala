@@ -1892,7 +1892,11 @@ object ExtOracles {
     * left-to-right `replace`, identical in DuckDB and the JVM), so the
     * chained states are bit-identical by construction; ties pinned
     * (n DESC, lhs ASC, rhs ASC). */
-  private lazy val bpeTrainSql: String = {
+  /** The [[ExtQueries.BpeTrainRounds]]-round BPE chain as CTE text
+    * (vocab → s0 → p/b/s per round) — shared by `e_bpe_train` (reads every
+    * round's `b` winner) and `e_bpe_encode` (reads the final `s` state), so
+    * the encoder cannot serve a drifted copy of the trainer's rules. */
+  private lazy val bpeChainCtes: String = {
     def round(r: Int): String =
       s"""p$r AS (
         |  SELECT syms[i] AS lhs, syms[i+1] AS rhs, sum(wc) AS n
@@ -1907,19 +1911,37 @@ object ExtOracles {
         |              ' ' || b.lhs || '  ' || b.rhs || ' ',
         |              ' ' || b.lhs || b.rhs || ' '), ' '), x -> x <> '') AS syms
         |  FROM s${r - 1}, b$r b)""".stripMargin
-    s"""WITH vocab AS (
+    s"""vocab AS (
       |  SELECT w, count(*) AS wc FROM (
       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
       |    FROM documents) GROUP BY w),
       |s0 AS (SELECT w, wc,
       |  list_filter(string_split(w, ''), x -> x <> '') AS syms FROM vocab),
-      |${(1 to ExtQueries.BpeTrainRounds).map(round).mkString(",\n")}
+      |${(1 to ExtQueries.BpeTrainRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private lazy val bpeTrainSql: String =
+    s"""WITH $bpeChainCtes
       |SELECT iter, lhs, rhs, CAST(n AS BIGINT) AS n FROM (
       |${(1 to ExtQueries.BpeTrainRounds).map(r =>
           s"  SELECT CAST($r AS INT) AS iter, lhs, rhs, n FROM b$r")
           .mkString(" UNION ALL\n")})
       |ORDER BY iter""".stripMargin
-  }
+
+  /** `e_bpe_encode` — COMPOSES the chain's FINAL symbolized vocabulary
+    * (`s{rounds}`), re-tokenizing the corpus against it. */
+  private lazy val bpeEncodeSql: String =
+    s"""WITH $bpeChainCtes,
+      |enc AS (SELECT w, len(syms) AS n_syms
+      |  FROM s${ExtQueries.BpeTrainRounds}),
+      |dt AS (SELECT doc_id,
+      |  unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
+      |SELECT dt.doc_id,
+      |  count(*) AS n_words,
+      |  CAST(sum(e.n_syms) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(sum(e.n_syms) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bpe_per_word
+      |FROM dt JOIN enc e USING (w)
+      |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin
 
   /** `e_soft_dedup` — COMPOSES the graded `e_dup_clusters` text (the
     * `e_canonical_pick` device): the multiplicity is the cluster operator's
@@ -1987,6 +2009,7 @@ object ExtOracles {
     ("e_canonical_pick" -> canonicalPickSql) +
     ("e_soft_dedup" -> softDedupSql) +
     ("e_bpe_train" -> bpeTrainSql) +
+    ("e_bpe_encode" -> bpeEncodeSql) +
     ("e_lm_buckets" -> lmBucketsSql) +
     ("e_importance_sample" -> importanceSampleSql) +
     ("e_dedup_eval" -> dedupEvalSql) +

@@ -3353,6 +3353,19 @@ object ExtQueries {
     * state is `localCheckpoint`ed per round for the same reason — flat
     * lineage, bounded plans, regardless of round count. */
   def bpeTrainRounds(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val (merges, fin) = bpeChain(spark, dir, rounds)
+    graft.operators.IterStorage.release(fin)
+    import spark.implicits._
+    merges.toDF("iter", "lhs", "rhs", "n").orderBy("iter")
+  }
+
+  /** The training chain: (merge rules, FINAL symbolized vocabulary
+    * `(w, wc, syms)`). The final vocabulary is what [[bpeEncode]] serves
+    * from — returned from here so training and encoding share one chain
+    * definition (the [[kmeansChain]] device); the returned frame rides its
+    * last localCheckpoint, which the caller owns. */
+  private def bpeChain(spark: SparkSession, dir: String,
+      rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     require(rounds >= 1, s"round count must be >= 1, got $rounds")
     var state = table(spark, dir, "documents")
       .select(explode(tokens(col("text"))).as("w"))
@@ -3386,9 +3399,36 @@ object ExtQueries {
       state = next
       (it, l, r, best.getLong(2))
     }
-    graft.operators.IterStorage.release(state)
-    import spark.implicits._
-    merges.toDF("iter", "lhs", "rhs", "n").orderBy("iter")
+    (merges, state)
+  }
+
+  /** BPE ENCODING from the trained merge table — closes the train→serve
+    * loop like [[cosineTopkIvfTrained]] / [[cosineTopkPqTrained]]: the
+    * corpus is re-tokenized against [[bpeChain]]'s final symbolized
+    * vocabulary, emitting per document the raw word count, the BPE token
+    * count under the learned vocab, and their ratio (one IEEE divide) —
+    * the fertility metric tokenizer evaluations report.
+    *
+    * Sharing [[bpeChain]] means the encoder can never apply a drifted copy
+    * of the rules (the oracle likewise composes the chain CTEs' final
+    * state). At scale: encoding joins corpus tokens against the
+    * Zipf-bounded vocabulary on the word key — broadcast when the vocab
+    * fits, hash-join otherwise; per-doc counts map-side-combine. The
+    * per-word symbolization is computed ONCE in the vocab, never per token
+    * instance — the same distinct-words-first discipline as
+    * [[bpeMerges]]. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, vocab) = bpeChain(spark, dir, BpeTrainRounds)
+    val docTok = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    docTok
+      .join(vocab.select(col("w"), size(col("syms")).as("n_syms")), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+          .as("bpe_per_word"))
+      .orderBy("doc_id")
   }
 
   // ---- e_snapshot_diff ----------------------------------------------------

@@ -58,6 +58,33 @@ class BpeTrainSpec extends AnyFunSuite {
       "no merge consumed a previously merged symbol — chain is vacuous")
   }
 
+  test("encoder serves the trained rules: local replay of the merge table") {
+    import spark.implicits._
+    val enc = ExtQueries.bpeEncode(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    spark.catalog.clearCache()
+    val rules = localTrain(ExtQueries.BpeTrainRounds).map(m => (m._2, m._3))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.map { case (id, t) =>
+      val words = t.trim.split("\\s+").filter(_.nonEmpty)
+      val nBpe = words.map { w =>
+        var syms = w.split("").filter(_.nonEmpty).toVector
+        rules.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+        syms.length.toLong
+      }.sum
+      (id, words.length.toLong, nBpe)
+    }.filter(_._2 > 0).sortBy(_._1)
+    assert(enc.map(e => (e._1, e._2, e._3)).toSeq == want.toSeq)
+    enc.foreach(e => assert(e._4 == e._3.toDouble / e._2.toDouble))
+    // non-vacuous: the learned merges must actually compress — some doc's
+    // BPE count is strictly below its character count
+    val chars = docs.toMap
+    assert(enc.exists { e =>
+      e._3 < chars(e._1).trim.split("\\s+").filter(_.nonEmpty).map(_.length.toLong).sum })
+  }
+
   test("round 1 is e_bpe_merges' top-ranked pair") {
     import spark.implicits._
     val first = ExtQueries.bpeTrain(spark, dir)
