@@ -496,4 +496,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       "the centroid cross-join must stay broadcast-bounded")
   }
+
+  test("cross dedup: corpus x batch candidates equi-join one banded index, one scan") {
+    val plan = formatted(ExtQueries.crossDedup(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      "the cross bucket join must stay an equi-join on (band, bsig) — a " +
+        "cartesian here is corpus x batch all-pairs at 100 TB")
+    assert(parquetScans(plan) == 1,
+      "corpus + variants derive from ONE generator scan; the banded index " +
+        "and both verify sides ride the persisted shingle frame")
+    spark.catalog.clearCache()
+  }
+
+  test("containment: stop-shingle screen broadcasts, candidates never cartesian") {
+    val plan = formatted(ExtQueries.containment(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      "rare-postings candidates must equi-join on the shingle hash")
+    assert(plan.contains("LeftAnti"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the tiny hot-shingle set must broadcast for the anti-join — a " +
+        "shuffle anti-join re-partitions the whole postings stream")
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    assert(parquetScans(plan) == 1)
+    spark.catalog.clearCache()
+  }
+
+  test("bpe encode: the corpus re-tokenization is the only parquet scan") {
+    val plan = formatted(ExtQueries.bpeEncode(spark, dir))
+    assert(!plan.contains("CartesianProduct"))
+    assert(parquetScans(plan) == 1,
+      "the symbolized vocabulary must ride the chain's checkpoint, not " +
+        "re-derive from the corpus per consumer")
+    spark.catalog.clearCache()
+  }
 }
