@@ -313,7 +313,7 @@ object ExtQueries {
     * splits that universe back into (corpus, batch) sides
     * ([[crossDedup]], [[softDedup]]'s oracle), so the boundary is one
     * definition and cannot drift (the [[DecontamBenchIds]] lesson). */
-  private[queries] val VariantIdOffset = 1000000L
+  private[graft] val VariantIdOffset = 1000000L
 
   /** The corpus plus a deterministic near-duplicate variant of every doc
     * (first 5 tokens dropped, id + [[VariantIdOffset]]) — ONE scan: each
@@ -342,7 +342,7 @@ object ExtQueries {
     * per shingle position — O(tokens²) per row (measured 4× the whole
     * op's scan cost before this was hoisted). A ≤3-token doc hashes whole
     * as its single shingle. */
-  private[queries] def shingleSets(docs: DataFrame): DataFrame =
+  private[graft] def shingleSets(docs: DataFrame): DataFrame =
     shingleSetsKeeping(docs, Nil)
 
   /** [[shingleSets]] with passthrough columns (e.g. `source` for the
@@ -407,14 +407,16 @@ object ExtQueries {
     * elements (codegen'd MinhashSigs expression) — the HOF formulation was
     * NumHashes separate interpreted transform+array_min folds per row, the
     * same per-pass shape SimHashBits and HyperplaneBands replaced.
-    * PERSISTED: |docs|·NumBands small rows, probed twice by either join
-    * shape; callers clearCache() after materializing. */
-  private def minhashBands(shd: DataFrame): DataFrame = {
+    * PERSISTED by default: |docs|·NumBands small rows, probed twice by
+    * either join shape; callers clearCache() after materializing. The
+    * streaming gate passes `persist = false` for its per-micro-batch side —
+    * consumed exactly once, a cache entry there would leak per batch. */
+  private[graft] def minhashBands(shd: DataFrame, persist: Boolean = true): DataFrame = {
     val sigs = shd
       .select(col("doc_id"),
         graft.functions.GraftFunctions.minhashSigs(
           shd.sparkSession, col("ds"), NumHashes).as("sig"))
-    sigs.select(
+    val bands = sigs.select(
       col("doc_id"),
       explode(array((0 until NumBands).map { b =>
         struct(
@@ -423,7 +425,7 @@ object ExtQueries {
             element_at(col("sig"), b * RowsPerBand + r + 1)): _*).as("bsig"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
-      .persist()
+    if (persist) bands.persist() else bands
   }
 
   /** Exact-Jaccard verification tail shared by the minhash family and
@@ -470,14 +472,36 @@ object ExtQueries {
     val shd = shingleSets(all)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = minhashBands(shd)
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col("x.doc_id") < lit(VariantIdOffset) &&
-          col("y.doc_id") >= lit(VariantIdOffset))
+    crossNearDupPairs(
+      bands.filter(col("doc_id") < lit(VariantIdOffset)), shd,
+      bands.filter(col("doc_id") >= lit(VariantIdOffset)), shd)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The cross near-dup CORE — one corpus-side banded index joined against
+    * one batch-side banding, candidates verified with exact Jaccard
+    * (J ≥ 0.5 integer-side; `doc_a` = corpus id, `doc_b` = batch id).
+    * Shared by the batch operator ([[crossDedup]]) and the streaming gate
+    * ([[graft.streaming.Streaming.startNearDupGate]]), so the continuous
+    * and batch incremental-dedup paths cannot drift. The two sides carry
+    * their own shingle frames: in the streaming shape the corpus index is
+    * static and persisted across micro-batches while the batch side is
+    * born and dies with each micro-batch. */
+  private[graft] def crossNearDupPairs(
+      corpusBands: DataFrame, corpusShd: DataFrame,
+      batchBands: DataFrame, batchShd: DataFrame): DataFrame = {
+    val cand = corpusBands.as("x")
+      .join(batchBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifiedJaccardPairs(cand, shd).orderBy("doc_a", "doc_b")
+    cand
+      .join(corpusShd.select(col("doc_id").as("doc_a"), col("ds").as("ds_a")), Seq("doc_a"))
+      .join(batchShd.select(col("doc_id").as("doc_b"), col("ds").as("ds_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ds_a"), col("ds_b"))).as("n_inter"),
+        size(array_union(col("ds_a"), col("ds_b"))).as("n_union"))
+      .filter(lit(2) * col("n_inter") >= col("n_union"))
   }
 
   // ---- e_simhash_dedup ----------------------------------------------------

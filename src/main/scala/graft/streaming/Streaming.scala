@@ -297,6 +297,56 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming NEAR-duplicate gate — the continuous form of
+    * [[graft.queries.ExtQueries.crossDedup]], and the near-miss upgrade of
+    * [[dedupStream]]'s exact-fingerprint screen: every micro-batch of
+    * incoming documents is checked against a STATIC corpus index (minhash
+    * band keys + shingle sets, built ONCE at stream start and persisted
+    * across batches), emitting one verdict row per incoming document —
+    * `(doc_id, is_near_dup, match_id)`, match_id the smallest corpus id
+    * whose exact-verified Jaccard clears 0.5.
+    *
+    * The candidate+verify dataflow IS the batch operator's
+    * [[graft.queries.ExtQueries.crossNearDupPairs]] core — one definition,
+    * so the continuous and batch incremental-dedup paths cannot drift
+    * (spec-pinned against [[graft.queries.ExtQueries.crossDedup]] anyway).
+    *
+    * At scale this is precisely the "static bucketed index" story the batch
+    * operator's scaladoc promises: the corpus side shingles/bands/persists
+    * once, each micro-batch shuffles only its own |batch|·bands slim rows
+    * into the bucket join, and the per-batch shingle frame is dropped when
+    * its batch commits (`persist = false` on the batch banding; the batch
+    * shingle persist is released in the same foreachBatch scope). `emit`
+    * must materialize the verdict frame before returning — the standard
+    * foreachBatch contract. */
+  def startNearDupGate(docs: DataFrame, corpus: DataFrame, ckpt: String)
+      (emit: DataFrame => Unit): StreamingQuery = {
+    import graft.queries.ExtQueries
+    val corpusShd = ExtQueries.shingleSets(corpus.select(col("doc_id"), col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusBands = ExtQueries.minhashBands(corpusShd)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bShd = ExtQueries.shingleSets(batch.select(col("doc_id"), col("text")))
+          .persist()
+        try {
+          val bBands = ExtQueries.minhashBands(bShd, persist = false)
+          val matches = ExtQueries
+            .crossNearDupPairs(corpusBands, corpusShd, bBands, bShd)
+            .groupBy(col("doc_b").as("doc_id"))
+            .agg(min(col("doc_a")).as("match_id"))
+          emit(batch.select(col("doc_id"))
+            .join(matches, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              col("match_id").isNotNull.as("is_near_dup"), col("match_id")))
+        } finally bShd.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // ---- trending tokens ----------------------------------------------------
 
   /** Watermarked per-window token counts over a document stream — the

@@ -396,6 +396,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches.length == 2)
   }
 
+  test("near-dup gate: static-index stream verdicts match the batch cross-dedup") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val in = Files.createTempDirectory("graft-ndg-in").toString
+    val ckpt = Files.createTempDirectory("graft-ndg-ckpt").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // the same re-crawl construction the batch operator's universe uses
+    val variants = docs.map { case (id, t) =>
+      (id + graft.queries.ExtQueries.VariantIdOffset,
+        t.trim.split("\\s+").drop(5).mkString(" "))
+    }.sortBy(_._1)
+    val (b1, b2) = variants.splitAt(variants.length / 2)
+    b1.toSeq.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    b2.toSeq.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+
+    val got = scala.collection.mutable.Map.empty[Long, Option[Long]]
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    Streaming.startNearDupGate(
+      spark.readStream.schema(b1.toSeq.toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", 1).parquet(in),
+      spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+      ckpt) { verdicts =>
+      val rows = verdicts.collect()
+      batchSizes += rows.length
+      rows.foreach { r =>
+        got(r.getLong(0)) = if (r.isNullAt(2)) None else Some(r.getLong(2))
+        assert(r.getBoolean(1) == !r.isNullAt(2))
+      }
+    }.awaitTermination()
+    spark.catalog.clearCache()
+    assert(batchSizes.length == 2 && batchSizes.sum == variants.length,
+      s"per-batch verdict counts: $batchSizes")
+
+    // stream/batch parity: verdicts equal the batch cross-dedup pairs
+    val pairs = graft.queries.ExtQueries.crossDedup(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    spark.catalog.clearCache()
+    val want = variants.map(_._1).map { id =>
+      val m = pairs.filter(_._2 == id).map(_._1)
+      id -> (if (m.isEmpty) None else Some(m.min))
+    }.toMap
+    assert(got.toMap == want)
+    assert(want.values.exists(_.isDefined) && want.values.exists(_.isEmpty),
+      "fixture must exercise both verdicts")
+  }
+
   test("stream-static enrichment: stateless broadcast join, unknown sources kept") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-enrich-in").toString
