@@ -119,6 +119,13 @@ object Demo {
     println(s"   importance sampler kept ${imp.count()} documents")
     graft.queries.ExtQueries.domainCap(spark, sf)
       .groupBy("source").count().orderBy("source").show(false)
+    println("== incoming batch vs corpus near-dedup (cross LSH join), 5 pairs:")
+    graft.queries.ExtQueries.crossDedup(spark, sf).show(5, false)
+    println("== soft dedup: near-dup clusters reweighted to unit mass:")
+    graft.queries.ExtQueries.softDedup(spark, sf)
+      .groupBy("n_dups").count().orderBy("n_dups").show(false)
+    println("== BPE trainer: the 10 learned merge rules (note compound merges):")
+    graft.queries.ExtQueries.bpeTrain(spark, sf).show(false)
     spark.catalog.clearCache() // funnel/fusion/graph ops persist intermediates
 
     // malformed day file: observe the failure mode
