@@ -81,6 +81,7 @@ object SparkEntry {
     "e_span_mask"         -> (ExtQueries.spanMask _),
     "e_top_tokens"        -> (ExtQueries.topTokens _),
     "e_decontaminate"     -> (ExtQueries.decontaminate _),
+    "e_ngram_overlap"     -> (ExtQueries.ngramOverlap _),
     "e_repetition"        -> (ExtQueries.repetition _),
     "e_cosine_topk_ivf"   -> (ExtQueries.cosineTopkIvf _),
     "e_ann_recall"        -> (ExtQueries.annRecall _),
@@ -120,6 +121,7 @@ object SparkEntry {
     "e_snapshot_diff"     -> (ExtQueries.snapshotDiff _),
     "e_curation_funnel"   -> (ExtQueries.curationFunnel _),
     "e_seq_pack"          -> (ExtQueries.seqPack _),
+    "e_shard_pack"        -> (ExtQueries.shardPack _),
     "e_train_order"       -> (ExtQueries.trainOrder _),
     "e_zorder"            -> (ExtQueries.zorder _),
     "e_knn_graph"         -> (ExtQueries.knnGraph _),
@@ -133,6 +135,9 @@ object SparkEntry {
     "e_split"             -> (ExtQueries.corpusSplit _),
     "e_split_contamination" -> (ExtQueries.splitContamination _),
     "e_centroid_score"    -> (ExtQueries.centroidScore _),
+    "e_nb_train"          -> (ExtQueries.nbTrain _),
+    "e_nb_classify"       -> (ExtQueries.nbClassify _),
+    "e_nb_eval"           -> (ExtQueries.nbEval _),
     "e_dedup_eval"        -> (ExtQueries.dedupEval _),
   )
 
@@ -145,7 +150,7 @@ object SparkEntry {
     * is comparison overhead; one that does is the operator's. */
   val harnessKeys: Set[String] = Set(
     "e_ann_recall", "e_dedup_eval", "e_rank_fusion", "e_hybrid_search",
-    "e_split_contamination", "e_curation_funnel")
+    "e_split_contamination", "e_curation_funnel", "e_nb_eval")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -817,6 +817,21 @@ object ExtOracles {
         |SELECT lang, rank, token, n FROM ranked WHERE rank <= 10
         |ORDER BY lang, rank""".stripMargin,
 
+    // Eval-side twin of e_decontaminate over the SAME shingle CTEs — the
+    // spec form is a plain left join; the Spark side's broadcast semi-join
+    // funnel must produce identical per-doc counts.
+    "e_ngram_overlap" ->
+      s"""WITH ${shingleCtes("documents")},
+        |bench AS (SELECT doc_id, unnest(ds) AS h FROM sh
+        |  WHERE doc_id < ${ExtQueries.DecontamBenchIds}),
+        |hits AS (SELECT DISTINCT unnest(ds) AS h FROM sh
+        |  WHERE doc_id >= ${ExtQueries.DecontamBenchIds})
+        |SELECT b.doc_id, count(*) AS n_shingles,
+        |  CAST(count(hits.h) AS BIGINT) AS n_hit,
+        |  CAST(count(hits.h) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS overlap_frac
+        |FROM bench b LEFT JOIN hits ON b.h = hits.h
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
     "e_decontaminate" ->
       s"""WITH ${shingleCtes("documents")},
         |corpus AS (SELECT doc_id, unnest(ds) AS g FROM sh
@@ -1098,6 +1113,26 @@ object ExtOracles {
         |  (cum - 1) // ${ExtQueries.PackBlockTokens}
         |    - (cum - n_tokens) // ${ExtQueries.PackBlockTokens} + 1 AS n_blocks
         |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    // The oracle states the SPEC (one global rank window); the Spark side's
+    // two-level segment/offset device must produce the same integers — the
+    // e_train_order verification shape. Snake arithmetic is all
+    // non-negative // and %, the e_seq_pack floor-div contract.
+    "e_shard_pack" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(row_number() OVER (ORDER BY n_tokens ASC, doc_id ASC) AS BIGINT) AS pos
+        |  FROM t)
+        |SELECT doc_id, n_tokens, pos,
+        |  CAST(CASE WHEN ((pos - 1) // ${ExtQueries.PackShards}) % 2 = 0
+        |    THEN (pos - 1) % ${ExtQueries.PackShards}
+        |    ELSE ${ExtQueries.PackShards} - 1 - ((pos - 1) % ${ExtQueries.PackShards})
+        |    END AS BIGINT) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // Two-level position arithmetic mirrored exactly (k >= 0 keeps // and
     // Spark's div in agreement — the e_seq_pack floor-div contract); the
@@ -2003,7 +2038,74 @@ object ExtOracles {
       |FROM s JOIN thr t USING (lang)
       |ORDER BY s.doc_id""".stripMargin
 
+  // ---- NB classifier chain -------------------------------------------------
+
+  /** Shared NB-chain CTEs — `tk` (token instances with their e_split fate,
+    * composing `baseSql("e_split")` so the fate is one definition), the
+    * train-side count tables, the exact fixed-point likelihood grid, and
+    * the argmax `votes` table plus the 1-row unseen-token default `defv`.
+    * The SQL twin of `ExtQueries.nbVotes`. */
+  private lazy val nbCtes: String =
+    s"""sp AS (SELECT doc_id, split FROM (${baseSql("e_split")}) s0),
+      |tk AS (SELECT d.doc_id, d.lang, sp.split,
+      |    unnest(regexp_split_to_array(trim(d.text), '\\s+')) AS tok
+      |  FROM documents d JOIN sp USING (doc_id)),
+      |tr AS (SELECT * FROM tk WHERE split = 'train'),
+      |cnts AS (SELECT tok, lang, count(*) AS c FROM tr GROUP BY tok, lang),
+      |tots AS (SELECT lang, count(*) AS n_c FROM tr GROUP BY lang),
+      |voc AS (SELECT count(DISTINCT tok) AS v FROM tr),
+      |grid AS (SELECT t.tok, l.lang, coalesce(c.c, 0) AS c, l.n_c, v.v,
+      |    CAST(floor((coalesce(c.c, 0) + 1) / CAST(l.n_c + v.v AS DOUBLE)
+      |      * ${ExtQueries.NbFpScale} + 0.5) AS BIGINT) AS fp
+      |  FROM (SELECT DISTINCT tok FROM cnts) t
+      |  CROSS JOIN tots l CROSS JOIN voc v
+      |  LEFT JOIN cnts c ON c.tok = t.tok AND c.lang = l.lang),
+      |best AS (SELECT tok, max(fp) AS bfp FROM grid GROUP BY tok),
+      |votes AS (SELECT g.tok, min(g.lang) AS vote FROM grid g
+      |  JOIN best b ON g.tok = b.tok AND g.fp = b.bfp GROUP BY g.tok),
+      |defg AS (SELECT l.lang, CAST(floor(1.0 / CAST(l.n_c + v.v AS DOUBLE)
+      |    * ${ExtQueries.NbFpScale} + 0.5) AS BIGINT) AS fp
+      |  FROM tots l CROSS JOIN voc v),
+      |defv AS (SELECT min(lang) AS dv FROM defg
+      |  WHERE fp = (SELECT max(fp) FROM defg))""".stripMargin
+
+  private lazy val nbTrainSql: String =
+    s"""WITH $nbCtes,
+      |stats AS (SELECT lang, count(DISTINCT doc_id) AS n_docs,
+      |    count(*) AS n_tokens, count(DISTINCT tok) AS n_vocab
+      |  FROM tr GROUP BY lang),
+      |nv AS (SELECT vote AS lang, count(*) AS n_vote_tokens
+      |  FROM votes GROUP BY vote)
+      |SELECT s.lang, s.n_docs, s.n_tokens, s.n_vocab,
+      |  coalesce(nv.n_vote_tokens, 0) AS n_vote_tokens
+      |FROM stats s LEFT JOIN nv USING (lang) ORDER BY s.lang""".stripMargin
+
+  private lazy val nbClassifySql: String =
+    s"""WITH $nbCtes,
+      |te AS (SELECT * FROM tk WHERE split = 'test'),
+      |voted AS (SELECT te.doc_id, te.lang,
+      |    coalesce(v.vote, (SELECT dv FROM defv)) AS vote
+      |  FROM te LEFT JOIN votes v USING (tok)),
+      |pv AS (SELECT doc_id, lang, vote, count(*) AS n
+      |  FROM voted GROUP BY doc_id, lang, vote),
+      |rk AS (SELECT doc_id, lang, vote, n,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, vote ASC) AS rn,
+      |    -- CAST: DuckDB window sums return HUGEINT (the q_sessionize lesson)
+      |    CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_votes
+      |  FROM pv)
+      |SELECT doc_id, lang, vote AS pred, n AS n_win, n_votes,
+      |  lang = vote AS correct
+      |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Confusion matrix composed over the classifier's OWN SQL text. */
+  private lazy val nbEvalSql: String =
+    s"""SELECT lang, pred, count(*) AS n FROM ($nbClassifySql) c
+      |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+
   val sql: Map[String, String] = baseSql +
+    ("e_nb_train" -> nbTrainSql) +
+    ("e_nb_classify" -> nbClassifySql) +
+    ("e_nb_eval" -> nbEvalSql) +
     ("e_pagerank" -> pageRankSql) +
     ("e_label_prop" -> labelPropSql) +
     ("e_canonical_pick" -> canonicalPickSql) +

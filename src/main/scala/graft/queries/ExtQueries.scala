@@ -1603,6 +1603,48 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // ---- e_ngram_overlap ----------------------------------------------------
+
+  /** Per-eval-example contamination overlap — the EVAL-SIDE twin of
+    * [[decontaminate]]: for every benchmark document (the
+    * [[DecontamBenchIds]] held-out set), the fraction of its distinct
+    * 3-gram shingles that appear anywhere in the training corpus — the
+    * per-example "dirty/clean" score an eval report publishes next to its
+    * numbers (the n-gram overlap audit large-model evals run), where
+    * decontaminate flags which TRAINING documents to drop. Sharing
+    * [[shingleSets]] (and the oracle sharing its CTE text) keeps the two
+    * audits one shingle definition by construction.
+    *
+    * At scale the corpus NEVER shuffles: the benchmark shingle set is tiny
+    * (eval suites are thousands of examples against billions of corpus
+    * docs), so it broadcasts; the corpus scan semi-joins against it,
+    * leaving ≤ |bench shingles| surviving rows to distinct into the hit
+    * set, which broadcasts back onto the bench side. Two broadcasts of
+    * eval-sized frames, one corpus scan, zero corpus-sized shuffles —
+    * [[decontaminate]]'s own shape, run in the opposite direction. */
+  def ngramOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // persisted for the same generate-filter-inference reason as
+    // decontaminate: two consumers, and the materialization boundary keeps
+    // the O(tokens²) shingle re-eval out of the scan filter
+    val shingled = shingleSets(
+      table(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = shingled.filter(col("doc_id") < DecontamBenchIds)
+      .select(col("doc_id"), explode(col("ds")).as("h"))
+    val benchSet = bench.select(col("h")).distinct()
+    val hitSet = shingled.filter(col("doc_id") >= DecontamBenchIds)
+      .select(explode(col("ds")).as("h"))
+      .join(broadcast(benchSet), Seq("h"), "left_semi")
+      .distinct()
+      .withColumn("m", lit(1L))
+    bench.join(broadcast(hitSet), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("m")).as("n_hit"))
+      .withColumn("overlap_frac",
+        col("n_hit").cast("double") / col("n_shingles").cast("double"))
+      .orderBy("doc_id")
+  }
+
   // ---- e_semantic_decontaminate -------------------------------------------
 
   /** Embedding-space benchmark decontamination — the SEMANTIC complement of
@@ -2062,6 +2104,68 @@ object ExtQueries {
       .select(col("doc_id"), col("source"),
         (col("seg_off") + col("r")).as("pos"))
       .orderBy("pos")
+  }
+
+  // ---- e_shard_pack -------------------------------------------------------
+
+  /** Number of output shards [[shardPack]] balances across. */
+  private[queries] val PackShards = 8L
+
+  /** Documents per doc-id rank segment — bounds every per-segment window
+    * partition of the distributed length rank to this many rows. */
+  private[queries] val ShardSegDocs = 64L
+
+  /** Token-balanced training-shard assignment — boustrophedon (snake)
+    * packing: documents are ranked globally by (n_tokens, doc_id) and dealt
+    * to [[PackShards]] shards in alternating direction per round, so every
+    * round of 2·S consecutive ranks gives each shard one short and one long
+    * document. This is the writer-side step that keeps training shards
+    * byte-balanced (a straight `pmod(doc_id, S)` balances COUNTS but not
+    * tokens; greedy least-loaded-bin is sequential and not reproducible
+    * under re-partitioning): snake loads differ by at most a few documents'
+    * tokens regardless of the length distribution (spec-measured), and the
+    * assignment is a pure function of the rank, so re-sharding the input
+    * reproduces it.
+    *
+    * The global rank is the [[trainOrder]] two-level device on a DIFFERENT
+    * key family: token counts concentrate (hash keys don't), so hash-range
+    * segments would put every common length in one window. Segments here
+    * are (n_tokens, doc_id div [[ShardSegDocs]]) — lexicographically
+    * monotone in the sort key because the doc-seg factor `kseg` (derived
+    * from the corpus max id in one scalar aggregate) strictly exceeds
+    * every doc-seg index — so each window partition holds ≤ ShardSegDocs
+    * rows BY CONSTRUCTION even if the whole corpus shares one length.
+    * Offsets are the same triangular broadcast join; all shard arithmetic
+    * is non-negative integer div/mod (the e_seq_pack floor-div contract). */
+  def shardPack(spark: SparkSession, dir: String): DataFrame = {
+    // PERSISTED: the kseg scalar, per-segment counts, and the rank window
+    // all consume the tokenized counts — unpersisted, the corpus re-scans
+    // and re-tokenizes per consumer
+    val counted = table(spark, dir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kseg = counted.agg(expr(s"(max(doc_id) div $ShardSegDocs) + 1").as("kseg"))
+    val keyed = counted.crossJoin(broadcast(kseg))
+      .withColumn("seg", col("n_tokens") * col("kseg")
+        + expr(s"doc_id div $ShardSegDocs"))
+    val cnt = keyed.groupBy(col("seg")).agg(count(lit(1)).as("c"))
+    val offs = cnt.as("a")
+      .join(broadcast(cnt.as("b")), col("b.seg") < col("a.seg"), "left")
+      .groupBy(col("a.seg").as("seg"))
+      .agg(coalesce(sum(col("b.c")), lit(0L)).as("seg_off"))
+    val wSeg = Window.partitionBy(col("seg"))
+      .orderBy(col("n_tokens").asc, col("doc_id").asc)
+    keyed
+      .withColumn("r", row_number().over(wSeg))
+      .join(broadcast(offs), Seq("seg"))
+      .withColumn("pos0", col("seg_off") + col("r") - 1)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos0") + 1).as("pos"),
+        when(expr(s"(pos0 div $PackShards) % 2") === 0,
+            pmod(col("pos0"), lit(PackShards)))
+          .otherwise(lit(PackShards - 1) - pmod(col("pos0"), lit(PackShards)))
+          .as("shard"))
+      .orderBy("doc_id")
   }
 
   // ---- e_seq_pack ---------------------------------------------------------
@@ -3908,14 +4012,24 @@ object ExtQueries {
     * decorrelates the split fate from every other hash-fate operator
     * ([[stratifiedSample]], [[tempMix]]) so subsampling composed with
     * splitting stays unbiased. */
+  /** The salted content-hash split bucket of a text column — THE split-fate
+    * definition, shared by [[corpusSplit]] and the NB classifier chain so
+    * a consumer can apply the fate scan-side (no join against the split
+    * table) without forking the formula. */
+  private[queries] def splitBucket(text: Column): Column =
+    pmod(hash64(concat(text, lit(":split"))), lit(100L))
+
+  /** Bucket → split-name assignment (80/10/10) — [[splitBucket]]'s twin. */
+  private[queries] def splitName(bucket: Column): Column =
+    when(bucket < 80, lit("train"))
+      .when(bucket < 90, lit("val"))
+      .otherwise(lit("test"))
+
   def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(hash64(concat(col("text"), lit(":split"))), lit(100L))
     table(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"), bucket.as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 80, lit("train"))
-          .when(col("bucket") < 90, lit("val"))
-          .otherwise(lit("test")))
+      .select(col("doc_id"), col("lang"), col("source"),
+        splitBucket(col("text")).as("bucket"))
+      .withColumn("split", splitName(col("bucket")))
       .orderBy("doc_id")
   }
 
@@ -4008,6 +4122,142 @@ object ExtQueries {
           .as("correct"))
       .orderBy("vec_id")
   }
+
+  // ---- e_nb_train / e_nb_classify / e_nb_eval -----------------------------
+
+  /** Fixed-point scale (2³⁰) for NB token-class likelihoods — the
+    * [[bigramLmBody]] device: a single floor(x·2³⁰ + 0.5) rounding makes
+    * every likelihood an exact int64 both engines compare identically. */
+  private[queries] val NbFpScale = 1073741824.0
+
+  /** Token instances with their [[splitBucket]] fate attached SCAN-SIDE —
+    * the shared root of the NB chain. No join against the split table:
+    * the fate is a pure expression of the text, so train/test carving
+    * costs nothing beyond the tokenizing scan itself. */
+  private def nbToked(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        splitName(splitBucket(col("text"))).as("split"),
+        explode(tokens(col("text"))).as("tok"))
+
+  /** The trained voting table over TRAIN token instances: `votes`
+    * (tok → argmax-likelihood lang, ties to the smallest lang) and the
+    * 1-row unseen-token default vote. Laplace-smoothed multinomial
+    * likelihoods fp(t,c) = ⌊(c(t,lang)+1)/(N_lang+V)·2³⁰+0.5⌋ are exact
+    * int64, so every argmax is an integer comparison — no float boundary
+    * can flip a vote between engines. The unseen default falls out of the
+    * same smoothing: all classes score (0+1)/(N_lang+V), so the argmax is
+    * the smallest-corpus class (deterministic, prior-free — documented
+    * rather than hidden).
+    *
+    * At scale everything is vocab-bounded: counts and totals are map-side
+    * combined aggregates over the token scan; the |vocab|×|langs| grid is
+    * a broadcast of the |langs|-row totals against the distinct vocab; the
+    * argmax is a groupBy-on-tok max + equi-join filter. No corpus-sized
+    * shuffle appears after the initial count. */
+  private def nbVotes(train: DataFrame): (DataFrame, DataFrame) = {
+    val counts = train.groupBy(col("tok"), col("lang")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = train.groupBy(col("lang")).agg(count(lit(1)).as("n_c"))
+    val vocab = counts.agg(countDistinct(col("tok")).as("v"))
+    val grid = counts.select(col("tok")).distinct()
+      .crossJoin(broadcast(totals))
+      .join(counts, Seq("tok", "lang"), "left")
+      .select(col("tok"), col("lang"), coalesce(col("c"), lit(0L)).as("c"),
+        col("n_c"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("fp", floor((col("c") + 1).cast("double")
+        / (col("n_c") + col("v")).cast("double") * lit(NbFpScale) + 0.5)
+        .cast("long"))
+    val best = grid.groupBy(col("tok")).agg(max(col("fp")).as("bfp"))
+    val votes = grid.join(best, Seq("tok"))
+      .filter(col("fp") === col("bfp"))
+      .groupBy(col("tok")).agg(min(col("lang")).as("vote"))
+    val defg = totals.crossJoin(broadcast(vocab))
+      .withColumn("fp", floor(lit(1.0)
+        / (col("n_c") + col("v")).cast("double") * lit(NbFpScale) + 0.5)
+        .cast("long"))
+    val dbest = defg.agg(max(col("fp")).as("bfp"))
+    val defVote = defg.crossJoin(broadcast(dbest))
+      .filter(col("fp") === col("bfp"))
+      .agg(min(col("lang")).as("dv"))
+    (votes, defVote)
+  }
+
+  /** Naive-Bayes language-classifier TRAINING — the trained counterpart of
+    * the heuristic [[langId]], and the same shape as the fastText-style
+    * quality/domain classifiers curation stacks train all day: multinomial
+    * token-class counts with Laplace smoothing, learned on the
+    * [[corpusSplit]] train fate only (the leakage discipline — eval never
+    * sees its own tokens in the counts). The graded artifact is the
+    * |langs|-row model card: per class, its document/token/vocab mass and
+    * how many vocabulary tokens VOTE for it under [[nbVotes]]' exact
+    * fixed-point argmax — the summary a model registry stores next to the
+    * count table. */
+  def nbTrain(spark: SparkSession, dir: String): DataFrame = {
+    val train = nbToked(spark, dir).filter(col("split") === "train")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (votes, _) = nbVotes(train)
+    val stats = train.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_vocab"))
+    val nv = votes.groupBy(col("vote").as("lang"))
+      .agg(count(lit(1)).as("n_vote_tokens"))
+    stats.join(nv, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_vocab"),
+        coalesce(col("n_vote_tokens"), lit(0L)).as("n_vote_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Held-out NB classification — votes from the train-fate counts are
+    * applied to every TEST-fate document: each token instance votes for
+    * its argmax-likelihood class ([[nbVotes]] — exact integers), unseen
+    * tokens fall to the smoothing default, and the document takes the
+    * majority vote (ties to the smallest lang). Majority-of-token-votes is
+    * deliberately NOT log-sum NB: per token the vote is rank-equivalent to
+    * the likelihood, but the document-level decision can differ from the
+    * product-of-likelihoods rule — stated plainly (the bm25 idf lesson)
+    * and chosen because it keeps the whole decision integer-exact.
+    *
+    * At scale: the corpus-side token scan equi-joins the vocab-bounded
+    * vote table on `tok` (broadcastable while |vocab| fits; co-partitioned
+    * otherwise), the per-doc tally is a map-side-combined count over
+    * ≤|langs| rows per doc, and the winner window partitions by doc over
+    * those bounded groups. */
+  def nbClassify(spark: SparkSession, dir: String): DataFrame = {
+    val toked = nbToked(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (votes, defVote) = nbVotes(toked.filter(col("split") === "train"))
+    val voted = toked.filter(col("split") === "test")
+      .join(votes, Seq("tok"), "left")
+      .crossJoin(broadcast(defVote))
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("vote"), col("dv")).as("vote"))
+    val tally = voted.groupBy(col("doc_id"), col("lang"), col("vote"))
+      .agg(count(lit(1)).as("n"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val wWin = wDoc.orderBy(col("n").desc, col("vote").asc)
+    tally
+      .withColumn("rn", row_number().over(wWin))
+      .withColumn("n_votes", sum(col("n")).over(wDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("vote").as("pred"),
+        col("n").as("n_win"), col("n_votes"),
+        (col("lang") === col("vote")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** NB classifier evaluation harness — the held-out confusion matrix over
+    * [[nbClassify]]'s own output (the composition pattern: the evaluation
+    * executes the graded classifier's derivation, and the oracle composes
+    * its SQL text, so the matrix cannot drift from the predictions it
+    * summarizes). |langs|² bounded rows; one aggregate. */
+  def nbEval(spark: SparkSession, dir: String): DataFrame =
+    nbClassify(spark, dir)
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred")
 
   // ---- e_dedup_eval -------------------------------------------------------
 
