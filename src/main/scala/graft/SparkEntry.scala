@@ -65,6 +65,7 @@ object SparkEntry {
     "e_multimodal_cols"   -> (ExtQueries.multimodalCols _),
     "e_cosine_topk"       -> (ExtQueries.cosineTopk _),
     "e_cosine_topk_agg"   -> (ExtQueries.cosineTopkAgg _),
+    "e_maxsim"            -> (ExtQueries.maxsimTopk _),
     "e_minhash_dedup"     -> (ExtQueries.minhashDedup _),
     "e_cross_dedup"       -> (ExtQueries.crossDedup _),
     "e_simhash_dedup"     -> (ExtQueries.simhashDedup _),

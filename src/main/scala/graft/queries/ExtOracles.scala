@@ -574,6 +574,35 @@ object ExtOracles {
     // oracle text — one definition, zero drift
     "e_cosine_topk_agg" -> cosineTopkSql,
 
+    // Late-interaction maxsim over the SAME subvector slices the PQ family
+    // uses (pqSliceSql) — max over doc subvectors is order-free IEEE max
+    // (list_aggregate 'max' ≡ Spark array_max); dots and the outer sum are
+    // the sequential-fold cosine contract.
+    "e_maxsim" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe,
+        |    list_transform(range(0, ${ExtQueries.PqSubspaces}), s ->
+        |      sqrt(list_reduce(list_transform(${pqSliceSql("embedding", "s")},
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a, b) -> a + b))) AS qn
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS cid, embedding AS ce,
+        |    list_transform(range(0, ${ExtQueries.PqSubspaces}), s ->
+        |      sqrt(list_reduce(list_transform(${pqSliceSql("embedding", "s")},
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a, b) -> a + b))) AS cn
+        |  FROM embeddings),
+        |scored AS (SELECT q.qid, c.cid,
+        |    list_reduce(list_transform(range(0, ${ExtQueries.PqSubspaces}), i ->
+        |      list_aggregate(list_transform(range(0, ${ExtQueries.PqSubspaces}), j ->
+        |        list_reduce(list_transform(
+        |          list_zip(${pqSliceSql("q.qe", "i")}, ${pqSliceSql("c.ce", "j")}),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
+        |        / (q.qn[i+1] * c.cn[j+1])), 'max')), (a, b) -> a + b) AS score
+        |  FROM q, c WHERE c.cid <> q.qid),
+        |ranked AS (SELECT qid, cid, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, cid, score, rank FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
     "e_simhash_dedup" ->
       s"""WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

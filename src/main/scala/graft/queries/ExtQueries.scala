@@ -202,6 +202,59 @@ object ExtQueries {
       .orderBy("qid", "rank")
   }
 
+  // ---- e_maxsim -----------------------------------------------------------
+
+  /** Late-interaction (ColBERT-shape) multi-vector retrieval: each vector
+    * is viewed as its [[PqSubspaces]] subvectors — the SAME geometry the PQ
+    * family serves, via the shared [[pqSlice]], so "subvector" means one
+    * thing in this file — and the query–document score is
+    * Σ_i max_j cos(q_i, d_j): every query subvector finds its best-matching
+    * document subvector, and the sum of those best matches ranks documents.
+    * This is the scoring rule of multi-vector retrievers (per-token
+    * embeddings in the real thing; the subvector split stands in for the
+    * token axis at fixture scale, with the Spark-side plumbing identical).
+    *
+    * Determinism: the max over document subvectors is IEEE max
+    * (order-free); every dot and the outer sum are SEQUENTIAL folds (the
+    * cosine contract); rank ties break cid-ascending inside the bounded
+    * aggregate, matching the oracle's window order.
+    *
+    * At scale: the corpus never shuffles — queries broadcast, the m² dots
+    * run inside the scan projection, and per-query top-k is the map-side-
+    * combining bounded-state [[graft.functions.TopKByScoreAggregator]]
+    * (|queries|·|partitions|·k rows cross the wire — the
+    * [[cosineTopkAgg]] shape, not the scored-row window). */
+  def maxsimTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByScoreAggregator
+    val agg = new TopKByScoreAggregator(10)
+    val topk = udaf(agg, agg.inputEncoder)
+    val m = PqSubspaces
+    def subNorms(v: Column): Column =
+      transform(sequence(lit(0), lit(m - 1)), s =>
+        sqrt(seqSum(transform(pqSlice(v, s),
+          x => x.cast("double") * x.cast("double")))))
+    val emb = table(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("qn", subNorms(col("qe")))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .withColumn("cn", subNorms(col("ce")))
+    val score = seqSum(transform(sequence(lit(0), lit(m - 1)), i =>
+      array_max(transform(sequence(lit(0), lit(m - 1)), j =>
+        seqSum(zip_with(pqSlice(col("qe"), i), pqSlice(col("ce"), j),
+          (x, y) => x.cast("double") * y.cast("double")))
+          / (element_at(col("qn"), i + 1) * element_at(col("cn"), j + 1))))))
+    c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("score", score)
+      .groupBy(col("qid"))
+      .agg(topk(col("score"), col("cid")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   // ---- e_ann_recall -------------------------------------------------------
 
   /** ANN evaluation harness as a first-class oracle-checked query:

@@ -529,4 +529,54 @@ class PlanSpec extends AnyFunSuite {
         "re-derive from the corpus per consumer")
     spark.catalog.clearCache()
   }
+
+  test("maxsim: queries broadcast, top-k is a bounded aggregate, window-free") {
+    val plan = formatted(ExtQueries.maxsimTopk(spark, dir))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(!plan.contains("Window"),
+      "per-query top-k must stay the bounded-state aggregate — the " +
+        "cosineTopkAgg shape, not the scored-row window")
+    assert(!plan.contains("SortMergeJoin"),
+      "the m² subvector scoring must run against a BROADCAST query side — " +
+        "a shuffle join re-partitions the whole corpus at 100 TB")
+    assert(parquetScans(plan) === 2) // corpus scan + filtered query scan
+  }
+
+  test("shard pack: corpus tokenized once; offsets and kseg broadcast back") {
+    val plan = formatted(ExtQueries.shardPack(spark, dir))
+    assert(parquetScans(plan) == 1,
+      "the kseg scalar, segment counts, and rank window must all ride the " +
+        "persisted token-count frame — one tokenizing scan")
+    assert(!plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"),
+      "the 1-row kseg factor must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "segment offsets are a |segs|-row table — they broadcast back onto " +
+        "the ranked stream")
+    spark.catalog.clearCache()
+  }
+
+  test("ngram overlap: corpus never shuffles — both funnel sides broadcast") {
+    val plan = formatted(ExtQueries.ngramOverlap(spark, dir))
+    assert(parquetScans(plan) == 1,
+      "bench and corpus sides must both ride the persisted shingle frame")
+    assert(!plan.contains("SortMergeJoin"),
+      "the bench shingle set and the hit set are eval-sized — both joins " +
+        "must be broadcast; a shuffle join re-partitions the corpus postings")
+    assert(!plan.contains("CartesianProduct"))
+    spark.catalog.clearCache()
+  }
+
+  test("nb classify: vote argmax and tally stay aggregates; windows only per-doc") {
+    val df = ExtQueries.nbClassify(spark, dir)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"),
+      "the 1-row default vote and the |langs|-row totals must broadcast")
+    // the winner rank and the per-doc vote total are BOTH doc_id-partitioned
+    // windows over ≤|langs| rows per doc, sharing one sort+exchange — the
+    // repo-wide empty-partition-spec assertion covers the degenerate case;
+    // here pin that no third (coarser) window sneaked in
+    val windows = "\\(\\d+\\) Window".r.findAllMatchIn(plan).size
+    assert(windows <= 2, s"expected only the two per-doc windows:\n${plan.take(1200)}")
+    spark.catalog.clearCache()
+  }
 }
