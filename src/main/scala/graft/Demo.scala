@@ -126,6 +126,13 @@ object Demo {
       .groupBy("n_dups").count().orderBy("n_dups").show(false)
     println("== BPE trainer: the 10 learned merge rules (note compound merges):")
     graft.queries.ExtQueries.bpeTrain(spark, sf).show(false)
+    println("== tokenizer parity: per-language fertility under the trained BPE:")
+    graft.queries.ExtQueries.tokFertility(spark, sf).show(false)
+    println("== NB language classifier: held-out confusion matrix:")
+    graft.queries.ExtQueries.nbEval(spark, sf).show(false)
+    println("== snake shard packing: per-shard token loads (balanced by length):")
+    graft.queries.ExtQueries.shardPack(spark, sf)
+      .groupBy("shard").sum("n_tokens").orderBy("shard").show(false)
     spark.catalog.clearCache() // funnel/fusion/graph ops persist intermediates
 
     // malformed day file: observe the failure mode

@@ -119,6 +119,7 @@ object SparkEntry {
     "e_bpe_merges"        -> (ExtQueries.bpeMerges _),
     "e_bpe_train"         -> (ExtQueries.bpeTrain _),
     "e_bpe_encode"        -> (ExtQueries.bpeEncode _),
+    "e_tok_fertility"     -> (ExtQueries.tokFertility _),
     "e_snapshot_diff"     -> (ExtQueries.snapshotDiff _),
     "e_curation_funnel"   -> (ExtQueries.curationFunnel _),
     "e_seq_pack"          -> (ExtQueries.seqPack _),
@@ -151,7 +152,8 @@ object SparkEntry {
     * is comparison overhead; one that does is the operator's. */
   val harnessKeys: Set[String] = Set(
     "e_ann_recall", "e_dedup_eval", "e_rank_fusion", "e_hybrid_search",
-    "e_split_contamination", "e_curation_funnel", "e_nb_eval")
+    "e_split_contamination", "e_curation_funnel", "e_nb_eval",
+    "e_tok_fertility")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

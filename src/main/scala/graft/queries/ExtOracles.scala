@@ -2126,12 +2126,27 @@ object ExtOracles {
       |  lang = vote AS correct
       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Per-language tokenizer-parity report composed over the graded
+    * encoder's OWN SQL text. */
+  private lazy val tokFertilitySql: String =
+    s"""SELECT d.lang, count(*) AS n_docs,
+      |  CAST(sum(e.n_words) AS BIGINT) AS n_words,
+      |  CAST(sum(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+      |  CAST(sum(e.n_bpe_tokens) AS DOUBLE) / CAST(sum(e.n_words) AS DOUBLE)
+      |    AS fertility,
+      |  CAST(sum(d.n_chars) AS DOUBLE) / CAST(sum(e.n_bpe_tokens) AS DOUBLE)
+      |    AS chars_per_token
+      |FROM ($bpeEncodeSql) e JOIN documents d USING (doc_id)
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   /** Confusion matrix composed over the classifier's OWN SQL text. */
   private lazy val nbEvalSql: String =
     s"""SELECT lang, pred, count(*) AS n FROM ($nbClassifySql) c
       |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
 
   val sql: Map[String, String] = baseSql +
+    ("e_tok_fertility" -> tokFertilitySql) +
     ("e_nb_train" -> nbTrainSql) +
     ("e_nb_classify" -> nbClassifySql) +
     ("e_nb_eval" -> nbEvalSql) +

