@@ -120,6 +120,8 @@ object SparkEntry {
     "e_bpe_train"         -> (ExtQueries.bpeTrain _),
     "e_bpe_encode"        -> (ExtQueries.bpeEncode _),
     "e_tok_fertility"     -> (ExtQueries.tokFertility _),
+    "e_filter_bias"       -> (ExtQueries.filterBias _),
+    "e_pack_stats"        -> (ExtQueries.packStats _),
     "e_snapshot_diff"     -> (ExtQueries.snapshotDiff _),
     "e_curation_funnel"   -> (ExtQueries.curationFunnel _),
     "e_seq_pack"          -> (ExtQueries.seqPack _),
@@ -153,7 +155,7 @@ object SparkEntry {
   val harnessKeys: Set[String] = Set(
     "e_ann_recall", "e_dedup_eval", "e_rank_fusion", "e_hybrid_search",
     "e_split_contamination", "e_curation_funnel", "e_nb_eval",
-    "e_tok_fertility")
+    "e_tok_fertility", "e_filter_bias", "e_pack_stats")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -2126,6 +2126,27 @@ object ExtOracles {
       |  lang = vote AS correct
       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Quality-gate bias audit composed over the graded filter's OWN SQL. */
+  private lazy val filterBiasSql: String =
+    s"""WITH q AS (SELECT lang, verdict FROM (${baseSql("e_quality_filter")}) t),
+      |per AS (SELECT lang, verdict, count(*) AS n FROM q GROUP BY lang, verdict),
+      |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM per GROUP BY lang)
+      |SELECT per.lang, per.verdict, per.n, tot.n_lang,
+      |  CAST(per.n AS DOUBLE) / CAST(tot.n_lang AS DOUBLE) AS share
+      |FROM per JOIN tot USING (lang) ORDER BY per.lang, per.verdict""".stripMargin
+
+  /** Packing-efficiency report composed over the graded packing's OWN SQL. */
+  private lazy val packStatsSql: String =
+    s"""WITH p AS (SELECT source, n_tokens, last_block
+      |  FROM (${baseSql("e_seq_pack")}) t)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(max(last_block) + 1 AS BIGINT) AS n_blocks,
+      |  CAST(sum(n_tokens) AS DOUBLE)
+      |    / CAST((max(last_block) + 1) * ${ExtQueries.PackBlockTokens} AS DOUBLE)
+      |    AS utilization
+      |FROM p GROUP BY source ORDER BY source""".stripMargin
+
   /** Per-language tokenizer-parity report composed over the graded
     * encoder's OWN SQL text. */
   private lazy val tokFertilitySql: String =
@@ -2147,6 +2168,8 @@ object ExtOracles {
 
   val sql: Map[String, String] = baseSql +
     ("e_tok_fertility" -> tokFertilitySql) +
+    ("e_filter_bias" -> filterBiasSql) +
+    ("e_pack_stats" -> packStatsSql) +
     ("e_nb_train" -> nbTrainSql) +
     ("e_nb_classify" -> nbClassifySql) +
     ("e_nb_eval" -> nbEvalSql) +

@@ -2074,6 +2074,57 @@ object ExtQueries {
       .withColumn("keep", keep)
   }
 
+  // ---- e_filter_bias ------------------------------------------------------
+
+  /** Quality-gate BIAS audit — the C4-postmortem question (which rule eats
+    * which language?) as a first-class report: per (lang, verdict), the
+    * document count and its share of the language — so a rule that
+    * disproportionately drops one language (the documented failure mode of
+    * blanket quality heuristics on non-English text) shows up as a skewed
+    * share row, and `verdict = 'keep'` rows ARE the per-language pass
+    * rates. Composes [[qualitySignals]] (the graded `e_quality_filter`
+    * body; the oracle composes its SQL text), so the audit can never drift
+    * from the gate it audits.
+    *
+    * At scale: one corpus scan into a ≤|langs|·|verdicts|-key map-side-
+    * combined aggregate; language totals reduce from those few rows, not
+    * the corpus; the share is one exact int→double division. */
+  def filterBias(spark: SparkSession, dir: String): DataFrame = {
+    val per = qualitySignals(table(spark, dir, "documents"))
+      .groupBy(col("lang"), col("verdict"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = per.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+    per.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("verdict"), col("n"), col("n_lang"),
+        (col("n").cast("double") / col("n_lang").cast("double")).as("share"))
+      .orderBy("lang", "verdict")
+  }
+
+  // ---- e_pack_stats -------------------------------------------------------
+
+  /** Packing-efficiency report — the utilization metric a training-data
+    * team watches when sizing [[PackBlockTokens]]: per source, document and
+    * token mass, the block count the packing produced, and utilization =
+    * tokens / (blocks · block size) — the complement of the padding waste.
+    * Composes [[seqPack]]'s own output (the oracle composes its SQL text):
+    * blocks are `max(last_block) + 1` because packing is per-source and
+    * 0-based contiguous.
+    *
+    * At scale: the packing's own cost dominates; the report is one
+    * |sources|-row map-side-combined aggregate on top. */
+  def packStats(spark: SparkSession, dir: String): DataFrame =
+    seqPack(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (max(col("last_block")) + 1).as("n_blocks"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_blocks"),
+        (col("n_tokens").cast("double")
+          / (col("n_blocks") * lit(PackBlockTokens)).cast("double"))
+          .as("utilization"))
+      .orderBy("source")
+
   // ---- e_domain_stats -----------------------------------------------------
 
   /** Per-source (per-domain) corpus statistics — the rollup behind domain
