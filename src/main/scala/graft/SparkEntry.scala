@@ -121,6 +121,7 @@ object SparkEntry {
     "e_bpe_encode"        -> (ExtQueries.bpeEncode _),
     "e_tok_fertility"     -> (ExtQueries.tokFertility _),
     "e_filter_bias"       -> (ExtQueries.filterBias _),
+    "e_emb_stats"         -> (ExtQueries.embStats _),
     "e_pack_stats"        -> (ExtQueries.packStats _),
     "e_snapshot_diff"     -> (ExtQueries.snapshotDiff _),
     "e_curation_funnel"   -> (ExtQueries.curationFunnel _),

@@ -2126,6 +2126,32 @@ object ExtOracles {
       |  lang = vote AS correct
       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Embedding-sanity audit — exact integer moments over the fixed-point
+    * quantized norm (the centroid-score device), outlier test via
+    * cross-multiplied exact integers cast to double on both engines. */
+  private lazy val embStatsSql: String =
+    s"""WITH base AS (SELECT label,
+      |    CAST(floor(sqrt(list_reduce(list_transform(embedding,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a, b) -> a + b))
+      |      * ${ExtQueries.EmbNormScale} + 0.5) AS BIGINT) AS nfp
+      |  FROM embeddings),
+      |mom AS (SELECT label, count(*) AS n, CAST(sum(nfp) AS BIGINT) AS s1,
+      |    CAST(sum(nfp * nfp) AS BIGINT) AS s2,
+      |    count(*) FILTER (nfp = 0) AS n_zero
+      |  FROM base GROUP BY label),
+      |out AS (SELECT b.label, min(m.n) AS n_vecs, min(m.s1) AS s1,
+      |    min(m.s2) AS s2, min(m.n_zero) AS n_zero,
+      |    count(*) FILTER (
+      |      CAST(b.nfp * m.n - m.s1 AS DOUBLE) * CAST(b.nfp * m.n - m.s1 AS DOUBLE)
+      |        > 4.0 * CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)) AS n_outliers
+      |  FROM base b JOIN mom m USING (label) GROUP BY b.label)
+      |SELECT label, n_vecs, n_zero, n_outliers,
+      |  CAST(s1 AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * ${ExtQueries.EmbNormScale})
+      |    AS mean_norm,
+      |  sqrt(CAST(n_vecs * s2 - s1 * s1 AS DOUBLE))
+      |    / (CAST(n_vecs AS DOUBLE) * ${ExtQueries.EmbNormScale}) AS std_norm
+      |FROM out ORDER BY label""".stripMargin
+
   /** Quality-gate bias audit composed over the graded filter's OWN SQL. */
   private lazy val filterBiasSql: String =
     s"""WITH q AS (SELECT lang, verdict FROM (${baseSql("e_quality_filter")}) t),
@@ -2169,6 +2195,7 @@ object ExtOracles {
   val sql: Map[String, String] = baseSql +
     ("e_tok_fertility" -> tokFertilitySql) +
     ("e_filter_bias" -> filterBiasSql) +
+    ("e_emb_stats" -> embStatsSql) +
     ("e_pack_stats" -> packStatsSql) +
     ("e_nb_train" -> nbTrainSql) +
     ("e_nb_classify" -> nbClassifySql) +

@@ -2074,6 +2074,59 @@ object ExtQueries {
       .withColumn("keep", keep)
   }
 
+  // ---- e_emb_stats --------------------------------------------------------
+
+  /** Fixed-point scale (2²⁰) for quantized embedding norms — the
+    * [[centroidScore]] exactness device. */
+  private[queries] val EmbNormScale = 1048576.0
+
+  /** Embedding-sanity audit — the broken-encoder detector an embedding
+    * pipeline runs on every batch: per label, vector count, mean and
+    * standard deviation of the L2 norm, the zero-vector count, and how
+    * many vectors sit more than 2σ from their label's mean norm (an
+    * encoder that NaN-ed, zeroed, or drifted shows up here before it
+    * poisons a similarity index downstream).
+    *
+    * Determinism: the norm is quantized ONCE to an exact int64
+    * (⌊norm·2²⁰ + 0.5⌋ — single rounding), so Σx and Σx² are exact
+    * partition-order-invariant integer sums; mean/σ/outlier tests are then
+    * fixed formulas over those exact integers (the outlier test compares
+    * (x·n − Σx)² against 4·(n·Σx² − Σx²) with both sides cast long→double
+    * — correctly-rounded IEEE in both engines, so no boundary can flip).
+    * Σx² stays inside int64 up to ~10⁶ unit-norm vectors per label at this
+    * scale; widen the shift down or shard the sum beyond that.
+    *
+    * At scale: one corpus scan computes the quantized norm scan-side; the
+    * |labels|-row moment table broadcasts back onto the SAME persisted
+    * slim (label, nfp) frame for the outlier test — no corpus-sized
+    * shuffle anywhere, map-side-combined moments. */
+  def embStats(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "embeddings")
+      .select(col("label"),
+        floor(l2norm(col("embedding")) * lit(EmbNormScale) + 0.5)
+          .cast("long").as("nfp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mom = base.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("nfp")).as("s1"),
+        sum(col("nfp") * col("nfp")).as("s2"),
+        count(when(col("nfp") === 0, 1)).as("n_zero"))
+    val dev = (col("nfp") * col("n") - col("s1")).cast("double")
+    val varTimesN2 = (col("n") * col("s2") - col("s1") * col("s1")).cast("double")
+    base.join(broadcast(mom), Seq("label"))
+      .groupBy(col("label"))
+      .agg(min(col("n")).as("n_vecs"),
+        min(col("s1")).as("s1"),
+        min(col("s2")).as("s2"),
+        min(col("n_zero")).as("n_zero"),
+        count(when(dev * dev > lit(4.0) * varTimesN2, 1)).as("n_outliers"))
+      .select(col("label"), col("n_vecs"), col("n_zero"), col("n_outliers"),
+        (col("s1").cast("double")
+          / (col("n_vecs").cast("double") * lit(EmbNormScale))).as("mean_norm"),
+        (sqrt((col("n_vecs") * col("s2") - col("s1") * col("s1")).cast("double"))
+          / (col("n_vecs").cast("double") * lit(EmbNormScale))).as("std_norm"))
+      .orderBy("label")
+  }
+
   // ---- e_filter_bias ------------------------------------------------------
 
   /** Quality-gate BIAS audit — the C4-postmortem question (which rule eats
