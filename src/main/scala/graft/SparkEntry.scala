@@ -122,6 +122,8 @@ object SparkEntry {
     "e_tok_fertility"     -> (ExtQueries.tokFertility _),
     "e_filter_bias"       -> (ExtQueries.filterBias _),
     "e_emb_stats"         -> (ExtQueries.embStats _),
+    "e_feature_hash"      -> (ExtQueries.featureHash _),
+    "e_dedup_sweep"       -> (ExtQueries.dedupSweep _),
     "e_pack_stats"        -> (ExtQueries.packStats _),
     "e_snapshot_diff"     -> (ExtQueries.snapshotDiff _),
     "e_curation_funnel"   -> (ExtQueries.curationFunnel _),
@@ -156,7 +158,7 @@ object SparkEntry {
   val harnessKeys: Set[String] = Set(
     "e_ann_recall", "e_dedup_eval", "e_rank_fusion", "e_hybrid_search",
     "e_split_contamination", "e_curation_funnel", "e_nb_eval",
-    "e_tok_fertility", "e_filter_bias", "e_pack_stats")
+    "e_tok_fertility", "e_filter_bias", "e_pack_stats", "e_dedup_sweep")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -846,6 +846,22 @@ object ExtOracles {
         |SELECT lang, rank, token, n FROM ranked WHERE rank <= 10
         |ORDER BY lang, rank""".stripMargin,
 
+    // Hashing-trick vectors: bucket/sign arithmetic over the same per-token
+    // hash31 as the shingle pipeline; // and % agree with Spark's
+    // shiftright/pmod on the non-negative hash domain.
+    "e_feature_hash" ->
+      s"""WITH th AS (SELECT doc_id,
+        |    list_transform(regexp_split_to_array(trim(text), '\\s+'),
+        |      x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT) % $P) AS h
+        |  FROM documents),
+        |b AS (SELECT CAST(unnest(range(0, ${ExtQueries.FhDim})) AS BIGINT) AS bucket)
+        |SELECT th.doc_id, b.bucket,
+        |  CAST(coalesce(list_sum(list_transform(th.h, x ->
+        |    CASE WHEN x % ${ExtQueries.FhDim} = b.bucket
+        |      THEN ((x // ${ExtQueries.FhDim}) % 2) * 2 - 1 ELSE 0 END)), 0)
+        |    AS BIGINT) AS v
+        |FROM th, b ORDER BY th.doc_id, b.bucket""".stripMargin,
+
     // Eval-side twin of e_decontaminate over the SAME shingle CTEs — the
     // spec form is a plain left join; the Spark side's broadcast semi-join
     // funnel must produce identical per-doc counts.
@@ -2126,6 +2142,25 @@ object ExtOracles {
       |  lang = vote AS correct
       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Threshold sweep composed over the graded detector's OWN SQL text —
+    * every test the exact integer cross-multiply, no float J anywhere. */
+  private lazy val dedupSweepSql: String =
+    s"""WITH p AS (SELECT doc_a, doc_b, n_inter, n_union
+      |  FROM (${baseSql("e_minhash_dedup")}) m),
+      |thr AS (SELECT CAST(unnest([${ExtQueries.SweepThresholds.mkString(", ")}]) AS BIGINT) AS t_pct),
+      |kept AS (SELECT thr.t_pct, p.doc_a, p.doc_b FROM p, thr
+      |  WHERE 100 * p.n_inter >= thr.t_pct * p.n_union),
+      |np AS (SELECT t_pct, count(*) AS n_pairs FROM kept GROUP BY t_pct),
+      |nd AS (SELECT t_pct, count(*) AS n_docs FROM (
+      |    SELECT DISTINCT t_pct, id FROM (
+      |      SELECT t_pct, doc_a AS id FROM kept
+      |      UNION ALL SELECT t_pct, doc_b FROM kept) u) v
+      |  GROUP BY t_pct)
+      |SELECT thr.t_pct, coalesce(np.n_pairs, 0) AS n_pairs,
+      |  coalesce(nd.n_docs, 0) AS n_docs
+      |FROM thr LEFT JOIN np USING (t_pct) LEFT JOIN nd USING (t_pct)
+      |ORDER BY t_pct""".stripMargin
+
   /** Embedding-sanity audit — exact integer moments over the fixed-point
     * quantized norm (the centroid-score device), outlier test via
     * cross-multiplied exact integers cast to double on both engines. */
@@ -2196,6 +2231,7 @@ object ExtOracles {
     ("e_tok_fertility" -> tokFertilitySql) +
     ("e_filter_bias" -> filterBiasSql) +
     ("e_emb_stats" -> embStatsSql) +
+    ("e_dedup_sweep" -> dedupSweepSql) +
     ("e_pack_stats" -> packStatsSql) +
     ("e_nb_train" -> nbTrainSql) +
     ("e_nb_classify" -> nbClassifySql) +

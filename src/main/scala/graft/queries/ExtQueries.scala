@@ -2074,6 +2074,80 @@ object ExtQueries {
       .withColumn("keep", keep)
   }
 
+  // ---- e_feature_hash -----------------------------------------------------
+
+  /** Hashed-feature dimensionality for [[featureHash]]. */
+  private[queries] val FhDim = 16L
+
+  /** Hashing-trick document vectors (Weinberger et al. ICML'09) — the
+    * MODEL-FREE embedding a pipeline falls back on when no encoder exists
+    * (or before one is trained): each token lands in bucket h mod
+    * [[FhDim]] with sign (h div FhDim) mod 2, and the document's vector is
+    * the signed token-count per bucket — the sparse bag-of-tokens
+    * projection whose inner products approximate token-overlap kernels.
+    * Emitted in LONG form (doc_id, bucket, v) — exact integers, the
+    * relational shape a downstream join consumes — rather than a nested
+    * array column.
+    *
+    * At scale: entirely scan-side — the per-bucket sums are a bounded
+    * [[FhDim]]-element fold over the token-hash array inside the
+    * projection, and the generator fans out FhDim slim rows per document.
+    * Zero shuffles before the output sort; no vocabulary state at all
+    * (the point of the hashing trick). */
+  def featureHash(spark: SparkSession, dir: String): DataFrame = {
+    val sign = (h: Column) => pmod(shiftright(h, 4), lit(2L)) * 2 - 1
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        transform(tokens(col("text")), t => hash31(t)).as("th"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), lit(FhDim - 1))).as("bucket"), col("th"))
+      .select(col("doc_id"), col("bucket"),
+        aggregate(col("th"), lit(0L), (acc, h) =>
+          acc + when(pmod(h, lit(FhDim)) === col("bucket"), sign(h))
+            .otherwise(lit(0L))).as("v"))
+      .orderBy("doc_id", "bucket")
+  }
+
+  // ---- e_dedup_sweep ------------------------------------------------------
+
+  /** Jaccard thresholds (percent) swept by [[dedupSweep]]. */
+  private[queries] val SweepThresholds: Seq[Long] = Seq(50L, 60L, 70L, 80L, 90L)
+
+  /** Dedup aggressiveness sweep — the report that picks the near-dup
+    * threshold before a full run: over [[minhashDedup]]'s verified J ≥ 0.5
+    * pairs (every J ≥ t ≥ 0.5 pair is among them by containment), how many
+    * pairs and how many affected documents each candidate threshold keeps.
+    * The knee of this curve is where a curation team sets t; publishing it
+    * as a graded query keeps the decision input under the cross-engine
+    * gate. Composes the graded detector's derivation (and the oracle its
+    * SQL), and every threshold test is the exact integer cross-multiply
+    * 100·|∩| ≥ t·|∪| — no float J is ever computed.
+    *
+    * At scale: the swept frame is |pairs| rows (≪ corpus — the detector
+    * already did the heavy work); the sweep is a |thresholds|-way broadcast
+    * cross join over it and two map-side-combined aggregates. */
+  def dedupSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashDedup(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = spark.range(SweepThresholds.size)
+      .select(element_at(array(SweepThresholds.map(lit): _*),
+        col("id").cast("int") + 1).as("t_pct"))
+    val kept = pairs.crossJoin(broadcast(thr))
+      .filter(lit(100) * col("n_inter") >= col("t_pct") * col("n_union"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val np = kept.groupBy(col("t_pct")).agg(count(lit(1)).as("n_pairs"))
+    val nd = kept
+      .select(col("t_pct"), explode(array(col("doc_a"), col("doc_b"))).as("id"))
+      .distinct()
+      .groupBy(col("t_pct")).agg(count(lit(1)).as("n_docs"))
+    thr.join(np, Seq("t_pct"), "left").join(nd, Seq("t_pct"), "left")
+      .select(col("t_pct"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("t_pct")
+  }
+
   // ---- e_emb_stats --------------------------------------------------------
 
   /** Fixed-point scale (2²⁰) for quantized embedding norms — the
