@@ -123,6 +123,7 @@ object SparkEntry {
     "e_filter_bias"       -> (ExtQueries.filterBias _),
     "e_emb_stats"         -> (ExtQueries.embStats _),
     "e_feature_hash"      -> (ExtQueries.featureHash _),
+    "e_phrase_search"     -> (ExtQueries.phraseSearch _),
     "e_dedup_sweep"       -> (ExtQueries.dedupSweep _),
     "e_pack_stats"        -> (ExtQueries.packStats _),
     "e_snapshot_diff"     -> (ExtQueries.snapshotDiff _),

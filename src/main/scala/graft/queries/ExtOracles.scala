@@ -846,6 +846,30 @@ object ExtOracles {
         |SELECT lang, rank, token, n FROM ranked WHERE rank <= 10
         |ORDER BY lang, rank""".stripMargin,
 
+    // Phrase search: query phrases hashed with the SAME 3-gram polynomial
+    // as the shared shingle CTEs; candidates from the postings, verified
+    // with the exact token-boundary substring test (collisions admitted,
+    // never emitted).
+    "e_phrase_search" ->
+      s"""WITH ${shingleCtes("documents")},
+        |q AS (SELECT unnest([${ExtQueries.SearchPhrases.map(p => s"'$p'").mkString(", ")}]) AS phrase),
+        |qh AS (SELECT phrase,
+        |    list_transform(regexp_split_to_array(phrase, ' '),
+        |      x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT) % $P) AS qt
+        |  FROM q),
+        |qk AS (SELECT phrase,
+        |    ((qt[1] * ${ExtQueries.ShingleC(0)}) % $P
+        |     + (qt[2] * ${ExtQueries.ShingleC(1)}) % $P
+        |     + (qt[3] * ${ExtQueries.ShingleC(2)}) % $P) % $P AS h
+        |  FROM qh),
+        |post AS (SELECT doc_id, unnest(ds) AS h FROM sh),
+        |cand AS (SELECT DISTINCT qk.phrase, post.doc_id
+        |  FROM post JOIN qk USING (h))
+        |SELECT c.phrase, c.doc_id
+        |FROM cand c JOIN documents d USING (doc_id)
+        |WHERE strpos(' ' || d.text || ' ', ' ' || c.phrase || ' ') > 0
+        |ORDER BY c.phrase, c.doc_id""".stripMargin,
+
     // Hashing-trick vectors: bucket/sign arithmetic over the same per-token
     // hash31 as the shingle pipeline; // and % agree with Spark's
     // shiftright/pmod on the non-negative hash domain.

@@ -2074,6 +2074,51 @@ object ExtQueries {
       .withColumn("keep", keep)
   }
 
+  // ---- e_phrase_search ----------------------------------------------------
+
+  /** Pinned 3-token query phrases for [[phraseSearch]] — two present in the
+    * fixture corpus, one deliberate miss. */
+  private[queries] val SearchPhrases: Seq[String] =
+    Seq("agg hash window", "the table line", "lorem ipsum dolor")
+
+  /** Corpus phrase search via the shingle inverted index — the WIMBD-style
+    * inspection primitive ("which documents contain this exact phrase?")
+    * a data team runs constantly against a pretraining corpus: each query
+    * phrase is hashed with the SAME 3-gram polynomial the dedup shingles
+    * use ([[ShingleC]] over per-token [[hash31]] — one shingle definition
+    * repo-wide), candidate documents come from an equi-join against the
+    * shingle postings, and candidates are verified with an exact
+    * token-boundary substring test — so a 2³¹-hash collision can admit a
+    * candidate but never a result.
+    *
+    * At scale this is the whole point of the index: the corpus text is
+    * NEVER scanned with a LIKE — the tiny broadcast query-hash set probes
+    * the postings (the same index fuzzy dedup maintains), and only the
+    * ≪corpus candidate set touches its text for the verify. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val shingled = shingleSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = spark.range(SearchPhrases.size)
+      .select(element_at(array(SearchPhrases.map(lit): _*),
+        col("id").cast("int") + 1).as("phrase"))
+      .withColumn("th", transform(tokens(col("phrase")), t => hash31(t)))
+      .withColumn("h", ShingleC.zipWithIndex.map { case (c, j) =>
+          element_at(col("th"), j + 1) * lit(c) % lit(IntModulus)
+        }.reduce(_ + _) % lit(IntModulus))
+      .select(col("phrase"), col("h"))
+    val cand = shingled
+      .select(col("doc_id"), explode(col("ds")).as("h"))
+      .join(broadcast(q), Seq("h"))
+      .select(col("phrase"), col("doc_id"))
+      .distinct()
+    cand.join(docs, Seq("doc_id"))
+      .filter(instr(concat(lit(" "), col("text"), lit(" ")),
+        concat(lit(" "), col("phrase"), lit(" "))) > 0)
+      .select(col("phrase"), col("doc_id"))
+      .orderBy("phrase", "doc_id")
+  }
+
   // ---- e_feature_hash -----------------------------------------------------
 
   /** Hashed-feature dimensionality for [[featureHash]]. */

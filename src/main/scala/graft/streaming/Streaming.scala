@@ -235,6 +235,42 @@ object Streaming {
   def qualityGateStream(docs: DataFrame): DataFrame =
     graft.queries.ExtQueries.qualitySignals(docs)
 
+  // ---- stream-stream score attachment -------------------------------------
+
+  /** STREAM-STREAM interval join — the async-annotation shape every
+    * large-scale ingest grows: documents arrive on one stream, and a
+    * scoring service (quality model, toxicity classifier, embedding
+    * encoder) publishes (doc_id, score) on ANOTHER stream some time later.
+    * The join attaches each score to its document when the score's event
+    * time lands within [doc ts, doc ts + `window`]; LEFT-OUTER semantics
+    * emit unscored documents (null score) once the watermark proves no
+    * score can still arrive — the missing-score accounting a pipeline
+    * needs to alert on a lagging scorer, rather than silently dropping
+    * unscored docs (inner) or waiting forever (no watermark).
+    *
+    * State/scale: both sides buffer only rows newer than their watermark
+    * (`horizon`), and the interval condition lets Spark evict a buffered
+    * document as soon as the score stream's watermark passes its
+    * `ts + window` — state is O(arrival rate × horizon), the bounded
+    * contract, not O(stream length). The join keys on doc_id first, so
+    * the shuffle co-partitions both streams by id — the same layout the
+    * warehouse append uses downstream.
+    *
+    * @param docs    streaming (doc_id, ts, ...) frame
+    * @param scores  streaming (doc_id, sts, score) frame
+    * @param horizon watermark delay for both streams (max lateness)
+    * @param window  how long after the doc's ts a score may arrive, as a
+    *                SQL interval literal body, e.g. "1 hour" */
+  def attachScoresStream(docs: DataFrame, scores: DataFrame,
+      horizon: String, window: String): DataFrame =
+    docs.withWatermark("ts", horizon).as("d")
+      .join(scores.withWatermark("sts", horizon).as("s"),
+        expr(s"d.doc_id = s.doc_id AND " +
+          s"s.sts >= d.ts AND s.sts <= d.ts + INTERVAL $window"),
+        "leftOuter")
+      .select(col("d.doc_id").as("doc_id"), col("d.ts").as("ts"),
+        col("s.score").as("score"), col("s.sts").as("scored_at"))
+
   // ---- change capture -----------------------------------------------------
 
   /** Streaming change capture — the continuous form of

@@ -306,6 +306,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set(1L, 4L, 5L, 6L), s"emitted: $got")
   }
 
+  test("stream-stream score attach: in-window joins, late/missing scores emit null") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dIn = Files.createTempDirectory("graft-ssj-docs").toString
+    val sIn = Files.createTempDirectory("graft-ssj-scores").toString
+    val ckpt = Files.createTempDirectory("graft-ssj-ckpt").toString
+    val dSchema = Seq((0L, ts("2024-01-01 00:00:00"))).toDF("doc_id", "ts").schema
+    val sSchema = Seq((0L, ts("2024-01-01 00:00:00"), 0.0))
+      .toDF("doc_id", "sts", "score").schema
+    def writeD(rows: (Long, Timestamp)*): Unit =
+      rows.toSeq.toDF("doc_id", "ts").coalesce(1).write.mode("append").parquet(dIn)
+    def writeS(rows: (Long, Timestamp, Double)*): Unit =
+      rows.toSeq.toDF("doc_id", "sts", "score")
+        .coalesce(1).write.mode("append").parquet(sIn)
+    // batch 1: d1 scored in-window (00:30 ∈ [00:00, 01:00]); d2's score
+    // arrives at 02:00 — OUTSIDE its 1h window (must not attach); d3 never
+    // gets a score at all
+    writeD((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:10:00")),
+      (3L, ts("2024-01-01 00:20:00")))
+    writeS((1L, ts("2024-01-01 00:30:00"), 0.9), (2L, ts("2024-01-01 02:00:00"), 0.8))
+    // batch 2: a matched pair 4 days on — advances BOTH watermarks far past
+    // every batch-1 row's eviction point
+    writeD((99L, ts("2024-01-05 00:00:00")))
+    writeS((99L, ts("2024-01-05 00:10:00"), 0.7))
+    // batch 3: one more pair — eviction (hence the outer-null emission for
+    // d2/d3) lags a batch, exactly like the watermarked-dedup test above
+    writeD((100L, ts("2024-01-06 00:00:00")))
+    writeS((100L, ts("2024-01-06 00:05:00"), 0.6))
+
+    val docs = spark.readStream.schema(dSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dIn)
+    val scores = spark.readStream.schema(sSchema)
+      .option("maxFilesPerTrigger", 1).parquet(sIn)
+    val q = Streaming.attachScoresStream(docs, scores,
+        horizon = "2 hours", window = "1 hour")
+      .writeStream
+      .format("memory").queryName("ssj_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("ssj_stream").collect()
+      .filter(_.getAs[Long]("doc_id") < 100L)
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Double]("score")).map(_.toDouble)).toMap
+    assert(got === Map(1L -> Some(0.9), 2L -> None, 3L -> None, 99L -> Some(0.7)),
+      s"emitted: $got")
+  }
+
   test("trending tokens emits each window's top-k exactly once, on finalization") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-trend-in").toString
