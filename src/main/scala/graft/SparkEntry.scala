@@ -131,6 +131,7 @@ object SparkEntry {
     "e_seq_pack"          -> (ExtQueries.seqPack _),
     "e_shard_pack"        -> (ExtQueries.shardPack _),
     "e_train_order"       -> (ExtQueries.trainOrder _),
+    "e_curriculum_order"  -> (ExtQueries.curriculumOrder _),
     "e_zorder"            -> (ExtQueries.zorder _),
     "e_knn_graph"         -> (ExtQueries.knnGraph _),
     "e_chunk_dedup"       -> (ExtQueries.chunkDedup _),
@@ -159,7 +160,8 @@ object SparkEntry {
   val harnessKeys: Set[String] = Set(
     "e_ann_recall", "e_dedup_eval", "e_rank_fusion", "e_hybrid_search",
     "e_split_contamination", "e_curation_funnel", "e_nb_eval",
-    "e_tok_fertility", "e_filter_bias", "e_pack_stats", "e_dedup_sweep")
+    "e_tok_fertility", "e_filter_bias", "e_pack_stats", "e_dedup_sweep",
+    "e_curriculum_order")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -2166,6 +2166,19 @@ object ExtOracles {
       |  lang = vote AS correct
       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Curriculum schedule — the oracle states the SPEC (one global rank
+    * over (bucket, salted hash, doc_id), composing the graded lm_buckets
+    * SQL); the Spark side's two-level segment device must produce the
+    * same integers. */
+  private lazy val curriculumOrderSql: String =
+    s"""WITH lb AS (SELECT doc_id, bucket FROM ($lmBucketsSql) t),
+      |keyed AS (SELECT lb.doc_id, lb.bucket,
+      |    CAST('0x'||substr(md5('${ExtQueries.CurriculumSalt}'||d.text),1,15) AS BIGINT) AS k
+      |  FROM lb JOIN documents d USING (doc_id))
+      |SELECT doc_id, bucket,
+      |  CAST(row_number() OVER (ORDER BY bucket ASC, k ASC, doc_id ASC) AS BIGINT) AS pos
+      |FROM keyed ORDER BY pos""".stripMargin
+
   /** Threshold sweep composed over the graded detector's OWN SQL text —
     * every test the exact integer cross-multiply, no float J anywhere. */
   private lazy val dedupSweepSql: String =
@@ -2256,6 +2269,7 @@ object ExtOracles {
     ("e_filter_bias" -> filterBiasSql) +
     ("e_emb_stats" -> embStatsSql) +
     ("e_dedup_sweep" -> dedupSweepSql) +
+    ("e_curriculum_order" -> curriculumOrderSql) +
     ("e_pack_stats" -> packStatsSql) +
     ("e_nb_train" -> nbTrainSql) +
     ("e_nb_classify" -> nbClassifySql) +

@@ -2891,6 +2891,55 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // ---- e_curriculum_order -------------------------------------------------
+
+  /** Salt for the within-stage shuffle key — distinct from
+    * [[TrainOrderSalt]] so the curriculum's intra-stage order is
+    * decorrelated from the flat shuffle's. */
+  private[queries] val CurriculumSalt = "cur1:"
+
+  /** Curriculum training schedule — the easy-first ordering curriculum
+    * learning actually consumes: documents are STAGED by their
+    * [[lmBuckets]] fluency tier (bucket 1 = most fluent quarter first) and
+    * SHUFFLED within each stage by a salted content hash, yielding one
+    * contiguous 1..N position stream a data loader batches directly.
+    * Composes the graded tier assignment (and the oracle its SQL), so the
+    * schedule can never drift from the tiers it claims to follow; the
+    * within-stage hash makes the schedule reproducible under re-ingestion
+    * and re-sharding (the [[trainOrder]] contract, per stage).
+    *
+    * The global rank is the [[trainOrder]] two-level device on the
+    * composite (bucket, hash) key: segments are bucket · 256 + hash-range
+    * (lexicographically monotone — the hash segment index is < 256 by
+    * construction), per-segment windows are hash-uniform, and offsets are
+    * the triangular broadcast join. One extra slim id-keyed join (tier →
+    * text hash) on top of the tier computation's own cost. */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    // PERSISTED: per-segment counts AND the rank window consume it —
+    // unpersisted, the whole lmBuckets chain re-executes per consumer
+    val keyed = lmBuckets(spark, dir).select(col("doc_id"), col("bucket"))
+      .join(table(spark, dir, "documents").select(col("doc_id"), col("text")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("bucket"),
+        hash64(concat(lit(CurriculumSalt), col("text"))).as("k"))
+      .withColumn("seg", col("bucket") * lit(256L)
+        + expr(s"k div $TrainOrderSegWidth"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = keyed.groupBy(col("seg")).agg(count(lit(1)).as("c"))
+    val offs = cnt.as("a")
+      .join(broadcast(cnt.as("b")), col("b.seg") < col("a.seg"), "left")
+      .groupBy(col("a.seg").as("seg"))
+      .agg(coalesce(sum(col("b.c")), lit(0L)).as("seg_off"))
+    val wSeg = Window.partitionBy(col("seg"))
+      .orderBy(col("k").asc, col("doc_id").asc)
+    keyed
+      .withColumn("r", row_number().over(wSeg))
+      .join(broadcast(offs), Seq("seg"))
+      .select(col("doc_id"), col("bucket"),
+        (col("seg_off") + col("r")).as("pos"))
+      .orderBy("pos")
+  }
+
   // ---- e_importance_sample ------------------------------------------------
 
   /** LM-likelihood importance sampling — the distribution-matching sampler
