@@ -1703,10 +1703,12 @@ object ExtOracles {
     s"""WITH lshf AS (SELECT qid, cid, rank FROM (${baseSql("e_cosine_topk_lsh")}) a),
       |ivff AS (SELECT qid, cid, rank FROM (${baseSql("e_cosine_topk_ivf")}) b),
       |pqf AS (SELECT qid, cid, rank FROM (${baseSql("e_cosine_topk_pq")}) c),
+      |msf AS (SELECT qid, cid, rank FROM (${baseSql("e_maxsim")}) m),
       |tagged AS (
       |  SELECT qid, cid, rank, 0 AS fidx FROM lshf
       |  UNION ALL SELECT qid, cid, rank, 1 AS fidx FROM ivff
-      |  UNION ALL SELECT qid, cid, rank, 2 AS fidx FROM pqf),
+      |  UNION ALL SELECT qid, cid, rank, 2 AS fidx FROM pqf
+      |  UNION ALL SELECT qid, cid, rank, 3 AS fidx FROM msf),
       |fused AS (SELECT qid, cid,
       |  list_reduce(list_prepend(0.0,
       |    list(1.0 / (60.0 + CAST(rank AS DOUBLE)) ORDER BY fidx)),

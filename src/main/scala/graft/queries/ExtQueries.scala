@@ -4035,7 +4035,11 @@ object ExtQueries {
     rrfFuse(Seq(
       (0, cosineTopkLsh(spark, dir)),
       (1, cosineTopkIvf(spark, dir)),
-      (2, cosineTopkPq(spark, dir))))
+      (2, cosineTopkPq(spark, dir)),
+      // the late-interaction family joins the ensemble rank-wise — RRF is
+      // score-agnostic by design, which is exactly what lets a maxsim
+      // ranking fuse with single-vector cosine rankings
+      (3, maxsimTopk(spark, dir))))
 
   /** The RRF ensemble shared by [[rankFusion]] and [[hybridSearch]]: fuse
     * `(fidx, list)` ranked lists — each `(qid, cid, rank)` — into the

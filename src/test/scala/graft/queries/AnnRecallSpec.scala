@@ -93,7 +93,8 @@ class AnnRecallSpec extends AnyFunSuite {
     val fams = Seq(
       ranks(ExtQueries.cosineTopkLsh(spark, dir)),
       ranks(ExtQueries.cosineTopkIvf(spark, dir)),
-      ranks(ExtQueries.cosineTopkPq(spark, dir)))
+      ranks(ExtQueries.cosineTopkPq(spark, dir)),
+      ranks(ExtQueries.maxsimTopk(spark, dir)))
     val want = fams.flatMap(_.keys).distinct
       .map { key =>
         val contribs = fams.flatMap(_.get(key)).map(r => 1.0 / (60.0 + r.toDouble))
