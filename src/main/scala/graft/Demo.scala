@@ -108,7 +108,7 @@ object Demo {
     println("== BM25 lexical search, query 0 top-5:")
     graft.queries.ExtQueries.bm25Topk(spark, sf)
       .filter($"qid" === 0 && $"rank" <= 5).show(false)
-    println("== ANN rank fusion (LSH+IVF+PQ consensus), query 0 top-5:")
+    println("== ANN rank fusion (LSH+IVF+PQ+maxsim consensus), query 0 top-5:")
     graft.queries.ExtQueries.rankFusion(spark, sf)
       .filter($"qid" === 0 && $"rank" <= 5).show(false)
     println("== PageRank centrality over the knn similarity graph, top-5:")
@@ -133,6 +133,11 @@ object Demo {
     println("== snake shard packing: per-shard token loads (balanced by length):")
     graft.queries.ExtQueries.shardPack(spark, sf)
       .groupBy("shard").sum("n_tokens").orderBy("shard").show(false)
+    println("== phrase search over the shingle index:")
+    graft.queries.ExtQueries.phraseSearch(spark, sf)
+      .groupBy("phrase").count().orderBy("phrase").show(false)
+    println("== dataset datasheet (the release card, all numbers graded):")
+    graft.queries.ExtQueries.datasheet(spark, sf).show(20, false)
     spark.catalog.clearCache() // funnel/fusion/graph ops persist intermediates
 
     // malformed day file: observe the failure mode

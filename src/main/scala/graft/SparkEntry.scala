@@ -124,6 +124,7 @@ object SparkEntry {
     "e_emb_stats"         -> (ExtQueries.embStats _),
     "e_feature_hash"      -> (ExtQueries.featureHash _),
     "e_phrase_search"     -> (ExtQueries.phraseSearch _),
+    "e_datasheet"         -> (ExtQueries.datasheet _),
     "e_dedup_sweep"       -> (ExtQueries.dedupSweep _),
     "e_pack_stats"        -> (ExtQueries.packStats _),
     "e_snapshot_diff"     -> (ExtQueries.snapshotDiff _),
@@ -161,7 +162,7 @@ object SparkEntry {
     "e_ann_recall", "e_dedup_eval", "e_rank_fusion", "e_hybrid_search",
     "e_split_contamination", "e_curation_funnel", "e_nb_eval",
     "e_tok_fertility", "e_filter_bias", "e_pack_stats", "e_dedup_sweep",
-    "e_curriculum_order")
+    "e_curriculum_order", "e_datasheet")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

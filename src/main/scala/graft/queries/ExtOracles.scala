@@ -2168,6 +2168,33 @@ object ExtOracles {
       |  lang = vote AS correct
       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Dataset datasheet — every number the corresponding graded operator's
+    * own aggregate, all six SQL texts composed verbatim. */
+  private lazy val datasheetSql: String =
+    s"""SELECT * FROM (
+      |SELECT 'corpus' AS section, 'n_docs' AS metric,
+      |  CAST(count(*) AS BIGINT) AS v, CAST(NULL AS DOUBLE) AS v_dbl
+      |  FROM (${baseSql("e_text_stats")}) t1
+      |UNION ALL SELECT 'corpus', 'n_tokens', CAST(sum(n_tokens) AS BIGINT),
+      |  CAST(NULL AS DOUBLE) FROM (${baseSql("e_text_stats")}) t2
+      |UNION ALL SELECT 'corpus', 'n_chars', CAST(sum(n_chars) AS BIGINT),
+      |  CAST(NULL AS DOUBLE) FROM (${baseSql("e_text_stats")}) t3
+      |UNION ALL SELECT 'corpus', 'n_langs', CAST(count(DISTINCT lang) AS BIGINT),
+      |  CAST(NULL AS DOUBLE) FROM (${baseSql("e_text_stats")}) t4
+      |UNION ALL SELECT 'corpus', 'n_sources', CAST(count(*) AS BIGINT),
+      |  CAST(NULL AS DOUBLE) FROM (${baseSql("e_domain_stats")}) t5
+      |UNION ALL SELECT 'split', 'n_' || split, CAST(count(*) AS BIGINT),
+      |  CAST(NULL AS DOUBLE) FROM (${baseSql("e_split")}) t6 GROUP BY split
+      |UNION ALL SELECT 'quality', 'n_keep',
+      |  CAST(count(*) FILTER (keep) AS BIGINT),
+      |  CAST(count(*) FILTER (keep) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |  FROM (${baseSql("e_quality_filter")}) t7
+      |UNION ALL SELECT 'dedup', 'n_near_dup_pairs', CAST(count(*) AS BIGINT),
+      |  CAST(NULL AS DOUBLE) FROM (${baseSql("e_minhash_dedup")}) t8
+      |UNION ALL SELECT 'dedup', 'n_contaminated_docs', CAST(count(*) AS BIGINT),
+      |  CAST(NULL AS DOUBLE) FROM (${baseSql("e_decontaminate")}) t9
+      |) u ORDER BY section, metric""".stripMargin
+
   /** Curriculum schedule — the oracle states the SPEC (one global rank
     * over (bucket, salted hash, doc_id), composing the graded lm_buckets
     * SQL); the Spark side's two-level segment device must produce the
@@ -2272,6 +2299,7 @@ object ExtOracles {
     ("e_emb_stats" -> embStatsSql) +
     ("e_dedup_sweep" -> dedupSweepSql) +
     ("e_curriculum_order" -> curriculumOrderSql) +
+    ("e_datasheet" -> datasheetSql) +
     ("e_pack_stats" -> packStatsSql) +
     ("e_nb_train" -> nbTrainSql) +
     ("e_nb_classify" -> nbClassifySql) +

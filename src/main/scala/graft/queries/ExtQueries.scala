@@ -2074,6 +2074,61 @@ object ExtQueries {
       .withColumn("keep", keep)
   }
 
+  // ---- e_datasheet --------------------------------------------------------
+
+  /** Dataset datasheet — the "dataset card" a corpus release ships
+    * (Datasheets for Datasets, Gebru et al.): one tall (section, metric)
+    * report of the corpus's volume, language/source spread, split sizes,
+    * quality pass rate, near-duplicate pair count and benchmark
+    * contamination count. Every number is the corresponding GRADED
+    * operator's own aggregate ([[textStats]], [[domainStats]],
+    * [[corpusSplit]], [[qualityFilter]], [[minhashDedup]],
+    * [[decontaminate]]) and the oracle composes their SQL texts — the card
+    * cannot drift from the operators that define its numbers.
+    *
+    * At scale: each section is a 1-row (or |splits|-row) aggregate over an
+    * operator whose own scale story is graded elsewhere; the card itself
+    * unions a dozen slim rows. */
+  def datasheet(spark: SparkSession, dir: String): DataFrame = {
+    val nullD = lit(null).cast("double")
+    def melt(section: String, src: DataFrame,
+        m: (String, Column, Column)*): DataFrame =
+      src.select(explode(array(m.map { case (name, v, d) =>
+        struct(lit(section).as("section"), lit(name).as("metric"),
+          v.cast("long").as("v"), d.cast("double").as("v_dbl"))
+      }: _*)).as("r"))
+        .select(col("r.section"), col("r.metric"), col("r.v"), col("r.v_dbl"))
+    val corpus = melt("corpus",
+      textStats(spark, dir).agg(
+        count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs")),
+      ("n_docs", col("n_docs"), nullD), ("n_tokens", col("n_tokens"), nullD),
+      ("n_chars", col("n_chars"), nullD), ("n_langs", col("n_langs"), nullD))
+    val sources = melt("corpus",
+      domainStats(spark, dir).agg(count(lit(1)).as("n_sources")),
+      ("n_sources", col("n_sources"), nullD))
+    val splits = corpusSplit(spark, dir)
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+      .select(lit("split").as("section"),
+        concat(lit("n_"), col("split")).as("metric"),
+        col("n").as("v"), nullD.as("v_dbl"))
+    val quality = melt("quality",
+      qualityFilter(spark, dir).agg(
+        count(when(col("keep"), 1)).as("n_keep"), count(lit(1)).as("n_all")),
+      ("n_keep", col("n_keep"),
+        col("n_keep").cast("double") / col("n_all").cast("double")))
+    val nearDup = melt("dedup",
+      minhashDedup(spark, dir).agg(count(lit(1)).as("n")),
+      ("n_near_dup_pairs", col("n"), nullD))
+    val contam = melt("dedup",
+      decontaminate(spark, dir).agg(count(lit(1)).as("n")),
+      ("n_contaminated_docs", col("n"), nullD))
+    corpus.unionByName(sources).unionByName(splits)
+      .unionByName(quality).unionByName(nearDup).unionByName(contam)
+      .orderBy("section", "metric")
+  }
+
   // ---- e_phrase_search ----------------------------------------------------
 
   /** Pinned 3-token query phrases for [[phraseSearch]] — two present in the
