@@ -149,6 +149,10 @@ object SparkEntry {
     "e_nb_classify"       -> (ExtQueries.nbClassify _),
     "e_nb_eval"           -> (ExtQueries.nbEval _),
     "e_dedup_eval"        -> (ExtQueries.dedupEval _),
+    "e_reservoir"         -> (ExtQueries.reservoirSample _),
+    "e_scd2"              -> (ExtQueries.scd2 _),
+    "e_rolling_agg"       -> (ExtQueries.rollingAgg _),
+    "e_winsorize"         -> (ExtQueries.winsorize _),
   )
 
   /** Keys that are evaluation harnesses / composites: they RE-EXECUTE other

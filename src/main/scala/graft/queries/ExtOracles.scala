@@ -1629,6 +1629,103 @@ object ExtOracles {
         |  CAST(CASE WHEN MAX(CASE WHEN rnk = 1 THEN clabel END) = label
         |    THEN 1 ELSE 0 END AS BIGINT) AS correct
         |FROM ranked GROUP BY vec_id, label ORDER BY vec_id""".stripMargin,
+
+    // Fixed-size uniform sample: k smallest salted 52-bit keys, globally
+    // and per language stratum. The per-stratum ranks mirror the bounded
+    // aggregate's (key ASC, doc_id ASC) total order exactly.
+    "e_reservoir" ->
+      s"""WITH keyed AS (SELECT doc_id, lang,
+        |  CAST('0x'||substr(md5('rsv:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+        |    % ${1L << 52} AS sample_key
+        |  FROM documents),
+        |g AS (SELECT 'global' AS stratum, doc_id, sample_key FROM keyed
+        |  ORDER BY sample_key, doc_id LIMIT ${ExtQueries.ReservoirGlobalK}),
+        |p AS (SELECT lang AS stratum, doc_id, sample_key,
+        |  row_number() OVER (PARTITION BY lang ORDER BY sample_key, doc_id) AS rn
+        |  FROM keyed)
+        |SELECT stratum, doc_id, sample_key FROM g
+        |UNION ALL
+        |SELECT stratum, doc_id, sample_key FROM p
+        |WHERE rn <= ${ExtQueries.ReservoirPerLang}
+        |ORDER BY stratum, doc_id""".stripMargin,
+
+    // SCD2 dimension build: daily dominant-activity snapshot collapsed into
+    // versioned validity intervals. The window SUM is cast back to BIGINT
+    // (DuckDB widens window sums to HUGEINT — the selfcheck dtype lesson).
+    "e_scd2" ->
+      """WITH snap AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type,
+        |    count(*) AS n_day
+        |  FROM events GROUP BY 1, 2, 3),
+        |mode AS (
+        |  SELECT user_id, day, event_type AS tier,
+        |    row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY n_day DESC, event_type) AS rn
+        |  FROM snap),
+        |m AS (SELECT user_id, day, tier FROM mode WHERE rn = 1),
+        |chg AS (
+        |  SELECT user_id, day, tier,
+        |    CASE WHEN lag(tier) OVER w IS NULL OR lag(tier) OVER w <> tier
+        |      THEN 1 ELSE 0 END AS c
+        |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        |ver AS (
+        |  SELECT user_id, day, tier,
+        |    CAST(sum(c) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM chg),
+        |runs AS (
+        |  SELECT user_id, version, min(tier) AS tier,
+        |    min(day) AS valid_from_day, count(*) AS n_days
+        |  FROM ver GROUP BY 1, 2)
+        |SELECT user_id, version, tier, valid_from_day,
+        |  lead(valid_from_day) OVER w2 AS valid_to_day, n_days,
+        |  lead(valid_from_day) OVER w2 IS NULL AS is_current
+        |FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin,
+
+    // Trailing-7-day RANGE-frame rolling aggregates over event-time micros;
+    // the rolling sum is fixed-point floor(value·10⁶) BIGINTs so the window
+    // total is order-free integer arithmetic in both engines.
+    "e_rolling_agg" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v_micro
+        |  FROM events WHERE user_id < ${ExtQueries.RollingUsers})
+        |SELECT user_id, event_id, us,
+        |  count(*) OVER w AS n_7d,
+        |  CAST(sum(v_micro) OVER w AS BIGINT) AS sum_7d_micro,
+        |  max(value) OVER w AS max_7d
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN ${ExtQueries.RollingWindowMicros} PRECEDING
+        |    AND CURRENT ROW)
+        |ORDER BY user_id, us, event_id""".stripMargin,
+
+    // Winsorization report: exact nearest-rank ⌈q·n⌉ cut points in INTEGER
+    // arithmetic ((5n+99)//100 — a float quantile multiply can round across
+    // the integer boundary), tail clip counts, fixed-point clipped total.
+    "e_winsorize" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |cuts AS (
+        |  SELECT event_type, max(n) AS n,
+        |    max(CASE WHEN rn = (5*n + 99) // 100 THEN value END) AS lo,
+        |    max(CASE WHEN rn = (99*n + 99) // 100 THEN value END) AS hi
+        |  FROM r GROUP BY 1),
+        |c AS (
+        |  SELECT e.event_type, e.value, cuts.n, cuts.lo, cuts.hi,
+        |    least(greatest(e.value, cuts.lo), cuts.hi) AS v_clip
+        |  FROM events e JOIN cuts USING (event_type))
+        |SELECT event_type, max(n) AS n, max(lo) AS lo, max(hi) AS hi,
+        |  count(CASE WHEN value < lo THEN 1 END) AS n_below,
+        |  count(CASE WHEN value > hi THEN 1 END) AS n_above,
+        |  CAST(sum(CAST(floor(v_clip * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS sum_clip_micro
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   /** Full oracle map. `e_ann_recall` COMPOSES the four top-k entries as

@@ -4812,4 +4812,199 @@ object ExtQueries {
           .as("precision"))
       .orderBy("family")
   }
+
+  // ---- e_reservoir --------------------------------------------------------
+
+  /** Fixed-size sample sizes: [[ReservoirGlobalK]] documents corpus-wide
+    * plus [[ReservoirPerLang]] per language stratum. */
+  private[queries] val ReservoirGlobalK = 200
+  private[queries] val ReservoirPerLang = 50
+
+  /** Fixed-SIZE uniform sampling — the deterministic analogue of reservoir
+    * sampling, and the missing sibling of the fixed-RATE samplers
+    * ([[stratifiedSample]], [[tempMix]]): "give me exactly k documents,
+    * uniformly, whatever the corpus size" is what eval-set carving, spot
+    * audits, and labeling budgets actually ask for, and a rate cannot
+    * deliver it. Every document draws a salted 52-bit sample key (a pure
+    * function of doc_id — re-runs and re-shards agree on the draw); the
+    * sample is the k smallest keys. Emitted strata: `global` (k =
+    * [[ReservoirGlobalK]]) and one per language (k = [[ReservoirPerLang]]
+    * each — the fixed-size-per-stratum shape a balanced eval set needs).
+    *
+    * Keys live in [0, 2^52): exactly representable as doubles, so the
+    * bounded aggregate's (score DESC, id ASC) order over NEGATED keys IS
+    * (key ASC, id ASC) — no precision cliff, and the recovered key is
+    * bit-exact.
+    *
+    * At scale: the global k-smallest is `TakeOrderedAndProject` — each
+    * partition keeps its local top-k and only |partitions|·k rows reach the
+    * driver-side merge, the classic distributed-selection plan. The
+    * per-stratum path is the bounded-state
+    * [[graft.functions.TopKByScoreAggregator]] (map-side partials cap at
+    * 4k rows per partition × stratum), NOT a ranking window — a 100 TB
+    * corpus never sorts, never shuffles more than |langs|·|partitions|·k
+    * slim rows. */
+  def reservoirSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByScoreAggregator
+    val keyExpr = pmod(
+      hash64(concat(lit("rsv:"), col("doc_id").cast("string"))), lit(1L << 52))
+    val keyed = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), keyExpr.as("sample_key"))
+    val global = keyed
+      .orderBy(col("sample_key").asc, col("doc_id").asc)
+      .limit(ReservoirGlobalK)
+      .select(lit("global").as("stratum"), col("doc_id"), col("sample_key"))
+    val agg = new TopKByScoreAggregator(ReservoirPerLang)
+    val topk = udaf(agg, agg.inputEncoder)
+    val perLang = keyed
+      .groupBy(col("lang"))
+      .agg(topk(-col("sample_key").cast("double"), col("doc_id")).as("tk"))
+      .select(col("lang").as("stratum"), explode(col("tk")).as("s"))
+      .select(col("stratum"), col("s.id").as("doc_id"),
+        (-col("s.score")).cast("long").as("sample_key"))
+    global.unionByName(perLang).orderBy("stratum", "doc_id")
+  }
+
+  // ---- e_scd2 -------------------------------------------------------------
+
+  /** Slowly-changing-dimension (type 2) build: compact a daily activity
+    * snapshot stream into versioned validity intervals — the nightly MERGE
+    * every warehouse dimension table runs, as one declarative plan. Stage 1
+    * derives the daily snapshot: each (user, day)'s dominant event type
+    * (count DESC, type ASC tie-break — the [[RefQueries.topCategory]] mode
+    * device). Stage 2 collapses consecutive equal-attribute days into runs
+    * (lag-compare → change flag → running-sum version id) and emits one row
+    * per run with `[valid_from_day, valid_to_day)` bounds (lead of the next
+    * run's start; NULL + is_current on the open run).
+    *
+    * Days are epoch-day INTEGERS (`unix_micros div 86_400_000_000`)
+    * end-to-end — the [[RefQueries.sessionize]] lesson: integers beat
+    * temporal types under the cross-engine hash gate.
+    *
+    * At scale: the snapshot groupBy map-side-combines to |user·day·type|
+    * slim partials; everything after partitions by user — per-user state is
+    * that user's day count, and user_id is exactly the key a 100 TB
+    * dimension build would partition on. One corpus-sized shuffle total
+    * (the groupBy); the window stages reuse its user-keyed exchange. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val wMode = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("n_day").desc, col("event_type").asc)
+    val snapshot = table(spark, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+      .groupBy(col("user_id"), col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_day"))
+      .withColumn("rn", row_number().over(wMode))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("event_type").as("tier"))
+    val wDays = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+    val runs = snapshot
+      .withColumn("chg",
+        when(lag(col("tier"), 1).over(wDays).isNull ||
+          lag(col("tier"), 1).over(wDays) =!= col("tier"), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(
+        wDays.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // tier is constant within a run, so min is a deterministic pick
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("tier")).as("tier"),
+        min(col("day")).as("valid_from_day"),
+        count(lit(1)).as("n_days"))
+    val wVer = Window.partitionBy(col("user_id")).orderBy(col("version").asc)
+    runs
+      .withColumn("valid_to_day", lead(col("valid_from_day"), 1).over(wVer))
+      .withColumn("is_current", col("valid_to_day").isNull)
+      .select(col("user_id"), col("version"), col("tier"),
+        col("valid_from_day"), col("valid_to_day"), col("n_days"),
+        col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  // ---- e_rolling_agg ------------------------------------------------------
+
+  /** Users kept in the rolling-aggregate output (a monitoring panel, not
+    * the whole population — keeps verify output bounded while the window
+    * semantics are exercised in full). */
+  private[queries] val RollingUsers = 30L
+  /** Trailing window width: 7 days in epoch micros. */
+  private[queries] val RollingWindowMicros: Long = 7L * 86400000000L
+
+  /** Time-RANGE rolling aggregates — per-user trailing-7-day event count,
+    * value sum, and max at every event, the moving-window health metric
+    * shape (rolling error rates, rolling spend) that neither a tumbling
+    * window ([[RefQueries.filterBetween]]'s weekly rollup) nor a lag
+    * ([[RefQueries.dodGrowth]]) expresses: the frame is RANGE-based over
+    * event-time micros, so sparse and bursty users get the same 7-day
+    * horizon, not the same row count.
+    *
+    * Determinism: the frame key is integer micros; count is integer; the
+    * rolling sum is over `floor(value·10⁶)` fixed-point LONGS (floor is an
+    * exactly-rounded IEEE op, integer sums are order-free — the
+    * [[centroidScore]] device applied to a window frame); max is IEEE max.
+    * RANGE peers (equal-micros events) enter the frame together in both
+    * engines by SQL semantics, so ties cannot reorder results.
+    *
+    * At scale: one shuffle on user_id, per-user frames bounded by the
+    * user's 7-day event volume — the state a streaming engine would hold
+    * for the same query; Spark's range-frame window keeps a sliding buffer
+    * per partition, never the whole partition in memory. */
+  def rollingAgg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc)
+      .rangeBetween(-RollingWindowMicros, 0)
+    table(spark, dir, "events")
+      .filter(col("user_id") < RollingUsers)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .withColumn("v_micro", floor(col("value") * lit(1000000.0)).cast("long"))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("sum_7d_micro", sum(col("v_micro")).over(w))
+      .withColumn("max_7d", max(col("value")).over(w))
+      .select(col("user_id"), col("event_id"), col("us"), col("n_7d"),
+        col("sum_7d_micro"), col("max_7d"))
+      .orderBy("user_id", "us", "event_id")
+  }
+
+  // ---- e_winsorize --------------------------------------------------------
+
+  /** Winsorization report — per event type, the exact nearest-rank p05/p99
+    * cut points of `value`, how many events each tail clips, and the
+    * clipped-measure total: the outlier-capping step a metrics pipeline
+    * runs before any mean is trusted. Ranks are the NEAREST-RANK
+    * convention ⌈q·n⌉ computed in INTEGER arithmetic (`(5n+99) div 100`,
+    * `(99n+99) div 100`) — no float quantile multiply (0.05·n can round
+    * ACROSS the integer boundary: 2000·0.05 = 100.0000…55 in doubles, and
+    * ⌈·⌉ would pick rank 101), the same trap [[RefQueries.orderStats]]
+    * dodges by using only exactly-representable fractions. The clipped
+    * total is fixed-point `floor(clip(value)·10⁶)` longs ([[rollingAgg]]'s
+    * device), so every emitted number is integer-exact or a raw input
+    * double.
+    *
+    * At scale: the exact form pays [[RefQueries.orderStats]]'s per-group
+    * sort — right for |groups| ≪ |rows| reporting; at 10⁹ rows/group the
+    * sketch path ([[RefQueries.orderStatsApprox]]) replaces stage 1 and
+    * the clip join is unchanged. The cut table is |event_types| rows,
+    * broadcast back — the corpus-sized side never shuffles twice. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val cuts = ev
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(5*n + 99) div 100"), col("value")))
+          .as("lo"),
+        max(when(col("rn") === expr("(99*n + 99) div 100"), col("value")))
+          .as("hi"))
+    ev.join(broadcast(cuts), Seq("event_type"))
+      .withColumn("v_clip", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        count(when(col("value") < col("lo"), 1)).as("n_below"),
+        count(when(col("value") > col("hi"), 1)).as("n_above"),
+        sum(floor(col("v_clip") * lit(1000000.0)).cast("long"))
+          .as("sum_clip_micro"))
+      .orderBy("event_type")
+  }
 }
