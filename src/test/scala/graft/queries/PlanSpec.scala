@@ -579,4 +579,44 @@ class PlanSpec extends AnyFunSuite {
     assert(windows <= 2, s"expected only the two per-doc windows:\n${plan.take(1200)}")
     spark.catalog.clearCache()
   }
+
+  test("reservoir: global path is distributed selection, strata stay window-free") {
+    val plan = formatted(ExtQueries.reservoirSample(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the global k-smallest must be TakeOrderedAndProject (per-partition " +
+        "local top-k, |parts|·k merge) — a full Sort+Limit sorts the corpus")
+    assert(!plan.contains("Window"),
+      "per-stratum selection must stay the bounded-state aggregate, never " +
+        "a ranking window over the whole keyed corpus")
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    // two slim column-pruned scans (one per sampling mode) beat caching a
+    // corpus-sized keyed frame — but a third scan means a derivation forked
+    assert(parquetScans(plan) <= 2, plan.take(800))
+  }
+
+  test("scd2: one corpus scan; every window keyed by user (snapshot is pre-aggregated)") {
+    val plan = formatted(ExtQueries.scd2(spark, dir))
+    assert(parquetScans(plan) == 1,
+      "the daily snapshot, run collapse and interval lead must all derive " +
+        "from one events scan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      "scd2 is windows over the user-keyed snapshot — no join belongs here")
+  }
+
+  test("rolling agg: panel filter reaches the events scan; single scan feeds the frame") {
+    val plan = formatted(ExtQueries.rollingAgg(spark, dir))
+    assert(plan.contains("LessThan(user_id,30)"),
+      "the monitored-user filter must be pushed to the parquet reader — " +
+        s"at 100 TB the unfiltered scan is the whole fact table:\n${plan.take(800)}")
+    assert(parquetScans(plan) == 1)
+  }
+
+  test("winsorize: |event_types|-row cut table broadcasts back onto the clip pass") {
+    val plan = formatted(ExtQueries.winsorize(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "the cut table is |event_types| rows — a shuffle join re-partitions " +
+        "the whole fact table for a 5-row lookup")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
