@@ -153,6 +153,7 @@ object SparkEntry {
     "e_scd2"              -> (ExtQueries.scd2 _),
     "e_rolling_agg"       -> (ExtQueries.rollingAgg _),
     "e_winsorize"         -> (ExtQueries.winsorize _),
+    "e_interleave"        -> (ExtQueries.interleave _),
   )
 
   /** Keys that are evaluation harnesses / composites: they RE-EXECUTE other
@@ -164,7 +165,7 @@ object SparkEntry {
     * is comparison overhead; one that does is the operator's. */
   val harnessKeys: Set[String] = Set(
     "e_ann_recall", "e_dedup_eval", "e_rank_fusion", "e_hybrid_search",
-    "e_split_contamination", "e_curation_funnel", "e_nb_eval",
+    "e_split_contamination", "e_curation_funnel", "e_nb_eval", "e_interleave",
     "e_tok_fertility", "e_filter_bias", "e_pack_stats", "e_dedup_sweep",
     "e_curriculum_order", "e_datasheet")
 

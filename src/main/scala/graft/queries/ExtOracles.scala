@@ -1849,6 +1849,27 @@ object ExtOracles {
       |SELECT qid, cid, rrf, n_lists, rank FROM rankedf WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
+  /** `e_interleave` — balanced interleaving of the lexical and dense
+    * rankers: COMPOSES the `e_bm25_topk` and `e_cosine_topk` SQL texts
+    * verbatim; occurrence positions 2·rank−1 / 2·rank, first placement
+    * wins, parity of the winning position credits the team. */
+  private lazy val interleaveSql: String =
+    s"""WITH sp AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id AS cid,
+      |    CAST(rank * 2 - 1 AS BIGINT) AS pos
+      |  FROM (${baseSql("e_bm25_topk")}) a),
+      |dn AS (SELECT qid, cid, CAST(rank * 2 AS BIGINT) AS pos
+      |  FROM (${baseSql("e_cosine_topk")}) b
+      |  WHERE qid < ${ExtQueries.Bm25Queries.size}),
+      |occ AS (SELECT qid, cid, pos FROM sp UNION ALL SELECT qid, cid, pos FROM dn),
+      |m AS (SELECT qid, cid, min(pos) AS pos FROM occ GROUP BY 1, 2),
+      |r AS (SELECT qid, cid, pos,
+      |  CAST(row_number() OVER (PARTITION BY qid ORDER BY pos) AS INT) AS rank
+      |  FROM m)
+      |SELECT qid, rank, cid,
+      |  CASE WHEN pos % 2 = 1 THEN 'sparse' ELSE 'dense' END AS team
+      |FROM r WHERE rank <= ${ExtQueries.InterleaveK}
+      |ORDER BY qid, rank""".stripMargin
+
   /** `e_cosine_topk_beam` — greedy beam search over the knn-graph
     * substrate: COMPOSES the graded `e_knn_graph` SQL text as its
     * adjacency, then unrolls the FIXED `BeamRounds` expand-score-prune
@@ -2412,6 +2433,7 @@ object ExtOracles {
     ("e_dedup_eval" -> dedupEvalSql) +
     ("e_rank_fusion" -> rankFusionSql) +
     ("e_hybrid_search" -> hybridSearchSql) +
+    ("e_interleave" -> interleaveSql) +
     ("e_split_contamination" -> splitContaminationSql) +
     ("e_kmeans_train" -> kmeansTrainSql) +
     ("e_ivf_trained" -> ivfTrainedSql) +

@@ -4160,6 +4160,52 @@ object ExtQueries {
         col("doc_id").as("cid"), col("rank")))))
   }
 
+  // ---- e_interleave -------------------------------------------------------
+
+  /** Interleaved list depth kept per query. */
+  private[queries] val InterleaveK = 10
+
+  /** Balanced interleaving of the sparse and dense rankers (the Joachims
+    * KDD'02 evaluation shape) — the ONLINE side of ranker comparison, next
+    * to the offline [[annRecall]] harness: merge [[bm25Topk]]'s lexical
+    * list and [[cosineTopk]]'s dense list into ONE list a user would see,
+    * alternating positions (A₁ B₁ A₂ B₂ …) and crediting each document to
+    * the ranker that placed it first; clicks on the blended list then
+    * compare rankers without a traffic split. The randomized first-pick
+    * coin is PINNED to the sparse side (determinism contract — the repo
+    * has no runtime randomness), which is the documented deterministic
+    * variant: team labels, not coin symmetry, carry the evaluation.
+    *
+    * The alternation is relational, not sequential: occurrence position is
+    * `2·rank−1` (sparse) / `2·rank` (dense), a document's interleaved slot
+    * is its MINIMUM position (first placement wins, duplicates collapse),
+    * and parity of that minimum IS the credited team — no loop, and the
+    * per-query frame is ≤ 2k rows, so the ranking window is bounded.
+    *
+    * At scale: both input lists are the graded operators' own |queries|·k
+    * outputs; everything here joins and windows frames of that size — the
+    * corpus is never touched again. The oracle composes the two graded SQL
+    * texts verbatim ([[annRecall]]'s device), so the blend cannot drift
+    * from the lists it blends. */
+  def interleave(spark: SparkSession, dir: String): DataFrame = {
+    val nq = Bm25Queries.size
+    val sparse = bm25Topk(spark, dir)
+      .select(col("qid").cast("bigint").as("qid"), col("doc_id").as("cid"),
+        (col("rank") * 2 - 1).cast("long").as("pos"))
+    val dense = cosineTopk(spark, dir).filter(col("qid") < nq)
+      .select(col("qid"), col("cid"), (col("rank") * 2).cast("long").as("pos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("pos").asc)
+    sparse.unionAll(dense)
+      .groupBy(col("qid"), col("cid"))
+      .agg(min(col("pos")).as("pos"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= InterleaveK)
+      .select(col("qid"), col("rank"), col("cid"),
+        when(pmod(col("pos"), lit(2L)) === 1, lit("sparse"))
+          .otherwise(lit("dense")).as("team"))
+      .orderBy("qid", "rank")
+  }
+
   // ---- e_mmr --------------------------------------------------------------
 
   /** Candidate-pool size / selected-list size for [[mmrSelect]]. */
