@@ -154,6 +154,8 @@ object SparkEntry {
     "e_rolling_agg"       -> (ExtQueries.rollingAgg _),
     "e_winsorize"         -> (ExtQueries.winsorize _),
     "e_interleave"        -> (ExtQueries.interleave _),
+    "e_retention"         -> (ExtQueries.retention _),
+    "e_funnel"            -> (ExtQueries.funnel _),
   )
 
   /** Keys that are evaluation harnesses / composites: they RE-EXECUTE other

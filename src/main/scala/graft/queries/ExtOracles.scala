@@ -1701,6 +1701,46 @@ object ExtOracles {
         |    AND CURRENT ROW)
         |ORDER BY user_id, us, event_id""".stripMargin,
 
+    // Cohort retention matrix: first-active day = cohort, integer epoch
+    // days, one int→double divide for the rate.
+    "e_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |cohorts AS (SELECT user_id, min(day) AS cohort FROM active GROUP BY 1),
+        |sizes AS (SELECT cohort, count(*) AS n_cohort FROM cohorts GROUP BY 1)
+        |SELECT c.cohort, a.day - c.cohort AS day_offset,
+        |  count(*) AS n_active, max(s.n_cohort) AS n_cohort,
+        |  CAST(count(*) AS DOUBLE) / CAST(max(s.n_cohort) AS DOUBLE)
+        |    AS retention
+        |FROM active a
+        |JOIN cohorts c ON a.user_id = c.user_id
+        |JOIN sizes s ON c.cohort = s.cohort
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Ordered conversion funnel: each step's time is the earliest
+    // qualifying event STRICTLY AFTER the previous step's conversion.
+    "e_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s0 AS (SELECT user_id, min(us) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(us) AS t FROM e
+        |  JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE event_type = 'click' AND us > s0.t GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE event_type = 'purchase' AND us > s1.t GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s0) AS n0,
+        |  (SELECT count(*) FROM s1) AS n1,
+        |  (SELECT count(*) FROM s2) AS n2)
+        |SELECT CAST(1 AS INT) AS step, 'view' AS event_type, n0 AS n_users,
+        |  CAST(1.0 AS DOUBLE) AS conv_from_prev FROM c
+        |UNION ALL SELECT CAST(2 AS INT), 'click', n1,
+        |  CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM c
+        |UNION ALL SELECT CAST(3 AS INT), 'purchase', n2,
+        |  CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c
+        |ORDER BY step""".stripMargin,
+
     // Winsorization report: exact nearest-rank ⌈q·n⌉ cut points in INTEGER
     // arithmetic ((5n+99)//100 — a float quantile multiply can round across
     // the integer boundary), tail clip counts, fixed-point clipped total.
