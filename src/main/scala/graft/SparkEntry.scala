@@ -156,6 +156,9 @@ object SparkEntry {
     "e_interleave"        -> (ExtQueries.interleave _),
     "e_retention"         -> (ExtQueries.retention _),
     "e_funnel"            -> (ExtQueries.funnel _),
+    "e_salted_join"       -> (ExtQueries.saltedJoin _),
+    "e_mad_outliers"      -> (ExtQueries.madOutliers _),
+    "e_anomaly_days"      -> (ExtQueries.anomalyDays _),
   )
 
   /** Keys that are evaluation harnesses / composites: they RE-EXECUTE other

@@ -1701,6 +1701,71 @@ object ExtOracles {
         |    AND CURRENT ROW)
         |ORDER BY user_id, us, event_id""".stripMargin,
 
+    // Salted skew-join: the salt is invisible mechanics — the oracle is the
+    // PLAIN per-language enrichment join the salted plan must equal.
+    "e_salted_join" ->
+      """WITH stats AS (
+        |  SELECT lang, count(*) AS n_docs_lang,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars_lang
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_chars, s.n_docs_lang, s.chars_lang
+        |FROM documents d JOIN stats s ON d.lang = s.lang
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Robust outlier report: nearest-rank medians in integer rank
+    // arithmetic; dev and the 3·MAD band are single IEEE ops.
+    "e_mad_outliers" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, max(n) AS n,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+        |  FROM r GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type, e.event_id, e.value, med.n, med.med,
+        |    abs(e.value - med.med) AS dev
+        |  FROM events e JOIN med USING (event_type)),
+        |dr AS (
+        |  SELECT event_type, n, med, dev,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY dev, event_id) AS rn
+        |  FROM d),
+        |mad AS (
+        |  SELECT event_type, max(n) AS n, max(med) AS med,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+        |  FROM dr GROUP BY 1)
+        |SELECT e.event_type, max(mad.n) AS n, max(mad.med) AS med,
+        |  max(mad.mad) AS mad,
+        |  count(CASE WHEN abs(e.value - mad.med) > 3.0 * mad.mad THEN 1 END)
+        |    AS n_outliers
+        |FROM events e JOIN mad ON e.event_type = mad.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    // Integer-exact daily anomaly flags: |c − S/n| > 2σ multiplied through
+    // by n² into (c·n − S)² > 4(nQ − S²) — no float, no sqrt, no division.
+    "e_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |    CAST(sum(n_events) AS BIGINT) AS s,
+        |    CAST(sum(n_events * n_events) AS BIGINT) AS q
+        |  FROM daily GROUP BY 1)
+        |SELECT d.event_type, d.day, d.n_events,
+        |  (d.n_events * s.n_days - s.s) * (d.n_events * s.n_days - s.s)
+        |    AS dev2_scaled,
+        |  4 * (s.n_days * s.q - s.s * s.s) AS var4_scaled,
+        |  (d.n_events * s.n_days - s.s) * (d.n_events * s.n_days - s.s)
+        |    > 4 * (s.n_days * s.q - s.s * s.s) AS is_anomaly
+        |FROM daily d JOIN stats s ON d.event_type = s.event_type
+        |ORDER BY d.event_type, d.day""".stripMargin,
+
     // Cohort retention matrix: first-active day = cohort, integer epoch
     // days, one int→double divide for the rate.
     "e_retention" ->

@@ -5009,6 +5009,122 @@ object ExtQueries {
       .orderBy("user_id", "us", "event_id")
   }
 
+  // ---- e_salted_join ------------------------------------------------------
+
+  /** Salt fan-out for [[saltedJoin]] — a hot key's rows spread over this
+    * many reducer partitions. */
+  private[queries] val JoinSalts = 8
+
+  /** Skew-mitigated large-table equi-join — [[graft.operators.SaltedJoin]]
+    * bound to the corpus's one genuinely skewed key: `lang` (the dominant
+    * language holds ~44% of documents, so an unsalted shuffle join lands
+    * half the corpus on one reducer). The dim side here is the per-language
+    * stats table; at fixture scale it would BROADCAST (and
+    * [[RefQueries.broadcastJoin]] is the operator for that) — this query
+    * pins the OTHER regime, a dim too large to broadcast, by forcing the
+    * shuffle path with a merge-join hint, which is exactly when salting is
+    * the only lever left. The salt never escapes: the output is
+    * row-identical to the plain join (spec-pinned), ordered by doc_id.
+    *
+    * At scale: the big side is hashed over (lang, salt) — [[JoinSalts]]×
+    * better worst-partition load on the hot key — and only the SMALL side
+    * pays the [[JoinSalts]]× replication. The salt is a deterministic
+    * doc_id hash, not `rand()`: retries, re-runs and the oracle all see
+    * the same rows. */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val stats = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_lang"), sum(col("n_chars")).as("chars_lang"))
+    graft.operators.SaltedJoin.saltedEquiJoin(
+        docs, stats.hint("merge"), "lang", col("doc_id"), JoinSalts)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("n_docs_lang"), col("chars_lang"))
+      .orderBy("doc_id")
+  }
+
+  // ---- e_mad_outliers -----------------------------------------------------
+
+  /** Robust outlier report — per event type, the exact nearest-rank median
+    * of `value`, the median absolute deviation (MAD) around it, and how
+    * many events fall outside median ± 3·MAD: the robust-statistics
+    * alternative to [[winsorize]]'s percentile clipping (a handful of
+    * extreme outliers cannot drag the MAD the way they drag a mean/stddev
+    * band). Ranks are the ⌈n/2⌉ nearest-rank convention in INTEGER
+    * arithmetic (`(n+1) div 2` — [[winsorize]]'s boundary-rounding trap);
+    * the deviation `abs(value − med)` and the `3·mad` band are single
+    * correctly-rounded IEEE ops, so the flag set is bit-stable
+    * cross-engine.
+    *
+    * At scale: two per-type rank selections (each the
+    * [[RefQueries.orderStats]] sort-window device — the
+    * [[RefQueries.orderStatsApprox]] sketch replaces them at 10⁹
+    * rows/group) and one counting pass with the |event_types|-row band
+    * table broadcast back; three projected scans total, no corpus-sized
+    * exchange beyond the per-type windows. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+    val wV = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val med = ev
+      .withColumn("rn", row_number().over(wV))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("value"))).as("med"))
+    val wD = Window.partitionBy(col("event_type"))
+      .orderBy(col("dev").asc, col("event_id").asc)
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
+      .withColumn("rn", row_number().over(wD))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("med")).as("med"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("dev"))).as("mad"))
+    ev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        count(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  // ---- e_anomaly_days -----------------------------------------------------
+
+  /** Daily volume anomaly detection — flag the (event type, day) cells
+    * whose event count deviates from the type's daily mean by more than
+    * 2σ, computed ENTIRELY in integer arithmetic: |c − S/n| > 2σ is
+    * squared and multiplied through by n² into
+    * `(c·n − S)² > 4·(n·Q − S²)` with S = Σc, Q = Σc² — no float mean, no
+    * sqrt, no division anywhere, so the flag set hash-matches the oracle
+    * by construction (the strongest form of the repo's integers-beat-
+    * floats contract: the whole z-test is exact). Both scaled sides are
+    * emitted so the margin is auditable.
+    *
+    * At scale: the daily matrix is one map-side-combined groupBy of the
+    * fact table; the per-type moments are a |types·days|-row aggregate;
+    * the |types|-row moment table broadcasts back onto the matrix.
+    * Overflow headroom: c·n and n·Q stay under 2⁶³ for daily counts up to
+    * ~10⁹ over ~10³ days — beyond that, widen to decimal(38,0). */
+  def anomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n_events")).as("s"),
+        sum(col("n_events") * col("n_events")).as("q"))
+    val devScaled = col("n_events") * col("n_days") - col("s")
+    daily.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        (devScaled * devScaled).as("dev2_scaled"),
+        (lit(4L) * (col("n_days") * col("q") - col("s") * col("s")))
+          .as("var4_scaled"))
+      .withColumn("is_anomaly", col("dev2_scaled") > col("var4_scaled"))
+      .orderBy("event_type", "day")
+  }
+
   // ---- e_retention --------------------------------------------------------
 
   /** Cohort retention matrix — users grouped by first-active day (their

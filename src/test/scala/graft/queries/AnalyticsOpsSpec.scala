@@ -71,4 +71,51 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("mad outliers: medians/MAD match the sorted replay; band flags agree") {
+    val events = RefQueries.table(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val got = ExtQueries.madOutliers(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(got.map(_._1).toSeq == events.keys.toSeq.sorted)
+    got.foreach { case (et, n, med, mad, nOut) =>
+      val vs = events(et).sortBy(t => (t._3, t._2))
+      assert(n == vs.length, s"type=$et")
+      val medWant = vs(((n + 1) / 2).toInt - 1)._3
+      assert(med == medWant, s"type=$et")
+      val devs = events(et).map(t => (math.abs(t._3 - medWant), t._2))
+        .sortBy(identity)
+      val madWant = devs(((n + 1) / 2).toInt - 1)._1
+      assert(mad == madWant, s"type=$et")
+      assert(nOut == events(et).count(t => math.abs(t._3 - medWant) > 3.0 * madWant),
+        s"type=$et")
+      // MAD is robust: at most half the values can sit outside the band
+      assert(nOut <= n / 2, s"type=$et")
+    }
+  }
+
+  test("anomaly days: integer inequality IS the 2-sigma test, replayed in exact arithmetic") {
+    val got = ExtQueries.anomalyDays(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    got.groupBy(_._1).foreach { case (et, rows) =>
+      val cs = rows.map(_._3)
+      val n = cs.length.toLong
+      val s = cs.sum
+      val q = cs.map(c => c * c).sum
+      rows.foreach { case (_, day, c, dev2, var4, flag) =>
+        assert(dev2 == (c * n - s) * (c * n - s), s"type=$et day=$day")
+        assert(var4 == 4L * (n * q - s * s), s"type=$et day=$day")
+        assert(flag == (dev2 > var4), s"type=$et day=$day")
+        // the integer inequality is exactly |c - mean| > 2*sigma
+        val mean = s.toDouble / n
+        val variance = (q.toDouble - s.toDouble * s / n) / n
+        val exact = math.abs(c - mean) > 2.0 * math.sqrt(variance)
+        assert(flag == exact, s"type=$et day=$day")
+      }
+    }
+  }
 }
