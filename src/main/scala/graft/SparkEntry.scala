@@ -159,6 +159,8 @@ object SparkEntry {
     "e_salted_join"       -> (ExtQueries.saltedJoin _),
     "e_mad_outliers"      -> (ExtQueries.madOutliers _),
     "e_anomaly_days"      -> (ExtQueries.anomalyDays _),
+    "e_ab_test"           -> (ExtQueries.abTest _),
+    "e_transitions"       -> (ExtQueries.transitions _),
   )
 
   /** Keys that are evaluation harnesses / composites: they RE-EXECUTE other

@@ -1701,6 +1701,58 @@ object ExtOracles {
         |    AND CURRENT ROW)
         |ORDER BY user_id, us, event_id""".stripMargin,
 
+    // Deterministic A/B readout: salted hash-parity arms, conversion =
+    // any purchase; the z statistic's op sequence (divides, pooled
+    // products, sqrt) is identical on both engines — sqrt is exactly
+    // rounded per IEEE 754, so the statistic hash-matches.
+    "e_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST('0x'||substr(md5('exp1:'||CAST(user_id AS VARCHAR)),1,15)
+        |      AS BIGINT) % 2 AS arm,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      > sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS converted
+        |  FROM events GROUP BY 1, 2),
+        |arms AS (SELECT arm, count(*) AS n,
+        |  CAST(sum(converted) AS BIGINT) AS conv FROM pu GROUP BY 1),
+        |a AS (SELECT n AS n_a, conv AS conv_a FROM arms WHERE arm = 0),
+        |b AS (SELECT n AS n_b, conv AS conv_b FROM arms WHERE arm = 1),
+        |r AS (SELECT n_a, conv_a,
+        |  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |  n_b, conv_b,
+        |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |  CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |    AS pooled
+        |  FROM a, b)
+        |SELECT n_a, conv_a, rate_a, n_b, conv_b, rate_b,
+        |  CASE WHEN pooled > 0.0 AND pooled < 1.0 THEN
+        |    (rate_a - rate_b)
+        |    / sqrt(pooled * (1.0 - pooled)
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |  END AS z
+        |FROM r""".stripMargin,
+
+    // First-order event-type transition matrix: per-user lead pairs,
+    // per-source probability is the one int→double divide.
+    "e_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    count(*) AS n_pairs
+        |  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |totals AS (SELECT from_type, CAST(sum(n_pairs) AS BIGINT) AS n_from
+        |  FROM pairs GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.n_pairs, t.n_from,
+        |  CAST(p.n_pairs AS DOUBLE) / CAST(t.n_from AS DOUBLE)
+        |    AS p_transition
+        |FROM pairs p JOIN totals t ON p.from_type = t.from_type
+        |ORDER BY p.from_type, p.to_type""".stripMargin,
+
     // Salted skew-join: the salt is invisible mechanics — the oracle is the
     // PLAIN per-language enrichment join the salted plan must equal.
     "e_salted_join" ->

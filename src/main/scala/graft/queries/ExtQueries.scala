@@ -5009,6 +5009,90 @@ object ExtQueries {
       .orderBy("user_id", "us", "event_id")
   }
 
+  // ---- e_ab_test ----------------------------------------------------------
+
+  /** Deterministic A/B experiment readout — users split 50/50 by salted
+    * hash parity (the assignment every experimentation platform derives
+    * from a user id + experiment salt, so a user keeps their arm across
+    * sessions and re-runs), conversion = "more purchases than errors" (a
+    * per-user outcome that stays non-degenerate at every fixture scale —
+    * "any purchase" saturates to 100% and zeroes the pooled variance), and
+    * the two-proportion z statistic on top: n/converted/rate per arm plus
+    * the pooled-variance z in ONE report row. Every float step (three rate
+    * divides, the pooled products, sqrt, the final divide) is a single
+    * correctly-rounded IEEE op evaluated in the same order by both
+    * engines — sqrt is exactly rounded per IEEE 754, so even the
+    * significance statistic hash-matches. A degenerate experiment (pooled
+    * rate 0 or 1) yields z = NULL, not a divide-by-zero abort (ANSI mode).
+    *
+    * At scale: one map-side-combined per-user aggregate (arm is a pure
+    * hash of user_id — no assignment table, no join), one |arms|-row
+    * rollup, one final 1-row combine. The fact table shuffles once, on
+    * user_id. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val arm = pmod(hash64(concat(lit("exp1:"), col("user_id").cast("string"))),
+      lit(2L))
+    val perUser = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)))
+        .cast("long").as("converted"))
+      .select(col("user_id"), arm.as("arm"), col("converted"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val a = arms.filter(col("arm") === 0)
+      .select(col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = arms.filter(col("arm") === 1)
+      .select(col("n").as("n_b"), col("conv").as("conv_b"))
+    val rateA = col("conv_a").cast("double") / col("n_a").cast("double")
+    val rateB = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    a.crossJoin(b)
+      .select(col("n_a"), col("conv_a"), rateA.as("rate_a"),
+        col("n_b"), col("conv_b"), rateB.as("rate_b"),
+        when(pooled > 0.0 && pooled < 1.0,
+          (rateA - rateB) /
+            sqrt(pooled * (lit(1.0) - pooled) *
+              (lit(1.0) / col("n_a").cast("double") +
+                lit(1.0) / col("n_b").cast("double")))).as("z"))
+  }
+
+  // ---- e_transitions ------------------------------------------------------
+
+  /** Event-type transition matrix — per user, each consecutive event pair
+    * (ordered by time, event_id tie-break) counted into a from→to matrix
+    * with the per-source transition probability: the first-order Markov
+    * model of user behavior (what follows a view? how often does an error
+    * precede churn?) that powers next-action prediction and funnel design.
+    * The probability is the one int→double divide; everything upstream is
+    * integer.
+    *
+    * At scale: the lag window partitions by user_id (per-user state = that
+    * user's event count — the [[scd2]] partitioning); pair counting
+    * map-side-combines to |types|² partials; the |types|-row source totals
+    * broadcast back. One corpus shuffle (user_id), one |types|²-row
+    * matrix. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val pairs = table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n_pairs")).as("n_from"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_pairs"), col("n_from"),
+        (col("n_pairs").cast("double") / col("n_from").cast("double"))
+          .as("p_transition"))
+      .orderBy("from_type", "to_type")
+  }
+
   // ---- e_salted_join ------------------------------------------------------
 
   /** Salt fan-out for [[saltedJoin]] — a hot key's rows spread over this

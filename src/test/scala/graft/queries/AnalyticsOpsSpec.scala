@@ -118,4 +118,60 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Driver-side replica of hash64(s) mod 2 (first 60 md5 bits). */
+  private def armOf(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % 2
+  }
+
+  test("ab test: arms partition the users; counts and z match the replay") {
+    val users = RefQueries.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._1)
+    val perUser = users.toSeq.map { case (u, evs) =>
+      val conv = evs.count(_._2 == "purchase") > evs.count(_._2 == "error")
+      (armOf(s"exp1:$u"), if (conv) 1L else 0L)
+    }
+    val (na, ca) = (perUser.count(_._1 == 0L).toLong,
+      perUser.filter(_._1 == 0L).map(_._2).sum)
+    val (nb, cb) = (perUser.count(_._1 == 1L).toLong,
+      perUser.filter(_._1 == 1L).map(_._2).sum)
+    val row = ExtQueries.abTest(spark, dir).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(3), row.getLong(4)) ==
+      ((na, ca, nb, cb)))
+    assert(na + nb == users.size.toLong)
+    // a hash split is near-balanced, not degenerate
+    assert(na > 0 && nb > 0)
+    val (ra, rb) = (ca.toDouble / na, cb.toDouble / nb)
+    val pooled = (ca + cb).toDouble / (na + nb)
+    val zWant = (ra - rb) /
+      math.sqrt(pooled * (1.0 - pooled) * (1.0 / na + 1.0 / nb))
+    assert(row.getDouble(2) == ra && row.getDouble(5) == rb)
+    assert(row.getDouble(6) == zWant)
+  }
+
+  test("transitions: pair counts match the per-user sequence replay; rows sum to 1 per source") {
+    val seqs = RefQueries.table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val want = seqs.values.flatMap { evs =>
+      evs.sortBy(e => (e._3, e._2)).sliding(2).collect {
+        case Array(x, y) => (x._4, y._4)
+      }
+    }.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val got = ExtQueries.transitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.map(t => ((t._1, t._2), t._3)).toMap == want)
+    // each source row's probabilities are n_pairs/n_from and sum to ~1
+    got.groupBy(_._1).foreach { case (from, rows) =>
+      val nFrom = rows.head._4
+      assert(rows.map(_._3).sum == nFrom, s"from=$from")
+      rows.foreach(t => assert(t._5 == t._3.toDouble / nFrom, s"from=$from"))
+    }
+  }
 }
