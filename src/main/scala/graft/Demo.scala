@@ -138,6 +138,15 @@ object Demo {
       .groupBy("phrase").count().orderBy("phrase").show(false)
     println("== dataset datasheet (the release card, all numbers graded):")
     graft.queries.ExtQueries.datasheet(spark, sf).show(20, false)
+    println("== event-warehouse analytics: ordered funnel + cohort retention day-1:")
+    graft.queries.ExtQueries.funnel(spark, sf).show(false)
+    graft.queries.ExtQueries.retention(spark, sf)
+      .filter($"day_offset" === 1).orderBy("cohort").show(5, false)
+    println("== A/B readout (hash-parity arms, two-proportion z):")
+    graft.queries.ExtQueries.abTest(spark, sf).show(false)
+    println("== daily volume anomalies (integer-exact 2-sigma flags):")
+    graft.queries.ExtQueries.anomalyDays(spark, sf)
+      .filter($"is_anomaly").show(10, false)
     spark.catalog.clearCache() // funnel/fusion/graph ops persist intermediates
 
     // malformed day file: observe the failure mode

@@ -5244,7 +5244,7 @@ object ExtQueries {
 
   /** The ordered funnel steps: a user converts step i only AFTER converting
     * step i−1 (strictly later event time). */
-  private[queries] val FunnelSteps = Seq("view", "click", "purchase")
+  private[graft] val FunnelSteps = Seq("view", "click", "purchase")
 
   /** Ordered conversion funnel — how many users progressed view → click →
     * purchase, where each step must happen strictly AFTER the previous

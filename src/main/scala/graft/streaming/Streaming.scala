@@ -433,4 +433,60 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, _: Long) => write(trendingTokens(batch, k)) }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** One input event for [[funnelStream]]. */
+  case class FunnelEvent(user_id: Long, event_id: Long, ts: Timestamp,
+      event_type: String)
+  /** One step-advance record: user reached `step` (1-based) at `at_us`. */
+  case class FunnelProgress(user_id: Long, step: Int, event_type: String,
+      at_us: Long)
+  /** Carry-over per-user funnel position: highest step reached and its
+    * conversion time in epoch micros. */
+  case class FunnelState(step: Int, tUs: Long)
+
+  /** Streaming ordered-funnel progression — the ONLINE form of
+    * [[graft.queries.ExtQueries.funnel]]: the same strictly-after rule
+    * (step k's conversion is the first step-k event later than step k−1's
+    * conversion time), run as a per-user state machine that emits a
+    * [[FunnelProgress]] row the moment a user advances. The batch form
+    * answers "how many converted"; this answers it continuously, which is
+    * what a launch-day dashboard actually consumes.
+    *
+    * In-batch ordering: events arrive unordered per key within a
+    * micro-batch, so each group slice sorts by full timestamp + event_id
+    * (the [[sessionize]] device) before the walk; across batches the state
+    * carries (step, t). Events that arrive LATE across a batch boundary —
+    * after a later event already advanced the step — are ignored, the
+    * standard at-the-watermark tradeoff of every online funnel (the batch
+    * operator over the full log is the reconciliation).
+    *
+    * At scale: state is TWO numbers per user (the smallest state of any
+    * stateful op here); the shuffle groups by user_id — the batch form's
+    * partitioning; emitted rows are step advances only (≤ |steps| per user
+    * ever), so the sink sees a trickle, not the event stream. */
+  def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val steps = graft.queries.ExtQueries.FunnelSteps
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val sorted = it.toVector
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          var out = Vector.empty[FunnelProgress]
+          for (e <- sorted) {
+            val us = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+            if (s.step < steps.length && e.event_type == steps(s.step) &&
+                us > s.tUs) {
+              s = FunnelState(s.step + 1, us)
+              out :+= FunnelProgress(user, s.step, e.event_type, us)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
 }

@@ -229,6 +229,84 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.getAs[Long]("content_hash")).toSet === batchHashes)
   }
 
+  test("streaming funnel walks the strictly-after state machine in event order") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-funnel-in").toString
+    val ckpt = Files.createTempDirectory("graft-funnel-ckpt").toString
+    def ev(u: Long, id: Long, t: String, et: String) =
+      (u, id, Timestamp.valueOf(t), et)
+    // u1 completes the funnel; u2's purchase PRECEDES any view (must not
+    // count) and its click precedes its view (must not count either);
+    // u3 skips the middle step and therefore stalls at step 1
+    val df = Seq(
+      ev(1, 1, "2024-02-01 10:00:00", "view"),
+      ev(1, 2, "2024-02-01 10:05:00", "click"),
+      ev(1, 3, "2024-02-01 10:10:00", "purchase"),
+      ev(2, 4, "2024-02-01 09:00:00", "purchase"),
+      ev(2, 5, "2024-02-01 09:20:00", "click"),
+      ev(2, 6, "2024-02-01 09:30:00", "view"),
+      ev(3, 7, "2024-02-01 08:00:00", "view"),
+      ev(3, 8, "2024-02-01 08:30:00", "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    df.coalesce(1).write.mode("append").parquet(in)
+    val q = Streaming.funnelStream(spark.readStream.schema(df.schema)
+        .parquet(in).as[Streaming.FunnelEvent])
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("funnel_stream").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("step"),
+        r.getAs[String]("event_type"))).toSet
+    assert(got === Set(
+      (1L, 1, "view"), (1L, 2, "click"), (1L, 3, "purchase"),
+      (2L, 1, "view"), (3L, 1, "view")))
+  }
+
+  test("streaming funnel state carries step progress across separate runs") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-funnel2-in").toString
+    val ckpt = Files.createTempDirectory("graft-funnel2-ckpt").toString
+    def ev(u: Long, id: Long, t: String, et: String) =
+      (u, id, Timestamp.valueOf(t), et)
+    val schema = Seq(ev(9, 1, "2024-02-01 10:00:00", "view"))
+      .toDF("user_id", "event_id", "ts", "event_type").schema
+    // memory sinks cannot recover from a checkpoint, so each run collects
+    // its emitted advances through foreachBatch instead
+    def run(): Seq[(Long, Int, String)] = {
+      val buf = new scala.collection.mutable.ArrayBuffer[(Long, Int, String)]()
+      val q = Streaming.funnelStream(spark.readStream.schema(schema)
+          .parquet(in).as[Streaming.FunnelEvent])
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streaming.FunnelProgress], _: Long) =>
+          buf.synchronized {
+            buf ++= batch.collect().map(p => (p.user_id, p.step, p.event_type))
+          }; ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      buf.synchronized(buf.toSeq)
+    }
+    Seq(ev(9, 1, "2024-02-01 10:00:00", "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+      .coalesce(1).write.mode("append").parquet(in)
+    assert(run() === Seq((9L, 1, "view")))
+    // the later steps arrive in a SECOND run over the same checkpoint: the
+    // carried (step, t) state must admit them — and a re-delivered view
+    // must not re-advance
+    Seq(ev(9, 2, "2024-02-01 10:02:00", "view"),
+      ev(9, 3, "2024-02-01 10:05:00", "click"),
+      ev(9, 4, "2024-02-01 10:10:00", "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+      .coalesce(1).write.mode("append").parquet(in)
+    assert(run().sorted === Seq((9L, 2, "click"), (9L, 3, "purchase")))
+  }
+
   test("streaming dedup runs on the RocksDB state store (the corpus-scale provider)") {
     // The scaladoc's 100 TB prescription — RocksDB instead of the in-heap
     // HDFS-backed default — must be a config swap, not a rewrite: same
