@@ -161,6 +161,9 @@ object SparkEntry {
     "e_anomaly_days"      -> (ExtQueries.anomalyDays _),
     "e_ab_test"           -> (ExtQueries.abTest _),
     "e_transitions"       -> (ExtQueries.transitions _),
+    "e_cube_agg"          -> (ExtQueries.cubeAgg _),
+    "e_triangles"         -> (ExtQueries.triangles _),
+    "e_trend"             -> (ExtQueries.trend _),
   )
 
   /** Keys that are evaluation harnesses / composites: they RE-EXECUTE other

@@ -1701,6 +1701,40 @@ object ExtOracles {
         |    AND CURRENT ROW)
         |ORDER BY user_id, us, event_id""".stripMargin,
 
+    // CUBE lattice over (event_type, day): collapsed dimensions labeled
+    // explicitly (fixture columns are never NULL, so labels are
+    // unambiguous and no GROUPING() bit-order agreement is needed).
+    "e_cube_agg" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type_g,
+        |  coalesce(day, -1) AS day_g,
+        |  count(*) AS n_events,
+        |  CAST(sum(v_micro) AS BIGINT) AS v_micro_sum
+        |FROM (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v_micro
+        |  FROM events)
+        |GROUP BY CUBE (event_type, day)
+        |ORDER BY event_type_g, day_g""".stripMargin,
+
+    // Per-type OLS daily-volume slope: integer numerator/denominator
+    // (multiply-through form), one int→double divide at the end.
+    "e_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |    CAST(sum(day) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(day * y) AS BIGINT) AS sxy,
+        |    CAST(sum(day * day) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  n_days * sxy - sx * sy AS slope_num,
+        |  n_days * sxx - sx * sx AS slope_den,
+        |  CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope_per_day
+        |FROM m ORDER BY event_type""".stripMargin,
+
     // Deterministic A/B readout: salted hash-parity arms, conversion =
     // any purchase; the z statistic's op sequence (divides, pooled
     // products, sqrt) is identical on both engines — sqrt is exactly
@@ -2005,6 +2039,32 @@ object ExtOracles {
       |    ORDER BY rrf DESC, cid ASC) AS rank FROM fused)
       |SELECT qid, cid, rrf, n_lists, rank FROM rankedf WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
+
+  /** `e_triangles` — per-node triangle counts + clustering coefficient:
+    * COMPOSES the graded `e_knn_graph` SQL text as the adjacency,
+    * symmetrizes/orients it, and counts the ordered a<b<c 3-join. */
+  private lazy val trianglesSql: String =
+    s"""WITH knn AS (SELECT src, nbr FROM (${baseSql("e_knn_graph")}) g),
+      |und AS (SELECT DISTINCT src, nbr FROM (
+      |  SELECT src, nbr FROM knn
+      |  UNION ALL SELECT nbr AS src, src AS nbr FROM knn)),
+      |edges AS (SELECT src, nbr FROM und WHERE src < nbr),
+      |deg AS (SELECT src AS v, count(*) AS deg FROM und GROUP BY 1),
+      |tri AS (SELECT e1.src AS a, e1.nbr AS b, e2.nbr AS c
+      |  FROM edges e1
+      |  JOIN edges e2 ON e1.nbr = e2.src
+      |  JOIN edges e3 ON e1.src = e3.src AND e2.nbr = e3.nbr),
+      |corners AS (SELECT a AS v FROM tri
+      |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+      |pn AS (SELECT v, count(*) AS n_triangles FROM corners GROUP BY 1)
+      |SELECT deg.v AS vec_id, deg.deg,
+      |  coalesce(pn.n_triangles, 0) AS n_triangles,
+      |  CASE WHEN deg.deg >= 2 THEN
+      |    2.0 * CAST(coalesce(pn.n_triangles, 0) AS DOUBLE)
+      |      / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+      |  ELSE 0.0 END AS clustering
+      |FROM deg LEFT JOIN pn ON deg.v = pn.v
+      |ORDER BY vec_id""".stripMargin
 
   /** `e_interleave` — balanced interleaving of the lexical and dense
     * rankers: COMPOSES the `e_bm25_topk` and `e_cosine_topk` SQL texts
@@ -2591,6 +2651,7 @@ object ExtOracles {
     ("e_rank_fusion" -> rankFusionSql) +
     ("e_hybrid_search" -> hybridSearchSql) +
     ("e_interleave" -> interleaveSql) +
+    ("e_triangles" -> trianglesSql) +
     ("e_split_contamination" -> splitContaminationSql) +
     ("e_kmeans_train" -> kmeansTrainSql) +
     ("e_ivf_trained" -> ivfTrainedSql) +

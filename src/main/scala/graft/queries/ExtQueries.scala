@@ -5009,6 +5009,113 @@ object ExtQueries {
       .orderBy("user_id", "us", "event_id")
   }
 
+  // ---- e_cube_agg ---------------------------------------------------------
+
+  /** CUBE aggregation — every grouping-set combination of (event type,
+    * epoch day) in one pass: the OLAP rollup surface ([[RefQueries
+    * .rollupAgg]] covers the hierarchical ROLLUP; CUBE is the full
+    * lattice, what a pivot-table backend asks the engine for). Subtotal
+    * rows label their collapsed dimensions explicitly (`ALL` / −1) instead
+    * of exposing grouping-id bit vectors — the fixture columns are never
+    * NULL, so the labels are unambiguous, and the oracle needs no
+    * engine-specific GROUPING() bit-order agreement. The summed measure is
+    * fixed-point `floor(value·10⁶)` longs ([[rollingAgg]]'s device), so
+    * every cell is integer-exact.
+    *
+    * At scale: Spark expands CUBE into one Expand + hash aggregate —
+    * 4 grouping sets ⇒ 4× the input rows into a map-side-combined
+    * aggregate, still one shuffle; the output is the |types|·|days| lattice
+    * (+ margins). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * lit(1000000.0)).cast("long").as("v_micro"))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v_micro")).as("v_micro_sum"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type_g"),
+        coalesce(col("day"), lit(-1L)).as("day_g"),
+        col("n_events"), col("v_micro_sum"))
+      .orderBy("event_type_g", "day_g")
+
+  // ---- e_triangles --------------------------------------------------------
+
+  /** Per-node triangle count + local clustering coefficient over the
+    * [[knnGraph]] similarity graph — the graph-cohesion audit next to
+    * [[pageRank]] (centrality) and [[labelProp]] (propagation): a node
+    * whose neighbors also neighbor each other sits in a dense semantic
+    * cluster; coefficient 0 flags hub-like or noisy embeddings. Edges are
+    * undirected (the knn adjacency symmetrized, deduped, oriented
+    * u < v); triangles are the classic ordered 3-join a < b < c, counted
+    * once each and credited to all three corners. The coefficient is ONE
+    * int→double divide: 2·T / (deg·(deg−1)).
+    *
+    * At scale: the ordered 3-join's cost is Σ_v deg(v)² — bounded here by
+    * the knn degree cap ([[KnnK]] per direction), which is exactly why
+    * triangle counting is tractable on knn graphs and not on power-law
+    * webs (there you count on the degree-ordered orientation for the same
+    * bound). The oracle composes the graded `e_knn_graph` SQL text. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val knn = knnGraph(spark, dir).select(col("src"), col("nbr"))
+    val und = knn
+      .unionByName(knn.select(col("nbr").as("src"), col("src").as("nbr")))
+      .distinct()
+      .persist()
+    val edges = und.filter(col("src") < col("nbr")).persist()
+    val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.nbr") === col("e2.src"))
+      .join(edges.as("e3"),
+        col("e1.src") === col("e3.src") && col("e2.nbr") === col("e3.nbr"))
+      .select(col("e1.src").as("a"), col("e1.nbr").as("b"), col("e2.nbr").as("c"))
+    val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v").as("vec_id"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering",
+        when(col("deg") >= 2,
+          lit(2.0) * col("n_triangles").cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy("vec_id")
+  }
+
+  // ---- e_trend ------------------------------------------------------------
+
+  /** Per-type daily-volume trend — the ordinary-least-squares slope of
+    * daily event counts over the epoch-day axis, kept EXACT until the last
+    * step: x (day) and y (count) are integers, so the classic closed form
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) has integer numerator and
+    * denominator (both emitted for audit); the slope itself is the one
+    * int→double divide. The monitoring question this answers — is error
+    * volume trending up? — is [[anomalyDays]]'s longitudinal sibling, and
+    * the same multiply-through trick deletes every intermediate float.
+    * Overflow headroom: n·Σxy ~ |days|²·Σy·day stays under 2⁶³ for daily
+    * counts to ~10⁶ over a year of epoch days; widen to decimal(38,0)
+    * beyond.
+    *
+    * At scale: one map-side-combined daily groupBy, then a |types|-row
+    * moment aggregate — nothing corpus-sized moves twice. */
+  def trend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("day")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("day") * col("y")).as("sxy"),
+        sum(col("day") * col("day")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+        ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope_per_day"))
+      .orderBy("event_type")
+  }
+
   // ---- e_ab_test ----------------------------------------------------------
 
   /** Deterministic A/B experiment readout — users split 50/50 by salted

@@ -174,4 +174,45 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       rows.foreach(t => assert(t._5 == t._3.toDouble / nFrom, s"from=$from"))
     }
   }
+
+  test("cube: every margin equals the sum of the cells it collapses") {
+    val got = ExtQueries.cubeAgg(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val cells = got.filter { case ((t, d), _) => t != "ALL" && d != -1L }
+    // type margins, day margins, grand total — all additive over the cells
+    cells.groupBy(_._1._1).foreach { case (t, cs) =>
+      assert(got((t, -1L)) ==
+        ((cs.values.map(_._1).sum, cs.values.map(_._2).sum)), s"type=$t")
+    }
+    cells.groupBy(_._1._2).foreach { case (d, cs) =>
+      assert(got(("ALL", d)) ==
+        ((cs.values.map(_._1).sum, cs.values.map(_._2).sum)), s"day=$d")
+    }
+    assert(got(("ALL", -1L)) ==
+      ((cells.values.map(_._1).sum, cells.values.map(_._2).sum)))
+    // lattice size: cells + type margins + day margins + grand total
+    val (nT, nD) = (cells.keys.map(_._1).toSet.size, cells.keys.map(_._2).toSet.size)
+    assert(got.size == cells.size + nT + nD + 1)
+  }
+
+  test("trend: integer OLS moments match the replay; slope is num/den exactly") {
+    val daily = RefQueries.table(spark, dir, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "day").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).groupBy(_._1)
+    ExtQueries.trend(spark, dir).collect().foreach { r =>
+      val (et, n, num, den, slope) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))
+      val pts = daily(et)
+      assert(n == pts.length.toLong, s"type=$et")
+      val (sx, sy) = (pts.map(_._2).sum, pts.map(_._3).sum)
+      val sxy = pts.map(p => p._2 * p._3).sum
+      val sxx = pts.map(p => p._2 * p._2).sum
+      assert(num == n * sxy - sx * sy && den == n * sxx - sx * sx, s"type=$et")
+      assert(slope == num.toDouble / den.toDouble, s"type=$et")
+      // the denominator is n²·Var(x) — strictly positive over ≥2 distinct days
+      assert(den > 0, s"type=$et")
+    }
+  }
 }
