@@ -164,6 +164,8 @@ object SparkEntry {
     "e_cube_agg"          -> (ExtQueries.cubeAgg _),
     "e_triangles"         -> (ExtQueries.triangles _),
     "e_trend"             -> (ExtQueries.trend _),
+    "e_window_suite"      -> (ExtQueries.windowSuite _),
+    "e_histogram"         -> (ExtQueries.histogram _),
   )
 
   /** Keys that are evaluation harnesses / composites: they RE-EXECUTE other

@@ -1701,6 +1701,39 @@ object ExtOracles {
         |    AND CURRENT ROW)
         |ORDER BY user_id, us, event_id""".stripMargin,
 
+    // Rank-fraction + frame-navigation window suite: the (value, event_id)
+    // order is total, so both fractions are single int→double divides.
+    "e_window_suite" ->
+      s"""SELECT event_type, event_id, value,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(value) OVER wf AS v_first,
+        |  last_value(value) OVER wf AS v_last,
+        |  nth_value(value, 3) OVER wf AS v_nth3
+        |FROM (SELECT event_type, event_id, value FROM events
+        |  WHERE user_id < ${ExtQueries.WindowSuiteUsers})
+        |WINDOW
+        |  w AS (PARTITION BY event_type ORDER BY value, event_id),
+        |  wf AS (PARTITION BY event_type ORDER BY value, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    // Equi-width histogram: the bin expression is mirrored token-for-token
+    // (same IEEE op sequence), max closes into the last bin, hi=lo
+    // degenerates to bin 0.
+    "e_histogram" ->
+      s"""WITH bounds AS (
+        |  SELECT event_type, min(value) AS lo, max(value) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  CASE WHEN b.hi = b.lo THEN 0
+        |    ELSE least(CAST(floor((e.value - b.lo) / (b.hi - b.lo)
+        |      * ${ExtQueries.HistogramBuckets}) AS BIGINT),
+        |      ${ExtQueries.HistogramBuckets - 1}) END AS bin,
+        |  count(*) AS n, max(b.lo) AS lo, max(b.hi) AS hi
+        |FROM events e JOIN bounds b ON e.event_type = b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // CUBE lattice over (event_type, day): collapsed dimensions labeled
     // explicitly (fixture columns are never NULL, so labels are
     // unambiguous and no GROUPING() bit-order agreement is needed).

@@ -5009,6 +5009,73 @@ object ExtQueries {
       .orderBy("user_id", "us", "event_id")
   }
 
+  // ---- e_window_suite -----------------------------------------------------
+
+  /** Users kept in the window-suite output (bounds verify size; the window
+    * semantics are exercised in full). */
+  private[queries] val WindowSuiteUsers = 15L
+
+  /** The remaining rank-family and frame-navigation window functions in
+    * one oracle-checked pass — percent_rank, cume_dist, first/last/nth
+    * value over an unbounded frame — completing the §2.5 surface next to
+    * row_number ([[RefQueries.topCategory]]), lag ([[RefQueries
+    * .dodGrowth]]), lead ([[scd2]]), ntile ([[RefQueries.ntileQuartile]])
+    * and range frames ([[rollingAgg]]). The order key (value, event_id) is
+    * a total order, so cume_dist has no peer groups and both rank
+    * fractions are single int→double divides — bit-stable cross-engine.
+    *
+    * At scale: one shuffle on event_type; the unbounded-frame navigation
+    * values are per-partition constants Spark computes in the same pass as
+    * the ranks. */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    table(spark, dir, "events")
+      .filter(col("user_id") < WindowSuiteUsers)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("v_first", first(col("value")).over(wf))
+      .withColumn("v_last", last(col("value")).over(wf))
+      .withColumn("v_nth3", nth_value(col("value"), 3).over(wf))
+      .orderBy("event_type", "event_id")
+  }
+
+  // ---- e_histogram --------------------------------------------------------
+
+  /** Equi-width histogram bucket count. */
+  private[queries] val HistogramBuckets = 10
+
+  /** Per-type equi-width value histogram — the numeric-profile primitive
+    * ([[textStats]]' numeric sibling) a datasheet or drift monitor plots:
+    * [[HistogramBuckets]] equal-width bins between each type's min and
+    * max, the max itself closing into the last bin. The bin expression
+    * `floor((v − lo) / (hi − lo) · B)` is a fixed sequence of
+    * correctly-rounded IEEE ops mirrored token-for-token in the oracle, so
+    * bin assignment is bit-stable; counts are integers. A degenerate type
+    * (hi = lo) collapses into bin 0 rather than dividing by zero.
+    *
+    * At scale: one map-side-combined bounds aggregate, |types|-row bounds
+    * broadcast back, one map-side-combined (type, bin) count — two
+    * corpus scans, no corpus-sized shuffle. Empty bins are absent (sparse
+    * output), which is what a 10⁹-bucket profile needs anyway. */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events").select(col("event_type"), col("value"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val b = lit(HistogramBuckets)
+    val bin = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(
+        floor((col("value") - col("lo")) / (col("hi") - col("lo")) * b),
+        lit(HistogramBuckets.toLong - 1)))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .groupBy(col("event_type"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"), max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .select(col("event_type"), col("bin"), col("n"), col("lo"), col("hi"))
+      .orderBy("event_type", "bin")
+  }
+
   // ---- e_cube_agg ---------------------------------------------------------
 
   /** CUBE aggregation — every grouping-set combination of (event type,

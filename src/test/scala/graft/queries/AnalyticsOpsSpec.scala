@@ -215,4 +215,52 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(den > 0, s"type=$et")
     }
   }
+
+  test("window suite: rank fractions and frame navigation match the sorted replay") {
+    val events = RefQueries.table(spark, dir, "events")
+      .filter(col("user_id") < ExtQueries.WindowSuiteUsers)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).groupBy(_._1)
+    val got = ExtQueries.windowSuite(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7))))
+    assert(got.length == events.values.map(_.length).sum)
+    got.groupBy(_._1).foreach { case (et, rows) =>
+      val sorted = events(et).sortBy(t => (t._3, t._2))
+      val n = sorted.length
+      val pos = sorted.zipWithIndex.map { case (t, i) => (t._2, i) }.toMap
+      rows.foreach { case (_, eid, _, pr, cd, vf, vl, vn) =>
+        val i = pos(eid)
+        assert(pr == (if (n == 1) 0.0 else i.toDouble / (n - 1)), s"$et/$eid")
+        assert(cd == (i + 1).toDouble / n, s"$et/$eid")
+        assert(vf == sorted.head._3 && vl == sorted.last._3, s"$et/$eid")
+        assert(vn == (if (n >= 3) Some(sorted(2)._3) else None), s"$et/$eid")
+      }
+    }
+  }
+
+  test("histogram: bins partition each type's values exactly; replay agrees") {
+    val events = RefQueries.table(spark, dir, "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    val got = ExtQueries.histogram(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val b = ExtQueries.HistogramBuckets
+    got.groupBy(_._1).foreach { case (et, rows) =>
+      val vs = events(et)
+      val (lo, hi) = (vs.map(_._2).min, vs.map(_._2).max)
+      assert(rows.forall(r => r._4 == lo && r._5 == hi), s"type=$et")
+      // mass conservation and bin range
+      assert(rows.map(_._3).sum == vs.length.toLong, s"type=$et")
+      assert(rows.forall(r => r._2 >= 0 && r._2 < b), s"type=$et")
+      // exact per-bin replay with the same IEEE op sequence
+      val want = vs.map { case (_, v) =>
+        if (hi == lo) 0L
+        else math.min(math.floor((v - lo) / (hi - lo) * b).toLong, b - 1L)
+      }.groupBy(identity).map { case (k, g) => (k, g.size.toLong) }
+      assert(rows.map(r => (r._2, r._3)).toMap == want, s"type=$et")
+    }
+  }
 }
