@@ -47,6 +47,12 @@ object GraftFunctions {
           MinhashSigs(exprs.head, litInt(exprs(1), "num_hashes"))
         }, "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "intersect_count", { exprs =>
+          require(exprs.length == 2,
+            s"intersect_count(a, b) takes 2 arguments, got ${exprs.length}")
+          IntersectCount(exprs.head, exprs(1))
+        }, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "morton_interleave", { exprs =>
           require(exprs.length == 3,
             s"morton_interleave(x, y, bits) takes 3 arguments, got ${exprs.length}")
@@ -88,6 +94,14 @@ object GraftFunctions {
   def mortonInterleave(spark: SparkSession, x: Column, y: Column, bits: Int): Column = {
     register(spark)
     call_function("morton_interleave", x, y, lit(bits))
+  }
+
+  /** Set-intersection cardinality of two long-array SETS — the Jaccard
+    * verify counting kernel ([[SetOps.intersectCount]]); inputs must hold
+    * distinct elements (every builder in the repo guarantees it). */
+  def intersectCount(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("intersect_count", a, b)
   }
 
   /** Floor-division nanos→micros via the named [[NanosToMicros]] expression —

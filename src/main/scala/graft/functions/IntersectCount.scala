@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Primitive set-intersection CARDINALITY for two long-array SETS — the
+  * counting kernel of every Jaccard verify in the repo
+  * (`2·|∩| ≥ t·|∪|`), replacing `size(array_intersect(a, b))`:
+  * Spark's `ArrayIntersect` routes through a boxed hash set and
+  * MATERIALIZES the intersection array only for `size` to throw it away.
+  * This kernel never allocates the result: it copies the SMALLER side
+  * into a primitive long buffer, sorts it, and binary-searches each
+  * element of the larger side — O((n+m)·log n), zero boxing, one
+  * bounded scratch buffer, inside whole-stage codegen as a single
+  * static call (the [[Morton]] fusion pattern). Measured honestly: at
+  * sf0.1 the verify stages are JOIN-dominated (the candidate→sets
+  * shuffles), so the kernel does not move the bench needle there — its
+  * win is allocation pressure and it grows with pair volume relative to
+  * shuffle cost (the 100 TB direction, where verify batches are large
+  * and resident).
+  *
+  * PRECONDITION (every call site holds it by construction): both arrays
+  * are SETS — distinct elements — because they come from the shared
+  * distinct-shingle/bigram builders. On multisets this counts matches of
+  * the larger side against the smaller's distinct values, which is NOT
+  * |∩| under bag semantics; the scaladoc'd contract, not a runtime check,
+  * because a per-row distinctness scan would cost what the kernel saves.
+  * Null elements are excluded by the builders (`containsNull = false`
+  * arrays); a null ARRAY yields null via the standard null-safe path. */
+object SetOps {
+  def intersectCount(a: ArrayData, b: ArrayData): Long = {
+    val (small, large) = if (a.numElements <= b.numElements) (a, b) else (b, a)
+    val n = small.numElements
+    if (n == 0) return 0L
+    val buf = new Array[Long](n)
+    var i = 0
+    while (i < n) { buf(i) = small.getLong(i); i += 1 }
+    java.util.Arrays.sort(buf)
+    var c = 0L
+    val m = large.numElements
+    var j = 0
+    while (j < m) {
+      if (java.util.Arrays.binarySearch(buf, large.getLong(j)) >= 0) c += 1
+      j += 1
+    }
+    c
+  }
+}
+
+/** Catalyst-native wrapper over [[SetOps.intersectCount]] — a static call,
+  * so it stays inside whole-stage codegen. Registered as SQL function
+  * `intersect_count` via [[GraftFunctions.register]]. */
+case class IntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"intersect_count expects (array<bigint>, array<bigint>), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SetOps.intersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SetOps.intersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCount =
+    copy(left = newLeft, right = newRight)
+}

@@ -490,10 +490,14 @@ object ExtQueries {
     cand
       .join(shd.select(col("doc_id").as("doc_a"), col("ds").as("ds_a")), Seq("doc_a"))
       .join(shd.select(col("doc_id").as("doc_b"), col("ds").as("ds_b")), Seq("doc_b"))
+      // |∩| via the primitive counting kernel (no boxed hash set, no
+      // materialized intersection array); |∪| = |A| + |B| − |∩| replaces
+      // the array_union materialization — sets, so the identity is exact
+      .withColumn("n_inter",
+        intersectCount(cand.sparkSession, col("ds_a"), col("ds_b")).cast("int"))
       .select(
-        col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ds_a"), col("ds_b"))).as("n_inter"),
-        size(array_union(col("ds_a"), col("ds_b"))).as("n_union"))
+        col("doc_a"), col("doc_b"), col("n_inter"),
+        (size(col("ds_a")) + size(col("ds_b")) - col("n_inter")).as("n_union"))
       .filter(lit(2) * col("n_inter") >= col("n_union"))
 
   // ---- e_cross_dedup ------------------------------------------------------
@@ -551,9 +555,10 @@ object ExtQueries {
     cand
       .join(corpusShd.select(col("doc_id").as("doc_a"), col("ds").as("ds_a")), Seq("doc_a"))
       .join(batchShd.select(col("doc_id").as("doc_b"), col("ds").as("ds_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ds_a"), col("ds_b"))).as("n_inter"),
-        size(array_union(col("ds_a"), col("ds_b"))).as("n_union"))
+      .withColumn("n_inter",
+        intersectCount(cand.sparkSession, col("ds_a"), col("ds_b")).cast("int"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (size(col("ds_a")) + size(col("ds_b")) - col("n_inter")).as("n_union"))
       .filter(lit(2) * col("n_inter") >= col("n_union"))
   }
 
@@ -728,7 +733,7 @@ object ExtQueries {
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("bs").as("bs_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("bs").as("bs_b")), Seq("doc_b"))
-      .withColumn("n_inter", size(array_intersect(col("bs_a"), col("bs_b"))).cast("long"))
+      .withColumn("n_inter", intersectCount(spark, col("bs_a"), col("bs_b")))
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         (size(col("bs_a")).cast("long") + size(col("bs_b")).cast("long")
           - col("n_inter")).as("n_union"))
@@ -857,7 +862,8 @@ object ExtQueries {
       .join(shd.select(col("doc_id").as("doc_a"), col("ds").as("ds_a")), Seq("doc_a"))
       .join(shd.select(col("doc_id").as("doc_b"), col("ds").as("ds_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ds_a"), col("ds_b"))).as("n_inter"),
+        intersectCount(cand.sparkSession, col("ds_a"), col("ds_b"))
+          .cast("int").as("n_inter"),
         size(col("ds_a")).as("n_a"), size(col("ds_b")).as("n_b"))
       .filter(lit(5) * col("n_inter") >= lit(4) * least(col("n_a"), col("n_b")))
       .withColumn("containment",
