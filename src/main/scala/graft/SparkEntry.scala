@@ -166,6 +166,7 @@ object SparkEntry {
     "e_trend"             -> (ExtQueries.trend _),
     "e_window_suite"      -> (ExtQueries.windowSuite _),
     "e_histogram"         -> (ExtQueries.histogram _),
+    "e_collocations"      -> (ExtQueries.collocations _),
   )
 
   /** Keys that are evaluation harnesses / composites: they RE-EXECUTE other

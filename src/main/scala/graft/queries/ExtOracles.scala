@@ -1701,6 +1701,31 @@ object ExtOracles {
         |    AND CURRENT ROW)
         |ORDER BY user_id, us, event_id""".stripMargin,
 
+    // PMI collocations via the exp form (rank-identical, no log): exact
+    // integer numerator/denominator, one int→double divide, global top-k.
+    "e_collocations" ->
+      s"""WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+        |psrc AS (SELECT t, unnest(range(1, len(t))) AS i FROM toks
+        |  WHERE len(t) >= 2),
+        |pairs AS (SELECT t[i] AS a, t[i+1] AS b, count(*) AS c_ab
+        |  FROM psrc GROUP BY 1, 2
+        |  HAVING count(*) >= ${ExtQueries.CollocMinCount}),
+        |uni AS (SELECT unnest(t) AS tok FROM toks),
+        |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uc) AS n_uni,
+        |  (SELECT CAST(sum(c_ab) AS BIGINT) FROM pairs) AS n_pairs)
+        |SELECT p.a, p.b, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+        |  p.c_ab * t.n_uni * t.n_uni AS pmi_num,
+        |  t.n_pairs * ca.c * cb.c AS pmi_den,
+        |  CAST(p.c_ab * t.n_uni * t.n_uni AS DOUBLE)
+        |    / CAST(t.n_pairs * ca.c * cb.c AS DOUBLE) AS strength
+        |FROM pairs p
+        |JOIN uc ca ON p.a = ca.tok
+        |JOIN uc cb ON p.b = cb.tok
+        |CROSS JOIN tot t
+        |ORDER BY strength DESC, a, b LIMIT ${ExtQueries.CollocTopK}""".stripMargin,
+
     // Rank-fraction + frame-navigation window suite: the (value, event_id)
     // order is total, so both fractions are single int→double divides.
     "e_window_suite" ->

@@ -5015,6 +5015,60 @@ object ExtQueries {
       .orderBy("user_id", "us", "event_id")
   }
 
+  // ---- e_collocations -----------------------------------------------------
+
+  /** Collocation selection knobs: minimum pair count (PMI is unstable on
+    * rare pairs) and the report size. */
+  private[queries] val CollocMinCount = 5L
+  private[queries] val CollocTopK = 20
+
+  /** Collocation mining — the corpus's top token bigrams by pointwise
+    * mutual information, the classic "new york"/"machine learning"
+    * detector feeding tokenizer merge rules, stopword curation and
+    * phrase-index vocabularies. PMI's log is MONOTONE, so ranking by the
+    * exp form `c_ab·N_u² / (N_p·c_a·c_b)` is rank-identical with NO
+    * transcendental anywhere (the [[bm25Topk]] rational-idf device):
+    * numerator and denominator are exact longs (both emitted), the
+    * strength one int→double divide. Pairs below [[CollocMinCount]] are
+    * dropped — rare-pair PMI is noise — and the report is the global
+    * [[CollocTopK]] by (strength DESC, a ASC, b ASC).
+    *
+    * At scale: adjacent-pair extraction is scan-side (zip of two array
+    * slices, exploded); pair and unigram counts map-side-combine; the
+    * 1-row totals broadcast; the final selection is distributed
+    * TakeOrderedAndProject ([[reservoirSample]]'s device), never a global
+    * sort. Overflow: c_ab·N_u² < 2⁶³ up to ~10⁹ corpus tokens at the
+    * min-count floor; widen to decimal(38,0) beyond. */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toked = table(spark, dir, "documents")
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .withColumn("t1", slice(col("t"), lit(1), size(col("t")) - 1))
+      .withColumn("t2", slice(col("t"), lit(2), size(col("t")) - 1))
+    val pairs = toked
+      .select(explode(arrays_zip(col("t1"), col("t2"))).as("p"))
+      .select(col("p.t1").as("a"), col("p.t2").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= CollocMinCount)
+    val uni = table(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .persist()
+    val totals = uni.agg(sum(col("c")).as("n_uni"))
+      .crossJoin(pairs.agg(sum(col("c_ab")).as("n_pairs")))
+    pairs
+      .join(uni.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        (col("c_ab") * col("n_uni") * col("n_uni")).as("pmi_num"),
+        (col("n_pairs") * col("c_a") * col("c_b")).as("pmi_den"))
+      .withColumn("strength",
+        col("pmi_num").cast("double") / col("pmi_den").cast("double"))
+      .orderBy(col("strength").desc, col("a").asc, col("b").asc)
+      .limit(CollocTopK)
+  }
+
   // ---- e_window_suite -----------------------------------------------------
 
   /** Users kept in the window-suite output (bounds verify size; the window

@@ -464,27 +464,41 @@ object Streaming {
     * stateful op here); the shuffle groups by user_id — the batch form's
     * partitioning; emitted rows are step advances only (≤ |steps| per user
     * ever), so the sink sees a trickle, not the event stream. */
+  /** The pure funnel walk: fold TIME-ORDERED (event_type, us) pairs into
+    * the carried state, returning the advanced state and the emitted
+    * progress rows. Factored out of the stream so the property spec can
+    * drive the same function the stream runs — including the micro-batch
+    * COMPOSITION law (walking a sequence in arbitrarily-split ordered
+    * chunks with carried state ≡ walking it in one pass), which is exactly
+    * the guarantee checkpointed state must provide. */
+  private[graft] def funnelWalk(user: Long, start: FunnelState,
+      ordered: Seq[(String, Long)]): (FunnelState, Vector[FunnelProgress]) = {
+    val steps = graft.queries.ExtQueries.FunnelSteps
+    var s = start
+    var out = Vector.empty[FunnelProgress]
+    for ((et, us) <- ordered) {
+      if (s.step < steps.length && et == steps(s.step) && us > s.tUs) {
+        s = FunnelState(s.step + 1, us)
+        out :+= FunnelProgress(user, s.step, et, us)
+      }
+    }
+    (s, out)
+  }
+
   def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelProgress] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val steps = graft.queries.ExtQueries.FunnelSteps
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelProgress](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          val sorted = it.toVector
+          val ordered = it.toVector
             .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
-          var out = Vector.empty[FunnelProgress]
-          for (e <- sorted) {
-            val us = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
-            if (s.step < steps.length && e.event_type == steps(s.step) &&
-                us > s.tUs) {
-              s = FunnelState(s.step + 1, us)
-              out :+= FunnelProgress(user, s.step, e.event_type, us)
-            }
-          }
+            .map(e => (e.event_type,
+              e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000))
+          val (s, out) = funnelWalk(user,
+            state.getOption.getOrElse(FunnelState(0, Long.MinValue)), ordered)
           state.update(s)
           out.iterator
       }

@@ -263,4 +263,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(rows.map(r => (r._2, r._3)).toMap == want, s"type=$et")
     }
   }
+
+  test("collocations: counts, PMI rationals and top-k order match the replay") {
+    val texts = RefQueries.table(spark, dir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val toks = texts.map(_.trim.split("\\s+").toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (t, g) => (t, g.size.toLong) }
+    val nUni = uni.values.sum
+    val pairCounts = toks.filter(_.length >= 2)
+      .flatMap(t => t.zip(t.tail))
+      .groupBy(identity).map { case (p, g) => (p, g.size.toLong) }
+      .filter(_._2 >= ExtQueries.CollocMinCount)
+    val nPairs = pairCounts.values.sum
+    val ranked = pairCounts.toSeq.map { case ((a, b), cab) =>
+      val num = cab * nUni * nUni
+      val den = nPairs * uni(a) * uni(b)
+      (a, b, cab, uni(a), uni(b), num, den, num.toDouble / den.toDouble)
+    }.sortBy(t => (-t._8, t._1, t._2)).take(ExtQueries.CollocTopK)
+    val got = ExtQueries.collocations(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7))).toSeq
+    spark.catalog.clearCache()
+    assert(got == ranked)
+    // PMI sanity: every reported pair co-occurs at least the floor
+    assert(got.forall(_._3 >= ExtQueries.CollocMinCount))
+  }
 }

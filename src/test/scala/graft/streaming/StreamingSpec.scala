@@ -307,6 +307,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(run().sorted === Seq((9L, 2, "click"), (9L, 3, "purchase")))
   }
 
+  test("funnel walk: micro-batch composition ≡ one pass, and matches the batch rule (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val steps = graft.queries.ExtQueries.FunnelSteps
+    val evGen = Gen.listOf(Gen.zip(
+      Gen.oneOf(steps :+ "noise"), Gen.chooseNum(0L, 50L)))
+      .map(_.sortBy(_._2).toSeq)
+    val splitGen = Gen.chooseNum(0, 100)
+    val init = Streaming.FunnelState(0, Long.MinValue)
+    val p = Prop.forAll(evGen, splitGen, splitGen) { (evs, s1, s2) =>
+      // one-pass walk
+      val (endState, out) = Streaming.funnelWalk(7L, init, evs)
+      // arbitrary 3-way ordered split with carried state — the micro-batch
+      // shape checkpointed state must make equivalent to one pass
+      val (i, j) = {
+        val a = if (evs.isEmpty) 0 else s1 % (evs.length + 1)
+        val b = if (evs.isEmpty) 0 else s2 % (evs.length + 1)
+        (math.min(a, b), math.max(a, b))
+      }
+      val (st1, o1) = Streaming.funnelWalk(7L, init, evs.take(i))
+      val (st2, o2) = Streaming.funnelWalk(7L, st1, evs.slice(i, j))
+      val (st3, o3) = Streaming.funnelWalk(7L, st2, evs.drop(j))
+      val composed = st3 == endState && (o1 ++ o2 ++ o3) == out
+      // batch parity: the reached step count matches the conditional-min
+      // rule (step k's time = first step-k event strictly after t_{k-1})
+      var t = Long.MinValue
+      var reached = 0
+      var ok = true
+      steps.foreach { step =>
+        if (ok) {
+          val cand = evs.filter(e => e._1 == step && e._2 > t)
+          if (cand.isEmpty) ok = false
+          else { t = cand.map(_._2).min; reached += 1 }
+        }
+      }
+      composed && endState.step == reached && out.length == reached
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("streaming dedup runs on the RocksDB state store (the corpus-scale provider)") {
     // The scaladoc's 100 TB prescription — RocksDB instead of the in-heap
     // HDFS-backed default — must be a config swap, not a rewrite: same
