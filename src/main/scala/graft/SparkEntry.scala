@@ -167,6 +167,8 @@ object SparkEntry {
     "e_window_suite"      -> (ExtQueries.windowSuite _),
     "e_histogram"         -> (ExtQueries.histogram _),
     "e_collocations"      -> (ExtQueries.collocations _),
+    "e_skyline"           -> (ExtQueries.skyline _),
+    "e_stickiness"        -> (ExtQueries.stickiness _),
   )
 
   /** Keys that are evaluation harnesses / composites: they RE-EXECUTE other

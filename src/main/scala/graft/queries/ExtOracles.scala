@@ -1701,6 +1701,50 @@ object ExtOracles {
         |    AND CURRENT ROW)
         |ORDER BY user_id, us, event_id""".stripMargin,
 
+    // Per-language 2D Pareto skyline: group-max per token count, then a
+    // strictly-greater RANGE frame — integer comparisons throughout.
+    "e_skyline" ->
+      """WITH toked AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |      AS n_distinct
+        |  FROM documents),
+        |best AS (
+        |  SELECT lang, n_tokens, n_distinct, doc_id FROM (
+        |    SELECT lang, n_tokens, n_distinct, doc_id,
+        |      row_number() OVER (PARTITION BY lang, n_tokens
+        |        ORDER BY n_distinct DESC, doc_id) AS rn
+        |    FROM toked) WHERE rn = 1),
+        |sky AS (
+        |  SELECT lang, doc_id, n_tokens, n_distinct,
+        |    max(n_distinct) OVER (PARTITION BY lang ORDER BY n_tokens
+        |      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS max_dist_longer
+        |  FROM best)
+        |SELECT lang, doc_id, n_tokens, n_distinct FROM sky
+        |WHERE max_dist_longer IS NULL OR n_distinct > max_dist_longer
+        |ORDER BY lang, n_tokens""".stripMargin,
+
+    // DAU over trailing-30d distinct users; the |days| calendar joins the
+    // reduced (user, day) pairs, each landing in ≤ 30 windows.
+    "e_stickiness" ->
+      s"""WITH active AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day AS d FROM active),
+        |dau AS (SELECT day AS d, count(*) AS dau FROM active GROUP BY 1),
+        |mau AS (
+        |  SELECT dy.d, count(DISTINCT a.user_id) AS mau
+        |  FROM active a JOIN days dy
+        |    ON a.day > dy.d - ${ExtQueries.StickinessWindowDays}
+        |    AND a.day <= dy.d
+        |  GROUP BY 1)
+        |SELECT dau.d AS day, dau.dau, mau.mau,
+        |  CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
+        |FROM dau JOIN mau ON dau.d = mau.d
+        |ORDER BY day""".stripMargin,
+
     // PMI collocations via the exp form (rank-identical, no log): exact
     // integer numerator/denominator, one int→double divide, global top-k.
     "e_collocations" ->

@@ -5015,6 +5015,81 @@ object ExtQueries {
       .orderBy("user_id", "us", "event_id")
   }
 
+  // ---- e_skyline ----------------------------------------------------------
+
+  /** Per-language Pareto skyline of (token count, distinct-token count) —
+    * the multi-objective selection shape ("longest AND most lexically
+    * diverse, no document better on both") a curation pass uses when no
+    * single score should decide. Dominance convention, pinned: a document
+    * is dominated iff some same-language document has STRICTLY more tokens
+    * and ≥ its distinct count; among equal token counts only the highest
+    * distinct count (min doc_id on ties) survives. Two relational steps:
+    * a (lang, n_tokens) group-max, then a RANGE frame over the strictly-
+    * greater token counts (offset 1 on an integer order key ⇒ strict) —
+    * the 2D skyline as one window, no self-join, no quadratic dominance
+    * test. All comparisons are integer.
+    *
+    * At scale: one groupBy shuffle + one lang-partitioned window over the
+    * |lang × distinct n_tokens| REDUCED frame (not the corpus); the
+    * classic sort-based skyline, with the language key keeping partitions
+    * real. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val toked = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("lang"), size(col("t")).as("n_tokens"),
+        size(array_distinct(col("t"))).as("n_distinct"))
+    val best = toked
+      .groupBy(col("lang"), col("n_tokens"))
+      .agg(max(struct(col("n_distinct"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("lang"), col("n_tokens"), col("m.n_distinct").as("n_distinct"),
+        (-col("m.nid")).as("doc_id"))
+    val wGreater = Window.partitionBy(col("lang")).orderBy(col("n_tokens").asc)
+      .rangeBetween(1, Window.unboundedFollowing)
+    best
+      .withColumn("max_dist_longer", max(col("n_distinct")).over(wGreater))
+      .filter(col("max_dist_longer").isNull ||
+        col("n_distinct") > col("max_dist_longer"))
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("n_distinct"))
+      .orderBy("lang", "n_tokens")
+  }
+
+  // ---- e_stickiness -------------------------------------------------------
+
+  /** Trailing window for the stickiness denominator: 30 days. */
+  private[queries] val StickinessWindowDays = 30L
+
+  /** DAU/MAU stickiness — for every active day, the distinct users active
+    * THAT day over the distinct users active in the trailing
+    * [[StickinessWindowDays]] days: the engagement ratio every product
+    * dashboard tracks, and a distinct-count-over-sliding-window shape that
+    * neither a tumbling window nor [[rollingAgg]]'s frame (which counts
+    * rows, not distinct users) expresses. The ratio is one int→double
+    * divide.
+    *
+    * At scale: the (user, day) distinct reduces the fact table once; the
+    * |days|-row calendar BROADCASTS against it (each active-pair row lands
+    * in ≤ 30 windows, so the expansion is 30×|active|, never |active|²);
+    * the per-window distinct is one map-side-combined countDistinct. At
+    * calendar sizes where the broadcast no longer fits — decades of days —
+    * [[graft.operators.RangeJoin]]'s binned equi-join replaces the
+    * broadcast nested loop; same semantics. */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val active = table(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val days = active.select(col("day").as("d")).distinct()
+    val dau = active.groupBy(col("day").as("d")).agg(count(lit(1)).as("dau"))
+    val mau = active
+      .join(broadcast(days),
+        col("day") > col("d") - StickinessWindowDays && col("day") <= col("d"))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, Seq("d"))
+      .select(col("d").as("day"), col("dau"), col("mau"),
+        (col("dau").cast("double") / col("mau").cast("double")).as("stickiness"))
+      .orderBy("day")
+  }
+
   // ---- e_collocations -----------------------------------------------------
 
   /** Collocation selection knobs: minimum pair count (PMI is unstable on

@@ -288,4 +288,49 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     // PMI sanity: every reported pair co-occurs at least the floor
     assert(got.forall(_._3 >= ExtQueries.CollocMinCount))
   }
+
+  test("skyline: survivors are exactly the non-dominated points (quadratic replay)") {
+    val pts = RefQueries.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map { r =>
+        val t = r.getString(2).trim.split("\\s+")
+        (r.getString(1), r.getLong(0), t.length.toLong, t.distinct.length.toLong)
+      }
+    val got = ExtQueries.skyline(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2).toLong,
+        r.getInt(3).toLong))
+    // the operator's pinned dominance: dominated iff ∃ strictly-longer doc
+    // with ≥ distinct; among equal lengths the max-distinct (min id) wins
+    val want = pts.groupBy(_._1).flatMap { case (lang, ps) =>
+      val best = ps.groupBy(_._3).map { case (_, g) =>
+        g.minBy(p => (-p._4, p._2))
+      }
+      best.filter(p => !best.exists(q => q._3 > p._3 && q._4 >= p._4))
+    }.map(p => (p._1, p._2, p._3, p._4)).toSet
+    assert(got.toSet == want)
+    // within a language the frontier is strictly decreasing in distinct
+    // count as token count grows
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      val ordered = rows.sortBy(_._3).toSeq
+      assert(ordered.map(_._4) == ordered.map(_._4).sorted.reverse, s"lang=$lang")
+    }
+  }
+
+  test("stickiness: DAU/MAU matches the trailing-window distinct replay") {
+    val active = RefQueries.table(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = ExtQueries.stickiness(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == active.map(_._2).toSet)
+    got.foreach { case (d, dau, mau, s) =>
+      val dauWant = active.count(_._2 == d).toLong
+      val mauWant = active.filter(a => a._2 > d - ExtQueries.StickinessWindowDays
+        && a._2 <= d).map(_._1).distinct.length.toLong
+      assert(dau == dauWant && mau == mauWant, s"day=$d")
+      assert(s == dau.toDouble / mau, s"day=$d")
+      // DAU can never exceed the window's distinct population
+      assert(dau <= mau, s"day=$d")
+    }
+  }
 }
