@@ -611,6 +611,44 @@ class PlanSpec extends AnyFunSuite {
     assert(parquetScans(plan) == 1)
   }
 
+  test("collocations: global top-k is distributed selection, plan window-free") {
+    val plan = formatted(ExtQueries.collocations(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the top-k collocation report must be per-partition selection — a " +
+        "global sort of the pair-vocabulary is the regression")
+    assert(!plan.contains("Window"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"),
+      "the 1-row totals must broadcast under the cross join")
+    spark.catalog.clearCache()
+  }
+
+  test("funnel: stage counts combine through one exploded wide row, window-free") {
+    val plan = formatted(ExtQueries.funnel(spark, dir))
+    assert(!plan.contains("Window"),
+      "the per-step report must come from the exploded 1-row wide frame — " +
+        "a global lag window is the empty-partition shape")
+    assert(plan.contains("Generate"), plan.take(600))
+  }
+
+  test("retention and stickiness: slim frames broadcast, no cartesian blowup") {
+    for ((name, df) <- Seq(
+        "retention" -> ExtQueries.retention(spark, dir),
+        "stickiness" -> ExtQueries.stickiness(spark, dir))) {
+      val plan = formatted(df)
+      assert(plan.contains("Broadcast"), s"$name:\n${plan.take(600)}")
+      assert(!plan.contains("CartesianProduct"), s"$name:\n${plan.take(600)}")
+    }
+  }
+
+  test("cube: the lattice is one Expand into a partial-aggregated exchange") {
+    val plan = formatted(ExtQueries.cubeAgg(spark, dir))
+    assert(plan.contains("Expand"), plan.take(600))
+    assert(plan.contains("HashAggregate"), plan.take(600))
+    assert(!plan.contains("Union"),
+      "CUBE must be the single Expand plan, not a union of grouping sets " +
+        "re-scanning the fact table once per set")
+  }
+
   test("winsorize: |event_types|-row cut table broadcasts back onto the clip pass") {
     val plan = formatted(ExtQueries.winsorize(spark, dir))
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
