@@ -5074,9 +5074,12 @@ object ExtQueries {
     * [[graft.operators.RangeJoin]]'s binned equi-join replaces the
     * broadcast nested loop; same semantics. */
   def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    // PERSISTED: three consumers (calendar, DAU, the window join) —
+    // unpersisted, the fact-table distinct executes three times. Slim.
     val active = table(spark, dir, "events")
       .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
       .distinct()
+      .persist()
     val days = active.select(col("day").as("d")).distinct()
     val dau = active.groupBy(col("day").as("d")).agg(count(lit(1)).as("dau"))
     val mau = active
@@ -5125,6 +5128,9 @@ object ExtQueries {
       .select(col("p.t1").as("a"), col("p.t2").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= CollocMinCount)
+      // PERSISTED: the pair total AND the PMI join both read it —
+      // unpersisted, the adjacent-pair extraction scans the corpus twice.
+      .persist()
     val uni = table(spark, dir, "documents")
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
@@ -5350,6 +5356,9 @@ object ExtQueries {
       .select(col("user_id"), arm.as("arm"), col("converted"))
     val arms = perUser.groupBy(col("arm"))
       .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+      // PERSISTED: both arm branches read it — unpersisted, the per-user
+      // aggregate over the fact table runs once per branch. 2 rows.
+      .persist()
     val a = arms.filter(col("arm") === 0)
       .select(col("n").as("n_a"), col("conv").as("conv_a"))
     val b = arms.filter(col("arm") === 1)
@@ -5393,6 +5402,10 @@ object ExtQueries {
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n_pairs"))
+      // PERSISTED: the totals aggregate AND the probability join both read
+      // it — unpersisted, the lead window over the fact table runs twice.
+      // |types|² rows.
+      .persist()
     val totals = pairs.groupBy(col("from_type"))
       .agg(sum(col("n_pairs")).as("n_from"))
     pairs.join(broadcast(totals), Seq("from_type"))
@@ -5505,6 +5518,9 @@ object ExtQueries {
       .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n_events"))
+      // PERSISTED: the moment aggregate AND the flag join both read the
+      // daily matrix — unpersisted, the fact groupBy runs twice. |types·days|.
+      .persist()
     val stats = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"), sum(col("n_events")).as("s"),
         sum(col("n_events") * col("n_events")).as("q"))
@@ -5534,9 +5550,13 @@ object ExtQueries {
     * on the same key — no second corpus exchange); the matrix itself is
     * |cohorts|·|offsets| rows. */
   def retention(spark: SparkSession, dir: String): DataFrame = {
+    // PERSISTED: consumed by the cohort derivation AND the matrix join —
+    // unpersisted, the fact-table distinct executes twice (the dedup-eval
+    // lesson). Slim: one (user, day) pair per active user-day.
     val active = table(spark, dir, "events")
       .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
       .distinct()
+      .persist()
     val cohorts = active.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
     val sizes = cohorts.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
     active.join(cohorts, Seq("user_id"))
@@ -5573,8 +5593,12 @@ object ExtQueries {
     val ev = table(spark, dir, "events")
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
     // stage 1: first qualifying event of the first step type
+    // each stage frame is PERSISTED: the next stage's join and the count
+    // branch both read it — unpersisted, stage k's whole chain re-executes
+    // inside every later stage and count. |converted users| rows each.
     val first = ev.filter(col("event_type") === FunnelSteps.head)
       .groupBy(col("user_id")).agg(min(col("us")).as("t"))
+      .persist()
     // each later stage: earliest step-type event strictly after the
     // previous stage's conversion time
     val stages = FunnelSteps.tail.scanLeft(first) { (prev, step) =>
@@ -5582,6 +5606,7 @@ object ExtQueries {
         .join(prev.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
         .filter(col("us") > col("t_prev"))
         .groupBy(col("user_id")).agg(min(col("us")).as("t"))
+        .persist()
     }
     // one 1-row frame holding every stage count, exploded into the tall
     // |steps|-row report in a SINGLE reference — a union of per-step
