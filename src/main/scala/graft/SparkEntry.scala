@@ -169,6 +169,7 @@ object SparkEntry {
     "e_collocations"      -> (ExtQueries.collocations _),
     "e_skyline"           -> (ExtQueries.skyline _),
     "e_stickiness"        -> (ExtQueries.stickiness _),
+    "e_time_to_convert"   -> (ExtQueries.timeToConvert _),
   )
 
   /** Keys that are evaluation harnesses / composites: they RE-EXECUTE other

@@ -8,6 +8,20 @@ package graft.queries
 object ExtOracles {
 
   private val P = graft.functions.GraftFunctions.IntModulus
+
+  /** The funnel's conditional-min stage CTEs (`e`, `s0`..`s2`) — the SQL
+    * twin of `ExtQueries.funnelStages`, shared by `e_funnel` and
+    * `e_time_to_convert` so the two reports derive the same converters. */
+  private val funnelStageCtes: String =
+    """e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s0 AS (SELECT user_id, min(us) AS t FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s1 AS (SELECT e.user_id, min(us) AS t FROM e
+      |  JOIN s0 ON e.user_id = s0.user_id
+      |  WHERE event_type = 'click' AND us > s0.t GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(us) AS t FROM e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE event_type = 'purchase' AND us > s1.t GROUP BY 1)""".stripMargin
   private def lst(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
   /** `'the', 'a', 'of'` — the quality stopword list as a SQL IN-list,
     * interpolated so the oracle can never drift from
@@ -1974,15 +1988,7 @@ object ExtOracles {
     // Ordered conversion funnel: each step's time is the earliest
     // qualifying event STRICTLY AFTER the previous step's conversion.
     "e_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-        |s0 AS (SELECT user_id, min(us) AS t FROM e
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |s1 AS (SELECT e.user_id, min(us) AS t FROM e
-        |  JOIN s0 ON e.user_id = s0.user_id
-        |  WHERE event_type = 'click' AND us > s0.t GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(us) AS t FROM e
-        |  JOIN s1 ON e.user_id = s1.user_id
-        |  WHERE event_type = 'purchase' AND us > s1.t GROUP BY 1),
+      s"""WITH $funnelStageCtes,
         |c AS (SELECT (SELECT count(*) FROM s0) AS n0,
         |  (SELECT count(*) FROM s1) AS n1,
         |  (SELECT count(*) FROM s2) AS n2)
@@ -1993,6 +1999,22 @@ object ExtOracles {
         |UNION ALL SELECT CAST(3 AS INT), 'purchase', n2,
         |  CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c
         |ORDER BY step""".stripMargin,
+
+    // Time-to-convert distribution over the SAME funnel stage CTEs;
+    // median is the exact ⌈n/2⌉ rank selection (the orderStats convention
+    // GK degenerates to below its accuracy).
+    "e_time_to_convert" ->
+      s"""WITH $funnelStageCtes,
+        |durs AS (SELECT s2.user_id, s2.t - s0.t AS dur_us
+        |  FROM s2 JOIN s0 ON s2.user_id = s0.user_id),
+        |r AS (SELECT dur_us,
+        |  row_number() OVER (ORDER BY dur_us) AS rn,
+        |  count(*) OVER () AS n FROM durs)
+        |SELECT (SELECT count(*) FROM durs) AS n_converted,
+        |  (SELECT min(dur_us) FROM durs) AS min_us,
+        |  (SELECT max(dur_us) FROM durs) AS max_us,
+        |  (SELECT dur_us FROM r
+        |   WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)) AS median_us""".stripMargin,
 
     // Winsorization report: exact nearest-rank ⌈q·n⌉ cut points in INTEGER
     // arithmetic ((5n+99)//100 — a float quantile multiply can round across

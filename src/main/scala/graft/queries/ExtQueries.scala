@@ -5589,25 +5589,33 @@ object ExtQueries {
     * SHRINKS (converted users); all joins co-partition on user_id. The
     * output is |steps| rows. Times are epoch micros ([[scd2]]'s integer
     * lesson); the step-to-step rate is one int→double divide. */
-  def funnel(spark: SparkSession, dir: String): DataFrame = {
+  /** The funnel's conditional-min stage chain — one (user_id, t) frame per
+    * step, t the step's conversion time. Shared by [[funnel]] (counts) and
+    * [[timeToConvert]] (latency distribution) so the two reports cannot
+    * disagree about who converted. Each stage frame is PERSISTED: the next
+    * stage's join and every report branch read it — unpersisted, stage k's
+    * whole chain re-executes inside every consumer. |converted users| rows
+    * each. */
+  private def funnelStages(spark: SparkSession, dir: String): Seq[DataFrame] = {
     val ev = table(spark, dir, "events")
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
     // stage 1: first qualifying event of the first step type
-    // each stage frame is PERSISTED: the next stage's join and the count
-    // branch both read it — unpersisted, stage k's whole chain re-executes
-    // inside every later stage and count. |converted users| rows each.
     val first = ev.filter(col("event_type") === FunnelSteps.head)
       .groupBy(col("user_id")).agg(min(col("us")).as("t"))
       .persist()
     // each later stage: earliest step-type event strictly after the
     // previous stage's conversion time
-    val stages = FunnelSteps.tail.scanLeft(first) { (prev, step) =>
+    FunnelSteps.tail.scanLeft(first) { (prev, step) =>
       ev.filter(col("event_type") === step)
         .join(prev.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
         .filter(col("us") > col("t_prev"))
         .groupBy(col("user_id")).agg(min(col("us")).as("t"))
         .persist()
     }
+  }
+
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val stages = funnelStages(spark, dir)
     // one 1-row frame holding every stage count, exploded into the tall
     // |steps|-row report in a SINGLE reference — a union of per-step
     // selects would re-execute the whole stage chain once per branch, and
@@ -5627,6 +5635,43 @@ object ExtQueries {
       .select(col("r.step"), col("r.event_type"), col("r.n_users"),
         col("r.conv_from_prev"))
       .orderBy("step")
+  }
+
+  // ---- e_time_to_convert --------------------------------------------------
+
+  /** Time-to-convert distribution — for users who completed the funnel,
+    * the latency from first-step conversion to final conversion: count,
+    * min, max, and the exact nearest-rank median, in integer micros (the
+    * metric that turns [[funnel]]'s "how many" into "how fast", which is
+    * what a growth team actually tunes). COMPOSES [[funnelStages]] — the
+    * same persisted stage frames the counts report reads, so the two
+    * reports cannot disagree about who converted. The median is
+    * `percentile_approx` at [[RefQueries.OrderStatsAccuracy]] with the
+    * enforced group-size guard — the [[RefQueries.orderStatsApprox]]
+    * device: GK degenerates to exact ⌈n/2⌉ rank selection below the
+    * accuracy, matching the oracle's window-rank CTE, and a larger group
+    * RAISES instead of silently diverging.
+    *
+    * At scale: the duration frame is |completed users| slim rows from one
+    * co-keyed join of the first and last stage frames; the report is a
+    * single 1-row aggregate — window-free (a global ranking window is the
+    * banned empty-partition shape; GK is the aggregate-shaped selection). */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val stages = funnelStages(spark, dir)
+    val durs = stages.last.select(col("user_id"), col("t").as("t_end"))
+      .join(stages.head.select(col("user_id"), col("t").as("t_start")),
+        Seq("user_id"))
+      .select((col("t_end") - col("t_start")).as("dur_us"))
+    val n = count(lit(1))
+    val med = when(n <= RefQueries.OrderStatsAccuracy,
+      percentile_approx(col("dur_us"), lit(0.5),
+        lit(RefQueries.OrderStatsAccuracy)))
+      .otherwise(raise_error(lit(
+        "e_time_to_convert: group exceeds the GK accuracy — the sketch no " +
+          "longer degenerates to exact rank selection")).cast("double"))
+    durs.agg(n.as("n_converted"),
+        min(col("dur_us")).as("min_us"), max(col("dur_us")).as("max_us"),
+        med.cast("long").as("median_us"))
   }
 
   // ---- e_winsorize --------------------------------------------------------

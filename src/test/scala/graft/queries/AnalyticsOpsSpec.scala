@@ -333,4 +333,36 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(dau <= mau, s"day=$d")
     }
   }
+
+  test("time to convert: durations replay the funnel walk; median is the exact rank") {
+    val events = RefQueries.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    // sequential replay of the full chain: (t_first, t_last) per completer
+    val durs = events.toSeq.flatMap { case (_, evs) =>
+      var t = Long.MinValue
+      var first = Long.MinValue
+      var ok = true
+      ExtQueries.FunnelSteps.zipWithIndex.foreach { case (step, i) =>
+        if (ok) {
+          val cand = evs.filter(e => e._2 == step && e._3 > t)
+          if (cand.isEmpty) ok = false
+          else {
+            t = cand.map(_._3).min
+            if (i == 0) first = t
+          }
+        }
+      }
+      if (ok) Some(t - first) else None
+    }.sorted
+    val row = ExtQueries.timeToConvert(spark, dir).collect().head
+    spark.catalog.clearCache()
+    assert(row.getLong(0) == durs.length.toLong)
+    assert(row.getLong(1) == durs.head && row.getLong(2) == durs.last)
+    val medWant = durs((math.ceil(durs.length * 0.5) - 1).toInt)
+    assert(row.getLong(3) == medWant)
+    // a completer's latency is positive by the strictly-after rule
+    assert(durs.head > 0L)
+  }
 }
