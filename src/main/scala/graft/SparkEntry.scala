@@ -183,7 +183,12 @@ object SparkEntry {
     "e_ann_recall", "e_dedup_eval", "e_rank_fusion", "e_hybrid_search",
     "e_split_contamination", "e_curation_funnel", "e_nb_eval", "e_interleave",
     "e_tok_fertility", "e_filter_bias", "e_pack_stats", "e_dedup_sweep",
-    "e_curriculum_order", "e_datasheet")
+    "e_curriculum_order", "e_datasheet",
+    // composite operators that re-execute another graded operator as their
+    // substrate (e_triangles counts over e_knn_graph's edges; the beam
+    // search walks the same graph): their cost is constituent + own work,
+    // same attribution rule as the evaluation harnesses.
+    "e_triangles", "e_cosine_topk_beam")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

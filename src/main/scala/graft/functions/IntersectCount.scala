@@ -27,8 +27,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * the larger side against the smaller's distinct values, which is NOT
   * |∩| under bag semantics; the scaladoc'd contract, not a runtime check,
   * because a per-row distinctness scan would cost what the kernel saves.
-  * Null elements are excluded by the builders (`containsNull = false`
-  * arrays); a null ARRAY yields null via the standard null-safe path. */
+  *
+  * Null ELEMENTS: `ArrayData.getLong` on a null slot returns garbage, so
+  * the expression dispatches on the inputs' STATIC `containsNull` flags at
+  * codegen/eval time — tight (`containsNull=false`) types take this fast
+  * path; anything else takes [[intersectCountNullAware]], which skips null
+  * slots and counts `null` as one shared element iff BOTH sides hold one —
+  * exactly `size(array_intersect(a, b))` set semantics. The repo builders
+  * all produce value-non-null arrays (often TYPED nullable because lambda
+  * nullability infects `transform`), so they run the null-aware path with
+  * one extra branch per element and identical results. A null ARRAY yields
+  * null via the standard null-safe path. */
 object SetOps {
   def intersectCount(a: ArrayData, b: ArrayData): Long = {
     val (small, large) = if (a.numElements <= b.numElements) (a, b) else (b, a)
@@ -46,6 +55,35 @@ object SetOps {
       j += 1
     }
     c
+  }
+
+  /** Null-slot-correct variant for inputs whose element type is declared
+    * nullable: null slots never reach `getLong`; a null element present on
+    * BOTH sides contributes exactly 1 (set semantics, matching
+    * `array_intersect`). */
+  def intersectCountNullAware(a: ArrayData, b: ArrayData): Long = {
+    val (small, large) = if (a.numElements <= b.numElements) (a, b) else (b, a)
+    val n = small.numElements
+    var smallHasNull = false
+    var k = 0
+    var nn = 0
+    val buf = new Array[Long](n)
+    while (k < n) {
+      if (small.isNullAt(k)) smallHasNull = true
+      else { buf(nn) = small.getLong(k); nn += 1 }
+      k += 1
+    }
+    java.util.Arrays.sort(buf, 0, nn)
+    var c = 0L
+    var largeHasNull = false
+    val m = large.numElements
+    var j = 0
+    while (j < m) {
+      if (large.isNullAt(j)) largeHasNull = true
+      else if (java.util.Arrays.binarySearch(buf, 0, nn, large.getLong(j)) >= 0) c += 1
+      j += 1
+    }
+    if (smallHasNull && largeHasNull) c + 1 else c
   }
 }
 
@@ -66,15 +104,31 @@ case class IntersectCount(left: Expression, right: Expression)
         s"intersect_count expects (array<bigint>, array<bigint>), got $other")
     }
 
+  /** True iff BOTH inputs statically guarantee non-null elements — the
+    * fast path may then call `getLong` unguarded. Any nullable element
+    * type routes to the null-aware kernel; dispatching on the STATIC type
+    * (not per-row) keeps the hot loop branch-free when types are tight. */
+  private def tight: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => !ln && !rn
+    case _ => false
+  }
+
+  private def kernel: String =
+    if (tight) "intersectCount" else "intersectCountNullAware"
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    SetOps.intersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (tight)
+      SetOps.intersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      SetOps.intersectCountNullAware(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.SetOps.intersectCount($a, $b)")
+      (a, b) => s"graft.functions.SetOps.$kernel($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): IntersectCount =

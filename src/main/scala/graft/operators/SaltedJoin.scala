@@ -25,13 +25,21 @@ import org.apache.spark.sql.functions._
 object SaltedJoin {
 
   /** Inner equi-join of `big` and `small` on `key`, salted `salts` ways.
-    * `bigId` must be non-null and hash-uniform (any primary key works). */
+    * `bigId` should be non-null and hash-uniform (any primary key works);
+    * a null `bigId` salts to bucket 0 rather than to a null salt, so such
+    * rows still join exactly as they would unsalted instead of silently
+    * vanishing through a null join key. Neither input may already carry a
+    * `__salt` column — the mechanics would silently overwrite it. */
   def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
       bigId: Column, salts: Int): DataFrame = {
     require(salts > 0, s"salted join needs salts > 0, got $salts")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedEquiJoin reserves the __salt column; rename it on the inputs first")
     val b = big.withColumn("__salt",
-      pmod(graft.functions.GraftFunctions.hash64(bigId.cast("string")),
-        lit(salts.toLong)))
+      coalesce(
+        pmod(graft.functions.GraftFunctions.hash64(bigId.cast("string")),
+          lit(salts.toLong)),
+        lit(0L)))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     b.join(s, Seq(key, "__salt")).drop("__salt")

@@ -9,19 +9,27 @@ object ExtOracles {
 
   private val P = graft.functions.GraftFunctions.IntModulus
 
-  /** The funnel's conditional-min stage CTEs (`e`, `s0`..`s2`) — the SQL
-    * twin of `ExtQueries.funnelStages`, shared by `e_funnel` and
-    * `e_time_to_convert` so the two reports derive the same converters. */
-  private val funnelStageCtes: String =
-    """e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-      |s0 AS (SELECT user_id, min(us) AS t FROM e
-      |  WHERE event_type = 'view' GROUP BY 1),
-      |s1 AS (SELECT e.user_id, min(us) AS t FROM e
-      |  JOIN s0 ON e.user_id = s0.user_id
-      |  WHERE event_type = 'click' AND us > s0.t GROUP BY 1),
-      |s2 AS (SELECT e.user_id, min(us) AS t FROM e
-      |  JOIN s1 ON e.user_id = s1.user_id
-      |  WHERE event_type = 'purchase' AND us > s1.t GROUP BY 1)""".stripMargin
+  /** The funnel's conditional-min stage CTEs (`e`, `s0`..`s${k-1}`) — the
+    * SQL twin of `ExtQueries.funnelStages`, shared by `e_funnel` and
+    * `e_time_to_convert` so the two reports derive the same converters.
+    * GENERATED from [[ExtQueries.FunnelSteps]] (stage list and step names
+    * alike), so editing the step chain on the Spark side re-derives the
+    * oracle rather than silently desynchronizing it. */
+  private val funnelStageCtes: String = {
+    val steps = ExtQueries.FunnelSteps
+    val head =
+      s"""e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s0 AS (SELECT user_id, min(us) AS t FROM e
+        |  WHERE event_type = '${steps.head}' GROUP BY 1)""".stripMargin
+    val tail = steps.tail.zipWithIndex.map { case (step, i) =>
+      s"""s${i + 1} AS (SELECT e.user_id, min(us) AS t FROM e
+        |  JOIN s$i ON e.user_id = s$i.user_id
+        |  WHERE event_type = '$step' AND us > s$i.t GROUP BY 1)""".stripMargin
+    }
+    (head +: tail).mkString(",\n")
+  }
+  /** `s${last}` — the completed-funnel stage, for the duration join. */
+  private val funnelLastStage: String = s"s${ExtQueries.FunnelSteps.size - 1}"
   private def lst(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
   /** `'the', 'a', 'of'` — the quality stopword list as a SQL IN-list,
     * interpolated so the oracle can never drift from
@@ -1987,26 +1995,31 @@ object ExtOracles {
 
     // Ordered conversion funnel: each step's time is the earliest
     // qualifying event STRICTLY AFTER the previous step's conversion.
-    "e_funnel" ->
+    "e_funnel" -> {
+      val steps = ExtQueries.FunnelSteps
+      val counts = steps.indices
+        .map(i => s"(SELECT count(*) FROM s$i) AS n$i").mkString(",\n  ")
+      val rows = steps.zipWithIndex.map { case (step, i) =>
+        val conv = if (i == 0) "CAST(1.0 AS DOUBLE)"
+          else s"CAST(n$i AS DOUBLE) / CAST(n${i - 1} AS DOUBLE)"
+        if (i == 0)
+          s"""SELECT CAST(1 AS INT) AS step, '$step' AS event_type, n0 AS n_users,
+            |  $conv AS conv_from_prev FROM c""".stripMargin
+        else s"SELECT CAST(${i + 1} AS INT), '$step', n$i, $conv FROM c"
+      }.mkString("\nUNION ALL ")
       s"""WITH $funnelStageCtes,
-        |c AS (SELECT (SELECT count(*) FROM s0) AS n0,
-        |  (SELECT count(*) FROM s1) AS n1,
-        |  (SELECT count(*) FROM s2) AS n2)
-        |SELECT CAST(1 AS INT) AS step, 'view' AS event_type, n0 AS n_users,
-        |  CAST(1.0 AS DOUBLE) AS conv_from_prev FROM c
-        |UNION ALL SELECT CAST(2 AS INT), 'click', n1,
-        |  CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM c
-        |UNION ALL SELECT CAST(3 AS INT), 'purchase', n2,
-        |  CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c
-        |ORDER BY step""".stripMargin,
+        |c AS (SELECT $counts)
+        |$rows
+        |ORDER BY step""".stripMargin
+    },
 
     // Time-to-convert distribution over the SAME funnel stage CTEs;
     // median is the exact ⌈n/2⌉ rank selection (the orderStats convention
     // GK degenerates to below its accuracy).
     "e_time_to_convert" ->
       s"""WITH $funnelStageCtes,
-        |durs AS (SELECT s2.user_id, s2.t - s0.t AS dur_us
-        |  FROM s2 JOIN s0 ON s2.user_id = s0.user_id),
+        |durs AS (SELECT $funnelLastStage.user_id, $funnelLastStage.t - s0.t AS dur_us
+        |  FROM $funnelLastStage JOIN s0 ON $funnelLastStage.user_id = s0.user_id),
         |r AS (SELECT dur_us,
         |  row_number() OVER (ORDER BY dur_us) AS rn,
         |  count(*) OVER () AS n FROM durs)

@@ -496,7 +496,11 @@ object Streaming {
           val ordered = it.toVector
             .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
             .map(e => (e.event_type,
-              e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000))
+              // floorDiv, not /: truncation-toward-zero would diverge from
+              // the batch funnel's unix_micros (floor) on pre-epoch
+              // timestamps with sub-second parts.
+              Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+                e.ts.getNanos / 1000))
           val (s, out) = funnelWalk(user,
             state.getOption.getOrElse(FunnelState(0, Long.MinValue)), ordered)
           state.update(s)

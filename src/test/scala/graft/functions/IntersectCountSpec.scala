@@ -46,6 +46,29 @@ class IntersectCountSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("nullable-element inputs dispatch to the null-aware kernel and match " +
+      "array_intersect set semantics exactly") {
+    import spark.implicits._
+    // arrays built with element-nullable types: null in both sides counts
+    // once, null in one side counts zero, null slots never corrupt counts
+    val df = Seq(
+      (1L, Seq[Option[Long]](Some(1L), None, Some(3L)),
+        Seq[Option[Long]](None, Some(3L), Some(9L))),      // {3, null} → 2
+      (2L, Seq[Option[Long]](None), Seq[Option[Long]](Some(5L))), // ∅ → 0
+      (3L, Seq[Option[Long]](Some(2L), Some(4L)),
+        Seq[Option[Long]](Some(4L), None)),                 // {4} → 1
+      (4L, Seq[Option[Long]](), Seq[Option[Long]](None)))   // ∅ → 0
+      .toDF("id", "a", "b")
+    assert(df.schema("a").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val rows = df.select($"id",
+        GraftFunctions.intersectCount(spark, $"a", $"b").as("c"),
+        size(array_intersect($"a", $"b")).cast("long").as("want"))
+      .orderBy("id").collect()
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(2), s"id=${r.getLong(0)}"))
+    assert(rows.map(_.getLong(1)).toSeq === Seq(2L, 0L, 1L, 0L))
+  }
+
   test("plan: the kernel call sits inside whole-stage codegen") {
     // a local relation collapses to LocalTableScan with no codegen stage,
     // so drive the expression from a range source

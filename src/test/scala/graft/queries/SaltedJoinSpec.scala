@@ -52,6 +52,34 @@ class SaltedJoinSpec extends AnyFunSuite {
         "the hot reducer this operator exists to prevent")
   }
 
+  test("null bigId salts to bucket 0 — the row joins like the unsalted join " +
+      "instead of vanishing through a null join key") {
+    val a = spark.range(0, 10).select(
+      when(col("id") < 5, col("id")).as("id"),   // ids 5..9 become null
+      (col("id") % 3).as("k"))
+    val b = spark.range(0, 3).select(col("id").as("k"), (col("id") * 10).as("v"))
+    val got = SaltedJoin.saltedEquiJoin(a, b, "k", col("id"), 4)
+      .select(col("k"), col("v")).collect().toSeq.sortBy(r => (r.getLong(0)))
+    val want = a.join(b, Seq("k")).select(col("k"), col("v"))
+      .collect().toSeq.sortBy(r => (r.getLong(0)))
+    assert(got == want, "all 10 rows must survive, null-id rows included")
+    assert(got.size == 10)
+  }
+
+  test("a pre-existing __salt column on either input fails loudly") {
+    val a = spark.range(0, 4).select(col("id"), (col("id") % 2).as("k"),
+      lit(0L).as("__salt"))
+    val b = spark.range(0, 2).select(col("id").as("k"), col("id").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      SaltedJoin.saltedEquiJoin(a, b, "k", col("id"), 4)
+    }
+    assert(e.getMessage.contains("__salt"))
+    val e2 = intercept[IllegalArgumentException] {
+      SaltedJoin.saltedEquiJoin(b, a, "k", col("id"), 4)
+    }
+    assert(e2.getMessage.contains("__salt"))
+  }
+
   test("degenerate salts=1 is exactly the plain join shape") {
     val a = spark.range(0, 100).select(col("id"), (col("id") % 3).as("k"))
     val b = spark.range(0, 3).select(col("id").as("k"), (col("id") * 10).as("v"))
