@@ -53,6 +53,12 @@ object GraftFunctions {
           IntersectCount(exprs.head, exprs(1))
         }, "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "intersect_count_sorted", { exprs =>
+          require(exprs.length == 2,
+            s"intersect_count_sorted(a, b) takes 2 arguments, got ${exprs.length}")
+          IntersectCountSorted(exprs.head, exprs(1))
+        }, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "morton_interleave", { exprs =>
           require(exprs.length == 3,
             s"morton_interleave(x, y, bits) takes 3 arguments, got ${exprs.length}")
@@ -102,6 +108,16 @@ object GraftFunctions {
   def intersectCount(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("intersect_count", a, b)
+  }
+
+  /** Sorted-set intersection cardinality ([[SetOps.intersectCountSorted]]):
+    * both arrays must be ascending-sorted (`array_sort` order). Sort each
+    * set once at materialization; every probe is then one linear merge with
+    * no per-pair scratch buffer — the verify kernel for similarity joins
+    * that probe the same sets millions of times. */
+  def intersectCountSorted(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("intersect_count_sorted", a, b)
   }
 
   /** Floor-division nanos→micros via the named [[NanosToMicros]] expression —

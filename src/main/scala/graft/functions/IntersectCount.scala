@@ -57,6 +57,54 @@ object SetOps {
     c
   }
 
+  /** Sorted-input variant — both arrays ASCENDING-sorted sets (e.g. via
+    * `array_sort` or `sort_array`): a single two-pointer merge, O(n+m)
+    * with NO per-call scratch buffer, sort, or binary search. The win over
+    * [[intersectCount]] is per-pair constant work when one side is probed
+    * millions of times (the similarity-join verify shape): sort each set
+    * ONCE at materialization, then every pair costs one linear merge.
+    * Unsorted input silently undercounts — callers own the sort, which is
+    * why this is a separate function rather than a flag. */
+  def intersectCountSorted(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements
+    val m = b.numElements
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Null-slot-correct sorted variant: `array_sort` places null LAST, so
+    * the merge runs over the non-null prefix of each side and null counts
+    * once iff both sides end with one ([[intersectCountNullAware]]'s set
+    * semantics). */
+  def intersectCountSortedNullAware(a: ArrayData, b: ArrayData): Long = {
+    var n = a.numElements
+    var m = b.numElements
+    var aNull = false
+    var bNull = false
+    while (n > 0 && a.isNullAt(n - 1)) { aNull = true; n -= 1 }
+    while (m > 0 && b.isNullAt(m - 1)) { bNull = true; m -= 1 }
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    if (aNull && bNull) c + 1 else c
+  }
+
   /** Null-slot-correct variant for inputs whose element type is declared
     * nullable: null slots never reach `getLong`; a null element present on
     * BOTH sides contributes exactly 1 (set semantics, matching
@@ -132,5 +180,51 @@ case class IntersectCount(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): IntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Catalyst-native wrapper over [[SetOps.intersectCountSorted]] — same
+  * contract as [[IntersectCount]] but requires BOTH inputs ascending-sorted
+  * (null last, `array_sort` order); the caller owns the sort. Registered as
+  * SQL function `intersect_count_sorted`. */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "intersect_count_sorted"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"intersect_count_sorted expects (array<bigint>, array<bigint>), got $other")
+    }
+
+  private def tight: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => !ln && !rn
+    case _ => false
+  }
+
+  private def kernel: String =
+    if (tight) "intersectCountSorted" else "intersectCountSortedNullAware"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (tight)
+      SetOps.intersectCountSorted(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      SetOps.intersectCountSortedNullAware(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SetOps.$kernel($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCountSorted =
     copy(left = newLeft, right = newRight)
 }

@@ -688,26 +688,39 @@ object ExtQueries {
     * unfiltered inverted-index join and the outputs hash-match.
     *
     * POSITIONAL FILTER (PPJoin, Xiao et al. WWW'08 §3.2): the collision
-    * rows are reduced per pair to the MINIMAL shared bigram g* in the
-    * global (df, g) order — no shared element precedes g* in EITHER list
-    * (both lists sort identically, so anything smaller and shared would be
-    * an earlier collision), hence the true overlap obeys
-    * i ≤ 1 + min(|A| − pos_A(g*), |B| − pos_B(g*)). Pairs whose bound
+    * rows are reduced per pair to (c, pos of the MAXIMAL shared prefix
+    * bigram g*) in the global (df, g) order. Every shared element BELOW g*
+    * sits before g* in both lists, hence inside both prefixes, hence IS
+    * one of the c collisions — so the true overlap obeys
+    * i ≤ c + min(|A| − pos_A(g*), |B| − pos_B(g*)). Pairs whose bound
     * cannot reach the J ≥ 0.5 overlap requirement 3·i ≥ |A| + |B| are
     * pruned BEFORE the expensive set-intersection verify — exact (a bound,
     * not a heuristic), and on a dense small-vocabulary corpus (every
     * bigram a near-stop-bigram, the adversarial case for AllPairs) it cuts
-    * the verify volume several-fold. The min-reduction replaces the
-    * distinct() the candidate join needs anyway — same shuffle, more
-    * information kept.
+    * the verify volume several-fold: the c-term bound prunes 13.0M → 5.8M
+    * candidates at sf0.1 where the weaker single-collision form
+    * (i ≤ 1 + min(remaining after the MINIMAL shared gram)) kept 13.0M.
+    * Because shared grams appear in ascending global order in BOTH lists,
+    * max(pos_A) and max(pos_B) land on the SAME gram g* — so the reduction
+    * is plain max/count aggregates over ints, which Spark executes as a
+    * map-side-combined HashAggregate; a max-of-struct formulation of the
+    * same bound forces a SortAggregate that SORTS the full collision
+    * stream (measured 2.3× slower on this stage).
+    *
+    * VERIFY: `bs` is array_sort'ed ONCE at materialization so the per-pair
+    * counter is [[graft.functions.SetOps.intersectCountSorted]] — a linear
+    * two-pointer merge with no per-pair scratch buffer or sort (2.4×
+    * faster than the general kernel on the 5.8M-pair verify at sf0.1,
+    * where each set is probed thousands of times).
     *
     * Shuffles: one df aggregate, one per-doc prefix window (bounded by
     * document length), the prefix equi-join (the PERSISTED prefix frame —
     * both join sides probe it; unpersisted, the whole df+window chain
-    * executes twice), the per-pair min-collision aggregate, and the verify
+    * executes twice), the per-pair collision aggregate, and the verify
     * join back to `sets`. */
   def jaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
     val sets = bigramSetsKeeping(docsWithVariants(spark, dir), Nil)
+      .withColumn("bs", array_sort(col("bs")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val postings = sets.select(col("doc_id"), col("nb"), explode(col("bs")).as("g"))
     val dfreq = postings.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -722,18 +735,22 @@ object ExtQueries {
           lit(2) * least(col("x.nb"), col("y.nb")) >= greatest(col("x.nb"), col("y.nb")))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       // rn is each document's position in the SAME global (df, g) order, so
-      // min over (rn_x, rn_y) structs lands on the globally-minimal shared
-      // bigram g* (rn_x is unique per collision of a pair)
-      .agg(min(struct(col("x.rn").as("px"), col("y.rn").as("py"),
-        col("x.nb").as("na"), col("y.nb").as("nb"))).as("m"))
-      .filter(lit(3) * (lit(1)
-          + least(col("m.na") - col("m.px"), col("m.nb") - col("m.py")))
-        >= col("m.na") + col("m.nb"))
+      // the maximal shared prefix gram g* carries BOTH max(rn_x) and
+      // max(rn_y) — plain primitive maxes, deliberately not max(struct)
+      // (scaladoc: HashAggregate vs SortAggregate)
+      .agg(max(col("x.rn")).as("px"), max(col("y.rn")).as("py"),
+        max(col("x.nb")).as("na"), max(col("y.nb")).as("nbb"),
+        count(lit(1)).as("c"))
+      .filter(lit(3) * (col("c")
+          + least(col("na") - col("px"), col("nbb") - col("py")))
+        >= col("na") + col("nbb"))
       .select(col("doc_a"), col("doc_b"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("bs").as("bs_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("bs").as("bs_b")), Seq("doc_b"))
-      .withColumn("n_inter", intersectCount(spark, col("bs_a"), col("bs_b")))
+      .withColumn("n_inter",
+        graft.functions.GraftFunctions.intersectCountSorted(
+          spark, col("bs_a"), col("bs_b")))
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         (size(col("bs_a")).cast("long") + size(col("bs_b")).cast("long")
           - col("n_inter")).as("n_union"))
@@ -764,11 +781,12 @@ object ExtQueries {
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
           lit(2) * least(col("x.nb"), col("y.nb")) >= greatest(col("x.nb"), col("y.nb")))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(min(struct(col("x.rn").as("px"), col("y.rn").as("py"),
-        col("x.nb").as("na"), col("y.nb").as("nb"))).as("m"))
-      .filter(lit(3) * (lit(1)
-          + least(col("m.na") - col("m.px"), col("m.nb") - col("m.py")))
-        >= col("m.na") + col("m.nb"))
+      .agg(max(col("x.rn")).as("px"), max(col("y.rn")).as("py"),
+        max(col("x.nb")).as("na"), max(col("y.nb")).as("nbb"),
+        count(lit(1)).as("c"))
+      .filter(lit(3) * (col("c")
+          + least(col("na") - col("px"), col("nbb") - col("py")))
+        >= col("na") + col("nbb"))
       .count()
     val res = (positional, pairs(prefix), pairs(postings))
     prefix.unpersist()

@@ -46,6 +46,45 @@ class IntersectCountSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("sorted kernel matches the general kernel on sorted sets (ScalaCheck)") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val p = Prop.forAll(setGen, setGen) { (a: Seq[Long], b: Seq[Long]) =>
+      SetOps.intersectCountSorted(
+        ArrayData.toArrayData(a.sorted.toArray),
+        ArrayData.toArrayData(b.sorted.toArray)) ==
+        a.toSet.intersect(b.toSet).size.toLong
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("sorted column expression over array_sort'ed inputs agrees with " +
+      "array_intersect, including nullable-element inputs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(3L, 1L, 2L), Seq(4L, 2L, 3L)),
+      (2L, Seq.empty[Long], Seq(1L)),
+      (3L, (1L to 200L).toSeq, (150L to 400L).toSeq))
+      .toDF("id", "a", "b")
+      .select($"id", array_sort($"a").as("a"), array_sort($"b").as("b"))
+    val rows = df.select($"id",
+        GraftFunctions.intersectCountSorted(spark, $"a", $"b").as("c"),
+        size(array_intersect($"a", $"b")).cast("long").as("want"))
+      .orderBy("id").collect()
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(2), s"id=${r.getLong(0)}"))
+    // nullable elements: array_sort puts null LAST; null∈both counts once
+    val ndf = Seq(
+      (1L, Seq[Option[Long]](None, Some(3L), Some(1L)),
+        Seq[Option[Long]](Some(3L), None, Some(9L))),      // {3, null} → 2
+      (2L, Seq[Option[Long]](None), Seq[Option[Long]](Some(5L))))  // ∅ → 0
+      .toDF("id", "a", "b")
+      .select($"id", array_sort($"a").as("a"), array_sort($"b").as("b"))
+    val nrows = ndf.select($"id",
+        GraftFunctions.intersectCountSorted(spark, $"a", $"b").as("c"))
+      .orderBy("id").collect()
+    assert(nrows.map(_.getLong(1)).toSeq === Seq(2L, 0L))
+  }
+
   test("nullable-element inputs dispatch to the null-aware kernel and match " +
       "array_intersect set semantics exactly") {
     import spark.implicits._
