@@ -170,6 +170,7 @@ object SparkEntry {
     "e_skyline"           -> (ExtQueries.skyline _),
     "e_stickiness"        -> (ExtQueries.stickiness _),
     "e_time_to_convert"   -> (ExtQueries.timeToConvert _),
+    "e_priority_sample"   -> (ExtQueries.prioritySample _),
   )
 
   /** Keys that are evaluation harnesses / composites: they RE-EXECUTE other

@@ -1671,6 +1671,24 @@ object ExtOracles {
         |WHERE rn <= ${ExtQueries.ReservoirPerLang}
         |ORDER BY stratum, doc_id""".stripMargin,
 
+    // Priority sampling (Duffield-Lund-Thorup): top-k priorities w·P/(h+1),
+    // τ = the (k+1)-th, HT estimate max(w, τ). Multiply/divide only — both
+    // correctly rounded, so the doubles are bit-identical cross-engine.
+    "e_priority_sample" ->
+      s"""WITH pri AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |  CAST(n_chars AS DOUBLE) * CAST($P AS DOUBLE) /
+        |    CAST(CAST('0x'||substr(md5('pri:'||CAST(doc_id AS VARCHAR)),1,15)
+        |      AS BIGINT) % $P + 1 AS DOUBLE) AS priority
+        |  FROM documents),
+        |top AS (SELECT * FROM pri ORDER BY priority DESC, doc_id
+        |  LIMIT ${ExtQueries.PrioritySampleK + 1}),
+        |tau AS (SELECT min(priority) AS tau FROM top),
+        |samp AS (SELECT * FROM top ORDER BY priority DESC, doc_id
+        |  LIMIT ${ExtQueries.PrioritySampleK})
+        |SELECT doc_id, w, priority,
+        |  greatest(CAST(w AS DOUBLE), tau) AS est_w
+        |FROM samp, tau ORDER BY doc_id""".stripMargin,
+
     // SCD2 dimension build: daily dominant-activity snapshot collapsed into
     // versioned validity intervals. The window SUM is cast back to BIGINT
     // (DuckDB widens window sums to HUGEINT — the selfcheck dtype lesson).

@@ -5736,4 +5736,56 @@ object ExtQueries {
           .as("sum_clip_micro"))
       .orderBy("event_type")
   }
+
+  // ---- e_priority_sample --------------------------------------------------
+
+  /** Priority sample size. */
+  private[queries] val PrioritySampleK = 100
+
+  /** WEIGHTED sampling without replacement + unbiased subset-sum
+    * estimation — priority sampling (Duffield, Lund & Thorup, JACM'07):
+    * the missing sibling of the UNIFORM fixed-size sampler
+    * ([[reservoirSample]]) for every "sample documents proportional to
+    * length/quality/traffic, then estimate corpus totals from the sample"
+    * curation task. Each document draws priority q = w·P/(h+1) — weight
+    * `w` = n_chars over a deterministic uniform (h+1)/P from the salted
+    * md5 hash — and the sample is the top [[PrioritySampleK]] priorities.
+    * τ = the (k+1)-th priority; each sampled document carries the
+    * Horvitz-Thompson-style estimate ŵ = max(w, τ), whose sample sum is
+    * an unbiased estimator of Σw with near-optimal variance among k-sparse
+    * estimators (the paper's main theorem). Heavy documents enter with
+    * probability → 1 and keep ŵ = w; light ones enter with probability
+    * w/τ and are inflated to τ.
+    *
+    * DETERMINISM: the priority uses only multiply and divide — both
+    * CORRECTLY ROUNDED under IEEE 754, so Spark and DuckDB compute
+    * bit-identical doubles (w·P ≤ 2e4·2³¹ < 2⁵³ stays exact before the
+    * divide). `pow`/`ln` formulations of weighted sampling
+    * (Efraimidis-Scalia keys u^(1/w)) are NOT correctly rounded and may
+    * disagree cross-engine at the ulp — this scheme is chosen for being
+    * exactly reproducible, not just equivalent in distribution.
+    *
+    * At scale: top-(k+1) via orderBy+limit is `TakeOrderedAndProject` —
+    * per-partition bounded top-k, |partitions|·(k+1) slim rows to the
+    * driver-side merge, NO global sort ([[reservoirSample]]'s plan shape,
+    * plan-pinned there). τ is a 1-row aggregate of the 101-row frame,
+    * broadcast back. The corpus is scanned once, projected to 3 columns. */
+  def prioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val pri = table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"),
+        (col("n_chars").cast("double") * lit(IntModulus.toDouble) /
+          (pmod(hash64(concat(lit("pri:"), col("doc_id").cast("string"))),
+            lit(IntModulus)) + lit(1L)).cast("double")).as("priority"))
+    // one bounded top-(k+1) pass, CONSUMED TWICE (τ + the k sample rows):
+    // persisted so the corpus scan does not run again for a 101-row frame
+    val top = pri.orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(PrioritySampleK + 1)
+      .persist()
+    val tau = top.agg(min(col("priority")).as("tau"))
+    top.orderBy(col("priority").desc, col("doc_id").asc).limit(PrioritySampleK)
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("w"), col("priority"),
+        greatest(col("w").cast("double"), col("tau")).as("est_w"))
+      .orderBy("doc_id")
+  }
 }

@@ -594,6 +594,20 @@ class PlanSpec extends AnyFunSuite {
     assert(parquetScans(plan) <= 2, plan.take(800))
   }
 
+  test("priority sample: top-(k+1) is distributed selection; one corpus scan") {
+    val plan = formatted(ExtQueries.prioritySample(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the priority top-k must be per-partition selection — a global " +
+        "Sort+Limit sorts the corpus for 101 rows")
+    assert(!plan.contains("Window"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"),
+      "the 1-row τ frame must broadcast under the cross join")
+    // the persisted 101-row top frame feeds both τ and the sample rows;
+    // the corpus scan itself runs once
+    assert(parquetScans(plan) <= 1, plan.take(800))
+    spark.catalog.clearCache()
+  }
+
   test("scd2: one corpus scan; every window keyed by user (snapshot is pre-aggregated)") {
     val plan = formatted(ExtQueries.scd2(spark, dir))
     assert(parquetScans(plan) == 1,

@@ -65,4 +65,53 @@ class SamplingOpsSpec extends AnyFunSuite {
     val keptIds = kept.map(_._1).toSet
     assert(scores.filter(_._2 == 0L).forall(t => !keptIds.contains(t._1)))
   }
+
+  test("priority sample: top-k replayed exactly; HT estimate sums near the true total") {
+    import org.apache.spark.sql.functions._
+    val got = ExtQueries.prioritySample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    spark.catalog.clearCache()
+    assert(got.length == ExtQueries.PrioritySampleK)
+
+    // sequential replay of the priority order over every document
+    val P = graft.functions.GraftFunctions.IntModulus
+    val all = RefQueries.table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map { r =>
+        val id = r.getLong(0); val w = r.getLong(1)
+        val h = hashMod(s"pri:$id", P)
+        (id, w, w.toDouble * P.toDouble / (h + 1).toDouble)
+      }
+    val order = all.sortBy(t => (-t._3, t._1))
+    val wantSample = order.take(ExtQueries.PrioritySampleK)
+      .map(t => (t._1, t._2, t._3)).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)).sortBy(t => (-t._3, t._1)).toSeq
+      == wantSample)
+
+    // τ is the (k+1)-th priority; ŵ = max(w, τ) row-wise
+    val tau = order(ExtQueries.PrioritySampleK)._3
+    got.foreach { case (id, w, _, est) =>
+      assert(est == math.max(w.toDouble, tau), s"doc $id")
+    }
+    // every heavy item (w > τ) is provably in the sample (its priority
+    // w·P/(h+1) ≥ w > τ), and carries ŵ = w
+    val sampled = got.map(_._1).toSet
+    all.filter(_._2 > tau).foreach { case (id, _, _) =>
+      assert(sampled.contains(id), s"heavy doc $id missing")
+    }
+    // the estimator estimates: Σŵ over the sample lands near Σw (unbiased
+    // with near-optimal variance — a 2x deviation would mean a bug, not
+    // bad luck)
+    val estSum = got.map(_._4).sum
+    val trueSum = all.map(_._2.toDouble).sum
+    assert(estSum > 0.5 * trueSum && estSum < 2.0 * trueSum,
+      s"HT sum $estSum vs true $trueSum")
+  }
+
+  /** Driver-side replica of hash64(s) mod m. */
+  private def hashMod(s: String, m: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % m
+  }
 }
