@@ -171,6 +171,7 @@ object SparkEntry {
     "e_stickiness"        -> (ExtQueries.stickiness _),
     "e_time_to_convert"   -> (ExtQueries.timeToConvert _),
     "e_priority_sample"   -> (ExtQueries.prioritySample _),
+    "e_heavy_hitters"     -> (ExtQueries.heavyHitters _),
   )
 
   /** Keys that are evaluation harnesses / composites: they RE-EXECUTE other

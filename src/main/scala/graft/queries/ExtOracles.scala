@@ -1671,6 +1671,20 @@ object ExtOracles {
         |WHERE rn <= ${ExtQueries.ReservoirPerLang}
         |ORDER BY stratum, doc_id""".stripMargin,
 
+    // Exact heavy hitters {token : freq·k > N}: the oracle needs no sketch —
+    // the Spark side's Misra-Gries pass only bounds candidate-recount work,
+    // and its guarantee (no true heavy hitter ever dropped) makes the
+    // final set sketch-independent.
+    "e_heavy_hitters" ->
+      s"""WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n_total FROM tok)
+        |SELECT token, count(*) AS freq, (SELECT n_total FROM tot) AS n_total
+        |FROM tok GROUP BY token
+        |HAVING count(*) * ${ExtQueries.HeavyHittersK} > (SELECT n_total FROM tot)
+        |ORDER BY freq DESC, token ASC""".stripMargin,
+
     // Priority sampling (Duffield-Lund-Thorup): top-k priorities w·P/(h+1),
     // τ = the (k+1)-th, HT estimate max(w, τ). Multiply/divide only — both
     // correctly rounded, so the doubles are bit-identical cross-engine.

@@ -5788,4 +5788,53 @@ object ExtQueries {
         greatest(col("w").cast("double"), col("tau")).as("est_w"))
       .orderBy("doc_id")
   }
+
+  // ---- e_heavy_hitters ----------------------------------------------------
+
+  /** Heavy-hitter threshold: report tokens with frequency > N/k. */
+  private[queries] val HeavyHittersK = 50
+
+  /** EXACT frequent-item report through a bounded-state sketch — every
+    * token whose corpus frequency exceeds N/[[HeavyHittersK]], found
+    * WITHOUT a full-vocabulary groupBy: pass 1 runs the Misra-Gries
+    * sketch ([[graft.functions.MisraGriesAggregator]]) and the total count
+    * in ONE aggregation over the token stream (k−1 counters per partial
+    * buffer — the shuffle carries |partitions| sketches, not the
+    * vocabulary); pass 2 recounts ONLY the ≤ k−1 surviving candidates
+    * (broadcast semi-filter) and keeps freq·k > N. The sketch can admit
+    * false candidates but provably never drops a true heavy hitter, so
+    * the output is the exact set {token : freq·k > N} — independent of
+    * sketch internals, which is why a DuckDB oracle with no sketch at all
+    * can hash-match it.
+    *
+    * This is the OPEN-DOMAIN sibling of [[topTokens]]: top-k-by-group
+    * ranks a vocabulary you can afford to group; the sketch path is for
+    * domains where |distinct| rivals |rows| (URLs, ids, n-grams at 100 TB)
+    * and grouping the domain IS the cost. Here the token stream re-scans
+    * for pass 2 instead of persisting: the token frame is corpus-sized
+    * (caching it would hold the whole input in executor memory), while a
+    * second projected scan streams — the right trade at scale, and the
+    * broadcast filter prunes it to candidate rows immediately.
+    *
+    * At scale: pass 1 state is |partitions|·(k−1) counters; pass 2 is one
+    * broadcast hash join (candidate side ≤ k−1 rows) plus a (k−1)-group
+    * map-side-combined count. Nothing anywhere holds or shuffles the
+    * vocabulary. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MisraGriesAggregator
+    val tok = table(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+    val agg = new MisraGriesAggregator(HeavyHittersK)
+    val mg = udaf(agg, agg.inputEncoder)
+    // one pass: sketch + exact N together (a separate count would re-scan)
+    val sketch = tok.agg(count(lit(1)).as("n_total"), mg(col("token")).as("cands"))
+    val cands = sketch
+      .select(col("n_total"), explode(col("cands")).as("token"))
+    tok.join(broadcast(cands), Seq("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"), max(col("n_total")).as("n_total"))
+      .filter(col("freq") * lit(HeavyHittersK.toLong) > col("n_total"))
+      .select(col("token"), col("freq"), col("n_total"))
+      .orderBy(col("freq").desc, col("token").asc)
+  }
 }
