@@ -172,6 +172,7 @@ object SparkEntry {
     "e_time_to_convert"   -> (ExtQueries.timeToConvert _),
     "e_priority_sample"   -> (ExtQueries.prioritySample _),
     "e_heavy_hitters"     -> (ExtQueries.heavyHitters _),
+    "e_bitext_mine"       -> (ExtQueries.bitextMine _),
   )
 
   /** Keys that are evaluation harnesses / composites: they RE-EXECUTE other

@@ -1671,6 +1671,49 @@ object ExtOracles {
         |WHERE rn <= ${ExtQueries.ReservoirPerLang}
         |ORDER BY stratum, doc_id""".stripMargin,
 
+    // Margin-based bitext mining: forward-best match per source vector,
+    // margin normalized by both endpoints' k-NN neighborhood sums — all
+    // selection and the acceptance test on floored fixed-point longs; the
+    // only floats are the shared sequential-fold cosine and one final
+    // divide of exactly-representable longs.
+    "e_bitext_mine" -> {
+      val k = ExtQueries.BitextK
+      s"""WITH x AS (
+        |  SELECT vec_id AS xid, embedding AS xe,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, t) -> acc + t)) AS nx
+        |  FROM embeddings WHERE label = ${ExtQueries.BitextSrcLabel}),
+        |y AS (
+        |  SELECT vec_id AS yid, embedding AS ye,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, t) -> acc + t)) AS ny
+        |  FROM embeddings WHERE label = ${ExtQueries.BitextDstLabel}),
+        |scored AS (
+        |  SELECT xid, yid,
+        |    CAST(floor(list_reduce(list_transform(list_zip(xe, ye),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, t) -> acc + t)
+        |      / (nx * ny) * 1000000000000.0) AS BIGINT) AS cfp
+        |  FROM x, y),
+        |fr AS (SELECT xid, yid, cfp,
+        |  row_number() OVER (PARTITION BY xid ORDER BY cfp DESC, yid ASC) AS rn
+        |  FROM scored),
+        |fwd AS (SELECT xid, CAST(sum(cfp) AS BIGINT) AS sx FROM fr
+        |  WHERE rn <= $k GROUP BY xid),
+        |fbest AS (SELECT xid, yid, cfp FROM fr WHERE rn = 1),
+        |br AS (SELECT xid, yid, cfp,
+        |  row_number() OVER (PARTITION BY yid ORDER BY cfp DESC, xid ASC) AS rn
+        |  FROM scored),
+        |bwd AS (SELECT yid, CAST(sum(cfp) AS BIGINT) AS sy FROM br
+        |  WHERE rn <= $k GROUP BY yid)
+        |SELECT b.xid AS src_id, b.yid AS dst_id, b.cfp AS cos_fp,
+        |  CAST(${2L * k} * b.cfp AS DOUBLE) / CAST(f.sx + w.sy AS DOUBLE) AS margin,
+        |  ${2L * k} * ${ExtQueries.BitextMarginDen} * b.cfp >=
+        |    ${ExtQueries.BitextMarginNum} * (f.sx + w.sy) AS accepted
+        |FROM fbest b JOIN fwd f ON b.xid = f.xid JOIN bwd w ON b.yid = w.yid
+        |WHERE b.cfp > 0 AND f.sx + w.sy > 0
+        |ORDER BY src_id""".stripMargin
+    },
+
     // Exact heavy hitters {token : freq·k > N}: the oracle needs no sketch —
     // the Spark side's Misra-Gries pass only bounds candidate-recount work,
     // and its guarantee (no true heavy hitter ever dropped) makes the

@@ -5837,4 +5837,87 @@ object ExtQueries {
       .select(col("token"), col("freq"), col("n_total"))
       .orderBy(col("freq").desc, col("token").asc)
   }
+
+  // ---- e_bitext_mine ------------------------------------------------------
+
+  /** Margin-normalization neighborhood size. */
+  private[queries] val BitextK = 4
+  /** The two embedding label groups mined as "source/target language". */
+  private[queries] val BitextSrcLabel = 0
+  private[queries] val BitextDstLabel = 1
+  /** Acceptance threshold margin ≥ 21/20 = 1.05 — tested integer-side. */
+  private[queries] val BitextMarginNum = 21L
+  private[queries] val BitextMarginDen = 20L
+
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk, ACL'19 — the
+    * ratio margin that built the WikiMatrix/CCMatrix bitext corpora):
+    * for each source-side vector, its best target-side cosine match,
+    * scored by margin = cos(x,y) / ((avgₖ(x)+avgₖ(y))/2) — the match's
+    * similarity relative to BOTH endpoints' k-NN neighborhoods, which
+    * kills hub vectors (high cos with everything ⇒ high neighborhood
+    * average ⇒ margin ≈ 1) that plain cosine thresholds mis-mine. Sides
+    * are the [[BitextSrcLabel]]/[[BitextDstLabel]] embedding groups;
+    * emits every forward-best pair with its margin and the integer-side
+    * `accepted` verdict (margin ≥ [[BitextMarginNum]]/[[BitextMarginDen]]).
+    *
+    * DETERMINISM (the [[centroidScore]] fixed-point device, applied to
+    * ranking): cos is the sequential-fold double (bit-identical
+    * cross-engine), then immediately floored to fixed-point `cfp` =
+    * ⌊cos·10¹²⌋. All downstream selection (top-k, best match), the
+    * neighborhood sums, and the acceptance test run on cfp LONGS — sums
+    * are order-invariant, the margin test is exact integer arithmetic
+    * (2k·Den·cfp ≥ Num·(Σx+Σy), valid since candidates are filtered to
+    * cfp > 0 and positive sums), and the reported margin double is one
+    * IEEE divide of exactly-representable longs.
+    *
+    * At scale: the target side broadcasts (one language's encoder output —
+    * bounded per shard) and the source side never shuffles to score; the
+    * scored frame is PERSISTED (three consumers: forward top-k, forward
+    * best, backward top-k — unpersisted, the |X|·|Y| cosine pass runs
+    * thrice); both per-side top-k reductions are the bounded-state
+    * [[graft.functions.TopKByScoreAggregator]] (cfp ≤ 10¹² < 2⁵³ is exact
+    * as the aggregator's double score), so only |side|·|partitions|·k slim
+    * rows shuffle. For corpora where neither side broadcasts, candidate
+    * generation composes the graded ANN families ([[cosineTopkLsh]]/
+    * [[cosineTopkIvf]]/[[knnGraph]]) — the margin math is unchanged; the
+    * exact cross-scoring here is the baseline semantics the oracle can
+    * replicate. */
+  def bitextMine(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByScoreAggregator
+    val emb = table(spark, dir, "embeddings")
+    def side(lbl: Int, id: String, e: String, n: String): DataFrame =
+      emb.filter(col("label") === lbl)
+        .select(col("vec_id").as(id), col("embedding").as(e))
+        .withColumn(n, l2norm(col(e)))
+    val x = side(BitextSrcLabel, "xid", "xe", "nx")
+    val y = side(BitextDstLabel, "yid", "ye", "ny")
+    val dot = seqSum(zip_with(col("xe"), col("ye"),
+      (a, b) => a.cast("double") * b.cast("double")))
+    val scored = x.crossJoin(broadcast(y))
+      .withColumn("cfp",
+        floor(dot / (col("nx") * col("ny")) * lit(1e12)).cast("long"))
+      .select(col("xid"), col("yid"), col("cfp"))
+      .persist()
+    val agg = new TopKByScoreAggregator(BitextK)
+    val topk = udaf(agg, agg.inputEncoder)
+    val sumTk = aggregate(col("tk"), lit(0L),
+      (a, s) => a + s.getField("score").cast("long"))
+    val fwd = scored.groupBy(col("xid"))
+      .agg(topk(col("cfp").cast("double"), col("yid")).as("tk"))
+      .select(col("xid"), sumTk.as("sx"),
+        element_at(col("tk"), 1).getField("id").as("yid"),
+        element_at(col("tk"), 1).getField("score").cast("long").as("cfp"))
+    val bwd = scored.groupBy(col("yid"))
+      .agg(topk(col("cfp").cast("double"), col("xid")).as("tk"))
+      .select(col("yid"), sumTk.as("sy"))
+    fwd.join(broadcast(bwd), Seq("yid"))
+      .filter(col("cfp") > 0 && col("sx") + col("sy") > 0)
+      .select(col("xid").as("src_id"), col("yid").as("dst_id"),
+        col("cfp").as("cos_fp"),
+        ((lit(2L * BitextK) * col("cfp")).cast("double") /
+          (col("sx") + col("sy")).cast("double")).as("margin"),
+        (lit(2L * BitextK) * lit(BitextMarginDen) * col("cfp") >=
+          lit(BitextMarginNum) * (col("sx") + col("sy"))).as("accepted"))
+      .orderBy("src_id")
+  }
 }
