@@ -147,6 +147,17 @@ object Demo {
     println("== daily volume anomalies (integer-exact 2-sigma flags):")
     graft.queries.ExtQueries.anomalyDays(spark, sf)
       .filter($"is_anomaly").show(10, false)
+    println("== weighted priority sample (HT estimate sums ~ corpus total):")
+    graft.queries.ExtQueries.prioritySample(spark, sf)
+      .agg(org.apache.spark.sql.functions.count($"doc_id").as("k"),
+        org.apache.spark.sql.functions.sum($"est_w").as("ht_total_estimate"),
+        org.apache.spark.sql.functions.sum($"w").as("sampled_raw_weight"))
+      .show(false)
+    println("== exact heavy hitters via the Misra-Gries candidate pass:")
+    graft.queries.ExtQueries.heavyHitters(spark, sf).show(5, false)
+    println("== margin-mined bitext pairs (accepted = margin >= 1.05):")
+    graft.queries.ExtQueries.bitextMine(spark, sf)
+      .groupBy("accepted").count().show(false)
     spark.catalog.clearCache() // funnel/fusion/graph ops persist intermediates
 
     // malformed day file: observe the failure mode
