@@ -173,6 +173,7 @@ object SparkEntry {
     "e_priority_sample"   -> (ExtQueries.prioritySample _),
     "e_heavy_hitters"     -> (ExtQueries.heavyHitters _),
     "e_bitext_mine"       -> (ExtQueries.bitextMine _),
+    "e_silhouette"        -> (ExtQueries.silhouette _),
   )
 
   /** Keys that are evaluation harnesses / composites: they RE-EXECUTE other
@@ -191,7 +192,9 @@ object SparkEntry {
     // substrate (e_triangles counts over e_knn_graph's edges; the beam
     // search walks the same graph): their cost is constituent + own work,
     // same attribution rule as the evaluation harnesses.
-    "e_triangles", "e_cosine_topk_beam")
+    "e_triangles", "e_cosine_topk_beam",
+    // e_silhouette re-runs the e_kmeans_train chain to grade its clusters
+    "e_silhouette")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

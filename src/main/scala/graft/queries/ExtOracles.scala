@@ -2444,6 +2444,40 @@ object ExtOracles {
       |ORDER BY qid, rank""".stripMargin
   }
 
+  /** `e_silhouette` — COMPOSES the `e_kmeans_train` chain (the SAME final
+    * centroids and `asg{K+1}` assignment `e_ivf_trained` serves from) and
+    * computes the pairwise silhouette over the pinned sample: fixed-point
+    * pair distances, exact int64 sums, two correctly-rounded divides per
+    * mean, sklearn's s = 0 singleton convention. Mirrors
+    * `ExtQueries.silhouette`. */
+  private lazy val silhouetteSql: String = {
+    val K = ExtQueries.KmeansIters
+    s"""WITH ${kmeansChainCtes(K)},
+      |${centsFromUpdCte(K)},
+      |${assignCte(K + 1)},
+      |smp AS (SELECT vec_id, e, nrm, cell FROM asg${K + 1}
+      |  WHERE vec_id < ${ExtQueries.SilhouetteSample}),
+      |pair AS (SELECT a.vec_id AS i, a.cell AS ci, b.cell AS cj,
+      |  CAST(floor((1.0 - list_reduce(list_transform(list_zip(a.e, b.e),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |    / (a.nrm * b.nrm)) * 1000000000000.0) AS BIGINT) AS dfp
+      |  FROM smp a, smp b WHERE a.vec_id <> b.vec_id),
+      |agm AS (SELECT i, ci, cj, count(*) AS n,
+      |  CAST(CAST(sum(dfp) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    / 1000000000000.0 AS m
+      |  FROM pair GROUP BY 1, 2, 3),
+      |own AS (SELECT i, n AS n_own, m AS a FROM agm WHERE cj = ci),
+      |oth AS (SELECT i, min(m) AS b FROM agm WHERE cj <> ci GROUP BY i)
+      |SELECT smp.vec_id, smp.cell AS cluster,
+      |  COALESCE(own.n_own, 0) AS n_own, own.a AS a, oth.b AS b,
+      |  CASE WHEN own.a IS NULL OR oth.b IS NULL
+      |      OR greatest(own.a, oth.b) <= 0 THEN 0.0
+      |    ELSE (oth.b - own.a) / greatest(own.a, oth.b) END AS s
+      |FROM smp LEFT JOIN own ON smp.vec_id = own.i
+      |LEFT JOIN oth ON smp.vec_id = oth.i
+      |ORDER BY smp.vec_id""".stripMargin
+  }
+
   /** `e_split_contamination` — COMPOSES the graded `e_split` and
     * `e_decontaminate` SQL texts (same device as `e_ann_recall`), so the
     * audit cannot drift from the split/contamination definitions. */
@@ -2867,6 +2901,7 @@ object ExtOracles {
     ("e_split_contamination" -> splitContaminationSql) +
     ("e_kmeans_train" -> kmeansTrainSql) +
     ("e_ivf_trained" -> ivfTrainedSql) +
+    ("e_silhouette" -> silhouetteSql) +
     ("e_pq_train" -> pqTrainSql) +
     ("e_pq_trained" -> pqTrainedSql) +
     ("e_cosine_topk_beam" -> beamSearchSql) + ("e_ann_recall" ->

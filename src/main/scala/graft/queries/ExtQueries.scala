@@ -1238,6 +1238,74 @@ object ExtQueries {
   def cosineTopkIvfTrained(spark: SparkSession, dir: String): DataFrame =
     ivfServe(spark, dir, kmeansChain(spark, dir, KmeansIters)._2, nprobe = 1)
 
+  // ---- e_silhouette -------------------------------------------------------
+
+  /** Silhouette sample bound: sampled vectors are `vec_id < this`. */
+  private[queries] val SilhouetteSample = 64
+
+  /** Silhouette cluster-quality validation (Rousseeuw '87) over the TRAINED
+    * k-means assignment — the "did k clusters actually form" audit every
+    * clustering-driven curation step (semantic dedup cells, IVF cells,
+    * cluster-balanced mixing) needs before trusting its partitions: for
+    * each sampled vector, a = mean cosine distance to own-cluster sample
+    * co-members, b = the nearest other cluster's mean distance, s =
+    * (b−a)/max(a,b) ∈ [−1, 1] (s ≈ 0 ⇒ no real structure — the honest
+    * reading on this corpus, spec-pinned rather than papered over).
+    * COMPOSES [[kmeansTrainIters]]' chain: the assignment is the SAME
+    * final-centroid [[rankedCells]] ranking the trained IVF serves from
+    * (and the oracle composes the same chain CTEs), so the audit grades
+    * exactly the clustering the other operators use.
+    *
+    * Silhouette is inherently pairwise, so it runs on a pinned SAMPLE
+    * ([[SilhouetteSample]] vectors — the standard production scoping;
+    * sklearn's `silhouette_score(sample_size=…)` ships the same trade) —
+    * the |m|² pair frame is 4k rows here and the sample bound, not the
+    * corpus, is the quadratic knob.
+    *
+    * DETERMINISM: per-pair distance 1−cos is floored to fixed-point
+    * immediately ([[bitextMine]]'s ranking device); per-(vector, cluster)
+    * means are ONE exact int64 sum + two correctly-rounded IEEE divides,
+    * so `a`, the min-over-clusters `b`, and s are bit-identical
+    * cross-engine. Singleton-in-sample vectors (no own-cluster co-member)
+    * pin s = 0 — sklearn's convention, spelled out in both engines'
+    * CASE. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val cents = kmeansChain(spark, dir, KmeansIters)._2
+    val vecs = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", l2norm(col("e")))
+    val smp = rankedCells(vecs.filter(col("vec_id") < SilhouetteSample), cents)
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
+      .persist()
+    val dot = seqSum(zip_with(col("a.e"), col("b.e"),
+      (x, y) => x.cast("double") * y.cast("double")))
+    val pair = smp.as("a").join(broadcast(smp.as("b")),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("a.cell").as("ci"),
+        col("b.cell").as("cj"),
+        floor((lit(1.0) - dot / (col("a.nrm") * col("b.nrm"))) * lit(1e12))
+          .cast("long").as("dfp"))
+    val agg = pair.groupBy(col("i"), col("ci"), col("cj"))
+      .agg(count(lit(1)).as("n"), sum(col("dfp")).as("sd"))
+      .withColumn("m",
+        col("sd").cast("double") / col("n").cast("double") / lit(1e12))
+    val own = agg.filter(col("cj") === col("ci"))
+      .select(col("i"), col("n").as("n_own"), col("m").as("a"))
+    val other = agg.filter(col("cj") =!= col("ci"))
+      .groupBy(col("i")).agg(min(col("m")).as("b"))
+    smp.select(col("vec_id").as("i"), col("cell").as("cluster"))
+      .join(own, Seq("i"), "left")
+      .join(other, Seq("i"), "left")
+      .select(col("i").as("vec_id"), col("cluster"),
+        coalesce(col("n_own"), lit(0L)).as("n_own"), col("a"), col("b"),
+        when(col("a").isNull || col("b").isNull ||
+            greatest(col("a"), col("b")) <= 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
+          .as("s"))
+      .orderBy("vec_id")
+  }
+
   // ---- e_semantic_dedup ---------------------------------------------------
 
   /** Cosine threshold above which two same-cell vectors are semantic
