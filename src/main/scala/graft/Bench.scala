@@ -32,28 +32,45 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    // clearCache between runs OUTSIDE the timed window: some queries persist
-    // small intermediates (weekly report, minhash) — without the clear, the
-    // warmup pass would leave them cached and the measured pass would skip
-    // the scans being measured; timing the teardown itself would instead
-    // bill cache eviction to whichever query just ran.
-    // warmup: full pass, untimed
-    queries.foreach { case (_, fn) =>
-      try runOnce(fn) catch { case _: Throwable => () }
+    // Teardown between runs OUTSIDE the timed window, in TWO layers:
+    // clearCache drops catalog-tracked DataFrame persists (weekly report,
+    // minhash, the similarity-join frames), and the explicit RDD sweep
+    // drops localCheckpoint blocks — the iterative operators (CC, PageRank,
+    // label propagation, greedy selection) release superseded rounds
+    // themselves, but their FINAL round's checkpoint stays alive after the
+    // result is consumed, and clearCache does not see RDD-level storage.
+    // Without the sweep that debris accumulates across the whole key set
+    // and whichever key runs after the iterative block pays its eviction
+    // (observed as a 3x swing on one composite key as the key count grew).
+    // blocking = true so the release lands before, not inside, the next
+    // key's timed window.
+    def teardown(): Unit = {
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+    // fixed alphabetical key order: Map iteration order reshuffles whenever
+    // a key is added, which silently changes every key's predecessor (and
+    // therefore its JVM/GC context) between rounds — sorted order keeps
+    // per-key numbers comparable across rounds by construction
+    val ordered = queries.toSeq.sortBy(_._1)
+    // warmup: full pass, untimed
+    ordered.foreach { case (_, fn) =>
+      try runOnce(fn) catch { case _: Throwable => () }
+      teardown()
     }
     // measure: per-query MEDIAN of 3 passes — observed run-to-run noise at
     // sf0.1 is ±1s/query, so a single sample misattributes scheduler/GC
     // hiccups to whichever query they landed on.
     val passes = 3
     val samples = (1 to passes).map { _ =>
-      queries.map { case (name, fn) =>
+      ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try runOnce(fn) catch { case _: Throwable => () }
         val elapsed = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
+        teardown()
         name -> elapsed
-      }
+      }.toMap
     }
     val results = queries.keys.map { name =>
       val xs = samples.map(_(name)).sorted

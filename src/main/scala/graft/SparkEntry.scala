@@ -174,6 +174,7 @@ object SparkEntry {
     "e_heavy_hitters"     -> (ExtQueries.heavyHitters _),
     "e_bitext_mine"       -> (ExtQueries.bitextMine _),
     "e_silhouette"        -> (ExtQueries.silhouette _),
+    "e_calibration"       -> (ExtQueries.calibration _),
   )
 
   /** Keys that are evaluation harnesses / composites: they RE-EXECUTE other
@@ -193,8 +194,9 @@ object SparkEntry {
     // search walks the same graph): their cost is constituent + own work,
     // same attribution rule as the evaluation harnesses.
     "e_triangles", "e_cosine_topk_beam",
-    // e_silhouette re-runs the e_kmeans_train chain to grade its clusters
-    "e_silhouette")
+    // e_silhouette re-runs the e_kmeans_train chain to grade its clusters;
+    // e_calibration re-runs the e_nb_classify predictions it audits
+    "e_silhouette", "e_calibration")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

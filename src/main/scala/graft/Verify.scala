@@ -34,8 +34,12 @@ object Verify {
       } finally {
         // ALWAYS drop per-query persisted intermediates: a query that throws
         // after persisting (e.g. a convergence guard) must not leak its
-        // caches into every subsequent key's executor memory
+        // caches into every subsequent key's executor memory. The RDD sweep
+        // additionally drops localCheckpoint blocks (iterative operators'
+        // final rounds), which the catalog cache manager does not track.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -2874,7 +2874,30 @@ object ExtOracles {
     s"""SELECT lang, pred, count(*) AS n FROM ($nbClassifySql) c
       |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
 
+  /** `e_calibration` — COMPOSES `e_nb_classify`'s SQL text (the nbEval
+    * device): integer bucket and fixed-point confidence, exact bin sums,
+    * correctly-rounded divides. Mirrors `ExtQueries.calibration`. */
+  private lazy val calibrationSql: String = {
+    val b = ExtQueries.CalibrationBuckets
+    s"""WITH c AS (SELECT correct, n_win, n_votes FROM ($nbClassifySql) p),
+      |binned AS (SELECT
+      |  least((n_win * $b) // n_votes, ${b - 1}) AS bucket,
+      |  CASE WHEN correct THEN 1 ELSE 0 END AS corr,
+      |  (n_win * 1000000) // n_votes AS conf_fp FROM c)
+      |SELECT bucket, count(*) AS n_docs,
+      |  CAST(sum(corr) AS BIGINT) AS n_correct,
+      |  CAST(CAST(sum(corr) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    AS accuracy,
+      |  CAST(CAST(sum(conf_fp) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    / 1000000.0 AS mean_conf,
+      |  CAST(CAST(sum(corr) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    - CAST(CAST(sum(conf_fp) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    / 1000000.0 AS gap
+      |FROM binned GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val sql: Map[String, String] = baseSql +
+    ("e_calibration" -> calibrationSql) +
     ("e_tok_fertility" -> tokFertilitySql) +
     ("e_filter_bias" -> filterBiasSql) +
     ("e_emb_stats" -> embStatsSql) +

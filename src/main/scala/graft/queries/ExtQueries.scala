@@ -4873,6 +4873,53 @@ object ExtQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred")
 
+  // ---- e_calibration ------------------------------------------------------
+
+  /** Reliability-diagram bucket count. */
+  private[queries] val CalibrationBuckets = 5L
+
+  /** Classifier calibration report (reliability diagram) over
+    * [[nbClassify]]'s held-out predictions — the "is 80 % confidence right
+    * 80 % of the time" audit that decides whether a quality/language
+    * classifier's scores can gate data at a threshold or only rank it:
+    * per-document confidence = winning-vote share (exact integers from
+    * the classifier's own n_win/n_votes), bucketed into
+    * [[CalibrationBuckets]] equal-width bins; each bin reports document
+    * count, empirical accuracy, mean confidence, and the calibration gap
+    * (accuracy − confidence; ECE is the count-weighted |gap| sum, left to
+    * the reader so every emitted number stays a per-bin fact). COMPOSES
+    * the graded classifier (the [[nbEval]] device): the oracle wraps
+    * `e_nb_classify`'s SQL text, so the report cannot drift from the
+    * predictions it audits.
+    *
+    * DETERMINISM: bucket = (n_win·B) div n_votes (floor of non-negative
+    * ints, clamped so share 1.0 lands in the top bin) and per-doc
+    * fixed-point confidence (n_win·10⁶) div n_votes are integer-exact;
+    * bin sums are int64; accuracy, mean confidence, and gap are
+    * correctly-rounded IEEE ops from exact operands.
+    *
+    * At scale: one |test docs|-row pass over the classifier output, one
+    * B-group map-side-combined aggregate — the report adds nothing to the
+    * classifier's own cost profile. */
+  def calibration(spark: SparkSession, dir: String): DataFrame = {
+    val b = CalibrationBuckets
+    nbClassify(spark, dir)
+      .select(col("correct"),
+        least(expr(s"(n_win * $b) div n_votes"), lit(b - 1)).as("bucket"),
+        expr("(n_win * 1000000) div n_votes").as("conf_fp"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("correct").cast("long")).as("n_correct"),
+        sum(col("conf_fp")).as("sum_conf_fp"))
+      .select(col("bucket"), col("n_docs"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_docs").cast("double"))
+          .as("accuracy"),
+        (col("sum_conf_fp").cast("double") / col("n_docs").cast("double")
+          / lit(1000000.0)).as("mean_conf"))
+      .withColumn("gap", col("accuracy") - col("mean_conf"))
+      .orderBy("bucket")
+  }
+
   // ---- e_dedup_eval -------------------------------------------------------
 
   /** Fuzzy-dedup evaluation harness as a first-class oracle-checked query —

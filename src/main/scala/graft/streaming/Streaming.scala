@@ -434,6 +434,49 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming heavy-hitter WATCHLIST per tumbling window — the
+    * [[graft.functions.MisraGriesAggregator]] sketch run inside the
+    * watermarked window aggregate: per closed window, the total token
+    * count and the ≤ k−1 candidate tokens guaranteed to include every
+    * token with in-window frequency > n/k. This is the bounded-state
+    * sibling of [[tokenWindowCounts]]: the exact path's state per open
+    * window is that window's whole distinct-token map (fine for bounded
+    * vocabularies, unaffordable for open domains — URLs, ids, n-grams),
+    * while the sketch holds k−1 counters per window REGARDLESS of domain
+    * size. The tradeoff is the batch operator's
+    * ([[graft.queries.ExtQueries.heavyHitters]]) by design: candidates may
+    * include hangers-on, never miss a true heavy hitter — the downstream
+    * exact recount (batch pass 2 over the lake, where the window's rows
+    * are at rest) finalizes, so the stream emits the WATCHLIST, not the
+    * verdict. Survival across Spark's partial-buffer merge tree is the
+    * aggregator's PODS'12 merge guarantee — the same property the
+    * ScalaCheck spec drives with random merge trees. */
+  def heavyHitterWindows(docs: DataFrame, horizon: String, every: String,
+      k: Int): DataFrame = {
+    val agg = new graft.functions.MisraGriesAggregator(k)
+    val mg = udaf(agg, agg.inputEncoder)
+    docs
+      .withWatermark("ts", horizon)
+      .select(col("ts"),
+        explode(graft.functions.GraftFunctions.tokens(col("text"))).as("token"))
+      .groupBy(window(col("ts"), every))
+      .agg(count(lit(1)).as("n_total"), mg(col("token")).as("candidates"))
+      .select(col("window.start").as("window_start"), col("n_total"),
+        col("candidates"))
+  }
+
+  /** Continuous heavy-hitter watchlist: [[heavyHitterWindows]] wired to a
+    * checkpointed append sink — one row per closed window, produced exactly
+    * once across restarts ([[startTrending]]'s contract). */
+  def startHeavyHitters(docs: DataFrame, horizon: String, every: String,
+      k: Int, ckpt: String)(write: DataFrame => Unit): StreamingQuery =
+    heavyHitterWindows(docs, horizon, every, k).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) => write(batch) }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** One input event for [[funnelStream]]. */
   case class FunnelEvent(user_id: Long, event_id: Long, ts: Timestamp,
       event_type: String)

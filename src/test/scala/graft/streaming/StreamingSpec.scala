@@ -522,6 +522,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(emptyBatches.count(_ == false) === 2)
   }
 
+  test("heavy-hitter windows: closed-window watchlists are bounded and never " +
+      "miss a true > n/k token, across micro-batch partials") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-hh-in").toString
+    val ckpt = Files.createTempDirectory("graft-hh-ckpt").toString
+    def doc(id: Long, t: String, text: String) = (id, Timestamp.valueOf(t), text)
+    val k = 4
+    // window 1 [10:00, 11:00): hot×8 of 20 tokens (40% > 1/4); the tail is
+    // 12 distinct tokens, more than the k−1 = 3 counters — the sketch must
+    // shed tail, keep `hot`. Spread over TWO files so the window's sketch
+    // merges across micro-batch partial states.
+    val w1a = Seq(
+      doc(1, "2024-03-01 10:00:00", "hot hot hot hot t1 t2 t3 t4"),
+      doc(2, "2024-03-01 10:10:00", "hot hot t5 t6"))
+    val w1b = Seq(doc(3, "2024-03-01 10:30:00", "hot hot t7 t8 t9 ta tb tc"))
+    val w2 = Seq(doc(4, "2024-03-01 13:00:00", "all distinct tokens here now"))
+    val w3 = Seq(doc(5, "2024-03-01 15:00:00", "closer closer"))
+    val schema = w1a.toDF("doc_id", "ts", "text").schema
+    for (f <- Seq(w1a, w1b, w2, w3))
+      f.toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").parquet(in)
+
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(Timestamp, Long, Seq[String])]
+    val q = Streaming.startHeavyHitters(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+      horizon = "1 minute", every = "1 hour", k = k, ckpt = ckpt) { batch =>
+      collected ++= batch.collect().map(r => (r.getAs[Timestamp]("window_start"),
+        r.getAs[Long]("n_total"),
+        r.getSeq[String](r.fieldIndex("candidates")).toSeq))
+    }
+    q.awaitTermination()
+
+    val byWindow = collected.map(t => t._1 -> (t._2, t._3)).toMap
+    val w1Start = Timestamp.valueOf("2024-03-01 10:00:00")
+    val w2Start = Timestamp.valueOf("2024-03-01 13:00:00")
+    // window 3 unfinalized (watermark stops at 14:59) — withheld
+    assert(byWindow.keySet == Set(w1Start, w2Start))
+    val (n1, c1) = byWindow(w1Start)
+    assert(n1 == 20L)
+    // the survival guarantee across the cross-file merge: hot (8/20 > 1/4)
+    // must be in the watchlist; state stayed bounded
+    assert(c1.contains("hot"), s"candidates: $c1")
+    assert(c1.size <= k - 1)
+    // window 2: 5 distinct singletons of n=5 — none exceeds n/k, and the
+    // sketch is allowed hangers-on but not more than k−1 of them
+    val (n2, c2) = byWindow(w2Start)
+    assert(n2 == 5L && c2.size <= k - 1)
+    // each finalized window emitted exactly once
+    assert(collected.size == 2)
+  }
+
   test("change capture: per-snapshot changelog matches the batch diff core") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-cdc-in").toString
