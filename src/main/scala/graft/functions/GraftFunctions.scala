@@ -53,6 +53,12 @@ object GraftFunctions {
           IntersectCount(exprs.head, exprs(1))
         }, "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "intersect_count_distinct", { exprs =>
+          require(exprs.length == 2,
+            s"intersect_count_distinct(a, b) takes 2 arguments, got ${exprs.length}")
+          IntersectCountDistinct(exprs.head, exprs(1))
+        }, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "intersect_count_sorted", { exprs =>
           require(exprs.length == 2,
             s"intersect_count_sorted(a, b) takes 2 arguments, got ${exprs.length}")

@@ -105,6 +105,53 @@ object SetOps {
     if (aNull && bNull) c + 1 else c
   }
 
+  /** MULTISET-correct variant — exactly `size(array_intersect(a, b))` on
+    * ARBITRARY long arrays (duplicates and null slots included):
+    * `array_intersect` emits each shared DISTINCT value once, so this
+    * counts distinct values of the smaller side that the larger side
+    * contains, plus 1 if both sides hold a null. Used by the
+    * [[graft.plans.SetIntersectCountRewrite]] optimizer rule, which must
+    * be sound on ANY input a user writes — the set-contract kernels above
+    * are for call sites that guarantee distinctness by construction. Cost
+    * over [[intersectCountNullAware]]: one found-flag array and a
+    * dedup-skip in the scratch build — still O((n+m)·log n), still
+    * allocation-bounded by the smaller side. */
+  def intersectCountDistinct(a: ArrayData, b: ArrayData): Long = {
+    val (small, large) = if (a.numElements <= b.numElements) (a, b) else (b, a)
+    val n = small.numElements
+    var smallHasNull = false
+    val buf = new Array[Long](n)
+    var nn = 0
+    var k = 0
+    while (k < n) {
+      if (small.isNullAt(k)) smallHasNull = true
+      else { buf(nn) = small.getLong(k); nn += 1 }
+      k += 1
+    }
+    java.util.Arrays.sort(buf, 0, nn)
+    // drop duplicate values in-place so each distinct value counts once
+    var w = 0
+    var r = 0
+    while (r < nn) {
+      if (w == 0 || buf(r) != buf(w - 1)) { buf(w) = buf(r); w += 1 }
+      r += 1
+    }
+    val found = new Array[Boolean](w)
+    var largeHasNull = false
+    var c = 0L
+    val m = large.numElements
+    var j = 0
+    while (j < m) {
+      if (large.isNullAt(j)) largeHasNull = true
+      else {
+        val p = java.util.Arrays.binarySearch(buf, 0, w, large.getLong(j))
+        if (p >= 0 && !found(p)) { found(p) = true; c += 1 }
+      }
+      j += 1
+    }
+    if (smallHasNull && largeHasNull) c + 1 else c
+  }
+
   /** Null-slot-correct variant for inputs whose element type is declared
     * nullable: null slots never reach `getLong`; a null element present on
     * BOTH sides contributes exactly 1 (set semantics, matching
@@ -180,6 +227,40 @@ case class IntersectCount(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): IntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Catalyst-native wrapper over [[SetOps.intersectCountDistinct]] — the
+  * MULTISET-correct form equal to `size(array_intersect(a, b))` on any
+  * input. Planted by [[graft.plans.SetIntersectCountRewrite]]; also
+  * callable directly as SQL `intersect_count_distinct`. */
+case class IntersectCountDistinct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "intersect_count_distinct"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"intersect_count_distinct expects (array<bigint>, array<bigint>), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SetOps.intersectCountDistinct(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SetOps.intersectCountDistinct($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCountDistinct =
     copy(left = newLeft, right = newRight)
 }
 

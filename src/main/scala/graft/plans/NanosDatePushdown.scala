@@ -97,6 +97,8 @@ object NanosDatePushdown extends Rule[LogicalPlan] with PredicateHelper {
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NanosDatePushdown)
+    ext.injectOptimizerRule(_ => SetIntersectCountRewrite)
+  }
 }
