@@ -672,6 +672,24 @@ object ExtOracles {
         |HAVING 2 * count(*) >= any_value(x.nb) + any_value(y.nb) - count(*)
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // e_edit_join: the truth is the NAIVE length-filtered Levenshtein join —
+    // the Spark side's prefix/positional q-gram filters are exact by
+    // theorem, so the oracle deliberately models neither. The ASCII-fold
+    // normalization pins byte = codepoint, so the two engines' Levenshtein
+    // definitions coincide.
+    "e_edit_join" ->
+      s"""WITH keyed AS (
+        |  SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS k
+        |  FROM documents WHERE lang = 'en'),
+        |f AS (SELECT doc_id, k, length(k) AS len FROM keyed
+        |  WHERE length(k) >= ${ExtQueries.EditMinKeyLen})
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.k, b.k) AS INT) AS dist
+        |FROM f a JOIN f b
+        |  ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= ${ExtQueries.EditTau}
+        |WHERE levenshtein(a.k, b.k) <= ${ExtQueries.EditTau}
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "e_cosine_dedup" ->
       s"""WITH all_vecs AS (
         |  SELECT vec_id, embedding AS e FROM embeddings

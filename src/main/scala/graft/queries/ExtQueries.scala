@@ -6035,4 +6035,134 @@ object ExtQueries {
           lit(BitextMarginNum) * (col("sx") + col("sy"))).as("accepted"))
       .orderBy("src_id")
   }
+
+  // ---- e_edit_join --------------------------------------------------------
+
+  /** Edit-distance parameters for [[editJoin]]: q-gram width, distance
+    * threshold, and the minimum normalized-key length that keeps trivial
+    * near-empty keys out of the join (a 5-char key is within τ=8 of
+    * EVERYTHING — the classic degenerate case every ed-join paper excludes).
+    * Shared verbatim with the oracle SQL so the two engines define the same
+    * problem. */
+  private[queries] val EditQ = 3
+  private[queries] val EditTau = 8
+  private[queries] val EditMinKeyLen = 20
+
+  /** String-similarity self-join under EDIT DISTANCE ≤ τ — the Ed-Join
+    * formulation (Xiao, Wang, Lin, VLDB'08): the remaining classic
+    * similarity-join family after set-Jaccard ([[jaccardPrefix]]) and
+    * vector-cosine ([[cosineDedup]]), and the one fuzzy-dedup shape that
+    * catches character-level corruption (OCR noise, encoding damage,
+    * template drift) that tokenized set similarity smears away.
+    *
+    * Keys are case-folded ASCII projections (`[a-zA-Z ]` kept) of English
+    * documents — identical normalization in the oracle, and it pins both
+    * engines to byte = codepoint so their Levenshtein definitions cannot
+    * diverge on multi-byte text. Candidate generation is EXACT (theorems,
+    * not recall heuristics), so the oracle can be the NAIVE length-filtered
+    * Levenshtein join and hash-parity proves zero false negatives:
+    *
+    *   1. POSITIONAL Q-GRAMS: `(g, p)` rows via one `transform(sequence)`
+    *      projection — no UDF, stays in whole-stage codegen.
+    *   2. PREFIX FILTER (count-filtering lemma): τ edits destroy at most
+    *      q·τ q-grams, so two strings within τ share at least one of their
+    *      first q·τ+1 positional grams under ANY global gram order — ours is
+    *      (document frequency ASC, gram ASC, position ASC), which indexes
+    *      each string's RAREST grams ([[jaccardPrefix]]'s df-ascending
+    *      device; stop-grams like `'the'` never enter the index unless a
+    *      string consists of little else).
+    *   3. POSITIONAL FILTER (Gravano et al. VLDB'01): a q-gram match
+    *      spanning > τ positions of offset implies > τ edits, so prefix
+    *      collisions also require |p_a − p_b| ≤ τ — applied INSIDE the join
+    *      condition, before the pair ever materializes.
+    *   4. LENGTH FILTER: ||a| − |b|| ≤ τ, also in the join condition.
+    *   5. VERIFY: Spark's codegen'd `levenshtein(l, r, threshold)` — the
+    *      BANDED O(τ·n) form, not the full O(n·m) matrix; pairs over τ
+    *      return −1 and are dropped.
+    *
+    * At 100 TB: the quadratic term is Σ_g df_prefix(g)² over PREFIX postings
+    * only — bounded by rare-gram document frequencies, the same scale
+    * behavior as [[jaccardPrefix]] — while the df dictionary is bounded by
+    * the q-gram alphabet (≤ 27^q ≈ 20k rows here), hence the pinned
+    * broadcast. Shuffles: the df aggregate, the per-string prefix window
+    * (partitioned by doc, bounded by string length), the prefix equi-join,
+    * and the two slim verify joins back to the keyed corpus. */
+  def editJoin(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = table(spark, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id"),
+        lower(regexp_replace(col("text"), "[^a-zA-Z ]", "")).as("k"))
+      .filter(length(col("k")) >= EditMinKeyLen)
+      .withColumn("len", length(col("k")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // positional q-grams: element i of the transform is substring(k, i, q),
+    // so posexplode's 0-based pos maps back to string position pos + 1
+    val grams = keyed
+      .select(col("doc_id"), col("len"), posexplode(
+        expr(s"transform(sequence(1, len - ${EditQ - 1}), i -> substring(k, i, $EditQ))")))
+      .select(col("doc_id"), col("len"), col("col").as("g"),
+        (col("pos") + 1).as("p"))
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val prefix = grams.join(broadcast(dfreq), Seq("g"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("df").asc, col("g").asc, col("p").asc)))
+      .filter(col("rn") <= lit(EditQ * EditTau + 1))
+      .select(col("doc_id"), col("len"), col("g"), col("p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          abs(col("x.p") - col("y.p")) <= lit(EditTau) &&
+          abs(col("x.len") - col("y.len")) <= lit(EditTau))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(keyed.select(col("doc_id").as("a_id"), col("k").as("ka")), Seq("a_id"))
+      .join(keyed.select(col("doc_id").as("b_id"), col("k").as("kb")), Seq("b_id"))
+      .withColumn("dist", levenshtein(col("ka"), col("kb"), EditTau))
+      .filter(col("dist") >= 0)
+      .select(col("a_id"), col("b_id"), col("dist"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** [[editJoin]]'s candidate volume (after the prefix + positional +
+    * length filters) next to the NAIVE length-filtered pair count the
+    * oracle verifies — exposed for the spec to grade the filters actually
+    * pruning (the scale claim), not just matching the truth. */
+  private[queries] def editJoinCandidateCounts(
+      spark: SparkSession, dir: String): (Long, Long) = {
+    val keyed = table(spark, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id"),
+        lower(regexp_replace(col("text"), "[^a-zA-Z ]", "")).as("k"))
+      .filter(length(col("k")) >= EditMinKeyLen)
+      .withColumn("len", length(col("k")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = keyed
+      .select(col("doc_id"), col("len"), posexplode(
+        expr(s"transform(sequence(1, len - ${EditQ - 1}), i -> substring(k, i, $EditQ))")))
+      .select(col("doc_id"), col("len"), col("col").as("g"),
+        (col("pos") + 1).as("p"))
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val prefix = grams.join(broadcast(dfreq), Seq("g"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("df").asc, col("g").asc, col("p").asc)))
+      .filter(col("rn") <= lit(EditQ * EditTau + 1))
+      .select(col("doc_id"), col("len"), col("g"), col("p"))
+    val cand = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          abs(col("x.p") - col("y.p")) <= lit(EditTau) &&
+          abs(col("x.len") - col("y.len")) <= lit(EditTau))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    val naive = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= lit(EditTau))
+      .count()
+    keyed.unpersist()
+    (cand, naive)
+  }
 }
