@@ -672,6 +672,43 @@ object ExtOracles {
         |HAVING 2 * count(*) >= any_value(x.nb) + any_value(y.nb) - count(*)
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // e_pca_power: both phases mirrored CTE-for-CTE — exact fixed-point
+    // Gram accumulation, then the PcaSteps power-iteration rounds UNROLLED
+    // as chained CTEs (the kmeansChainCtes device); every fold is the same
+    // sequential left-fold as the Spark side.
+    "e_pca_power" -> {
+      val d = ExtQueries.PcaDim
+      val s = f"${ExtQueries.PcaScale}%.1f"
+      def step(r: Int): String =
+        s"""w$r AS (SELECT g2.i AS i,
+          |  list_reduce(list_transform(list_zip(g2.garr, v${r - 1}.varr),
+          |    pz -> pz[1] * pz[2]), (a, b) -> a + b) AS w
+          |  FROM g2, v${r - 1}),
+          |a$r AS (SELECT list(w ORDER BY i) AS warr FROM w$r),
+          |n$r AS (SELECT warr,
+          |  sqrt(list_reduce(list_transform(warr, x -> x * x), (a, b) -> a + b)) AS lambda
+          |  FROM a$r),
+          |v$r AS (SELECT list_transform(warr, x -> x / lambda) AS varr, lambda FROM n$r)""".stripMargin
+      s"""WITH dims AS (SELECT unnest(range($d)) AS i),
+        |pr AS (
+        |  SELECT di.i AS i, dj.i AS j,
+        |    CAST(floor(CAST(embedding[di.i + 1] AS DOUBLE)
+        |             * CAST(embedding[dj.i + 1] AS DOUBLE) * $s) AS BIGINT) AS p
+        |  FROM embeddings, dims di, dims dj WHERE di.i <= dj.i),
+        |gu AS (SELECT i, j, CAST(sum(p) AS BIGINT) AS g FROM pr GROUP BY i, j),
+        |gf AS (SELECT i, j, g FROM gu
+        |  UNION ALL SELECT j AS i, i AS j, g FROM gu WHERE i <> j),
+        |g2 AS (SELECT i, list_transform(list(g ORDER BY j),
+        |  x -> CAST(x AS DOUBLE) / $s) AS garr FROM gf GROUP BY i),
+        |v0 AS (SELECT list_transform(range($d), x -> CAST(0.125 AS DOUBLE)) AS varr),
+        |${(1 to ExtQueries.PcaSteps).map(step).mkString(",\n")}
+        |SELECT gu.i AS d, gu.g AS g_diag,
+        |  v${ExtQueries.PcaSteps}.varr[gu.i + 1] AS v_unit,
+        |  v${ExtQueries.PcaSteps}.lambda AS lambda
+        |FROM gu, v${ExtQueries.PcaSteps} WHERE gu.i = gu.j
+        |ORDER BY d""".stripMargin
+    },
+
     // e_edit_join: the truth is the NAIVE length-filtered Levenshtein join —
     // the Spark side's prefix/positional q-gram filters are exact by
     // theorem, so the oracle deliberately models neither. The ASCII-fold

@@ -6126,6 +6126,90 @@ object ExtQueries {
       .orderBy("a_id", "b_id")
   }
 
+  // ---- e_pca_power --------------------------------------------------------
+
+  /** Fixed-point scale for [[pcaPower]]'s Gram accumulation. Element
+    * products are ⌊eᵢ·eⱼ·S⌋ longs, so the per-(i,j) sum is EXACT and
+    * partition-order-invariant (the [[centroidScore]] device, lifted to
+    * matrix entries). Headroom: |e| < 1 here so each term is < S = 10¹²,
+    * and a long holds ~9.2·10¹⁸ — room for ~9M rows at this scale; a
+    * larger corpus lowers S by log₁₀(N) (the knob trades one quantization
+    * digit per 10× rows, far below float noise either way). */
+  private[queries] val PcaScale = 1e12
+  private[queries] val PcaSteps = 12
+  private[queries] val PcaDim = 64
+
+  /** Distributed PCA top-eigenvector by POWER ITERATION over an exactly
+    * accumulated Gram matrix — the linear-algebra primitive under
+    * embedding whitening, spectral outlier screens, and the projection
+    * views the ANN family quantizes. Two phases with opposite scale
+    * characters, which is the whole design:
+    *
+    *   1. GRAM ACCUMULATION — the only corpus-touching phase: each vector
+    *      emits its dim·(dim+1)/2 upper-triangle fixed-point products in
+    *      one codegen'd generator projection, reduced by a map-side-combined
+    *      hash aggregate on ≤ dim² keys. Long sums are EXACT, so a
+    *      1000-executor accumulation hash-matches the single-node oracle
+    *      regardless of partitioning — the property float Gram sums lack.
+    *      Corpus is scanned ONCE; nothing else ever touches it.
+    *   2. POWER ITERATION — [[PcaSteps]] steps on the CONSTANT-size
+    *      (dim², corpus-independent) Gram frame: w = G·v as a sequential
+    *      `zip_with`-fold per row (deterministic order), renormalized via a
+    *      64-element global fold; every per-step frame is ≤ dim rows, so
+    *      iteration cost is independent of corpus size. λ = ‖G·v‖ after
+    *      the final step is the standard eigenvalue estimate.
+    *
+    * The oracle mirrors both phases CTE-for-CTE (the `kmeansChainCtes`
+    * unrolled-iteration device), so parity covers the accumulation AND all
+    * eight iterations. Output: one row per dimension with the exact
+    * integer Gram diagonal and the unit top-eigenvector coordinate, plus
+    * the shared λ estimate. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val d = PcaDim
+    val vecs = table(spark, dir, "embeddings").select(col("embedding").as("e"))
+    val prods = vecs.select(explode(expr(
+      s"""flatten(transform(sequence(0, ${d - 1}), i ->
+         |  transform(sequence(i, ${d - 1}), j -> named_struct(
+         |    'i', i, 'j', j,
+         |    'p', CAST(floor(CAST(element_at(e, i + 1) AS DOUBLE)
+         |                  * CAST(element_at(e, j + 1) AS DOUBLE)
+         |                  * ${PcaScale}D) AS BIGINT)))))""".stripMargin)).as("t"))
+      .select(col("t.i"), col("t.j"), col("t.p"))
+    val gUpper = prods.groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gFull = gUpper.unionByName(
+      gUpper.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("g")))
+    // row-major G rows (i, garr): garr[j] = G_ij / S — the double matrix
+    // every iteration reuses; dim rows, persisted once
+    val gRows = gFull.groupBy(col("i"))
+      .agg(array_sort(collect_list(struct(col("j"), col("g")))).as("gj"))
+      .select(col("i"),
+        transform(col("gj"), s => s.getField("g").cast("double") / lit(PcaScale))
+          .as("garr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // v₀ = uniform 1/8 (exactly representable; unit-norm at dim 64)
+    val v0 = spark.range(1).select(
+      expr(s"transform(sequence(0, ${d - 1}), x -> CAST(0.125 AS DOUBLE))").as("varr"))
+    val vFinal = (1 to PcaSteps).foldLeft(v0) { (v, _) =>
+      gRows.crossJoin(broadcast(v.select(col("varr"))))
+        .select(col("i"),
+          seqSum(zip_with(col("garr"), col("varr"), (a, b) => a * b)).as("w"))
+        .agg(array_sort(collect_list(struct(col("i"), col("w")))).as("ws"))
+        .select(transform(col("ws"), s => s.getField("w")).as("warr"))
+        .select(col("warr"),
+          sqrt(seqSum(transform(col("warr"), x => x * x))).as("lambda"))
+        .select(transform(col("warr"), x => x / col("lambda")).as("varr"),
+          col("lambda"))
+    }
+    gUpper.filter(col("i") === col("j"))
+      .select(col("i").as("d"), col("g").as("g_diag"))
+      .crossJoin(broadcast(vFinal))
+      .select(col("d"), col("g_diag"),
+        element_at(col("varr"), col("d") + 1).as("v_unit"), col("lambda"))
+      .orderBy("d")
+  }
+
   /** [[editJoin]]'s candidate volume (after the prefix + positional +
     * length filters) next to the NAIVE length-filtered pair count the
     * oracle verifies — exposed for the spec to grade the filters actually
