@@ -73,6 +73,7 @@ object SparkEntry {
     "e_jaccard_prefix"    -> (ExtQueries.jaccardPrefix _),
     "e_edit_join"         -> (ExtQueries.editJoin _),
     "e_pca_power"         -> (ExtQueries.pcaPower _),
+    "e_domain_drift"      -> (ExtQueries.domainDrift _),
     "e_containment"       -> (ExtQueries.containment _),
     "e_cosine_dedup"      -> (ExtQueries.cosineDedup _),
     "e_cosine_topk_lsh"   -> (ExtQueries.cosineTopkLsh _),

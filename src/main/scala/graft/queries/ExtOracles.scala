@@ -672,6 +672,34 @@ object ExtOracles {
         |HAVING 2 * count(*) >= any_value(x.nb) + any_value(y.nb) - count(*)
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // e_domain_drift: TV numerators are exact integer arithmetic over the
+    // DENSE source x corpus-bucket grid (absent buckets must contribute
+    // c_b*n_s); the argmax is the same integer encoding as the Spark side.
+    "e_domain_drift" ->
+      s"""WITH tk AS (SELECT source,
+        |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens FROM documents),
+        |bu AS (SELECT source, CAST(least(n_tokens // ${ExtQueries.DriftBucketTokens},
+        |  ${ExtQueries.DriftMaxBucket}) AS INT) AS b FROM tk),
+        |osb AS (SELECT source, b, count(*) AS o FROM bu GROUP BY source, b),
+        |ns AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_s FROM osb GROUP BY source),
+        |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c_b FROM osb GROUP BY b),
+        |tot AS (SELECT CAST(sum(c_b) AS BIGINT) AS n_tot FROM cb),
+        |grid AS (SELECT ns.source, ns.n_s, cb.b, cb.c_b,
+        |    COALESCE(osb.o, CAST(0 AS BIGINT)) AS o, tot.n_tot
+        |  FROM ns CROSS JOIN cb CROSS JOIN tot
+        |  LEFT JOIN osb ON osb.source = ns.source AND osb.b = cb.b),
+        |g2 AS (SELECT source, min(n_s) AS n_docs, min(n_tot) AS n_tot,
+        |  CAST(sum(abs(o * n_tot - c_b * n_s)) AS BIGINT) AS tv_num,
+        |  CAST(max(abs(o * n_tot - c_b * n_s) * 16
+        |    + (${ExtQueries.DriftMaxBucket} - b)) AS BIGINT) AS enc
+        |  FROM grid GROUP BY source)
+        |SELECT source, n_docs, tv_num,
+        |  CAST(tv_num AS DOUBLE)
+        |    / (2.0 * CAST(n_docs AS DOUBLE) * CAST(n_tot AS DOUBLE)) AS tv,
+        |  CAST(${ExtQueries.DriftMaxBucket} - (enc % 16) AS INT) AS top_bucket,
+        |  enc // 16 AS top_term
+        |FROM g2 ORDER BY source""".stripMargin,
+
     // e_pca_power: both phases mirrored CTE-for-CTE — exact fixed-point
     // Gram accumulation, then the PcaSteps power-iteration rounds UNROLLED
     // as chained CTEs (the kmeansChainCtes device); every fold is the same

@@ -6126,6 +6126,65 @@ object ExtQueries {
       .orderBy("a_id", "b_id")
   }
 
+  // ---- e_domain_drift -----------------------------------------------------
+
+  /** Token-length bucket width and cap for [[domainDrift]] — 16 buckets of
+    * 32 tokens each, matching the fixture's length range; shared with the
+    * oracle so both engines bucket identically. */
+  private[queries] val DriftBucketTokens = 32
+  private[queries] val DriftMaxBucket = 15
+
+  /** Per-source DISTRIBUTION-DRIFT monitor — "which domain's length
+    * profile departs from the corpus mix" — via total-variation distance,
+    * the report a data-mixing team reads before re-weighting sources (a
+    * source whose length distribution drifts is re-crawled or re-chunked
+    * differently, and TV bounds how much any downstream proportion can
+    * move). Per source s with bucket counts o_b (dense over the CORPUS
+    * bucket set — absent buckets count as 0, which is where naive
+    * per-present-bucket sums go wrong):
+    *
+    *   TV(s) = ½ Σ_b |o_b/n_s − c_b/N| = Σ_b |o_b·N − c_b·n_s| / (2·n_s·N)
+    *
+    * The numerator is EXACT integer arithmetic (the engine-parity device),
+    * summed over ≤16 buckets; one IEEE divide produces the reported
+    * distance. The worst bucket is an integer-encoded argmax
+    * (term·16 + (15−b), max, decode — deterministic tie-break toward the
+    * smaller bucket without max_by's unspecified ties).
+    *
+    * At scale: one corpus scan into a ≤|sources|·16-key map-side-combined
+    * aggregate; everything after runs on that tiny frame (totals join is a
+    * broadcast; the dense grid is |sources|·16 rows). */
+  def domainDrift(spark: SparkSession, dir: String): DataFrame = {
+    val osb = table(spark, dir, "documents")
+      .select(col("source"), size(tokens(col("text"))).as("n_tokens"))
+      .select(col("source"),
+        least(expr(s"n_tokens div $DriftBucketTokens"), lit(DriftMaxBucket))
+          .cast("int").as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ns = osb.groupBy(col("source")).agg(sum(col("o")).as("n_s"))
+    val cb = osb.groupBy(col("b")).agg(sum(col("o")).as("c_b"))
+    val tot = cb.agg(sum(col("c_b")).as("n_tot"))
+    val enc = ns.crossJoin(broadcast(cb))
+      .join(osb, Seq("source", "b"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        abs(col("o") * col("n_tot") - col("c_b") * col("n_s")))
+      .groupBy(col("source"))
+      .agg(min(col("n_s")).as("n_docs"), min(col("n_tot")).as("n_tot"),
+        sum(col("term")).as("tv_num"),
+        max(col("term") * lit(16L) + (lit(DriftMaxBucket.toLong) - col("b")))
+          .as("enc"))
+    enc.select(col("source"), col("n_docs"), col("tv_num"),
+      (col("tv_num").cast("double")
+        / (lit(2.0) * col("n_docs").cast("double") * col("n_tot").cast("double")))
+        .as("tv"),
+      (lit(DriftMaxBucket) - pmod(col("enc"), lit(16L)).cast("int")).as("top_bucket"),
+      expr("enc div 16").as("top_term"))
+      .orderBy("source")
+  }
+
   // ---- e_pca_power --------------------------------------------------------
 
   /** Fixed-point scale for [[pcaPower]]'s Gram accumulation. Element
