@@ -158,6 +158,13 @@ object Demo {
     println("== margin-mined bitext pairs (accepted = margin >= 1.05):")
     graft.queries.ExtQueries.bitextMine(spark, sf)
       .groupBy("accepted").count().show(false)
+    println("== edit-distance join (Ed-Join prefix filtering, tau=8):")
+    graft.queries.ExtQueries.editJoin(spark, sf).show(false)
+    println("== PCA top-eigenpair (exact Gram + 12 power steps; head dims):")
+    graft.queries.ExtQueries.pcaPower(spark, sf).show(5, false)
+    println("== per-source length-distribution drift (TV vs corpus mix):")
+    graft.queries.ExtQueries.domainDrift(spark, sf)
+      .orderBy($"tv".desc).show(5, false)
     spark.catalog.clearCache() // funnel/fusion/graph ops persist intermediates
 
     // malformed day file: observe the failure mode
