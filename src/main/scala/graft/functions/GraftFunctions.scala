@@ -59,6 +59,12 @@ object GraftFunctions {
           IntersectCountDistinct(exprs.head, exprs(1))
         }, "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "distinct_count", { exprs =>
+          require(exprs.length == 1,
+            s"distinct_count(a) takes 1 argument, got ${exprs.length}")
+          DistinctCount(exprs.head)
+        }, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "intersect_count_sorted", { exprs =>
           require(exprs.length == 2,
             s"intersect_count_sorted(a, b) takes 2 arguments, got ${exprs.length}")

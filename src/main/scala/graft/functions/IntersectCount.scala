@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -152,6 +152,36 @@ object SetOps {
     if (smallHasNull && largeHasNull) c + 1 else c
   }
 
+  /** DISTINCT-value count of one long array — exactly
+    * `size(array_distinct(a))` on arbitrary input (duplicates collapse, a
+    * null element counts once): sort the non-null values into a primitive
+    * scratch buffer, count boundaries. Used by the
+    * [[graft.plans.SetIntersectCountRewrite]] family — the unary sibling
+    * of [[intersectCountDistinct]] — so the natural
+    * `size(array_distinct(x))` spelling never materializes the
+    * deduplicated array it immediately discards. O(n·log n), zero
+    * boxing. */
+  def distinctCount(a: ArrayData): Long = {
+    val n = a.numElements
+    var hasNull = false
+    val buf = new Array[Long](n)
+    var nn = 0
+    var k = 0
+    while (k < n) {
+      if (a.isNullAt(k)) hasNull = true
+      else { buf(nn) = a.getLong(k); nn += 1 }
+      k += 1
+    }
+    java.util.Arrays.sort(buf, 0, nn)
+    var c = 0L
+    var r = 0
+    while (r < nn) {
+      if (r == 0 || buf(r) != buf(r - 1)) c += 1
+      r += 1
+    }
+    if (hasNull) c + 1 else c
+  }
+
   /** Null-slot-correct variant for inputs whose element type is declared
     * nullable: null slots never reach `getLong`; a null element present on
     * BOTH sides contributes exactly 1 (set semantics, matching
@@ -262,6 +292,35 @@ case class IntersectCountDistinct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): IntersectCountDistinct =
     copy(left = newLeft, right = newRight)
+}
+
+/** Catalyst-native wrapper over [[SetOps.distinctCount]] — equal to
+  * `size(array_distinct(a))` on any long-array input. Planted by
+  * [[graft.plans.SetIntersectCountRewrite]]; also callable directly as
+  * SQL `distinct_count`. */
+case class DistinctCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "distinct_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"distinct_count expects array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    SetOps.distinctCount(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SetOps.distinctCount($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctCount =
+    copy(child = newChild)
 }
 
 /** Catalyst-native wrapper over [[SetOps.intersectCountSorted]] — same

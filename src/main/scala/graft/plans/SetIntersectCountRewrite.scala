@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
-import graft.functions.IntersectCountDistinct
+import graft.functions.{DistinctCount, IntersectCountDistinct}
 
 /** Custom optimizer rule (§2.10 extension surface, the
   * [[NanosDatePushdown]] sibling): `size(array_intersect(a, b))` over
@@ -14,7 +14,10 @@ import graft.functions.IntersectCountDistinct
   * This rule replants the pattern as the primitive counting kernel
   * [[IntersectCountDistinct]] (cast back to `size`'s integer type), so
   * the natural spelling a user writes gets the no-allocation counter the
-  * repo's Jaccard verifies call explicitly.
+  * repo's Jaccard verifies call explicitly. The unary sibling
+  * `size(array_distinct(x))` gets the same treatment via
+  * [[DistinctCount]] — ArrayDistinct's boxed-set dedup array exists only
+  * to be counted and discarded.
   *
   * SOUNDNESS on arbitrary inputs (not just the repo's set-typed columns):
   * the kernel reproduces `array_intersect`'s full semantics — each shared
@@ -42,5 +45,11 @@ object SetIntersectCountRewrite extends Rule[LogicalPlan] {
       // long→int cast can never overflow under either eval mode
       case Size(ai: ArrayIntersect, false) if longArrays(ai.left, ai.right) =>
         Cast(IntersectCountDistinct(ai.left, ai.right), IntegerType)
+      // the unary sibling: size(array_distinct(x)) is a distinct COUNT —
+      // ArrayDistinct's boxed-set dedup array is thrown away by size
+      case Size(ad: ArrayDistinct, false)
+          if ad.child.dataType.isInstanceOf[ArrayType] &&
+            ad.child.dataType.asInstanceOf[ArrayType].elementType == LongType =>
+        Cast(DistinctCount(ad.child), IntegerType)
     }
 }

@@ -59,6 +59,37 @@ class SetIntersectCountRewriteSpec extends AnyFunSuite {
     assert(rows.forall(_.isNullAt(2)))
   }
 
+  test("distinct_count kernel equals array_distinct size on random multisets " +
+      "(ScalaCheck)") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val p = Prop.forAll(bagGen) { (a: Seq[Option[Long]]) =>
+      val got = SetOps.distinctCount(
+        ArrayData.toArrayData(a.map(_.map(Long.box).orNull).toArray))
+      got == a.toSet.size.toLong
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("size(array_distinct) is replanted and results stay identical") {
+    import spark.implicits._
+    // id 0: [0,0,1] -> 2;  id 1: [null,2,null,2] -> 2;  id 2: [2,2,3] -> 2
+    val df = spark.range(0, 3).select($"id",
+      when($"id" === 1, array(lit(null).cast("long"), $"id" + 1,
+          lit(null).cast("long"), $"id" + 1))
+        .otherwise(array($"id", $"id", $"id" + 1)).as("a"))
+    val q = df.select($"id",
+      size(array_distinct($"a")).as("c"),
+      size(array_distinct(lit(null).cast("array<bigint>"))).as("cn"))
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("distinct_count"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("array_distinct"),
+      s"ArrayDistinct still materializes:\n$plan")
+    val rows = q.orderBy("id").collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(2, 2, 2))
+    assert(rows.forall(_.isNullAt(2)))
+  }
+
   test("rewrite leaves non-long element types to the built-in path") {
     import spark.implicits._
     val q = Seq((Seq("x", "y"), Seq("y"))).toDF("a", "b")
