@@ -74,6 +74,8 @@ object SparkEntry {
     "e_edit_join"         -> (ExtQueries.editJoin _),
     "e_pca_power"         -> (ExtQueries.pcaPower _),
     "e_domain_drift"      -> (ExtQueries.domainDrift _),
+    "e_pca_project"       -> (ExtQueries.pcaProject _),
+    "e_cosine_topk_ivfpq" -> (ExtQueries.cosineTopkIvfPq _),
     "e_containment"       -> (ExtQueries.containment _),
     "e_cosine_dedup"      -> (ExtQueries.cosineDedup _),
     "e_cosine_topk_lsh"   -> (ExtQueries.cosineTopkLsh _),
@@ -198,8 +200,9 @@ object SparkEntry {
     // same attribution rule as the evaluation harnesses.
     "e_triangles", "e_cosine_topk_beam",
     // e_silhouette re-runs the e_kmeans_train chain to grade its clusters;
-    // e_calibration re-runs the e_nb_classify predictions it audits
-    "e_silhouette", "e_calibration")
+    // e_calibration re-runs the e_nb_classify predictions it audits;
+    // e_pca_project re-runs the e_pca_power chain it screens with
+    "e_silhouette", "e_calibration", "e_pca_project")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

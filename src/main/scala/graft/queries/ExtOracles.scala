@@ -81,6 +81,40 @@ object ExtOracles {
       |  FROM th),
       |sets AS (SELECT doc_id, lang, source, list_distinct(bigrams) AS bs FROM bg)""".stripMargin
 
+  /** Shared PCA chain CTEs: exact fixed-point Gram accumulation (`gu`)
+    * plus the `ExtQueries.PcaSteps` power-iteration rounds unrolled
+    * (final iterate `v<steps>` = (varr, lambda)). The SQL twin of
+    * `ExtQueries.pcaParts`, defined once so the graded eigenpair
+    * (`e_pca_power`) and the projection screen (`e_pca_project`) verify
+    * against the same chain by construction. */
+  private lazy val pcaChainCtes: String = {
+    val d = ExtQueries.PcaDim
+    val s = f"${ExtQueries.PcaScale}%.1f"
+    def step(r: Int): String =
+      s"""w$r AS (SELECT g2.i AS i,
+        |  list_reduce(list_transform(list_zip(g2.garr, v${r - 1}.varr),
+        |    pz -> pz[1] * pz[2]), (a, b) -> a + b) AS w
+        |  FROM g2, v${r - 1}),
+        |a$r AS (SELECT list(w ORDER BY i) AS warr FROM w$r),
+        |n$r AS (SELECT warr,
+        |  sqrt(list_reduce(list_transform(warr, x -> x * x), (a, b) -> a + b)) AS lambda
+        |  FROM a$r),
+        |v$r AS (SELECT list_transform(warr, x -> x / lambda) AS varr, lambda FROM n$r)""".stripMargin
+    s"""dims AS (SELECT unnest(range($d)) AS i),
+      |pr AS (
+      |  SELECT di.i AS i, dj.i AS j,
+      |    CAST(floor(CAST(embedding[di.i + 1] AS DOUBLE)
+      |             * CAST(embedding[dj.i + 1] AS DOUBLE) * $s) AS BIGINT) AS p
+      |  FROM embeddings, dims di, dims dj WHERE di.i <= dj.i),
+      |gu AS (SELECT i, j, CAST(sum(p) AS BIGINT) AS g FROM pr GROUP BY i, j),
+      |gf AS (SELECT i, j, g FROM gu
+      |  UNION ALL SELECT j AS i, i AS j, g FROM gu WHERE i <> j),
+      |g2 AS (SELECT i, list_transform(list(g ORDER BY j),
+      |  x -> CAST(x AS DOUBLE) / $s) AS garr FROM gf GROUP BY i),
+      |v0 AS (SELECT list_transform(range($d), x -> CAST(0.125 AS DOUBLE)) AS varr),
+      |${(1 to ExtQueries.PcaSteps).map(step).mkString(",\n")}""".stripMargin
+  }
+
   /** `e_mmr` — greedy Maximal Marginal Relevance, the `ExtQueries.MmrK`
     * selection rounds UNROLLED as chained CTEs (the `beamSearchSql` /
     * `kmeansChainCtes` device): round r picks the argmax of
@@ -528,6 +562,65 @@ object ExtOracles {
         |${pqSeedCodesCte("codes")},
         |${pqServeSql("codes")}""".stripMargin,
 
+    // e_cosine_topk_ivfpq: the IVF assignment CTEs (shared with
+    // e_cosine_topk_ivf) feed residual PQ encoding and the three-table ADC
+    // serve; every subspace fold is the same sequential left-fold, summed
+    // in pinned sub order via list(... ORDER BY sub).
+    "e_cosine_topk_ivfpq" ->
+      s"""WITH $centAssignCtes,
+        |$pqCommonCtes,
+        |resid AS (SELECT a.vec_id, a.cell,
+        |  list_transform(list_zip(a.e, c.ce),
+        |    p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS r
+        |  FROM assigned a JOIN cents c ON a.cell = c.cent_id),
+        |rcodes AS (SELECT r.vec_id AS code_id, s.sub,
+        |    ${pqSliceSql("r.r", "s.sub")} AS cv
+        |  FROM resid r, subs s WHERE r.vec_id < ${ExtQueries.PqCodes}),
+        |rsub AS (SELECT r.vec_id, r.cell, s.sub,
+        |    ${pqSliceSql("r.r", "s.sub")} AS sv
+        |  FROM resid r, subs s),
+        |dists AS (SELECT v.vec_id, v.cell, v.sub, c.code_id,
+        |  $pqD2Sql AS d2
+        |  FROM rsub v JOIN rcodes c USING (sub)),
+        |enc AS (SELECT vec_id, cell, sub, code_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY d2 ASC, code_id ASC) AS rk FROM dists) WHERE rk = 1),
+        |cc AS (SELECT cs.cell, cs.sub, rc.code_id,
+        |  list_reduce(list_transform(list_zip(cs.csv, rc.cv),
+        |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b) AS pcdot,
+        |  list_reduce(list_transform(rc.cv,
+        |    v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b) AS pn2
+        |  FROM (SELECT c.cent_id AS cell, s.sub,
+        |      ${pqSliceSql("c.ce", "s.sub")} AS csv FROM cents c, subs s) cs
+        |  JOIN rcodes rc USING (sub)),
+        |qa AS (SELECT a.vec_id AS qid, a.e AS qe, a.nrm AS nq, a.cell AS qcell,
+        |  list_reduce(list_transform(list_zip(a.e, c.ce),
+        |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (x,y)->x+y) AS qcdot,
+        |  c.ncent * c.ncent AS cn2
+        |  FROM assigned a JOIN cents c ON a.cell = c.cent_id WHERE a.vec_id < 8),
+        |lut AS (SELECT q.qid, rc.sub, rc.code_id,
+        |  list_reduce(list_transform(list_zip(
+        |      ${pqSliceSql("q.qe", "rc.sub")}, rc.cv),
+        |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b) AS pdot
+        |  FROM qa q, rcodes rc),
+        |g AS (SELECT q.qid, q.nq, q.qcdot, q.cn2, e.vec_id AS cid,
+        |    list_reduce(list(l.pdot ORDER BY e.sub), (a,b)->a+b) AS pdsum,
+        |    list_reduce(list(c.pcdot ORDER BY e.sub), (a,b)->a+b) AS pcsum,
+        |    list_reduce(list(c.pn2 ORDER BY e.sub), (a,b)->a+b) AS pn2sum
+        |  FROM enc e
+        |  JOIN qa q ON e.cell = q.qcell AND e.vec_id <> q.qid
+        |  JOIN lut l ON l.qid = q.qid AND l.sub = e.sub AND l.code_id = e.code_id
+        |  JOIN cc c ON c.cell = e.cell AND c.sub = e.sub AND c.code_id = e.code_id
+        |  GROUP BY q.qid, q.nq, q.qcdot, q.cn2, e.vec_id),
+        |ranked AS (SELECT qid, cid,
+        |  (qcdot + pdsum) / (nq * sqrt(cn2 + 2.0 * pcsum + pn2sum)) AS score,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY (qcdot + pdsum) / (nq * sqrt(cn2 + 2.0 * pcsum + pn2sum)) DESC,
+        |      cid ASC) AS INT) AS rank
+        |  FROM g)
+        |SELECT qid, cid, score, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
     "e_chunk_dedup" ->
       s"""WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
@@ -704,38 +797,26 @@ object ExtOracles {
     // Gram accumulation, then the PcaSteps power-iteration rounds UNROLLED
     // as chained CTEs (the kmeansChainCtes device); every fold is the same
     // sequential left-fold as the Spark side.
-    "e_pca_power" -> {
-      val d = ExtQueries.PcaDim
-      val s = f"${ExtQueries.PcaScale}%.1f"
-      def step(r: Int): String =
-        s"""w$r AS (SELECT g2.i AS i,
-          |  list_reduce(list_transform(list_zip(g2.garr, v${r - 1}.varr),
-          |    pz -> pz[1] * pz[2]), (a, b) -> a + b) AS w
-          |  FROM g2, v${r - 1}),
-          |a$r AS (SELECT list(w ORDER BY i) AS warr FROM w$r),
-          |n$r AS (SELECT warr,
-          |  sqrt(list_reduce(list_transform(warr, x -> x * x), (a, b) -> a + b)) AS lambda
-          |  FROM a$r),
-          |v$r AS (SELECT list_transform(warr, x -> x / lambda) AS varr, lambda FROM n$r)""".stripMargin
-      s"""WITH dims AS (SELECT unnest(range($d)) AS i),
-        |pr AS (
-        |  SELECT di.i AS i, dj.i AS j,
-        |    CAST(floor(CAST(embedding[di.i + 1] AS DOUBLE)
-        |             * CAST(embedding[dj.i + 1] AS DOUBLE) * $s) AS BIGINT) AS p
-        |  FROM embeddings, dims di, dims dj WHERE di.i <= dj.i),
-        |gu AS (SELECT i, j, CAST(sum(p) AS BIGINT) AS g FROM pr GROUP BY i, j),
-        |gf AS (SELECT i, j, g FROM gu
-        |  UNION ALL SELECT j AS i, i AS j, g FROM gu WHERE i <> j),
-        |g2 AS (SELECT i, list_transform(list(g ORDER BY j),
-        |  x -> CAST(x AS DOUBLE) / $s) AS garr FROM gf GROUP BY i),
-        |v0 AS (SELECT list_transform(range($d), x -> CAST(0.125 AS DOUBLE)) AS varr),
-        |${(1 to ExtQueries.PcaSteps).map(step).mkString(",\n")}
+    "e_pca_power" ->
+      s"""WITH $pcaChainCtes
         |SELECT gu.i AS d, gu.g AS g_diag,
         |  v${ExtQueries.PcaSteps}.varr[gu.i + 1] AS v_unit,
         |  v${ExtQueries.PcaSteps}.lambda AS lambda
         |FROM gu, v${ExtQueries.PcaSteps} WHERE gu.i = gu.j
-        |ORDER BY d""".stripMargin
-    },
+        |ORDER BY d""".stripMargin,
+
+    // e_pca_project: composes the SAME pca chain (shared CTE block), then
+    // one projection fold per vector and the extreme-k screen with the
+    // pinned (|proj| DESC, vec_id ASC) tie-break.
+    "e_pca_project" ->
+      s"""WITH $pcaChainCtes,
+        |proj AS (SELECT vec_id,
+        |  list_reduce(list_transform(list_zip(v${ExtQueries.PcaSteps}.varr, embedding),
+        |    pz -> pz[1] * CAST(pz[2] AS DOUBLE)), (a, b) -> a + b) AS proj
+        |  FROM embeddings, v${ExtQueries.PcaSteps}),
+        |top AS (SELECT vec_id, proj FROM proj
+        |  ORDER BY abs(proj) DESC, vec_id ASC LIMIT ${ExtQueries.PcaScreenK})
+        |SELECT vec_id, proj FROM top ORDER BY vec_id""".stripMargin,
 
     // e_edit_join: the truth is the NAIVE length-filtered Levenshtein join —
     // the Spark side's prefix/positional q-gram filters are exact by
@@ -3017,7 +3098,8 @@ object ExtOracles {
       |pq AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_pq")}) w),
       |beam AS (SELECT qid, cid FROM ($beamSearchSql) x),
       |ivf_t AS (SELECT qid, cid FROM ($ivfTrainedSql) y),
-      |pq_t AS (SELECT qid, cid FROM ($pqTrainedSql) z)
+      |pq_t AS (SELECT qid, cid FROM ($pqTrainedSql) z),
+      |ivfpq AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_ivfpq")}) zz)
       |SELECT ex.qid, count(*) AS n_exact,
       |  CAST(count(lsh.cid) AS BIGINT) AS n_lsh,
       |  CAST(count(ivf.cid) AS BIGINT) AS n_ivf,
@@ -3025,12 +3107,14 @@ object ExtOracles {
       |  CAST(count(beam.cid) AS BIGINT) AS n_beam,
       |  CAST(count(ivf_t.cid) AS BIGINT) AS n_ivf_t,
       |  CAST(count(pq_t.cid) AS BIGINT) AS n_pq_t,
+      |  CAST(count(ivfpq.cid) AS BIGINT) AS n_ivfpq,
       |  CAST(count(lsh.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_lsh,
       |  CAST(count(ivf.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivf,
       |  CAST(count(pq.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_pq,
       |  CAST(count(beam.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_beam,
       |  CAST(count(ivf_t.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivf_t,
-      |  CAST(count(pq_t.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_pq_t
+      |  CAST(count(pq_t.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_pq_t,
+      |  CAST(count(ivfpq.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivfpq
       |FROM ex
       |LEFT JOIN lsh ON ex.qid = lsh.qid AND ex.cid = lsh.cid
       |LEFT JOIN ivf ON ex.qid = ivf.qid AND ex.cid = ivf.cid
@@ -3038,5 +3122,6 @@ object ExtOracles {
       |LEFT JOIN beam ON ex.qid = beam.qid AND ex.cid = beam.cid
       |LEFT JOIN ivf_t ON ex.qid = ivf_t.qid AND ex.cid = ivf_t.cid
       |LEFT JOIN pq_t ON ex.qid = pq_t.qid AND ex.cid = pq_t.cid
+      |LEFT JOIN ivfpq ON ex.qid = ivfpq.qid AND ex.cid = ivfpq.cid
       |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin)
 }

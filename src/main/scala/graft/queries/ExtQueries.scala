@@ -262,8 +262,9 @@ object ExtQueries {
     * cell-partitioned ([[cosineTopkIvf]]), quantized ([[cosineTopkPq]]),
     * graph-searched ([[cosineTopkBeam]]) — against the exact [[cosineTopk]]
     * baseline, per query, PLUS the two TRAINED variants
-    * ([[cosineTopkIvfTrained]], [[cosineTopkPqTrained]]) so the benefit of
-    * the k-means/PQ training chains is itself a graded number, not just a
+    * ([[cosineTopkIvfTrained]], [[cosineTopkPqTrained]]) and the composite
+    * residual index ([[cosineTopkIvfPq]]) so the benefit of the
+    * k-means/PQ training chains is itself a graded number, not just a
     * spec measurement. This is the measurement every ANN deployment runs
     * before trading exactness for speed; making it a declared query keeps
     * the recall numbers themselves under the cross-engine hash gate (the
@@ -282,7 +283,8 @@ object ExtQueries {
       "pq" -> cosineTopkPq(spark, dir),
       "beam" -> cosineTopkBeam(spark, dir),
       "ivf_t" -> cosineTopkIvfTrained(spark, dir),
-      "pq_t" -> cosineTopkPqTrained(spark, dir))
+      "pq_t" -> cosineTopkPqTrained(spark, dir),
+      "ivfpq" -> cosineTopkIvfPq(spark, dir))
     val joined = lists.foldLeft(ex) { case (acc, (tag, df)) =>
       val slim = df.select(col("qid").as(s"${tag}_q"), col("cid").as(s"${tag}_c"))
       acc.join(slim,
@@ -3671,6 +3673,113 @@ object ExtQueries {
     (all, codes)
   }
 
+  // ---- e_cosine_topk_ivfpq ------------------------------------------------
+
+  /** IVF-PQ: residual product quantization inside coarse cells — the
+    * production composite index (the FAISS `IVFx,PQy` shape) that welds the
+    * repo's two quantization families together: the IVF quantizer
+    * ([[centroids]] / [[rankedCells]] — the SAME assignment `e_cosine_topk
+    * _ivf` serves from) bounds the search to the query's cell, and PQ
+    * codes store each vector's RESIDUAL r = e − c(e) instead of the vector
+    * itself. Residuals matter when the coarse quantizer EXPLAINS variance:
+    * on a clustered corpus the residual spread is a fraction of the corpus
+    * spread, so the same [[PqCodes]]-entry codebook covers it with
+    * proportionally less distortion — the reason every production IVF
+    * index quantizes residuals (spec-measured on a clustered synthetic
+    * set). The honest converse also holds and is spec-pinned: on an
+    * ISOTROPIC corpus (this fixture) residuals of near-independent vectors
+    * carry ~2× the energy and residual coding does NOT help — cluster
+    * structure is the precondition, which is why FAISS trains its coarse
+    * quantizer before committing to IVF-PQ.
+    *
+    * Serving is pure ADC (asymmetric distance): with ê = c + r̂,
+    *   dot(q, ê) = dot(q, c) + Σ_sub dot(q_sub, r̂_sub)
+    *   ‖ê‖²      = ‖c‖² + 2·Σ_sub dot(c_sub, r̂_sub) + Σ_sub ‖r̂_sub‖²
+    * so a candidate is scored from its [[PqSubspaces]] code ids and three
+    * BROADCAST lookup tables — per-query codes (|Q|·M·K), per-cell
+    * cross-terms (cells·M·K), per-(query, cell) scalars — no raw corpus
+    * vector is touched after encoding. Subspace partials fold in pinned
+    * sub order (the [[pqServe]] collect-sort-fold), every double a
+    * sequential fold, bit-identical cross-engine.
+    *
+    * At scale: one corpus scan assigns cells and residuals (broadcast
+    * centroids); encoding is the map-side-combined argmin against the
+    * broadcast residual codebook; what the index KEEPS is cell id + ~2
+    * bytes of codes per vector, and a query touches |cell| candidates of
+    * that. The residual codebook is pinned (residuals of the first
+    * [[PqCodes]] rows) — deterministic where a trained one is not; a
+    * trained one plugs into the same dataflow like [[cosineTopkPqTrained]].
+    * The residual frame is persisted: the codebook and the subvector
+    * stream both consume it. */
+  def cosineTopkIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val cents = centroids(spark, dir, IvfCells)
+    val emb = pqEmb(spark, dir)
+    val vecs = emb.select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", l2norm(col("e")))
+    val resid = rankedCells(vecs, cents).filter(col("crank") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"),
+        zip_with(col("e"), col("ce"),
+          (x, y) => x.cast("double") - y.cast("double")).as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rcodes = resid.filter(col("vec_id") < PqCodes)
+      .select(col("vec_id").as("code_id"), col("r"), pqSubs)
+      .select(col("code_id"), col("sub"), pqSlice(col("r"), col("sub")).as("cv"))
+    val rsub = resid.select(col("vec_id"), col("cell"), col("r"), pqSubs)
+      .select(col("vec_id"), col("cell"), col("sub"),
+        pqSlice(col("r"), col("sub")).as("sv"))
+    val enc = rsub.join(broadcast(rcodes), Seq("sub"))
+      .select(col("vec_id"), col("cell"), col("sub"), col("code_id"), pqD2.as("d2"))
+      .groupBy(col("vec_id"), col("cell"), col("sub"))
+      .agg(min(struct(col("d2"), col("code_id"))).as("m"))
+      .select(col("vec_id"), col("cell"), col("sub"), col("m.code_id").as("code_id"))
+    // per-(cell, sub, code) cross terms of the reconstruction norm
+    val cc = cents.select(col("cent_id").as("cell"), col("ce"), pqSubs)
+      .select(col("cell"), col("sub"), pqSlice(col("ce"), col("sub")).as("csv"))
+      .join(rcodes, Seq("sub"))
+      .select(col("cell"), col("sub"), col("code_id"),
+        seqSum(zip_with(col("csv"), col("cv"),
+          (x, y) => x.cast("double") * y.cast("double"))).as("pcdot"),
+        seqSum(transform(col("cv"),
+          v => v.cast("double") * v.cast("double"))).as("pn2"))
+    // query side: probed cell + the two scalars the fold cannot carry
+    val qa = rankedCells(vecs.filter(col("vec_id") < 8), cents)
+      .filter(col("crank") === 1)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("nq"),
+        col("cent_id").as("qcell"),
+        seqSum(zip_with(col("e"), col("ce"),
+          (x, y) => x.cast("double") * y.cast("double"))).as("qcdot"),
+        (col("ncent") * col("ncent")).as("cn2"))
+    val lut = qa.select(col("qid"), col("qe"), pqSubs)
+      .select(col("qid"), col("sub"), pqSlice(col("qe"), col("sub")).as("qv"))
+      .join(rcodes, Seq("sub"))
+      .select(col("qid"), col("sub"), col("code_id"),
+        seqSum(zip_with(col("qv"), col("cv"),
+          (x, y) => x.cast("double") * y.cast("double"))).as("pdot"))
+    val parts = sort_array(collect_list(
+      struct(col("sub"), col("pdot"), col("pcdot"), col("pn2"))))
+    val scored = enc
+      .join(broadcast(qa.select(col("qid"), col("qcell"), col("nq"),
+        col("qcdot"), col("cn2"))), col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid", "sub", "code_id"))
+      .join(broadcast(cc), Seq("cell", "sub", "code_id"))
+      .groupBy(col("qid"), col("vec_id"), col("nq"), col("qcdot"), col("cn2"))
+      .agg(parts.as("ps"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        ((col("qcdot") + aggregate(col("ps"), lit(0.0),
+            (a, x) => a + x.getField("pdot")))
+          / (col("nq") * sqrt(col("cn2")
+            + lit(2.0) * aggregate(col("ps"), lit(0.0),
+                (a, x) => a + x.getField("pcdot"))
+            + aggregate(col("ps"), lit(0.0),
+                (a, x) => a + x.getField("pn2"))))).as("score"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 10)
+      .orderBy("qid", "rank")
+  }
+
   // ---- e_chunk_dedup ------------------------------------------------------
 
   /** Tokens per non-overlapping chunk for [[chunkDedup]]. */
@@ -6224,6 +6333,20 @@ object ExtQueries {
     * integer Gram diagonal and the unit top-eigenvector coordinate, plus
     * the shared λ estimate. */
   def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val (gUpper, vFinal) = pcaParts(spark, dir)
+    gUpper.filter(col("i") === col("j"))
+      .select(col("i").as("d"), col("g").as("g_diag"))
+      .crossJoin(broadcast(vFinal))
+      .select(col("d"), col("g_diag"),
+        element_at(col("varr"), col("d") + 1).as("v_unit"), col("lambda"))
+      .orderBy("d")
+  }
+
+  /** [[pcaPower]]'s two building blocks — the exact-integer upper-triangle
+    * Gram frame and the single-row (varr, lambda) final iterate — factored
+    * out so [[pcaProject]] composes the SAME chain it is graded against
+    * (oracle side likewise shared — [[ExtOracles]]'s pca CTE block). */
+  private def pcaParts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = PcaDim
     val vecs = table(spark, dir, "embeddings").select(col("embedding").as("e"))
     val prods = vecs.select(explode(expr(
@@ -6261,12 +6384,36 @@ object ExtQueries {
         .select(transform(col("warr"), x => x / col("lambda")).as("varr"),
           col("lambda"))
     }
-    gUpper.filter(col("i") === col("j"))
-      .select(col("i").as("d"), col("g").as("g_diag"))
-      .crossJoin(broadcast(vFinal))
-      .select(col("d"), col("g_diag"),
-        element_at(col("varr"), col("d") + 1).as("v_unit"), col("lambda"))
-      .orderBy("d")
+    (gUpper, vFinal)
+  }
+
+  /** Number of extreme-projection rows [[pcaProject]] reports. */
+  private[queries] val PcaScreenK = 20
+
+  /** SPECTRAL OUTLIER SCREEN — each embedding projected onto the corpus's
+    * dominant principal direction, reporting the [[PcaScreenK]] most
+    * extreme |projection| vectors: the cheap screen for hub/artifact
+    * vectors (a cluster of encode-failure or boilerplate embeddings shows
+    * up as an extreme leading component long before it distorts ANN
+    * recall). Composes [[pcaParts]] — the SAME accumulation + iteration
+    * chain `e_pca_power` grades, Spark-side and oracle-side, so the screen
+    * cannot drift from the eigenpair it screens with.
+    *
+    * At scale: the eigenvector is a 1-row broadcast against one corpus
+    * scan; the projection is a sequential `zip_with` fold per vector
+    * (deterministic, bit-identical cross-engine); the extreme-k selection
+    * is a distributed TakeOrdered with a pinned (|proj| DESC, vec_id ASC)
+    * tie-break — no global sort, no window. */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val (_, vFinal) = pcaParts(spark, dir)
+    table(spark, dir, "embeddings").select(col("vec_id"), col("embedding").as("e"))
+      .crossJoin(broadcast(vFinal.select(col("varr"))))
+      .select(col("vec_id"),
+        seqSum(zip_with(col("varr"), col("e"), (v, x) => v * x.cast("double")))
+          .as("proj"))
+      .orderBy(abs(col("proj")).desc, col("vec_id").asc)
+      .limit(PcaScreenK)
+      .orderBy("vec_id")
   }
 
   /** [[editJoin]]'s candidate volume (after the prefix + positional +

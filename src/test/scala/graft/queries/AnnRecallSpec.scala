@@ -20,7 +20,8 @@ class AnnRecallSpec extends AnyFunSuite {
       "n_pq" -> pairs(ExtQueries.cosineTopkPq(spark, dir)),
       "n_beam" -> pairs(ExtQueries.cosineTopkBeam(spark, dir)),
       "n_ivf_t" -> pairs(ExtQueries.cosineTopkIvfTrained(spark, dir)),
-      "n_pq_t" -> pairs(ExtQueries.cosineTopkPqTrained(spark, dir)))
+      "n_pq_t" -> pairs(ExtQueries.cosineTopkPqTrained(spark, dir)),
+      "n_ivfpq" -> pairs(ExtQueries.cosineTopkIvfPq(spark, dir)))
     val got = ExtQueries.annRecall(spark, dir).collect()
     spark.catalog.clearCache() // the family pipelines persist intermediates
     assert(got.length == 8)

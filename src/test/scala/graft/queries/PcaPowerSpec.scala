@@ -58,6 +58,29 @@ class PcaPowerSpec extends AnyFunSuite {
     }
   }
 
+  test("pca_project: screen equals local projections; extreme-k is correct") {
+    val got = ExtQueries.pcaProject(spark, dir).collect()
+    spark.catalog.clearCache()
+    val (_, v, _) = localGramAndIter()
+    val projs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val e = r.getSeq[Float](1)
+        var acc = 0.0
+        var j = 0
+        while (j < D) { acc += v(j) * e(j).toDouble; j += 1 }
+        r.getLong(0) -> acc
+      }
+    val want = projs.sortBy { case (id, p) => (-math.abs(p), id) }
+      .take(ExtQueries.PcaScreenK).toMap
+    assert(got.length == ExtQueries.PcaScreenK)
+    for (r <- got) {
+      val id = r.getLong(0)
+      assert(want.contains(id), s"vec $id not in the local extreme-k set")
+      assert(r.getDouble(1) == want(id), s"proj mismatch for $id")
+    }
+  }
+
   test("the returned pair is spectrally sane: residual shrinks, bounds hold") {
     def relResid(steps: Int): (Double, Double) = {
       val (g, v, lambda) = localGramAndIter(steps)
