@@ -3735,7 +3735,7 @@ object ExtQueries {
     // per-(cell, sub, code) cross terms of the reconstruction norm
     val cc = cents.select(col("cent_id").as("cell"), col("ce"), pqSubs)
       .select(col("cell"), col("sub"), pqSlice(col("ce"), col("sub")).as("csv"))
-      .join(rcodes, Seq("sub"))
+      .join(broadcast(rcodes), Seq("sub"))
       .select(col("cell"), col("sub"), col("code_id"),
         seqSum(zip_with(col("csv"), col("cv"),
           (x, y) => x.cast("double") * y.cast("double"))).as("pcdot"),
@@ -3751,7 +3751,7 @@ object ExtQueries {
         (col("ncent") * col("ncent")).as("cn2"))
     val lut = qa.select(col("qid"), col("qe"), pqSubs)
       .select(col("qid"), col("sub"), pqSlice(col("qe"), col("sub")).as("qv"))
-      .join(rcodes, Seq("sub"))
+      .join(broadcast(rcodes), Seq("sub"))
       .select(col("qid"), col("sub"), col("code_id"),
         seqSum(zip_with(col("qv"), col("cv"),
           (x, y) => x.cast("double") * y.cast("double"))).as("pdot"))

@@ -242,6 +242,40 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pca power: corpus scanned once into the Gram aggregate; iterations " +
+      "run on broadcast constant-size frames") {
+    val plan = formatted(ExtQueries.pcaPower(spark, dir))
+    spark.catalog.clearCache()
+    // the embeddings parquet feeds exactly one physical scan (the Gram
+    // accumulation); every iteration consumes the persisted dim^2 frame
+    assert(parquetScans(plan) <= 1, s"corpus scanned more than once:\n" +
+      plan.linesIterator.filter(_.contains("Scan parquet")).mkString("\n"))
+    assert(plan.contains("BroadcastExchange"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "nothing in the iteration chain may shuffle-join dim-size frames")
+  }
+
+  test("ivfpq: lookup tables broadcast; no sort-merge join, no cartesian") {
+    val plan = formatted(ExtQueries.cosineTopkIvfPq(spark, dir))
+    spark.catalog.clearCache()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "the ADC serve must join the code stream to BROADCAST LUTs — an SMJ " +
+        "here re-partitions the encoded corpus at 100 TB")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("domain drift: one corpus scan; the dense grid runs on broadcast " +
+      "tiny frames") {
+    val plan = formatted(ExtQueries.domainDrift(spark, dir))
+    spark.catalog.clearCache()
+    assert(parquetScans(plan) <= 1, s"corpus scanned more than once:\n" +
+      plan.linesIterator.filter(_.contains("Scan parquet")).mkString("\n"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
   test("cosine topk agg: per-group top-k is a map-side-combined aggregate, window-free") {
     val plan = formatted(ExtQueries.cosineTopkAgg(spark, dir))
     // the scale property this execution buys: partial ObjectHashAggregate
