@@ -6240,8 +6240,18 @@ object ExtQueries {
   /** Token-length bucket width and cap for [[domainDrift]] — 16 buckets of
     * 32 tokens each, matching the fixture's length range; shared with the
     * oracle so both engines bucket identically. */
-  private[queries] val DriftBucketTokens = 32
-  private[queries] val DriftMaxBucket = 15
+  private[graft] val DriftBucketTokens = 32
+  private[graft] val DriftMaxBucket = 15
+
+  /** Token-length bucket of a text column — ONE definition shared by
+    * [[domainDrift]] and the streaming drift monitor
+    * ([[graft.streaming.Streaming.driftWindows]]), so the online and
+    * offline histograms can never bucket differently. Integer floor
+    * division (token counts are far below 2⁵², so the double round-trip is
+    * exact), capped at [[DriftMaxBucket]]. */
+  private[graft] def lengthBucket(text: Column): Column =
+    least(floor(size(tokens(text)).cast("double") / lit(DriftBucketTokens.toDouble))
+      .cast("int"), lit(DriftMaxBucket))
 
   /** Per-source DISTRIBUTION-DRIFT monitor — "which domain's length
     * profile departs from the corpus mix" — via total-variation distance,
@@ -6265,10 +6275,7 @@ object ExtQueries {
     * broadcast; the dense grid is |sources|·16 rows). */
   def domainDrift(spark: SparkSession, dir: String): DataFrame = {
     val osb = table(spark, dir, "documents")
-      .select(col("source"), size(tokens(col("text"))).as("n_tokens"))
-      .select(col("source"),
-        least(expr(s"n_tokens div $DriftBucketTokens"), lit(DriftMaxBucket))
-          .cast("int").as("b"))
+      .select(col("source"), lengthBucket(col("text")).as("b"))
       .groupBy(col("source"), col("b")).agg(count(lit(1)).as("o"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ns = osb.groupBy(col("source")).agg(sum(col("o")).as("n_s"))

@@ -477,6 +477,82 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming length-distribution histogram per tumbling window — the
+    * online half of the drift monitor: per (window, token-length bucket)
+    * document counts, bucketed by the batch operator's OWN
+    * [[graft.queries.ExtQueries.lengthBucket]] (one definition — the
+    * online histogram and `e_domain_drift`'s offline one cannot bucket
+    * differently). State per open window is ≤ 16 bucket counters,
+    * map-side combined; `horizon` bounds open windows. */
+  def driftWindows(docs: DataFrame, horizon: String, every: String): DataFrame =
+    docs
+      .withWatermark("ts", horizon)
+      .select(col("ts"), graft.queries.ExtQueries.lengthBucket(col("text")).as("b"))
+      .groupBy(window(col("ts"), every), col("b"))
+      .agg(count(lit(1)).as("o"))
+      .select(col("window.start").as("window_start"), col("b"), col("o"))
+
+  /** Batch-side finalizer for [[startDriftMonitor]]: per closed window,
+    * the exact total-variation distance of that window's length histogram
+    * against a STATIC reference histogram `reference` (`b`, `c_b`) — the
+    * warehouse corpus distribution, typically `e_domain_drift`'s input
+    * aggregated once. The arithmetic mirrors the batch operator exactly:
+    * TV numerators Σ|o_b·N_ref − c_b·n_w| in exact integers over a DENSE
+    * bucket grid, one IEEE divide for the reported distance, the same
+    * integer-encoded argmax for the worst bucket. The grid here spans the
+    * full 0..[[graft.queries.ExtQueries.DriftMaxBucket]] bucket domain
+    * (bounded by construction), so a window observing a bucket the
+    * reference lacks still contributes o_b·N_ref — the asymmetric case the
+    * batch operator's self-referential mix cannot produce but an external
+    * reference can.
+    *
+    * Runs inside foreachBatch over FINALIZED windows only (the
+    * [[trendingTokens]] contract: a closed window's rows flush atomically),
+    * so every emitted TV is complete, never partial. */
+  def windowDrift(closedCounts: DataFrame, reference: DataFrame): DataFrame = {
+    val maxB = graft.queries.ExtQueries.DriftMaxBucket
+    val nw = closedCounts.groupBy(col("window_start")).agg(sum(col("o")).as("n_w"))
+    val refTot = reference.agg(sum(col("c_b")).as("n_ref"))
+    val grid = nw
+      .crossJoin(broadcast(
+        closedCounts.sparkSession.range(0, maxB + 1)
+          .select(col("id").cast("int").as("b"))))
+      .join(closedCounts, Seq("window_start", "b"), "left")
+      .na.fill(0L, Seq("o"))
+      .join(broadcast(reference), Seq("b"), "left")
+      .na.fill(0L, Seq("c_b"))
+      .crossJoin(broadcast(refTot))
+      .withColumn("term",
+        abs(col("o") * col("n_ref") - col("c_b") * col("n_w")))
+    grid.groupBy(col("window_start"))
+      .agg(min(col("n_w")).as("n_docs"), min(col("n_ref")).as("n_ref"),
+        sum(col("term")).as("tv_num"),
+        max(col("term") * lit(16L) + (lit(maxB.toLong) - col("b"))).as("enc"))
+      .select(col("window_start"), col("n_docs"), col("tv_num"),
+        (col("tv_num").cast("double")
+          / (lit(2.0) * col("n_docs").cast("double") * col("n_ref").cast("double")))
+          .as("tv"),
+        (lit(maxB) - pmod(col("enc"), lit(16L)).cast("int")).as("top_bucket"),
+        expr("enc div 16").as("top_term"))
+  }
+
+  /** Continuous distribution-drift monitor: [[driftWindows]] wired through
+    * foreachBatch → [[windowDrift]] against the broadcast static reference
+    * → `write` — the alert feed a data-mixing team points at ingest (a
+    * window whose TV jumps means the crawl mix changed NOW, not at the
+    * next offline `e_domain_drift` run). Checkpointed: each window's
+    * verdict is produced exactly once across restarts. */
+  def startDriftMonitor(docs: DataFrame, reference: DataFrame, horizon: String,
+      every: String, ckpt: String)(write: DataFrame => Unit): StreamingQuery =
+    driftWindows(docs, horizon, every).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        write(windowDrift(batch, reference))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** One input event for [[funnelStream]]. */
   case class FunnelEvent(user_id: Long, event_id: Long, ts: Timestamp,
       event_type: String)

@@ -573,6 +573,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(collected.size == 2)
   }
 
+  test("drift monitor: closed-window TV against the static reference is " +
+      "exact, windows emitted once, open windows withheld") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-drift-in").toString
+    val ckpt = Files.createTempDirectory("graft-drift-ckpt").toString
+    def doc(id: Long, t: String, nTokens: Int) =
+      (id, Timestamp.valueOf(t), Seq.fill(nTokens)("tok").mkString(" "))
+    // window 1 [10:00, 11:00): one doc per bucket 0/1/2 (10, 40, 70 tokens)
+    val w1 = Seq(
+      doc(1, "2024-04-01 10:00:00", 10),
+      doc(2, "2024-04-01 10:10:00", 40),
+      doc(3, "2024-04-01 10:30:00", 70))
+    // window 2 [13:00, 14:00): a single short doc — a length-profile shift
+    val w2 = Seq(doc(4, "2024-04-01 13:00:00", 10))
+    val w3 = Seq(doc(5, "2024-04-01 15:00:00", 10)) // closes w2, stays open
+    val schema = w1.toDF("doc_id", "ts", "text").schema
+    for (f <- Seq(w1, w2, w3))
+      f.toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").parquet(in)
+    // static reference histogram: buckets 0/1/2 with mass 2/1/1, N_ref = 4
+    val reference = Seq((0, 2L), (1, 1L), (2, 1L)).toDF("b", "c_b")
+
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(Timestamp, Long, Long, Double, Int, Long)]
+    val q = Streaming.startDriftMonitor(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+      reference, horizon = "1 minute", every = "1 hour", ckpt = ckpt) { drift =>
+      collected ++= drift.collect().map(r => (r.getAs[Timestamp]("window_start"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("tv_num"), r.getAs[Double]("tv"),
+        r.getAs[Int]("top_bucket"), r.getAs[Long]("top_term")))
+    }
+    q.awaitTermination()
+
+    val w1Start = Timestamp.valueOf("2024-04-01 10:00:00")
+    val w2Start = Timestamp.valueOf("2024-04-01 13:00:00")
+    // hand-computed exact integers: w1 terms |1*4-2*3|, |1*4-1*3|, |1*4-1*3|
+    // = 2,1,1 -> tv_num 4, tv 4/24; w2 terms |1*4-2*1|, |0-1|, |0-1| = 2,1,1
+    // -> tv_num 4, tv 4/8; worst bucket 0 with term 2 in both
+    assert(collected.toSet === Set(
+      (w1Start, 3L, 4L, 4.0 / 24.0, 0, 2L),
+      (w2Start, 1L, 4L, 4.0 / 8.0, 0, 2L)))
+    // window 3 never finalized — withheld, and each window emitted ONCE
+    assert(collected.size == 2)
+  }
+
+  test("drift monitor finalizer matches the batch operator's arithmetic " +
+      "on identical histograms (zero drift)") {
+    import spark.implicits._
+    // a window distributed exactly like the reference must read TV = 0 —
+    // the same invariance DomainDriftSpec pins for the batch operator
+    val counts = Seq((Timestamp.valueOf("2024-04-01 10:00:00"), 0, 4L),
+      (Timestamp.valueOf("2024-04-01 10:00:00"), 2, 2L)).toDF("window_start", "b", "o")
+    val reference = Seq((0, 2L), (2, 1L)).toDF("b", "c_b")
+    val out = Streaming.windowDrift(counts, reference).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("tv_num") == 0L)
+    assert(out.head.getAs[Double]("tv") == 0.0)
+  }
+
   test("change capture: per-snapshot changelog matches the batch diff core") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-cdc-in").toString
