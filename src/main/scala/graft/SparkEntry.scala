@@ -76,6 +76,7 @@ object SparkEntry {
     "e_domain_drift"      -> (ExtQueries.domainDrift _),
     "e_pca_project"       -> (ExtQueries.pcaProject _),
     "e_cosine_topk_ivfpq" -> (ExtQueries.cosineTopkIvfPq _),
+    "e_rand_walk"         -> (ExtQueries.randWalk _),
     "e_containment"       -> (ExtQueries.containment _),
     "e_cosine_dedup"      -> (ExtQueries.cosineDedup _),
     "e_cosine_topk_lsh"   -> (ExtQueries.cosineTopkLsh _),
@@ -201,8 +202,9 @@ object SparkEntry {
     "e_triangles", "e_cosine_topk_beam",
     // e_silhouette re-runs the e_kmeans_train chain to grade its clusters;
     // e_calibration re-runs the e_nb_classify predictions it audits;
-    // e_pca_project re-runs the e_pca_power chain it screens with
-    "e_silhouette", "e_calibration", "e_pca_project")
+    // e_pca_project re-runs the e_pca_power chain it screens with;
+    // e_rand_walk walks the e_knn_graph edges
+    "e_silhouette", "e_calibration", "e_pca_project", "e_rand_walk")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -3091,6 +3091,27 @@ object ExtOracles {
     ("e_silhouette" -> silhouetteSql) +
     ("e_pq_train" -> pqTrainSql) +
     ("e_pq_trained" -> pqTrainedSql) +
+    // e_rand_walk COMPOSES the e_knn_graph SQL text as its edge substrate
+    // (the e_ann_recall device), then unrolls the WalkSteps hops as chained
+    // CTEs with the same pinned universal-hash pick arithmetic.
+    ("e_rand_walk" -> {
+      val L = ExtQueries.WalkSteps
+      def hop(t: Int): String =
+        s"""s$t AS (SELECT c.walk_id, e.nbr AS node FROM s${t - 1} c JOIN e2 e
+          |  ON c.node = e.src AND e.rank =
+          |    (((${ExtQueries.WalkA} * (c.walk_id * ${L + 1} + $t)
+          |       + ${ExtQueries.WalkB}) % ${P}) % e.deg) + 1)""".stripMargin
+      val unions = (0 to L)
+        .map(t => s"SELECT walk_id, CAST($t AS INT) AS step, node FROM s$t")
+        .mkString("\n  UNION ALL ")
+      s"""WITH knn AS (SELECT src, nbr, rank FROM (${baseSql("e_knn_graph")}) g),
+        |deg AS (SELECT src, CAST(max(rank) AS INT) AS deg FROM knn GROUP BY src),
+        |e2 AS (SELECT k.src, k.nbr, k.rank, d.deg FROM knn k JOIN deg d USING (src)),
+        |s0 AS (SELECT vec_id AS walk_id, vec_id AS node FROM embeddings),
+        |${(1 to L).map(hop).mkString(",\n")}
+        |$unions
+        |ORDER BY walk_id, step""".stripMargin
+    }) +
     ("e_cosine_topk_beam" -> beamSearchSql) + ("e_ann_recall" ->
     s"""WITH ex AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk")}) t),
       |lsh AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_lsh")}) u),

