@@ -165,6 +165,12 @@ object Demo {
     println("== per-source length-distribution drift (TV vs corpus mix):")
     graft.queries.ExtQueries.domainDrift(spark, sf)
       .orderBy($"tv".desc).show(5, false)
+    println("== IVF-PQ residual index vs exact top-k (first query):")
+    graft.queries.ExtQueries.cosineTopkIvfPq(spark, sf)
+      .filter($"qid" === 0).show(false)
+    println("== knn-graph random walks (first 2 walks):")
+    graft.queries.ExtQueries.randWalk(spark, sf)
+      .filter($"walk_id" < 2).show(false)
     spark.catalog.clearCache() // funnel/fusion/graph ops persist intermediates
 
     // malformed day file: observe the failure mode
