@@ -171,6 +171,22 @@ object Demo {
     println("== knn-graph random walks (first 2 walks):")
     graft.queries.ExtQueries.randWalk(spark, sf)
       .filter($"walk_id" < 2).show(false)
+    println("== Count-Min sketch audit (largest overcounts):")
+    graft.queries.ExtQueries.countMin(spark, sf)
+      .orderBy($"overcount".desc).show(5, false)
+    println("== fill-in-the-middle transform (first FIM row):")
+    graft.queries.ExtQueries.fimSplit(spark, sf)
+      .filter($"fim").show(1, false)
+    println("== shingle novelty curve (first/last 3 docs by id):")
+    val nov = graft.queries.ExtQueries.novelty(spark, sf)
+    nov.show(3, false)
+    nov.orderBy($"doc_id".desc).show(3, false)
+    println("== HITS over the knn graph (top authorities):")
+    graft.queries.ExtQueries.hits(spark, sf)
+      .orderBy($"auth".desc).show(5, false)
+    println("== skip-gram walk pairs (heaviest co-occurrences):")
+    graft.queries.ExtQueries.walkPairs(spark, sf)
+      .orderBy($"n_pairs".desc, $"node", $"ctx").show(5, false)
     spark.catalog.clearCache() // funnel/fusion/graph ops persist intermediates
 
     // malformed day file: observe the failure mode

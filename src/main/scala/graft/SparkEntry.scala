@@ -181,6 +181,11 @@ object SparkEntry {
     "e_bitext_mine"       -> (ExtQueries.bitextMine _),
     "e_silhouette"        -> (ExtQueries.silhouette _),
     "e_calibration"       -> (ExtQueries.calibration _),
+    "e_count_min"         -> (ExtQueries.countMin _),
+    "e_fim_split"         -> (ExtQueries.fimSplit _),
+    "e_novelty"           -> (ExtQueries.novelty _),
+    "e_hits"              -> (ExtQueries.hits _),
+    "e_walk_pairs"        -> (ExtQueries.walkPairs _),
   )
 
   /** Keys that are evaluation harnesses / composites: they RE-EXECUTE other
@@ -203,8 +208,10 @@ object SparkEntry {
     // e_silhouette re-runs the e_kmeans_train chain to grade its clusters;
     // e_calibration re-runs the e_nb_classify predictions it audits;
     // e_pca_project re-runs the e_pca_power chain it screens with;
-    // e_rand_walk walks the e_knn_graph edges
-    "e_silhouette", "e_calibration", "e_pca_project", "e_rand_walk")
+    // e_rand_walk and e_hits walk the e_knn_graph edges; e_walk_pairs
+    // re-runs the e_rand_walk sequences it windows over
+    "e_silhouette", "e_calibration", "e_pca_project", "e_rand_walk", "e_hits",
+    "e_walk_pairs")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

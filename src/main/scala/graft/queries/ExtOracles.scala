@@ -3060,7 +3060,154 @@ object ExtOracles {
       |FROM binned GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** `e_count_min` — the d×w cell grid, point estimates (min over rows)
+    * and the exact recount, all integer; the d hash rows are generated
+    * from [[ExtQueries.CmDepth]] so resizing the sketch re-derives the
+    * oracle. Mirrors `ExtQueries.countMin`. */
+  private lazy val countMinSql: String = {
+    val w = ExtQueries.CmWidth
+    def bucket(r: Int, src: String): String =
+      s"CAST('0x'||substr(md5('cm$r:'||$src),1,15) AS BIGINT) % $w"
+    val cellRows = (0 until ExtQueries.CmDepth).map(r =>
+      s"SELECT $r AS r, ${bucket(r, "token")} AS b FROM tok").mkString("\n  UNION ALL ")
+    val probeRows = (0 until ExtQueries.CmDepth).map(r =>
+      s"SELECT token, $r AS r, ${bucket(r, "token")} AS b FROM probe")
+      .mkString("\n  UNION ALL ")
+    s"""WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      |  FROM documents),
+      |cells AS (SELECT r, b, count(*) AS cnt FROM (
+      |  $cellRows) GROUP BY r, b),
+      |probe AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      |  FROM documents WHERE doc_id < ${ExtQueries.CmProbeDocs}),
+      |pb AS (
+      |  $probeRows),
+      |est AS (SELECT p.token, min(c.cnt) AS est
+      |  FROM pb p JOIN cells c USING (r, b) GROUP BY p.token),
+      |ex AS (SELECT t.token, count(*) AS exact
+      |  FROM tok t JOIN probe USING (token) GROUP BY t.token)
+      |SELECT token, x.exact, e.est, e.est - x.exact AS overcount
+      |FROM est e JOIN ex x USING (token) ORDER BY token""".stripMargin
+  }
+
+  /** `e_fim_split` — hash-fate selection, two uniform cuts, PSM
+    * re-serialization via empty-tolerant list slicing (the `e_span_mask`
+    * slice device). Sentinels interpolated from the shared
+    * [[ExtQueries.FimPre]] family. Mirrors `ExtQueries.fimSplit`. */
+  private lazy val fimSplitSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+      |n AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM tok),
+      |c AS (SELECT doc_id, t, n,
+      |  CAST('0x'||substr(md5('fim:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+      |    % ${ExtQueries.FimRate} = 0 AND n >= 2 AS fim,
+      |  CAST('0x'||substr(md5('fim1:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+      |    % (n + 1) AS c1,
+      |  CAST('0x'||substr(md5('fim2:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+      |    % (n + 1) AS c2
+      |  FROM n),
+      |s AS (SELECT doc_id, t, n, fim,
+      |  CASE WHEN fim THEN least(c1, c2) ELSE n END AS lo,
+      |  CASE WHEN fim THEN greatest(c1, c2) ELSE n END AS hi FROM c)
+      |SELECT doc_id, n AS n_tokens, fim, lo, hi,
+      |  CASE WHEN fim THEN array_to_string(
+      |    ['${ExtQueries.FimPre}'] || t[1:CAST(lo AS INT)]
+      |    || ['${ExtQueries.FimSuf}'] || t[CAST(hi + 1 AS INT):CAST(n AS INT)]
+      |    || ['${ExtQueries.FimMid}'] || t[CAST(lo + 1 AS INT):CAST(hi AS INT)], ' ')
+      |  ELSE array_to_string(t, ' ') END AS fim_text
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** `e_novelty` — first-occurrence attribution over the shared
+    * `shingleCtes` pipeline (min doc_id per shingle, the `e_chunk_dedup`
+    * survivor rule at shingle granularity). Mirrors
+    * `ExtQueries.novelty`. */
+  private lazy val noveltySql: String =
+    s"""WITH ${shingleCtes("documents")},
+      |post AS (SELECT doc_id, CAST(len(ds) AS BIGINT) AS n_shingles,
+      |  unnest(ds) AS s FROM sh),
+      |fo AS (SELECT s, min(doc_id) AS first_doc FROM post GROUP BY s)
+      |SELECT p.doc_id, p.n_shingles,
+      |  CAST(sum(CASE WHEN fo.first_doc = p.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST(CAST(sum(CASE WHEN fo.first_doc = p.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS DOUBLE) / CAST(p.n_shingles AS DOUBLE) AS novelty_frac
+      |FROM post p JOIN fo USING (s)
+      |GROUP BY p.doc_id, p.n_shingles
+      |ORDER BY p.doc_id""".stripMargin
+
+  /** `e_hits` — COMPOSES the graded `e_knn_graph` SQL text as its edge
+    * list (the `pageRankSql` device), then unrolls the
+    * [[ExtQueries.HitsIters]] integer half-rounds: exact contribution
+    * sums, L1 normalization as two floor divisions of non-negatives
+    * (DuckDB `//` ≡ Spark `div` there). Mirrors
+    * `graft.operators.Hits` bound as `ExtQueries.hits`. */
+  private lazy val hitsSql: String = {
+    val S = ExtQueries.HitsScale
+    def half(out: String, in: String, from: String, to: String): String =
+      s"""${out}r AS (SELECT e.$to AS id, CAST(sum(i.s) AS BIGINT) AS raw
+        |  FROM eg e JOIN $in i ON e.$from = i.id GROUP BY e.$to),
+        |${out}t AS (SELECT greatest(CAST(sum(raw) AS BIGINT) // $S, 1) AS t
+        |  FROM ${out}r),
+        |$out AS (SELECT em.vec_id AS id, COALESCE(r.raw, 0) // tt.t AS s
+        |  FROM embeddings em CROSS JOIN ${out}t tt
+        |  LEFT JOIN ${out}r r ON em.vec_id = r.id)""".stripMargin
+    val rounds = (1 to ExtQueries.HitsIters).map(t =>
+      s"""${half(s"a$t", s"h${t - 1}", "src", "dst")},
+        |${half(s"h$t", s"a$t", "dst", "src")}""".stripMargin).mkString(",\n")
+    val last = ExtQueries.HitsIters
+    s"""WITH eg AS (SELECT src, nbr AS dst FROM (${baseSql("e_knn_graph")}) g),
+      |h0 AS (SELECT vec_id AS id, CAST($S AS BIGINT) AS s FROM embeddings),
+      |$rounds
+      |SELECT em.vec_id, a.s AS auth, h.s AS hub,
+      |  CAST(a.s AS DOUBLE) / $S.0 AS auth_score,
+      |  CAST(h.s AS DOUBLE) / $S.0 AS hub_score
+      |FROM embeddings em
+      |JOIN a$last a ON em.vec_id = a.id
+      |JOIN h$last h ON em.vec_id = h.id
+      |ORDER BY em.vec_id""".stripMargin
+  }
+
+  /** `e_rand_walk` — COMPOSES the e_knn_graph SQL text as its edge
+    * substrate (the `e_ann_recall` device), then unrolls the WalkSteps hops
+    * as chained CTEs with the same pinned universal-hash pick
+    * arithmetic. */
+  private lazy val randWalkSql: String = {
+    val L = ExtQueries.WalkSteps
+    def hop(t: Int): String =
+      s"""s$t AS (SELECT c.walk_id, e.nbr AS node FROM s${t - 1} c JOIN e2 e
+        |  ON c.node = e.src AND e.rank =
+        |    (((${ExtQueries.WalkA} * (c.walk_id * ${L + 1} + $t)
+        |       + ${ExtQueries.WalkB}) % ${P}) % e.deg) + 1)""".stripMargin
+    val unions = (0 to L)
+      .map(t => s"SELECT walk_id, CAST($t AS INT) AS step, node FROM s$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH knn AS (SELECT src, nbr, rank FROM (${baseSql("e_knn_graph")}) g),
+      |deg AS (SELECT src, CAST(max(rank) AS INT) AS deg FROM knn GROUP BY src),
+      |e2 AS (SELECT k.src, k.nbr, k.rank, d.deg FROM knn k JOIN deg d USING (src)),
+      |s0 AS (SELECT vec_id AS walk_id, vec_id AS node FROM embeddings),
+      |${(1 to L).map(hop).mkString(",\n")}
+      |$unions
+      |ORDER BY walk_id, step""".stripMargin
+  }
+
+  /** `e_walk_pairs` — COMPOSES the graded `e_rand_walk` SQL text as its
+    * sequence substrate (the `randWalkSql` device one level up): the
+    * skip-gram window self-join on walk_id, then the integer co-occurrence
+    * count. Mirrors `ExtQueries.walkPairs`. */
+  private lazy val walkPairsSql: String =
+    s"""WITH w AS (SELECT walk_id, step, node FROM ($randWalkSql) t)
+      |SELECT x.node AS node, y.node AS ctx,
+      |  count(*) AS n_pairs
+      |FROM w x JOIN w y
+      |  ON x.walk_id = y.walk_id AND x.step <> y.step
+      |  AND abs(x.step - y.step) <= ${ExtQueries.WalkPairWindow}
+      |GROUP BY x.node, y.node ORDER BY node, ctx""".stripMargin
+
   val sql: Map[String, String] = baseSql +
+    ("e_count_min" -> countMinSql) +
+    ("e_fim_split" -> fimSplitSql) +
+    ("e_novelty" -> noveltySql) +
+    ("e_hits" -> hitsSql) +
     ("e_calibration" -> calibrationSql) +
     ("e_tok_fertility" -> tokFertilitySql) +
     ("e_filter_bias" -> filterBiasSql) +
@@ -3091,27 +3238,8 @@ object ExtOracles {
     ("e_silhouette" -> silhouetteSql) +
     ("e_pq_train" -> pqTrainSql) +
     ("e_pq_trained" -> pqTrainedSql) +
-    // e_rand_walk COMPOSES the e_knn_graph SQL text as its edge substrate
-    // (the e_ann_recall device), then unrolls the WalkSteps hops as chained
-    // CTEs with the same pinned universal-hash pick arithmetic.
-    ("e_rand_walk" -> {
-      val L = ExtQueries.WalkSteps
-      def hop(t: Int): String =
-        s"""s$t AS (SELECT c.walk_id, e.nbr AS node FROM s${t - 1} c JOIN e2 e
-          |  ON c.node = e.src AND e.rank =
-          |    (((${ExtQueries.WalkA} * (c.walk_id * ${L + 1} + $t)
-          |       + ${ExtQueries.WalkB}) % ${P}) % e.deg) + 1)""".stripMargin
-      val unions = (0 to L)
-        .map(t => s"SELECT walk_id, CAST($t AS INT) AS step, node FROM s$t")
-        .mkString("\n  UNION ALL ")
-      s"""WITH knn AS (SELECT src, nbr, rank FROM (${baseSql("e_knn_graph")}) g),
-        |deg AS (SELECT src, CAST(max(rank) AS INT) AS deg FROM knn GROUP BY src),
-        |e2 AS (SELECT k.src, k.nbr, k.rank, d.deg FROM knn k JOIN deg d USING (src)),
-        |s0 AS (SELECT vec_id AS walk_id, vec_id AS node FROM embeddings),
-        |${(1 to L).map(hop).mkString(",\n")}
-        |$unions
-        |ORDER BY walk_id, step""".stripMargin
-    }) +
+    ("e_rand_walk" -> randWalkSql) +
+    ("e_walk_pairs" -> walkPairsSql) +
     ("e_cosine_topk_beam" -> beamSearchSql) + ("e_ann_recall" ->
     s"""WITH ex AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk")}) t),
       |lsh AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_lsh")}) u),

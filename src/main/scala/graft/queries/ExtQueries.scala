@@ -6471,6 +6471,43 @@ object ExtQueries {
       .orderBy("walk_id", "step")
   }
 
+  // ---- e_walk_pairs -------------------------------------------------------
+
+  /** Skip-gram co-occurrence window (±steps within a walk). */
+  private[queries] val WalkPairWindow = 2
+
+  /** Skip-gram pair extraction over the [[randWalk]] sequences — the step
+    * DeepWalk/node2vec actually feed the embedding trainer: every
+    * (center, context) node pair within ±[[WalkPairWindow]] steps of the
+    * same walk, reduced to the weighted co-occurrence table (node, ctx,
+    * n_pairs) a word2vec-style trainer consumes as its positive examples.
+    * Pairs are directional (both (u,v) and (v,u) emit — the trainer's
+    * convention) and a walk revisiting a node legitimately pairs it with
+    * itself.
+    *
+    * All-integer (counts of deterministic walks) — trivially exact.
+    *
+    * At scale: the self-join is keyed by walk_id, and a walk is ≤
+    * WalkSteps+1 rows, so the join fans out ≤ (L+1)·2w pairs per walk —
+    * linear in corpus size, never quadratic; the co-occurrence reduction
+    * is one map-side-combined count on (node, ctx) whose key space is
+    * bounded by observed pairs ≤ |V|·(L+1)·2w. The walk frame is PERSISTED
+    * for the self-join's two sides — unpersisted, the whole hop-join chain
+    * (including the knn-graph build) executes twice. Composes the graded
+    * [[randWalk]] (its oracle SQL text likewise) — a harness-key by the
+    * attribution rule. */
+  def walkPairs(spark: SparkSession, dir: String): DataFrame = {
+    val walks = randWalk(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    walks.as("x").join(walks.as("y"),
+        col("x.walk_id") === col("y.walk_id") &&
+          col("x.step") =!= col("y.step") &&
+          abs(col("x.step") - col("y.step")) <= lit(WalkPairWindow))
+      .groupBy(col("x.node").as("node"), col("y.node").as("ctx"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("node", "ctx")
+  }
+
   /** [[editJoin]]'s candidate volume (after the prefix + positional +
     * length filters) next to the NAIVE length-filtered pair count the
     * oracle verifies — exposed for the spec to grade the filters actually
@@ -6509,5 +6546,223 @@ object ExtQueries {
       .count()
     keyed.unpersist()
     (cand, naive)
+  }
+
+  // ---- e_count_min --------------------------------------------------------
+
+  /** Count-Min geometry: [[CmDepth]] independent hash rows ×
+    * [[CmWidth]] counters each. Estimate error for any item is
+    * ≤ 2·N/[[CmWidth]] with probability 1 − 2^−[[CmDepth]] (Cormode &
+    * Muthukrishnan, J.Algorithms'05 Thm 1 at ε = 2/w, δ = 2^−d); the
+    * estimate NEVER undercounts. Sizing at scale: width grows with the
+    * tolerable absolute error (w ≈ 2N/ε), depth with the confidence —
+    * both independent of the domain size, which is the entire point. */
+  private[graft] val CmDepth = 4
+  private[graft] val CmWidth = 512
+  /** Probe tokens = the distinct tokens of the first [[CmProbeDocs]]
+    * documents — a bounded, deterministic audit set drawn from the
+    * corpus itself. */
+  private[queries] val CmProbeDocs = 10L
+
+  /** Count-Min sketch frequency estimation — the third bounded-state
+    * sketch next to the HLL-style distinct counter ([[distinctSketch]])
+    * and the Misra-Gries frequent-item pass ([[heavyHitters]]): it
+    * answers POINT frequency queries ("how often does this token /
+    * URL / n-gram occur?") over a domain too large to group, in
+    * [[CmDepth]]·[[CmWidth]] integers of state, with a one-sided
+    * (never-under) error guarantee. The report audits the sketch
+    * against truth on the [[CmProbeDocs]]-doc probe set: (token,
+    * exact, est, overcount ≥ 0) — the overcount column IS the
+    * collision error the theorem bounds.
+    *
+    * All-integer, trivially deterministic: bucket choice is the shared
+    * cross-engine [[hash64]] salted per row (`cm0:`…`cm3:`), cell
+    * counts and minimums are exact.
+    *
+    * At scale: the sketch build is ONE pass over the token stream with
+    * a map-side-combined groupBy on (row, bucket) — reducer state is
+    * the d·w cell grid, NEVER the vocabulary ([[heavyHitters]]'s
+    * open-domain discipline); the grid (≤ 2048 rows) then BROADCASTS
+    * to the probe join. The exact recount streams the corpus once more
+    * against the broadcast probe set — the audit's cost, not the
+    * sketch's (production serves point queries from the grid alone).
+    * In streaming, the same grid is a per-micro-batch aggregate merged
+    * by cell-wise addition — CMS is linear, which is why it is the
+    * sketch that survives windowed/incremental ingestion. */
+  /** The [[CmDepth]] bucket values of `token`, one array column — computed
+    * scan-side, fanned out by posexplode into (row, bucket) pairs. ONE
+    * derivation shared by the batch sketch and the streaming windows
+    * ([[graft.streaming.Streaming.countMinWindows]]), so the per-window
+    * grids and the lake grid merge cell-for-cell by construction. */
+  private[graft] def cmBuckets(token: Column): Column =
+    array((0 until CmDepth).map(r =>
+      pmod(hash64(concat(lit(s"cm$r:"), token)), lit(CmWidth.toLong))): _*)
+
+  def countMin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val tok = docs.select(explode(tokens(col("text"))).as("token"))
+    def buckets: Column = cmBuckets(col("token"))
+    val sketch = tok
+      .select(posexplode(buckets))
+      .select(col("pos").as("r"), col("col").as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
+    // bounded probe set, persisted for its two consumers (the estimate
+    // join and the exact recount) — unpersisted, the filtered probe scan
+    // and distinct run twice
+    val probe = docs.filter(col("doc_id") < CmProbeDocs)
+      .select(explode(tokens(col("text"))).as("token")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val est = probe
+      .select(col("token"), posexplode(buckets))
+      .select(col("token"), col("pos").as("r"), col("col").as("b"))
+      .join(broadcast(sketch), Seq("r", "b"))
+      .groupBy(col("token")).agg(min(col("cnt")).as("est"))
+    val exact = tok.join(broadcast(probe), Seq("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("token"))
+      .select(col("token"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"))
+      .orderBy("token")
+  }
+
+  // ---- e_fim_split --------------------------------------------------------
+
+  /** FIM sentinel tokens (PSM order: prefix, suffix, middle). */
+  private[queries] val FimPre = "<|fim_pre|>"
+  private[queries] val FimSuf = "<|fim_suf|>"
+  private[queries] val FimMid = "<|fim_mid|>"
+  /** 1-in-[[FimRate]] documents get the FIM transform (hash fate) — the
+    * ~50% FIM rate the infilling recipe trains with. */
+  private[queries] val FimRate = 2L
+
+  /** Fill-in-the-middle training transform (Bavarian et al., arXiv
+    * 2207.14255 — the infilling objective code models train with):
+    * each selected document is split at two deterministic token cuts
+    * into (prefix, middle, suffix) and re-serialized in PSM order —
+    * `<|fim_pre|> P <|fim_suf|> S <|fim_mid|> M` — so an autoregressive
+    * model learns to generate the middle conditioned on both sides;
+    * unselected documents pass through untouched (the paper's
+    * rate-mixing). Emits the cut geometry (lo, hi) alongside the
+    * re-serialized text so a batch builder can audit span lengths.
+    *
+    * Determinism: selection and both cuts are pure functions of doc_id
+    * via the salted cross-engine [[hash64]] ([[spanMask]]'s device) —
+    * reproducible on any re-sharding, identical in the oracle. Cuts
+    * are uniform over [0, n] and may coincide (empty middle) or touch
+    * the ends (empty prefix/suffix) — the degenerate splits the recipe
+    * deliberately keeps (they teach end-of-span behavior), handled by
+    * empty-slice concatenation rather than special cases.
+    *
+    * At scale: zero shuffles below the output sort — a pure projected
+    * scan emitting one row per row ([[epochMix]]'s hash-fate shape);
+    * the token array is materialized ONCE per row and sliced three
+    * ways (re-tokenizing per segment would triple the regex cost). */
+  def fimSplit(spark: SparkSession, dir: String): DataFrame = {
+    val toked = table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+    val c1 = pmod(hash64(concat(lit("fim1:"), col("doc_id").cast("string"))),
+      col("n") + 1)
+    val c2 = pmod(hash64(concat(lit("fim2:"), col("doc_id").cast("string"))),
+      col("n") + 1)
+    val fate = pmod(hash64(concat(lit("fim:"), col("doc_id").cast("string"))),
+      lit(FimRate)) === 0
+    toked
+      .withColumn("fim", fate && col("n") >= 2)
+      .withColumn("lo", when(col("fim"), least(c1, c2)).otherwise(col("n")))
+      .withColumn("hi", when(col("fim"), greatest(c1, c2)).otherwise(col("n")))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("fim"),
+        col("lo"), col("hi"),
+        when(col("fim"),
+          array_join(concat(
+            array(lit(FimPre)),
+            slice(col("tk"), lit(1), col("lo").cast("int")),
+            array(lit(FimSuf)),
+            slice(col("tk"), (col("hi") + 1).cast("int"),
+              (col("n") - col("hi")).cast("int")),
+            array(lit(FimMid)),
+            slice(col("tk"), (col("lo") + 1).cast("int"),
+              (col("hi") - col("lo")).cast("int"))), " "))
+          .otherwise(array_join(col("tk"), " ")).as("fim_text"))
+      .orderBy("doc_id")
+  }
+
+  // ---- e_novelty ----------------------------------------------------------
+
+  /** Per-document shingle NOVELTY — the marginal-content curve a crawl
+    * pipeline reads before deciding whether another snapshot is worth
+    * ingesting: for each document (in doc_id ingestion order), the
+    * fraction of its distinct 3-gram shingles whose FIRST corpus
+    * occurrence is this document. Early documents score ~1; as the
+    * corpus saturates, novelty decays toward the genuinely-new remainder —
+    * summed over ingestion order this is exactly "novel tokens per
+    * ingested token", the redundancy diagnostic next to the pairwise
+    * dedup family ([[minhashDedup]] finds WHO duplicates whom;
+    * novelty measures HOW MUCH of each arrival is already known).
+    * Composes the shared [[shingleSets]] pipeline, so the notion of
+    * "content unit" cannot drift from what the dedup operators use.
+    *
+    * All-integer until the final per-row division (one correctly
+    * rounded IEEE divide). First-occurrence attribution is min(doc_id)
+    * per shingle — [[chunkDedup]]'s survivor rule at shingle
+    * granularity.
+    *
+    * At scale: one map-side-combined min-aggregate over the posting
+    * stream (reducer state = |distinct shingles|, the same bound the
+    * dedup joins carry), then one join of the postings back to the
+    * winners on the SAME key they just grouped by (co-partitioned —
+    * AQE reuses the exchange), collapsing immediately to one row per
+    * document. The shingled frame is persisted for its two consumers
+    * (postings feed both the min-aggregate and the attribution join);
+    * document text never shuffles — only (doc_id, shingle-hash)
+    * pairs. */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val shd = shingleSets(
+      table(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val post = shd.select(col("doc_id"),
+      size(col("ds")).cast("long").as("n_shingles"), explode(col("ds")).as("sh"))
+    val firstSeen = post.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    post.join(firstSeen, Seq("sh"))
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+        .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty_frac"))
+      .orderBy("doc_id")
+  }
+
+  // ---- e_hits -------------------------------------------------------------
+
+  /** Full (authority + hub) HITS rounds — an oracle-stability pin like
+    * [[PageRankIters]]. */
+  private[queries] val HitsIters = 3
+
+  /** Fixed-point scale alias for oracle interpolation
+    * ([[PrScale]]'s pattern). */
+  private[queries] val HitsScale = graft.operators.Hits.Scale
+
+  /** HITS hubs-and-authorities over the [[knnGraph]] similarity graph —
+    * the second graph-centrality signal next to [[pageRank]], and the one
+    * that SEPARATES two curation populations PageRank conflates: high
+    * AUTHORITY = many representative documents' nearest neighbors point
+    * here (cluster cores — canonical keeps), high HUB = this document's
+    * own neighbor list spans many strong authorities (templated mixtures
+    * straddling clusters — the boilerplate-suspect review queue).
+    * Delegates to the general [[graft.operators.Hits]] engine (the
+    * [[graft.operators.PageRank]] pattern — integer fixed-point, L1
+    * normalization, determinism and the scale statement live there); the
+    * oracle composes the graded `e_knn_graph` SQL text and unrolls the
+    * [[HitsIters]] rounds as chained CTEs. Composes [[knnGraph]] — a
+    * harness-key by the attribution rule. */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnGraph(spark, dir).select(col("src"), col("nbr").as("dst"))
+    val nodes = table(spark, dir, "embeddings").select(col("vec_id").as("id"))
+    graft.operators.Hits.scores(edges, nodes, HitsIters)
+      .select(col("id").as("vec_id"), col("auth"), col("hub"),
+        (col("auth").cast("double") / lit(HitsScale.toDouble)).as("auth_score"),
+        (col("hub").cast("double") / lit(HitsScale.toDouble)).as("hub_score"))
+      .orderBy("vec_id")
   }
 }

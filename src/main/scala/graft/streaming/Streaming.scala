@@ -477,6 +477,49 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming Count-Min grid per tumbling window — the online form of
+    * [[graft.queries.ExtQueries.countMin]]'s sketch, and the sketch whose
+    * LINEARITY makes windowed operation honest: per closed window the
+    * emitted (r, b, cnt) cells are a plain counting aggregate over the
+    * window's token stream, so two windows' grids ADD cell-wise into any
+    * coarser horizon (hourly grids sum into the daily grid, daily into the
+    * lake's — bit-exactly, because every cell is an integer count), which
+    * Misra-Gries candidates cannot do (merging watchlists re-approximates).
+    * Point estimates are served downstream exactly as in the batch
+    * operator: min over the d cells of a token's buckets, never under the
+    * window-local truth. Buckets come from the batch operator's OWN
+    * [[graft.queries.ExtQueries.cmBuckets]] — one derivation, so the
+    * online and offline grids can never hash differently.
+    *
+    * State per open window is the d·w cell grid REGARDLESS of vocabulary
+    * ([[heavyHitterWindows]]'s bounded-state discipline, with w·d ≈ 2k
+    * counters instead of k−1 — the price of answering ARBITRARY point
+    * queries instead of only "who is heavy"); map-side combined; `horizon`
+    * bounds open windows. */
+  def countMinWindows(docs: DataFrame, horizon: String, every: String): DataFrame =
+    docs
+      .withWatermark("ts", horizon)
+      .select(col("ts"),
+        explode(graft.functions.GraftFunctions.tokens(col("text"))).as("token"))
+      .select(col("ts"),
+        posexplode(graft.queries.ExtQueries.cmBuckets(col("token"))))
+      .groupBy(window(col("ts"), every), col("pos"), col("col"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("pos").as("r"), col("col").as("b"), col("cnt"))
+
+  /** Continuous Count-Min grids: [[countMinWindows]] wired to a
+    * checkpointed append sink — each closed window's cells emitted exactly
+    * once across restarts ([[startTrending]]'s contract). */
+  def startCountMin(docs: DataFrame, horizon: String, every: String,
+      ckpt: String)(write: DataFrame => Unit): StreamingQuery =
+    countMinWindows(docs, horizon, every).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) => write(batch) }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming length-distribution histogram per tumbling window — the
     * online half of the drift monitor: per (window, token-length bucket)
     * document counts, bucketed by the batch operator's OWN

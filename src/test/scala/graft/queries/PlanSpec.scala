@@ -705,4 +705,44 @@ class PlanSpec extends AnyFunSuite {
         "the whole fact table for a 5-row lookup")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("count-min: the d×w grid broadcasts onto the probe join, never a shuffle join") {
+    val plan = formatted(ExtQueries.countMin(spark, dir))
+    // sketch build pass + probe-doc pass + exact-recount pass; the grid
+    // (≤ d·w rows) and the probe set are the only join sides and both ride
+    // broadcasts — nothing vocabulary-sized ever sort-merge-joins
+    assert(parquetScans(plan) === 3, plan.take(600))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "the 2048-row cell grid regressed to a shuffle join")
+    assert(!plan.contains("Window"))
+  }
+
+  test("fim split: single pruned scan, zero shuffles before the output sort") {
+    val df = ExtQueries.fimSplit(spark, dir)
+    val plan = formatted(df)
+    assert(parquetScans(plan) === 1, plan.take(600))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string"),
+      "FIM must not read columns beyond (doc_id, text)")
+    val simple = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(simple).map(_.group(1)).toSeq
+    assert(exchanges === Seq("rangepartitioning"), s"exchanges: $exchanges")
+  }
+
+  test("novelty: one corpus scan (persisted shingles), attribution stays an aggregate") {
+    val df = ExtQueries.novelty(spark, dir)
+    val plan = formatted(df)
+    assert(parquetScans(plan) === 1, plan.take(600))
+    assert(!plan.contains("Window"),
+      "first-occurrence must be a min-aggregate, not a per-shingle window")
+    spark.catalog.clearCache()
+  }
+
+  test("hits: result is checkpoint-backed (lineage truncated per half-round)") {
+    val df = ExtQueries.hits(spark, dir)
+    val plan = formatted(df)
+    assert(plan.contains("Scan ExistingRDD"), plan.take(600))
+    graft.operators.IterStorage.release(df)
+    spark.catalog.clearCache()
+  }
 }

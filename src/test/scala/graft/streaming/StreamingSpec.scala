@@ -573,6 +573,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(collected.size == 2)
   }
 
+  test("count-min windows: closed grids replay the shared bucket rule, " +
+      "merge linearly across windows, estimates never undercount") {
+    import spark.implicits._
+    import graft.queries.ExtQueries
+    val in = Files.createTempDirectory("graft-cm-in").toString
+    val ckpt = Files.createTempDirectory("graft-cm-ckpt").toString
+    def doc(id: Long, t: String, text: String) = (id, Timestamp.valueOf(t), text)
+    // window 1 split over TWO files so its grid merges across micro-batch
+    // partial aggregates; window 2 is a different mix; window 3 stays open
+    val w1a = Seq(doc(1, "2024-05-01 10:00:00", "a b a c a"),
+      doc(2, "2024-05-01 10:20:00", "b c d"))
+    val w1b = Seq(doc(3, "2024-05-01 10:40:00", "a d e f"))
+    val w2 = Seq(doc(4, "2024-05-01 13:00:00", "a a b g"))
+    val w3 = Seq(doc(5, "2024-05-01 15:00:00", "closer"))
+    val schema = w1a.toDF("doc_id", "ts", "text").schema
+    for (f <- Seq(w1a, w1b, w2, w3))
+      f.toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").parquet(in)
+
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(Timestamp, Int, Long, Long)]
+    val q = Streaming.startCountMin(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+      horizon = "1 minute", every = "1 hour", ckpt = ckpt) { batch =>
+      collected ++= batch.collect().map(r => (r.getAs[Timestamp]("window_start"),
+        r.getAs[Int]("r"), r.getAs[Long]("b"), r.getAs[Long]("cnt")))
+    }
+    q.awaitTermination()
+
+    // sequential replay of the SHARED md5 bucket rule (ExtQueries.cmBuckets)
+    def h64(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    def grid(tokens: Seq[String]): Map[(Int, Long), Long] = tokens
+      .flatMap(t => (0 until ExtQueries.CmDepth)
+        .map(r => (r, h64(s"cm$r:$t") % ExtQueries.CmWidth)))
+      .groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    val w1Toks = "a b a c a b c d a d e f".split(" ").toSeq
+    val w2Toks = "a a b g".split(" ").toSeq
+    val w1Start = Timestamp.valueOf("2024-05-01 10:00:00")
+    val w2Start = Timestamp.valueOf("2024-05-01 13:00:00")
+    val got = collected.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3) -> t._4).toMap).toMap
+    assert(got.keySet == Set(w1Start, w2Start)) // w3 open — withheld
+    assert(got(w1Start) == grid(w1Toks))
+    assert(got(w2Start) == grid(w2Toks))
+    // LINEARITY: cell-wise sum of the closed grids is the union's grid —
+    // the property that lets hourly grids roll up into daily bit-exactly
+    val merged = (got(w1Start).keySet ++ got(w2Start).keySet).map(k =>
+      k -> (got(w1Start).getOrElse(k, 0L) + got(w2Start).getOrElse(k, 0L))).toMap
+    assert(merged == grid(w1Toks ++ w2Toks))
+    // point estimates served from the window grid never undercount
+    for (t <- w1Toks.distinct) {
+      val est = (0 until ExtQueries.CmDepth)
+        .map(r => got(w1Start)((r, h64(s"cm$r:$t") % ExtQueries.CmWidth))).min
+      assert(est >= w1Toks.count(_ == t), s"token $t undercounted")
+    }
+  }
+
   test("drift monitor: closed-window TV against the static reference is " +
       "exact, windows emitted once, open windows withheld") {
     import spark.implicits._
