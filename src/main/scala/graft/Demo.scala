@@ -187,6 +187,8 @@ object Demo {
     println("== skip-gram walk pairs (heaviest co-occurrences):")
     graft.queries.ExtQueries.walkPairs(spark, sf)
       .orderBy($"n_pairs".desc, $"node", $"ctx").show(5, false)
+    println("== modularity of the propagated labels over the knn graph:")
+    graft.queries.ExtQueries.modularity(spark, sf).show(false)
     spark.catalog.clearCache() // funnel/fusion/graph ops persist intermediates
 
     // malformed day file: observe the failure mode

@@ -186,6 +186,7 @@ object SparkEntry {
     "e_novelty"           -> (ExtQueries.novelty _),
     "e_hits"              -> (ExtQueries.hits _),
     "e_walk_pairs"        -> (ExtQueries.walkPairs _),
+    "e_modularity"        -> (ExtQueries.modularity _),
   )
 
   /** Keys that are evaluation harnesses / composites: they RE-EXECUTE other
@@ -209,9 +210,10 @@ object SparkEntry {
     // e_calibration re-runs the e_nb_classify predictions it audits;
     // e_pca_project re-runs the e_pca_power chain it screens with;
     // e_rand_walk and e_hits walk the e_knn_graph edges; e_walk_pairs
-    // re-runs the e_rand_walk sequences it windows over
+    // re-runs the e_rand_walk sequences it windows over; e_modularity
+    // grades the e_label_prop partition over the e_knn_graph edges
     "e_silhouette", "e_calibration", "e_pca_project", "e_rand_walk", "e_hits",
-    "e_walk_pairs")
+    "e_walk_pairs", "e_modularity")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -3203,7 +3203,42 @@ object ExtOracles {
       |  AND abs(x.step - y.step) <= ${ExtQueries.WalkPairWindow}
       |GROUP BY x.node, y.node ORDER BY node, ctx""".stripMargin
 
+  /** `e_modularity` — COMPOSES the graded `e_label_prop` partition and the
+    * `e_knn_graph` edge list (both SQL texts), canonicalizes undirected
+    * edges as (least, greatest), then the exact integer modularity
+    * decomposition with ONE final divide. Mirrors
+    * `ExtQueries.modularity`. */
+  private lazy val modularitySql: String =
+    s"""WITH lpz AS (SELECT vec_id, label FROM ($labelPropSql) t
+      |  WHERE label IS NOT NULL),
+      |kg AS (SELECT least(src, nbr) AS src, greatest(src, nbr) AS dst
+      |  FROM (${baseSql("e_knn_graph")}) g),
+      |und AS (SELECT DISTINCT src, dst FROM kg),
+      |lab AS (SELECT u.src, u.dst, a.label AS la, b.label AS lb
+      |  FROM und u JOIN lpz a ON u.src = a.vec_id
+      |  JOIN lpz b ON u.dst = b.vec_id),
+      |mm AS (SELECT count(*) AS m FROM lab),
+      |deg AS (SELECT id, label, count(*) AS deg FROM (
+      |  SELECT src AS id, la AS label FROM lab
+      |  UNION ALL SELECT dst AS id, lb AS label FROM lab)
+      |  GROUP BY id, label),
+      |ds AS (SELECT label, CAST(sum(deg) AS BIGINT) AS d_sum
+      |  FROM deg GROUP BY label),
+      |ein AS (SELECT la AS label, count(*) AS e_in FROM lab
+      |  WHERE la = lb GROUP BY la),
+      |nn AS (SELECT label, count(*) AS n_nodes FROM lpz GROUP BY label)
+      |SELECT nn.label, nn.n_nodes,
+      |  CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in,
+      |  CAST(COALESCE(ds.d_sum, 0) AS BIGINT) AS d_sum,
+      |  CAST(4 * mm.m * COALESCE(ein.e_in, 0)
+      |       - COALESCE(ds.d_sum, 0) * COALESCE(ds.d_sum, 0) AS DOUBLE)
+      |    / CAST(4 * mm.m * mm.m AS DOUBLE) AS q_c
+      |FROM nn LEFT JOIN ds USING (label) LEFT JOIN ein USING (label)
+      |CROSS JOIN mm
+      |ORDER BY nn.label""".stripMargin
+
   val sql: Map[String, String] = baseSql +
+    ("e_modularity" -> modularitySql) +
     ("e_count_min" -> countMinSql) +
     ("e_fim_split" -> fimSplitSql) +
     ("e_novelty" -> noveltySql) +
