@@ -189,6 +189,9 @@ object Demo {
       .orderBy($"n_pairs".desc, $"node", $"ctx").show(5, false)
     println("== modularity of the propagated labels over the knn graph:")
     graft.queries.ExtQueries.modularity(spark, sf).show(false)
+    println("== token-budget allocation (quality-ranked greedy):")
+    graft.queries.ExtQueries.tokenBudget(spark, sf)
+      .orderBy($"keep_rate".desc, $"source").show(8, false)
     spark.catalog.clearCache() // funnel/fusion/graph ops persist intermediates
 
     // malformed day file: observe the failure mode

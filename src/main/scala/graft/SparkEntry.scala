@@ -187,6 +187,7 @@ object SparkEntry {
     "e_hits"              -> (ExtQueries.hits _),
     "e_walk_pairs"        -> (ExtQueries.walkPairs _),
     "e_modularity"        -> (ExtQueries.modularity _),
+    "e_token_budget"      -> (ExtQueries.tokenBudget _),
   )
 
   /** Keys that are evaluation harnesses / composites: they RE-EXECUTE other
@@ -213,7 +214,8 @@ object SparkEntry {
     // re-runs the e_rand_walk sequences it windows over; e_modularity
     // grades the e_label_prop partition over the e_knn_graph edges
     "e_silhouette", "e_calibration", "e_pca_project", "e_rand_walk", "e_hits",
-    "e_walk_pairs", "e_modularity")
+    // e_token_budget ranks sources by the e_quality_filter rule body
+    "e_walk_pairs", "e_modularity", "e_token_budget")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -3237,7 +3237,38 @@ object ExtOracles {
       |CROSS JOIN mm
       |ORDER BY nn.label""".stripMargin
 
+  /** `e_token_budget` — COMPOSES the shared `qualityCtes` rule chain (the
+    * `e_filter_bias` device), then the greedy allocation: exact integer
+    * counts and cumulative sums via the \|sources\|² self-join, one
+    * correctly-rounded keep-rate divide as the sort key, integer
+    * floor-division budget. Mirrors `ExtQueries.tokenBudget`. */
+  private lazy val tokenBudgetSql: String =
+    s"""WITH ${qualityCtes("documents")},
+      |src AS (SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      |  FROM qr GROUP BY source),
+      |s2 AS (SELECT source, n_docs, src_tokens, n_keep,
+      |  CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS keep_rate FROM src),
+      |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens FROM src),
+      |cum AS (SELECT a.source, a.n_docs, a.src_tokens, a.n_keep, a.keep_rate,
+      |  CAST(COALESCE(sum(b.src_tokens), 0) AS BIGINT) AS cum_before
+      |  FROM s2 a LEFT JOIN s2 b
+      |    ON b.keep_rate > a.keep_rate
+      |    OR (b.keep_rate = a.keep_rate AND b.source < a.source)
+      |  GROUP BY a.source, a.n_docs, a.src_tokens, a.n_keep, a.keep_rate),
+      |al AS (SELECT c.source, c.n_docs, c.src_tokens, c.n_keep, c.keep_rate,
+      |  c.cum_before,
+      |  greatest(CAST(0 AS BIGINT), least(c.src_tokens,
+      |    (t.total_tokens * ${ExtQueries.BudgetNum}) // ${ExtQueries.BudgetDen}
+      |      - c.cum_before)) AS alloc_tokens
+      |  FROM cum c CROSS JOIN tot t)
+      |SELECT source, n_docs, src_tokens, n_keep, keep_rate, cum_before,
+      |  alloc_tokens, alloc_tokens = src_tokens AS taken
+      |FROM al ORDER BY source""".stripMargin
+
   val sql: Map[String, String] = baseSql +
+    ("e_token_budget" -> tokenBudgetSql) +
     ("e_modularity" -> modularitySql) +
     ("e_count_min" -> countMinSql) +
     ("e_fim_split" -> fimSplitSql) +

@@ -6471,6 +6471,72 @@ object ExtQueries {
       .orderBy("walk_id", "step")
   }
 
+  // ---- e_token_budget -----------------------------------------------------
+
+  /** Budget as a pinned fraction of corpus tokens (numerator/denominator
+    * — self-scaling with the corpus, unlike an absolute constant). */
+  private[queries] val BudgetNum = 1L
+  private[queries] val BudgetDen = 2L
+
+  /** Budget-constrained greedy source selection — the data-mixing decision
+    * step run when a training budget is smaller than the cleaned corpus:
+    * rank sources by quality (keep-rate under the SHARED
+    * [[qualitySignals]] rule body — the same gate the corpus actually
+    * runs, so the ranking cannot drift from the filter), then walk the
+    * ranking granting each source its tokens until the
+    * [[BudgetNum]]/[[BudgetDen]] corpus-token budget is exhausted; the
+    * boundary source gets the remainder (`alloc_tokens < src_tokens`,
+    * `taken = false`), everything after gets zero. Emits the full
+    * allocation table (source, volume, quality, cumulative position,
+    * allocation) — the artifact a mixing config is generated from.
+    *
+    * DETERMINISM: counts and cumulative sums are exact integers; the
+    * keep_rate sort key is one correctly-rounded divide of exact
+    * integers (bit-identical cross-engine), ties pinned by source; the
+    * budget is an integer floor-division of the exact total.
+    *
+    * At scale: token/keep counts are one map-side-combined aggregate to
+    * \|sources\| partials; the cumulative-before sum is a broadcast
+    * self-join over the \|sources\|-row table — sources are a bounded
+    * domain dimension (like regions), so the quadratic is \|sources\|²
+    * TINY rows, chosen over a global-order window whose empty partition
+    * spec would serialize a corpus-scale frame ([[PlanSpec]]'s repo-wide
+    * ban); the corpus itself is touched exactly once. Composes the
+    * graded [[qualitySignals]] body (oracle composes `qualityCtes`) — a
+    * harness-key by the attribution rule. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val qs = qualitySignals(table(spark, dir, "documents"))
+      .select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
+        col("keep"))
+    val src = qs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("src_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_rate",
+        col("n_keep").cast("double") / col("n_docs").cast("double"))
+    val tot = src.agg(sum(col("src_tokens")).as("total_tokens"))
+    val ranked = src.crossJoin(broadcast(tot))
+    val cum = ranked.as("a")
+      .join(broadcast(ranked.as("b")),
+        col("b.keep_rate") > col("a.keep_rate") ||
+          (col("b.keep_rate") === col("a.keep_rate") &&
+            col("b.source") < col("a.source")),
+        "left")
+      .groupBy(col("a.source").as("source"), col("a.n_docs").as("n_docs"),
+        col("a.src_tokens").as("src_tokens"), col("a.n_keep").as("n_keep"),
+        col("a.keep_rate").as("keep_rate"),
+        col("a.total_tokens").as("total_tokens"))
+      .agg(coalesce(sum(col("b.src_tokens")), lit(0L)).as("cum_before"))
+    cum
+      .withColumn("alloc_tokens",
+        greatest(lit(0L), least(col("src_tokens"),
+          expr(s"(total_tokens * $BudgetNum) div $BudgetDen") - col("cum_before"))))
+      .select(col("source"), col("n_docs"), col("src_tokens"), col("n_keep"),
+        col("keep_rate"), col("cum_before"), col("alloc_tokens"),
+        (col("alloc_tokens") === col("src_tokens")).as("taken"))
+      .orderBy("source")
+  }
+
   // ---- e_modularity -------------------------------------------------------
 
   /** Newman-Girvan modularity audit of the [[labelProp]] partition over
