@@ -6508,12 +6508,16 @@ object ExtQueries {
     val qs = qualitySignals(table(spark, dir, "documents"))
       .select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
         col("keep"))
+    // |sources|-row stats, persisted for the THREE consumers (the budget
+    // total and both sides of the cumulative self-join) — unpersisted,
+    // the corpus-scanning quality aggregate executes three times
     val src = qs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("src_tokens"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
       .withColumn("keep_rate",
         col("n_keep").cast("double") / col("n_docs").cast("double"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = src.agg(sum(col("src_tokens")).as("total_tokens"))
     val ranked = src.crossJoin(broadcast(tot))
     val cum = ranked.as("a")

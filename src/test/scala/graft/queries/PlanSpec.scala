@@ -738,6 +738,24 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("token budget: the corpus quality aggregate runs ONCE (persisted source stats)") {
+    val df = ExtQueries.tokenBudget(spark, dir)
+    // three consumers (budget total + both cumulative self-join sides)
+    // behind one persisted |sources|-row frame — unpersisted, this reads 3
+    assert(parquetScans(formatted(df)) === 1, formatted(df).take(600))
+    spark.catalog.clearCache()
+  }
+
+  test("walk pairs: the self-join adds ZERO scans over the walk substrate (persisted)") {
+    val walkScans = parquetScans(formatted(ExtQueries.randWalk(spark, dir)))
+    spark.catalog.clearCache()
+    val pairScans = parquetScans(formatted(ExtQueries.walkPairs(spark, dir)))
+    spark.catalog.clearCache()
+    assert(pairScans === walkScans,
+      s"walkPairs plans $pairScans scans vs randWalk's $walkScans — " +
+        "the walk frame must be persisted for both join sides")
+  }
+
   test("hits: result is checkpoint-backed (lineage truncated per half-round)") {
     val df = ExtQueries.hits(spark, dir)
     val plan = formatted(df)
