@@ -188,6 +188,7 @@ object SparkEntry {
     "e_walk_pairs"        -> (ExtQueries.walkPairs _),
     "e_modularity"        -> (ExtQueries.modularity _),
     "e_token_budget"      -> (ExtQueries.tokenBudget _),
+    "e_graph_recall"      -> (ExtQueries.graphRecall _),
   )
 
   /** Keys that are evaluation harnesses / composites: they RE-EXECUTE other
@@ -215,7 +216,7 @@ object SparkEntry {
     // grades the e_label_prop partition over the e_knn_graph edges
     "e_silhouette", "e_calibration", "e_pca_project", "e_rand_walk", "e_hits",
     // e_token_budget ranks sources by the e_quality_filter rule body
-    "e_walk_pairs", "e_modularity", "e_token_budget",
+    "e_walk_pairs", "e_modularity", "e_token_budget", "e_graph_recall",
     // classified under the same rule (round 10 — moves these keys from the
     // operator total to the harness total in BENCH comparisons):
     // soft_dedup/canonical_pick re-run the e_dup_clusters CC fixpoint;

@@ -3267,7 +3267,41 @@ object ExtOracles {
       |  alloc_tokens, alloc_tokens = src_tokens AS taken
       |FROM al ORDER BY source""".stripMargin
 
+  /** `e_graph_recall` — COMPOSES the graded `e_knn_graph` SQL text (the
+    * `pageRankSql` device) against the shared fold-cosine brute-force
+    * truth under the same (score DESC, cid ASC) total order, on the
+    * pinned node sample. Mirrors `ExtQueries.graphRecall`. */
+  private lazy val graphRecallSql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qe,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x)) AS nq
+      |  FROM embeddings WHERE vec_id < ${ExtQueries.GraphRecallSample}),
+      |c AS (
+      |  SELECT vec_id AS cid, embedding AS ce,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x)) AS nc
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.qid, c.cid,
+      |    list_reduce(list_transform(list_zip(q.qe, c.ce),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |      / (q.nq * c.nc) AS score
+      |  FROM q, c WHERE c.cid <> q.qid),
+      |truth AS (SELECT qid, cid FROM (
+      |  SELECT qid, cid,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rn
+      |  FROM scored) WHERE rn <= ${ExtQueries.KnnK}),
+      |g AS (SELECT src AS qid, nbr AS cid FROM (${baseSql("e_knn_graph")}) kg
+      |  WHERE src < ${ExtQueries.GraphRecallSample})
+      |SELECT t.qid, count(*) AS n_true,
+      |  CAST(count(g.cid) AS BIGINT) AS n_hit,
+      |  CAST(count(g.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+      |FROM truth t LEFT JOIN g ON t.qid = g.qid AND t.cid = g.cid
+      |GROUP BY t.qid ORDER BY t.qid""".stripMargin
+
   val sql: Map[String, String] = baseSql +
+    ("e_graph_recall" -> graphRecallSql) +
     ("e_token_budget" -> tokenBudgetSql) +
     ("e_modularity" -> modularitySql) +
     ("e_count_min" -> countMinSql) +

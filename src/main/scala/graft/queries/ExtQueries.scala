@@ -6471,6 +6471,63 @@ object ExtQueries {
       .orderBy("walk_id", "step")
   }
 
+  // ---- e_graph_recall -----------------------------------------------------
+
+  /** Sampled nodes graded: `vec_id < this` ([[SilhouetteSample]]'s
+    * bounded-sample device — the quadratic is the sample × corpus
+    * scoring, not corpus²). */
+  private[queries] val GraphRecallSample = 64L
+
+  /** knn-graph SUBSTRATE quality — edge recall of [[knnGraph]] against
+    * brute-force truth on a pinned node sample: for each sampled node, how
+    * many of its true top-[[KnnK]] cosine neighbors does the graph
+    * actually hold as out-edges? [[annRecall]] grades query→corpus SEARCH;
+    * this grades the GRAPH every downstream consumer walks ([[randWalk]],
+    * [[cosineTopkBeam]], [[hits]], [[pageRank]], [[labelProp]]) — in-cell
+    * construction misses cross-cell true neighbors, and this report is
+    * exactly that miss rate, per node, before it silently degrades five
+    * other operators.
+    *
+    * DETERMINISM: the truth side is the [[cosineTopk]] fold-cosine under
+    * the pinned (score DESC, cid ASC) total order via the bounded-state
+    * [[graft.functions.TopKByScoreAggregator]]; hit counting and the
+    * final divide are exact integers + one correctly-rounded IEEE op.
+    *
+    * At scale: the sample broadcasts against ONE corpus scan (the
+    * [[cosineTopkAgg]] shape — |sample|·|partitions|·k slim rows shuffle,
+    * window-free); the graph side filters the composed [[knnGraph]] to
+    * sampled sources before the slim (qid, cid) left join. Composes the
+    * graded [[knnGraph]] (oracle SQL text likewise) — a harness-key by
+    * the attribution rule. */
+  def graphRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", l2norm(col("e")))
+    val q = emb.filter(col("vec_id") < GraphRecallSample)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("nq"))
+    val score = seqSum(zip_with(col("qe"), col("e"),
+      (x, y) => x.cast("double") * y.cast("double"))) / (col("nq") * col("nrm"))
+    val agg = new graft.functions.TopKByScoreAggregator(KnnK)
+    val topk = udaf(agg, agg.inputEncoder)
+    val truth = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), score.as("s"))
+      .groupBy(col("qid")).agg(topk(col("s"), col("cid")).as("tk"))
+      .select(col("qid"), explode(col("tk")).as("t"))
+      .select(col("qid"), col("t.id").as("cid"))
+    val g = knnGraph(spark, dir)
+      .filter(col("src") < GraphRecallSample)
+      .select(col("src").as("qid"), col("nbr").as("cid"), lit(1L).as("hit"))
+    truth.join(g, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("qid"), col("n_true"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true").cast("double"))
+          .as("recall"))
+      .orderBy("qid")
+  }
+
   // ---- e_token_budget -----------------------------------------------------
 
   /** Budget as a pinned fraction of corpus tokens (numerator/denominator
