@@ -3342,18 +3342,31 @@ object ExtQueries {
     * universe); determinism and the scale statement live there. The oracle
     * composes the graded `e_knn_graph` SQL text as its edge list and
     * unrolls the rounds as chained CTEs. */
-  def labelProp(spark: SparkSession, dir: String): DataFrame = {
-    val knn = knnGraph(spark, dir).select(col("src"), col("nbr").as("dst"))
-    val edges = knn
-      .unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))
+  def labelProp(spark: SparkSession, dir: String): DataFrame =
+    labelPropParts(spark, dir)._2.orderBy("vec_id")
+
+  /** ([[knnGraph]] edge frame PERSISTED, unordered propagated labels) —
+    * the graph substrate is consumed twice inside label propagation alone
+    * (both directions of the symmetrization) and a third time by
+    * [[modularity]]'s canonical edge list, so sharing ONE persisted frame
+    * saves two full in-cell topk builds ([[pqServe]]'s single-definition
+    * device applied to the substrate, not just the derivation). */
+  private[queries] def labelPropParts(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val knn = knnGraph(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kd = knn.select(col("src"), col("nbr").as("dst"))
+    val edges = kd
+      .unionByName(kd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     val emb = table(spark, dir, "embeddings")
     val nodes = emb.select(col("vec_id").as("id"))
     val seeds = emb.filter(col("vec_id") < LabelSeedMax)
       .select(col("vec_id").as("id"), col("label"))
-    graft.operators.LabelPropagation.propagate(edges, seeds, nodes, LabelPropIters)
+    val labs = graft.operators.LabelPropagation
+      .propagate(edges, seeds, nodes, LabelPropIters)
       .select(col("id").as("vec_id"), col("label"), col("is_seed"))
-      .orderBy("vec_id")
+    (knn, labs)
   }
 
   // ---- e_cosine_topk_beam -------------------------------------------------
@@ -6627,10 +6640,14 @@ object ExtQueries {
     * [[labelProp]] AND [[knnGraph]] (their oracle SQL texts likewise) —
     * a harness-key by the attribution rule. */
   def modularity(spark: SparkSession, dir: String): DataFrame = {
-    val lp = labelProp(spark, dir).filter(col("label").isNotNull)
+    // ONE persisted knn substrate for both the propagation and the
+    // canonical edge list (labelPropParts's contract) — calling the
+    // ordered labelProp surface here would build the graph twice and pay
+    // an output sort the aggregate below immediately destroys
+    val (knn, labs) = labelPropParts(spark, dir)
+    val lp = labs.filter(col("label").isNotNull)
       .select(col("vec_id"), col("label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val knn = knnGraph(spark, dir)
     val und = knn
       .select(least(col("src"), col("nbr")).as("src"),
         greatest(col("src"), col("nbr")).as("dst"))
