@@ -100,5 +100,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NanosDatePushdown)
     ext.injectOptimizerRule(_ => SetIntersectCountRewrite)
+    ext.injectOptimizerRule(_ => ArrayCountRewrite)
   }
 }
