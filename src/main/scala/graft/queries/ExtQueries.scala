@@ -6802,13 +6802,24 @@ object ExtQueries {
     * ([[graft.streaming.Streaming.countMinWindows]]), so the per-window
     * grids and the lake grid merge cell-for-cell by construction. */
   private[graft] def cmBuckets(token: Column): Column =
-    array((0 until CmDepth).map(r =>
-      pmod(hash64(concat(lit(s"cm$r:"), token)), lit(CmWidth.toLong))): _*)
+    cmBucketsWidth(token, CmWidth)
 
-  def countMin(spark: SparkSession, dir: String): DataFrame = {
+  /** [[cmBuckets]] with the width exposed — the sketch's ERROR knob
+    * (est − exact ≤ 2N/width w.h.p.); [[CountMinWidthSpec]] measures the
+    * bound being real code, not scaladoc prose. */
+  private[graft] def cmBucketsWidth(token: Column, width: Int): Column =
+    array((0 until CmDepth).map(r =>
+      pmod(hash64(concat(lit(s"cm$r:"), token)), lit(width.toLong))): _*)
+
+  def countMin(spark: SparkSession, dir: String): DataFrame =
+    countMinWidth(spark, dir, CmWidth)
+
+  /** [[countMin]] with the width exposed — the error/state trade dial. */
+  private[queries] def countMinWidth(
+      spark: SparkSession, dir: String, width: Int): DataFrame = {
     val docs = table(spark, dir, "documents")
     val tok = docs.select(explode(tokens(col("text"))).as("token"))
-    def buckets: Column = cmBuckets(col("token"))
+    def buckets: Column = cmBucketsWidth(col("token"), width)
     val sketch = tok
       .select(posexplode(buckets))
       .select(col("pos").as("r"), col("col").as("b"))
