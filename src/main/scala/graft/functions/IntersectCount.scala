@@ -57,8 +57,11 @@ object SetOps {
     c
   }
 
-  /** Sorted-input variant — both arrays ASCENDING-sorted sets (e.g. via
-    * `array_sort` or `sort_array`): a single two-pointer merge, O(n+m)
+  /** Sorted-input variant — both arrays ASCENDING-sorted sets via
+    * `array_sort` ONLY (nulls LAST — the order the null-aware kernel
+    * below strips; `sort_array(asc)` places nulls FIRST, so a nullable
+    * array sorted with it would hit `getLong` on null slots and silently
+    * miscount): a single two-pointer merge, O(n+m)
     * with NO per-call scratch buffer, sort, or binary search. The win over
     * [[intersectCount]] is per-pair constant work when one side is probed
     * millions of times (the similarity-join verify shape): sort each set

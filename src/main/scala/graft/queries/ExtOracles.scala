@@ -1893,8 +1893,10 @@ object ExtOracles {
         |ORDER BY freq DESC, token ASC""".stripMargin,
 
     // Priority sampling (Duffield-Lund-Thorup): top-k priorities w·P/(h+1),
-    // τ = the (k+1)-th, HT estimate max(w, τ). Multiply/divide only — both
-    // correctly rounded, so the doubles are bit-identical cross-engine.
+    // τ = the (k+1)-th — 0 when the population has ≤ k rows (DLT's n ≤ k
+    // definition; a min-of-population τ would bias the HT estimate up) —
+    // HT estimate max(w, τ). Multiply/divide only — both correctly
+    // rounded, so the doubles are bit-identical cross-engine.
     "e_priority_sample" ->
       s"""WITH pri AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
         |  CAST(n_chars AS DOUBLE) * CAST($P AS DOUBLE) /
@@ -1903,7 +1905,8 @@ object ExtOracles {
         |  FROM documents),
         |top AS (SELECT * FROM pri ORDER BY priority DESC, doc_id
         |  LIMIT ${ExtQueries.PrioritySampleK + 1}),
-        |tau AS (SELECT min(priority) AS tau FROM top),
+        |tau AS (SELECT CASE WHEN count(*) = ${ExtQueries.PrioritySampleK + 1}
+        |  THEN min(priority) ELSE CAST(0 AS DOUBLE) END AS tau FROM top),
         |samp AS (SELECT * FROM top ORDER BY priority DESC, doc_id
         |  LIMIT ${ExtQueries.PrioritySampleK})
         |SELECT doc_id, w, priority,

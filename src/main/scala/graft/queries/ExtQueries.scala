@@ -6006,8 +6006,22 @@ object ExtQueries {
     * per-partition bounded top-k, |partitions|·(k+1) slim rows to the
     * driver-side merge, NO global sort ([[reservoirSample]]'s plan shape,
     * plan-pinned there). τ is a 1-row aggregate of the 101-row frame,
-    * broadcast back. The corpus is scanned once, projected to 3 columns. */
-  def prioritySample(spark: SparkSession, dir: String): DataFrame = {
+    * broadcast back. The corpus is scanned once, projected to 3 columns.
+    *
+    * SMALL-POPULATION CASE: with n ≤ k rows the whole population is the
+    * sample and DLT defines τ = 0 — there is no (k+1)-th priority, ŵ = w
+    * exactly, and the estimate is the TRUE total. The count-gated CASE
+    * below implements that; a min-of-population τ would inflate every
+    * weight and bias the estimator upward (round-10 ADVICE). */
+  def prioritySample(spark: SparkSession, dir: String): DataFrame =
+    prioritySampleK(spark, dir, PrioritySampleK)
+
+  /** [[prioritySample]] with the sample size exposed — lets the spec pin
+    * the n ≤ k degenerate case (τ = 0, ŵ = w, Σŵ = Σw) without a second
+    * fixture. */
+  private[queries] def prioritySampleK(
+      spark: SparkSession, dir: String, k: Int): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
     val pri = table(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars").cast("long").as("w"),
         (col("n_chars").cast("double") * lit(IntModulus.toDouble) /
@@ -6016,10 +6030,14 @@ object ExtQueries {
     // one bounded top-(k+1) pass, CONSUMED TWICE (τ + the k sample rows):
     // persisted so the corpus scan does not run again for a 101-row frame
     val top = pri.orderBy(col("priority").desc, col("doc_id").asc)
-      .limit(PrioritySampleK + 1)
+      .limit(k + 1)
       .persist()
-    val tau = top.agg(min(col("priority")).as("tau"))
-    top.orderBy(col("priority").desc, col("doc_id").asc).limit(PrioritySampleK)
+    // τ = the (k+1)-th priority when one exists; 0 when the population
+    // fit entirely in the sample (DLT's τ definition for n ≤ k)
+    val tau = top.agg(
+      when(count(lit(1)) === lit(k + 1), min(col("priority")))
+        .otherwise(lit(0.0)).as("tau"))
+    top.orderBy(col("priority").desc, col("doc_id").asc).limit(k)
       .crossJoin(broadcast(tau))
       .select(col("doc_id"), col("w"), col("priority"),
         greatest(col("w").cast("double"), col("tau")).as("est_w"))
@@ -6282,6 +6300,16 @@ object ExtQueries {
     * distance. The worst bucket is an integer-encoded argmax
     * (term·16 + (15−b), max, decode — deterministic tie-break toward the
     * smaller bucket without max_by's unspecified ties).
+    *
+    * OVERFLOW BOUND (the [[modularity]] |E| < 2³¹ convention, stated here
+    * too): the argmax encoding term·16 needs each term
+    * |o_b·N − c_b·n_s| < 2⁵⁹, which holds while n_s·N < 2⁵⁹ ≈ 5.8·10¹⁷ —
+    * i.e. corpora up to ~7.6·10⁸ documents even when one source IS the
+    * corpus. Past that, pre-scale o/c_b/n_s/N by a common divisor before
+    * the encode (TV is scale-invariant, so distance and argmax are
+    * unchanged); the computation's structure stays as is. The streaming
+    * twin ([[graft.streaming.Streaming.windowDrift]]) carries the same
+    * bound against its reference histogram.
     *
     * At scale: one corpus scan into a ≤|sources|·16-key map-side-combined
     * aggregate; everything after runs on that tiny frame (totals join is a

@@ -121,7 +121,12 @@ object Streaming {
           for (e <- sorted) {
             cur = cur match {
               case None => Some(SessionState(1L, e.ts, e.ts, 1L))
-              case Some(s) if e.ts.getTime / 1000 - s.end.getTime / 1000 > 1800 =>
+              // floorDiv, not /: the same pre-epoch contract as the funnel's
+              // micros conversion below — truncation toward zero would round
+              // negative-epoch sub-second timestamps the WRONG way and flip
+              // the gap test right at the 1800 s boundary.
+              case Some(s) if Math.floorDiv(e.ts.getTime, 1000L)
+                  - Math.floorDiv(s.end.getTime, 1000L) > 1800 =>
                 closed :+= Session(user, s.nextId, s.start, s.end, s.n)
                 Some(SessionState(s.nextId + 1, e.ts, e.ts, 1L))
               case Some(s) =>
@@ -551,7 +556,15 @@ object Streaming {
     *
     * Runs inside foreachBatch over FINALIZED windows only (the
     * [[trendingTokens]] contract: a closed window's rows flush atomically),
-    * so every emitted TV is complete, never partial. */
+    * so every emitted TV is complete, never partial.
+    *
+    * OVERFLOW BOUND (shared with the batch operator — stated in
+    * [[graft.queries.ExtQueries.domainDrift]]'s scaladoc): the argmax
+    * encoding term·16 + (15−b) needs each term |o_b·N_ref − c_b·n_w| < 2⁵⁹,
+    * which holds while n_w·N_ref < 2⁵⁹ ≈ 5.8·10¹⁷ (a window of 10⁹ docs
+    * against a 5·10⁸-doc reference). Past that, pre-scale both histograms
+    * by a common divisor before calling — TV is scale-invariant, so the
+    * distance and argmax are unchanged. */
   def windowDrift(closedCounts: DataFrame, reference: DataFrame): DataFrame = {
     val maxB = graft.queries.ExtQueries.DriftMaxBucket
     val nw = closedCounts.groupBy(col("window_start")).agg(sum(col("o")).as("n_w"))

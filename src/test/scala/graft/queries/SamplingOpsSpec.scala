@@ -108,6 +108,24 @@ class SamplingOpsSpec extends AnyFunSuite {
       s"HT sum $estSum vs true $trueSum")
   }
 
+  test("priority sample: n <= k means tau = 0, est_w = w, HT sum = TRUE total") {
+    import org.apache.spark.sql.functions._
+    // sample size >= population: the whole table is the sample and DLT
+    // defines tau = 0 — every weight survives unchanged and the estimate
+    // is exact (round-10 ADVICE: a min-of-population tau inflates it)
+    val n = RefQueries.table(spark, dir, "documents").count().toInt
+    val got = ExtQueries.prioritySampleK(spark, dir, n + 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    spark.catalog.clearCache()
+    assert(got.length == n)
+    got.foreach { case (id, w, est) =>
+      assert(est == w.toDouble, s"doc $id: est_w must equal w when tau = 0")
+    }
+    val trueSum = RefQueries.table(spark, dir, "documents")
+      .agg(sum(col("n_chars"))).collect()(0).getLong(0).toDouble
+    assert(got.map(_._3).sum == trueSum)
+  }
+
   /** Driver-side replica of hash64(s) mod m. */
   private def hashMod(s: String, m: Long): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -129,6 +129,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(compacted.map(_.getAs[Long]("session_id")).distinct.length === compacted.length)
   }
 
+  test("sessionize gap test floor-divides pre-epoch sub-second timestamps") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-sess-pre-in").toString
+    val ckpt = Files.createTempDirectory("graft-sess-pre-ckpt").toString
+    // epoch -1800.5 s: floorDiv(-1800500, 1000) = -1801, so the gap to the
+    // epoch-0 event is 1801 s > 1800 → TWO sessions. Truncation toward zero
+    // (-1800500 / 1000 = -1800) would read the gap as exactly 1800 s and
+    // merge them — the divergence the Math.floorDiv fix removes.
+    val df = Seq(
+      (5L, 1L, new Timestamp(-1800500L)),
+      (5L, 2L, new Timestamp(0L)))
+      .toDF("user_id", "event_id", "ts")
+    df.coalesce(1).write.mode("append").parquet(in)
+
+    val stream = spark.readStream.schema(df.schema).parquet(in)
+      .as[Streaming.SessionEvent]
+    val q = Streaming.sessionize(stream).writeStream
+      .format("memory").queryName("sess_pre_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val sessions = Streaming.latestSessions(spark.table("sess_pre_stream"))
+      .orderBy("session_id").collect()
+    assert(sessions.length === 2,
+      s"pre-epoch 1801 s gap must split the sessions, got ${sessions.toSeq}")
+    assert(sessions.map(_.getAs[Long]("n_events")).toSeq === Seq(1L, 1L))
+  }
+
   test("watermarked daily window aggregate matches the batch computation") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-stream-agg-in").toString
