@@ -11,6 +11,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // listing mode (no Spark session): tools/quiet_bench.py asks for the
+    // key inventory first so it can chunk keys into fresh JVMs — the
+    // round-10 judging found a monolithic run inflates late-order keys
+    // via in-run JVM/cache contention
+    if (sys.env.contains("SPARK_GRAFT_LIST")) {
+      val ks = SparkEntry.queries.keys.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val hk = SparkEntry.harnessKeys.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(s"""{"metric":"keys","keys":$ks,"harness_keys":$hk}""")
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // dev-only key filter (comma-separated); the driver leaves it unset, so

@@ -69,6 +69,7 @@ object SparkEntry {
     "e_minhash_dedup"     -> (ExtQueries.minhashDedup _),
     "e_cross_dedup"       -> (ExtQueries.crossDedup _),
     "e_simhash_dedup"     -> (ExtQueries.simhashDedup _),
+    "e_media_dedup"       -> (ExtQueries.mediaDedup _),
     "e_ngram_jaccard"     -> (ExtQueries.ngramJaccard _),
     "e_jaccard_prefix"    -> (ExtQueries.jaccardPrefix _),
     "e_edit_join"         -> (ExtQueries.editJoin _),
@@ -91,6 +92,7 @@ object SparkEntry {
     "e_ngram_overlap"     -> (ExtQueries.ngramOverlap _),
     "e_repetition"        -> (ExtQueries.repetition _),
     "e_cosine_topk_ivf"   -> (ExtQueries.cosineTopkIvf _),
+    "e_ivf_nprobe"        -> (ExtQueries.ivfNprobe _),
     "e_ann_recall"        -> (ExtQueries.annRecall _),
     "e_rank_fusion"       -> (ExtQueries.rankFusion _),
     "e_hybrid_search"     -> (ExtQueries.hybridSearch _),
@@ -141,6 +143,7 @@ object SparkEntry {
     "e_curriculum_order"  -> (ExtQueries.curriculumOrder _),
     "e_zorder"            -> (ExtQueries.zorder _),
     "e_knn_graph"         -> (ExtQueries.knnGraph _),
+    "e_incr_knn"          -> (ExtQueries.incrKnn _),
     "e_chunk_dedup"       -> (ExtQueries.chunkDedup _),
     "e_chunk_split"       -> (ExtQueries.chunkSplit _),
     "e_dup_spans"         -> (ExtQueries.dupSpans _),
@@ -179,6 +182,7 @@ object SparkEntry {
     "e_priority_sample"   -> (ExtQueries.prioritySample _),
     "e_heavy_hitters"     -> (ExtQueries.heavyHitters _),
     "e_bitext_mine"       -> (ExtQueries.bitextMine _),
+    "e_align_screen"      -> (ExtQueries.alignScreen _),
     "e_silhouette"        -> (ExtQueries.silhouette _),
     "e_calibration"       -> (ExtQueries.calibration _),
     "e_count_min"         -> (ExtQueries.countMin _),
@@ -224,7 +228,10 @@ object SparkEntry {
     // ivf_trained/pq_trained re-run the e_kmeans_train / e_pq_train
     // chains they serve from; nb_classify re-runs the e_nb_train votes
     "e_soft_dedup", "e_canonical_pick", "e_lm_buckets", "e_importance_sample",
-    "e_ivf_trained", "e_pq_trained", "e_nb_classify")
+    "e_ivf_trained", "e_pq_trained", "e_nb_classify",
+    // e_incr_knn recomputes the standing e_knn_graph adjacency it merges
+    // the batch into (a stored table in production)
+    "e_incr_knn")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -557,6 +557,51 @@ object ExtOracles {
         |SELECT src, nbr, score, rank FROM ranked
         |WHERE rank <= ${ExtQueries.KnnK} ORDER BY src, rank""".stripMargin,
 
+    // e_incr_knn: the oracle states the SPEC (the e_train_order device) —
+    // a FULL rebuild over corpus ∪ batch, restricted to touched nodes (all
+    // members of cells that received a batch vector; batch cells ARE the
+    // touched cells, so one join covers both populations). The Spark side's
+    // merge-old-topk-with-batch device must produce the same rows.
+    "e_incr_knn" -> {
+      val off = ExtQueries.VariantIdOffset
+      s"""WITH uni AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + $off AS vec_id, embedding FROM embeddings
+        |  WHERE vec_id % ${ExtQueries.IncrKnnBatchMod} = 0),
+        |cents AS (SELECT vec_id AS cent_id, embedding AS ce,
+        |  sqrt(list_reduce(list_transform(embedding,
+        |    v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b)) AS ncent
+        |  FROM embeddings WHERE vec_id < ${ExtQueries.IvfCells}),
+        |vecs AS (SELECT vec_id, embedding AS e,
+        |  sqrt(list_reduce(list_transform(embedding,
+        |    v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b)) AS nrm
+        |  FROM uni),
+        |sims AS (SELECT v.vec_id, v.e, v.nrm, c.cent_id,
+        |  list_reduce(list_transform(list_zip(v.e, c.ce),
+        |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b)
+        |    / (v.nrm * c.ncent) AS csim
+        |  FROM vecs v, cents c),
+        |assigned AS (SELECT vec_id, e, nrm, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cent_id ASC) AS crank FROM sims)
+        |  WHERE crank = 1),
+        |tcells AS (SELECT DISTINCT cell FROM assigned WHERE vec_id >= $off),
+        |pairs AS (SELECT x.vec_id AS src, y.vec_id AS nbr,
+        |  list_reduce(list_transform(list_zip(x.e, y.e),
+        |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b)
+        |    / (x.nrm * y.nrm) AS score
+        |  FROM assigned x
+        |  JOIN tcells t ON x.cell = t.cell
+        |  JOIN assigned y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+        |ranked AS (SELECT src, nbr, score,
+        |  CAST(row_number() OVER (PARTITION BY src
+        |    ORDER BY score DESC, nbr ASC) AS INT) AS rank
+        |  FROM pairs)
+        |SELECT src, nbr, score, rank FROM ranked
+        |WHERE rank <= ${ExtQueries.KnnK} ORDER BY src, rank""".stripMargin
+    },
+
     "e_cosine_topk_pq" ->
       s"""WITH $pqCommonCtes,
         |${pqSeedCodesCte("codes")},
@@ -739,6 +784,53 @@ object ExtOracles {
         |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming FROM cand
         |WHERE bit_count(xor(sa, sb)) <= 1
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // e_media_dedup: aHash-style perceptual fingerprint over payload bytes
+    // — position-salted md5 cell intensities mod 2^32, bit = intensity*64 >
+    // grid sum, band values via the seedless MSB-first acc*2+bit fold
+    // (list_reduce's first element IS bit 15's fold state, matching Spark's
+    // 0-seeded aggregate), banded candidates, exact list-zip Hamming.
+    "e_media_dedup" -> {
+      val cells = ExtQueries.PhashCells
+      val mod = ExtQueries.PhashIntensityMod
+      val tail = ExtQueries.PhashEditChars
+      s"""WITH all_media AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + ${ExtQueries.VariantIdOffset} AS doc_id,
+        |    substr(text, 1, greatest(length(text) - $tail, 0))
+        |      || '${"z" * tail}' AS text
+        |  FROM documents),
+        |base AS (SELECT doc_id, text AS ptxt,
+        |  CAST(length(text) AS BIGINT) AS n FROM all_media),
+        |grid AS (SELECT doc_id,
+        |  list_transform(range(0, $cells), i ->
+        |    CAST('0x'||substr(md5('ph:'||CAST(i AS VARCHAR)||':'||
+        |      substr(ptxt, CAST((i*n) // $cells + 1 AS INT),
+        |        CAST(((i+1)*n) // $cells - (i*n) // $cells AS INT))),1,15)
+        |      AS BIGINT) % $mod) AS cl
+        |  FROM base),
+        |tot AS (SELECT doc_id, cl,
+        |  list_reduce(cl, (a, x) -> a + x) AS total FROM grid),
+        |sig AS (SELECT doc_id,
+        |  list_transform(range(0, ${ExtQueries.PhashBands}), b ->
+        |    list_reduce(list_transform(range(15, -1, -1), j ->
+        |      CASE WHEN cl[b*16 + j + 1] * $cells > total
+        |        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+        |      (a, x) -> a * 2 + x)) AS sim
+        |  FROM tot),
+        |bands AS (SELECT doc_id, sim, b, sim[b+1] AS bv
+        |  FROM sig, (SELECT unnest(range(${ExtQueries.PhashBands})) AS b)),
+        |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  list_reduce(list_transform(list_zip(x.sim, y.sim),
+        |    p -> CAST(bit_count(xor(p[1], p[2])) AS BIGINT)),
+        |    (a, c) -> a + c) AS hamming
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        |SELECT DISTINCT doc_a, doc_b, hamming FROM cand
+        |WHERE hamming <= ${ExtQueries.PhashTau}
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "e_ngram_jaccard" ->
       s"""WITH $bigramSetsCtes
@@ -1156,6 +1248,30 @@ object ExtOracles {
     // IVF serving path uses; the update sums fixed-point-quantized UNIT
     // member elements (the e_centroid_score exactness device), so c_fp is
     // an exact order-invariant integer and c_new two IEEE ops from it.
+    // e_ivf_nprobe: multi-probe IVF serving — the SAME assignment CTEs as
+    // e_cosine_topk_ivf, with the query side keeping its nprobe nearest
+    // cells (crank <= nprobe over the shared `sims` ranking). Each corpus
+    // vector lives in exactly ONE cell, so multi-probe never duplicates a
+    // (qid, cid) candidate. Mirrors ExtQueries.ivfNprobe.
+    "e_ivf_nprobe" ->
+      s"""WITH $centAssignCtes,
+        |q AS (SELECT qid, qe, nq, cell FROM (
+        |    SELECT vec_id AS qid, e AS qe, nrm AS nq, cent_id AS cell,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY csim DESC, cent_id ASC) AS crank
+        |    FROM sims WHERE vec_id < 8)
+        |  WHERE crank <= ${ExtQueries.IvfNprobeDefault}),
+        |scored AS (SELECT q.qid, a.vec_id AS cid,
+        |  list_reduce(list_transform(list_zip(q.qe, a.e),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc,x) -> acc+x)
+        |    / (q.nq * a.nrm) AS score
+        |  FROM assigned a JOIN q ON a.cell = q.cell AND a.vec_id <> q.qid),
+        |ranked AS (SELECT qid, cid, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, cid, score, rank FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
     "e_kmeans_iter" ->
       s"""WITH $centAssignCtes,
         |comp AS (SELECT cell, generate_subscripts(e, 1) - 1 AS dim,
@@ -1840,6 +1956,57 @@ object ExtOracles {
     // selection and the acceptance test on floored fixed-point longs; the
     // only floats are the shared sequential-fold cosine and one final
     // divide of exactly-representable longs.
+    // e_align_screen: the bitext margin device applied to the DIAGONAL —
+    // each document's own (text-half, media-half) pair cosine relative to
+    // its two top-k neighborhood averages against the pinned broadcast
+    // reference sample; fixed-point cfp longs end-to-end, the verdict an
+    // exact integer inequality, the reported margin one IEEE divide.
+    "e_align_screen" -> {
+      val d = ExtQueries.AlignDim
+      val k = ExtQueries.AlignK
+      def fp(dot: String, nprod: String): String =
+        s"""CAST(floor(list_reduce(list_transform($dot,
+          |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a,b) -> a+b)
+          |    / ($nprod) * 1000000000000.0) AS BIGINT)""".stripMargin
+      s"""WITH base AS (SELECT vec_id,
+        |    embedding[1:$d] AS tv, embedding[${d + 1}:${2 * d}] AS mv
+        |  FROM embeddings),
+        |nrm AS (SELECT vec_id, tv, mv,
+        |  sqrt(list_reduce(list_transform(tv,
+        |    v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b)) AS nt,
+        |  sqrt(list_reduce(list_transform(mv,
+        |    v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b)) AS nm
+        |  FROM base),
+        |ref AS (SELECT vec_id AS rid, tv AS rtv, mv AS rmv, nt AS rnt,
+        |  nm AS rnm FROM nrm WHERE vec_id < ${ExtQueries.AlignRefSample}),
+        |diag AS (SELECT vec_id,
+        |  ${fp("list_zip(tv, mv)", "nt * nm")} AS cfp FROM nrm),
+        |xs AS (SELECT n.vec_id, r.rid,
+        |  ${fp("list_zip(n.tv, r.rmv)", "n.nt * r.rnm")} AS c
+        |  FROM nrm n, ref r),
+        |xr AS (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+        |  ORDER BY c DESC, rid ASC) AS rn FROM xs),
+        |sx AS (SELECT vec_id, CAST(sum(c) AS BIGINT) AS sx FROM xr
+        |  WHERE rn <= $k GROUP BY vec_id),
+        |ys AS (SELECT n.vec_id, r.rid,
+        |  ${fp("list_zip(n.mv, r.rtv)", "n.nm * r.rnt")} AS c
+        |  FROM nrm n, ref r),
+        |yr AS (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+        |  ORDER BY c DESC, rid ASC) AS rn FROM ys),
+        |sy AS (SELECT vec_id, CAST(sum(c) AS BIGINT) AS sy FROM yr
+        |  WHERE rn <= $k GROUP BY vec_id)
+        |SELECT d.vec_id AS doc_id, d.cfp AS cos_fp, x.sx, y.sy,
+        |  CASE WHEN x.sx + y.sy > 0
+        |    THEN CAST(${2L * k} * d.cfp AS DOUBLE) / CAST(x.sx + y.sy AS DOUBLE)
+        |    END AS margin,
+        |  (x.sx + y.sy > 0 AND
+        |    ${2L * k} * ${ExtQueries.AlignMarginDen} * d.cfp >=
+        |      ${ExtQueries.AlignMarginNum} * (x.sx + y.sy)) AS aligned
+        |FROM diag d JOIN sx x ON d.vec_id = x.vec_id
+        |JOIN sy y ON d.vec_id = y.vec_id
+        |ORDER BY doc_id""".stripMargin
+    },
+
     "e_bitext_mine" -> {
       val k = ExtQueries.BitextK
       s"""WITH x AS (
@@ -2941,6 +3108,28 @@ object ExtOracles {
       |  CAST(NULL AS DOUBLE) FROM (${baseSql("e_minhash_dedup")}) t8
       |UNION ALL SELECT 'dedup', 'n_contaminated_docs', CAST(count(*) AS BIGINT),
       |  CAST(NULL AS DOUBLE) FROM (${baseSql("e_decontaminate")}) t9
+      |UNION ALL SELECT 'audit', 'modularity_q',
+      |  CAST(sum(4 * m.m * t10.e_in - t10.d_sum * t10.d_sum) AS BIGINT),
+      |  CAST(sum(4 * m.m * t10.e_in - t10.d_sum * t10.d_sum) AS DOUBLE)
+      |    / (4.0 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE))
+      |  FROM ($modularitySql) t10,
+      |    (SELECT CAST(sum(d_sum) // 2 AS BIGINT) AS m
+      |     FROM ($modularitySql) t10m) m
+      |  GROUP BY m.m
+      |UNION ALL SELECT 'audit', 'silhouette_mean',
+      |  CAST(sum(CAST(floor(s * 1000000.0) AS BIGINT)) AS BIGINT),
+      |  CAST(sum(CAST(floor(s * 1000000.0) AS BIGINT)) AS DOUBLE)
+      |    / (CAST(count(*) AS DOUBLE) * 1000000.0)
+      |  FROM ($silhouetteSql) t11
+      |UNION ALL SELECT 'audit', 'knn_edge_recall',
+      |  CAST(sum(n_hit) AS BIGINT),
+      |  CAST(sum(n_hit) AS DOUBLE) / CAST(sum(n_true) AS DOUBLE)
+      |  FROM ($graphRecallSql) t12
+      |UNION ALL SELECT 'audit', 'calibration_ece',
+      |  CAST(sum(abs(n_correct * 1000000 - sum_conf_fp)) AS BIGINT),
+      |  CAST(sum(abs(n_correct * 1000000 - sum_conf_fp)) AS DOUBLE)
+      |    / (1000000.0 * CAST(sum(n_docs) AS DOUBLE))
+      |  FROM ($calibrationSql) t13
       |) u ORDER BY section, metric""".stripMargin
 
   /** Curriculum schedule — the oracle states the SPEC (one global rank
@@ -3053,6 +3242,7 @@ object ExtOracles {
       |  (n_win * 1000000) // n_votes AS conf_fp FROM c)
       |SELECT bucket, count(*) AS n_docs,
       |  CAST(sum(corr) AS BIGINT) AS n_correct,
+      |  CAST(sum(conf_fp) AS BIGINT) AS sum_conf_fp,
       |  CAST(CAST(sum(corr) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
       |    AS accuracy,
       |  CAST(CAST(sum(conf_fp) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
@@ -3347,6 +3537,7 @@ object ExtOracles {
     s"""WITH ex AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk")}) t),
       |lsh AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_lsh")}) u),
       |ivf AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_ivf")}) v),
+      |ivf2 AS (SELECT qid, cid FROM (${baseSql("e_ivf_nprobe")}) v2),
       |pq AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_pq")}) w),
       |beam AS (SELECT qid, cid FROM ($beamSearchSql) x),
       |ivf_t AS (SELECT qid, cid FROM ($ivfTrainedSql) y),
@@ -3355,6 +3546,7 @@ object ExtOracles {
       |SELECT ex.qid, count(*) AS n_exact,
       |  CAST(count(lsh.cid) AS BIGINT) AS n_lsh,
       |  CAST(count(ivf.cid) AS BIGINT) AS n_ivf,
+      |  CAST(count(ivf2.cid) AS BIGINT) AS n_ivf2,
       |  CAST(count(pq.cid) AS BIGINT) AS n_pq,
       |  CAST(count(beam.cid) AS BIGINT) AS n_beam,
       |  CAST(count(ivf_t.cid) AS BIGINT) AS n_ivf_t,
@@ -3362,6 +3554,7 @@ object ExtOracles {
       |  CAST(count(ivfpq.cid) AS BIGINT) AS n_ivfpq,
       |  CAST(count(lsh.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_lsh,
       |  CAST(count(ivf.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivf,
+      |  CAST(count(ivf2.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivf2,
       |  CAST(count(pq.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_pq,
       |  CAST(count(beam.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_beam,
       |  CAST(count(ivf_t.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivf_t,
@@ -3370,6 +3563,7 @@ object ExtOracles {
       |FROM ex
       |LEFT JOIN lsh ON ex.qid = lsh.qid AND ex.cid = lsh.cid
       |LEFT JOIN ivf ON ex.qid = ivf.qid AND ex.cid = ivf.cid
+      |LEFT JOIN ivf2 ON ex.qid = ivf2.qid AND ex.cid = ivf2.cid
       |LEFT JOIN pq ON ex.qid = pq.qid AND ex.cid = pq.cid
       |LEFT JOIN beam ON ex.qid = beam.qid AND ex.cid = beam.cid
       |LEFT JOIN ivf_t ON ex.qid = ivf_t.qid AND ex.cid = ivf_t.cid

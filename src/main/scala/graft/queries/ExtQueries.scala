@@ -262,8 +262,10 @@ object ExtQueries {
     * cell-partitioned ([[cosineTopkIvf]]), quantized ([[cosineTopkPq]]),
     * graph-searched ([[cosineTopkBeam]]) — against the exact [[cosineTopk]]
     * baseline, per query, PLUS the two TRAINED variants
-    * ([[cosineTopkIvfTrained]], [[cosineTopkPqTrained]]) and the composite
-    * residual index ([[cosineTopkIvfPq]]) so the benefit of the
+    * ([[cosineTopkIvfTrained]], [[cosineTopkPqTrained]]), the composite
+    * residual index ([[cosineTopkIvfPq]]), and the multi-probe operating
+    * point ([[ivfNprobe]] — `recall_ivf2` next to `recall_ivf` makes the
+    * nprobe dial's recall benefit a graded number) so the benefit of the
     * k-means/PQ training chains is itself a graded number, not just a
     * spec measurement. This is the measurement every ANN deployment runs
     * before trading exactness for speed; making it a declared query keeps
@@ -280,6 +282,7 @@ object ExtQueries {
     val lists = Seq(
       "lsh" -> cosineTopkLsh(spark, dir),
       "ivf" -> cosineTopkIvf(spark, dir),
+      "ivf2" -> ivfNprobe(spark, dir),
       "pq" -> cosineTopkPq(spark, dir),
       "beam" -> cosineTopkBeam(spark, dir),
       "ivf_t" -> cosineTopkIvfTrained(spark, dir),
@@ -604,6 +607,110 @@ object ExtQueries {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
       .filter(col("hamming") <= 1)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- e_media_dedup ------------------------------------------------------
+
+  /** Perceptual-hash geometry: [[PhashCells]] grid cells (the aHash 8×8
+    * shape), [[PhashBands]] 16-bit bands over the 64-bit signature, and the
+    * Hamming acceptance threshold [[PhashTau]]. The pigeonhole guarantee is
+    * the [[simhashDedup]] one: τ differing bits can spoil at most τ of the
+    * 4 bands, so with τ = 3 < bands every Hamming ≤ τ pair still collides
+    * in ≥ 1 band — banded candidate generation is EXACT for this verify. */
+  private[queries] val PhashCells = 64
+  private[queries] val PhashBands = 4
+  private[queries] val PhashTau = 3
+  /** Per-cell intensity modulus 2³²: the 64-cell intensity sum then stays
+    * below 2³⁸ (exact int64 — raw 60-bit [[hash64]] values would overflow
+    * a 64-term sum). */
+  private[queries] val PhashIntensityMod = 1L << 32
+  /** Corrupted tail length of the re-encode variant fixture. */
+  private[queries] val PhashEditChars = 4
+
+  /** Perceptual-hash near-duplicate detection over MEDIA PAYLOADS — the
+    * dedup × multimodal intersection: the text families ([[minhashDedup]],
+    * [[simhashDedup]]) key on tokens, but an image/audio payload re-encoded
+    * at a different quality has no tokens — production pipelines dedup it
+    * with an aHash/dHash-style PERCEPTUAL fingerprint: decode to a fixed
+    * grid, one bit per cell = cell intensity above the grid mean, then
+    * near-dups are signatures within a small Hamming distance.
+    *
+    * Here the payload is the documents fixture's bytes (the
+    * [[multimodalCols]] convention; [[graft.multimodal.MediaDecode]] owns
+    * the real decode plumbing — this container has no codecs, so the
+    * "decoded grid" stands in deterministically): the byte stream splits
+    * into [[PhashCells]] equal ranges, cell intensity = position-salted
+    * [[hash64]] mod 2³² of the range (any byte change re-rolls exactly its
+    * cell, the perceptual-hash locality property the fixture needs), bit =
+    * intensity·64 > Σ intensities (the aHash mean rule, integer-side). The
+    * re-encode fixture overwrites each document's LAST [[PhashEditChars]]
+    * bytes (id + [[VariantIdOffset]]) — a tail-corruption that perturbs one
+    * grid cell, exactly the "same media, different encoder padding" shape.
+    *
+    * Pipeline mirrors [[simhashDedup]]: signature → [[PhashBands]] 16-bit
+    * band buckets → band equi-join candidates (never all-pairs) → exact
+    * Hamming ≤ [[PhashTau]] verify via bit_count(xor) over the band array.
+    * All-integer output; the banded recall guarantee is pinned in the spec.
+    *
+    * At scale: signatures are computed scan-side (one pass over payload
+    * bytes per cell — at 100 TB the grid comes out of the decode stage
+    * for free); only (doc_id, 4-long signature) shuffles on band keys, the
+    * payload itself never moves. Hamming-filter-before-distinct keeps the
+    * dedup shuffle at |near-dups|, not |candidates|. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val reencoded = docs.select(
+      (col("doc_id") + lit(VariantIdOffset)).as("doc_id"),
+      concat(col("text").substr(lit(1),
+          greatest(length(col("text")) - lit(PhashEditChars), lit(0))),
+        lit("z" * PhashEditChars)).as("text"))
+    // payload round-trip: the operator's input contract is the opaque
+    // binary column (multimodalCols' `media.payload`); the fixture decode
+    // is the identity on UTF-8 bytes
+    val base = docs.unionByName(reencoded)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), decode(col("payload"), "UTF-8").as("ptxt"))
+      .withColumn("n", length(col("ptxt")).cast("long"))
+    // integer division by the cell count via exact doubles (the
+    // lengthBucket device: i·n < 2³⁷ is double-exact, /64 is a binary
+    // scale) — identical to the oracle's (i*n) // 64
+    def cdiv(x: Column): Column =
+      floor(x.cast("double") / lit(PhashCells.toDouble)).cast("long")
+    val cells = transform(sequence(lit(0L), lit(PhashCells - 1L)), i => {
+      val start = cdiv(i * col("n")) + lit(1L)
+      val clen = cdiv((i + lit(1L)) * col("n")) - cdiv(i * col("n"))
+      pmod(hash64(concat(lit("ph:"), i.cast("string"), lit(":"),
+        col("ptxt").substr(start.cast("int"), clen.cast("int")))),
+        lit(PhashIntensityMod))
+    })
+    // band values built MSB-first with an acc·2+bit fold — seed-0 in Spark
+    // ≡ DuckDB's seedless list_reduce (first element IS bit 15's fold
+    // state), and no shiftleft-by-column is needed anywhere
+    val bandVals = transform(sequence(lit(0), lit(PhashBands - 1)), b =>
+      aggregate(sequence(lit(15), lit(0), lit(-1)), lit(0L), (acc, j) =>
+        acc * lit(2L) + when(
+          element_at(col("cl"), b * lit(16) + j + lit(1))
+            * lit(PhashCells.toLong) > col("total"), lit(1L))
+          .otherwise(lit(0L))))
+    val sigs = base.select(col("doc_id"), cells.as("cl"))
+      .withColumn("total", aggregate(col("cl"), lit(0L), (a, x) => a + x))
+      .select(col("doc_id"), bandVals.as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sigs.select(col("doc_id"), col("sim"), posexplode(col("sim")))
+      .select(col("doc_id"), col("sim"), col("pos").as("band"), col("col").as("bv"))
+    // Hamming filter BEFORE the distinct (the simhashDedup ordering): the
+    // xor/bit_count verify is cycles, the distinct is a shuffle
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        aggregate(zip_with(col("x.sim"), col("y.sim"),
+          (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (s, v) => s + v).as("hamming"))
+      .filter(col("hamming") <= PhashTau)
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
@@ -1054,6 +1161,32 @@ object ExtQueries {
       s"nprobe must be in [1, $cells], got $nprobe")
     ivfServe(spark, dir, centroids(spark, dir, cells), nprobe)
   }
+
+  // ---- e_ivf_nprobe -------------------------------------------------------
+
+  /** The multi-probe operating point graded by `e_ivf_nprobe` — an
+    * oracle-stability pin like [[IvfCells]], not a design constant
+    * ([[cosineTopkIvfNprobe]] is the knob). */
+  private[queries] val IvfNprobeDefault = 2
+
+  /** MULTI-PROBE IVF serving — the operating point real IVF deployments
+    * actually run: nprobe = 1 (the `e_cosine_topk_ivf` entry) is the
+    * WORST recall corner of the family, because an exact neighbor that
+    * straddles a cell boundary is invisible to a single-cell probe; every
+    * production config sweeps nprobe upward until recall meets target.
+    * This key pins nprobe = [[IvfNprobeDefault]] under the oracle gate —
+    * same [[ivfServe]] dataflow, query side keeping its `nprobe` nearest
+    * cells — and `e_ann_recall` grades it as its own family row
+    * (`recall_ivf2`), so the knob's recall benefit is itself a graded
+    * number. Monotonicity (recall non-decreasing in nprobe, exact at
+    * nprobe = cells) is spec-pinned in [[IvfRecallSpec]].
+    *
+    * At scale: candidates per query ≈ nprobe·|corpus|/cells — the linear
+    * recall-vs-cost dial; the corpus still never shuffles (cell column
+    * only), and each corpus vector lives in ONE cell, so multi-probe
+    * never duplicates a candidate pair. */
+  def ivfNprobe(spark: SparkSession, dir: String): DataFrame =
+    cosineTopkIvfNprobe(spark, dir, IvfNprobeDefault)
 
   /** The IVF serve body against an ARBITRARY centroid table (`cent_id`,
     * `ce`, `ncent`) — factored out so the seed-centroid entry points and
@@ -2174,11 +2307,26 @@ object ExtQueries {
     * (Datasheets for Datasets, Gebru et al.): one tall (section, metric)
     * report of the corpus's volume, language/source spread, split sizes,
     * quality pass rate, near-duplicate pair count and benchmark
-    * contamination count. Every number is the corresponding GRADED
-    * operator's own aggregate ([[textStats]], [[domainStats]],
-    * [[corpusSplit]], [[qualityFilter]], [[minhashDedup]],
-    * [[decontaminate]]) and the oracle composes their SQL texts — the card
-    * cannot drift from the operators that define its numbers.
+    * contamination count — plus (round 11) the AUDIT section: the
+    * graph/spectral cluster-structure health numbers a release card needs
+    * next to raw volume (does the corpus's similarity structure hold up —
+    * modularity Q of the propagated labels, mean silhouette of the trained
+    * clustering, knn-graph edge recall, classifier calibration ECE).
+    * Every number is the corresponding GRADED operator's own aggregate
+    * ([[textStats]], [[domainStats]], [[corpusSplit]], [[qualityFilter]],
+    * [[minhashDedup]], [[decontaminate]], [[modularity]], [[silhouette]],
+    * [[graphRecall]], [[calibration]]) and the oracle composes their SQL
+    * texts — the card cannot drift from the operators that define its
+    * numbers.
+    *
+    * Audit-row determinism (each is exact integers + ONE final divide):
+    * modularity Q sums the per-cluster integer numerators 4m·e_in − d_sum²
+    * (m recovered as Σd_sum/2 — exact and even, the ModularitySpec
+    * invariant) over 4m²; silhouette floors each bit-identical s to 10⁻⁶
+    * fixed point before the sum (double summation order would not be
+    * partition-invariant); edge recall is the micro form Σhit/Σtrue;
+    * ECE is Σ_b |n_correct·10⁶ − Σconf_fp| / (10⁶·N) over the
+    * classifier's exact per-bucket masses.
     *
     * At scale: each section is a 1-row (or |splits|-row) aggregate over an
     * operator whose own scale story is graded elsewhere; the card itself
@@ -2218,8 +2366,39 @@ object ExtQueries {
     val contam = melt("dedup",
       decontaminate(spark, dir).agg(count(lit(1)).as("n")),
       ("n_contaminated_docs", col("n"), nullD))
+    // AUDIT section — cluster-structure health (scaladoc: exactness per row)
+    val modRows = modularity(spark, dir)
+      .select(col("e_in"), col("d_sum"))
+      .persist() // |labels| rows over a heavy chain; two consumers (m + Σ)
+    val mRow = modRows.agg(expr("sum(d_sum) div 2").as("m"))
+    val audModularity = melt("audit",
+      modRows.crossJoin(broadcast(mRow))
+        .agg(sum(lit(4L) * col("m") * col("e_in")
+          - col("d_sum") * col("d_sum")).as("qn"), min(col("m")).as("m")),
+      ("modularity_q", col("qn"),
+        col("qn").cast("double")
+          / (lit(4.0) * col("m").cast("double") * col("m").cast("double"))))
+    val audSilhouette = melt("audit",
+      silhouette(spark, dir).agg(count(lit(1)).as("n"),
+        sum(floor(col("s") * lit(1000000.0)).cast("long")).as("sfp")),
+      ("silhouette_mean", col("sfp"),
+        col("sfp").cast("double") / (col("n").cast("double") * lit(1000000.0))))
+    val audRecall = melt("audit",
+      graphRecall(spark, dir).agg(
+        sum(col("n_hit")).as("nh"), sum(col("n_true")).as("nt")),
+      ("knn_edge_recall", col("nh"),
+        col("nh").cast("double") / col("nt").cast("double")))
+    val audEce = melt("audit",
+      calibration(spark, dir).agg(sum(col("n_docs")).as("n"),
+        sum(abs(col("n_correct") * lit(1000000L) - col("sum_conf_fp")))
+          .as("ece_fp")),
+      ("calibration_ece", col("ece_fp"),
+        col("ece_fp").cast("double")
+          / (lit(1000000.0) * col("n").cast("double"))))
     corpus.unionByName(sources).unionByName(splits)
       .unionByName(quality).unionByName(nearDup).unionByName(contam)
+      .unionByName(audModularity).unionByName(audSilhouette)
+      .unionByName(audRecall).unionByName(audEce)
       .orderBy("section", "metric")
   }
 
@@ -3244,19 +3423,103 @@ object ExtQueries {
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    knnTopk(knnScoredPairs(assigned, assigned)).orderBy("src", "rank")
+  }
+
+  /** Exact-cosine scored in-cell candidate pairs: every `srcs` row against
+    * every SAME-CELL `pool` row (both frames `(vec_id, e, nrm, cell)`,
+    * src ≠ pool id). ONE definition shared by the full build
+    * ([[knnGraphCells]]: pool = srcs) and the incremental attach
+    * ([[incrKnn]]: batch × existing∪batch, existing × batch) — the edge
+    * score cannot drift between the build paths. */
+  private def knnScoredPairs(srcs: DataFrame, pool: DataFrame): DataFrame = {
     val score = seqSum(zip_with(col("x.e"), col("y.e"),
       (a, b) => a.cast("double") * b.cast("double"))) / (col("x.nrm") * col("y.nrm"))
-    val agg = new graft.functions.TopKByScoreAggregator(KnnK)
-    val topk = udaf(agg, agg.inputEncoder)
-    assigned.as("x")
-      .join(assigned.as("y"),
+    srcs.as("x")
+      .join(pool.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("src"), col("y.vec_id").as("nbr"), score.as("score"))
-      .groupBy(col("src"))
+  }
+
+  /** Bounded-state per-src top-[[KnnK]] over a scored `(src, nbr, score)`
+    * frame under the pinned (score DESC, nbr ASC) total order — the
+    * [[cosineTopkAgg]] aggregate shape, window-free. Output unordered;
+    * callers own the final sort. */
+  private def knnTopk(scored: DataFrame): DataFrame = {
+    val agg = new graft.functions.TopKByScoreAggregator(KnnK)
+    val topk = udaf(agg, agg.inputEncoder)
+    scored.groupBy(col("src"))
       .agg(topk(col("score"), col("nbr")).as("tk"))
       .select(col("src"), posexplode(col("tk")))
       .select(col("src"), col("col.id").as("nbr"), col("col.score").as("score"),
         (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  // ---- e_incr_knn ---------------------------------------------------------
+
+  /** Batch selector for [[incrKnn]]: vectors with vec_id ≡ 0 (mod this)
+    * re-ingest as new ids (+[[VariantIdOffset]]) — the "daily embedding
+    * batch" fixture, 10% of the corpus. */
+  private[queries] val IncrKnnBatchMod = 10L
+
+  /** INCREMENTAL k-NN graph maintenance — the attach step a daily-ingest
+    * pipeline runs instead of rebuilding the graph from scratch: a new
+    * embedding batch is assigned to the EXISTING [[centroids]] quantizer,
+    * scored only against its cells' members, and the adjacency of TOUCHED
+    * nodes (the batch itself + existing members of cells that received a
+    * batch vector) is re-emitted; everything else's edges are untouched by
+    * construction. Mirrors [[incrDedup]]'s shape (screen the batch against
+    * the standing index, never re-pair the corpus with itself).
+    *
+    * The existing side's update needs NO rescoring of existing×existing:
+    * a rebuild's top-k winner among old members must already sit in the
+    * node's OLD top-k list (fewer than k candidates beat it overall, so
+    * fewer than k old members do), so merging the old list with the
+    * batch arrivals and re-selecting top-k IS the rebuild result — exact,
+    * not approximate; the spec pins output ≡ full rebuild restricted to
+    * touched nodes, and the oracle states that rebuild spec directly (the
+    * `e_train_order` device).
+    *
+    * At scale: candidate volume is |batch|·|cell| (batch side) +
+    * |touched|·(k + |batch_cell|) (merge side) — proportional to the
+    * BATCH, never |corpus|²; the old adjacency is a stored table in
+    * production (recomputed here via the shared [[knnScoredPairs]] chain —
+    * the composition convention), the batch assignment broadcasts the
+    * centroid set, and only slim (src, nbr, score) rows ever shuffle.
+    * Composes the graded `e_knn_graph` derivation — a harness-key by the
+    * attribution rule. */
+  def incrKnn(spark: SparkSession, dir: String): DataFrame = {
+    val cents = centroids(spark, dir, IvfCells)
+    val vecs = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", l2norm(col("e")))
+    val corpusAssigned = rankedCells(vecs, cents)
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batch = vecs.filter(pmod(col("vec_id"), lit(IncrKnnBatchMod)) === 0)
+      .select((col("vec_id") + lit(VariantIdOffset)).as("vec_id"),
+        col("e"), col("nrm"))
+    val batchAssigned = rankedCells(batch, cents)
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // batch nodes: candidates = their cell's existing members + co-batch
+    val batchScored = knnScoredPairs(batchAssigned,
+      corpusAssigned.unionByName(batchAssigned))
+    // touched existing nodes: OLD top-k lists (the standing graph,
+    // recomputed here via the shared derivation) merged with the batch
+    // arrivals in their cell — provably the rebuild top-k (scaladoc)
+    val oldEdges = knnTopk(knnScoredPairs(corpusAssigned, corpusAssigned))
+    val touchedCells = batchAssigned.select(col("cell")).distinct()
+    val touchedSrc = corpusAssigned
+      .join(broadcast(touchedCells), Seq("cell"))
+      .select(col("vec_id").as("src"))
+    val oldCand = oldEdges.join(touchedSrc, Seq("src"), "left_semi")
+      .select(col("src"), col("nbr"), col("score"))
+    val newCand = knnScoredPairs(corpusAssigned, batchAssigned)
+    knnTopk(oldCand.unionByName(newCand))
+      .unionByName(knnTopk(batchScored))
       .orderBy("src", "rank")
   }
 
@@ -5034,6 +5297,11 @@ object ExtQueries {
         sum(col("correct").cast("long")).as("n_correct"),
         sum(col("conf_fp")).as("sum_conf_fp"))
       .select(col("bucket"), col("n_docs"), col("n_correct"),
+        // the exact integer confidence mass is part of the contract: ECE
+        // consumers (the datasheet audit row) need |n_correct·10⁶ −
+        // Σconf_fp| in EXACT longs, which the rounded mean_conf double
+        // cannot be inverted back into
+        col("sum_conf_fp"),
         (col("n_correct").cast("double") / col("n_docs").cast("double"))
           .as("accuracy"),
         (col("sum_conf_fp").cast("double") / col("n_docs").cast("double")
@@ -6174,6 +6442,99 @@ object ExtQueries {
         (lit(2L * BitextK) * lit(BitextMarginDen) * col("cfp") >=
           lit(BitextMarginNum) * (col("sx") + col("sy"))).as("accepted"))
       .orderBy("src_id")
+  }
+
+  // ---- e_align_screen -----------------------------------------------------
+
+  /** Alignment-screen knobs: the two modality views are the embedding's
+    * halves (text encoder = dims 1–32, media encoder = dims 33–64 — the
+    * paired-encoder stand-in at fixture scale; in production they are two
+    * columns), neighborhoods are graded against a pinned
+    * [[AlignRefSample]]-vector broadcast reference with [[AlignK]]-NN
+    * averages, and a pair is `aligned` iff its margin clears
+    * [[AlignMarginNum]]/[[AlignMarginDen]] — integer-side, like
+    * [[bitextMine]]'s acceptance. */
+  private[queries] val AlignDim = 32
+  private[queries] val AlignRefSample = 64L
+  private[queries] val AlignK = 4
+  private[queries] val AlignMarginNum = 21L
+  private[queries] val AlignMarginDen = 20L
+
+  /** Caption↔media ALIGNMENT SCREEN — the data-quality gate every
+    * paired-modality corpus needs before training on (text, media) pairs:
+    * a scraped caption that doesn't describe its image poisons contrastive
+    * training, and raw cosine between the two encoders' outputs cannot
+    * flag it (hub vectors score high against everything). The margin
+    * device is [[bitextMine]]'s (Artetxe & Schwenk): each document's OWN
+    * pair cosine cos(t_i, m_i) is scored RELATIVE to its two neighborhood
+    * averages — the top-[[AlignK]] cosines of t_i against a reference
+    * sample of media vectors and of m_i against the reference text vectors
+    * — and the pair is flagged (`aligned = false`) when
+    * margin = 2k·cfp / (Σtopk_t + Σtopk_m) falls below the pinned
+    * threshold: "this caption matches its media no better than it matches
+    * random media".
+    *
+    * DETERMINISM (the bitext contract end-to-end): every cosine is the
+    * sequential-fold double floored immediately to fixed-point cfp =
+    * ⌊cos·10¹²⌋; neighborhood top-k selection and sums run on cfp longs
+    * via the bounded-state [[graft.functions.TopKByScoreAggregator]]; the
+    * verdict is exact integer arithmetic (2k·Den·cfp ≥ Num·(Σx+Σy), with
+    * the Σ > 0 guard made explicit — a document whose sums are
+    * non-positive is flagged, never divided by); the reported margin is
+    * one IEEE divide of exactly-representable longs, null when undefined.
+    *
+    * At scale: the reference sample (2·[[AlignRefSample]] half-vectors)
+    * BROADCASTS against one corpus scan per side; the own-pair cosine is
+    * computed scan-side on the same row (no join at all); the two
+    * neighborhood reductions are map-side-combined bounded aggregates
+    * (|corpus|·|partitions|·k slim rows), and the final assembly joins
+    * three |corpus|-row integer frames on the id they are already
+    * grouped by. The corpus text/media payloads never move. */
+  def alignScreen(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByScoreAggregator
+    val base = table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        slice(col("embedding"), 1, AlignDim).as("tv"),
+        slice(col("embedding"), AlignDim + 1, AlignDim).as("mv"))
+      .withColumn("nt", l2norm(col("tv")))
+      .withColumn("nm", l2norm(col("mv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ref = base.filter(col("vec_id") < AlignRefSample)
+      .select(col("vec_id").as("rid"),
+        col("tv").as("rtv"), col("mv").as("rmv"),
+        col("nt").as("rnt"), col("nm").as("rnm"))
+    def cfp(a: Column, b: Column, na: Column, nb: Column): Column =
+      floor(seqSum(zip_with(a, b,
+        (x, y) => x.cast("double") * y.cast("double"))) / (na * nb) * lit(1e12))
+        .cast("long")
+    val agg = new TopKByScoreAggregator(AlignK)
+    val topk = udaf(agg, agg.inputEncoder)
+    val sumTk = aggregate(col("tk"), lit(0L),
+      (a, s) => a + s.getField("score").cast("long"))
+    val diag = base.select(col("vec_id"),
+      cfp(col("tv"), col("mv"), col("nt"), col("nm")).as("cfp"))
+    val sx = base.crossJoin(broadcast(ref))
+      .select(col("vec_id"), col("rid"),
+        cfp(col("tv"), col("rmv"), col("nt"), col("rnm")).as("c"))
+      .groupBy(col("vec_id"))
+      .agg(topk(col("c").cast("double"), col("rid")).as("tk"))
+      .select(col("vec_id"), sumTk.as("sx"))
+    val sy = base.crossJoin(broadcast(ref))
+      .select(col("vec_id"), col("rid"),
+        cfp(col("mv"), col("rtv"), col("nm"), col("rnt")).as("c"))
+      .groupBy(col("vec_id"))
+      .agg(topk(col("c").cast("double"), col("rid")).as("tk"))
+      .select(col("vec_id"), sumTk.as("sy"))
+    diag.join(sx, Seq("vec_id")).join(sy, Seq("vec_id"))
+      .select(col("vec_id").as("doc_id"), col("cfp").as("cos_fp"),
+        col("sx"), col("sy"),
+        when(col("sx") + col("sy") > 0,
+          (lit(2L * AlignK) * col("cfp")).cast("double")
+            / (col("sx") + col("sy")).cast("double")).as("margin"),
+        (col("sx") + col("sy") > 0 &&
+          lit(2L * AlignK) * lit(AlignMarginDen) * col("cfp") >=
+            lit(AlignMarginNum) * (col("sx") + col("sy"))).as("aligned"))
+      .orderBy("doc_id")
   }
 
   // ---- e_edit_join --------------------------------------------------------

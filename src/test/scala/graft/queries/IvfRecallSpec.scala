@@ -33,6 +33,23 @@ class IvfRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("e_ivf_nprobe IS the nprobe = IvfNprobeDefault serve and surfaces " +
+      "cross-cell neighbors the single probe misses") {
+    // the graded key binds the knob at the pinned operating point
+    assert(ExtQueries.ivfNprobe(spark, dir).collect()
+      === ExtQueries.cosineTopkIvfNprobe(spark, dir,
+        ExtQueries.IvfNprobeDefault).collect())
+    // the recall side of the dial, realized: nprobe = 2 returns top-k
+    // members the single-cell probe structurally cannot see (a boundary
+    // neighbor lives in the query's SECOND-nearest cell)
+    val p1 = ExtQueries.cosineTopkIvfNprobe(spark, dir, 1)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p2 = ExtQueries.ivfNprobe(spark, dir)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((p2 -- p1).nonEmpty,
+      "the second probe must surface cross-cell candidates on this corpus")
+  }
+
   test("nprobe = cells reproduces the exact baseline rows bit-for-bit") {
     val exact = ExtQueries.cosineTopk(spark, dir).collect()
     val full = ExtQueries.cosineTopkIvfNprobe(spark, dir, ExtQueries.IvfCells).collect()
