@@ -66,10 +66,17 @@ object Bench {
     // therefore its JVM/GC context) between rounds — sorted order keeps
     // per-key numbers comparable across rounds by construction
     val ordered = queries.toSeq.sortBy(_._1)
-    // warmup: full pass, untimed
-    ordered.foreach { case (_, fn) =>
-      try runOnce(fn) catch { case _: Throwable => () }
-      teardown()
+    // warmup: full pass(es), untimed. One pass suffices inside a multi-key
+    // chunk (neighbors amortize JIT); SINGLE-KEY adjudication runs need
+    // SPARK_GRAFT_WARMUPS=3 — a lone small key in a cold JVM is otherwise
+    // dominated by one-time JIT/codegen costs its chunk run never paid
+    // (measured: e_zorder 1.03s at warmups=1 vs 0.38s chunked).
+    val warmups = sys.env.get("SPARK_GRAFT_WARMUPS").map(_.toInt).getOrElse(1)
+    (1 to warmups).foreach { _ =>
+      ordered.foreach { case (_, fn) =>
+        try runOnce(fn) catch { case _: Throwable => () }
+        teardown()
+      }
     }
     // measure: per-query MEDIAN of 3 passes — observed run-to-run noise at
     // sf0.1 is ±1s/query, so a single sample misattributes scheduler/GC

@@ -666,10 +666,23 @@ object ExtQueries {
       concat(col("text").substr(lit(1),
           greatest(length(col("text")) - lit(PhashEditChars), lit(0))),
         lit("z" * PhashEditChars)).as("text"))
-    // payload round-trip: the operator's input contract is the opaque
-    // binary column (multimodalCols' `media.payload`); the fixture decode
-    // is the identity on UTF-8 bytes
-    val base = docs.unionByName(reencoded)
+    val sigs = phashSignatures(docs.unionByName(reencoded))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = phashBands(sigs)
+    phashPairs(bands, bands, col("x.doc_id") < col("y.doc_id"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** `(doc_id, sim)` perceptual band-value signatures of a `(doc_id, text)`
+    * frame — [[mediaDedup]]'s grid, factored so the batch self-join and the
+    * streaming gate ([[graft.streaming.Streaming.startMediaDupGate]])
+    * derive bit-identical signatures. The payload round-trip (encode →
+    * decode) keeps the operator's input contract literal: the signature is
+    * a function of the opaque payload BYTES ([[multimodalCols]]'
+    * `media.payload`), the fixture decode being the identity on UTF-8.
+    * NOT persisted — each caller owns its materialization boundary. */
+  private[graft] def phashSignatures(docs: DataFrame): DataFrame = {
+    val base = docs
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .select(col("doc_id"), decode(col("payload"), "UTF-8").as("ptxt"))
       .withColumn("n", length(col("ptxt")).cast("long"))
@@ -694,26 +707,33 @@ object ExtQueries {
           element_at(col("cl"), b * lit(16) + j + lit(1))
             * lit(PhashCells.toLong) > col("total"), lit(1L))
           .otherwise(lit(0L))))
-    val sigs = base.select(col("doc_id"), cells.as("cl"))
+    base.select(col("doc_id"), cells.as("cl"))
       .withColumn("total", aggregate(col("cl"), lit(0L), (a, x) => a + x))
       .select(col("doc_id"), bandVals.as("sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sigs.select(col("doc_id"), col("sim"), posexplode(col("sim")))
+  }
+
+  /** `(doc_id, sim, band, bv)` band-bucket rows of a signature frame. */
+  private[graft] def phashBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sim"), posexplode(col("sim")))
       .select(col("doc_id"), col("sim"), col("pos").as("band"), col("col").as("bv"))
-    // Hamming filter BEFORE the distinct (the simhashDedup ordering): the
-    // xor/bit_count verify is cycles, the distinct is a shuffle
-    bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
+
+  /** Banded candidates verified to exact Hamming ≤ [[PhashTau]]:
+    * `(doc_a, doc_b, hamming)`, distinct. `cond` scopes the pair universe —
+    * `x.doc_id < y.doc_id` for the self-join dedup, `lit(true)` for the
+    * corpus × batch gate (disjoint id ranges). The Hamming filter runs
+    * BEFORE the distinct (the [[simhashDedup]] ordering): the
+    * xor/bit_count verify is cycles, the distinct is a shuffle. */
+  private[graft] def phashPairs(xBands: DataFrame, yBands: DataFrame,
+      cond: Column): DataFrame =
+    xBands.as("x")
+      .join(yBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") && cond)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         aggregate(zip_with(col("x.sim"), col("y.sim"),
           (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
           lit(0L), (s, v) => s + v).as("hamming"))
       .filter(col("hamming") <= PhashTau)
       .distinct()
-      .orderBy("doc_a", "doc_b")
-  }
 
   /** `(doc_id, keep…, bs, nb)`: distinct numeric BIGRAM-hash sets (plus set
     * size) from a `(doc_id, …, text)` frame — the 2-gram sibling of

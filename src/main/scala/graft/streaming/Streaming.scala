@@ -338,6 +338,59 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming MEDIA near-duplicate gate — the perceptual-hash twin of
+    * [[startNearDupGate]] and the continuous form of
+    * [[graft.queries.ExtQueries.mediaDedup]]: each micro-batch of incoming
+    * media payloads is screened against a STATIC corpus signature index
+    * (perceptual band keys, built ONCE at stream start and persisted),
+    * emitting one verdict row per incoming document —
+    * `(doc_id, is_media_dup, match_id, hamming)`, match_id the smallest
+    * corpus id within Hamming ≤ τ and hamming that match's distance.
+    *
+    * The signature/band/verify derivations ARE the batch operator's
+    * ([[graft.queries.ExtQueries.phashSignatures]] → `phashBands` →
+    * `phashPairs`) — one definition, so the continuous and batch media
+    * screens cannot drift (parity spec-pinned).
+    *
+    * At scale: the corpus index is FOUR LONGS per document (the cheapest
+    * standing index in the repo — minhash keeps whole shingle sets for its
+    * verify; the perceptual verify needs only the signature itself), so it
+    * persists once and broadcasts cheaply; each micro-batch shuffles only
+    * its own |batch|·bands slim rows into the bucket join, and payload
+    * bytes never cross the wire. `emit` must materialize the verdict frame
+    * before returning — the standard foreachBatch contract. */
+  def startMediaDupGate(docs: DataFrame, corpus: DataFrame, ckpt: String)
+      (emit: DataFrame => Unit): StreamingQuery = {
+    import graft.queries.ExtQueries
+    val corpusBands = ExtQueries.phashBands(
+      ExtQueries.phashSignatures(corpus.select(col("doc_id"), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // persisted: probed by the gate join AND the verdict assembly
+        val bSigs = ExtQueries.phashSignatures(
+          batch.select(col("doc_id"), col("text"))).persist()
+        try {
+          val matches = ExtQueries
+            .phashPairs(corpusBands, ExtQueries.phashBands(bSigs), lit(true))
+            .groupBy(col("doc_b").as("doc_id"))
+            // smallest matching corpus id (the startNearDupGate convention),
+            // carrying ITS hamming — struct min is lexicographic on (id, h)
+            .agg(min(struct(col("doc_a"), col("hamming"))).as("m"))
+          emit(bSigs.select(col("doc_id"))
+            .join(matches, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              col("m").isNotNull.as("is_media_dup"),
+              col("m.doc_a").as("match_id"),
+              col("m.hamming").as("hamming")))
+        } finally bSigs.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming NEAR-duplicate gate — the continuous form of
     * [[graft.queries.ExtQueries.crossDedup]], and the near-miss upgrade of
     * [[dedupStream]]'s exact-fingerprint screen: every micro-batch of

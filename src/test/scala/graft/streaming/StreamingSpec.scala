@@ -764,6 +764,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches.length == 2)
   }
 
+  test("media dup gate: stream verdicts match the batch perceptual screen") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val in = Files.createTempDirectory("graft-mdg-in").toString
+    val ckpt = Files.createTempDirectory("graft-mdg-ckpt").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // incoming payload batch: half exact re-uploads (hamming 0, must flag),
+    // half token-reversed payloads (a different grid — expected clean)
+    val incoming = docs.take(20).map { case (id, t) => (90000L + id, t) } ++
+      docs.take(20).map { case (id, t) =>
+        (95000L + id, t.trim.split("\\s+").reverse.mkString(" "))
+      }
+    val (b1, b2) = incoming.splitAt(incoming.length / 2)
+    b1.toSeq.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    b2.toSeq.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+
+    val got = scala.collection.mutable.Map.empty[Long, Option[(Long, Long)]]
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    Streaming.startMediaDupGate(
+      spark.readStream.schema(b1.toSeq.toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", 1).parquet(in),
+      spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+      ckpt) { verdicts =>
+      val rows = verdicts.collect()
+      batchSizes += rows.length
+      rows.foreach { r =>
+        got(r.getLong(0)) =
+          if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3)))
+        assert(r.getBoolean(1) == !r.isNullAt(2))
+      }
+    }.awaitTermination()
+    spark.catalog.clearCache()
+    assert(batchSizes.length == 2 && batchSizes.sum == incoming.length,
+      s"per-batch verdict counts: $batchSizes")
+
+    // stream/batch parity: verdicts equal the shared phash derivation run
+    // as ONE batch cross screen (corpus bands x full incoming batch)
+    import graft.queries.ExtQueries
+    val corpusBands = ExtQueries.phashBands(ExtQueries.phashSignatures(
+      docs.toSeq.toDF("doc_id", "text")))
+    val batchBands = ExtQueries.phashBands(ExtQueries.phashSignatures(
+      incoming.toSeq.toDF("doc_id", "text")))
+    val pairs = ExtQueries.phashPairs(corpusBands, batchBands, lit(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    spark.catalog.clearCache()
+    val want = incoming.map(_._1).map { id =>
+      val m = pairs.filter(_._2 == id).map(t => (t._1, t._3))
+      id -> (if (m.isEmpty) None else Some(m.min))
+    }.toMap
+    assert(got.toMap == want)
+    // every exact re-upload must flag (its source signature is identical,
+    // hamming 0 — though the REPORTED match may be a smaller near-match
+    // id); both verdicts occur on this fixture
+    assert(want.values.exists(_.isDefined) && want.values.exists(_.isEmpty),
+      "fixture must exercise both verdicts")
+    assert(incoming.take(20).forall { case (id, _) => want(id).isDefined },
+      "exact re-uploads must all flag")
+    assert(incoming.take(20).exists { case (id, _) =>
+      want(id).exists(_._2 == 0L) }, "a hamming-0 match must surface")
+  }
+
   test("near-dup gate: static-index stream verdicts match the batch cross-dedup") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
