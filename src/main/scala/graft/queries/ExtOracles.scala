@@ -325,7 +325,7 @@ object ExtOracles {
       |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b)
       |    / (v.nrm * c.ncent) AS csim
       |  FROM vecs v, cents c),
-      |assigned AS (SELECT vec_id, e, nrm, cent_id AS cell FROM (
+      |assigned AS MATERIALIZED (SELECT vec_id, e, nrm, cent_id AS cell FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id
       |      ORDER BY csim DESC, cent_id ASC) AS crank FROM sims)
       |  WHERE crank = 1)""".stripMargin
@@ -1331,10 +1331,14 @@ object ExtOracles {
         |FROM ver WHERE 5 * n_inter >= 4 * least(n_a, n_b)
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // `edges` MATERIALIZED (the labelPropSql note): the recursive `reach`
+    // step references it per iteration, and a plain CTE would re-inline
+    // the whole minhash candidate+verify chain into every round
+    // (measured 24.5 s → ~4 s at sf0.001).
     "e_dup_clusters" ->
       s"""WITH RECURSIVE $minhashBody,
         |pairs AS (SELECT doc_a, doc_b FROM verified WHERE 2 * n_inter >= n_union),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
         |reach(v, l) AS (
         |  SELECT DISTINCT src, src FROM edges
@@ -1542,16 +1546,22 @@ object ExtOracles {
     // spec pins. Iterations = |conflicted vertices|, each a scan of the
     // (small) pairs CTE: fine at verify SF; the DISTRIBUTED form is the
     // operator itself.
+    // `pairs`/`ord` MATERIALIZED (the labelPropSql note): the recursive
+    // walk's EXISTS probes pairs once per kept-set iteration — a plain CTE
+    // re-inlines the in-cell cosine self-join (over the MATERIALIZED
+    // shared assignment) into every one of |verts| rounds (measured
+    // 245 s → ~2 s at sf0.001, the worst inlining blowup in the file).
     "e_greedy_dedup" ->
       s"""WITH RECURSIVE $semanticAssignedBody,
-        |pairs AS (SELECT x.vec_id AS src, y.vec_id AS dst
+        |pairs AS MATERIALIZED (SELECT x.vec_id AS src, y.vec_id AS dst
         |  FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id
         |  WHERE list_reduce(list_transform(list_zip(x.e, y.e),
         |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b)
         |    / (x.nrm * y.nrm) >= ${ExtQueries.SemDedupTheta}),
         |verts AS (SELECT DISTINCT v FROM
         |  (SELECT src AS v FROM pairs UNION ALL SELECT dst AS v FROM pairs)),
-        |ord AS (SELECT v, row_number() OVER (ORDER BY v ASC) AS rn FROM verts),
+        |ord AS MATERIALIZED (SELECT v, row_number() OVER (ORDER BY v ASC) AS rn
+        |  FROM verts),
         |walk AS (
         |  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS kept
         |  UNION ALL
@@ -2843,9 +2853,12 @@ object ExtOracles {
         |  FROM embeddings em CROSS JOIN nn
         |  LEFT JOIN c$t ON em.vec_id = c$t.vec_id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH eg AS (SELECT src, nbr FROM (${baseSql("e_knn_graph")}) g),
+    // `eg`/`edges` MATERIALIZED (the labelPropSql note): eg is probed by
+    // the degree count and the join, edges by every power-iteration round —
+    // plain CTEs re-inline the composed knn chain per reference.
+    s"""WITH eg AS MATERIALIZED (SELECT src, nbr FROM (${baseSql("e_knn_graph")}) g),
       |deg AS (SELECT src, count(*) AS deg FROM eg GROUP BY src),
-      |edges AS (SELECT eg.src, eg.nbr, deg.deg FROM eg JOIN deg USING (src)),
+      |edges AS MATERIALIZED (SELECT eg.src, eg.nbr, deg.deg FROM eg JOIN deg USING (src)),
       |nn AS (SELECT count(*) AS n FROM embeddings),
       |pr0 AS (SELECT vec_id, $S // nn.n AS mass FROM embeddings CROSS JOIN nn),
       |$rounds
@@ -2860,21 +2873,27 @@ object ExtOracles {
     * vertex, then MIN label at that count. Mirrors
     * `graft.operators.LabelPropagation` bound as `ExtQueries.labelProp`. */
   private lazy val labelPropSql: String = {
+    // MATERIALIZED on every multi-referenced CTE: DuckDB INLINES plain CTE
+    // references, so an unrolled round chain re-expands its predecessor
+    // (and the composed knn subquery) once per reference — exponential in
+    // rounds. Materializing pins each frame to one evaluation (measured
+    // 4.2 s → 0.5 s on this oracle alone at sf0.001; the composing
+    // e_modularity/e_datasheet oracles inherit the fix).
     val rounds = (1 to ExtQueries.LabelPropIters).map { r =>
-      s"""v$r AS (SELECT e.src, l.label AS nlab, count(*) AS cnt
+      s"""v$r AS MATERIALIZED (SELECT e.src, l.label AS nlab, count(*) AS cnt
         |  FROM ed e JOIN lab${r - 1} l ON e.dst = l.id
         |  WHERE l.label IS NOT NULL GROUP BY e.src, l.label),
         |m$r AS (SELECT src, max(cnt) AS mcnt FROM v$r GROUP BY src),
         |b$r AS (SELECT v.src, min(v.nlab) AS maj
         |  FROM v$r v JOIN m$r m ON v.src = m.src AND v.cnt = m.mcnt
         |  GROUP BY v.src),
-        |lab$r AS (SELECT l.id,
+        |lab$r AS MATERIALIZED (SELECT l.id,
         |  CASE WHEN l.is_seed THEN l.label ELSE COALESCE(b.maj, l.label) END AS label,
         |  l.is_seed
         |  FROM lab${r - 1} l LEFT JOIN b$r b ON l.id = b.src)""".stripMargin
     }.mkString(",\n")
-    s"""WITH kg AS (SELECT src, nbr FROM (${baseSql("e_knn_graph")}) g),
-      |ed AS (SELECT DISTINCT src, dst FROM (
+    s"""WITH kg AS MATERIALIZED (SELECT src, nbr FROM (${baseSql("e_knn_graph")}) g),
+      |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
       |  SELECT src, nbr AS dst FROM kg
       |  UNION ALL SELECT nbr AS src, src AS dst FROM kg)),
       |lab0 AS (SELECT vec_id AS id,
@@ -3109,13 +3128,10 @@ object ExtOracles {
       |UNION ALL SELECT 'dedup', 'n_contaminated_docs', CAST(count(*) AS BIGINT),
       |  CAST(NULL AS DOUBLE) FROM (${baseSql("e_decontaminate")}) t9
       |UNION ALL SELECT 'audit', 'modularity_q',
-      |  CAST(sum(4 * m.m * t10.e_in - t10.d_sum * t10.d_sum) AS BIGINT),
-      |  CAST(sum(4 * m.m * t10.e_in - t10.d_sum * t10.d_sum) AS DOUBLE)
-      |    / (4.0 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE))
-      |  FROM ($modularitySql) t10,
-      |    (SELECT CAST(sum(d_sum) // 2 AS BIGINT) AS m
-      |     FROM ($modularitySql) t10m) m
-      |  GROUP BY m.m
+      |  CAST(2 * sum(d_sum) * sum(e_in) - sum(d_sum * d_sum) AS BIGINT),
+      |  CAST(2 * sum(d_sum) * sum(e_in) - sum(d_sum * d_sum) AS DOUBLE)
+      |    / (CAST(sum(d_sum) AS DOUBLE) * CAST(sum(d_sum) AS DOUBLE))
+      |  FROM ($modularitySql) t10
       |UNION ALL SELECT 'audit', 'silhouette_mean',
       |  CAST(sum(CAST(floor(s * 1000000.0) AS BIGINT)) AS BIGINT),
       |  CAST(sum(CAST(floor(s * 1000000.0) AS BIGINT)) AS DOUBLE)
@@ -3336,19 +3352,24 @@ object ExtOracles {
     * `graft.operators.Hits` bound as `ExtQueries.hits`. */
   private lazy val hitsSql: String = {
     val S = ExtQueries.HitsScale
+    // MATERIALIZED per the labelPropSql note: eg is probed by every
+    // half-round, each round's raw frame twice (total + join), each score
+    // frame by the next half-round and the final select — plain CTEs
+    // would re-inline the whole chain per reference (measured 41 s →
+    // ~1 s at sf0.001).
     def half(out: String, in: String, from: String, to: String): String =
-      s"""${out}r AS (SELECT e.$to AS id, CAST(sum(i.s) AS BIGINT) AS raw
+      s"""${out}r AS MATERIALIZED (SELECT e.$to AS id, CAST(sum(i.s) AS BIGINT) AS raw
         |  FROM eg e JOIN $in i ON e.$from = i.id GROUP BY e.$to),
         |${out}t AS (SELECT greatest(CAST(sum(raw) AS BIGINT) // $S, 1) AS t
         |  FROM ${out}r),
-        |$out AS (SELECT em.vec_id AS id, COALESCE(r.raw, 0) // tt.t AS s
+        |$out AS MATERIALIZED (SELECT em.vec_id AS id, COALESCE(r.raw, 0) // tt.t AS s
         |  FROM embeddings em CROSS JOIN ${out}t tt
         |  LEFT JOIN ${out}r r ON em.vec_id = r.id)""".stripMargin
     val rounds = (1 to ExtQueries.HitsIters).map(t =>
       s"""${half(s"a$t", s"h${t - 1}", "src", "dst")},
         |${half(s"h$t", s"a$t", "dst", "src")}""".stripMargin).mkString(",\n")
     val last = ExtQueries.HitsIters
-    s"""WITH eg AS (SELECT src, nbr AS dst FROM (${baseSql("e_knn_graph")}) g),
+    s"""WITH eg AS MATERIALIZED (SELECT src, nbr AS dst FROM (${baseSql("e_knn_graph")}) g),
       |h0 AS (SELECT vec_id AS id, CAST($S AS BIGINT) AS s FROM embeddings),
       |$rounds
       |SELECT em.vec_id, a.s AS auth, h.s AS hub,
@@ -3374,9 +3395,10 @@ object ExtOracles {
     val unions = (0 to L)
       .map(t => s"SELECT walk_id, CAST($t AS INT) AS step, node FROM s$t")
       .mkString("\n  UNION ALL ")
-    s"""WITH knn AS (SELECT src, nbr, rank FROM (${baseSql("e_knn_graph")}) g),
+    s"""WITH knn AS MATERIALIZED (SELECT src, nbr, rank FROM (${baseSql("e_knn_graph")}) g),
       |deg AS (SELECT src, CAST(max(rank) AS INT) AS deg FROM knn GROUP BY src),
-      |e2 AS (SELECT k.src, k.nbr, k.rank, d.deg FROM knn k JOIN deg d USING (src)),
+      |e2 AS MATERIALIZED (SELECT k.src, k.nbr, k.rank, d.deg
+      |  FROM knn k JOIN deg d USING (src)),
       |s0 AS (SELECT vec_id AS walk_id, vec_id AS node FROM embeddings),
       |${(1 to L).map(hop).mkString(",\n")}
       |$unions
@@ -3402,12 +3424,12 @@ object ExtOracles {
     * decomposition with ONE final divide. Mirrors
     * `ExtQueries.modularity`. */
   private lazy val modularitySql: String =
-    s"""WITH lpz AS (SELECT vec_id, label FROM ($labelPropSql) t
+    s"""WITH lpz AS MATERIALIZED (SELECT vec_id, label FROM ($labelPropSql) t
       |  WHERE label IS NOT NULL),
       |kg AS (SELECT least(src, nbr) AS src, greatest(src, nbr) AS dst
       |  FROM (${baseSql("e_knn_graph")}) g),
       |und AS (SELECT DISTINCT src, dst FROM kg),
-      |lab AS (SELECT u.src, u.dst, a.label AS la, b.label AS lb
+      |lab AS MATERIALIZED (SELECT u.src, u.dst, a.label AS la, b.label AS lb
       |  FROM und u JOIN lpz a ON u.src = a.vec_id
       |  JOIN lpz b ON u.dst = b.vec_id),
       |mm AS (SELECT count(*) AS m FROM lab),

@@ -2340,9 +2340,12 @@ object ExtQueries {
     * numbers.
     *
     * Audit-row determinism (each is exact integers + ONE final divide):
-    * modularity Q sums the per-cluster integer numerators 4m·e_in − d_sum²
-    * (m recovered as Σd_sum/2 — exact and even, the ModularitySpec
-    * invariant) over 4m²; silhouette floors each bit-identical s to 10⁻⁶
+    * modularity Q = Σ_c(4m·e_in − d_sum²)/4m² computed in ONE pass over
+    * the decomposition via the identity 2·Σd_sum·Σe_in − Σd_sum² over
+    * (Σd_sum)² — m = Σd_sum/2 is exact and even (the ModularitySpec
+    * invariant), and the single evaluation is what keeps the composed
+    * oracle from running the whole label-prop chain twice; silhouette
+    * floors each bit-identical s to 10⁻⁶
     * fixed point before the sum (double summation order would not be
     * partition-invariant); edge recall is the micro form Σhit/Σtrue;
     * ECE is Σ_b |n_correct·10⁶ − Σconf_fp| / (10⁶·N) over the
@@ -2386,25 +2389,31 @@ object ExtQueries {
     val contam = melt("dedup",
       decontaminate(spark, dir).agg(count(lit(1)).as("n")),
       ("n_contaminated_docs", col("n"), nullD))
-    // AUDIT section — cluster-structure health (scaladoc: exactness per row)
-    val modRows = modularity(spark, dir)
-      .select(col("e_in"), col("d_sum"))
-      .persist() // |labels| rows over a heavy chain; two consumers (m + Σ)
-    val mRow = modRows.agg(expr("sum(d_sum) div 2").as("m"))
+    // AUDIT section — cluster-structure health (scaladoc: exactness per
+    // row). ONE persisted knn substrate feeds BOTH graph audits: the
+    // modularity decomposition and the edge-recall grade (the
+    // labelPropParts sharing device lifted one composition level — built
+    // separately, the graph's in-cell topk chain executes twice here)
+    val (knnShared, labsShared) = labelPropParts(spark, dir)
+    // Q in ONE aggregation pass: Σ(4m·e_in − d_sum²) = 2·Σd_sum·Σe_in −
+    // Σd_sum² with m = Σd_sum/2 (even — every edge contributes two
+    // endpoint degrees), so the composed decomposition is evaluated ONCE
+    // on both engines instead of once for m and again for the numerator
+    val qn = lit(2L) * col("sd") * col("se") - col("sd2")
     val audModularity = melt("audit",
-      modRows.crossJoin(broadcast(mRow))
-        .agg(sum(lit(4L) * col("m") * col("e_in")
-          - col("d_sum") * col("d_sum")).as("qn"), min(col("m")).as("m")),
-      ("modularity_q", col("qn"),
-        col("qn").cast("double")
-          / (lit(4.0) * col("m").cast("double") * col("m").cast("double"))))
+      modularityFromParts(knnShared, labsShared)
+        .agg(sum(col("e_in")).as("se"), sum(col("d_sum")).as("sd"),
+          sum(col("d_sum") * col("d_sum")).as("sd2")),
+      ("modularity_q", qn,
+        qn.cast("double")
+          / (col("sd").cast("double") * col("sd").cast("double"))))
     val audSilhouette = melt("audit",
       silhouette(spark, dir).agg(count(lit(1)).as("n"),
         sum(floor(col("s") * lit(1000000.0)).cast("long")).as("sfp")),
       ("silhouette_mean", col("sfp"),
         col("sfp").cast("double") / (col("n").cast("double") * lit(1000000.0))))
     val audRecall = melt("audit",
-      graphRecall(spark, dir).agg(
+      graphRecallFromGraph(spark, dir, knnShared).agg(
         sum(col("n_hit")).as("nh"), sum(col("n_true")).as("nt")),
       ("knn_edge_recall", col("nh"),
         col("nh").cast("double") / col("nt").cast("double")))
@@ -6921,7 +6930,14 @@ object ExtQueries {
     * sampled sources before the slim (qid, cid) left join. Composes the
     * graded [[knnGraph]] (oracle SQL text likewise) — a harness-key by
     * the attribution rule. */
-  def graphRecall(spark: SparkSession, dir: String): DataFrame = {
+  def graphRecall(spark: SparkSession, dir: String): DataFrame =
+    graphRecallFromGraph(spark, dir, knnGraph(spark, dir))
+
+  /** [[graphRecall]]'s body over an ALREADY-BUILT knn edge frame — the
+    * [[modularityFromParts]] sibling, so [[datasheet]] grades the SAME
+    * substrate its modularity row audits instead of building it twice. */
+  private def graphRecallFromGraph(spark: SparkSession, dir: String,
+      graph: DataFrame): DataFrame = {
     val emb = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", l2norm(col("e")))
@@ -6937,7 +6953,7 @@ object ExtQueries {
       .groupBy(col("qid")).agg(topk(col("s"), col("cid")).as("tk"))
       .select(col("qid"), explode(col("tk")).as("t"))
       .select(col("qid"), col("t.id").as("cid"))
-    val g = knnGraph(spark, dir)
+    val g = graph
       .filter(col("src") < GraphRecallSample)
       .select(col("src").as("qid"), col("nbr").as("cid"), lit(1L).as("hit"))
     truth.join(g, Seq("qid", "cid"), "left")
@@ -7054,6 +7070,14 @@ object ExtQueries {
     // ordered labelProp surface here would build the graph twice and pay
     // an output sort the aggregate below immediately destroys
     val (knn, labs) = labelPropParts(spark, dir)
+    modularityFromParts(knn, labs)
+  }
+
+  /** [[modularity]]'s body over an ALREADY-BUILT (knn edges, labels) pair —
+    * factored so [[datasheet]]'s audit section shares ONE persisted knn
+    * substrate between this decomposition and [[graphRecallFromGraph]]
+    * (the labelPropParts device, extended one composition level up). */
+  private def modularityFromParts(knn: DataFrame, labs: DataFrame): DataFrame = {
     val lp = labs.filter(col("label").isNotNull)
       .select(col("vec_id"), col("label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

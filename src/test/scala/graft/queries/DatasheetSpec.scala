@@ -27,12 +27,18 @@ class DatasheetSpec extends AnyFunSuite {
     val got = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     clear()
     // audit integers recomputed from the composed operators' own outputs
-    // with the card's exactness devices (scaladoc): Σd_sum/2 recovers m
-    val m = mod.map(_.getAs[Long]("d_sum")).sum / 2
+    // with the card's exactness devices (scaladoc): Σd_sum/2 recovers m,
+    // and the card's one-pass identity Σ(4m·e_in − d_sum²) =
+    // 2·Σd_sum·Σe_in − Σd_sum² must equal the per-cluster sum
+    val sd = mod.map(_.getAs[Long]("d_sum")).sum
+    val m = sd / 2
     val modQn = mod.map { r =>
       val d = r.getAs[Long]("d_sum")
       4L * m * r.getAs[Long]("e_in") - d * d
     }.sum
+    assert(modQn ==
+      2L * sd * mod.map(_.getAs[Long]("e_in")).sum -
+        mod.map { r => val d = r.getAs[Long]("d_sum"); d * d }.sum)
     val silFp = sil.map(r => math.floor(r.getAs[Double]("s") * 1e6).toLong).sum
     val eceFp = cal.map(r => math.abs(
       r.getAs[Long]("n_correct") * 1000000L - r.getAs[Long]("sum_conf_fp"))).sum
@@ -58,7 +64,7 @@ class DatasheetSpec extends AnyFunSuite {
     val gotDbl = rows.filter(_.getString(0) == "audit")
       .map(r => r.getString(1) -> r.getDouble(3)).toMap
     assert(gotDbl("modularity_q") ==
-      modQn.toDouble / (4.0 * m.toDouble * m.toDouble))
+      modQn.toDouble / (sd.toDouble * sd.toDouble))
     assert(gotDbl("silhouette_mean") == silFp.toDouble / (sil.length * 1e6))
     assert(gotDbl("knn_edge_recall") ==
       gr.map(_.getAs[Long]("n_hit")).sum.toDouble /
