@@ -2937,14 +2937,18 @@ object ExtOracles {
     * round's `b` winner) and `e_bpe_encode` (reads the final `s` state), so
     * the encoder cannot serve a drifted copy of the trainer's rules. */
   private lazy val bpeChainCtes: String = {
+    // s/b MATERIALIZED (the labelPropSql note): each round references its
+    // predecessor state twice (pair count + merge apply) and its best
+    // merge twice (apply + the train report's union) — plain CTEs double
+    // the inlined chain per round.
     def round(r: Int): String =
       s"""p$r AS (
         |  SELECT syms[i] AS lhs, syms[i+1] AS rhs, sum(wc) AS n
         |  FROM (SELECT wc, syms, unnest(range(1, len(syms))) AS i FROM s${r - 1})
         |  GROUP BY 1, 2),
-        |b$r AS (SELECT lhs, rhs, n FROM p$r
+        |b$r AS MATERIALIZED (SELECT lhs, rhs, n FROM p$r
         |  ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1),
-        |s$r AS (
+        |s$r AS MATERIALIZED (
         |  SELECT w, wc,
         |    list_filter(string_split(
         |      replace(' ' || array_to_string(syms, '  ') || ' ',
@@ -2955,7 +2959,7 @@ object ExtOracles {
       |  SELECT w, count(*) AS wc FROM (
       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
       |    FROM documents) GROUP BY w),
-      |s0 AS (SELECT w, wc,
+      |s0 AS MATERIALIZED (SELECT w, wc,
       |  list_filter(string_split(w, ''), x -> x <> '') AS syms FROM vocab),
       |${(1 to ExtQueries.BpeTrainRounds).map(round).mkString(",\n")}""".stripMargin
   }
