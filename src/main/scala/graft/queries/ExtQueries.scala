@@ -270,8 +270,8 @@ object ExtQueries {
     * spec measurement. This is the measurement every ANN deployment runs
     * before trading exactness for speed; making it a declared query keeps
     * the recall numbers themselves under the cross-engine hash gate (the
-    * DuckDB oracle composes the same seven top-k SQL texts, so the
-    * evaluation can never drift from what it evaluates).
+    * DuckDB oracle composes every listed family's own top-k SQL text, so
+    * the evaluation can never drift from what it evaluates).
     *
     * At scale: each rank list is |queries|·k rows — the evaluation joins
     * tiny frames regardless of corpus size (each family's own scale story
@@ -678,8 +678,14 @@ object ExtQueries {
     * streaming gate ([[graft.streaming.Streaming.startMediaDupGate]])
     * derive bit-identical signatures. The payload round-trip (encode →
     * decode) keeps the operator's input contract literal: the signature is
-    * a function of the opaque payload BYTES ([[multimodalCols]]'
-    * `media.payload`), the fixture decode being the identity on UTF-8.
+    * a function of the opaque payload ([[multimodalCols]]' `media.payload`),
+    * the fixture decode being the identity on UTF-8. Stand-in note: the
+    * grid then splits the DECODED text by CODE POINT (Spark and DuckDB
+    * `length`/`substr` are both code-point indexed, so the engines agree
+    * exactly) — a deterministic proxy for the byte/pixel planes a real
+    * codec would emit; a production decoder swaps the decode step, not the
+    * grid. Driver-side replays must index by code point too
+    * (`offsetByCodePoints`, see MediaDedupSpec), not UTF-16 chars.
     * NOT persisted — each caller owns its materialization boundary. */
   private[graft] def phashSignatures(docs: DataFrame): DataFrame = {
     val base = docs

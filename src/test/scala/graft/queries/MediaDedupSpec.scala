@@ -22,14 +22,25 @@ class MediaDedupSpec extends AnyFunSuite {
     java.lang.Long.parseLong(hex.take(15), 16)
   }
 
+  /** Code-point substring `[a, b)` — Spark's `length`/`substr` (and DuckDB's
+    * `length`/`substr`) index by code point, not UTF-16 char, so the replay
+    * must too or any non-BMP character in fixture text would shift the grid. */
+  private def cpSub(s: String, a: Int, b: Int): String = {
+    val start = s.offsetByCodePoints(0, a)
+    s.substring(start, s.offsetByCodePoints(start, b - a))
+  }
+
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
   /** Sequential replay of the perceptual signature: [[ExtQueries.PhashBands]]
-    * 16-bit band values over the 64-cell grid. */
+    * 16-bit band values over the 64-cell grid (code-point indexed, matching
+    * both engines' string semantics). */
   private def signature(text: String): Array[Long] = {
-    val n = text.length.toLong
+    val n = cpLen(text).toLong
     val cells = (0 until ExtQueries.PhashCells).map { i =>
       val a = ((i * n) / ExtQueries.PhashCells).toInt
       val b = (((i + 1) * n) / ExtQueries.PhashCells).toInt
-      h60(s"ph:$i:" + text.substring(a, b)) % ExtQueries.PhashIntensityMod
+      h60(s"ph:$i:" + cpSub(text, a, b)) % ExtQueries.PhashIntensityMod
     }
     val total = cells.sum
     (0 until ExtQueries.PhashBands).map { bnd =>
@@ -46,7 +57,7 @@ class MediaDedupSpec extends AnyFunSuite {
     val tail = ExtQueries.PhashEditChars
     val uni = docs ++ docs.map { case (id, t) =>
       (id + ExtQueries.VariantIdOffset,
-        t.substring(0, math.max(t.length - tail, 0)) + ("z" * tail))
+        cpSub(t, 0, math.max(cpLen(t) - tail, 0)) + ("z" * tail))
     }
     val sigs = uni.map { case (id, t) => (id, signature(t)) }
     def ham(a: Array[Long], b: Array[Long]): Long =
