@@ -93,6 +93,8 @@ object SparkEntry {
     "e_repetition"        -> (ExtQueries.repetition _),
     "e_cosine_topk_ivf"   -> (ExtQueries.cosineTopkIvf _),
     "e_ivf_nprobe"        -> (ExtQueries.ivfNprobe _),
+    "e_sq_topk"           -> (ExtQueries.sqTopk _),
+    "e_sq_rerank"         -> (ExtQueries.sqRerank _),
     "e_ann_recall"        -> (ExtQueries.annRecall _),
     "e_rank_fusion"       -> (ExtQueries.rankFusion _),
     "e_hybrid_search"     -> (ExtQueries.hybridSearch _),
@@ -161,6 +163,9 @@ object SparkEntry {
     "e_reservoir"         -> (ExtQueries.reservoirSample _),
     "e_scd2"              -> (ExtQueries.scd2 _),
     "e_rolling_agg"       -> (ExtQueries.rollingAgg _),
+    "e_incr_agg"          -> (ExtQueries.incrAgg _),
+    "e_skew_audit"        -> (ExtQueries.skewAudit _),
+    "e_compaction_plan"   -> (ExtQueries.compactionPlan _),
     "e_winsorize"         -> (ExtQueries.winsorize _),
     "e_interleave"        -> (ExtQueries.interleave _),
     "e_retention"         -> (ExtQueries.retention _),
@@ -231,7 +236,11 @@ object SparkEntry {
     "e_ivf_trained", "e_pq_trained", "e_nb_classify",
     // e_incr_knn recomputes the standing e_knn_graph adjacency it merges
     // the batch into (a stored table in production)
-    "e_incr_knn")
+    "e_incr_knn",
+    // e_sq_rerank re-runs the e_sq_topk scoring body (at shortlist depth R)
+    // as its coarse stage before the exact refine — same attribution rule
+    // as ivf_trained/pq_trained
+    "e_sq_rerank")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

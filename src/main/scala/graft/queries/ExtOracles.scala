@@ -414,6 +414,67 @@ object ExtOracles {
       |SELECT qid, cid, score, rank FROM ranked WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
+  // ---- SQ family: shared code / scored CTE text ----------------------------
+
+  /** SQ8 code + integer-cosine scoring CTEs (`sq_scored` the terminal) —
+    * the SQL twin of `ExtQueries.sqCodes` + `sqTopkImpl`'s scoring: codes
+    * via the same one-divide-one-floor contract `e_vec_quantize` proves
+    * cross-engine, then score = int dot / (√Σq² · √Σc²) — dot and norms
+    * exact int64, so only two sqrts and a divide of exact values exist
+    * (no fold contract needed). Shared by `e_sq_topk` and `e_sq_rerank`
+    * so shortlist and serve derive one scoring definition. */
+  private lazy val sqBodyCtes: String =
+    """sq_sc AS (SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, u -> abs(CAST(u AS DOUBLE)))) / 127.0 AS s
+      |  FROM embeddings),
+      |sq_codes AS (SELECT vec_id,
+      |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) / s + 0.5) AS BIGINT)) AS c
+      |  FROM sq_sc),
+      |sq_n2 AS (SELECT vec_id, c,
+      |    CAST(list_sum(list_transform(c, x -> x * x)) AS DOUBLE) AS nn
+      |  FROM sq_codes),
+      |sq_scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |    CAST(list_sum(list_transform(list_zip(q.c, c.c), p -> p[1] * p[2])) AS DOUBLE)
+      |      / (sqrt(q.nn) * sqrt(c.nn)) AS score
+      |  FROM sq_n2 q, sq_n2 c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)""".stripMargin
+
+  /** Top-`k` per query over `sq_scored` under the pinned total order. */
+  private def sqTopkSql(k: Int): String =
+    s"""WITH $sqBodyCtes
+      |SELECT qid, cid, score, rank FROM (
+      |  SELECT qid, cid, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rank
+      |  FROM sq_scored) WHERE rank <= $k
+      |ORDER BY qid, rank""".stripMargin
+
+  /** `e_sq_rerank` — SQ shortlist at R, exact-cosine refine to top-10.
+    * The refine stage's cosine is the `e_cosine_topk` text verbatim
+    * (fold contract and all), applied only to shortlisted pairs. */
+  private lazy val sqRerankSql: String =
+    s"""WITH $sqBodyCtes,
+      |shortlist AS (SELECT qid, cid FROM (
+      |  SELECT qid, cid,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rk
+      |  FROM sq_scored) WHERE rk <= ${ExtQueries.SqRerankR}),
+      |q AS (SELECT vec_id AS qid, embedding AS qe,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x)) AS nq
+      |  FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS cid, embedding AS ce,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x)) AS nc
+      |  FROM embeddings),
+      |rescored AS (SELECT s.qid, s.cid,
+      |    list_reduce(list_transform(list_zip(q.qe, c.ce),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |      / (q.nq * c.nc) AS score
+      |  FROM shortlist s JOIN q ON q.qid = s.qid JOIN c ON c.cid = s.cid)
+      |SELECT qid, cid, score, rank FROM (
+      |  SELECT qid, cid, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rank
+      |  FROM rescored) WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
+
   // ---- PQ family: shared codebook / serve CTE text -------------------------
 
   /** DuckDB list-slice of an embedding into subspace `sub`'s subvector. */
@@ -726,6 +787,66 @@ object ExtOracles {
         |ORDER BY d.doc_id""".stripMargin,
 
     "e_cosine_topk" -> cosineTopkSql,
+
+    "e_sq_topk" -> sqTopkSql(10),
+
+    "e_sq_rerank" -> sqRerankSql,
+
+    // e_incr_agg's oracle IS the semantic spec: a single-pass full
+    // recompute — the monoid-merge execution on the Spark side must land
+    // on these exact bytes (int64 fixed-point sums; value·2²⁰ is exact,
+    // one floor, one final divide of exact values)
+    "e_incr_agg" ->
+      s"""WITH fp AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |    CAST(floor(value * ${ExtQueries.IncrAggScale}.0 + 0.5) AS BIGINT) AS vfp
+        |  FROM events)
+        |SELECT day, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(vfp) AS BIGINT) AS sum_value_fp,
+        |  max(vfp) AS max_value_fp,
+        |  CAST(sum(vfp) AS DOUBLE)
+        |    / CAST(CAST(count(*) AS BIGINT) * ${ExtQueries.IncrAggScale} AS DOUBLE) AS avg_value
+        |FROM fp GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin,
+
+    // heaviest-key tie-break: LARGEST key among max-count keys — the
+    // scalar-subquery twin of Spark's max(struct(cnt, k))
+    "e_skew_audit" -> {
+      def audit(keyCol: String): String =
+        s"""SELECT '$keyCol' AS key_col, n_rows, n_keys, max_cnt,
+          |  (SELECT max(k) FROM c_$keyCol WHERE cnt = a_$keyCol.max_cnt) AS max_key,
+          |  CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS avg_cnt,
+          |  CAST(max_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS max_share,
+          |  CAST(max_cnt * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE) AS skew_ratio,
+          |  (max_cnt * ${ExtQueries.SkewTargetPartitions} + n_rows - 1) // n_rows AS rec_salt
+          |FROM a_$keyCol""".stripMargin
+      s"""WITH c_user_id AS (SELECT CAST(user_id AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS cnt
+        |    FROM events GROUP BY 1),
+        |c_event_type AS (SELECT CAST(event_type AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS cnt
+        |    FROM events GROUP BY 1),
+        |a_user_id AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys, max(cnt) AS max_cnt FROM c_user_id),
+        |a_event_type AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys, max(cnt) AS max_cnt FROM c_event_type)
+        |${audit("user_id")}
+        |UNION ALL
+        |${audit("event_type")}
+        |ORDER BY key_col""".stripMargin
+    },
+
+    "e_compaction_plan" ->
+      s"""WITH files AS (SELECT source, doc_id // ${ExtQueries.CompactionFileDocs} AS file_id,
+        |    CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1, 2),
+        |off AS (SELECT source, file_id, n_docs, bytes,
+        |    coalesce(CAST(sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+        |  FROM files)
+        |SELECT source, cum_before // ${ExtQueries.CompactionTargetBytes} AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  min(file_id) AS first_file, max(file_id) AS last_file,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs, CAST(sum(bytes) AS BIGINT) AS bin_bytes
+        |FROM off GROUP BY source, bin
+        |ORDER BY source, bin""".stripMargin,
 
     "e_mmr" -> mmrSql,
 
@@ -3568,7 +3689,9 @@ object ExtOracles {
       |beam AS (SELECT qid, cid FROM ($beamSearchSql) x),
       |ivf_t AS (SELECT qid, cid FROM ($ivfTrainedSql) y),
       |pq_t AS (SELECT qid, cid FROM ($pqTrainedSql) z),
-      |ivfpq AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_ivfpq")}) zz)
+      |ivfpq AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_ivfpq")}) zz),
+      |sq AS (SELECT qid, cid FROM (${baseSql("e_sq_topk")}) sa),
+      |sqr AS (SELECT qid, cid FROM (${baseSql("e_sq_rerank")}) sb)
       |SELECT ex.qid, count(*) AS n_exact,
       |  CAST(count(lsh.cid) AS BIGINT) AS n_lsh,
       |  CAST(count(ivf.cid) AS BIGINT) AS n_ivf,
@@ -3578,6 +3701,8 @@ object ExtOracles {
       |  CAST(count(ivf_t.cid) AS BIGINT) AS n_ivf_t,
       |  CAST(count(pq_t.cid) AS BIGINT) AS n_pq_t,
       |  CAST(count(ivfpq.cid) AS BIGINT) AS n_ivfpq,
+      |  CAST(count(sq.cid) AS BIGINT) AS n_sq,
+      |  CAST(count(sqr.cid) AS BIGINT) AS n_sqr,
       |  CAST(count(lsh.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_lsh,
       |  CAST(count(ivf.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivf,
       |  CAST(count(ivf2.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivf2,
@@ -3585,7 +3710,9 @@ object ExtOracles {
       |  CAST(count(beam.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_beam,
       |  CAST(count(ivf_t.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivf_t,
       |  CAST(count(pq_t.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_pq_t,
-      |  CAST(count(ivfpq.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivfpq
+      |  CAST(count(ivfpq.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivfpq,
+      |  CAST(count(sq.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_sq,
+      |  CAST(count(sqr.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_sqr
       |FROM ex
       |LEFT JOIN lsh ON ex.qid = lsh.qid AND ex.cid = lsh.cid
       |LEFT JOIN ivf ON ex.qid = ivf.qid AND ex.cid = ivf.cid
@@ -3595,5 +3722,7 @@ object ExtOracles {
       |LEFT JOIN ivf_t ON ex.qid = ivf_t.qid AND ex.cid = ivf_t.cid
       |LEFT JOIN pq_t ON ex.qid = pq_t.qid AND ex.cid = pq_t.cid
       |LEFT JOIN ivfpq ON ex.qid = ivfpq.qid AND ex.cid = ivfpq.cid
+      |LEFT JOIN sq ON ex.qid = sq.qid AND ex.cid = sq.cid
+      |LEFT JOIN sqr ON ex.qid = sqr.qid AND ex.cid = sqr.cid
       |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin)
 }

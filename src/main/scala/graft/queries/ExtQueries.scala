@@ -263,9 +263,11 @@ object ExtQueries {
     * graph-searched ([[cosineTopkBeam]]) — against the exact [[cosineTopk]]
     * baseline, per query, PLUS the two TRAINED variants
     * ([[cosineTopkIvfTrained]], [[cosineTopkPqTrained]]), the composite
-    * residual index ([[cosineTopkIvfPq]]), and the multi-probe operating
+    * residual index ([[cosineTopkIvfPq]]), the multi-probe operating
     * point ([[ivfNprobe]] — `recall_ivf2` next to `recall_ivf` makes the
-    * nprobe dial's recall benefit a graded number) so the benefit of the
+    * nprobe dial's recall benefit a graded number), and the SQ8 pair
+    * ([[sqTopk]], [[sqRerank]] — `recall_sqr` ≥ `recall_sq` per query is
+    * the refine stage's pinned guarantee) so the benefit of the
     * k-means/PQ training chains is itself a graded number, not just a
     * spec measurement. This is the measurement every ANN deployment runs
     * before trading exactness for speed; making it a declared query keeps
@@ -287,7 +289,9 @@ object ExtQueries {
       "beam" -> cosineTopkBeam(spark, dir),
       "ivf_t" -> cosineTopkIvfTrained(spark, dir),
       "pq_t" -> cosineTopkPqTrained(spark, dir),
-      "ivfpq" -> cosineTopkIvfPq(spark, dir))
+      "ivfpq" -> cosineTopkIvfPq(spark, dir),
+      "sq" -> sqTopk(spark, dir),
+      "sqr" -> sqRerank(spark, dir))
     val joined = lists.foldLeft(ex) { case (acc, (tag, df)) =>
       val slim = df.select(col("qid").as(s"${tag}_q"), col("cid").as(s"${tag}_c"))
       acc.join(slim,
@@ -5031,6 +5035,118 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  // ---- e_sq_topk ----------------------------------------------------------
+
+  /** Shortlist depth for the [[sqRerank]] refine stage: the coarse SQ pass
+    * keeps this many candidates per query, the exact pass re-scores only
+    * those. A serving knob (FAISS's `k_factor`), pinned as a constant so
+    * the oracle interpolates one literal. */
+  private[queries] val SqRerankR = 30
+
+  /** `(id, codes)` INT8 symmetric scalar-quantized codes of the embedding
+    * table — [[vecQuantize]]'s codes put to WORK as a serving index (that
+    * key grades reconstruction quality; this device feeds [[sqTopk]] /
+    * [[sqRerank]] retrieval). Per vector: s = max|x|/127,
+    * code_i = ⌊x_i/s + 0.5⌋ — the max element lands on ±127 exactly, so no
+    * clipping branch exists and no vector quantizes to all-zeros (a zero
+    * vector would, but the corpus has none and cosine is undefined there
+    * anyway). The scale is NOT kept: SQ cosine is scale-free (both s_q and
+    * s_c cancel between numerator and norms), so scoring needs only the
+    * integer code arrays — see [[sqTopkImpl]].
+    *
+    * Determinism: one correctly-rounded divide + floor per element (the
+    * [[vecQuantize]] contract the spec proves cross-engine); everything
+    * after is int64. */
+  private def sqCodes(emb: DataFrame, idAs: String, codeAs: String): DataFrame =
+    emb.select(col("vec_id").as(idAs), col("embedding").as("e"),
+        (aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
+          lit(0.0), (a, x) => greatest(a, x)) / 127.0).as("s"))
+      .select(col(idAs),
+        transform(col("e"),
+          x => floor(x.cast("double") / col("s") + 0.5).cast("long")).as(codeAs))
+
+  /** Shared SQ-scored top-k body: codes both sides, scores every
+    * (query, candidate) pair by the cosine of the INTEGER code vectors —
+    * dot and both squared norms are exact int64 sums, so the only floats
+    * are two sqrts and one divide of exactly-represented integers
+    * (bit-identical cross-engine with no fold contract needed at all) —
+    * and keeps top `k` per query via the bounded-state
+    * [[graft.functions.TopKByScoreAggregator]].
+    *
+    * At scale: the corpus ships 64 int8 codes per vector instead of 64
+    * floats (the 4× scan-bandwidth cut that makes SQ the default first
+    * compression step), queries broadcast, and the per-query top-k is the
+    * map-side-combining aggregate — |queries|·|partitions|·k rows cross
+    * the wire, the [[cosineTopkAgg]] shape. */
+  private def sqTopkImpl(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import graft.functions.TopKByScoreAggregator
+    val agg = new TopKByScoreAggregator(k)
+    val topk = udaf(agg, agg.inputEncoder)
+    val emb = table(spark, dir, "embeddings")
+    val iSum = (arr: Column) => aggregate(arr, lit(0L), (a, x) => a + x)
+    val q = sqCodes(emb.filter(col("vec_id") < 8), "qid", "qc")
+      .withColumn("nq2", iSum(transform(col("qc"), x => x * x)))
+    val c = sqCodes(emb, "cid", "cc")
+      .withColumn("nc2", iSum(transform(col("cc"), x => x * x)))
+    val dot = iSum(zip_with(col("qc"), col("cc"), (x, y) => x * y))
+    c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("score", dot.cast("double")
+        / (sqrt(col("nq2").cast("double")) * sqrt(col("nc2").cast("double"))))
+      .groupBy(col("qid"))
+      .agg(topk(col("score"), col("cid")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** INT8 scalar-quantized cosine top-k — the SQ8 serving path (graded in
+    * [[annRecall]] as `recall_sq`): [[sqTopkImpl]] at the standard k. */
+  def sqTopk(spark: SparkSession, dir: String): DataFrame =
+    sqTopkImpl(spark, dir, 10)
+
+  // ---- e_sq_rerank --------------------------------------------------------
+
+  /** Two-stage coarse→refine serving (the FAISS `IndexRefineFlat` shape,
+    * the operating point every production deployment actually runs): the
+    * SQ8 pass shortlists [[SqRerankR]] candidates per query on compressed
+    * codes, then ONLY those are re-scored with exact full-precision cosine
+    * and the top 10 re-emitted. Rank and score come from the exact pass,
+    * so quantization error can reorder but never mis-score the output.
+    *
+    * The pinned guarantee (spec + [[annRecall]]'s `recall_sqr` row): hits
+    * vs the exact baseline are ≥ the plain SQ pass's per query — any truth
+    * vector the shortlist catches survives the exact re-rank, because
+    * fewer than k candidates can out-score it under the true metric (the
+    * ones that can are truth members themselves).
+    *
+    * At scale: stage 1 is [[sqTopkImpl]]'s compressed scan; stage 2
+    * broadcasts the |queries|·R shortlist against ONE raw-vector scan (the
+    * corpus never shuffles; only shortlisted rows are scored) and ranks
+    * inside ≤ R-row query groups. Raw vectors are touched for R rows per
+    * query — at 100 TB the refine stage reads ~0 of the corpus. */
+  def sqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val short = sqTopkImpl(spark, dir, SqRerankR).select(col("qid"), col("cid"))
+    val emb = table(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("nq", l2norm(col("qe")))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .withColumn("nc", l2norm(col("ce")))
+    val dot = seqSum(zip_with(col("qe"), col("ce"),
+      (x, y) => x.cast("double") * y.cast("double")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid").asc)
+    c.join(broadcast(short), Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("score", dot / (col("nq") * col("nc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cid"), col("score"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   // ---- e_split ------------------------------------------------------------
 
   /** Deterministic leakage-safe train/validation/test split (80/10/10).
@@ -7421,5 +7537,164 @@ object ExtQueries {
         (col("auth").cast("double") / lit(HitsScale.toDouble)).as("auth_score"),
         (col("hub").cast("double") / lit(HitsScale.toDouble)).as("hub_score"))
       .orderBy("vec_id")
+  }
+
+  // ---- e_incr_agg ---------------------------------------------------------
+
+  /** Fixed-point scale for [[incrAgg]]'s value sums: 2²⁰ (a binary scale,
+    * so `value · 2²⁰` is EXACT — no rounding happens before the one floor).
+    * Bound: |value| ≤ ~10³ and 2⁵² / 2²⁰ / 10³ ≈ 4·10⁶ rows per (day,
+    * type) group before the int64 sum nears the double-exact range; at
+    * 100 TB-per-day group sizes, widen to int128 partials or shard the
+    * group — the SHAPE (monoid partials) is the point here. */
+  private[queries] val IncrAggScale = 1L << 20
+
+  /** Late-batch slice predicate for [[incrAgg]]: event_id % 10 ≥ 8 — a 20%
+    * slice ORTHOGONAL to the (day, type) group keys, so merging genuinely
+    * combines partials from both sides of every group (a date-based split
+    * would make the merge a disjoint union and prove nothing). */
+  private def incrAggIsBatch(c: Column): Column = pmod(c, lit(10L)) >= 8
+
+  /** `(day, event_type) → (n_events, sum_value_fp, max_value_fp)` monoid
+    * partials of one events slice — [[incrAgg]]'s stored-state shape. */
+  private def incrAggPartials(events: DataFrame): DataFrame =
+    events
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        floor(col("value") * lit(IncrAggScale.toDouble) + 0.5).cast("long").as("vfp"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vfp")).as("sum_value_fp"),
+        max(col("vfp")).as("max_value_fp"))
+
+  /** Incremental aggregate maintenance — the primitive that lets a daily
+    * 100 TB pipeline keep dashboards current without re-reading history:
+    * aggregates are stored as COMMUTATIVE-MONOID PARTIALS (count, int64
+    * fixed-point sum, max), a new batch is aggregated alone, and the two
+    * partial frames merge by field-wise ⊕ (sum, sum, max) — by the monoid
+    * laws the result is BYTE-IDENTICAL to a full recompute, which is
+    * exactly what the DuckDB oracle states (a single-pass aggregate over
+    * everything; the gate proves merge ≡ recompute, and IncrAggSpec pins
+    * associativity on 3-way splits). Finalization (the mean) happens only
+    * at read time: one int→double divide of exact values.
+    *
+    * Here the "standing state" is the 80% event slice and the "late batch"
+    * the orthogonal 20% ([[incrAggIsBatch]]); in production the state is a
+    * stored table and only the batch pass scans new data — merge cost is
+    * |groups|, not |rows|. Sums are exact integers ([[IncrAggScale]]), so
+    * partials are partition-, order-, and merge-tree-invariant: any
+    * executor topology produces the same bytes.
+    *
+    * At scale: two map-side-combined aggregates (state once, then per
+    * batch) + a |groups|-row merge; no raw row survives into state. */
+  def incrAgg(spark: SparkSession, dir: String): DataFrame = {
+    val events = table(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val state = incrAggPartials(events.filter(!incrAggIsBatch(col("event_id"))))
+    val batch = incrAggPartials(events.filter(incrAggIsBatch(col("event_id"))))
+    state.unionByName(batch)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_value_fp")).as("sum_value_fp"),
+        max(col("max_value_fp")).as("max_value_fp"))
+      .withColumn("avg_value", col("sum_value_fp").cast("double")
+        / (col("n_events") * lit(IncrAggScale)).cast("double"))
+      .orderBy("day", "event_type")
+  }
+
+  // ---- e_skew_audit -------------------------------------------------------
+
+  /** Nominal parallelism the salt recommendation targets: a key whose
+    * count exceeds rows/[[SkewTargetPartitions]] (one partition's fair
+    * share) gets salt factor ⌈max_cnt · P / rows⌉ — enough sub-keys that
+    * the heaviest key's shards each hold ≤ a fair share. Matches the
+    * session's shuffle-partition setting. */
+  private[queries] val SkewTargetPartitions = 32L
+
+  /** Per-column key-skew audit over the events join keys — the diagnostic
+    * read BEFORE choosing a join strategy at 100 TB: for each candidate
+    * key column, the key count, heaviest key and its share, the max/mean
+    * ratio (the skew factor AQE's skew-join threshold reasons about), and
+    * the integer salt factor [[graft.operators.SaltedJoin]] would need to
+    * flatten the heaviest key to a fair partition share. `skew_ratio` ≈ 1
+    * means hash partitioning balances; ≫ 1 means the straggler task IS
+    * the job's wall clock and salting (or broadcast, if the other side is
+    * small) is mandatory.
+    *
+    * Determinism: counts are exact ints; the heaviest key ties break by
+    * LARGEST key string (max(struct) — both engines compare (count, key)
+    * structs lexicographically); the two ratios are single divides of
+    * exact int64s.
+    *
+    * At scale: one map-side-combined count per audited column (the
+    * |distinct keys| shuffle a groupBy costs anyway), then a 1-row
+    * reduction per column — the audit is metadata-priced, which is why it
+    * can run on every daily partition before the real join. */
+  def skewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val events = table(spark, dir, "events")
+    def audit(keyCol: String): DataFrame =
+      events.select(col(keyCol).cast("string").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"),
+          max(struct(col("cnt"), col("k"))).as("m"))
+        .select(lit(keyCol).as("key_col"), col("n_rows"), col("n_keys"), col("max_cnt"),
+          col("m.k").as("max_key"),
+          (col("n_rows").cast("double") / col("n_keys").cast("double")).as("avg_cnt"),
+          (col("max_cnt").cast("double") / col("n_rows").cast("double")).as("max_share"),
+          ((col("max_cnt") * col("n_keys")).cast("double")
+            / col("n_rows").cast("double")).as("skew_ratio"),
+          // ceil-div in INTEGER arithmetic (Spark `div` ≡ DuckDB `//` on
+          // non-negatives) — a double divide + cast would diverge
+          // cross-engine (DuckDB's CAST rounds, Spark's truncates)
+          expr(s"(max_cnt * $SkewTargetPartitions + n_rows - 1) div n_rows")
+            .as("rec_salt"))
+    audit("user_id").unionByName(audit("event_type")).orderBy("key_col")
+  }
+
+  // ---- e_compaction_plan --------------------------------------------------
+
+  /** Documents per synthetic input file for [[compactionPlan]]'s inventory
+    * (the fixture stand-in for a writer that emitted many small files). */
+  private[queries] val CompactionFileDocs = 8L
+
+  /** Target output-file size in bytes ([[compactionPlan]]); bins roll over
+    * once their START offset crosses a multiple of this. */
+  private[queries] val CompactionTargetBytes = 4096L
+
+  /** Small-file compaction planning — the lakehouse OPTIMIZE step that
+    * keeps a 100 TB table scannable: writers leave many small files per
+    * partition (here: one per [[CompactionFileDocs]] doc ids, sized by
+    * `n_chars`), and the planner assigns each to an output bin by GREEDY
+    * CUMULATIVE ROLLOVER — walk files in key order, start a new bin when
+    * the running byte offset crosses a [[CompactionTargetBytes]] multiple
+    * (bin = offset_before ÷ target, an integer divide). Every bin lands
+    * within [target − max_file, target + max_file] of the target except
+    * the partition's last — the bound CompactionPlanSpec pins. Emitted is
+    * the PLAN (one row per output bin: file range, file/doc/byte counts),
+    * which is what an execution engine then feeds to per-bin rewrite
+    * tasks.
+    *
+    * Determinism: all-integer (counts, sums, the `div`); the per-source
+    * running offset is a frames-based window sum of int64s.
+    *
+    * At scale: planning touches ONLY file-level stats (|files| rows — at
+    * 100 TB, metadata scale), partitioned by the table partition key, so
+    * the window never concentrates the table on one node; the data itself
+    * is read only by the rewrite tasks the plan fans out. */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val files = table(spark, dir, "documents")
+      .select(col("source"), expr(s"doc_id div $CompactionFileDocs").as("file_id"),
+        col("n_chars"))
+      .groupBy(col("source"), col("file_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+    val w = Window.partitionBy(col("source")).orderBy(col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $CompactionTargetBytes"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), min(col("file_id")).as("first_file"),
+        max(col("file_id")).as("last_file"), sum(col("n_docs")).as("n_docs"),
+        sum(col("bytes")).as("bin_bytes"))
+      .orderBy("source", "bin")
   }
 }

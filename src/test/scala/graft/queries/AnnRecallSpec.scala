@@ -21,7 +21,9 @@ class AnnRecallSpec extends AnyFunSuite {
       "n_beam" -> pairs(ExtQueries.cosineTopkBeam(spark, dir)),
       "n_ivf_t" -> pairs(ExtQueries.cosineTopkIvfTrained(spark, dir)),
       "n_pq_t" -> pairs(ExtQueries.cosineTopkPqTrained(spark, dir)),
-      "n_ivfpq" -> pairs(ExtQueries.cosineTopkIvfPq(spark, dir)))
+      "n_ivfpq" -> pairs(ExtQueries.cosineTopkIvfPq(spark, dir)),
+      "n_sq" -> pairs(ExtQueries.sqTopk(spark, dir)),
+      "n_sqr" -> pairs(ExtQueries.sqRerank(spark, dir)))
     val got = ExtQueries.annRecall(spark, dir).collect()
     spark.catalog.clearCache() // the family pipelines persist intermediates
     assert(got.length == 8)
