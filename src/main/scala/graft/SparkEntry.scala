@@ -70,6 +70,7 @@ object SparkEntry {
     "e_cross_dedup"       -> (ExtQueries.crossDedup _),
     "e_simhash_dedup"     -> (ExtQueries.simhashDedup _),
     "e_media_dedup"       -> (ExtQueries.mediaDedup _),
+    "e_frame_dedup"       -> (ExtQueries.frameDedup _),
     "e_ngram_jaccard"     -> (ExtQueries.ngramJaccard _),
     "e_jaccard_prefix"    -> (ExtQueries.jaccardPrefix _),
     "e_edit_join"         -> (ExtQueries.editJoin _),

@@ -792,6 +792,42 @@ object ExtOracles {
 
     "e_sq_rerank" -> sqRerankSql,
 
+    // frame-sequence near-dup: fixed-width code-point frame grid → 2¹⁶
+    // frame hashes → adjacent-pair shingles → df-capped rare-postings
+    // candidates → exact-Jaccard verify (the verifiedJaccardPairs tail's
+    // SQL twin — 2·|∩| ≥ |∪| integer-side)
+    "e_frame_dedup" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + ${ExtQueries.VariantIdOffset} AS doc_id,
+        |    substr(text, ${ExtQueries.FrameWindowChars + 1}) AS text FROM documents),
+        |fr AS (SELECT doc_id, text,
+        |    length(text) // ${ExtQueries.FrameWindowChars} AS nf FROM u),
+        |fh AS (SELECT doc_id, nf, list_transform(range(0, nf), f ->
+        |    CAST('0x'||substr(md5('fv:'||substr(text,
+        |      CAST(f * ${ExtQueries.FrameWindowChars} + 1 AS INT),
+        |      ${ExtQueries.FrameWindowChars})),1,15) AS BIGINT)
+        |      % ${ExtQueries.FrameHashMod}) AS fhs
+        |  FROM fr),
+        |ss AS (SELECT doc_id, list_distinct(list_transform(range(0, nf - 1), f ->
+        |    CAST('0x'||substr(md5('fs:'||CAST(fhs[f+1] AS VARCHAR)||':'
+        |      ||CAST(fhs[f+2] AS VARCHAR)),1,15) AS BIGINT) % $P)) AS ds
+        |  FROM fh),
+        |post AS (SELECT doc_id, unnest(ds) AS h FROM ss),
+        |hot AS (SELECT h FROM post GROUP BY h
+        |  HAVING count(*) > ${ExtQueries.DedupEvalDfCap}),
+        |rare AS (SELECT doc_id, h FROM post ANTI JOIN hot USING (h)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM rare x JOIN rare y ON x.h = y.h AND x.doc_id < y.doc_id),
+        |v AS (SELECT c.doc_a, c.doc_b,
+        |    len(list_intersect(a.ds, b.ds)) AS n_inter,
+        |    len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds)) AS n_union
+        |  FROM cand c JOIN ss a ON a.doc_id = c.doc_a
+        |  JOIN ss b ON b.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, n_inter, n_union FROM v
+        |WHERE 2 * n_inter >= n_union
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // e_incr_agg's oracle IS the semantic spec: a single-pass full
     // recompute — the monoid-merge execution on the Spark side must land
     // on these exact bytes (int64 fixed-point sums; value·2²⁰ is exact,

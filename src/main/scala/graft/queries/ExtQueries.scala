@@ -7539,6 +7539,78 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  // ---- e_frame_dedup ------------------------------------------------------
+
+  /** Code points per frame window in [[frameDedup]]'s payload grid. FIXED
+    * width (unlike [[phashSignatures]]' proportional 64-cell grid) is the
+    * load-bearing choice: clipping a PREFIX of whole frames shifts the
+    * frame sequence without moving any surviving window's boundaries, so
+    * temporal clips keep their frame hashes — a proportional grid would
+    * re-cut every cell. */
+  private[queries] val FrameWindowChars = 12L
+
+  /** Per-frame perceptual-hash space (2¹⁶ buckets) — coarse on purpose:
+    * the frame hash stands in for an aHash of the decoded frame, and the
+    * SEQUENCE structure (shingles of adjacent frames), not single-frame
+    * identity, is what the operator matches on. */
+  private[queries] val FrameHashMod = 65536L
+
+  /** Temporal near-duplicate detection over frame SEQUENCES — the video
+    * sibling of [[mediaDedup]] (which matches whole-payload signatures and
+    * is blind to clips): each payload becomes its ordered list of
+    * [[FrameWindowChars]]-wide frame hashes, adjacent-frame PAIRS are
+    * shingled (the video-copy-detection device: a shingle survives iff two
+    * consecutive frames both survive, so shared sub-sequences — re-uploads,
+    * clips, intro-stripped copies — light up while bag-of-frames
+    * coincidences don't), and pairs sharing a rare shingle are verified at
+    * shingle-set Jaccard ≥ ½ via the SAME integer-side tail as the text
+    * family ([[verifiedJaccardPairs]] — one verification criterion across
+    * every dedup operator). The clip fixture: every document re-appears
+    * with its first frame removed (a whole-window prefix clip), and the
+    * spec pins that the banded join detects the clip pairs brute-force
+    * truth contains. Code-point grid stand-in per [[phashSignatures]]'
+    * note; a real decoder swaps the window source, not the pipeline.
+    *
+    * At scale: frame hashes and shingles are computed scan-side (the
+    * payload never shuffles — only (doc_id, shingle) postings move);
+    * candidates come from a document-frequency-capped postings join
+    * ([[rareShinglePostings]] — Σ df² bounded by the cap, never
+    * all-pairs); verification joins only candidate ids back to sets. */
+  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val clipped = docs.select(
+      (col("doc_id") + lit(VariantIdOffset)).as("doc_id"),
+      expr(s"substring(text, ${FrameWindowChars + 1})").as("text"))
+    val w = FrameWindowChars
+    val sigs = docs.unionByName(clipped)
+      .withColumn("nf", expr(s"length(text) div $w"))
+      // guards: Spark sequence(a, b) DESCENDS when b < a (DuckDB range is
+      // end-exclusive-empty), so degenerate payloads (< 1 frame / < 2
+      // frames) must short-circuit to empty arrays explicitly
+      .withColumn("fh", when(col("nf") >= 1,
+        transform(sequence(lit(0L), col("nf") - 1), f =>
+          pmod(hash64(concat(lit("fv:"),
+            col("text").substr((f * lit(w) + lit(1L)).cast("int"), lit(w.toInt)))),
+            lit(FrameHashMod))))
+        .otherwise(array().cast("array<long>")))
+      .withColumn("ds", array_distinct(when(col("nf") >= 2,
+        transform(sequence(lit(0L), col("nf") - 2), f =>
+          pmod(hash64(concat(lit("fs:"),
+            element_at(col("fh"), (f + 1).cast("int")).cast("string"), lit(":"),
+            element_at(col("fh"), (f + 2).cast("int")).cast("string"))),
+            lit(graft.functions.GraftFunctions.IntModulus))))
+        .otherwise(array().cast("array<long>"))))
+      .select(col("doc_id"), col("ds"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = rareShinglePostings(sigs)
+    val cand = rare.as("x")
+      .join(rare.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifiedJaccardPairs(cand, sigs).orderBy("doc_a", "doc_b")
+  }
+
   // ---- e_incr_agg ---------------------------------------------------------
 
   /** Fixed-point scale for [[incrAgg]]'s value sums: 2²⁰ (a binary scale,
