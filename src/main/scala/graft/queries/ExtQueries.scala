@@ -664,13 +664,18 @@ object ExtQueries {
     * payload itself never moves. Hamming-filter-before-distinct keeps the
     * dedup shuffle at |near-dups|, not |candidates|. */
   def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val reencoded = docs.select(
-      (col("doc_id") + lit(VariantIdOffset)).as("doc_id"),
-      concat(col("text").substr(lit(1),
-          greatest(length(col("text")) - lit(PhashEditChars), lit(0))),
-        lit("z" * PhashEditChars)).as("text"))
-    val sigs = phashSignatures(docs.unionByName(reencoded))
+    // the docsWithVariants generator device — ONE documents scan yields
+    // both the original and its tail-corrupted re-encode (vs a
+    // self-union's two scans of the payload column)
+    val uni = table(spark, dir, "documents")
+      .select(explode(array(
+        struct(col("doc_id"), col("text")),
+        struct((col("doc_id") + lit(VariantIdOffset)).as("doc_id"),
+          concat(col("text").substr(lit(1),
+              greatest(length(col("text")) - lit(PhashEditChars), lit(0))),
+            lit("z" * PhashEditChars)).as("text")))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    val sigs = phashSignatures(uni)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = phashBands(sigs)
     phashPairs(bands, bands, col("x.doc_id") < col("y.doc_id"))
@@ -7577,12 +7582,16 @@ object ExtQueries {
     * ([[rareShinglePostings]] — Σ df² bounded by the cap, never
     * all-pairs); verification joins only candidate ids back to sets. */
   def frameDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val clipped = docs.select(
-      (col("doc_id") + lit(VariantIdOffset)).as("doc_id"),
-      expr(s"substring(text, ${FrameWindowChars + 1})").as("text"))
+    // the docsWithVariants generator device — ONE documents scan yields
+    // both the original and its one-frame clip (vs a self-union's two)
+    val uni = table(spark, dir, "documents")
+      .select(explode(array(
+        struct(col("doc_id"), col("text")),
+        struct((col("doc_id") + lit(VariantIdOffset)).as("doc_id"),
+          expr(s"substring(text, ${FrameWindowChars + 1})").as("text")))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
     val w = FrameWindowChars
-    val sigs = docs.unionByName(clipped)
+    val sigs = uni
       .withColumn("nf", expr(s"length(text) div $w"))
       // guards: Spark sequence(a, b) DESCENDS when b < a (DuckDB range is
       // end-exclusive-empty), so degenerate payloads (< 1 frame / < 2
