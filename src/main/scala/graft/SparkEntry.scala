@@ -71,6 +71,8 @@ object SparkEntry {
     "e_simhash_dedup"     -> (ExtQueries.simhashDedup _),
     "e_media_dedup"       -> (ExtQueries.mediaDedup _),
     "e_frame_dedup"       -> (ExtQueries.frameDedup _),
+    "e_frame_align"       -> (ExtQueries.frameAlign _),
+    "e_recall_at_k"       -> (ExtQueries.recallAtK _),
     "e_ngram_jaccard"     -> (ExtQueries.ngramJaccard _),
     "e_jaccard_prefix"    -> (ExtQueries.jaccardPrefix _),
     "e_edit_join"         -> (ExtQueries.editJoin _),
@@ -241,7 +243,11 @@ object SparkEntry {
     // e_sq_rerank re-runs the e_sq_topk scoring body (at shortlist depth R)
     // as its coarse stage before the exact refine — same attribution rule
     // as ivf_trained/pq_trained
-    "e_sq_rerank")
+    "e_sq_rerank",
+    // e_frame_align localizes the pairs e_frame_dedup detects (re-runs the
+    // detector as its pair source); e_recall_at_k composes three graded
+    // rank lists (the e_ann_recall rule)
+    "e_frame_align", "e_recall_at_k")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

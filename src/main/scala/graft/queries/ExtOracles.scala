@@ -475,6 +475,51 @@ object ExtOracles {
       |  FROM rescored) WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
+  // ---- frame family: shared grid CTE text ----------------------------------
+
+  /** `u` → `fr` → `fh` — the clip-augmented media universe and its ordered
+    * frame-hash sequences, the SQL twin of `ExtQueries.frameUniverse` +
+    * `frameHashSeqs` (fixed-width code-point windows, 2¹⁶ hash space).
+    * Shared by `e_frame_dedup` (shingles) and `e_frame_align` (positions)
+    * so detector and localizer derive one grid. */
+  private lazy val frameCtes: String =
+    s"""u AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + ${ExtQueries.VariantIdOffset} AS doc_id,
+      |    substr(text, ${ExtQueries.FrameWindowChars + 1}) AS text FROM documents),
+      |fr AS (SELECT doc_id, text,
+      |    length(text) // ${ExtQueries.FrameWindowChars} AS nf FROM u),
+      |fh AS (SELECT doc_id, nf, list_transform(range(0, nf), f ->
+      |    CAST('0x'||substr(md5('fv:'||substr(text,
+      |      CAST(f * ${ExtQueries.FrameWindowChars} + 1 AS INT),
+      |      ${ExtQueries.FrameWindowChars})),1,15) AS BIGINT)
+      |      % ${ExtQueries.FrameHashMod}) AS fhs
+      |  FROM fr)""".stripMargin
+
+  /** `e_frame_dedup` — adjacent-pair shingles over the frame grid,
+    * df-capped rare-postings candidates, exact-Jaccard verify (the
+    * verifiedJaccardPairs tail's SQL twin, 2·|∩| ≥ |∪| integer-side). */
+  private lazy val frameDedupSql: String =
+    s"""WITH $frameCtes,
+      |ss AS (SELECT doc_id, list_distinct(list_transform(range(0, nf - 1), f ->
+      |    CAST('0x'||substr(md5('fs:'||CAST(fhs[f+1] AS VARCHAR)||':' ||
+      |      CAST(fhs[f+2] AS VARCHAR)),1,15) AS BIGINT) % $P)) AS ds
+      |  FROM fh),
+      |post AS (SELECT doc_id, unnest(ds) AS h FROM ss),
+      |hot AS (SELECT h FROM post GROUP BY h
+      |  HAVING count(*) > ${ExtQueries.DedupEvalDfCap}),
+      |rare AS (SELECT doc_id, h FROM post ANTI JOIN hot USING (h)),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM rare x JOIN rare y ON x.h = y.h AND x.doc_id < y.doc_id),
+      |v AS (SELECT c.doc_a, c.doc_b,
+      |    len(list_intersect(a.ds, b.ds)) AS n_inter,
+      |    len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds)) AS n_union
+      |  FROM cand c JOIN ss a ON a.doc_id = c.doc_a
+      |  JOIN ss b ON b.doc_id = c.doc_b)
+      |SELECT doc_a, doc_b, n_inter, n_union FROM v
+      |WHERE 2 * n_inter >= n_union
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- PQ family: shared codebook / serve CTE text -------------------------
 
   /** DuckDB list-slice of an embedding into subspace `sub`'s subvector. */
@@ -796,37 +841,41 @@ object ExtOracles {
     // frame hashes → adjacent-pair shingles → df-capped rare-postings
     // candidates → exact-Jaccard verify (the verifiedJaccardPairs tail's
     // SQL twin — 2·|∩| ≥ |∪| integer-side)
-    "e_frame_dedup" ->
-      s"""WITH u AS (SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + ${ExtQueries.VariantIdOffset} AS doc_id,
-        |    substr(text, ${ExtQueries.FrameWindowChars + 1}) AS text FROM documents),
-        |fr AS (SELECT doc_id, text,
-        |    length(text) // ${ExtQueries.FrameWindowChars} AS nf FROM u),
-        |fh AS (SELECT doc_id, nf, list_transform(range(0, nf), f ->
-        |    CAST('0x'||substr(md5('fv:'||substr(text,
-        |      CAST(f * ${ExtQueries.FrameWindowChars} + 1 AS INT),
-        |      ${ExtQueries.FrameWindowChars})),1,15) AS BIGINT)
-        |      % ${ExtQueries.FrameHashMod}) AS fhs
-        |  FROM fr),
-        |ss AS (SELECT doc_id, list_distinct(list_transform(range(0, nf - 1), f ->
-        |    CAST('0x'||substr(md5('fs:'||CAST(fhs[f+1] AS VARCHAR)||':'
-        |      ||CAST(fhs[f+2] AS VARCHAR)),1,15) AS BIGINT) % $P)) AS ds
-        |  FROM fh),
-        |post AS (SELECT doc_id, unnest(ds) AS h FROM ss),
-        |hot AS (SELECT h FROM post GROUP BY h
-        |  HAVING count(*) > ${ExtQueries.DedupEvalDfCap}),
-        |rare AS (SELECT doc_id, h FROM post ANTI JOIN hot USING (h)),
-        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM rare x JOIN rare y ON x.h = y.h AND x.doc_id < y.doc_id),
-        |v AS (SELECT c.doc_a, c.doc_b,
-        |    len(list_intersect(a.ds, b.ds)) AS n_inter,
-        |    len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds)) AS n_union
-        |  FROM cand c JOIN ss a ON a.doc_id = c.doc_a
-        |  JOIN ss b ON b.doc_id = c.doc_b)
-        |SELECT doc_a, doc_b, n_inter, n_union FROM v
-        |WHERE 2 * n_inter >= n_union
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "e_frame_dedup" -> frameDedupSql,
+
+    // temporal alignment for the detected pairs: equal frame hashes vote
+    // on their position delta, modal delta wins (votes DESC, delta ASC —
+    // the mode family's tie-break). Composes the graded e_frame_dedup SQL
+    // as the pair source; every multi-referenced CTE MATERIALIZED.
+    "e_frame_align" ->
+      s"""WITH $frameCtes,
+        |fd AS MATERIALIZED (SELECT doc_a, doc_b FROM ($frameDedupSql) z),
+        |docs_in AS MATERIALIZED (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_a AS doc_id FROM fd
+        |  UNION ALL SELECT doc_b AS doc_id FROM fd) t),
+        |pos AS MATERIALIZED (SELECT fh.doc_id, s.p AS pos, fh.fhs[s.p+1] AS v
+        |  FROM fh SEMI JOIN docs_in USING (doc_id),
+        |    LATERAL (SELECT unnest(range(0, fh.nf)) AS p) s),
+        |votes AS MATERIALIZED (SELECT fd.doc_a, fd.doc_b,
+        |    a.pos - b.pos AS delta, CAST(count(*) AS BIGINT) AS n
+        |  FROM fd
+        |  JOIN pos a ON a.doc_id = fd.doc_a
+        |  JOIN pos b ON b.doc_id = fd.doc_b AND b.v = a.v
+        |  GROUP BY 1, 2, 3),
+        |best AS (SELECT doc_a, doc_b, delta AS "offset", n AS n_matches FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_a, doc_b
+        |      ORDER BY n DESC, delta ASC) AS rk FROM votes) WHERE rk = 1),
+        |tot AS (SELECT doc_a, doc_b, CAST(sum(n) AS BIGINT) AS n_total_matches
+        |  FROM votes GROUP BY 1, 2),
+        |lens AS MATERIALIZED (SELECT doc_id, CAST(nf AS BIGINT) AS nf FROM fr)
+        |SELECT b.doc_a, b.doc_b, b."offset", b.n_matches, t.n_total_matches,
+        |  la.nf AS nf_a, lb.nf AS nf_b
+        |FROM best b
+        |JOIN tot t ON t.doc_a = b.doc_a AND t.doc_b = b.doc_b
+        |JOIN lens la ON la.doc_id = b.doc_a
+        |JOIN lens lb ON lb.doc_id = b.doc_b
+        |ORDER BY b.doc_a, b.doc_b""".stripMargin,
+
 
     // e_incr_agg's oracle IS the semantic spec: a single-pass full
     // recompute — the monoid-merge execution on the Spark side must land
@@ -3676,7 +3725,36 @@ object ExtOracles {
       |FROM truth t LEFT JOIN g ON t.qid = g.qid AND t.cid = g.cid
       |GROUP BY t.qid ORDER BY t.qid""".stripMargin
 
+  /** `e_recall_at_k` — rank-sensitive recall at each depth. COMPOSES the
+    * exact baseline and the two graded compressed families' own SQL texts
+    * (the `e_ann_recall` device), MATERIALIZED because each rank list is
+    * referenced once per depth — plain CTEs would re-evaluate the whole
+    * serve per k (the round-11 DuckDB-inlining lesson). */
+  private lazy val recallAtKSql: String = {
+    def row(tag: String, cte: String, k: Int): String =
+      s"""SELECT '$tag' AS family, $k AS k,
+        |  CAST(count(*) AS BIGINT) AS n_truth,
+        |  CAST(count(h.cid) AS BIGINT) AS n_hit,
+        |  CAST(count(h.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+        |FROM (SELECT qid, cid FROM ex WHERE rank <= $k) t
+        |LEFT JOIN (SELECT qid, cid FROM $cte WHERE rank <= $k) h
+        |  ON t.qid = h.qid AND t.cid = h.cid""".stripMargin
+    val rows = for {
+      (tag, cte) <- Seq("ivfpq" -> "ivfpq", "sq" -> "sq")
+      k <- ExtQueries.RecallKs
+    } yield row(tag, cte, k)
+    s"""WITH ex AS MATERIALIZED (
+      |  SELECT qid, cid, rank FROM (${baseSql("e_cosine_topk")}) e),
+      |ivfpq AS MATERIALIZED (
+      |  SELECT qid, cid, rank FROM (${baseSql("e_cosine_topk_ivfpq")}) p),
+      |sq AS MATERIALIZED (
+      |  SELECT qid, cid, rank FROM (${baseSql("e_sq_topk")}) q)
+      |${rows.mkString("\nUNION ALL\n")}
+      |ORDER BY family, k""".stripMargin
+  }
+
   val sql: Map[String, String] = baseSql +
+    ("e_recall_at_k" -> recallAtKSql) +
     ("e_graph_recall" -> graphRecallSql) +
     ("e_token_budget" -> tokenBudgetSql) +
     ("e_modularity" -> modularitySql) +

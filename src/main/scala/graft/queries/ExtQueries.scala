@@ -310,6 +310,51 @@ object ExtQueries {
       .orderBy("qid")
   }
 
+  // ---- e_recall_at_k ------------------------------------------------------
+
+  /** The rank depths [[recallAtK]] grades at — the operating points a
+    * serving team actually quotes (recall@1 is "did the top answer
+    * survive compression", recall@10 is the re-rank feeding depth). */
+  private[queries] val RecallKs = Seq(1, 5, 10)
+
+  /** Rank-sensitive recall curve — [[annRecall]] collapses each family to
+    * one number at k = 10, which hides the failure mode quantization
+    * actually has: small score perturbations reorder NEIGHBORING ranks, so
+    * recall@1 degrades before recall@10 does. This harness grades two
+    * representative compressed families (the scalar [[sqTopk]] and the
+    * composite [[cosineTopkIvfPq]]) at each depth in [[RecallKs]] against
+    * the exact baseline truncated to the same depth. One (family, k) row
+    * each: truth size (|queries|·k), hits, recall.
+    *
+    * Determinism: pure set intersections of pinned rank lists — counts
+    * and one divide. The oracle composes the three graded SQL texts
+    * (MATERIALIZED — each is referenced once per depth).
+    *
+    * At scale: joins |queries|·k-row frames; each family's own scale story
+    * lives in its operator (the [[annRecall]] argument). Composes graded
+    * operators — a harness key. */
+  def recallAtK(spark: SparkSession, dir: String): DataFrame = {
+    val ex = cosineTopk(spark, dir).select(col("qid"), col("cid"), col("rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fams = Seq(
+      "ivfpq" -> cosineTopkIvfPq(spark, dir).select(col("qid"), col("cid"), col("rank"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      "sq" -> sqTopk(spark, dir).select(col("qid"), col("cid"), col("rank"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val rows = for ((tag, fam) <- fams; k <- RecallKs) yield {
+      val t = ex.filter(col("rank") <= k).select(col("qid"), col("cid"))
+      val a = fam.filter(col("rank") <= k)
+        .select(col("qid"), col("cid"), lit(1L).as("hit"))
+      t.join(a, Seq("qid", "cid"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
+        .select(lit(tag).as("family"), lit(k).as("k"),
+          col("n_truth"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_truth").cast("double"))
+            .as("recall"))
+    }
+    rows.reduce(_ unionByName _).orderBy("family", "k")
+  }
+
   // ---- e_minhash_dedup ----------------------------------------------------
 
   /** Universal-hash family constants for MinHash: h_i(x) = (A(i)·x + B(i))
@@ -7581,35 +7626,52 @@ object ExtQueries {
     * candidates come from a document-frequency-capped postings join
     * ([[rareShinglePostings]] — Σ df² bounded by the cap, never
     * all-pairs); verification joins only candidate ids back to sets. */
-  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
-    // the docsWithVariants generator device — ONE documents scan yields
-    // both the original and its one-frame clip (vs a self-union's two)
-    val uni = table(spark, dir, "documents")
+  /** The media universe for the frame family: every payload plus its
+    * one-frame prefix clip — the docsWithVariants generator device (ONE
+    * documents scan yields both rows). Shared by [[frameDedup]] and
+    * [[frameAlign]] so detector and localizer see one universe. */
+  private[queries] def frameUniverse(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
       .select(explode(array(
         struct(col("doc_id"), col("text")),
         struct((col("doc_id") + lit(VariantIdOffset)).as("doc_id"),
           expr(s"substring(text, ${FrameWindowChars + 1})").as("text")))).as("r"))
       .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+
+  /** `(doc_id, fh)` — the ordered frame-hash sequence of each payload (the
+    * [[FrameWindowChars]]-wide code-point grid). ONE derivation for the
+    * dedup shingles and the alignment positions. */
+  private[queries] def frameHashSeqs(docs: DataFrame): DataFrame = {
     val w = FrameWindowChars
-    val sigs = uni
+    docs
       .withColumn("nf", expr(s"length(text) div $w"))
-      // guards: Spark sequence(a, b) DESCENDS when b < a (DuckDB range is
-      // end-exclusive-empty), so degenerate payloads (< 1 frame / < 2
-      // frames) must short-circuit to empty arrays explicitly
+      // guard: Spark sequence(a, b) DESCENDS when b < a (DuckDB range is
+      // end-exclusive-empty), so degenerate payloads (< 1 frame) must
+      // short-circuit to an empty array explicitly
       .withColumn("fh", when(col("nf") >= 1,
         transform(sequence(lit(0L), col("nf") - 1), f =>
           pmod(hash64(concat(lit("fv:"),
             col("text").substr((f * lit(w) + lit(1L)).cast("int"), lit(w.toInt)))),
             lit(FrameHashMod))))
         .otherwise(array().cast("array<long>")))
-      .withColumn("ds", array_distinct(when(col("nf") >= 2,
-        transform(sequence(lit(0L), col("nf") - 2), f =>
+      .select(col("doc_id"), col("fh"))
+  }
+
+  /** `(doc_id, ds)` — distinct adjacent-frame-pair shingle sets (< 2
+    * frames ⇒ empty set, same guard rationale as [[frameHashSeqs]]). */
+  private def frameShingleSets(docs: DataFrame): DataFrame =
+    frameHashSeqs(docs)
+      .withColumn("ds", array_distinct(when(size(col("fh")) >= 2,
+        transform(sequence(lit(0L), size(col("fh")).cast("long") - 2), f =>
           pmod(hash64(concat(lit("fs:"),
             element_at(col("fh"), (f + 1).cast("int")).cast("string"), lit(":"),
             element_at(col("fh"), (f + 2).cast("int")).cast("string"))),
             lit(graft.functions.GraftFunctions.IntModulus))))
         .otherwise(array().cast("array<long>"))))
       .select(col("doc_id"), col("ds"))
+
+  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = frameShingleSets(frameUniverse(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = rareShinglePostings(sigs)
     val cand = rare.as("x")
@@ -7618,6 +7680,62 @@ object ExtQueries {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifiedJaccardPairs(cand, sigs).orderBy("doc_a", "doc_b")
+  }
+
+  // ---- e_frame_align ------------------------------------------------------
+
+  /** Temporal ALIGNMENT localization for the pairs [[frameDedup]] detects —
+    * the step after detection in a video-dup pipeline: knowing THAT two
+    * payloads overlap is not enough to dedup them (which frames are the
+    * shared footage? where does the clip start?); this operator estimates
+    * the frame offset by voting — every pair of equal frame hashes across
+    * the two sequences votes for its position delta, and the modal delta
+    * (most votes; ties to the smallest delta) is the alignment, emitted
+    * with its vote count and both sequence lengths so a consumer can judge
+    * coverage (n_matches ≈ min(nf) means a full-overlap clip; ≪ means a
+    * short shared segment). The clip fixture's truth is offset = +1
+    * (original leads its one-frame clip by exactly one frame), which the
+    * spec pins for every detected clip pair.
+    *
+    * Determinism: votes are exact counts; the modal pick is
+    * min(struct(−votes, delta)) — the pinned (votes DESC, delta ASC) total
+    * order, the same tie-break device as the mode family.
+    *
+    *  At scale: the vote join runs ONLY over detected pairs (|pairs| ≪
+    * corpus², and the equi-join key is (pair, frame hash), so votes per
+    * pair are Σ per-hash match products, not nf² — near-unique real frame
+    * hashes make that ≈ |shared frames|); positions explode only for docs
+    * that appear in some pair (a semi-join cut). Composes [[frameDedup]]
+    * — a harness key by the attribution rule. */
+  def frameAlign(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = frameDedup(spark, dir).select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seqs = frameHashSeqs(frameUniverse(spark, dir))
+    val docsInPairs = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val pos = seqs.join(docsInPairs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(col("fh")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lens = pos.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val votes = pairs
+      .join(pos.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+        col("v")), Seq("doc_a"))
+      .join(pos.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+        col("v")), Seq("doc_b", "v"))
+      .groupBy(col("doc_a"), col("doc_b"), (col("pa") - col("pb")).as("delta"))
+      .agg(count(lit(1)).as("n"))
+    votes
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(struct((-col("n")).as("nn"), col("delta"))).as("m"),
+        sum(col("n")).as("n_total_matches"))
+      .select(col("doc_a"), col("doc_b"), col("m.delta").as("offset"),
+        (-col("m.nn")).as("n_matches"), col("n_total_matches"))
+      .join(lens.select(col("doc_id").as("doc_a"), col("nf").as("nf_a")), Seq("doc_a"))
+      .join(lens.select(col("doc_id").as("doc_b"), col("nf").as("nf_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("offset"), col("n_matches"),
+        col("n_total_matches"), col("nf_a"), col("nf_b"))
+      .orderBy("doc_a", "doc_b")
   }
 
   // ---- e_incr_agg ---------------------------------------------------------
