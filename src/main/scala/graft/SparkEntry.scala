@@ -65,6 +65,7 @@ object SparkEntry {
     "e_multimodal_cols"   -> (ExtQueries.multimodalCols _),
     "e_cosine_topk"       -> (ExtQueries.cosineTopk _),
     "e_cosine_topk_agg"   -> (ExtQueries.cosineTopkAgg _),
+    "e_ann_filter"        -> (ExtQueries.annFilter _),
     "e_maxsim"            -> (ExtQueries.maxsimTopk _),
     "e_minhash_dedup"     -> (ExtQueries.minhashDedup _),
     "e_cross_dedup"       -> (ExtQueries.crossDedup _),
@@ -72,6 +73,7 @@ object SparkEntry {
     "e_media_dedup"       -> (ExtQueries.mediaDedup _),
     "e_frame_dedup"       -> (ExtQueries.frameDedup _),
     "e_frame_align"       -> (ExtQueries.frameAlign _),
+    "e_scene_cut"         -> (ExtQueries.sceneCut _),
     "e_recall_at_k"       -> (ExtQueries.recallAtK _),
     "e_ngram_jaccard"     -> (ExtQueries.ngramJaccard _),
     "e_jaccard_prefix"    -> (ExtQueries.jaccardPrefix _),
@@ -165,6 +167,8 @@ object SparkEntry {
     "e_dedup_eval"        -> (ExtQueries.dedupEval _),
     "e_reservoir"         -> (ExtQueries.reservoirSample _),
     "e_scd2"              -> (ExtQueries.scd2 _),
+    "e_merge_apply"       -> (ExtQueries.mergeApply _),
+    "e_dedup_lineage"     -> (ExtQueries.dedupLineage _),
     "e_rolling_agg"       -> (ExtQueries.rollingAgg _),
     "e_incr_agg"          -> (ExtQueries.incrAgg _),
     "e_skew_audit"        -> (ExtQueries.skewAudit _),
@@ -247,7 +251,12 @@ object SparkEntry {
     // e_frame_align localizes the pairs e_frame_dedup detects (re-runs the
     // detector as its pair source); e_recall_at_k composes three graded
     // rank lists (the e_ann_recall rule)
-    "e_frame_align", "e_recall_at_k")
+    "e_frame_align", "e_recall_at_k",
+    // e_ann_filter's post-filter baseline re-runs the e_cosine_topk_agg
+    // scoring body at shortlist depth R (the e_sq_rerank rule)
+    "e_ann_filter",
+    // e_dedup_lineage composes the three graded pair detectors
+    "e_dedup_lineage")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -482,11 +482,8 @@ object ExtOracles {
     * `frameHashSeqs` (fixed-width code-point windows, 2¹⁶ hash space).
     * Shared by `e_frame_dedup` (shingles) and `e_frame_align` (positions)
     * so detector and localizer derive one grid. */
-  private lazy val frameCtes: String =
-    s"""u AS (SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + ${ExtQueries.VariantIdOffset} AS doc_id,
-      |    substr(text, ${ExtQueries.FrameWindowChars + 1}) AS text FROM documents),
+  private def frameCtesOver(universe: String): String =
+    s"""u AS ($universe),
       |fr AS (SELECT doc_id, text,
       |    length(text) // ${ExtQueries.FrameWindowChars} AS nf FROM u),
       |fh AS (SELECT doc_id, nf, list_transform(range(0, nf), f ->
@@ -495,6 +492,18 @@ object ExtOracles {
       |      ${ExtQueries.FrameWindowChars})),1,15) AS BIGINT)
       |      % ${ExtQueries.FrameHashMod}) AS fhs
       |  FROM fr)""".stripMargin
+
+  private lazy val frameCtes: String = frameCtesOver(
+    s"""SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + ${ExtQueries.VariantIdOffset} AS doc_id,
+      |    substr(text, ${ExtQueries.FrameWindowChars + 1}) AS text FROM documents""".stripMargin)
+
+  /** The frame grid over the plain documents table (no clip variants) —
+    * [[frameCtes]]' universe is the dedup/alignment fixture; segmentation
+    * (`e_scene_cut`) runs on the corpus as ingested. */
+  private lazy val frameCtesPlain: String =
+    frameCtesOver("SELECT doc_id, text FROM documents")
 
   /** `e_frame_dedup` — adjacent-pair shingles over the frame grid,
     * df-capped rare-postings candidates, exact-Jaccard verify (the
@@ -833,6 +842,54 @@ object ExtOracles {
 
     "e_cosine_topk" -> cosineTopkSql,
 
+    // pre-filter truth vs post-filter-of-shortlist annotation — the same
+    // sequential-fold cosine contract as e_cosine_topk; the CASE lands 1
+    // exactly when the truth row is among the first k predicate-matching
+    // rows of the unfiltered top-R (fr computed over ALL matching
+    // shortlist rows, cut in the CASE — ≡ Spark's filter-then-left-join)
+    "e_ann_filter" ->
+      s"""WITH q AS MATERIALIZED (
+        |  SELECT vec_id AS qid, embedding AS qe,
+        |    (label + 1) % ${ExtQueries.AnnFilterLabels} AS tgt,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x)) AS nq
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS MATERIALIZED (
+        |  SELECT vec_id AS cid, embedding AS ce, label,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x)) AS nc
+        |  FROM embeddings),
+        |truth AS (
+        |  SELECT qid, cid, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rank
+        |  FROM (SELECT q.qid, c.cid,
+        |      list_reduce(list_transform(list_zip(q.qe, c.ce),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+        |        / (q.nq * c.nc) AS score
+        |    FROM q JOIN c ON c.label = q.tgt AND c.cid <> q.qid) s),
+        |shortlist AS MATERIALIZED (
+        |  SELECT qid, cid, rank AS srank FROM (
+        |    SELECT qid, cid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rank
+        |    FROM (SELECT q.qid, c.cid,
+        |        list_reduce(list_transform(list_zip(q.qe, c.ce),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+        |          / (q.nq * c.nc) AS score
+        |      FROM q JOIN c ON c.cid <> q.qid) s) r
+        |  WHERE rank <= ${ExtQueries.AnnFilterShortlistR}),
+        |postf AS (
+        |  SELECT s.qid, s.cid,
+        |    row_number() OVER (PARTITION BY s.qid ORDER BY s.srank ASC) AS fr
+        |  FROM shortlist s
+        |  JOIN c ON c.cid = s.cid JOIN q ON q.qid = s.qid
+        |  WHERE c.label = q.tgt)
+        |SELECT t.qid, t.rank, t.cid, t.score,
+        |  CAST(CASE WHEN p.fr <= ${ExtQueries.AnnFilterK} THEN 1 ELSE 0 END
+        |    AS BIGINT) AS in_postfilter
+        |FROM (SELECT * FROM truth WHERE rank <= ${ExtQueries.AnnFilterK}) t
+        |LEFT JOIN postf p ON p.qid = t.qid AND p.cid = t.cid
+        |ORDER BY t.qid, t.rank""".stripMargin,
+
     "e_sq_topk" -> sqTopkSql(10),
 
     "e_sq_rerank" -> sqRerankSql,
@@ -842,6 +899,59 @@ object ExtOracles {
     // candidates → exact-Jaccard verify (the verifiedJaccardPairs tail's
     // SQL twin — 2·|∩| ≥ |∪| integer-side)
     "e_frame_dedup" -> frameDedupSql,
+
+    // run-length segmentation of the plain-documents frame grid: quantized
+    // level per frame, cut on level change (lag), seg_id by running sum,
+    // keyframe = min packed (v·2³² + pos) — all-integer, same grid text as
+    // the dedup family via frameCtesPlain
+    "e_scene_cut" ->
+      s"""WITH $frameCtesPlain,
+        |pos AS (SELECT fh.doc_id, s.p AS pos, fh.fhs[s.p+1] AS v
+        |  FROM fh, LATERAL (SELECT unnest(range(0, fh.nf)) AS p) s),
+        |lvl AS (SELECT doc_id, pos, v,
+        |    v // ${ExtQueries.SceneLevelDiv} AS level FROM pos),
+        |cuts AS (SELECT doc_id, pos, v, level,
+        |    CASE WHEN lag(level) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |      OR lag(level) OVER (PARTITION BY doc_id ORDER BY pos) <> level
+        |      THEN 1 ELSE 0 END AS cut
+        |  FROM lvl),
+        |segs AS (SELECT doc_id, pos, v, level,
+        |    CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS seg_id
+        |  FROM cuts)
+        |SELECT doc_id, seg_id, min(pos) AS start_pos,
+        |  CAST(count(*) AS BIGINT) AS n_frames, min(level) AS level,
+        |  min(v * ${ExtQueries.SceneKeyBase} + pos) % ${ExtQueries.SceneKeyBase} AS key_pos,
+        |  min(v * ${ExtQueries.SceneKeyBase} + pos) // ${ExtQueries.SceneKeyBase} AS key_hash
+        |FROM segs GROUP BY doc_id, seg_id
+        |ORDER BY doc_id, seg_id""".stripMargin,
+
+    // CDC merge-apply: the COPY-ON-WRITE formulation (anti-join the
+    // delete/update keys out of the base, union the new versions and the
+    // inserts back in) — deliberately different from the Spark side's
+    // merge-on-read groupBy so the two MERGE strategies certify each other
+    "e_merge_apply" ->
+      s"""WITH base AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+        |changes AS (
+        |  SELECT CASE WHEN doc_id % 7 = 0 THEN 'D'
+        |              WHEN doc_id % 7 = 1 THEN 'U'
+        |              ELSE 'I' END AS op,
+        |    CASE WHEN doc_id % 7 = 2 THEN doc_id + ${ExtQueries.VariantIdOffset}
+        |      ELSE doc_id END AS doc_id,
+        |    'upd:' || text AS utext, 'ins:' || text AS itext,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id % 7 IN (0, 1, 2)),
+        |applied AS (
+        |  SELECT b.* FROM base b
+        |  ANTI JOIN (SELECT doc_id FROM changes WHERE op IN ('D','U')) k USING (doc_id)
+        |  UNION ALL
+        |  SELECT doc_id, utext AS text, lang, source, n_chars + 4 AS n_chars
+        |  FROM changes WHERE op = 'U'
+        |  UNION ALL
+        |  SELECT doc_id, itext AS text, lang, source, n_chars + 4 AS n_chars
+        |  FROM changes WHERE op = 'I')
+        |SELECT doc_id, text, lang, source, n_chars FROM applied
+        |ORDER BY doc_id""".stripMargin,
 
     // temporal alignment for the detected pairs: equal frame hashes vote
     // on their position delta, modal delta wins (votes DESC, delta ASC —
@@ -1004,8 +1114,8 @@ object ExtOracles {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + ${ExtQueries.VariantIdOffset} AS doc_id,
-        |    substr(text, 1, greatest(length(text) - $tail, 0))
-        |      || '${"z" * tail}' AS text
+        |    substr(text, 1, greatest(length(text) - $tail, 0)) ||
+        |      '${"z" * tail}' AS text
         |  FROM documents),
         |base AS (SELECT doc_id, text AS ptxt,
         |  CAST(length(text) AS BIGINT) AS n FROM all_media),
@@ -3730,6 +3840,22 @@ object ExtOracles {
     * (the `e_ann_recall` device), MATERIALIZED because each rank list is
     * referenced once per depth — plain CTEs would re-evaluate the whole
     * serve per k (the round-11 DuckDB-inlining lesson). */
+  /** `e_dedup_lineage` — composes the three pair detectors' SQL texts so
+    * the provenance can never drift from what the detectors report (each
+    * referenced once — plain CTEs suffice, the MATERIALIZED rule applies
+    * only to multi-referenced ones). */
+  private lazy val dedupLineageSql: String =
+    s"""WITH mh AS (SELECT doc_a, doc_b FROM (${baseSql("e_minhash_dedup")}) a),
+      |sh AS (SELECT doc_a, doc_b FROM (${baseSql("e_simhash_dedup")}) b),
+      |md AS (SELECT doc_a, doc_b FROM (${baseSql("e_media_dedup")}) c),
+      |uni AS (
+      |  SELECT 'minhash' AS family, doc_b AS doc_id, doc_a AS cand FROM mh
+      |  UNION ALL SELECT 'simhash', doc_b, doc_a FROM sh
+      |  UNION ALL SELECT 'media', doc_b, doc_a FROM md)
+      |SELECT family, doc_id, min(cand) AS kept_id
+      |FROM uni GROUP BY family, doc_id
+      |ORDER BY family, doc_id""".stripMargin
+
   private lazy val recallAtKSql: String = {
     def row(tag: String, cte: String, k: Int): String =
       s"""SELECT '$tag' AS family, $k AS k,
@@ -3754,6 +3880,7 @@ object ExtOracles {
   }
 
   val sql: Map[String, String] = baseSql +
+    ("e_dedup_lineage" -> dedupLineageSql) +
     ("e_recall_at_k" -> recallAtKSql) +
     ("e_graph_recall" -> graphRecallSql) +
     ("e_token_budget" -> tokenBudgetSql) +

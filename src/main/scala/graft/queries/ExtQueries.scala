@@ -178,9 +178,15 @@ object ExtQueries {
     * cross the wire — the per-group-top-k shape that survives 100 TB.
     * Selection under the total order (score DESC, cid ASC) is
     * arrival-order-independent, so the same DuckDB oracle hash-matches. */
-  def cosineTopkAgg(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{ScoredId, TopKByScoreAggregator}
-    val agg = new TopKByScoreAggregator(10)
+  def cosineTopkAgg(spark: SparkSession, dir: String): DataFrame =
+    cosineTopkAggImpl(spark, dir, 10)
+
+  /** [[cosineTopkAgg]]'s body at caller-chosen depth `k` — also the
+    * unfiltered-shortlist stage of [[annFilter]] (the [[sqTopkImpl]]
+    * pattern: one scoring body, two serving depths). */
+  private def cosineTopkAggImpl(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import graft.functions.TopKByScoreAggregator
+    val agg = new TopKByScoreAggregator(k)
     val topk = udaf(agg, agg.inputEncoder)
     val emb = table(spark, dir, "embeddings")
     val q = emb.filter(col("vec_id") < 8)
@@ -199,6 +205,86 @@ object ExtQueries {
       .select(col("qid"), posexplode(col("tk")))
       .select(col("qid"), col("col.id").as("cid"), col("col.score").as("score"),
         (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  // ---- e_ann_filter -------------------------------------------------------
+
+  /** Depth of the unfiltered shortlist [[annFilter]] post-filters — the
+    * candidate budget a serving deployment would hand its re-ranker. */
+  private[queries] val AnnFilterShortlistR = 30
+  /** Result depth of the filtered search (and of the post-filter cut). */
+  private[queries] val AnnFilterK = 10
+  /** Label-class count of the embeddings fixture (labels are 0..9). */
+  private[queries] val AnnFilterLabels = 10
+
+  /** FILTERED vector search — top-k restricted to candidates satisfying a
+    * per-query predicate (here: `label = (query.label + 1) mod 10`, a
+    * target class distinct from the query's own so the filtered list
+    * genuinely differs from the unfiltered one). This is the capability
+    * every vector store quotes separately from plain ANN, because the two
+    * obvious plans disagree: PRE-FILTER scores only predicate-matching
+    * rows and is exact; POST-FILTER takes an unfiltered shortlist of R and
+    * filters it, losing any truth hit that fell outside the shortlist.
+    * The operator emits the pre-filter truth (exact top-[[AnnFilterK]] per
+    * query among matching rows) and annotates each row with whether the
+    * post-filter plan at shortlist depth [[AnnFilterShortlistR]] would
+    * have returned it (`in_postfilter` — among the first k
+    * predicate-matching rows of the unfiltered top-R), so the output IS
+    * the pre/post comparison a serving team runs when sizing R.
+    *
+    * Determinism: the same sequential-fold cosine contract as
+    * [[cosineTopk]]; both rank orders break ties (score DESC, cid ASC);
+    * the post-filter cut orders by shortlist rank — all total orders.
+    *
+    * At scale: the truth side scores ONLY matching pairs — the broadcast
+    * hash join on `label = tgt` drops non-matching (query, row) pairs at
+    * probe time, so selectivity 1/|labels| cuts scoring work 10× here (at
+    * a vector store this is the "filtered search is CHEAPER, not dearer"
+    * observation); per-query top-k is the bounded-state aggregate, and the
+    * corpus never shuffles on either side. The shortlist stage re-runs the
+    * [[cosineTopkAgg]] body at depth R — a harness key by the attribution
+    * rule ([[sqRerank]] precedent). */
+  def annFilter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByScoreAggregator
+    val agg = new TopKByScoreAggregator(AnnFilterK)
+    val topk = udaf(agg, agg.inputEncoder)
+    val emb = table(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        pmod(col("label") + lit(1), lit(AnnFilterLabels)).cast("int").as("tgt"))
+      .withColumn("nq", l2norm(col("qe")))
+    val c = emb
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("label"))
+      .withColumn("nc", l2norm(col("ce")))
+    val dot = seqSum(zip_with(col("qe"), col("ce"),
+      (x, y) => x.cast("double") * y.cast("double")))
+    // pre-filter truth: only predicate-matching pairs are ever scored
+    val truth = c.join(broadcast(q),
+        col("label") === col("tgt") && col("cid") =!= col("qid"))
+      .withColumn("score", dot / (col("nq") * col("nc")))
+      .groupBy(col("qid"))
+      .agg(topk(col("score"), col("cid")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.id").as("cid"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
+    // post-filter baseline: unfiltered top-R, predicate-filtered, first k.
+    // The shortlist is |queries|·R rows — ALWAYS broadcastable — so it
+    // broadcasts into the label scan (the corpus-sized side streams), and
+    // the ≤ |queries|·k post-filter set broadcasts into the truth join.
+    val labels = emb.select(col("vec_id").as("cid"), col("label"))
+    val short = labels
+      .join(broadcast(cosineTopkAggImpl(spark, dir, AnnFilterShortlistR)
+        .select(col("qid"), col("cid"), col("rank").as("srank"))), Seq("cid"))
+      .join(broadcast(q.select(col("qid"), col("tgt"))), Seq("qid"))
+      .filter(col("label") === col("tgt"))
+    val wpf = Window.partitionBy(col("qid")).orderBy(col("srank").asc)
+    val postf = short.withColumn("fr", row_number().over(wpf))
+      .filter(col("fr") <= AnnFilterK)
+      .select(col("qid"), col("cid"), lit(1L).as("hit"))
+    truth.join(broadcast(postf), Seq("qid", "cid"), "left")
+      .select(col("qid"), col("rank"), col("cid"), col("score"),
+        coalesce(col("hit"), lit(0L)).as("in_postfilter"))
       .orderBy("qid", "rank")
   }
 
@@ -7736,6 +7822,158 @@ object ExtQueries {
       .select(col("doc_a"), col("doc_b"), col("offset"), col("n_matches"),
         col("n_total_matches"), col("nf_a"), col("nf_b"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- e_scene_cut --------------------------------------------------------
+
+  /** Intensity-quantization divisor for [[sceneCut]]: frame hashes in
+    * [0, [[FrameHashMod]]) collapse to FrameHashMod / SceneLevelDiv = 4
+    * levels. The level count is the detector's sensitivity knob — more
+    * levels = more cuts (a real content detector exposes exactly this
+    * threshold). */
+  private[queries] val SceneLevelDiv = 16384L
+  /** Keyframe encoding base: key = v·2³² + pos packs (hash, position) into
+    * one int64 (v < 2¹⁶, pos < 2³²), so the per-segment argmin is a plain
+    * integer `min` — HashAggregate-friendly, where a min-of-struct would
+    * force a SortAggregate. */
+  private[queries] val SceneKeyBase = 4294967296L
+
+  /** Temporal SEGMENTATION of media payloads — the scene-cut detector that
+    * follows frame hashing in a video pipeline ([[frameDedup]] asks "do
+    * two payloads share footage", this asks "where does one payload's
+    * content change"): each frame of the [[FrameWindowChars]] grid gets a
+    * quantized intensity level (frame hash ÷ [[SceneLevelDiv]] — the
+    * stand-in for a decoded frame's luma mean, same argument as
+    * [[phashSignatures]]' grid), a CUT opens wherever the level differs
+    * from the previous frame's, and each maximal run of equal-level frames
+    * becomes a segment with a deterministic KEYFRAME (the min-(hash, pos)
+    * frame — the representative a thumbnail/sampling stage would decode).
+    * Output: one row per segment with start, length, level, keyframe.
+    *
+    * Determinism: runs are defined by a lag + running-sum over the pinned
+    * (doc_id, pos) order; the keyframe argmin rides the packed-int64 total
+    * order [[SceneKeyBase]] — every value integer, no float anywhere.
+    *
+    * At scale: positions explode scan-side and shuffle ONCE on doc_id for
+    * the per-document window (partition spec non-empty — frames per doc,
+    * not corpus-wide); segments ≪ frames leave the aggregate. The window
+    * state is one document's frame list, bounded by payload size, never
+    * corpus-sized. */
+  def sceneCut(spark: SparkSession, dir: String): DataFrame = {
+    val pos = frameHashSeqs(table(spark, dir, "documents"))
+      .select(col("doc_id"), posexplode(col("fh")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("v"))
+      .withColumn("level", expr(s"v div $SceneLevelDiv"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pos
+      .withColumn("prev", lag(col("level"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNull || col("prev") =!= col("level"), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("seg_id", sum(col("cut")).over(cum) - lit(1L))
+      .groupBy(col("doc_id"), col("seg_id"))
+      .agg(min(col("pos")).as("start_pos"), count(lit(1)).as("n_frames"),
+        min(col("level")).as("level"),
+        min(col("v") * lit(SceneKeyBase) + col("pos")).as("kf"))
+      .select(col("doc_id"), col("seg_id"), col("start_pos"), col("n_frames"),
+        col("level"), (col("kf") % lit(SceneKeyBase)).as("key_pos"),
+        expr(s"kf div $SceneKeyBase").as("key_hash"))
+      .orderBy("doc_id", "seg_id")
+  }
+
+  // ---- e_merge_apply ------------------------------------------------------
+
+  /** CDC MERGE-APPLY — the lakehouse MERGE INTO primitive: apply a change
+    * batch (deletes / updates / inserts keyed by doc_id) to a snapshot and
+    * emit the new snapshot. The fixture synthesizes the change feed
+    * deterministically from the base table (doc_id mod 7: 0 → delete,
+    * 1 → update in place with a re-tagged payload, 2 → insert on a
+    * collision-free key via [[VariantIdOffset]]); a production pipeline
+    * reads a real CDC feed — the apply dataflow is what this operator
+    * pins.
+    *
+    * Execution is MERGE-ON-READ shaped: base rows and change rows union
+    * into one keyed stream (here via the one-scan generator device), group
+    * by the merge key, and the change wins over the base under the
+    * (src, …) struct order — exactly the "latest version per key" pick a
+    * merge-on-read compaction runs. Deletes win their group and are
+    * then dropped; update groups keep the new version; inserts are
+    * singleton groups.
+    *
+    * Determinism: each key's group holds at most one change row, so the
+    * struct max only ever decides base-vs-change — a total order.
+    *
+    * At scale: ONE shuffle on the merge key (the same sort a MERGE does
+    * anyway, so the sort-based aggregate the struct-max forces is the
+    * operation's intrinsic cost, not overhead); no broadcast assumption on
+    * the change side — CDC batches can be a large fraction of the base, as
+    * the fixture's 3/7 is. The oracle derives the same snapshot through
+    * the independent anti-join ∪ union-all COPY-ON-WRITE formulation, so
+    * the two MERGE execution strategies certify each other. */
+  def mergeApply(spark: SparkSession, dir: String): DataFrame = {
+    val m7 = pmod(col("doc_id"), lit(7L))
+    val rows = table(spark, dir, "documents")
+      .select(explode(array(
+        struct(lit(0).as("src"), lit("B").as("op"), col("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars")),
+        struct(lit(1).as("src"),
+          when(m7 === 0, lit("D")).when(m7 === 1, lit("U"))
+            .when(m7 === 2, lit("I")).otherwise(lit(null)).as("op"),
+          when(m7 === 2, col("doc_id") + lit(VariantIdOffset))
+            .otherwise(col("doc_id")).as("doc_id"),
+          when(m7 === 1, concat(lit("upd:"), col("text")))
+            .when(m7 === 2, concat(lit("ins:"), col("text")))
+            .otherwise(col("text")).as("text"),
+          col("lang"), col("source"),
+          (col("n_chars") + lit(4L)).as("n_chars")))).as("r"))
+      .select(col("r.*"))
+      .filter(col("op").isNotNull)
+    mergeWinners(rows).orderBy("doc_id")
+  }
+
+  /** The MERGE winner pick shared by [[mergeApply]] and
+    * [[graft.streaming.Streaming.startMergeApply]]: group the keyed
+    * base ∪ change stream (src 0 = base with op "B", src 1 = change),
+    * let the change win under the (src, …) struct total order, drop
+    * deletes, emit the next snapshot's rows. Each key's group holds at
+    * most one change row (the compacted-feed contract every MERGE INTO
+    * states as "no duplicate source keys"), so the struct max only ever
+    * decides base-vs-change. */
+  private[graft] def mergeWinners(rows: DataFrame): DataFrame =
+    rows.groupBy(col("doc_id"))
+      .agg(max(struct(col("src"), col("op"), col("text"), col("lang"),
+        col("source"), col("n_chars"))).as("w"))
+      .filter(col("w.op") =!= "D")
+      .select(col("doc_id"), col("w.text").as("text"), col("w.lang").as("lang"),
+        col("w.source").as("source"), col("w.n_chars").as("n_chars"))
+
+  // ---- e_dedup_lineage ----------------------------------------------------
+
+  /** Drop PROVENANCE across the near-dup families — the governance index
+    * behind "why was my document removed": for every victim a pair
+    * detector implicates (pairs are emitted doc_a < doc_b, so doc_b is the
+    * would-be drop), one row per (family, victim) names the earliest kept
+    * partner. Deduplication that cannot explain itself is a compliance
+    * problem at corpus scale; this is the reverse index an audit consults.
+    *
+    * Determinism: min over partner ids per (family, victim) — a total
+    * order over exact detector outputs.
+    *
+    * At scale: a projection + one grouped min over the detectors' pair
+    * frames (|pairs| ≪ corpus², every family's own candidate bounds
+    * apply); the union is by name over three slim 3-column frames.
+    * Composes three graded operators — a harness key. */
+  def dedupLineage(spark: SparkSession, dir: String): DataFrame = {
+    def fam(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("family"), col("doc_b").as("doc_id"),
+        col("doc_a").as("cand"))
+    fam("minhash", minhashDedup(spark, dir))
+      .unionByName(fam("simhash", simhashDedup(spark, dir)))
+      .unionByName(fam("media", mediaDedup(spark, dir)))
+      .groupBy(col("family"), col("doc_id"))
+      .agg(min(col("cand")).as("kept_id"))
+      .orderBy("family", "doc_id")
   }
 
   // ---- e_incr_agg ---------------------------------------------------------

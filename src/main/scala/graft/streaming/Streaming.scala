@@ -338,6 +338,57 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming CDC MERGE-APPLY — the continuous form of
+    * [[graft.queries.ExtQueries.mergeApply]] and the APPLY half of the
+    * capture/apply replication loop ([[startChangeCapture]] EMITS a
+    * changelog; this CONSUMES one): each micro-batch is a keyed change set
+    * (op ∈ D/U/I, with the full row for U/I), merged against the current
+    * snapshot into the next snapshot version. The winner pick IS the batch
+    * operator's [[graft.queries.ExtQueries.mergeWinners]] — one
+    * definition, so stream/batch MERGE semantics cannot drift (and parity
+    * is spec-pinned end-to-end anyway).
+    *
+    * Exactly-once across restarts: snapshots publish to versioned
+    * subdirectories (`v=<batchId>`) and the base is the highest version
+    * BELOW the current batch id — the [[startChangeCapture]] device: a
+    * replayed batch overwrites its own version and merges against the
+    * same predecessor, converging instead of compounding.
+    *
+    * At scale: each micro-batch shuffles |base| + |batch| slim rows once
+    * on the merge key — the key-sort a table-format MERGE intrinsically
+    * runs; the versioned directory IS the copy-on-write table history
+    * (time travel for free, compaction via `e_compaction_plan`). `emit`
+    * receives the committed next snapshot and must materialize it before
+    * returning — the standard foreachBatch contract. */
+  def startMergeApply(changes: DataFrame, snapshotDir: String, ckpt: String)
+      (emit: DataFrame => Unit): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val dataCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val dirFile = new java.io.File(snapshotDir)
+        val prevVersion = Option(dirFile.listFiles())
+          .getOrElse(Array.empty)
+          .flatMap(f => f.getName.stripPrefix("v=").toLongOption
+            .filter(_ => f.getName.startsWith("v=")))
+          .filter(_ < batchId)
+          .maxOption
+        val prev = prevVersion match {
+          case Some(v) => spark.read.parquet(s"$snapshotDir/v=$v")
+          case None => batch.select(dataCols.map(col): _*).limit(0)
+        }
+        val rows = prev
+          .select(lit(0).as("src") +: lit("B").as("op") +: dataCols.map(col): _*)
+          .unionByName(batch.select(lit(1).as("src") +: col("op") +: dataCols.map(col): _*))
+        graft.queries.ExtQueries.mergeWinners(rows)
+          .write.mode("overwrite").parquet(s"$snapshotDir/v=$batchId")
+        emit(spark.read.parquet(s"$snapshotDir/v=$batchId"))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming MEDIA near-duplicate gate — the perceptual-hash twin of
     * [[startNearDupGate]] and the continuous form of
     * [[graft.queries.ExtQueries.mediaDedup]]: each micro-batch of incoming

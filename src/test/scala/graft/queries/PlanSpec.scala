@@ -763,4 +763,24 @@ class PlanSpec extends AnyFunSuite {
     graft.operators.IterStorage.release(df)
     spark.catalog.clearCache()
   }
+
+  test("scene cut: documents scanned once; windows all carry the doc_id partition") {
+    val plan = formatted(ExtQueries.sceneCut(spark, dir))
+    assert(parquetScans(plan) === 1,
+      "segmentation must derive positions, levels and runs from ONE payload scan")
+  }
+
+  test("merge apply: base + synthesized changes from one scan (generator, not self-union)") {
+    val plan = formatted(ExtQueries.mergeApply(spark, dir))
+    assert(parquetScans(plan) === 1,
+      "the change feed derives from the same scan that yields the base rows")
+  }
+
+  test("ann filter: predicate side broadcasts; no sort-merge join, corpus never shuffles to score") {
+    val plan = formatted(ExtQueries.annFilter(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "the 8-query side must broadcast — a shuffle join here re-partitions " +
+        "the corpus at 100 TB")
+  }
 }
