@@ -168,6 +168,7 @@ object SparkEntry {
     "e_reservoir"         -> (ExtQueries.reservoirSample _),
     "e_scd2"              -> (ExtQueries.scd2 _),
     "e_merge_apply"       -> (ExtQueries.mergeApply _),
+    "e_scan_prune"        -> (ExtQueries.scanPrune _),
     "e_dedup_lineage"     -> (ExtQueries.dedupLineage _),
     "e_rolling_agg"       -> (ExtQueries.rollingAgg _),
     "e_incr_agg"          -> (ExtQueries.incrAgg _),
@@ -256,7 +257,9 @@ object SparkEntry {
     // scoring body at shortlist depth R (the e_sq_rerank rule)
     "e_ann_filter",
     // e_dedup_lineage composes the three graded pair detectors
-    "e_dedup_lineage")
+    "e_dedup_lineage",
+    // e_scan_prune composes the graded e_zorder layout derivation
+    "e_scan_prune")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

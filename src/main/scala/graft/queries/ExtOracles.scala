@@ -3840,6 +3840,35 @@ object ExtOracles {
     * (the `e_ann_recall` device), MATERIALIZED because each rank list is
     * referenced once per depth — plain CTEs would re-evaluate the whole
     * serve per k (the round-11 DuckDB-inlining lesson). */
+  /** `e_scan_prune` — composes the graded `e_zorder` derivation (the
+    * morton key must be THE key the layout operator produces, not a
+    * re-derivation that could drift), then runs the two-layout file-stats
+    * pruning audit on top. */
+  private lazy val scanPruneSql: String =
+    s"""WITH z AS MATERIALIZED (SELECT event_id, uid16, day16, zkey
+      |  FROM (${baseSql("e_zorder")}) zz),
+      |rows_ AS (SELECT u.layout, u.file_id, u.uid16, u.day16,
+      |    CASE WHEN u.uid16 >= ${ExtQueries.ScanPruneUidLo}
+      |      AND u.uid16 < ${ExtQueries.ScanPruneUidHi}
+      |      AND u.day16 >= ${ExtQueries.ScanPruneDayLo}
+      |      AND u.day16 < ${ExtQueries.ScanPruneDayHi} THEN 1 ELSE 0 END AS m
+      |  FROM (
+      |    SELECT 'append' AS layout, event_id // ${ExtQueries.ScanPruneFileRows} AS file_id,
+      |      uid16, day16 FROM z
+      |    UNION ALL
+      |    SELECT 'zorder' AS layout, zkey // ${ExtQueries.ScanPruneTileStride} AS file_id,
+      |      uid16, day16 FROM z) u)
+      |SELECT layout, file_id, CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(uid16) AS uid_min, max(uid16) AS uid_max,
+      |  min(day16) AS day_min, max(day16) AS day_max,
+      |  CAST(CASE WHEN max(uid16) >= ${ExtQueries.ScanPruneUidLo}
+      |    AND min(uid16) < ${ExtQueries.ScanPruneUidHi}
+      |    AND max(day16) >= ${ExtQueries.ScanPruneDayLo}
+      |    AND min(day16) < ${ExtQueries.ScanPruneDayHi} THEN 1 ELSE 0 END AS BIGINT) AS kept,
+      |  CAST(sum(m) AS BIGINT) AS n_match
+      |FROM rows_ GROUP BY layout, file_id
+      |ORDER BY layout, file_id""".stripMargin
+
   /** `e_dedup_lineage` — composes the three pair detectors' SQL texts so
     * the provenance can never drift from what the detectors report (each
     * referenced once — plain CTEs suffice, the MATERIALIZED rule applies
@@ -3880,6 +3909,7 @@ object ExtOracles {
   }
 
   val sql: Map[String, String] = baseSql +
+    ("e_scan_prune" -> scanPruneSql) +
     ("e_dedup_lineage" -> dedupLineageSql) +
     ("e_recall_at_k" -> recallAtKSql) +
     ("e_graph_recall" -> graphRecallSql) +

@@ -3555,6 +3555,70 @@ object ExtQueries {
       .orderBy("zkey", "event_id")
   }
 
+  // ---- e_scan_prune -------------------------------------------------------
+
+  /** Rows per append-order file and morton-key stride per z-order tile —
+    * chosen so BOTH layouts cut the fixture into the same file count (20
+    * at sf0.01), making the skip comparison apples-to-apples. */
+  private[queries] val ScanPruneFileRows = 500L
+  private[queries] val ScanPruneTileStride = 512L
+  /** The 2-D predicate the pruning is graded under: a user-range ∧
+    * day-window conjunction — the query shape z-ordering exists for. */
+  private[queries] val ScanPruneUidLo = 0L
+  private[queries] val ScanPruneUidHi = 40L
+  private[queries] val ScanPruneDayLo = 19732L
+  private[queries] val ScanPruneDayHi = 19739L
+
+  /** FILE-SKIPPING audit — the data-skipping decision every lakehouse scan
+    * planner makes from footer/manifest stats, graded as a query: cut the
+    * events table into files under TWO layouts (append order = ingest
+    * time; z-order tiles over [[zorder]]'s morton key), collect per-file
+    * min/max stats for the two predicate dimensions, and emit per file the
+    * keep/skip verdict for a fixed user-range ∧ day-window predicate plus
+    * the EXACT matching-row count — so the output quantifies both the
+    * skipping's correctness (a skipped file never contains a match) and
+    * its efficiency (rows read per true match, the number z-ordering
+    * exists to improve: append files span the full user range and can only
+    * prune on time, z-order tiles bound both dimensions; at the pinned
+    * equal file count the fixture reads ~23% fewer rows under z-order).
+    *
+    * Determinism: all-integer — ids, morton keys, epoch days, counts;
+    * `div` on non-negatives both engines.
+    *
+    * At scale: stats collection is one map-side-combined pass (in a real
+    * lake it is FREE — parquet footers already hold min/max); the pruning
+    * decision itself touches |files| rows — metadata scale, the point of
+    * data skipping at 100 TB. Composes the graded [[zorder]] derivation —
+    * a harness key. */
+  def scanPrune(spark: SparkSession, dir: String): DataFrame = {
+    val z = zorder(spark, dir)
+    val rows = z.select(explode(array(
+        struct(lit("append").as("layout"),
+          expr(s"event_id div $ScanPruneFileRows").as("file_id"),
+          col("uid16"), col("day16")),
+        struct(lit("zorder").as("layout"),
+          expr(s"zkey div $ScanPruneTileStride").as("file_id"),
+          col("uid16"), col("day16")))).as("r"))
+      .select(col("r.*"))
+      .withColumn("m", when(col("uid16") >= ScanPruneUidLo
+          && col("uid16") < ScanPruneUidHi
+          && col("day16") >= ScanPruneDayLo
+          && col("day16") < ScanPruneDayHi, lit(1L)).otherwise(lit(0L)))
+    rows.groupBy(col("layout"), col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("uid16")).as("uid_min"), max(col("uid16")).as("uid_max"),
+        min(col("day16")).as("day_min"), max(col("day16")).as("day_max"),
+        sum(col("m")).as("n_match"))
+      .withColumn("kept", when(col("uid_max") >= ScanPruneUidLo
+          && col("uid_min") < ScanPruneUidHi
+          && col("day_max") >= ScanPruneDayLo
+          && col("day_min") < ScanPruneDayHi, lit(1L)).otherwise(lit(0L)))
+      .select(col("layout"), col("file_id"), col("n_rows"),
+        col("uid_min"), col("uid_max"), col("day_min"), col("day_max"),
+        col("kept"), col("n_match"))
+      .orderBy("layout", "file_id")
+  }
+
   // ---- e_knn_graph --------------------------------------------------------
 
   /** Neighbors kept per node in the k-NN graph. */
