@@ -66,6 +66,7 @@ object SparkEntry {
     "e_cosine_topk"       -> (ExtQueries.cosineTopk _),
     "e_cosine_topk_agg"   -> (ExtQueries.cosineTopkAgg _),
     "e_ann_filter"        -> (ExtQueries.annFilter _),
+    "e_ivf_filter"        -> (ExtQueries.ivfFilter _),
     "e_maxsim"            -> (ExtQueries.maxsimTopk _),
     "e_minhash_dedup"     -> (ExtQueries.minhashDedup _),
     "e_cross_dedup"       -> (ExtQueries.crossDedup _),

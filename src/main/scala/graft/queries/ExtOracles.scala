@@ -1588,6 +1588,34 @@ object ExtOracles {
         |SELECT qid, cid, score, rank FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
+    // e_ivf_filter: the filtered serve over the SAME assignment CTEs —
+    // labels re-joined from the embeddings table onto both sides, the
+    // predicate applied in the candidate join condition (before scoring),
+    // nprobe widened to the filtered operating point.
+    "e_ivf_filter" ->
+      s"""WITH $centAssignCtes,
+        |q AS (SELECT qid, qe, nq, cell, tgt FROM (
+        |    SELECT s.vec_id AS qid, s.e AS qe, s.nrm AS nq, s.cent_id AS cell,
+        |      (emb.label + 1) % ${ExtQueries.AnnFilterLabels} AS tgt,
+        |      row_number() OVER (PARTITION BY s.vec_id
+        |        ORDER BY s.csim DESC, s.cent_id ASC) AS crank
+        |    FROM sims s JOIN embeddings emb ON emb.vec_id = s.vec_id
+        |    WHERE s.vec_id < 8) r
+        |  WHERE crank <= ${ExtQueries.IvfFilterNprobe}),
+        |scored AS (SELECT q.qid, a.vec_id AS cid,
+        |  list_reduce(list_transform(list_zip(q.qe, a.e),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc,x) -> acc+x)
+        |    / (q.nq * a.nrm) AS score
+        |  FROM assigned a
+        |  JOIN embeddings emb ON emb.vec_id = a.vec_id
+        |  JOIN q ON a.cell = q.cell AND a.vec_id <> q.qid
+        |   AND emb.label = q.tgt),
+        |ranked AS (SELECT qid, cid, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, cid, score, rank FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
     "e_kmeans_iter" ->
       s"""WITH $centAssignCtes,
         |comp AS (SELECT cell, generate_subscripts(e, 1) - 1 AS dim,

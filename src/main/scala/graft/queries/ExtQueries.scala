@@ -1354,6 +1354,59 @@ object ExtQueries {
   def ivfNprobe(spark: SparkSession, dir: String): DataFrame =
     cosineTopkIvfNprobe(spark, dir, IvfNprobeDefault)
 
+  // ---- e_ivf_filter -------------------------------------------------------
+
+  /** Probe width for [[ivfFilter]] — filtered serving raises nprobe above
+    * the unfiltered default on purpose: only ~1/|labels| of each probed
+    * cell satisfies the predicate, so a single-cell probe yields ~|cell|/10
+    * candidates and starves the top-k. */
+  private[queries] val IvfFilterNprobe = 2
+
+  /** FILTERED IVF serving — [[annFilter]]'s predicate pushed into the
+    * INDEX path (the operating point a vector store actually runs when a
+    * filter accompanies the query): the corpus is cell-partitioned exactly
+    * as [[cosineTopkIvf]] partitions it, the query probes its
+    * [[IvfFilterNprobe]] nearest cells, and the predicate
+    * (label = (query.label + 1) mod 10, the [[annFilter]] contract) is
+    * applied to in-cell candidates BEFORE scoring — the index analogue of
+    * the pre-filter plan, where [[annFilter]]'s exact truth is the
+    * brute-force analogue. Recall against that truth is the measure of
+    * what cell-partitioning costs under a filter (spec-measured).
+    *
+    * Determinism: the shared [[rankedCells]] assignment with its pinned
+    * tie-break; the cosine fold contract; (score DESC, cid ASC) ranking.
+    *
+    * At scale: candidates per query ≈ nprobe·|corpus|/(cells·|labels|) —
+    * the predicate cuts scoring work ANOTHER 10× below unfiltered IVF
+    * (filters make index serving cheaper, same as [[annFilter]]'s
+    * brute-force observation); the corpus never shuffles (cell column
+    * only), labels ride the assignment projection for free. */
+  def ivfFilter(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("e"), col("label"))
+      .withColumn("nrm", l2norm(col("e")))
+    val cents = centroids(spark, dir, IvfCells)
+    val assigned = rankedCells(vecs, cents).filter(col("crank") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("label"),
+        col("cent_id").as("cell"))
+    val q = rankedCells(vecs.filter(col("vec_id") < 8), cents)
+      .filter(col("crank") <= IvfFilterNprobe)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("nq"),
+        pmod(col("label") + lit(1), lit(AnnFilterLabels)).cast("int").as("tgt"),
+        col("cent_id").as("cell"))
+    val score = seqSum(zip_with(col("qe"), col("e"),
+      (x, y) => x.cast("double") * y.cast("double"))) / (col("nq") * col("nrm"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid").asc)
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid") && col("label") === col("tgt"))
+      .select(col("qid"), col("vec_id").as("cid"), score.as("score"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cid"), col("score"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** The IVF serve body against an ARBITRARY centroid table (`cent_id`,
     * `ce`, `ncent`) — factored out so the seed-centroid entry points and
     * the trained-centroid [[cosineTopkIvfTrained]] run the SAME dataflow;

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+/** `e_ivf_filter` — predicate-filtered IVF serving. Replays the whole
+  * serve sequentially (seed-centroid assignment, 2-cell probe, label
+  * predicate before scoring, pinned ranking) and measures its recall
+  * against `e_ann_filter`'s exact pre-filter truth — the number that
+  * says what cell-partitioning costs under a filter. */
+class IvfFilterSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def norm(v: Array[Float]): Double =
+    math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+  private def dot(a: Array[Float], b: Array[Float]): Double =
+    a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+
+  test("filtered IVF equals the sequential replay; recall vs exact truth is positive") {
+    val rows = RefQueries.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val nCells = 4 // ExtQueries.IvfCells (private to queries' internals)
+    val cents = rows.filter(_._1 < nCells).map { case (id, e, _) => (id, e, norm(e)) }
+    assert(cents.length == nCells)
+
+    def cellsOf(e: Array[Float], nrm: Double, n: Int): Seq[Long] =
+      cents.map { case (cid, ce, nc) => (cid, dot(e, ce) / (nrm * nc)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(n).map(_._1).toSeq
+
+    val assigned = rows.map { case (id, e, l) =>
+      val nrm = norm(e)
+      (id, e, nrm, l, cellsOf(e, nrm, 1).head)
+    }
+    val queries = assigned.filter(_._1 < 8)
+    val k = ExtQueries.AnnFilterK
+    val want = queries.flatMap { case (qid, qe, nq, ql, _) =>
+      val tgt = (ql + 1) % ExtQueries.AnnFilterLabels
+      val probed = cellsOf(qe, nq, ExtQueries.IvfFilterNprobe).toSet
+      assigned
+        .filter { case (cid, _, _, cl, cell) =>
+          cid != qid && cl == tgt && probed(cell)
+        }
+        .map { case (cid, ce, nc, _, _) => (cid, dot(qe, ce) / (nq * nc)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(k).zipWithIndex
+        .map { case ((cid, s), i) => (qid, i + 1) -> ((cid, s)) }
+    }.toMap
+
+    val got = ExtQueries.ivfFilter(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    spark.catalog.clearCache()
+    assert(got == want, "filtered IVF must equal the sequential replay")
+    assert(got.nonEmpty)
+
+    // recall vs the exact pre-filter truth: the cost of cell partitioning
+    val truth = ExtQueries.annFilter(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    spark.catalog.clearCache()
+    val hits = got.map { case ((qid, _), (cid, _)) => (qid, cid) }
+      .count(truth.contains)
+    val recall = hits.toDouble / truth.size
+    info(f"filtered-IVF recall@$k vs exact filtered truth: $recall%.3f")
+    assert(recall > 0.0 && recall <= 1.0)
+    // probing 2 cells under a 1/10-selective filter cannot be exact here,
+    // or the fixture would not be exercising the approximation at all
+    assert(recall < 1.0, "fixture must exercise the cell-boundary loss")
+  }
+}
