@@ -67,6 +67,7 @@ object SparkEntry {
     "e_cosine_topk_agg"   -> (ExtQueries.cosineTopkAgg _),
     "e_ann_filter"        -> (ExtQueries.annFilter _),
     "e_ivf_filter"        -> (ExtQueries.ivfFilter _),
+    "e_filter_recall"     -> (ExtQueries.filterRecall _),
     "e_maxsim"            -> (ExtQueries.maxsimTopk _),
     "e_minhash_dedup"     -> (ExtQueries.minhashDedup _),
     "e_cross_dedup"       -> (ExtQueries.crossDedup _),
@@ -260,7 +261,9 @@ object SparkEntry {
     // e_dedup_lineage composes the three graded pair detectors
     "e_dedup_lineage",
     // e_scan_prune composes the graded e_zorder layout derivation
-    "e_scan_prune")
+    "e_scan_prune",
+    // e_filter_recall composes the two graded filtered-serving operators
+    "e_filter_recall")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

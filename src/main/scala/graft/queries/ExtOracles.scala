@@ -3897,6 +3897,25 @@ object ExtOracles {
       |FROM rows_ GROUP BY layout, file_id
       |ORDER BY layout, file_id""".stripMargin
 
+  /** `e_filter_recall` — composes the two filtered-serving SQL texts; the
+    * truth CTE is referenced three times, so MATERIALIZED (the DuckDB
+    * inlining lesson). */
+  private lazy val filterRecallSql: String =
+    s"""WITH t AS MATERIALIZED (
+      |  SELECT qid, cid, in_postfilter FROM (${baseSql("e_ann_filter")}) a),
+      |iv AS (SELECT qid, cid FROM (${baseSql("e_ivf_filter")}) b),
+      |rows_ AS (
+      |  SELECT 'ivf_prefilter' AS strategy,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_truth,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM t SEMI JOIN iv USING (qid, cid)) AS n_hit
+      |  UNION ALL
+      |  SELECT 'postfilter' AS strategy,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_truth,
+      |    (SELECT CAST(sum(in_postfilter) AS BIGINT) FROM t) AS n_hit)
+      |SELECT strategy, n_truth, n_hit,
+      |  CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+      |FROM rows_ ORDER BY strategy""".stripMargin
+
   /** `e_dedup_lineage` — composes the three pair detectors' SQL texts so
     * the provenance can never drift from what the detectors report (each
     * referenced once — plain CTEs suffice, the MATERIALIZED rule applies
@@ -3938,6 +3957,7 @@ object ExtOracles {
 
   val sql: Map[String, String] = baseSql +
     ("e_scan_prune" -> scanPruneSql) +
+    ("e_filter_recall" -> filterRecallSql) +
     ("e_dedup_lineage" -> dedupLineageSql) +
     ("e_recall_at_k" -> recallAtKSql) +
     ("e_graph_recall" -> graphRecallSql) +

@@ -1407,6 +1407,43 @@ object ExtQueries {
       .orderBy("qid", "rank")
   }
 
+  // ---- e_filter_recall ----------------------------------------------------
+
+  /** FILTERED-search evaluation harness — the [[annRecall]] pattern for
+    * the filtered family: both practical strategies for serving a
+    * predicate ("post-filter an unfiltered shortlist" and "pre-filter
+    * inside the IVF index") graded against [[annFilter]]'s exact
+    * pre-filter truth, one summary row each. The post-filter hits are the
+    * truth rows [[annFilter]] already annotates (`in_postfilter`); the
+    * IVF hits are the [[ivfFilter]] pairs that land in the truth set. The
+    * table a serving team reads before choosing a filtered-query plan.
+    *
+    * Determinism: exact counts and one divide per row.
+    *
+    * At scale: rank lists are |queries|·k rows — the evaluation joins tiny
+    * frames regardless of corpus size; each strategy's scale story lives
+    * in its own operator. Composes two graded operators — a harness key
+    * (oracle composes their SQL texts, the truth CTE MATERIALIZED since it
+    * is referenced three times). */
+  def filterRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = annFilter(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val post = truth
+      .agg(count(lit(1)).as("n_truth"), sum(col("in_postfilter")).as("n_hit"))
+      .select(lit("postfilter").as("strategy"), col("n_truth"), col("n_hit"))
+    val ivfHits = truth.select(col("qid"), col("cid"))
+      .join(ivfFilter(spark, dir).select(col("qid"), col("cid")),
+        Seq("qid", "cid"), "left_semi")
+    val ivfRow = truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(ivfHits.agg(count(lit(1)).as("n_hit")))
+      .select(lit("ivf_prefilter").as("strategy"), col("n_truth"), col("n_hit"))
+    ivfRow.unionByName(post)
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_truth").cast("double"))
+      .select(col("strategy"), col("n_truth"), col("n_hit"), col("recall"))
+      .orderBy("strategy")
+  }
+
   /** The IVF serve body against an ARBITRARY centroid table (`cent_id`,
     * `ce`, `ncent`) — factored out so the seed-centroid entry points and
     * the trained-centroid [[cosineTopkIvfTrained]] run the SAME dataflow;
