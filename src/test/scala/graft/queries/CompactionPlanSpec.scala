@@ -43,6 +43,12 @@ class CompactionPlanSpec extends AnyFunSuite {
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
     assert(got == want, "plan must equal the sequential greedy replay")
 
+    // the contiguous-from-0 check below assumes no single input file
+    // exceeds the target (a larger file makes the greedy cum div SKIP bin
+    // indices — the operator would still be correct, so assert the
+    // precondition explicitly rather than fail for a misleading reason
+    assert(files.map(_._4).max < target,
+      "precondition: every input file is smaller than the target bin size")
     val bySource = got.keys.groupBy(_._1)
     bySource.foreach { case (src, keys) =>
       val bins = keys.map(_._2).toSeq.sorted

@@ -37,7 +37,9 @@ class FrameAlignSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1)))
     val uni = (docs ++ docs.map { case (id, t) =>
       val n = t.codePointCount(0, t.length)
-      (id + ExtQueries.VariantIdOffset, cpSub(t, w, n - w))
+      // clamped so a fixture document shorter than one frame replays as
+      // the empty clip (as the operator does) instead of throwing
+      (id + ExtQueries.VariantIdOffset, cpSub(t, math.min(w, n), math.max(n - w, 0)))
     }).toMap
     val fhs = uni.view.mapValues(frameHashes).toMap
 

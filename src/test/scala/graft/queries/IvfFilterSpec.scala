@@ -22,7 +22,7 @@ class IvfFilterSpec extends AnyFunSuite {
     val rows = RefQueries.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
-    val nCells = 4 // ExtQueries.IvfCells (private to queries' internals)
+    val nCells = ExtQueries.IvfCells
     val cents = rows.filter(_._1 < nCells).map { case (id, e, _) => (id, e, norm(e)) }
     assert(cents.length == nCells)
 
