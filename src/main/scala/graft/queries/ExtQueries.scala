@@ -1380,8 +1380,15 @@ object ExtQueries {
     * the predicate cuts scoring work ANOTHER 10× below unfiltered IVF
     * (filters make index serving cheaper, same as [[annFilter]]'s
     * brute-force observation); the corpus never shuffles (cell column
-    * only), labels ride the assignment projection for free. */
+    * only), labels ride the assignment projection for free; per-query
+    * top-k is the bounded-state [[graft.functions.TopKByScoreAggregator]]
+    * (the [[cosineTopkAgg]] shape — |queries|·|partitions|·k rows cross
+    * the wire, never the per-query candidate stream a ranking window
+    * shuffles). */
   def ivfFilter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByScoreAggregator
+    val agg = new TopKByScoreAggregator(AnnFilterK)
+    val topk = udaf(agg, agg.inputEncoder)
     val vecs = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("e"), col("label"))
       .withColumn("nrm", l2norm(col("e")))
@@ -1396,14 +1403,14 @@ object ExtQueries {
         col("cent_id").as("cell"))
     val score = seqSum(zip_with(col("qe"), col("e"),
       (x, y) => x.cast("double") * y.cast("double"))) / (col("nq") * col("nrm"))
-    val wTop = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("cid").asc)
     assigned.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("qid") && col("label") === col("tgt"))
       .select(col("qid"), col("vec_id").as("cid"), score.as("score"))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= 10)
-      .select(col("qid"), col("cid"), col("score"), col("rank"))
+      .groupBy(col("qid"))
+      .agg(topk(col("score"), col("cid")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
       .orderBy("qid", "rank")
   }
 

@@ -783,4 +783,22 @@ class PlanSpec extends AnyFunSuite {
       "the 8-query side must broadcast — a shuffle join here re-partitions " +
         "the corpus at 100 TB")
   }
+
+  test("ivf filter: probe side broadcasts, top-k is a bounded aggregate, outer plan window-free") {
+    val df = ExtQueries.ivfFilter(spark, dir)
+    val plan = formatted(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "the |q|·nprobe probe list must broadcast into the assigned-corpus " +
+        "scan — a shuffle join re-partitions the corpus at 100 TB")
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    // the cell-rank windows inside the assignment are vec_id-partitioned and
+    // legitimate; the per-query TOP-K must not be a window over the scored
+    // candidate stream — node-collect on the outer executed plan
+    import org.apache.spark.sql.execution.window.WindowExec
+    val topkWindows = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.toString.contains("score") => w
+    }
+    assert(topkWindows.isEmpty, "per-query top-k regressed to a ranking window")
+  }
 }
