@@ -67,6 +67,7 @@ object SparkEntry {
     "e_cosine_topk_agg"   -> (ExtQueries.cosineTopkAgg _),
     "e_ann_filter"        -> (ExtQueries.annFilter _),
     "e_ivf_filter"        -> (ExtQueries.ivfFilter _),
+    "e_ivf_filter_adaptive" -> (ExtQueries.ivfFilterAdaptive _),
     "e_filter_recall"     -> (ExtQueries.filterRecall _),
     "e_maxsim"            -> (ExtQueries.maxsimTopk _),
     "e_minhash_dedup"     -> (ExtQueries.minhashDedup _),

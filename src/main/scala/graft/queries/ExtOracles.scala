@@ -1616,6 +1616,53 @@ object ExtOracles {
         |SELECT qid, cid, score, rank FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
+    // e_ivf_filter_adaptive: the guaranteed-k probe schedule over the SAME
+    // assignment CTEs — per-query nprobe from the (cell, label) counts
+    // (probe until the target is reachable, spill to all cells under the
+    // selectivity bound), then the filtered serve over the chosen cells.
+    "e_ivf_filter_adaptive" ->
+      s"""WITH $centAssignCtes,
+        |lab AS (SELECT a.vec_id, a.e, a.nrm, emb.label, a.cell
+        |  FROM assigned a JOIN embeddings emb USING (vec_id)),
+        |cellcnt AS (SELECT cell, label, count(*) AS m
+        |  FROM lab GROUP BY cell, label),
+        |qc AS (SELECT s.vec_id AS qid, s.e AS qe, s.nrm AS nq, s.cent_id AS cell,
+        |    (emb.label + 1) % ${ExtQueries.AnnFilterLabels} AS tgt,
+        |    row_number() OVER (PARTITION BY s.vec_id
+        |      ORDER BY s.csim DESC, s.cent_id ASC) AS crank
+        |  FROM sims s JOIN embeddings emb ON emb.vec_id = s.vec_id
+        |  WHERE s.vec_id < 8),
+        |qcum AS (SELECT qc.*,
+        |  sum(coalesce(cc.m, 0)) OVER (PARTITION BY qid ORDER BY crank
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM qc LEFT JOIN cellcnt cc ON cc.cell = qc.cell AND cc.label = qc.tgt),
+        |qplan AS (SELECT qid, CAST(max(cum) AS BIGINT) AS n_match_total,
+        |    CAST(CASE WHEN max(cum) <= ${ExtQueries.IvfAdaptiveSpillMax}
+        |      THEN ${ExtQueries.IvfCells}
+        |      ELSE coalesce(min(CASE WHEN cum >= ${ExtQueries.IvfAdaptiveTargetK}
+        |        THEN crank END), ${ExtQueries.IvfCells})
+        |      END AS INTEGER) AS eff_nprobe,
+        |    CAST(CASE WHEN max(cum) <= ${ExtQueries.IvfAdaptiveSpillMax}
+        |      THEN 1 ELSE 0 END AS BIGINT) AS spilled
+        |  FROM qcum GROUP BY qid),
+        |probe AS (SELECT u.qid, u.qe, u.nq, u.tgt, u.cell,
+        |    p.n_match_total, p.eff_nprobe, p.spilled
+        |  FROM qcum u JOIN qplan p USING (qid) WHERE u.crank <= p.eff_nprobe),
+        |scored AS (SELECT pr.qid, l.vec_id AS cid,
+        |  list_reduce(list_transform(list_zip(pr.qe, l.e),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc,x) -> acc+x)
+        |    / (pr.nq * l.nrm) AS score,
+        |  pr.n_match_total, pr.eff_nprobe, pr.spilled
+        |  FROM lab l JOIN probe pr ON l.cell = pr.cell AND l.vec_id <> pr.qid
+        |   AND l.label = pr.tgt),
+        |ranked AS (SELECT qid, cid, score, n_match_total, eff_nprobe, spilled,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, cid, score, CAST(rank AS INTEGER) AS rank,
+        |  n_match_total, eff_nprobe, spilled
+        |FROM ranked WHERE rank <= ${ExtQueries.AnnFilterK}
+        |ORDER BY qid, rank""".stripMargin,
+
     "e_kmeans_iter" ->
       s"""WITH $centAssignCtes,
         |comp AS (SELECT cell, generate_subscripts(e, 1) - 1 AS dim,
@@ -3897,17 +3944,22 @@ object ExtOracles {
       |FROM rows_ GROUP BY layout, file_id
       |ORDER BY layout, file_id""".stripMargin
 
-  /** `e_filter_recall` — composes the two filtered-serving SQL texts; the
-    * truth CTE is referenced three times, so MATERIALIZED (the DuckDB
+  /** `e_filter_recall` — composes the three filtered-serving SQL texts;
+    * the truth CTE is referenced four times, so MATERIALIZED (the DuckDB
     * inlining lesson). */
   private lazy val filterRecallSql: String =
     s"""WITH t AS MATERIALIZED (
       |  SELECT qid, cid, in_postfilter FROM (${baseSql("e_ann_filter")}) a),
       |iv AS (SELECT qid, cid FROM (${baseSql("e_ivf_filter")}) b),
+      |ad AS (SELECT qid, cid FROM (${baseSql("e_ivf_filter_adaptive")}) c),
       |rows_ AS (
       |  SELECT 'ivf_prefilter' AS strategy,
       |    (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_truth,
       |    (SELECT CAST(count(*) AS BIGINT) FROM t SEMI JOIN iv USING (qid, cid)) AS n_hit
+      |  UNION ALL
+      |  SELECT 'ivf_adaptive' AS strategy,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_truth,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM t SEMI JOIN ad USING (qid, cid)) AS n_hit
       |  UNION ALL
       |  SELECT 'postfilter' AS strategy,
       |    (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_truth,
