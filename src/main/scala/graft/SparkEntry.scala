@@ -85,6 +85,7 @@ object SparkEntry {
     "e_domain_drift"      -> (ExtQueries.domainDrift _),
     "e_pca_project"       -> (ExtQueries.pcaProject _),
     "e_cosine_topk_ivfpq" -> (ExtQueries.cosineTopkIvfPq _),
+    "e_ivfpq_rerank"      -> (ExtQueries.ivfPqRerank _),
     "e_rand_walk"         -> (ExtQueries.randWalk _),
     "e_containment"       -> (ExtQueries.containment _),
     "e_cosine_dedup"      -> (ExtQueries.cosineDedup _),
@@ -250,8 +251,9 @@ object SparkEntry {
     "e_incr_knn",
     // e_sq_rerank re-runs the e_sq_topk scoring body (at shortlist depth R)
     // as its coarse stage before the exact refine — same attribution rule
-    // as ivf_trained/pq_trained
-    "e_sq_rerank",
+    // as ivf_trained/pq_trained; e_ivfpq_rerank likewise re-runs the
+    // e_cosine_topk_ivfpq ADC body at depth R
+    "e_sq_rerank", "e_ivfpq_rerank",
     // e_frame_align localizes the pairs e_frame_dedup detects (re-runs the
     // detector as its pair source); e_recall_at_k composes three graded
     // rank lists (the e_ann_recall rule)

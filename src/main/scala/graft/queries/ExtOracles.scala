@@ -475,6 +475,94 @@ object ExtOracles {
       |  FROM rescored) WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
+  // ---- IVF-PQ family: parametric serve / refine texts -----------------------
+
+  /** The IVF-PQ ADC serve at top-`k` — the IVF assignment CTEs (shared
+    * with `e_cosine_topk_ivf`) feed residual PQ encoding and the
+    * three-table ADC serve; every subspace fold is the same sequential
+    * left-fold, summed in pinned sub order via list(... ORDER BY sub).
+    * Parametric in the depth so `e_cosine_topk_ivfpq` (k = 10) and
+    * `e_ivfpq_rerank`'s shortlist (k = R) derive one scoring definition. */
+  private def ivfPqSql(k: Int): String =
+    s"""WITH $centAssignCtes,
+      |$pqCommonCtes,
+      |resid AS (SELECT a.vec_id, a.cell,
+      |  list_transform(list_zip(a.e, c.ce),
+      |    p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS r
+      |  FROM assigned a JOIN cents c ON a.cell = c.cent_id),
+      |rcodes AS (SELECT r.vec_id AS code_id, s.sub,
+      |    ${pqSliceSql("r.r", "s.sub")} AS cv
+      |  FROM resid r, subs s WHERE r.vec_id < ${ExtQueries.PqCodes}),
+      |rsub AS (SELECT r.vec_id, r.cell, s.sub,
+      |    ${pqSliceSql("r.r", "s.sub")} AS sv
+      |  FROM resid r, subs s),
+      |dists AS (SELECT v.vec_id, v.cell, v.sub, c.code_id,
+      |  $pqD2Sql AS d2
+      |  FROM rsub v JOIN rcodes c USING (sub)),
+      |enc AS (SELECT vec_id, cell, sub, code_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY d2 ASC, code_id ASC) AS rk FROM dists) WHERE rk = 1),
+      |cc AS (SELECT cs.cell, cs.sub, rc.code_id,
+      |  list_reduce(list_transform(list_zip(cs.csv, rc.cv),
+      |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b) AS pcdot,
+      |  list_reduce(list_transform(rc.cv,
+      |    v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b) AS pn2
+      |  FROM (SELECT c.cent_id AS cell, s.sub,
+      |      ${pqSliceSql("c.ce", "s.sub")} AS csv FROM cents c, subs s) cs
+      |  JOIN rcodes rc USING (sub)),
+      |qa AS (SELECT a.vec_id AS qid, a.e AS qe, a.nrm AS nq, a.cell AS qcell,
+      |  list_reduce(list_transform(list_zip(a.e, c.ce),
+      |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (x,y)->x+y) AS qcdot,
+      |  c.ncent * c.ncent AS cn2
+      |  FROM assigned a JOIN cents c ON a.cell = c.cent_id WHERE a.vec_id < 8),
+      |lut AS (SELECT q.qid, rc.sub, rc.code_id,
+      |  list_reduce(list_transform(list_zip(
+      |      ${pqSliceSql("q.qe", "rc.sub")}, rc.cv),
+      |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b) AS pdot
+      |  FROM qa q, rcodes rc),
+      |g AS (SELECT q.qid, q.nq, q.qcdot, q.cn2, e.vec_id AS cid,
+      |    list_reduce(list(l.pdot ORDER BY e.sub), (a,b)->a+b) AS pdsum,
+      |    list_reduce(list(c.pcdot ORDER BY e.sub), (a,b)->a+b) AS pcsum,
+      |    list_reduce(list(c.pn2 ORDER BY e.sub), (a,b)->a+b) AS pn2sum
+      |  FROM enc e
+      |  JOIN qa q ON e.cell = q.qcell AND e.vec_id <> q.qid
+      |  JOIN lut l ON l.qid = q.qid AND l.sub = e.sub AND l.code_id = e.code_id
+      |  JOIN cc c ON c.cell = e.cell AND c.sub = e.sub AND c.code_id = e.code_id
+      |  GROUP BY q.qid, q.nq, q.qcdot, q.cn2, e.vec_id),
+      |ranked AS (SELECT qid, cid,
+      |  (qcdot + pdsum) / (nq * sqrt(cn2 + 2.0 * pcsum + pn2sum)) AS score,
+      |  CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY (qcdot + pdsum) / (nq * sqrt(cn2 + 2.0 * pcsum + pn2sum)) DESC,
+      |      cid ASC) AS INT) AS rank
+      |  FROM g)
+      |SELECT qid, cid, score, rank FROM ranked
+      |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** `e_ivfpq_rerank` — IVF-PQ shortlist at R, exact-cosine refine to
+    * top-10 (the `e_sq_rerank` refine tail verbatim over the composite
+    * index's shortlist). */
+  private lazy val ivfPqRerankSql: String =
+    s"""WITH shortlist AS MATERIALIZED (
+      |  SELECT qid, cid FROM (${ivfPqSql(ExtQueries.IvfPqRerankR)}) sl),
+      |q AS (SELECT vec_id AS qid, embedding AS qe,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x)) AS nq
+      |  FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS cid, embedding AS ce,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x)) AS nc
+      |  FROM embeddings),
+      |rescored AS (SELECT s.qid, s.cid,
+      |    list_reduce(list_transform(list_zip(q.qe, c.ce),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |      / (q.nq * c.nc) AS score
+      |  FROM shortlist s JOIN q ON q.qid = s.qid JOIN c ON c.cid = s.cid)
+      |SELECT qid, cid, score, rank FROM (
+      |  SELECT qid, cid, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rank
+      |  FROM rescored) WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
+
   // ---- frame family: shared grid CTE text ----------------------------------
 
   /** `u` → `fr` → `fh` — the clip-augmented media universe and its ordered
@@ -726,60 +814,7 @@ object ExtOracles {
     // e_cosine_topk_ivf) feed residual PQ encoding and the three-table ADC
     // serve; every subspace fold is the same sequential left-fold, summed
     // in pinned sub order via list(... ORDER BY sub).
-    "e_cosine_topk_ivfpq" ->
-      s"""WITH $centAssignCtes,
-        |$pqCommonCtes,
-        |resid AS (SELECT a.vec_id, a.cell,
-        |  list_transform(list_zip(a.e, c.ce),
-        |    p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS r
-        |  FROM assigned a JOIN cents c ON a.cell = c.cent_id),
-        |rcodes AS (SELECT r.vec_id AS code_id, s.sub,
-        |    ${pqSliceSql("r.r", "s.sub")} AS cv
-        |  FROM resid r, subs s WHERE r.vec_id < ${ExtQueries.PqCodes}),
-        |rsub AS (SELECT r.vec_id, r.cell, s.sub,
-        |    ${pqSliceSql("r.r", "s.sub")} AS sv
-        |  FROM resid r, subs s),
-        |dists AS (SELECT v.vec_id, v.cell, v.sub, c.code_id,
-        |  $pqD2Sql AS d2
-        |  FROM rsub v JOIN rcodes c USING (sub)),
-        |enc AS (SELECT vec_id, cell, sub, code_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-        |      ORDER BY d2 ASC, code_id ASC) AS rk FROM dists) WHERE rk = 1),
-        |cc AS (SELECT cs.cell, cs.sub, rc.code_id,
-        |  list_reduce(list_transform(list_zip(cs.csv, rc.cv),
-        |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b) AS pcdot,
-        |  list_reduce(list_transform(rc.cv,
-        |    v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b)->a+b) AS pn2
-        |  FROM (SELECT c.cent_id AS cell, s.sub,
-        |      ${pqSliceSql("c.ce", "s.sub")} AS csv FROM cents c, subs s) cs
-        |  JOIN rcodes rc USING (sub)),
-        |qa AS (SELECT a.vec_id AS qid, a.e AS qe, a.nrm AS nq, a.cell AS qcell,
-        |  list_reduce(list_transform(list_zip(a.e, c.ce),
-        |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (x,y)->x+y) AS qcdot,
-        |  c.ncent * c.ncent AS cn2
-        |  FROM assigned a JOIN cents c ON a.cell = c.cent_id WHERE a.vec_id < 8),
-        |lut AS (SELECT q.qid, rc.sub, rc.code_id,
-        |  list_reduce(list_transform(list_zip(
-        |      ${pqSliceSql("q.qe", "rc.sub")}, rc.cv),
-        |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b) AS pdot
-        |  FROM qa q, rcodes rc),
-        |g AS (SELECT q.qid, q.nq, q.qcdot, q.cn2, e.vec_id AS cid,
-        |    list_reduce(list(l.pdot ORDER BY e.sub), (a,b)->a+b) AS pdsum,
-        |    list_reduce(list(c.pcdot ORDER BY e.sub), (a,b)->a+b) AS pcsum,
-        |    list_reduce(list(c.pn2 ORDER BY e.sub), (a,b)->a+b) AS pn2sum
-        |  FROM enc e
-        |  JOIN qa q ON e.cell = q.qcell AND e.vec_id <> q.qid
-        |  JOIN lut l ON l.qid = q.qid AND l.sub = e.sub AND l.code_id = e.code_id
-        |  JOIN cc c ON c.cell = e.cell AND c.sub = e.sub AND c.code_id = e.code_id
-        |  GROUP BY q.qid, q.nq, q.qcdot, q.cn2, e.vec_id),
-        |ranked AS (SELECT qid, cid,
-        |  (qcdot + pdsum) / (nq * sqrt(cn2 + 2.0 * pcsum + pn2sum)) AS score,
-        |  CAST(row_number() OVER (PARTITION BY qid
-        |    ORDER BY (qcdot + pdsum) / (nq * sqrt(cn2 + 2.0 * pcsum + pn2sum)) DESC,
-        |      cid ASC) AS INT) AS rank
-        |  FROM g)
-        |SELECT qid, cid, score, rank FROM ranked
-        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "e_cosine_topk_ivfpq" -> ivfPqSql(10),
 
     "e_chunk_dedup" ->
       s"""WITH toks AS (
@@ -3994,13 +4029,15 @@ object ExtOracles {
         |LEFT JOIN (SELECT qid, cid FROM $cte WHERE rank <= $k) h
         |  ON t.qid = h.qid AND t.cid = h.cid""".stripMargin
     val rows = for {
-      (tag, cte) <- Seq("ivfpq" -> "ivfpq", "sq" -> "sq")
+      (tag, cte) <- Seq("ivfpq" -> "ivfpq", "ivfpqr" -> "ivfpqr", "sq" -> "sq")
       k <- ExtQueries.RecallKs
     } yield row(tag, cte, k)
     s"""WITH ex AS MATERIALIZED (
       |  SELECT qid, cid, rank FROM (${baseSql("e_cosine_topk")}) e),
       |ivfpq AS MATERIALIZED (
       |  SELECT qid, cid, rank FROM (${baseSql("e_cosine_topk_ivfpq")}) p),
+      |ivfpqr AS MATERIALIZED (
+      |  SELECT qid, cid, rank FROM ($ivfPqRerankSql) pr),
       |sq AS MATERIALIZED (
       |  SELECT qid, cid, rank FROM (${baseSql("e_sq_topk")}) q)
       |${rows.mkString("\nUNION ALL\n")}
@@ -4051,7 +4088,8 @@ object ExtOracles {
     ("e_pq_trained" -> pqTrainedSql) +
     ("e_rand_walk" -> randWalkSql) +
     ("e_walk_pairs" -> walkPairsSql) +
-    ("e_cosine_topk_beam" -> beamSearchSql) + ("e_ann_recall" ->
+    ("e_cosine_topk_beam" -> beamSearchSql) +
+    ("e_ivfpq_rerank" -> ivfPqRerankSql) + ("e_ann_recall" ->
     s"""WITH ex AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk")}) t),
       |lsh AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_lsh")}) u),
       |ivf AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_ivf")}) v),
@@ -4062,7 +4100,8 @@ object ExtOracles {
       |pq_t AS (SELECT qid, cid FROM ($pqTrainedSql) z),
       |ivfpq AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_ivfpq")}) zz),
       |sq AS (SELECT qid, cid FROM (${baseSql("e_sq_topk")}) sa),
-      |sqr AS (SELECT qid, cid FROM (${baseSql("e_sq_rerank")}) sb)
+      |sqr AS (SELECT qid, cid FROM (${baseSql("e_sq_rerank")}) sb),
+      |ivfpqr AS (SELECT qid, cid FROM ($ivfPqRerankSql) sc)
       |SELECT ex.qid, count(*) AS n_exact,
       |  CAST(count(lsh.cid) AS BIGINT) AS n_lsh,
       |  CAST(count(ivf.cid) AS BIGINT) AS n_ivf,
@@ -4074,6 +4113,7 @@ object ExtOracles {
       |  CAST(count(ivfpq.cid) AS BIGINT) AS n_ivfpq,
       |  CAST(count(sq.cid) AS BIGINT) AS n_sq,
       |  CAST(count(sqr.cid) AS BIGINT) AS n_sqr,
+      |  CAST(count(ivfpqr.cid) AS BIGINT) AS n_ivfpqr,
       |  CAST(count(lsh.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_lsh,
       |  CAST(count(ivf.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivf,
       |  CAST(count(ivf2.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivf2,
@@ -4083,7 +4123,8 @@ object ExtOracles {
       |  CAST(count(pq_t.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_pq_t,
       |  CAST(count(ivfpq.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivfpq,
       |  CAST(count(sq.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_sq,
-      |  CAST(count(sqr.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_sqr
+      |  CAST(count(sqr.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_sqr,
+      |  CAST(count(ivfpqr.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivfpqr
       |FROM ex
       |LEFT JOIN lsh ON ex.qid = lsh.qid AND ex.cid = lsh.cid
       |LEFT JOIN ivf ON ex.qid = ivf.qid AND ex.cid = ivf.cid
@@ -4095,5 +4136,6 @@ object ExtOracles {
       |LEFT JOIN ivfpq ON ex.qid = ivfpq.qid AND ex.cid = ivfpq.cid
       |LEFT JOIN sq ON ex.qid = sq.qid AND ex.cid = sq.cid
       |LEFT JOIN sqr ON ex.qid = sqr.qid AND ex.cid = sqr.cid
+      |LEFT JOIN ivfpqr ON ex.qid = ivfpqr.qid AND ex.cid = ivfpqr.cid
       |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin)
 }

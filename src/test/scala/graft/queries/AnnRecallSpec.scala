@@ -23,7 +23,8 @@ class AnnRecallSpec extends AnyFunSuite {
       "n_pq_t" -> pairs(ExtQueries.cosineTopkPqTrained(spark, dir)),
       "n_ivfpq" -> pairs(ExtQueries.cosineTopkIvfPq(spark, dir)),
       "n_sq" -> pairs(ExtQueries.sqTopk(spark, dir)),
-      "n_sqr" -> pairs(ExtQueries.sqRerank(spark, dir)))
+      "n_sqr" -> pairs(ExtQueries.sqRerank(spark, dir)),
+      "n_ivfpqr" -> pairs(ExtQueries.ivfPqRerank(spark, dir)))
     val got = ExtQueries.annRecall(spark, dir).collect()
     spark.catalog.clearCache() // the family pipelines persist intermediates
     assert(got.length == 8)

@@ -17,6 +17,7 @@ class RecallAtKSpec extends AnyFunSuite {
     val ex = ranked(ExtQueries.cosineTopk(spark, dir))
     val fams = Map(
       "ivfpq" -> ranked(ExtQueries.cosineTopkIvfPq(spark, dir)),
+      "ivfpqr" -> ranked(ExtQueries.ivfPqRerank(spark, dir)),
       "sq" -> ranked(ExtQueries.sqTopk(spark, dir)))
     spark.catalog.clearCache()
 
