@@ -78,6 +78,7 @@ object SparkEntry {
     "e_frame_align"       -> (ExtQueries.frameAlign _),
     "e_scene_cut"         -> (ExtQueries.sceneCut _),
     "e_recall_at_k"       -> (ExtQueries.recallAtK _),
+    "e_rank_metrics"      -> (ExtQueries.rankMetrics _),
     "e_ngram_jaccard"     -> (ExtQueries.ngramJaccard _),
     "e_jaccard_prefix"    -> (ExtQueries.jaccardPrefix _),
     "e_edit_join"         -> (ExtQueries.editJoin _),
@@ -255,9 +256,9 @@ object SparkEntry {
     // e_cosine_topk_ivfpq ADC body at depth R
     "e_sq_rerank", "e_ivfpq_rerank",
     // e_frame_align localizes the pairs e_frame_dedup detects (re-runs the
-    // detector as its pair source); e_recall_at_k composes three graded
-    // rank lists (the e_ann_recall rule)
-    "e_frame_align", "e_recall_at_k",
+    // detector as its pair source); e_recall_at_k and e_rank_metrics
+    // compose graded rank lists (the e_ann_recall rule)
+    "e_frame_align", "e_recall_at_k", "e_rank_metrics",
     // e_ann_filter's post-filter baseline re-runs the e_cosine_topk_agg
     // scoring body at shortlist depth R (the e_sq_rerank rule)
     "e_ann_filter",

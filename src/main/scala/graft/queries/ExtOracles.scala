@@ -4044,7 +4044,41 @@ object ExtOracles {
       |ORDER BY family, k""".stripMargin
   }
 
+  /** `e_rank_metrics` — MRR@10 / reciprocal-discount NDCG@10 as exact
+    * int64 rationals (scale 2520 = lcm(1..10), ideal-DCG numerator 7381).
+    * COMPOSES the exact truth and the four compressed families' own SQL
+    * texts; the truth CTE is referenced four times, so MATERIALIZED (the
+    * DuckDB inlining lesson — each family list is referenced once). */
+  private lazy val rankMetricsSql: String = {
+    def row(tag: String, cte: String): String =
+      s"""SELECT '$tag' AS family,
+        |  CAST(count(*) AS BIGINT) AS n_q,
+        |  CAST(sum(coalesce(h.rr, 0)) AS BIGINT) AS rr_num,
+        |  CAST(sum(coalesce(h.rr, 0)) AS DOUBLE)
+        |    / CAST(count(*) * ${ExtQueries.RankMetricScale} AS DOUBLE) AS mrr,
+        |  CAST(sum(coalesce(h.dcg, 0)) AS BIGINT) AS dcg_num,
+        |  CAST(sum(coalesce(h.dcg, 0)) AS DOUBLE)
+        |    / CAST(count(*) * ${ExtQueries.RankMetricIdcgNum} AS DOUBLE) AS ndcg
+        |FROM (SELECT DISTINCT qid FROM t) q
+        |LEFT JOIN (
+        |  SELECT qid, ${ExtQueries.RankMetricScale} // min(rank) AS rr,
+        |    sum(${ExtQueries.RankMetricScale} // rank) AS dcg
+        |  FROM $cte f SEMI JOIN t USING (qid, cid)
+        |  GROUP BY qid) h USING (qid)""".stripMargin
+    val rows = Seq("ivfpq" -> "ivfpq", "ivfpqr" -> "ivfpqr",
+      "sq" -> "sq", "sqr" -> "sqr").map { case (tag, cte) => row(tag, cte) }
+    s"""WITH t AS MATERIALIZED (
+      |  SELECT qid, cid FROM (${baseSql("e_cosine_topk")}) e),
+      |ivfpq AS (SELECT qid, cid, rank FROM (${baseSql("e_cosine_topk_ivfpq")}) a),
+      |ivfpqr AS (SELECT qid, cid, rank FROM ($ivfPqRerankSql) b),
+      |sq AS (SELECT qid, cid, rank FROM (${baseSql("e_sq_topk")}) c),
+      |sqr AS (SELECT qid, cid, rank FROM (${baseSql("e_sq_rerank")}) d)
+      |${rows.mkString("\nUNION ALL\n")}
+      |ORDER BY family""".stripMargin
+  }
+
   val sql: Map[String, String] = baseSql +
+    ("e_rank_metrics" -> rankMetricsSql) +
     ("e_scan_prune" -> scanPruneSql) +
     ("e_filter_recall" -> filterRecallSql) +
     ("e_dedup_lineage" -> dedupLineageSql) +

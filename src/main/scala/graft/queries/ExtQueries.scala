@@ -447,6 +447,73 @@ object ExtQueries {
     rows.reduce(_ unionByName _).orderBy("family", "k")
   }
 
+  // ---- e_rank_metrics -----------------------------------------------------
+
+  /** Fixed-point scale for the rank-metric rationals: lcm(1..10) = 2520,
+    * so every reciprocal rank 1/r at r ≤ 10 is the EXACT integer 2520/r —
+    * the metrics accumulate as int64 sums and pay exactly one IEEE divide
+    * each at the end (the [[bm25Topk]] exact-rational idf discipline; no
+    * log anywhere, so no correctly-rounded-transcendental gap between
+    * engines). */
+  private[queries] val RankMetricScale = 2520L
+  /** Ideal DCG numerator at depth 10 under the reciprocal-rank discount:
+    * Σ_{i=1..10} 2520/i (all terms exact integers). */
+  private[queries] val RankMetricIdcgNum = 7381L
+
+  /** Rank-quality metrics harness — MRR@10 and NDCG@10 next to
+    * [[recallAtK]]'s depth curve: recall counts hits, these two weight
+    * WHERE the hits landed, which is what a serving team actually quotes
+    * (MRR = "how far down is the first right answer", NDCG = "how much of
+    * the ideal ranking mass survived"). Graded for the four compressed
+    * serving points ([[cosineTopkIvfPq]], [[ivfPqRerank]], [[sqTopk]],
+    * [[sqRerank]]) against the exact [[cosineTopk]] baseline with binary
+    * relevance (membership in the exact top-10).
+    *
+    * The discount is the RECIPROCAL-RANK form (gain 1/r at rank r) rather
+    * than 1/log₂(r+1): at depth 10 both orderings agree on which ranking
+    * is better, and 1/r is exactly representable as the integer
+    * [[RankMetricScale]]/r — so MRR and NDCG numerators are exact int64
+    * sums, bit-identical cross-engine, and each reported metric is ONE
+    * divide of exact integers (a log₂ discount would put a transcendental
+    * in every term). Per family: rr(q) = 2520/min hit rank (0 when no
+    * hit), dcg(q) = Σ_hits 2520/rank, MRR = Σrr/(2520·|q|),
+    * NDCG = Σdcg/([[RankMetricIdcgNum]]·|q|) — the ideal list places all
+    * 10 truth members at ranks 1..10.
+    *
+    * At scale: joins |queries|·k rank lists (the [[annRecall]] argument);
+    * per-query reductions are map-side-combined integer aggregates.
+    * Composes four graded operators — a harness key (oracle composes
+    * their SQL texts, the truth CTE MATERIALIZED — referenced four
+    * times). */
+  def rankMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val truth = cosineTopk(spark, dir).select(col("qid"), col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qs = truth.select(col("qid")).distinct()
+    val fams = Seq(
+      "ivfpq" -> cosineTopkIvfPq(spark, dir),
+      "ivfpqr" -> ivfPqRerank(spark, dir),
+      "sq" -> sqTopk(spark, dir),
+      "sqr" -> sqRerank(spark, dir))
+    val rows = fams.map { case (tag, df) =>
+      val hits = df.select(col("qid"), col("cid"), col("rank"))
+        .join(truth, Seq("qid", "cid"), "left_semi")
+      val perQ = hits.groupBy(col("qid"))
+        .agg(expr(s"$RankMetricScale div min(rank)").as("rr"),
+          sum(expr(s"$RankMetricScale div rank")).as("dcg"))
+      qs.join(perQ, Seq("qid"), "left")
+        .agg(count(lit(1)).as("n_q"),
+          sum(coalesce(col("rr"), lit(0L))).as("rr_num"),
+          sum(coalesce(col("dcg"), lit(0L))).as("dcg_num"))
+        .select(lit(tag).as("family"), col("n_q"), col("rr_num"),
+          (col("rr_num").cast("double")
+            / (col("n_q") * lit(RankMetricScale)).cast("double")).as("mrr"),
+          col("dcg_num"),
+          (col("dcg_num").cast("double")
+            / (col("n_q") * lit(RankMetricIdcgNum)).cast("double")).as("ndcg"))
+    }
+    rows.reduce(_ unionByName _).orderBy("family")
+  }
+
   // ---- e_minhash_dedup ----------------------------------------------------
 
   /** Universal-hash family constants for MinHash: h_i(x) = (A(i)·x + B(i))
