@@ -179,6 +179,7 @@ object SparkEntry {
     "e_incr_agg"          -> (ExtQueries.incrAgg _),
     "e_skew_audit"        -> (ExtQueries.skewAudit _),
     "e_compaction_plan"   -> (ExtQueries.compactionPlan _),
+    "e_compaction_apply"  -> (ExtQueries.compactionApply _),
     "e_winsorize"         -> (ExtQueries.winsorize _),
     "e_interleave"        -> (ExtQueries.interleave _),
     "e_retention"         -> (ExtQueries.retention _),
@@ -264,8 +265,9 @@ object SparkEntry {
     "e_ann_filter",
     // e_dedup_lineage composes the three graded pair detectors
     "e_dedup_lineage",
-    // e_scan_prune composes the graded e_zorder layout derivation
-    "e_scan_prune",
+    // e_scan_prune composes the graded e_zorder layout derivation;
+    // e_compaction_apply routes files by the graded e_compaction_plan
+    "e_scan_prune", "e_compaction_apply",
     // e_filter_recall composes the two graded filtered-serving operators
     "e_filter_recall")
 

@@ -3979,6 +3979,45 @@ object ExtOracles {
       |FROM rows_ GROUP BY layout, file_id
       |ORDER BY layout, file_id""".stripMargin
 
+  /** `e_compaction_apply` — composes the graded `e_compaction_plan` (the
+    * routing must be THE plan's ranges, not a re-derivation that could
+    * drift), executes the file→bin routing, and re-audits both layouts
+    * under the pinned doc-id predicate. The inventory CTE is referenced
+    * twice (input rows + bin merge), so MATERIALIZED. */
+  private lazy val compactionApplySql: String =
+    s"""WITH pl AS (
+      |  SELECT source, bin, first_file, last_file
+      |  FROM (${baseSql("e_compaction_plan")}) p),
+      |f AS MATERIALIZED (
+      |  SELECT source, doc_id // ${ExtQueries.CompactionFileDocs} AS file_id,
+      |    CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes,
+      |    min(doc_id) AS id_min, max(doc_id) AS id_max,
+      |    CAST(sum(CASE WHEN doc_id >= ${ExtQueries.CompactionAuditIdLo}
+      |      AND doc_id < ${ExtQueries.CompactionAuditIdHi}
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      |  FROM documents GROUP BY source, doc_id // ${ExtQueries.CompactionFileDocs}),
+      |comp AS (
+      |  SELECT f.source, p.bin AS file_id, CAST(count(*) AS BIGINT) AS n_files,
+      |    CAST(sum(f.n_docs) AS BIGINT) AS n_docs,
+      |    CAST(sum(f.bytes) AS BIGINT) AS bytes,
+      |    min(f.id_min) AS id_min, max(f.id_max) AS id_max,
+      |    CAST(sum(f.n_match) AS BIGINT) AS n_match
+      |  FROM f JOIN pl p ON p.source = f.source
+      |    AND f.file_id BETWEEN p.first_file AND p.last_file
+      |  GROUP BY f.source, p.bin),
+      |u AS (
+      |  SELECT 'input' AS layout, source, file_id, CAST(1 AS BIGINT) AS n_files,
+      |    n_docs, bytes, id_min, id_max, n_match FROM f
+      |  UNION ALL
+      |  SELECT 'compacted' AS layout, source, file_id, n_files,
+      |    n_docs, bytes, id_min, id_max, n_match FROM comp)
+      |SELECT layout, source, file_id, n_files, n_docs, bytes, id_min, id_max,
+      |  CAST(CASE WHEN id_max >= ${ExtQueries.CompactionAuditIdLo}
+      |    AND id_min < ${ExtQueries.CompactionAuditIdHi}
+      |    THEN 1 ELSE 0 END AS BIGINT) AS kept,
+      |  n_match
+      |FROM u ORDER BY layout, source, file_id""".stripMargin
+
   /** `e_filter_recall` — composes the three filtered-serving SQL texts;
     * the truth CTE is referenced four times, so MATERIALIZED (the DuckDB
     * inlining lesson). */
@@ -4079,6 +4118,7 @@ object ExtOracles {
 
   val sql: Map[String, String] = baseSql +
     ("e_rank_metrics" -> rankMetricsSql) +
+    ("e_compaction_apply" -> compactionApplySql) +
     ("e_scan_prune" -> scanPruneSql) +
     ("e_filter_recall" -> filterRecallSql) +
     ("e_dedup_lineage" -> dedupLineageSql) +

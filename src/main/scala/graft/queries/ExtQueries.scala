@@ -8547,4 +8547,72 @@ object ExtQueries {
         sum(col("bytes")).as("bin_bytes"))
       .orderBy("source", "bin")
   }
+
+  // ---- e_compaction_apply -------------------------------------------------
+
+  /** The pinned audit predicate [[compactionApply]] re-grades pruning
+    * under: a doc-id range — the clustered-key query shape the inventory's
+    * min/max stats exist for. */
+  private[queries] val CompactionAuditIdLo = 40L
+  private[queries] val CompactionAuditIdHi = 200L
+
+  /** Compaction EXECUTION + re-audit — the other half of the OPTIMIZE loop
+    * [[compactionPlan]] opens: each input file is routed to its output bin
+    * BY THE PLAN (an equi-join on source plus the plan's own
+    * [first_file, last_file] range — the rewrite tasks a lakehouse engine
+    * fans out execute exactly this routing), per-bin output-file stats are
+    * the merge of member-file stats, and BOTH layouts are then graded by
+    * the [[scanPrune]] stats discipline under a pinned doc-id-range
+    * predicate: per file/bin, min/max id stats, the keep/skip verdict, and
+    * the exact matching-row count. The output is the before/after table an
+    * OPTIMIZE job logs: same bytes, ~[[CompactionFileDocs]]× fewer files,
+    * pruning still effective (spec pins byte conservation, plan-count
+    * agreement, skip soundness, and match-total preservation).
+    *
+    * Determinism: all-integer (counts, sums, min/max of ids); routing is a
+    * pure function of the plan's ranges.
+    *
+    * At scale: the apply join touches |files| metadata rows against the
+    * BROADCAST |bins| plan — the data itself would be read only inside
+    * each rewrite task, which this audit prices per bin via the merged
+    * stats; the re-audit is the same |files|-row metadata pass as
+    * [[scanPrune]]. Composes the graded [[compactionPlan]] — a harness
+    * key. */
+  def compactionApply(spark: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") >= CompactionAuditIdLo &&
+      col("doc_id") < CompactionAuditIdHi
+    // PERSISTED: the inventory feeds the input audit rows AND the bin
+    // merge — unpersisted, the corpus aggregates twice
+    val files = table(spark, dir, "documents")
+      .select(col("source"), expr(s"doc_id div $CompactionFileDocs").as("file_id"),
+        col("doc_id"), col("n_chars"))
+      .groupBy(col("source"), col("file_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"),
+        min(col("doc_id")).as("id_min"), max(col("doc_id")).as("id_max"),
+        sum(when(m, lit(1L)).otherwise(lit(0L))).as("n_match"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val plan = compactionPlan(spark, dir)
+      .select(col("source"), col("bin"), col("first_file"), col("last_file"))
+    val comp = files.as("f").join(broadcast(plan.as("p")),
+        col("f.source") === col("p.source") &&
+          col("f.file_id") >= col("p.first_file") &&
+          col("f.file_id") <= col("p.last_file"))
+      .groupBy(col("f.source"), col("p.bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("f.n_docs")).as("n_docs"),
+        sum(col("f.bytes")).as("bytes"), min(col("f.id_min")).as("id_min"),
+        max(col("f.id_max")).as("id_max"), sum(col("f.n_match")).as("n_match"))
+      .select(col("source"), col("bin").as("file_id"), col("n_files"),
+        col("n_docs"), col("bytes"), col("id_min"), col("id_max"), col("n_match"))
+      .withColumn("layout", lit("compacted"))
+    val inp = files.select(col("source"), col("file_id"), lit(1L).as("n_files"),
+        col("n_docs"), col("bytes"), col("id_min"), col("id_max"), col("n_match"))
+      .withColumn("layout", lit("input"))
+    inp.unionByName(comp)
+      .withColumn("kept", when(col("id_max") >= CompactionAuditIdLo
+          && col("id_min") < CompactionAuditIdHi, lit(1L)).otherwise(lit(0L)))
+      .select(col("layout"), col("source"), col("file_id"), col("n_files"),
+        col("n_docs"), col("bytes"), col("id_min"), col("id_max"),
+        col("kept"), col("n_match"))
+      .orderBy("layout", "source", "file_id")
+  }
 }
