@@ -140,6 +140,7 @@ object SparkEntry {
     "e_bpe_train"         -> (ExtQueries.bpeTrain _),
     "e_bpe_encode"        -> (ExtQueries.bpeEncode _),
     "e_tok_fertility"     -> (ExtQueries.tokFertility _),
+    "e_vocab_coverage"    -> (ExtQueries.vocabCoverage _),
     "e_filter_bias"       -> (ExtQueries.filterBias _),
     "e_emb_stats"         -> (ExtQueries.embStats _),
     "e_feature_hash"      -> (ExtQueries.featureHash _),
@@ -224,7 +225,8 @@ object SparkEntry {
   val harnessKeys: Set[String] = Set(
     "e_ann_recall", "e_dedup_eval", "e_rank_fusion", "e_hybrid_search",
     "e_split_contamination", "e_curation_funnel", "e_nb_eval", "e_interleave",
-    "e_tok_fertility", "e_filter_bias", "e_pack_stats", "e_dedup_sweep",
+    "e_tok_fertility", "e_vocab_coverage", "e_filter_bias", "e_pack_stats",
+    "e_dedup_sweep",
     "e_curriculum_order", "e_datasheet",
     // composite operators that re-execute another graded operator as their
     // substrate (e_triangles counts over e_knn_graph's edges; the beam

@@ -3413,6 +3413,34 @@ object ExtOracles {
       |FROM dt JOIN enc e USING (w)
       |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin
 
+  /** `e_vocab_coverage` — COMPOSES the chain's FINAL symbolized
+    * vocabulary (the `e_bpe_encode` device): per-word merge/fallback
+    * breakdown on the vocabulary, aggregated over each language's token
+    * stream. */
+  private lazy val vocabCoverageSql: String =
+    s"""WITH $bpeChainCtes,
+      |ws AS (SELECT w, len(syms) AS n_syms,
+      |    len(list_filter(syms, x -> length(x) > 1)) AS w_merged,
+      |    list_sum(list_transform(syms,
+      |      x -> CASE WHEN length(x) > 1 THEN length(x) ELSE 0 END)) AS w_chars_merged,
+      |    length(w) AS w_chars
+      |  FROM s${ExtQueries.BpeTrainRounds}),
+      |dt AS (SELECT d.lang,
+      |  unnest(regexp_split_to_array(trim(d.text), '\\s+')) AS w FROM documents d)
+      |SELECT dt.lang,
+      |  CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(ws.n_syms) AS BIGINT) AS n_tokens,
+      |  CAST(sum(ws.n_syms - ws.w_merged) AS BIGINT) AS n_fallback,
+      |  CAST(sum(ws.w_merged) AS BIGINT) AS n_merged,
+      |  CAST(sum(ws.w_chars_merged) AS BIGINT) AS chars_covered,
+      |  CAST(sum(ws.w_chars) AS BIGINT) AS n_chars,
+      |  CAST(sum(ws.n_syms - ws.w_merged) AS DOUBLE)
+      |    / CAST(sum(ws.n_syms) AS DOUBLE) AS fallback_rate,
+      |  CAST(sum(ws.w_chars_merged) AS DOUBLE)
+      |    / CAST(sum(ws.w_chars) AS DOUBLE) AS char_coverage
+      |FROM dt JOIN ws USING (w)
+      |GROUP BY dt.lang ORDER BY dt.lang""".stripMargin
+
   /** `e_soft_dedup` — COMPOSES the graded `e_dup_clusters` text (the
     * `e_canonical_pick` device): the multiplicity is the cluster operator's
     * own cluster_size, left-joined onto the variant-augmented id universe;
@@ -4147,6 +4175,7 @@ object ExtOracles {
     ("e_soft_dedup" -> softDedupSql) +
     ("e_bpe_train" -> bpeTrainSql) +
     ("e_bpe_encode" -> bpeEncodeSql) +
+    ("e_vocab_coverage" -> vocabCoverageSql) +
     ("e_lm_buckets" -> lmBucketsSql) +
     ("e_importance_sample" -> importanceSampleSql) +
     ("e_dedup_eval" -> dedupEvalSql) +

@@ -5085,6 +5085,60 @@ object ExtQueries {
       .orderBy("lang")
   }
 
+  // ---- e_vocab_coverage ---------------------------------------------------
+
+  /** Per-LANGUAGE vocabulary-coverage audit of the trained BPE vocab — the
+    * report that decides vocab size and re-balancing before a training
+    * run: for each language, how much of its token stream the LEARNED
+    * merges actually cover versus falling back to single-character units
+    * (the byte-fallback path of a production tokenizer — always
+    * representable, never OOV, but burning one token per character).
+    * Composes [[bpeChain]]'s final symbolized vocabulary (the
+    * [[bpeEncode]] device, so the audit can never grade a drifted copy of
+    * the rules): per word, symbols of length > 1 are learned merges,
+    * length-1 symbols are fallback units; aggregated over each language's
+    * token stream into `fallback_rate` (fallback tokens per emitted
+    * token) and `char_coverage` (fraction of characters inside merged
+    * symbols). A language whose coverage lags the corpus average is the
+    * one whose text the vocab under-serves — [[tokFertility]] reports the
+    * SYMPTOM (more tokens per word); this reports the CAUSE (merges not
+    * firing).
+    *
+    * Determinism: all-integer counts/sums until the two final divides.
+    *
+    * At scale: the per-word breakdown is computed ONCE on the
+    * Zipf-bounded vocabulary (never per token instance); the corpus
+    * re-tokenization joins that vocabulary on the word key (broadcast
+    * when it fits) and reduces map-side to |langs| rows. Composes the
+    * graded BPE chain — a harness key. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val (_, vocab) = bpeChain(spark, dir, BpeTrainRounds)
+    val wstats = vocab.select(col("w"),
+      size(col("syms")).as("n_syms"),
+      size(filter(col("syms"), s => length(s) > 1)).as("w_merged"),
+      aggregate(transform(col("syms"),
+          s => when(length(s) > 1, length(s)).otherwise(lit(0))),
+        lit(0), (a, x) => a + x).as("w_chars_merged"),
+      length(col("w")).as("w_chars"))
+    val docTok = table(spark, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+    docTok.join(wstats, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_tokens"),
+        sum(col("n_syms") - col("w_merged")).as("n_fallback"),
+        sum(col("w_merged")).as("n_merged"),
+        sum(col("w_chars_merged")).as("chars_covered"),
+        sum(col("w_chars")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"), col("n_fallback"),
+        col("n_merged"), col("chars_covered"), col("n_chars"),
+        (col("n_fallback").cast("double") / col("n_tokens").cast("double"))
+          .as("fallback_rate"),
+        (col("chars_covered").cast("double") / col("n_chars").cast("double"))
+          .as("char_coverage"))
+      .orderBy("lang")
+  }
+
   // ---- e_snapshot_diff ----------------------------------------------------
 
   /** Crawl-to-crawl incremental diff — the change-data primitive an
