@@ -1459,21 +1459,54 @@ object ExtQueries {
     * the wire, never the per-query candidate stream a ranking window
     * shuffles). */
   def ivfFilter(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TopKByScoreAggregator
-    val agg = new TopKByScoreAggregator(AnnFilterK)
-    val topk = udaf(agg, agg.inputEncoder)
-    val vecs = table(spark, dir, "embeddings")
+    val emb = table(spark, dir, "embeddings")
+    val (assigned, cents) = ivfLabeledIndex(emb)
+    ivfFilterServe(assigned,
+      ivfFilterProbes(emb.filter(col("vec_id") < 8), cents))
+  }
+
+  /** Labeled IVF index build of a `(vec_id, embedding, label)` corpus
+    * frame: the `(vec_id, e, nrm, label, cell)` assignment plus its
+    * centroid table — ONE definition shared by the batch [[ivfFilter]] and
+    * the streaming [[graft.streaming.Streaming.startFilteredVectorGate]]
+    * (the [[mergeWinners]] discipline: continuous and batch paths cannot
+    * drift because they are the same code). */
+  private[graft] def ivfLabeledIndex(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val vecs = corpus
       .select(col("vec_id"), col("embedding").as("e"), col("label"))
       .withColumn("nrm", l2norm(col("e")))
-    val cents = centroids(spark, dir, IvfCells)
+    val cents = corpus.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      .withColumn("ncent", l2norm(col("ce")))
     val assigned = rankedCells(vecs, cents).filter(col("crank") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("label"),
         col("cent_id").as("cell"))
-    val q = rankedCells(vecs.filter(col("vec_id") < 8), cents)
+    (assigned, cents)
+  }
+
+  /** Per-query probe list of a `(vec_id, embedding, label)` query frame
+    * against a centroid table: the query's [[IvfFilterNprobe]] nearest
+    * cells with the [[annFilter]] target predicate attached —
+    * `(qid, qe, nq, tgt, cell)`, one row per probed cell. */
+  private[graft] def ivfFilterProbes(queries: DataFrame, cents: DataFrame): DataFrame = {
+    val qvecs = queries
+      .select(col("vec_id"), col("embedding").as("e"), col("label"))
+      .withColumn("nrm", l2norm(col("e")))
+    rankedCells(qvecs, cents)
       .filter(col("crank") <= IvfFilterNprobe)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("nq"),
         pmod(col("label") + lit(1), lit(AnnFilterLabels)).cast("int").as("tgt"),
         col("cent_id").as("cell"))
+  }
+
+  /** The filtered in-cell serve: probe list joined into the assigned
+    * corpus on the cell key (probe side BROADCAST — it is |q|·nprobe
+    * rows), predicate applied BEFORE scoring, per-query top-k via the
+    * bounded-state aggregator. Shared by batch and streaming forms. */
+  private[graft] def ivfFilterServe(assigned: DataFrame, q: DataFrame): DataFrame = {
+    import graft.functions.TopKByScoreAggregator
+    val agg = new TopKByScoreAggregator(AnnFilterK)
+    val topk = udaf(agg, agg.inputEncoder)
     val score = seqSum(zip_with(col("qe"), col("e"),
       (x, y) => x.cast("double") * y.cast("double"))) / (col("nq") * col("nrm"))
     assigned.join(broadcast(q), Seq("cell"))

@@ -492,6 +492,50 @@ object Streaming {
       .start()
   }
 
+  /** Streaming FILTERED vector serving — the continuous form of
+    * [[graft.queries.ExtQueries.ivfFilter]]: a STATIC labeled IVF index
+    * (cell assignment + centroid table, built ONCE at stream start from
+    * the corpus frame and persisted across batches) serves every
+    * micro-batch of incoming query vectors with the predicate pushed
+    * INSIDE the index — per query, the [[graft.queries.ExtQueries.IvfFilterNprobe]]
+    * nearest cells are probed, in-cell candidates are predicate-filtered
+    * BEFORE scoring, and the bounded-state top-k per query is emitted as
+    * `(qid, cid, score, rank)`.
+    *
+    * Index build, probe schedule and serve are the batch operator's OWN
+    * [[graft.queries.ExtQueries.ivfLabeledIndex]] /
+    * [[graft.queries.ExtQueries.ivfFilterProbes]] /
+    * [[graft.queries.ExtQueries.ivfFilterServe]] — one definition, so the
+    * continuous and batch filtered-serving paths cannot drift
+    * (spec-pinned against the batch key anyway, the [[startNearDupGate]]
+    * discipline).
+    *
+    * At scale: the corpus assigns once and never shuffles again; each
+    * micro-batch contributes only its |batch|·nprobe-row probe list,
+    * which BROADCASTS into the persisted index scan; per-query state is
+    * the aggregator's bounded top-k buffer — nothing streams between
+    * batches, so state is zero across triggers. `emit` must materialize
+    * the verdict frame before returning — the standard foreachBatch
+    * contract. */
+  def startFilteredVectorGate(queries: DataFrame, corpus: DataFrame, ckpt: String)
+      (emit: DataFrame => Unit): StreamingQuery = {
+    import graft.queries.ExtQueries
+    val (assigned, cents) = ExtQueries.ivfLabeledIndex(corpus)
+    val idx = assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centTable = cents.persist()
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(ExtQueries.ivfFilterServe(idx,
+          ExtQueries.ivfFilterProbes(
+            batch.select(col("vec_id"), col("embedding"), col("label")),
+            centTable)))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // ---- trending tokens ----------------------------------------------------
 
   /** Watermarked per-window token counts over a document stream — the

@@ -875,6 +875,47 @@ class StreamingSpec extends AnyFunSuite {
       "fixture must exercise both verdicts")
   }
 
+  test("filtered vector gate: static-index stream serving matches batch e_ivf_filter") {
+    val dir = "/root/testdata/sf0.001"
+    val in = Files.createTempDirectory("graft-fvg-in").toString
+    val ckpt = Files.createTempDirectory("graft-fvg-ckpt").toString
+    // the batch key's own query set, arriving as two micro-batches
+    val qdf = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding", "label").filter(col("vec_id") < 8)
+    qdf.filter(col("vec_id") < 4).coalesce(1).write.mode("append").parquet(in)
+    qdf.filter(col("vec_id") >= 4).coalesce(1).write.mode("append").parquet(in)
+
+    val got = scala.collection.mutable.Map.empty[(Long, Int), (Long, Double)]
+    val batchQids = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    Streaming.startFilteredVectorGate(
+      spark.readStream.schema(qdf.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in),
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding", "label"),
+      ckpt) { verdicts =>
+      val rows = verdicts.collect()
+      batchQids += rows.map(_.getLong(0)).toSet
+      rows.foreach { r =>
+        got((r.getLong(0), r.getInt(3))) = (r.getLong(1), r.getDouble(2))
+      }
+    }.awaitTermination()
+    spark.catalog.clearCache()
+
+    // bounded per-trigger work: each micro-batch served exactly its own
+    // queries against the standing index — nothing leaked across batches
+    assert(batchQids.length == 2, s"micro-batch count: ${batchQids.length}")
+    assert(batchQids(0) == (0L until 4L).toSet && batchQids(1) == (4L until 8L).toSet,
+      s"per-batch query sets: $batchQids")
+
+    // stream/batch parity: the union of micro-batch results IS the batch
+    // key's output, bitwise (shared index/probe/serve definitions)
+    val want = graft.queries.ExtQueries.ivfFilter(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    spark.catalog.clearCache()
+    assert(got.toMap == want, "streamed filtered serving must equal the batch key")
+    assert(got.nonEmpty)
+  }
+
   test("stream-static enrichment: stateless broadcast join, unknown sources kept") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-enrich-in").toString
