@@ -304,6 +304,26 @@ object Streaming {
     * document text never reaches the join. `emit` receives the changelog
     * frame and must materialize it (write/collect) before returning, the
     * standard foreachBatch contract. */
+  /** Highest published `v=<id>` snapshot version strictly below `beforeId`
+    * under `dir` — shared by [[startChangeCapture]] and [[startMergeApply]]
+    * (one discovery rule for the versioned-snapshot exactly-once device).
+    * Listed through the Hadoop FileSystem API, so versioned snapshot
+    * directories work on any supported filesystem (HDFS/S3A/local), not
+    * only `java.io` paths. None when the directory does not exist yet or
+    * holds no prior version — the first batch's empty-base case. */
+  private def latestVersionBefore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, beforeId: Long): Option[Long] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .flatMap(_.stripPrefix("v=").toLongOption)
+      .filter(_ < beforeId)
+      .maxOption
+  }
+
   def startChangeCapture(snapshots: DataFrame, fingerprintDir: String,
       ckpt: String)(emit: DataFrame => Unit): StreamingQuery =
     snapshots.writeStream
@@ -318,13 +338,7 @@ object Streaming {
             graft.functions.GraftFunctions.hash64(col("text")).as("h_cur"))
           .persist()
         try {
-          val base = new java.io.File(fingerprintDir)
-          val prevVersion = Option(base.listFiles())
-            .getOrElse(Array.empty)
-            .flatMap(f => f.getName.stripPrefix("v=").toLongOption
-              .filter(_ => f.getName.startsWith("v=")))
-            .filter(_ < batchId)
-            .maxOption
+          val prevVersion = latestVersionBefore(spark, fingerprintDir, batchId)
           val prev = prevVersion match {
             case Some(v) => spark.read.parquet(s"$fingerprintDir/v=$v")
               .select(col("doc_id"), col("h").as("h_prev"))
@@ -368,13 +382,7 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val dataCols = Seq("doc_id", "text", "lang", "source", "n_chars")
-        val dirFile = new java.io.File(snapshotDir)
-        val prevVersion = Option(dirFile.listFiles())
-          .getOrElse(Array.empty)
-          .flatMap(f => f.getName.stripPrefix("v=").toLongOption
-            .filter(_ => f.getName.startsWith("v=")))
-          .filter(_ < batchId)
-          .maxOption
+        val prevVersion = latestVersionBefore(spark, snapshotDir, batchId)
         val prev = prevVersion match {
           case Some(v) => spark.read.parquet(s"$snapshotDir/v=$v")
           case None => batch.select(dataCols.map(col): _*).limit(0)
