@@ -12,7 +12,17 @@ run itself the median of graft.Bench's 3 in-JVM passes). `run_position`
 records every key's (chunk, index) so any residual order effect is
 auditable from the artifact.
 
-Usage: python3 tools/quiet_bench.py <sfDir> <outJson> [runs=3] [chunk=20]
+Modes (recorded in the artifact's `mode` field, round 13+):
+  full      — sweep the whole inventory (default).
+  sentinel  — `--keys a,b,c --carry prior.json`: measure only the named
+              (changed) keys plus the fixed sentinel set, carry every
+              other key's median forward from the prior artifact
+              (marked in `carried_keys`). The budget option of
+              tools/BENCH_PROTOCOL.md for rounds touching few keys.
+
+Usage:
+  python3 tools/quiet_bench.py <sfDir> <outJson> [runs] [chunk]
+      [--keys k1,k2,...] [--carry prior.json]
 
 Dev tool only — not part of the shipped library. Do NOT run concurrently
 with any other Spark JVM (tests, Verify, review tooling): contention
@@ -24,6 +34,12 @@ import os
 import statistics
 import subprocess
 import sys
+
+# one representative per cost family — always re-measured in sentinel
+# mode so a repo-wide regression (build flags, session config, fixture)
+# cannot hide behind carried numbers
+SENTINELS = ["e_jaccard_prefix", "e_pca_power", "e_kmeans_train",
+             "e_knn_graph", "e_bpe_train", "q_daily_agg", "e_datasheet"]
 
 
 def sbt_bench(env_extra: dict) -> dict:
@@ -37,11 +53,32 @@ def sbt_bench(env_extra: dict) -> dict:
     sys.exit(f"no bench JSON in output:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
-def main(sf_dir: str, out_json: str, runs: int = 3, chunk: int = 20) -> None:
+def main(sf_dir: str, out_json: str, runs: int = 3, chunk: int = 20,
+         changed_csv: str = "", carry_json: str = "") -> None:
     listing = sbt_bench({"SPARK_GRAFT_LIST": "1"})
-    keys = sorted(listing["keys"])
+    all_keys = sorted(listing["keys"])
     hk = set(listing["harness_keys"])
-    chunks = [keys[i:i + chunk] for i in range(0, len(keys), chunk)]
+
+    carried: dict = {}
+    if changed_csv:
+        if not carry_json:
+            sys.exit("--keys requires --carry <prior artifact> for the untouched keys")
+        changed = [k for k in changed_csv.split(",") if k]
+        unknown = sorted(set(changed) - set(all_keys))
+        if unknown:
+            sys.exit(f"--keys names unknown keys: {unknown}")
+        measured = sorted(set(changed) | set(SENTINELS))
+        prior = json.load(open(carry_json))["queries"]
+        missing = sorted(set(all_keys) - set(measured) - set(prior))
+        if missing:
+            sys.exit(f"prior artifact lacks keys to carry: {missing}")
+        carried = {k: prior[k] for k in all_keys if k not in measured}
+        mode = "sentinel"
+    else:
+        measured = all_keys
+        mode = "full"
+
+    chunks = [measured[i:i + chunk] for i in range(0, len(measured), chunk)]
     med: dict = {}
     pos: dict = {}
     for ci, ck in enumerate(chunks):
@@ -52,34 +89,55 @@ def main(sf_dir: str, out_json: str, runs: int = 3, chunk: int = 20) -> None:
             med[k] = statistics.median(s[k] for s in samples)
             pos[k] = {"chunk": ci, "index": j}
         done = sum(len(c) for c in chunks[:ci + 1])
-        print(f"chunk {ci + 1}/{len(chunks)}: {done}/{len(keys)} keys, "
+        print(f"chunk {ci + 1}/{len(chunks)}: {done}/{len(measured)} keys, "
               f"chunk total {sum(med[k] for k in ck):.1f}s", flush=True)
+
+    full = {**carried, **med}
     result = {
         "metric": "total_quiet",
-        "value": sum(med.values()),
+        "value": sum(full.values()),
         "unit": "sec",
+        "mode": mode,
         "estimator": f"per-key median of {runs} fresh-JVM chunk runs "
                      f"(chunk={chunk}; each run medians 3 in-JVM passes)",
         "runs": runs,
         "chunk_size": chunk,
         # harness keys re-execute their constituent operators by design —
         # keep the two group totals separate so regressions stay attributable
-        "total_harness": sum(v for k, v in med.items() if k in hk),
-        "total_operators": sum(v for k, v in med.items() if k not in hk),
+        "total_harness": sum(v for k, v in full.items() if k in hk),
+        "total_operators": sum(v for k, v in full.items() if k not in hk),
         "harness_keys": sorted(hk),
-        "queries": med,
+        "queries": full,
         "run_position": pos,
         "sf": sf_dir,
     }
+    if mode == "sentinel":
+        result["measured_keys"] = measured
+        result["sentinel_keys"] = SENTINELS
+        result["carried_keys"] = sorted(carried)
+        result["carried_from"] = carry_json
     with open(out_json, "w") as f:
         json.dump(result, f, indent=1)
-    print(f"{out_json}: total {result['value']:.1f}s over {len(med)} queries "
-          f"({runs} runs x {len(chunks)} chunks; harness "
-          f"{result['total_harness']:.1f}s / operators "
+    print(f"{out_json}: mode={mode}, total {result['value']:.1f}s over "
+          f"{len(full)} queries ({len(med)} measured, {len(carried)} carried; "
+          f"harness {result['total_harness']:.1f}s / operators "
           f"{result['total_operators']:.1f}s)")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2],
-         int(sys.argv[3]) if len(sys.argv) > 3 else 3,
-         int(sys.argv[4]) if len(sys.argv) > 4 else 20)
+    args = sys.argv[1:]
+    keys_csv = ""
+    carry = ""
+    positional = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--keys":
+            keys_csv = args[i + 1]; i += 2
+        elif args[i] == "--carry":
+            carry = args[i + 1]; i += 2
+        else:
+            positional.append(args[i]); i += 1
+    main(positional[0], positional[1],
+         int(positional[2]) if len(positional) > 2 else 3,
+         int(positional[3]) if len(positional) > 3 else 20,
+         keys_csv, carry)
