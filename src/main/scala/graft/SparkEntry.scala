@@ -69,6 +69,8 @@ object SparkEntry {
     "e_ivf_filter"        -> (ExtQueries.ivfFilter _),
     "e_ivf_filter_adaptive" -> (ExtQueries.ivfFilterAdaptive _),
     "e_filter_recall"     -> (ExtQueries.filterRecall _),
+    "e_filter_cost"       -> (ExtQueries.filterCost _),
+    "e_ivf_balance"       -> (ExtQueries.ivfBalance _),
     "e_maxsim"            -> (ExtQueries.maxsimTopk _),
     "e_minhash_dedup"     -> (ExtQueries.minhashDedup _),
     "e_cross_dedup"       -> (ExtQueries.crossDedup _),
@@ -270,8 +272,9 @@ object SparkEntry {
     // e_scan_prune composes the graded e_zorder layout derivation;
     // e_compaction_apply routes files by the graded e_compaction_plan
     "e_scan_prune", "e_compaction_apply",
-    // e_filter_recall composes the two graded filtered-serving operators
-    "e_filter_recall")
+    // e_filter_recall composes the three graded filtered-serving
+    // operators; e_filter_cost composes the whole recall harness
+    "e_filter_recall", "e_filter_cost")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -245,6 +245,38 @@ object ExtOracles {
       |      ORDER BY csim DESC, cent_id ASC) AS crank FROM sims)
       |  WHERE crank = 1)""".stripMargin
 
+  /** Labeled-assignment + adaptive probe-schedule CTEs over
+    * [[centAssignCtes]]' frames (`lab`, `cellcnt`, `qc`, `qcum`, `qplan`)
+    * — the SQL twin of `ExtQueries.ivfProbeSchedule` /
+    * `ivfAdaptivePlanOf`, shared by `e_ivf_filter_adaptive` and
+    * `e_filter_cost` so the serving plan and its cost audit derive one
+    * schedule definition. */
+  private lazy val ivfScheduleCtes: String =
+    s"""lab AS (SELECT a.vec_id, a.e, a.nrm, emb.label, a.cell
+      |  FROM assigned a JOIN embeddings emb USING (vec_id)),
+      |cellcnt AS (SELECT cell, label, count(*) AS m
+      |  FROM lab GROUP BY cell, label),
+      |qc AS (SELECT s.vec_id AS qid, s.e AS qe, s.nrm AS nq, s.cent_id AS cell,
+      |    (emb.label + 1) % ${ExtQueries.AnnFilterLabels} AS tgt,
+      |    row_number() OVER (PARTITION BY s.vec_id
+      |      ORDER BY s.csim DESC, s.cent_id ASC) AS crank
+      |  FROM sims s JOIN embeddings emb ON emb.vec_id = s.vec_id
+      |  WHERE s.vec_id < 8),
+      |qcum AS (SELECT qc.*,
+      |  sum(coalesce(cc.m, 0)) OVER (PARTITION BY qid ORDER BY crank
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |  coalesce(cc.m, 0) AS m
+      |  FROM qc LEFT JOIN cellcnt cc ON cc.cell = qc.cell AND cc.label = qc.tgt),
+      |qplan AS (SELECT qid, CAST(max(cum) AS BIGINT) AS n_match_total,
+      |    CAST(CASE WHEN max(cum) <= ${ExtQueries.IvfAdaptiveSpillMax}
+      |      THEN ${ExtQueries.IvfCells}
+      |      ELSE coalesce(min(CASE WHEN cum >= ${ExtQueries.IvfAdaptiveTargetK}
+      |        THEN crank END), ${ExtQueries.IvfCells})
+      |      END AS INTEGER) AS eff_nprobe,
+      |    CAST(CASE WHEN max(cum) <= ${ExtQueries.IvfAdaptiveSpillMax}
+      |      THEN 1 ELSE 0 END AS BIGINT) AS spilled
+      |  FROM qcum GROUP BY qid)""".stripMargin
+
   /** The variant-augmented corpus CTE (`all_docs`) — the SQL twin of
     * `ExtQueries.docsWithVariants` with the shared [[ExtQueries.VariantIdOffset]]
     * boundary, factored so consumers that split the universe back into
@@ -1657,29 +1689,7 @@ object ExtOracles {
     // selectivity bound), then the filtered serve over the chosen cells.
     "e_ivf_filter_adaptive" ->
       s"""WITH $centAssignCtes,
-        |lab AS (SELECT a.vec_id, a.e, a.nrm, emb.label, a.cell
-        |  FROM assigned a JOIN embeddings emb USING (vec_id)),
-        |cellcnt AS (SELECT cell, label, count(*) AS m
-        |  FROM lab GROUP BY cell, label),
-        |qc AS (SELECT s.vec_id AS qid, s.e AS qe, s.nrm AS nq, s.cent_id AS cell,
-        |    (emb.label + 1) % ${ExtQueries.AnnFilterLabels} AS tgt,
-        |    row_number() OVER (PARTITION BY s.vec_id
-        |      ORDER BY s.csim DESC, s.cent_id ASC) AS crank
-        |  FROM sims s JOIN embeddings emb ON emb.vec_id = s.vec_id
-        |  WHERE s.vec_id < 8),
-        |qcum AS (SELECT qc.*,
-        |  sum(coalesce(cc.m, 0)) OVER (PARTITION BY qid ORDER BY crank
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM qc LEFT JOIN cellcnt cc ON cc.cell = qc.cell AND cc.label = qc.tgt),
-        |qplan AS (SELECT qid, CAST(max(cum) AS BIGINT) AS n_match_total,
-        |    CAST(CASE WHEN max(cum) <= ${ExtQueries.IvfAdaptiveSpillMax}
-        |      THEN ${ExtQueries.IvfCells}
-        |      ELSE coalesce(min(CASE WHEN cum >= ${ExtQueries.IvfAdaptiveTargetK}
-        |        THEN crank END), ${ExtQueries.IvfCells})
-        |      END AS INTEGER) AS eff_nprobe,
-        |    CAST(CASE WHEN max(cum) <= ${ExtQueries.IvfAdaptiveSpillMax}
-        |      THEN 1 ELSE 0 END AS BIGINT) AS spilled
-        |  FROM qcum GROUP BY qid),
+        |$ivfScheduleCtes,
         |probe AS (SELECT u.qid, u.qe, u.nq, u.tgt, u.cell,
         |    p.n_match_total, p.eff_nprobe, p.spilled
         |  FROM qcum u JOIN qplan p USING (qid) WHERE u.crank <= p.eff_nprobe),
@@ -4070,6 +4080,66 @@ object ExtOracles {
       |  CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
       |FROM rows_ ORDER BY strategy""".stripMargin
 
+  /** `e_filter_cost` — the cost/recall frontier: composes the full
+    * `e_filter_recall` harness (MATERIALIZED — its rows are read twice)
+    * plus the shared assignment/schedule CTEs for the analytic
+    * scored-work counts. */
+  private lazy val filterCostSql: String =
+    s"""WITH frc AS MATERIALIZED (
+      |  SELECT strategy, n_truth, n_hit, recall FROM ($filterRecallSql) fr),
+      |$centAssignCtes,
+      |$ivfScheduleCtes,
+      |qs AS (SELECT qid, max(cum) AS m_total,
+      |    sum(CASE WHEN crank <= ${ExtQueries.IvfFilterNprobe}
+      |      THEN m ELSE 0 END) AS m_fixed
+      |  FROM qcum GROUP BY qid),
+      |ad AS (SELECT u.qid, sum(u.m) AS m_ad
+      |  FROM qcum u JOIN qplan p USING (qid)
+      |  WHERE u.crank <= p.eff_nprobe GROUP BY u.qid),
+      |work AS (
+      |  SELECT 'exact_prefilter' AS strategy, CAST(sum(m_total) AS BIGINT) AS n_scored FROM qs
+      |  UNION ALL
+      |  SELECT 'ivf_prefilter' AS strategy, CAST(sum(m_fixed) AS BIGINT) AS n_scored FROM qs
+      |  UNION ALL
+      |  SELECT 'ivf_adaptive' AS strategy, CAST(sum(m_ad) AS BIGINT) AS n_scored FROM ad
+      |  UNION ALL
+      |  SELECT 'postfilter' AS strategy,
+      |    CAST((SELECT count(*) FROM qs)
+      |      * ((SELECT count(*) FROM embeddings) - 1) AS BIGINT) AS n_scored),
+      |exr AS (SELECT 'exact_prefilter' AS strategy, max(n_truth) AS n_truth,
+      |    max(n_truth) AS n_hit, CAST(1 AS DOUBLE) AS recall FROM frc),
+      |allr AS (SELECT strategy, n_truth, n_hit, recall FROM frc
+      |  UNION ALL SELECT strategy, n_truth, n_hit, recall FROM exr)
+      |SELECT a.strategy, a.n_truth, a.n_hit, a.recall, w.n_scored,
+      |  CAST(w.n_scored AS DOUBLE)
+      |    / CAST((SELECT count(*) FROM qs) AS DOUBLE) AS scored_per_query,
+      |  CAST(w.n_scored AS DOUBLE) / CAST(a.n_hit AS DOUBLE) AS scored_per_hit
+      |FROM allr a JOIN work w USING (strategy)
+      |ORDER BY strategy""".stripMargin
+
+  /** `e_ivf_balance` — cell-occupancy audit over the shared assignment
+    * CTEs; dominant label via max-count-then-max-label (the
+    * `e_skew_audit` tie device, grouped form). */
+  private lazy val ivfBalanceSql: String =
+    s"""WITH $centAssignCtes,
+      |lab AS (SELECT a.cell, emb.label
+      |  FROM assigned a JOIN embeddings emb USING (vec_id)),
+      |cl AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS m
+      |  FROM lab GROUP BY cell, label),
+      |cells AS (SELECT cell, CAST(sum(m) AS BIGINT) AS n_vectors,
+      |    max(m) AS top_n FROM cl GROUP BY cell),
+      |tops AS (SELECT cl.cell, max(cl.label) AS top_label, cl.m AS top_label_n
+      |  FROM cl JOIN cells ce ON cl.cell = ce.cell AND cl.m = ce.top_n
+      |  GROUP BY cl.cell, cl.m),
+      |tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS n_corpus FROM cells)
+      |SELECT c.cell, c.n_vectors,
+      |  CAST(c.n_vectors AS DOUBLE) / CAST(t.n_corpus AS DOUBLE) AS share,
+      |  CAST(c.n_vectors * ${ExtQueries.IvfCells} AS DOUBLE)
+      |    / CAST(t.n_corpus AS DOUBLE) AS balance_factor,
+      |  p.top_label, p.top_label_n
+      |FROM cells c JOIN tops p ON p.cell = c.cell, tot t
+      |ORDER BY c.cell""".stripMargin
+
   /** `e_dedup_lineage` — composes the three pair detectors' SQL texts so
     * the provenance can never drift from what the detectors report (each
     * referenced once — plain CTEs suffice, the MATERIALIZED rule applies
@@ -4149,6 +4219,8 @@ object ExtOracles {
     ("e_compaction_apply" -> compactionApplySql) +
     ("e_scan_prune" -> scanPruneSql) +
     ("e_filter_recall" -> filterRecallSql) +
+    ("e_filter_cost" -> filterCostSql) +
+    ("e_ivf_balance" -> ivfBalanceSql) +
     ("e_dedup_lineage" -> dedupLineageSql) +
     ("e_recall_at_k" -> recallAtKSql) +
     ("e_graph_recall" -> graphRecallSql) +

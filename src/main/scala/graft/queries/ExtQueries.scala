@@ -1488,16 +1488,10 @@ object ExtQueries {
     * against a centroid table: the query's [[IvfFilterNprobe]] nearest
     * cells with the [[annFilter]] target predicate attached —
     * `(qid, qe, nq, tgt, cell)`, one row per probed cell. */
-  private[graft] def ivfFilterProbes(queries: DataFrame, cents: DataFrame): DataFrame = {
-    val qvecs = queries
-      .select(col("vec_id"), col("embedding").as("e"), col("label"))
-      .withColumn("nrm", l2norm(col("e")))
-    rankedCells(qvecs, cents)
+  private[graft] def ivfFilterProbes(queries: DataFrame, cents: DataFrame): DataFrame =
+    ivfFilterProbesAll(queries, cents)
       .filter(col("crank") <= IvfFilterNprobe)
-      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("nq"),
-        pmod(col("label") + lit(1), lit(AnnFilterLabels)).cast("int").as("tgt"),
-        col("cent_id").as("cell"))
-  }
+      .select(col("qid"), col("qe"), col("nq"), col("tgt"), col("cell"))
 
   /** The filtered in-cell serve: probe list joined into the assigned
     * corpus on the cell key (probe side BROADCAST — it is |q|·nprobe
@@ -1582,45 +1576,14 @@ object ExtQueries {
     import graft.functions.TopKByScoreAggregator
     val agg = new TopKByScoreAggregator(AnnFilterK)
     val topk = udaf(agg, agg.inputEncoder)
-    val vecs = table(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").as("e"), col("label"))
-      .withColumn("nrm", l2norm(col("e")))
-    val cents = centroids(spark, dir, IvfCells)
+    val emb = table(spark, dir, "embeddings")
     // PERSISTED: the assignment feeds the (cell, label) count table AND the
     // probe join — unpersisted, the corpus assigns twice
-    val assigned = rankedCells(vecs, cents).filter(col("crank") === 1)
-      .select(col("vec_id"), col("e"), col("nrm"), col("label"),
-        col("cent_id").as("cell"))
+    val (assignedRaw, cents) = ivfLabeledIndex(emb)
+    val assigned = assignedRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cellCnt = assigned.groupBy(col("cell"), col("label"))
-      .agg(count(lit(1)).as("m"))
-    // probe schedule domain: every (query, cell) in probe-rank order with
-    // the running count of predicate-matching candidates reachable so far
-    val qcells = rankedCells(vecs.filter(col("vec_id") < 8), cents)
-      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("nq"),
-        pmod(col("label") + lit(1), lit(AnnFilterLabels)).cast("int").as("tgt"),
-        col("cent_id").as("cell"), col("crank"))
-    val wCum = Window.partitionBy(col("qid")).orderBy(col("crank"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val qcum = qcells
-      .join(broadcast(cellCnt),
-        cellCnt("cell") === qcells("cell") && cellCnt("label") === qcells("tgt"),
-        "left")
-      .select(qcells("qid"), qcells("qe"), qcells("nq"), qcells("tgt"),
-        qcells("cell"), qcells("crank"), coalesce(col("m"), lit(0L)).as("m"))
-      .withColumn("cum", sum(col("m")).over(wCum))
-    // per-query plan: total matching anywhere, first rank reaching the
-    // target, the spill decision — eff_nprobe = cells both when the
-    // schedule exhausts (target unreachable) and when it spills
-    val qplan = qcum.groupBy(col("qid"))
-      .agg(max(col("cum")).as("n_match_total"),
-        min(when(col("cum") >= targetK, col("crank"))).as("first_reach"))
-      .select(col("qid"), col("n_match_total"),
-        when(col("n_match_total") <= spillMax, lit(IvfCells))
-          .otherwise(coalesce(col("first_reach"), lit(IvfCells)))
-          .cast("int").as("eff_nprobe"),
-        when(col("n_match_total") <= spillMax, lit(1L)).otherwise(lit(0L))
-          .as("spilled"))
+    val qcum = ivfProbeSchedule(assigned, cents, emb.filter(col("vec_id") < 8))
+    val qplan = ivfAdaptivePlanOf(qcum, targetK, spillMax)
     val probe = qcum.join(qplan, Seq("qid"))
       .filter(col("crank") <= col("eff_nprobe"))
       .select(col("qid"), col("qe"), col("nq"), col("tgt"), col("cell"),
@@ -1640,6 +1603,54 @@ object ExtQueries {
         col("n_match_total"), col("eff_nprobe"), col("spilled"))
       .orderBy("qid", "rank")
   }
+
+  /** The probe-schedule domain shared by [[ivfFilterAdaptiveImpl]] and
+    * [[filterCost]]: every (query, cell) in probe-rank order with the
+    * per-cell predicate-matching count `m` and its running sum `cum` —
+    * the metadata frame the adaptive plan decides from, |q|·cells rows. */
+  private def ivfProbeSchedule(assigned: DataFrame, cents: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val cellCnt = assigned.groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("m"))
+    val qcells = ivfFilterProbesAll(queries, cents)
+    val wCum = Window.partitionBy(col("qid")).orderBy(col("crank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    qcells
+      .join(broadcast(cellCnt),
+        cellCnt("cell") === qcells("cell") && cellCnt("label") === qcells("tgt"),
+        "left")
+      .select(qcells("qid"), qcells("qe"), qcells("nq"), qcells("tgt"),
+        qcells("cell"), qcells("crank"), coalesce(col("m"), lit(0L)).as("m"))
+      .withColumn("cum", sum(col("m")).over(wCum))
+  }
+
+  /** [[ivfFilterProbes]] without the nprobe cut: EVERY (query, cell) with
+    * its probe rank — the schedule domain. */
+  private def ivfFilterProbesAll(queries: DataFrame, cents: DataFrame): DataFrame = {
+    val qvecs = queries
+      .select(col("vec_id"), col("embedding").as("e"), col("label"))
+      .withColumn("nrm", l2norm(col("e")))
+    rankedCells(qvecs, cents)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("nq"),
+        pmod(col("label") + lit(1), lit(AnnFilterLabels)).cast("int").as("tgt"),
+        col("cent_id").as("cell"), col("crank"))
+  }
+
+  /** Per-query adaptive plan from a probe schedule: total matching
+    * anywhere, first rank reaching the target, the spill decision —
+    * eff_nprobe = cells both when the schedule exhausts (target
+    * unreachable) and when it spills. */
+  private def ivfAdaptivePlanOf(qcum: DataFrame, targetK: Int,
+      spillMax: Long): DataFrame =
+    qcum.groupBy(col("qid"))
+      .agg(max(col("cum")).as("n_match_total"),
+        min(when(col("cum") >= targetK, col("crank"))).as("first_reach"))
+      .select(col("qid"), col("n_match_total"),
+        when(col("n_match_total") <= spillMax, lit(IvfCells))
+          .otherwise(coalesce(col("first_reach"), lit(IvfCells)))
+          .cast("int").as("eff_nprobe"),
+        when(col("n_match_total") <= spillMax, lit(1L)).otherwise(lit(0L))
+          .as("spilled"))
 
   // ---- e_filter_recall ----------------------------------------------------
 
@@ -1681,6 +1692,118 @@ object ExtQueries {
         col("n_hit").cast("double") / col("n_truth").cast("double"))
       .select(col("strategy"), col("n_truth"), col("n_hit"), col("recall"))
       .orderBy("strategy")
+  }
+
+  // ---- e_filter_cost ------------------------------------------------------
+
+  /** Cost/recall FRONTIER of the filtered-serving strategies —
+    * [[filterRecall]] grades WHAT each plan returns; this prices WHAT EACH
+    * PLAN SCORES, which is the other axis a serving team reads before
+    * picking one (a strategy is chosen at a (recall, work) point, never on
+    * recall alone). Per strategy: the recall row joined with the exact
+    * count of (query, candidate) pairs its dataflow scores —
+    * `exact_prefilter` scores every predicate-matching row (the
+    * [[annFilter]] truth path), `postfilter` scores the whole corpus per
+    * query (its shortlist stage is unfiltered), `ivf_prefilter` scores the
+    * matching rows of the fixed [[IvfFilterNprobe]] probed cells, and
+    * `ivf_adaptive` the matching rows of its per-query schedule. Work
+    * counts are ANALYTIC — computed from the same (cell, label) metadata
+    * the index holds, so both engines state the identical number the
+    * dataflow provably scores.
+    *
+    * The fixture's honest frontier: post-filtering pays |corpus| per query
+    * for the worst recall; filtered-index plans pay ~selectivity·|probed
+    * cells| for more; the exact pre-filter pays selectivity·|corpus| for
+    * recall 1 — which is why the spill rule exists (below the selectivity
+    * bound, exact IS the cheap plan).
+    *
+    * Determinism: integer counts and three divides per row.
+    *
+    * At scale: everything here is |q|·cells metadata plus the composed
+    * recall harness — the frontier table costs nothing even when the
+    * strategies it prices would not. Composes [[filterRecall]] (itself
+    * three graded operators) — a harness key. */
+  def filterCost(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val (assignedRaw, cents) = ivfLabeledIndex(emb)
+    val assigned = assignedRaw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // PERSISTED: the schedule feeds the per-query rollup AND the adaptive
+    // probe-set sum
+    val qcum = ivfProbeSchedule(assigned, cents, emb.filter(col("vec_id") < 8))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qplan = ivfAdaptivePlanOf(qcum, IvfAdaptiveTargetK, IvfAdaptiveSpillMax)
+    val qs = qcum.groupBy(col("qid"))
+      .agg(max(col("cum")).as("m_total"),
+        sum(when(col("crank") <= IvfFilterNprobe, col("m")).otherwise(lit(0L)))
+          .as("m_fixed"))
+    val ad = qcum.join(qplan, Seq("qid"))
+      .filter(col("crank") <= col("eff_nprobe"))
+      .groupBy(col("qid")).agg(sum(col("m")).as("m_ad"))
+    val nCorpus = emb.agg(count(lit(1)).as("n_corpus"))
+    val nQs = qs.agg(count(lit(1)).as("n_queries"))
+    val work = qs.agg(sum(col("m_total")).as("n_scored"))
+      .select(lit("exact_prefilter").as("strategy"), col("n_scored"))
+      .unionByName(qs.agg(sum(col("m_fixed")).as("n_scored"))
+        .select(lit("ivf_prefilter").as("strategy"), col("n_scored")))
+      .unionByName(ad.agg(sum(col("m_ad")).as("n_scored"))
+        .select(lit("ivf_adaptive").as("strategy"), col("n_scored")))
+      .unionByName(nQs.crossJoin(nCorpus)
+        .select(lit("postfilter").as("strategy"),
+          (col("n_queries") * (col("n_corpus") - 1)).as("n_scored")))
+    // PERSISTED: the recall harness rows feed the strategy rows AND the
+    // exact row's truth size
+    val fr = filterRecall(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exr = fr.agg(max(col("n_truth")).as("n_truth"))
+      .select(lit("exact_prefilter").as("strategy"), col("n_truth"),
+        col("n_truth").as("n_hit"), lit(1.0).as("recall"))
+    fr.select(col("strategy"), col("n_truth"), col("n_hit"), col("recall"))
+      .unionByName(exr)
+      .join(work, Seq("strategy"))
+      .crossJoin(broadcast(nQs))
+      .select(col("strategy"), col("n_truth"), col("n_hit"), col("recall"),
+        col("n_scored"),
+        (col("n_scored").cast("double") / col("n_queries").cast("double"))
+          .as("scored_per_query"),
+        (col("n_scored").cast("double") / col("n_hit").cast("double"))
+          .as("scored_per_hit"))
+      .orderBy("strategy")
+  }
+
+  // ---- e_ivf_balance ------------------------------------------------------
+
+  /** IVF quantizer-health audit — the cell-occupancy report a vector store
+    * watches to decide when to retrain its coarse quantizer: per cell, the
+    * member count, corpus share, balance factor (share·cells — 1.0 is a
+    * perfectly balanced quantizer; a factor ≫ 1 cell is the straggler
+    * every probe of it pays), and the cell's dominant label with its count
+    * (the filtered-serving hotspot indicator: a cell owned by one label
+    * starves filtered queries targeting the others — exactly the
+    * per-(cell, label) metadata [[ivfFilterAdaptive]]'s schedule reads).
+    *
+    * Determinism: integer counts; dominant-label ties break label-max
+    * (both engines pick max label among max-count labels); two divides.
+    *
+    * At scale: one corpus-assignment pass reduced map-side to
+    * |cells|·|labels| rows, then |cells| rows — the audit is metadata-
+    * priced, which is why a store can run it on every index build. */
+  def ivfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val (assigned, _) = ivfLabeledIndex(table(spark, dir, "embeddings"))
+    val cl = assigned.groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("m"))
+    val cells = cl.groupBy(col("cell"))
+      .agg(sum(col("m")).as("n_vectors"),
+        max(struct(col("m"), col("label"))).as("t"))
+    val tot = cells.agg(sum(col("n_vectors")).as("n_corpus"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("n_corpus").cast("double"))
+          .as("share"),
+        ((col("n_vectors") * lit(IvfCells.toLong)).cast("double")
+          / col("n_corpus").cast("double")).as("balance_factor"),
+        col("t.label").as("top_label"), col("t.m").as("top_label_n"))
+      .orderBy("cell")
   }
 
   /** The IVF serve body against an ARBITRARY centroid table (`cent_id`,

@@ -58,7 +58,10 @@ class IvfFilterSpec extends AnyFunSuite {
     val truth = ExtQueries.annFilter(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     spark.catalog.clearCache()
-    val hits = got.map { case ((qid, _), (cid, _)) => (qid, cid) }
+    // toSeq BEFORE mapping to (qid, cid): mapping the Map directly would
+    // collapse each query's k rows into ONE Map entry (qid -> cid) and
+    // under-count hits 10x (the round-13 0.088-vs-0.75 lesson)
+    val hits = got.toSeq.map { case ((qid, _), (cid, _)) => (qid, cid) }
       .count(truth.contains)
     val recall = hits.toDouble / truth.size
     info(f"filtered-IVF recall@$k vs exact filtered truth: $recall%.3f")
