@@ -1583,8 +1583,10 @@ object ExtQueries {
     val assigned = assignedRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qcum = ivfProbeSchedule(assigned, cents, emb.filter(col("vec_id") < 8))
+    // the |q|-row plan BROADCASTS back onto the |q|·cells schedule — a
+    // shuffle join here re-partitions two metadata frames for nothing
     val qplan = ivfAdaptivePlanOf(qcum, targetK, spillMax)
-    val probe = qcum.join(qplan, Seq("qid"))
+    val probe = qcum.join(broadcast(qplan), Seq("qid"))
       .filter(col("crank") <= col("eff_nprobe"))
       .select(col("qid"), col("qe"), col("nq"), col("tgt"), col("cell"),
         col("n_match_total"), col("eff_nprobe"), col("spilled"))
@@ -1737,7 +1739,7 @@ object ExtQueries {
       .agg(max(col("cum")).as("m_total"),
         sum(when(col("crank") <= IvfFilterNprobe, col("m")).otherwise(lit(0L)))
           .as("m_fixed"))
-    val ad = qcum.join(qplan, Seq("qid"))
+    val ad = qcum.join(broadcast(qplan), Seq("qid"))
       .filter(col("crank") <= col("eff_nprobe"))
       .groupBy(col("qid")).agg(sum(col("m")).as("m_ad"))
     val nCorpus = emb.agg(count(lit(1)).as("n_corpus"))
@@ -1760,7 +1762,7 @@ object ExtQueries {
         col("n_truth").as("n_hit"), lit(1.0).as("recall"))
     fr.select(col("strategy"), col("n_truth"), col("n_hit"), col("recall"))
       .unionByName(exr)
-      .join(work, Seq("strategy"))
+      .join(broadcast(work), Seq("strategy"))
       .crossJoin(broadcast(nQs))
       .select(col("strategy"), col("n_truth"), col("n_hit"), col("recall"),
         col("n_scored"),

@@ -784,6 +784,20 @@ class PlanSpec extends AnyFunSuite {
         "the corpus at 100 TB")
   }
 
+  test("ivf filter adaptive: schedule/probe sides broadcast, top-k is a bounded aggregate") {
+    val df = ExtQueries.ivfFilterAdaptive(spark, dir)
+    val plan = formatted(df)
+    spark.catalog.clearCache() // the assignment is persisted for two consumers
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "the |cells|·|labels| count table and the |q|·nprobe probe list are " +
+        "metadata-sized and must broadcast — a shuffle join re-partitions " +
+        "the corpus at 100 TB")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("ObjectHashAggregate"),
+      "per-query top-k must stay the bounded-state aggregate")
+  }
+
   test("ivf filter: probe side broadcasts, top-k is a bounded aggregate, outer plan window-free") {
     val df = ExtQueries.ivfFilter(spark, dir)
     val plan = formatted(df)
