@@ -108,6 +108,7 @@ object SparkEntry {
     "e_sq_topk"           -> (ExtQueries.sqTopk _),
     "e_sq_rerank"         -> (ExtQueries.sqRerank _),
     "e_ann_recall"        -> (ExtQueries.annRecall _),
+    "e_ann_cost"          -> (ExtQueries.annCost _),
     "e_rank_fusion"       -> (ExtQueries.rankFusion _),
     "e_hybrid_search"     -> (ExtQueries.hybridSearch _),
     "e_mmr"               -> (ExtQueries.mmrSelect _),
@@ -225,7 +226,7 @@ object SparkEntry {
     * a regression in a harness key that does NOT show in any operator key
     * is comparison overhead; one that does is the operator's. */
   val harnessKeys: Set[String] = Set(
-    "e_ann_recall", "e_dedup_eval", "e_rank_fusion", "e_hybrid_search",
+    "e_ann_recall", "e_ann_cost", "e_dedup_eval", "e_rank_fusion", "e_hybrid_search",
     "e_split_contamination", "e_curation_funnel", "e_nb_eval", "e_interleave",
     "e_tok_fertility", "e_vocab_coverage", "e_filter_bias", "e_pack_stats",
     "e_dedup_sweep",

@@ -245,6 +245,25 @@ object ExtOracles {
       |      ORDER BY csim DESC, cent_id ASC) AS crank FROM sims)
       |  WHERE crank = 1)""".stripMargin
 
+  /** Hyperplane-projection + band-bucket CTEs (`proj`, `bands`) — the SQL
+    * twin of `ExtQueries.withBandBuckets` at the ANN sizing, shared by
+    * `e_cosine_topk_lsh` and `e_ann_cost` so the serve and its cost audit
+    * derive one bucket definition. */
+  private lazy val lshBandCtes: String =
+    s"""proj AS (SELECT vec_id, embedding AS e,
+      |  sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)),
+      |    (a,b) -> a+b)) AS nrm,
+      |  list_transform(range(0, ${ExtQueries.AnnPlanes}), p ->
+      |    list_reduce(list_transform(range(0,64), d ->
+      |      (CAST(((p*64+d)*2654435761) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5)
+      |        * CAST(embedding[d+1] AS DOUBLE)), (a,b) -> a+b)) AS pr
+      |  FROM embeddings),
+      |bands AS (SELECT vec_id, e, nrm, b,
+      |  list_sum(list_transform(range(0, ${ExtQueries.AnnBandBits}), r ->
+      |    CASE WHEN pr[b*${ExtQueries.AnnBandBits}+r+1] > 0
+      |         THEN (CAST(1 AS BIGINT) << r) ELSE 0 END)) AS bv
+      |  FROM proj, (SELECT unnest(range(${ExtQueries.AnnBands})) AS b))""".stripMargin
+
   /** Labeled-assignment + adaptive probe-schedule CTEs over
     * [[centAssignCtes]]' frames (`lab`, `cellcnt`, `qc`, `qcum`, `qplan`)
     * — the SQL twin of `ExtQueries.ivfProbeSchedule` /
@@ -1341,19 +1360,7 @@ object ExtOracles {
         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "e_cosine_topk_lsh" ->
-      s"""WITH proj AS (SELECT vec_id, embedding AS e,
-        |  sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)),
-        |    (a,b) -> a+b)) AS nrm,
-        |  list_transform(range(0, ${ExtQueries.AnnPlanes}), p ->
-        |    list_reduce(list_transform(range(0,64), d ->
-        |      (CAST(((p*64+d)*2654435761) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5)
-        |        * CAST(embedding[d+1] AS DOUBLE)), (a,b) -> a+b)) AS pr
-        |  FROM embeddings),
-        |bands AS (SELECT vec_id, e, nrm, b,
-        |  list_sum(list_transform(range(0, ${ExtQueries.AnnBandBits}), r ->
-        |    CASE WHEN pr[b*${ExtQueries.AnnBandBits}+r+1] > 0
-        |         THEN (CAST(1 AS BIGINT) << r) ELSE 0 END)) AS bv
-        |  FROM proj, (SELECT unnest(range(${ExtQueries.AnnBands})) AS b)),
+      s"""WITH $lshBandCtes,
         |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid,
         |  list_reduce(list_transform(list_zip(q.e, c.e),
         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a,b) -> a+b)
@@ -4264,7 +4271,13 @@ object ExtOracles {
     ("e_rand_walk" -> randWalkSql) +
     ("e_walk_pairs" -> walkPairsSql) +
     ("e_cosine_topk_beam" -> beamSearchSql) +
-    ("e_ivfpq_rerank" -> ivfPqRerankSql) + ("e_ann_recall" ->
+    ("e_ivfpq_rerank" -> ivfPqRerankSql) +
+    ("e_ann_cost" -> annCostSql) +
+    ("e_ann_recall" -> annRecallSql)
+
+  /** `e_ann_recall` — the family-recall harness text, a val so
+    * `e_ann_cost` can compose it. */
+  private lazy val annRecallSql: String =
     s"""WITH ex AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk")}) t),
       |lsh AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_lsh")}) u),
       |ivf AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_ivf")}) v),
@@ -4312,5 +4325,73 @@ object ExtOracles {
       |LEFT JOIN sq ON ex.qid = sq.qid AND ex.cid = sq.cid
       |LEFT JOIN sqr ON ex.qid = sqr.qid AND ex.cid = sqr.cid
       |LEFT JOIN ivfpqr ON ex.qid = ivfpqr.qid AND ex.cid = ivfpqr.cid
-      |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin)
+      |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin
+
+  /** `e_ann_cost` — the (recall, bytes) frontier: per-family hit totals
+    * from the composed `e_ann_recall` text plus analytic candidate counts
+    * over the shared band-bucket and cell-assignment CTEs. */
+  private lazy val annCostSql: String = {
+    val bpcFull = ExtQueries.AnnCostBytesFull
+    def row(fam: String, nCode: String, bpc: String, nFull: String,
+        hit: String): String =
+      s"""SELECT '$fam' AS family, CAST($nCode AS BIGINT) AS n_code,
+        |  CAST($bpc AS BIGINT) AS bytes_per_code,
+        |  CAST($nFull AS BIGINT) AS n_full, $hit AS n_hit, t_exact
+        |FROM base""".stripMargin
+    val rows = Seq(
+      row("exact", "0", "0", "n_queries * (n_corpus - 1)", "t_exact"),
+      row("lsh", "0", "0", "n_lsh_cand", "t_lsh"),
+      row("ivf", "0", "0", "s1 - n_queries", "t_ivf"),
+      row("ivf2", "0", "0", "s12 - n_queries", "t_ivf2"),
+      row("pq", "n_queries * (n_corpus - 1)",
+        ExtQueries.AnnCostBytesPq.toString, "0", "t_pq"),
+      row("sq", "n_queries * (n_corpus - 1)",
+        ExtQueries.AnnCostBytesSq.toString, "0", "t_sq"),
+      row("sqr", "n_queries * (n_corpus - 1)",
+        ExtQueries.AnnCostBytesSq.toString,
+        s"n_queries * least(${ExtQueries.SqRerankR}, n_corpus - 1)", "t_sqr"),
+      row("ivfpq", "s1 - n_queries", ExtQueries.AnnCostBytesPq.toString,
+        "0", "t_ivfpq"),
+      row("ivfpqr", "s1 - n_queries", ExtQueries.AnnCostBytesPq.toString,
+        "n_pq_short", "t_ivfpqr"))
+    s"""WITH ar AS (SELECT CAST(sum(n_exact) AS BIGINT) AS t_exact,
+      |    CAST(sum(n_lsh) AS BIGINT) AS t_lsh,
+      |    CAST(sum(n_ivf) AS BIGINT) AS t_ivf,
+      |    CAST(sum(n_ivf2) AS BIGINT) AS t_ivf2,
+      |    CAST(sum(n_pq) AS BIGINT) AS t_pq,
+      |    CAST(sum(n_ivfpq) AS BIGINT) AS t_ivfpq,
+      |    CAST(sum(n_sq) AS BIGINT) AS t_sq,
+      |    CAST(sum(n_sqr) AS BIGINT) AS t_sqr,
+      |    CAST(sum(n_ivfpqr) AS BIGINT) AS t_ivfpqr
+      |  FROM ($annRecallSql) r),
+      |$lshBandCtes,
+      |lshc AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh_cand FROM (
+      |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+      |  FROM bands q JOIN bands c ON q.b = c.b AND q.bv = c.bv
+      |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t),
+      |$centAssignCtes,
+      |csz AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+      |  FROM assigned GROUP BY cell),
+      |q2 AS (SELECT qid, cell, crank FROM (
+      |    SELECT vec_id AS qid, cent_id AS cell,
+      |      row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY csim DESC, cent_id ASC) AS crank
+      |    FROM sims WHERE vec_id < 8) r WHERE crank <= 2),
+      |qcs AS (SELECT q2.qid, q2.crank, cs.n FROM q2 JOIN csz cs USING (cell)),
+      |ivfc AS (SELECT
+      |    CAST(sum(CASE WHEN crank = 1 THEN n ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(sum(n) AS BIGINT) AS s12 FROM qcs),
+      |pqs AS (SELECT CAST(sum(least(${ExtQueries.IvfPqRerankR}, n - 1)) AS BIGINT)
+      |    AS n_pq_short FROM qcs WHERE crank = 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM embeddings),
+      |qq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
+      |  FROM embeddings WHERE vec_id < 8),
+      |base AS (SELECT * FROM ar, lshc, ivfc, pqs, nn, qq),
+      |rows_ AS (
+      |${rows.mkString("\nUNION ALL\n")})
+      |SELECT family, n_code, bytes_per_code, n_full,
+      |  n_code * bytes_per_code + n_full * $bpcFull AS bytes_scored,
+      |  n_hit, CAST(n_hit AS DOUBLE) / CAST(t_exact AS DOUBLE) AS recall
+      |FROM rows_ ORDER BY family""".stripMargin
+  }
 }

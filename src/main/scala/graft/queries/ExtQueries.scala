@@ -399,6 +399,110 @@ object ExtQueries {
       .orderBy("qid")
   }
 
+  // ---- e_ann_cost ---------------------------------------------------------
+
+  /** Bytes per candidate at full precision: 64 float32 dims. */
+  private[queries] val AnnCostBytesFull = 256L
+  /** Bytes per candidate under SQ8: 64 int8 codes. */
+  private[queries] val AnnCostBytesSq = 64L
+  /** Bytes per candidate under PQ/IVF-PQ: one code id per subspace (the
+    * [[PqCodes]]-entry codebook fits a byte). */
+  private[queries] val AnnCostBytesPq: Long = PqSubspaces.toLong
+
+  /** Serving-cost frontier of the ANN families — the [[filterCost]]
+    * discipline applied to the UNFILTERED serving table: [[annRecall]]
+    * grades what each family returns, this prices what each family
+    * SCORES, split into the two kinds of work an index actually pays —
+    * full-precision candidates (`n_full` at [[AnnCostBytesFull]] B each)
+    * and compressed-code candidates (`n_code` at the family's code
+    * width) — plus the resulting `bytes_scored` and the family's
+    * corpus-wide recall. The table a serving team reads as a
+    * (recall, bytes) frontier: exact pays |q|·|corpus| full vectors for
+    * recall 1; LSH/IVF cut the candidate COUNT; SQ/PQ cut the candidate
+    * WIDTH; the refined composites pay a compressed scan plus R
+    * full-precision rows per query.
+    *
+    * Work counts are ANALYTIC — candidate-set sizes computed from the
+    * same index metadata the families build (band buckets, cell sizes),
+    * so both engines state the identical number each dataflow provably
+    * scores: LSH = distinct band-bucket collisions; IVF at nprobe p =
+    * probed-cell members minus the query itself (the query's own cell is
+    * always probed first); PQ/SQ scan every pair on codes; the refine
+    * stages add min(R, available) full rows per query. Per-vector setup
+    * work (signatures, assignments, encodings) is index-BUILD cost, paid
+    * once — deliberately excluded from this per-query serving table.
+    *
+    * Determinism: integer counts and one divide per row.
+    *
+    * At scale: everything here is metadata (band postings, |cells| sizes,
+    * scalar counts) plus the composed recall harness. Composes
+    * [[annRecall]] (itself eleven graded rank lists) — a harness key. */
+  def annCost(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    // per-family hit totals from the graded harness — referenced by every
+    // row, so persisted
+    val ar = annRecall(spark, dir).agg(
+        sum(col("n_exact")).as("t_exact"), sum(col("n_lsh")).as("t_lsh"),
+        sum(col("n_ivf")).as("t_ivf"), sum(col("n_ivf2")).as("t_ivf2"),
+        sum(col("n_pq")).as("t_pq"), sum(col("n_ivfpq")).as("t_ivfpq"),
+        sum(col("n_sq")).as("t_sq"), sum(col("n_sqr")).as("t_sqr"),
+        sum(col("n_ivfpqr")).as("t_ivfpqr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nC = emb.agg(count(lit(1)).as("n_corpus"))
+    val nQ = emb.filter(col("vec_id") < 8)
+      .agg(count(lit(1)).as("n_queries"))
+    // LSH: distinct band-bucket candidate pairs (the set the operator
+    // verifies — dedup-before-score is the canonical accounting)
+    val bands = withBandBuckets(spark,
+        emb.select(col("vec_id"), col("embedding").as("e")), AnnPlanes, AnnBands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lshC = bands
+      .join(broadcast(bands.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("band"), col("bv"))),
+        Seq("band", "bv"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id")).distinct()
+      .agg(count(lit(1)).as("n_lsh_cand"))
+    // IVF: probed-cell sizes per query at crank 1 and 2
+    val (assigned, cents) = ivfLabeledIndex(emb)
+    val csz = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val qcs = ivfFilterProbesAll(emb.filter(col("vec_id") < 8), cents)
+      .filter(col("crank") <= 2).select(col("qid"), col("cell"), col("crank"))
+      .join(broadcast(csz), Seq("cell"))
+    val ivfc = qcs.agg(
+      sum(when(col("crank") === 1, col("n")).otherwise(lit(0L))).as("s1"),
+      sum(col("n")).as("s12"))
+    val pqShort = qcs.filter(col("crank") === 1)
+      .agg(sum(least(lit(IvfPqRerankR.toLong), col("n") - 1)).as("n_pq_short"))
+    val base = ar.crossJoin(broadcast(nC)).crossJoin(broadcast(nQ))
+      .crossJoin(broadcast(lshC)).crossJoin(broadcast(ivfc))
+      .crossJoin(broadcast(pqShort))
+    val allPairs = col("n_queries") * (col("n_corpus") - 1)
+    val zero = lit(0L)
+    def row(fam: String, nCode: Column, bpc: Column, nFull: Column,
+        hit: Column): DataFrame =
+      base.select(lit(fam).as("family"), nCode.as("n_code"),
+        bpc.as("bytes_per_code"), nFull.as("n_full"),
+        (nCode * bpc + nFull * lit(AnnCostBytesFull)).as("bytes_scored"),
+        hit.as("n_hit"),
+        (hit.cast("double") / col("t_exact").cast("double")).as("recall"))
+    val rows = Seq(
+      row("exact", zero, zero, allPairs, col("t_exact")),
+      row("lsh", zero, zero, col("n_lsh_cand"), col("t_lsh")),
+      row("ivf", zero, zero, col("s1") - col("n_queries"), col("t_ivf")),
+      row("ivf2", zero, zero, col("s12") - col("n_queries"), col("t_ivf2")),
+      row("pq", allPairs, lit(AnnCostBytesPq), zero, col("t_pq")),
+      row("sq", allPairs, lit(AnnCostBytesSq), zero, col("t_sq")),
+      row("sqr", allPairs, lit(AnnCostBytesSq),
+        col("n_queries") * least(lit(SqRerankR.toLong), col("n_corpus") - 1),
+        col("t_sqr")),
+      row("ivfpq", col("s1") - col("n_queries"), lit(AnnCostBytesPq), zero,
+        col("t_ivfpq")),
+      row("ivfpqr", col("s1") - col("n_queries"), lit(AnnCostBytesPq),
+        col("n_pq_short"), col("t_ivfpqr")))
+    rows.reduce(_ unionByName _).orderBy("family")
+  }
+
   // ---- e_recall_at_k ------------------------------------------------------
 
   /** The rank depths [[recallAtK]] grades at — the operating points a
