@@ -179,6 +179,7 @@ object SparkEntry {
     "e_merge_apply"       -> (ExtQueries.mergeApply _),
     "e_scan_prune"        -> (ExtQueries.scanPrune _),
     "e_dedup_lineage"     -> (ExtQueries.dedupLineage _),
+    "e_delete_audit"      -> (ExtQueries.deleteAudit _),
     "e_rolling_agg"       -> (ExtQueries.rollingAgg _),
     "e_incr_agg"          -> (ExtQueries.incrAgg _),
     "e_skew_audit"        -> (ExtQueries.skewAudit _),
@@ -268,8 +269,9 @@ object SparkEntry {
     // e_ann_filter's post-filter baseline re-runs the e_cosine_topk_agg
     // scoring body at shortlist depth R (the e_sq_rerank rule)
     "e_ann_filter",
-    // e_dedup_lineage composes the three graded pair detectors
-    "e_dedup_lineage",
+    // e_dedup_lineage composes the three graded pair detectors;
+    // e_delete_audit composes four graded derived artifacts
+    "e_dedup_lineage", "e_delete_audit",
     // e_scan_prune composes the graded e_zorder layout derivation;
     // e_compaction_apply routes files by the graded e_compaction_plan
     "e_scan_prune", "e_compaction_apply",

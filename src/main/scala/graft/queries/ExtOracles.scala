@@ -4147,6 +4147,38 @@ object ExtOracles {
       |FROM cells c JOIN tops p ON p.cell = c.cell, tot t
       |ORDER BY c.cell""".stripMargin
 
+  /** `e_delete_audit` — composes the four derived artifacts' SQL texts
+    * (each projected to its base doc id, MATERIALIZED: every projection
+    * is referenced twice — row count + reference count) against the
+    * deletion-request set. */
+  private lazy val deleteAuditSql: String = {
+    val off = ExtQueries.VariantIdOffset
+    def proj(cte: String, src: String): String =
+      s"""$cte AS MATERIALIZED (
+        |  SELECT CASE WHEN doc_id >= $off THEN doc_id - $off
+        |    ELSE doc_id END AS bid
+        |  FROM ($src) t)""".stripMargin
+    def row(name: String, cte: String): String =
+      s"""SELECT '$name' AS artifact,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM $cte) AS n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |    FROM $cte SEMI JOIN dels ON bid = del_id) AS n_refs""".stripMargin
+    s"""WITH dels AS MATERIALIZED (
+      |  SELECT doc_id AS del_id FROM documents
+      |  WHERE doc_id % ${ExtQueries.DeleteEveryMod} = 0),
+      |${proj("a_chunk", baseSql("e_chunk_dedup"))},
+      |${proj("a_clus", baseSql("e_dup_clusters"))},
+      |${proj("a_fp", baseSql("e_fingerprint"))},
+      |${proj("a_split", baseSql("e_split"))},
+      |rows_ AS (
+      |${Seq(row("chunk_dedup", "a_chunk"), row("dup_clusters", "a_clus"),
+             row("fingerprint", "a_fp"), row("split", "a_split"))
+          .mkString("\nUNION ALL\n")})
+      |SELECT artifact, n_rows, n_refs,
+      |  CAST(n_refs AS DOUBLE) / CAST(n_rows AS DOUBLE) AS ref_share
+      |FROM rows_ ORDER BY artifact""".stripMargin
+  }
+
   /** `e_dedup_lineage` — composes the three pair detectors' SQL texts so
     * the provenance can never drift from what the detectors report (each
     * referenced once — plain CTEs suffice, the MATERIALIZED rule applies
@@ -4228,6 +4260,7 @@ object ExtOracles {
     ("e_filter_recall" -> filterRecallSql) +
     ("e_filter_cost" -> filterCostSql) +
     ("e_ivf_balance" -> ivfBalanceSql) +
+    ("e_delete_audit" -> deleteAuditSql) +
     ("e_dedup_lineage" -> dedupLineageSql) +
     ("e_recall_at_k" -> recallAtKSql) +
     ("e_graph_recall" -> graphRecallSql) +

@@ -8705,6 +8705,59 @@ object ExtQueries {
       .orderBy("family", "doc_id")
   }
 
+  // ---- e_delete_audit -----------------------------------------------------
+
+  /** The deletion-request fixture rule: every doc_id ≡ 0 (mod this) is
+    * requested for deletion (~8% of the corpus) — orthogonal to the other
+    * fixture mod rules so the audit exercises every artifact. */
+  private[queries] val DeleteEveryMod = 13L
+
+  /** Deletion-propagation audit — the right-to-be-forgotten sizing report
+    * a governed corpus runs BEFORE executing a deletion batch: a delete
+    * against the base table is not done until every DERIVED artifact
+    * (fingerprint stores, split assignments, dedup decisions, chunk
+    * indexes) stops referencing the deleted ids, so the audit counts, per
+    * derived artifact, the rows that reference a requested id (variant
+    * rows resolve to their base id — a near-dup cluster referencing a
+    * deleted document's variant is still a reference). The output sizes
+    * the deletion job artifact by artifact and is the evidence record a
+    * compliance review asks for.
+    *
+    * Composes the graded artifacts' own derivations (and the oracle their
+    * SQL texts), so the audit can never drift from the artifacts it
+    * inspects.
+    *
+    * Determinism: exact counts; one divide per row.
+    *
+    * At scale: the request set is slim and BROADCASTS into each
+    * artifact's id projection — the audit never shuffles an artifact; its
+    * cost is the artifacts' own derivations (a harness key; in production
+    * these are stored tables and the audit is |artifact| row scans). */
+  def deleteAudit(spark: SparkSession, dir: String): DataFrame = {
+    val dels = table(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(DeleteEveryMod)) === 0)
+      .select(col("doc_id").as("del_id"))
+    val baseId = when(col("doc_id") >= VariantIdOffset,
+      col("doc_id") - VariantIdOffset).otherwise(col("doc_id"))
+    def audit(name: String, ids: DataFrame): DataFrame = {
+      val refs = ids.join(broadcast(dels), ids("bid") === dels("del_id"),
+        "left_semi")
+      ids.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(refs.agg(count(lit(1)).as("n_refs")))
+        .select(lit(name).as("artifact"), col("n_rows"), col("n_refs"),
+          (col("n_refs").cast("double") / col("n_rows").cast("double"))
+            .as("ref_share"))
+    }
+    audit("chunk_dedup", chunkDedup(spark, dir).select(baseId.as("bid")))
+      .unionByName(audit("dup_clusters",
+        dupClusters(spark, dir).select(baseId.as("bid"))))
+      .unionByName(audit("fingerprint",
+        fingerprint(spark, dir).select(baseId.as("bid"))))
+      .unionByName(audit("split",
+        corpusSplit(spark, dir).select(baseId.as("bid"))))
+      .orderBy("artifact")
+  }
+
   // ---- e_incr_agg ---------------------------------------------------------
 
   /** Fixed-point scale for [[incrAgg]]'s value sums: 2²⁰ (a binary scale,
