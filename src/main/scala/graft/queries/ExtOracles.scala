@@ -4179,6 +4179,54 @@ object ExtOracles {
       |FROM rows_ ORDER BY artifact""".stripMargin
   }
 
+  /** `e_delete_apply` — the deletion cascade executed and re-audited over
+    * the same composed artifact projections as `e_delete_audit`; the
+    * cluster artifact re-counts survivors and dissolves sub-2 clusters. */
+  private lazy val deleteApplySql: String = {
+    val off = ExtQueries.VariantIdOffset
+    def proj(cte: String, src: String, extra: String = ""): String =
+      s"""$cte AS MATERIALIZED (
+        |  SELECT CASE WHEN doc_id >= $off THEN doc_id - $off
+        |    ELSE doc_id END AS bid$extra
+        |  FROM ($src) t)""".stripMargin
+    def perDoc(name: String, cte: String): String =
+      s"""SELECT '$name' AS artifact,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM $cte) AS n_rows_before,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |    FROM $cte ANTI JOIN dels ON bid = del_id) AS n_rows_after,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM
+        |    ($cte ANTI JOIN dels ON bid = del_id)
+        |    SEMI JOIN dels ON bid = del_id) AS n_refs_after""".stripMargin
+    s"""WITH dels AS MATERIALIZED (
+      |  SELECT doc_id AS del_id FROM documents
+      |  WHERE doc_id % ${ExtQueries.DeleteEveryMod} = 0),
+      |${proj("a_chunk", baseSql("e_chunk_dedup"))},
+      |${proj("a_clus", baseSql("e_dup_clusters"), ", cluster_id")},
+      |${proj("a_fp", baseSql("e_fingerprint"))},
+      |${proj("a_split", baseSql("e_split"))},
+      |kept AS MATERIALIZED (
+      |  SELECT bid, cluster_id FROM a_clus ANTI JOIN dels ON bid = del_id),
+      |resized AS (SELECT cluster_id FROM kept
+      |  GROUP BY cluster_id HAVING count(*) >= 2),
+      |clus_after AS MATERIALIZED (
+      |  SELECT bid FROM kept SEMI JOIN resized USING (cluster_id)),
+      |rows_ AS (
+      |${perDoc("chunk_dedup", "a_chunk")}
+      |UNION ALL
+      |SELECT 'dup_clusters' AS artifact,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM a_clus) AS n_rows_before,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM clus_after) AS n_rows_after,
+      |  (SELECT CAST(count(*) AS BIGINT)
+      |    FROM clus_after SEMI JOIN dels ON bid = del_id) AS n_refs_after
+      |UNION ALL
+      |${perDoc("fingerprint", "a_fp")}
+      |UNION ALL
+      |${perDoc("split", "a_split")})
+      |SELECT artifact, n_rows_before, n_rows_after, n_refs_after,
+      |  n_rows_before - n_rows_after AS n_dropped
+      |FROM rows_ ORDER BY artifact""".stripMargin
+  }
+
   /** `e_dedup_lineage` — composes the three pair detectors' SQL texts so
     * the provenance can never drift from what the detectors report (each
     * referenced once — plain CTEs suffice, the MATERIALIZED rule applies
@@ -4261,6 +4309,7 @@ object ExtOracles {
     ("e_filter_cost" -> filterCostSql) +
     ("e_ivf_balance" -> ivfBalanceSql) +
     ("e_delete_audit" -> deleteAuditSql) +
+    ("e_delete_apply" -> deleteApplySql) +
     ("e_dedup_lineage" -> dedupLineageSql) +
     ("e_recall_at_k" -> recallAtKSql) +
     ("e_graph_recall" -> graphRecallSql) +

@@ -8758,6 +8758,75 @@ object ExtQueries {
       .orderBy("artifact")
   }
 
+  // ---- e_delete_apply -----------------------------------------------------
+
+  /** Deletion EXECUTION + re-audit — the other half of the loop
+    * [[deleteAudit]] opens (the [[compactionApply]] pattern): the cascade
+    * is applied to each derived artifact — per-document artifacts
+    * (fingerprint store, split assignment, chunk index) anti-join the
+    * request set; the dup-clusters artifact additionally MAINTAINS its
+    * aggregate (member rows drop, surviving clusters re-count their size,
+    * and a cluster left with fewer than 2 members stops being a duplicate
+    * cluster at all — deleting a document can dissolve the decision that
+    * referenced it). Emitted per artifact: rows before, rows after,
+    * references remaining after (the compliance gate — must be zero, and
+    * the oracle proves it is), and rows dropped beyond the references
+    * themselves (the cascade's secondary losses: dissolved singletons).
+    *
+    * Determinism: exact counts; anti-joins of exact sets.
+    *
+    * At scale: each apply is one anti-join of the artifact against the
+    * BROADCAST request set — the same shape a MERGE DELETE compiles to;
+    * the cluster re-count is a |kept-members| map-side-combined
+    * aggregate. Composes the graded artifacts — a harness key. */
+  def deleteApply(spark: SparkSession, dir: String): DataFrame =
+    deleteApplyImpl(spark, dir, DeleteEveryMod)
+
+  /** [[deleteApply]]'s body with the request rule as a knob — the spec
+    * drives a mod that dissolves a cross-document cluster, exercising the
+    * cascade's secondary loss on a fixture where the pinned mod's request
+    * set happens to delete whole clusters only. */
+  private[queries] def deleteApplyImpl(spark: SparkSession, dir: String,
+      mod: Long): DataFrame = {
+    val dels = table(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(mod)) === 0)
+      .select(col("doc_id").as("del_id"))
+    val baseId = when(col("doc_id") >= VariantIdOffset,
+      col("doc_id") - VariantIdOffset).otherwise(col("doc_id"))
+    def report(name: String, before: DataFrame, after: DataFrame): DataFrame = {
+      val refsAfter = after.join(broadcast(dels),
+        after("bid") === dels("del_id"), "left_semi")
+      before.agg(count(lit(1)).as("n_rows_before"))
+        .crossJoin(after.agg(count(lit(1)).as("n_rows_after")))
+        .crossJoin(refsAfter.agg(count(lit(1)).as("n_refs_after")))
+        .select(lit(name).as("artifact"), col("n_rows_before"),
+          col("n_rows_after"), col("n_refs_after"),
+          (col("n_rows_before") - col("n_rows_after")).as("n_dropped"))
+    }
+    def perDoc(name: String, df: DataFrame): DataFrame = {
+      val ids = df.select(baseId.as("bid"))
+      report(name, ids,
+        ids.join(broadcast(dels), ids("bid") === dels("del_id"), "left_anti"))
+    }
+    // cluster cascade: drop members, re-count, dissolve sub-2 clusters.
+    // PERSISTED: the kept frame feeds the re-count AND the survivor join.
+    val clus = dupClusters(spark, dir)
+      .select(baseId.as("bid"), col("cluster_id"))
+    val kept = clus.join(broadcast(dels), clus("bid") === dels("del_id"),
+        "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val resized = kept.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") >= 2)
+    val clusAfter = kept.join(broadcast(resized.select(col("cluster_id"))),
+      Seq("cluster_id"), "left_semi")
+    perDoc("chunk_dedup", chunkDedup(spark, dir))
+      .unionByName(report("dup_clusters", clus, clusAfter))
+      .unionByName(perDoc("fingerprint", fingerprint(spark, dir)))
+      .unionByName(perDoc("split", corpusSplit(spark, dir)))
+      .orderBy("artifact")
+  }
+
   // ---- e_incr_agg ---------------------------------------------------------
 
   /** Fixed-point scale for [[incrAgg]]'s value sums: 2²⁰ (a binary scale,
