@@ -89,6 +89,7 @@ object SparkEntry {
     "e_pca_project"       -> (ExtQueries.pcaProject _),
     "e_cosine_topk_ivfpq" -> (ExtQueries.cosineTopkIvfPq _),
     "e_ivfpq_rerank"      -> (ExtQueries.ivfPqRerank _),
+    "e_mrl_rerank"        -> (ExtQueries.mrlRerank _),
     "e_rand_walk"         -> (ExtQueries.randWalk _),
     "e_containment"       -> (ExtQueries.containment _),
     "e_cosine_dedup"      -> (ExtQueries.cosineDedup _),

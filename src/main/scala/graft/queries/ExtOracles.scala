@@ -589,6 +589,42 @@ object ExtOracles {
       |SELECT qid, cid, score, rank FROM ranked
       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** `e_mrl_rerank` — Matryoshka prefix shortlist at R, exact-cosine
+    * refine to top-10 (the `e_sq_rerank` refine tail verbatim over the
+    * half-dimension coarse pass). */
+  private lazy val mrlRerankSql: String =
+    s"""WITH pre AS (SELECT vec_id, embedding[1:${ExtQueries.MrlDims}] AS p,
+      |    sqrt(list_reduce(list_transform(embedding[1:${ExtQueries.MrlDims}],
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x)) AS np
+      |  FROM embeddings),
+      |mrl_scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |    list_reduce(list_transform(list_zip(q.p, c.p),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |      / (q.np * c.np) AS score
+      |  FROM pre q, pre c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+      |shortlist AS (SELECT qid, cid FROM (
+      |  SELECT qid, cid,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rk
+      |  FROM mrl_scored) WHERE rk <= ${ExtQueries.MrlRerankR}),
+      |q AS (SELECT vec_id AS qid, embedding AS qe,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x)) AS nq
+      |  FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS cid, embedding AS ce,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x)) AS nc
+      |  FROM embeddings),
+      |rescored AS (SELECT s.qid, s.cid,
+      |    list_reduce(list_transform(list_zip(q.qe, c.ce),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |      / (q.nq * c.nc) AS score
+      |  FROM shortlist s JOIN q ON q.qid = s.qid JOIN c ON c.cid = s.cid)
+      |SELECT qid, cid, score, rank FROM (
+      |  SELECT qid, cid, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rank
+      |  FROM rescored) WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
+
   /** `e_ivfpq_rerank` — IVF-PQ shortlist at R, exact-cosine refine to
     * top-10 (the `e_sq_rerank` refine tail verbatim over the composite
     * index's shortlist). */
@@ -4354,6 +4390,7 @@ object ExtOracles {
     ("e_walk_pairs" -> walkPairsSql) +
     ("e_cosine_topk_beam" -> beamSearchSql) +
     ("e_ivfpq_rerank" -> ivfPqRerankSql) +
+    ("e_mrl_rerank" -> mrlRerankSql) +
     ("e_ann_cost" -> annCostSql) +
     ("e_ann_recall" -> annRecallSql)
 
@@ -4371,7 +4408,8 @@ object ExtOracles {
       |ivfpq AS (SELECT qid, cid FROM (${baseSql("e_cosine_topk_ivfpq")}) zz),
       |sq AS (SELECT qid, cid FROM (${baseSql("e_sq_topk")}) sa),
       |sqr AS (SELECT qid, cid FROM (${baseSql("e_sq_rerank")}) sb),
-      |ivfpqr AS (SELECT qid, cid FROM ($ivfPqRerankSql) sc)
+      |ivfpqr AS (SELECT qid, cid FROM ($ivfPqRerankSql) sc),
+      |mrl AS (SELECT qid, cid FROM ($mrlRerankSql) sd)
       |SELECT ex.qid, count(*) AS n_exact,
       |  CAST(count(lsh.cid) AS BIGINT) AS n_lsh,
       |  CAST(count(ivf.cid) AS BIGINT) AS n_ivf,
@@ -4384,6 +4422,7 @@ object ExtOracles {
       |  CAST(count(sq.cid) AS BIGINT) AS n_sq,
       |  CAST(count(sqr.cid) AS BIGINT) AS n_sqr,
       |  CAST(count(ivfpqr.cid) AS BIGINT) AS n_ivfpqr,
+      |  CAST(count(mrl.cid) AS BIGINT) AS n_mrl,
       |  CAST(count(lsh.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_lsh,
       |  CAST(count(ivf.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivf,
       |  CAST(count(ivf2.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivf2,
@@ -4394,7 +4433,8 @@ object ExtOracles {
       |  CAST(count(ivfpq.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivfpq,
       |  CAST(count(sq.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_sq,
       |  CAST(count(sqr.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_sqr,
-      |  CAST(count(ivfpqr.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivfpqr
+      |  CAST(count(ivfpqr.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivfpqr,
+      |  CAST(count(mrl.cid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_mrl
       |FROM ex
       |LEFT JOIN lsh ON ex.qid = lsh.qid AND ex.cid = lsh.cid
       |LEFT JOIN ivf ON ex.qid = ivf.qid AND ex.cid = ivf.cid
@@ -4407,6 +4447,7 @@ object ExtOracles {
       |LEFT JOIN sq ON ex.qid = sq.qid AND ex.cid = sq.cid
       |LEFT JOIN sqr ON ex.qid = sqr.qid AND ex.cid = sqr.cid
       |LEFT JOIN ivfpqr ON ex.qid = ivfpqr.qid AND ex.cid = ivfpqr.cid
+      |LEFT JOIN mrl ON ex.qid = mrl.qid AND ex.cid = mrl.cid
       |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin
 
   /** `e_ann_cost` — the (recall, bytes) frontier: per-family hit totals

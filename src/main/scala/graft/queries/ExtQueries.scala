@@ -380,7 +380,8 @@ object ExtQueries {
       "ivfpq" -> cosineTopkIvfPq(spark, dir),
       "sq" -> sqTopk(spark, dir),
       "sqr" -> sqRerank(spark, dir),
-      "ivfpqr" -> ivfPqRerank(spark, dir))
+      "ivfpqr" -> ivfPqRerank(spark, dir),
+      "mrl" -> mrlRerank(spark, dir))
     val joined = lists.foldLeft(ex) { case (acc, (tag, df)) =>
       val slim = df.select(col("qid").as(s"${tag}_q"), col("cid").as(s"${tag}_c"))
       acc.join(slim,
@@ -4885,8 +4886,18 @@ object ExtQueries {
     * IVF-PQ scale story); stage 2 broadcasts the |queries|·R shortlist
     * against ONE raw-vector scan and ranks inside ≤ R-row query groups —
     * raw vectors are read for R rows per query, ~0 of a 100 TB corpus. */
-  def ivfPqRerank(spark: SparkSession, dir: String): DataFrame = {
-    val short = ivfPqImpl(spark, dir, IvfPqRerankR).select(col("qid"), col("cid"))
+  def ivfPqRerank(spark: SparkSession, dir: String): DataFrame =
+    exactRefine(spark, dir,
+      ivfPqImpl(spark, dir, IvfPqRerankR).select(col("qid"), col("cid")))
+
+  /** Exact full-precision re-scoring of a `(qid, cid)` shortlist to
+    * top-10 — the refine tail shared by [[sqRerank]], [[ivfPqRerank]] and
+    * [[mrlRerank]] (one definition: the refine guarantee must mean the
+    * same thing over every coarse index). The shortlist BROADCASTS
+    * against ONE raw-vector scan; ranks run inside ≤ R-row query
+    * groups. */
+  private def exactRefine(spark: SparkSession, dir: String,
+      short: DataFrame): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val q = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -4904,6 +4915,61 @@ object ExtQueries {
       .filter(col("rank") <= 10)
       .select(col("qid"), col("cid"), col("score"), col("rank"))
       .orderBy("qid", "rank")
+  }
+
+  // ---- e_mrl_rerank -------------------------------------------------------
+
+  /** Prefix width of [[mrlRerank]]'s coarse pass: the first half of the
+    * embedding — the Matryoshka operating point (a nested-trained vector's
+    * prefix is itself a usable embedding). */
+  private[queries] val MrlDims = 32
+  /** Shortlist depth of the prefix pass (the shared `k_factor`). */
+  private[queries] val MrlRerankR = 30
+
+  /** Matryoshka (MRL) two-stage serving — the third production
+    * coarse→refine operating point next to [[sqRerank]] (narrower
+    * ELEMENTS) and [[ivfPqRerank]] (codebook): the coarse pass scores
+    * cosine over only the first [[MrlDims]] DIMENSIONS of each vector —
+    * nested-representation-learned embeddings make the prefix a usable
+    * embedding, so no codebook, no quantizer, and the scan reads half the
+    * bytes — shortlists [[MrlRerankR]] per query via the bounded-state
+    * aggregator, then the shared [[exactRefine]] re-scores only those at
+    * full precision. Rank and score come from the exact pass.
+    *
+    * The pinned guarantee (spec): a truth hit the prefix shortlist
+    * catches survives the exact re-rank — the [[sqRerank]] argument; the
+    * prefix pass's loss (truth hits whose prefix cosine falls outside the
+    * top R) is measured in [[annRecall]]'s `recall_mrl` row.
+    *
+    * Determinism: the sliced prefix is the same float elements both
+    * engines read; folds are the cosine contract; total orders pinned.
+    *
+    * At scale: stage 1 reads [[MrlDims]]·4 B per candidate — a 2× scan
+    * cut with zero auxiliary structures (the reason MRL serving is the
+    * cheapest first compression step to deploy); stage 2 touches R raw
+    * rows per query. Composes nothing graded — the prefix pass is its
+    * own scoring body. */
+  def mrlRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByScoreAggregator
+    val agg = new TopKByScoreAggregator(MrlRerankR)
+    val topk = udaf(agg, agg.inputEncoder)
+    val pre = (v: Column) => slice(v, 1, MrlDims)
+    val emb = table(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), pre(col("embedding")).as("qp"))
+      .withColumn("nq", l2norm(col("qp")))
+    val c = emb.select(col("vec_id").as("cid"), pre(col("embedding")).as("cp"))
+      .withColumn("nc", l2norm(col("cp")))
+    val dot = seqSum(zip_with(col("qp"), col("cp"),
+      (x, y) => x.cast("double") * y.cast("double")))
+    val short = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("score", dot / (col("nq") * col("nc")))
+      .groupBy(col("qid"))
+      .agg(topk(col("score"), col("cid")).as("tk"))
+      .select(col("qid"), explode(col("tk")).as("t"))
+      .select(col("qid"), col("t.id").as("cid"))
+    exactRefine(spark, dir, short)
   }
 
   // ---- e_chunk_dedup ------------------------------------------------------
@@ -5991,26 +6057,9 @@ object ExtQueries {
     * corpus never shuffles; only shortlisted rows are scored) and ranks
     * inside ≤ R-row query groups. Raw vectors are touched for R rows per
     * query — at 100 TB the refine stage reads ~0 of the corpus. */
-  def sqRerank(spark: SparkSession, dir: String): DataFrame = {
-    val short = sqTopkImpl(spark, dir, SqRerankR).select(col("qid"), col("cid"))
-    val emb = table(spark, dir, "embeddings")
-    val q = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .withColumn("nq", l2norm(col("qe")))
-    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      .withColumn("nc", l2norm(col("ce")))
-    val dot = seqSum(zip_with(col("qe"), col("ce"),
-      (x, y) => x.cast("double") * y.cast("double")))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("cid").asc)
-    c.join(broadcast(short), Seq("cid"))
-      .join(broadcast(q), Seq("qid"))
-      .withColumn("score", dot / (col("nq") * col("nc")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select(col("qid"), col("cid"), col("score"), col("rank"))
-      .orderBy("qid", "rank")
-  }
+  def sqRerank(spark: SparkSession, dir: String): DataFrame =
+    exactRefine(spark, dir,
+      sqTopkImpl(spark, dir, SqRerankR).select(col("qid"), col("cid")))
 
   // ---- e_split ------------------------------------------------------------
 

@@ -24,7 +24,8 @@ class AnnRecallSpec extends AnyFunSuite {
       "n_ivfpq" -> pairs(ExtQueries.cosineTopkIvfPq(spark, dir)),
       "n_sq" -> pairs(ExtQueries.sqTopk(spark, dir)),
       "n_sqr" -> pairs(ExtQueries.sqRerank(spark, dir)),
-      "n_ivfpqr" -> pairs(ExtQueries.ivfPqRerank(spark, dir)))
+      "n_ivfpqr" -> pairs(ExtQueries.ivfPqRerank(spark, dir)),
+      "n_mrl" -> pairs(ExtQueries.mrlRerank(spark, dir)))
     val got = ExtQueries.annRecall(spark, dir).collect()
     spark.catalog.clearCache() // the family pipelines persist intermediates
     assert(got.length == 8)
