@@ -68,6 +68,7 @@ object SparkEntry {
     "e_ann_filter"        -> (ExtQueries.annFilter _),
     "e_ivf_filter"        -> (ExtQueries.ivfFilter _),
     "e_ivf_filter_adaptive" -> (ExtQueries.ivfFilterAdaptive _),
+    "e_ivf_filter_trained" -> (ExtQueries.ivfFilterTrained _),
     "e_filter_recall"     -> (ExtQueries.filterRecall _),
     "e_filter_cost"       -> (ExtQueries.filterCost _),
     "e_ivf_balance"       -> (ExtQueries.ivfBalance _),
@@ -255,7 +256,7 @@ object SparkEntry {
     // ivf_trained/pq_trained re-run the e_kmeans_train / e_pq_train
     // chains they serve from; nb_classify re-runs the e_nb_train votes
     "e_soft_dedup", "e_canonical_pick", "e_lm_buckets", "e_importance_sample",
-    "e_ivf_trained", "e_pq_trained", "e_nb_classify",
+    "e_ivf_trained", "e_ivf_filter_trained", "e_pq_trained", "e_nb_classify",
     // e_incr_knn recomputes the standing e_knn_graph adjacency it merges
     // the batch into (a stored table in production)
     "e_incr_knn",

@@ -3267,6 +3267,42 @@ object ExtOracles {
       |ORDER BY qid, rank""".stripMargin
   }
 
+  /** `e_ivf_filter_trained` — FILTERED IVF serving from the TRAINED
+    * quantizer: COMPOSES the `e_kmeans_train` chain (final centroid table
+    * `cents{K+1}`, assignment `asg{K+1}`) into the VERBATIM
+    * `e_ivf_filter` serve shape — labels re-joined from the embeddings
+    * table onto both sides, predicate in the candidate join condition,
+    * nprobe at the filtered operating point — so any result difference vs
+    * the seed-centroid filtered key is attributable to the quantizer
+    * alone. Mirrors `ExtQueries.ivfFilterTrained`. */
+  private lazy val ivfFilterTrainedSql: String = {
+    val K = ExtQueries.KmeansIters
+    s"""WITH ${kmeansChainCtes(K)},
+      |${centsFromUpdCte(K)},
+      |${assignCte(K + 1)},
+      |q AS (SELECT qid, qe, nq, cell, tgt FROM (
+      |    SELECT s.vec_id AS qid, s.e AS qe, s.nrm AS nq, s.cent_id AS cell,
+      |      (emb.label + 1) % ${ExtQueries.AnnFilterLabels} AS tgt,
+      |      row_number() OVER (PARTITION BY s.vec_id
+      |        ORDER BY s.csim DESC, s.cent_id ASC) AS crank
+      |    FROM sims${K + 1} s JOIN embeddings emb ON emb.vec_id = s.vec_id
+      |    WHERE s.vec_id < 8) r
+      |  WHERE crank <= ${ExtQueries.IvfFilterNprobe}),
+      |scored AS (SELECT q.qid, a.vec_id AS cid,
+      |  list_reduce(list_transform(list_zip(q.qe, a.e),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc,x) -> acc+x)
+      |    / (q.nq * a.nrm) AS score
+      |  FROM asg${K + 1} a
+      |  JOIN embeddings emb ON emb.vec_id = a.vec_id
+      |  JOIN q ON a.cell = q.cell AND a.vec_id <> q.qid
+      |   AND emb.label = q.tgt),
+      |ranked AS (SELECT qid, cid, score,
+      |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rank
+      |  FROM scored)
+      |SELECT qid, cid, score, rank FROM ranked WHERE rank <= ${ExtQueries.AnnFilterK}
+      |ORDER BY qid, rank""".stripMargin
+  }
+
   /** `e_silhouette` — COMPOSES the `e_kmeans_train` chain (the SAME final
     * centroids and `asg{K+1}` assignment `e_ivf_trained` serves from) and
     * computes the pairwise silhouette over the pinned sample: fixed-point
@@ -4099,14 +4135,15 @@ object ExtOracles {
       |  n_match
       |FROM u ORDER BY layout, source, file_id""".stripMargin
 
-  /** `e_filter_recall` — composes the three filtered-serving SQL texts;
-    * the truth CTE is referenced four times, so MATERIALIZED (the DuckDB
+  /** `e_filter_recall` — composes the four filtered-serving SQL texts;
+    * the truth CTE is referenced five times, so MATERIALIZED (the DuckDB
     * inlining lesson). */
   private lazy val filterRecallSql: String =
     s"""WITH t AS MATERIALIZED (
       |  SELECT qid, cid, in_postfilter FROM (${baseSql("e_ann_filter")}) a),
       |iv AS (SELECT qid, cid FROM (${baseSql("e_ivf_filter")}) b),
       |ad AS (SELECT qid, cid FROM (${baseSql("e_ivf_filter_adaptive")}) c),
+      |tr AS (SELECT qid, cid FROM ($ivfFilterTrainedSql) d),
       |rows_ AS (
       |  SELECT 'ivf_prefilter' AS strategy,
       |    (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_truth,
@@ -4115,6 +4152,10 @@ object ExtOracles {
       |  SELECT 'ivf_adaptive' AS strategy,
       |    (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_truth,
       |    (SELECT CAST(count(*) AS BIGINT) FROM t SEMI JOIN ad USING (qid, cid)) AS n_hit
+      |  UNION ALL
+      |  SELECT 'ivf_trained' AS strategy,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_truth,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM t SEMI JOIN tr USING (qid, cid)) AS n_hit
       |  UNION ALL
       |  SELECT 'postfilter' AS strategy,
       |    (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_truth,
@@ -4126,11 +4167,16 @@ object ExtOracles {
   /** `e_filter_cost` — the cost/recall frontier: composes the full
     * `e_filter_recall` harness (MATERIALIZED — its rows are read twice)
     * plus the shared assignment/schedule CTEs for the analytic
-    * scored-work counts. */
-  private lazy val filterCostSql: String =
+    * scored-work counts; the `ivf_trained` row's work comes from the SAME
+    * fixed-nprobe schedule over the TRAINED assignment (`asg{K+1}`), so
+    * the quantizer's recall delta is priced like its seed sibling. */
+  private lazy val filterCostSql: String = {
+    val K = ExtQueries.KmeansIters
     s"""WITH frc AS MATERIALIZED (
       |  SELECT strategy, n_truth, n_hit, recall FROM ($filterRecallSql) fr),
-      |$centAssignCtes,
+      |${kmeansChainCtes(K)},
+      |${centsFromUpdCte(K)},
+      |${assignCte(K + 1)},
       |$ivfScheduleCtes,
       |qs AS (SELECT qid, max(cum) AS m_total,
       |    sum(CASE WHEN crank <= ${ExtQueries.IvfFilterNprobe}
@@ -4139,12 +4185,29 @@ object ExtOracles {
       |ad AS (SELECT u.qid, sum(u.m) AS m_ad
       |  FROM qcum u JOIN qplan p USING (qid)
       |  WHERE u.crank <= p.eff_nprobe GROUP BY u.qid),
+      |labt AS (SELECT a.vec_id, emb.label, a.cell
+      |  FROM asg${K + 1} a JOIN embeddings emb USING (vec_id)),
+      |cellcntt AS (SELECT cell, label, count(*) AS m
+      |  FROM labt GROUP BY cell, label),
+      |qct AS (SELECT s.vec_id AS qid, s.cent_id AS cell,
+      |    (emb.label + 1) % ${ExtQueries.AnnFilterLabels} AS tgt,
+      |    row_number() OVER (PARTITION BY s.vec_id
+      |      ORDER BY s.csim DESC, s.cent_id ASC) AS crank
+      |  FROM sims${K + 1} s JOIN embeddings emb ON emb.vec_id = s.vec_id
+      |  WHERE s.vec_id < 8),
+      |qst AS (SELECT qid, sum(CASE WHEN qct.crank <= ${ExtQueries.IvfFilterNprobe}
+      |    THEN coalesce(cc.m, 0) ELSE 0 END) AS m_fixed_t
+      |  FROM qct LEFT JOIN cellcntt cc
+      |    ON cc.cell = qct.cell AND cc.label = qct.tgt
+      |  GROUP BY qid),
       |work AS (
       |  SELECT 'exact_prefilter' AS strategy, CAST(sum(m_total) AS BIGINT) AS n_scored FROM qs
       |  UNION ALL
       |  SELECT 'ivf_prefilter' AS strategy, CAST(sum(m_fixed) AS BIGINT) AS n_scored FROM qs
       |  UNION ALL
       |  SELECT 'ivf_adaptive' AS strategy, CAST(sum(m_ad) AS BIGINT) AS n_scored FROM ad
+      |  UNION ALL
+      |  SELECT 'ivf_trained' AS strategy, CAST(sum(m_fixed_t) AS BIGINT) AS n_scored FROM qst
       |  UNION ALL
       |  SELECT 'postfilter' AS strategy,
       |    CAST((SELECT count(*) FROM qs)
@@ -4159,6 +4222,7 @@ object ExtOracles {
       |  CAST(w.n_scored AS DOUBLE) / CAST(a.n_hit AS DOUBLE) AS scored_per_hit
       |FROM allr a JOIN work w USING (strategy)
       |ORDER BY strategy""".stripMargin
+  }
 
   /** `e_ivf_balance` — cell-occupancy audit over the shared assignment
     * CTEs; dominant label via max-count-then-max-label (the
@@ -4383,6 +4447,7 @@ object ExtOracles {
     ("e_split_contamination" -> splitContaminationSql) +
     ("e_kmeans_train" -> kmeansTrainSql) +
     ("e_ivf_trained" -> ivfTrainedSql) +
+    ("e_ivf_filter_trained" -> ivfFilterTrainedSql) +
     ("e_silhouette" -> silhouetteSql) +
     ("e_pq_train" -> pqTrainSql) +
     ("e_pq_trained" -> pqTrainedSql) +

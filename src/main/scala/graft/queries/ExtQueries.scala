@@ -1575,18 +1575,29 @@ object ExtQueries {
     * centroid table — ONE definition shared by the batch [[ivfFilter]] and
     * the streaming [[graft.streaming.Streaming.startFilteredVectorGate]]
     * (the [[mergeWinners]] discipline: continuous and batch paths cannot
-    * drift because they are the same code). */
+    * drift because they are the same code). The seed-centroid entry point;
+    * [[ivfLabeledAssign]] is the body against an ARBITRARY centroid table
+    * (the [[ivfServe]] factoring rule — one assignment body regardless of
+    * quantizer origin, which is what lets [[ivfFilterTrained]] exist). */
   private[graft] def ivfLabeledIndex(corpus: DataFrame): (DataFrame, DataFrame) = {
-    val vecs = corpus
-      .select(col("vec_id"), col("embedding").as("e"), col("label"))
-      .withColumn("nrm", l2norm(col("e")))
     val cents = corpus.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
       .withColumn("ncent", l2norm(col("ce")))
-    val assigned = rankedCells(vecs, cents).filter(col("crank") === 1)
+    (ivfLabeledAssign(corpus, cents), cents)
+  }
+
+  /** The labeled hard assignment of a `(vec_id, embedding, label)` corpus
+    * against a centroid table (`cent_id`, `ce`, `ncent`) — the
+    * quantizer-agnostic half of [[ivfLabeledIndex]], shared by the seed
+    * and trained filtered serves. */
+  private[graft] def ivfLabeledAssign(corpus: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val vecs = corpus
+      .select(col("vec_id"), col("embedding").as("e"), col("label"))
+      .withColumn("nrm", l2norm(col("e")))
+    rankedCells(vecs, cents).filter(col("crank") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("label"),
         col("cent_id").as("cell"))
-    (assigned, cents)
   }
 
   /** Per-query probe list of a `(vec_id, embedding, label)` query frame
@@ -1617,6 +1628,37 @@ object ExtQueries {
       .select(col("qid"), col("col.id").as("cid"), col("col.score").as("score"),
         (col("pos") + 1).cast("int").as("rank"))
       .orderBy("qid", "rank")
+  }
+
+  // ---- e_ivf_filter_trained -----------------------------------------------
+
+  /** FILTERED IVF serving from the TRAINED quantizer — closes the
+    * train→serve loop for the FILTERED family the way
+    * [[cosineTopkIvfTrained]] closed it for the unfiltered one:
+    * [[kmeansChain]]'s final centroid table drives the SAME
+    * [[ivfLabeledAssign]] → [[ivfFilterProbes]] → [[ivfFilterServe]]
+    * dataflow as [[ivfFilter]], so any result difference vs
+    * `e_ivf_filter` is attributable to the quantizer alone (the
+    * controlled comparison [[filterRecall]] grades as its fourth
+    * strategy row). Before this key, every filtered operating point —
+    * fixed-nprobe, adaptive, the balance audit, both frontiers, the
+    * streaming gate — served from seed centroids while production
+    * filtered serving runs on trained ones.
+    *
+    * Determinism: the k-means chain is the exact-integer
+    * [[kmeansTrainIters]] device (every centroid element bit-identical
+    * cross-engine), the assignment is the shared [[rankedCells]] pinned
+    * tie-break, and the serve is the [[ivfFilter]] contract verbatim.
+    *
+    * At scale: identical bill to [[ivfFilter]] plus the one-time
+    * training cost — the corpus never shuffles in the serve (cell column
+    * only), probes broadcast, per-query top-k is the bounded-state
+    * aggregator; training amortizes over every query the index serves. */
+  def ivfFilterTrained(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val cents = kmeansChain(spark, dir, KmeansIters)._2
+    ivfFilterServe(ivfLabeledAssign(emb, cents),
+      ivfFilterProbes(emb.filter(col("vec_id") < 8), cents))
   }
 
   // ---- e_ivf_filter_adaptive ----------------------------------------------
@@ -1762,9 +1804,11 @@ object ExtQueries {
   // ---- e_filter_recall ----------------------------------------------------
 
   /** FILTERED-search evaluation harness — the [[annRecall]] pattern for
-    * the filtered family: the three practical strategies for serving a
+    * the filtered family: the four practical strategies for serving a
     * predicate ("post-filter an unfiltered shortlist", "pre-filter inside
-    * the IVF index at fixed nprobe", and the guaranteed-k
+    * the IVF index at fixed nprobe" from seed AND from trained centroids
+    * — the [[ivfFilterTrained]] row attributes the quantizer's recall
+    * delta — and the guaranteed-k
     * [[ivfFilterAdaptive]] plan a production store actually picks) graded
     * against [[annFilter]]'s exact pre-filter truth, one summary row each.
     * The post-filter hits are the truth rows [[annFilter]] already
@@ -1794,7 +1838,8 @@ object ExtQueries {
     }
     val ivfRow = hitRow("ivf_prefilter", ivfFilter(spark, dir))
     val adRow = hitRow("ivf_adaptive", ivfFilterAdaptive(spark, dir))
-    ivfRow.unionByName(adRow).unionByName(post)
+    val trRow = hitRow("ivf_trained", ivfFilterTrained(spark, dir))
+    ivfRow.unionByName(adRow).unionByName(trRow).unionByName(post)
       .withColumn("recall",
         col("n_hit").cast("double") / col("n_truth").cast("double"))
       .select(col("strategy"), col("n_truth"), col("n_hit"), col("recall"))
@@ -1812,7 +1857,8 @@ object ExtQueries {
     * `exact_prefilter` scores every predicate-matching row (the
     * [[annFilter]] truth path), `postfilter` scores the whole corpus per
     * query (its shortlist stage is unfiltered), `ivf_prefilter` scores the
-    * matching rows of the fixed [[IvfFilterNprobe]] probed cells, and
+    * matching rows of the fixed [[IvfFilterNprobe]] probed cells
+    * (`ivf_trained` the same schedule over the TRAINED assignment), and
     * `ivf_adaptive` the matching rows of its per-query schedule. Work
     * counts are ANALYTIC — computed from the same (cell, label) metadata
     * the index holds, so both engines state the identical number the
@@ -1849,12 +1895,23 @@ object ExtQueries {
       .groupBy(col("qid")).agg(sum(col("m")).as("m_ad"))
     val nCorpus = emb.agg(count(lit(1)).as("n_corpus"))
     val nQs = qs.agg(count(lit(1)).as("n_queries"))
+    // the TRAINED quantizer's fixed-nprobe schedule — same analytic
+    // (cell, label) metadata, derived from the trained assignment so the
+    // ivf_trained recall row is priced like its seed sibling
+    val centsT = kmeansChain(spark, dir, KmeansIters)._2
+    val qsT = ivfProbeSchedule(ivfLabeledAssign(emb, centsT), centsT,
+        emb.filter(col("vec_id") < 8))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("crank") <= IvfFilterNprobe, col("m")).otherwise(lit(0L)))
+        .as("m_fixed_t"))
     val work = qs.agg(sum(col("m_total")).as("n_scored"))
       .select(lit("exact_prefilter").as("strategy"), col("n_scored"))
       .unionByName(qs.agg(sum(col("m_fixed")).as("n_scored"))
         .select(lit("ivf_prefilter").as("strategy"), col("n_scored")))
       .unionByName(ad.agg(sum(col("m_ad")).as("n_scored"))
         .select(lit("ivf_adaptive").as("strategy"), col("n_scored")))
+      .unionByName(qsT.agg(sum(col("m_fixed_t")).as("n_scored"))
+        .select(lit("ivf_trained").as("strategy"), col("n_scored")))
       .unionByName(nQs.crossJoin(nCorpus)
         .select(lit("postfilter").as("strategy"),
           (col("n_queries") * (col("n_corpus") - 1)).as("n_scored")))

@@ -55,8 +55,25 @@ class FilterCostSpec extends AnyFunSuite {
       adaptive += ms.take(effN).sum
     }
     val post = queries.length.toLong * (rows.length.toLong - 1L)
+
+    // the trained row's work: the same fixed-nprobe schedule over the
+    // TRAINED assignment (the shared TrainReplay chain)
+    val embD = rows.map { case (id, e, _) => (id, e.map(_.toDouble)) }
+    val centsT = TrainReplay.trainedCents(embD, nCells, ExtQueries.KmeansIters)
+    val cellOfT = embD.map { case (id, v) => id -> TrainReplay.assign(v, centsT) }.toMap
+    val cellCntT = rows.groupBy { case (id, _, l) => (cellOfT(id), l) }.view
+      .mapValues(_.length.toLong).toMap
+    var fixedT = 0L
+    queries.foreach { case (_, qe, ql) =>
+      val tgt = (ql + 1) % ExtQueries.AnnFilterLabels
+      val orderT = centsT.map { case (cid, c) => (cid, TrainReplay.cos(qe.map(_.toDouble), c)) }
+        .sortBy { case (cid, s) => (-s, cid) }.map(_._1)
+      fixedT += orderT.take(ExtQueries.IvfFilterNprobe)
+        .map(c => cellCntT.getOrElse((c, tgt), 0L)).sum
+    }
+
     val wantWork = Map("exact_prefilter" -> exact, "ivf_prefilter" -> fixed,
-      "ivf_adaptive" -> adaptive, "postfilter" -> post)
+      "ivf_adaptive" -> adaptive, "ivf_trained" -> fixedT, "postfilter" -> post)
 
     val recall = ExtQueries.filterRecall(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap

@@ -24,14 +24,19 @@ class FilterRecallSpec extends AnyFunSuite {
     val ad = ExtQueries.ivfFilterAdaptive(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     spark.catalog.clearCache()
+    val tr = ExtQueries.ivfFilterTrained(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
 
     val nTruth = truth.length.toLong
     val postHit = truth.map(_._2).sum
     val ivfHit = truth.count { case (pair, _) => ivf(pair) }.toLong
     val adHit = truth.count { case (pair, _) => ad(pair) }.toLong
+    val trHit = truth.count { case (pair, _) => tr(pair) }.toLong
     val want = Map(
       "ivf_prefilter" -> ((nTruth, ivfHit, ivfHit.toDouble / nTruth)),
       "ivf_adaptive" -> ((nTruth, adHit, adHit.toDouble / nTruth)),
+      "ivf_trained" -> ((nTruth, trHit, trHit.toDouble / nTruth)),
       "postfilter" -> ((nTruth, postHit, postHit.toDouble / nTruth)))
 
     val got = ExtQueries.filterRecall(spark, dir).collect()
@@ -55,5 +60,8 @@ class FilterRecallSpec extends AnyFunSuite {
     assert(got("ivf_adaptive")._3 >= got("postfilter")._3,
       "guaranteed-k adaptive serving must not lose to post-filtering")
     assert(got("ivf_adaptive")._2 > 0L)
+    // the fourth row exists to attribute the quantizer: it must be a live
+    // comparison, not a degenerate zero
+    assert(got("ivf_trained")._2 > 0L, "trained filtered serve must hit the truth")
   }
 }

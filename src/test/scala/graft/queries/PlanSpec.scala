@@ -798,6 +798,19 @@ class PlanSpec extends AnyFunSuite {
       "per-query top-k must stay the bounded-state aggregate")
   }
 
+  test("ivf filter trained: probe side broadcasts, no sort-merge join, top-k is a bounded aggregate") {
+    val df = ExtQueries.ivfFilterTrained(spark, dir)
+    val plan = formatted(df)
+    spark.catalog.clearCache() // the training chain persists corpus + updates
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "the probe list and the trained centroid table are metadata-sized " +
+        "and must broadcast — a shuffle join re-partitions the corpus at 100 TB")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("ObjectHashAggregate"),
+      "per-query top-k must stay the bounded-state aggregate")
+  }
+
   test("ivf filter: probe side broadcasts, top-k is a bounded aggregate, outer plan window-free") {
     val df = ExtQueries.ivfFilter(spark, dir)
     val plan = formatted(df)
