@@ -183,6 +183,7 @@ object SparkEntry {
     "e_dedup_lineage"     -> (ExtQueries.dedupLineage _),
     "e_delete_audit"      -> (ExtQueries.deleteAudit _),
     "e_delete_apply"      -> (ExtQueries.deleteApply _),
+    "e_index_delete"      -> (ExtQueries.indexDelete _),
     "e_rolling_agg"       -> (ExtQueries.rollingAgg _),
     "e_incr_agg"          -> (ExtQueries.incrAgg _),
     "e_skew_audit"        -> (ExtQueries.skewAudit _),
@@ -273,8 +274,9 @@ object SparkEntry {
     // scoring body at shortlist depth R (the e_sq_rerank rule)
     "e_ann_filter",
     // e_dedup_lineage composes the three graded pair detectors;
-    // e_delete_audit / e_delete_apply compose four graded derived artifacts
-    "e_dedup_lineage", "e_delete_audit", "e_delete_apply",
+    // e_delete_audit / e_delete_apply compose four graded derived
+    // artifacts; e_index_delete composes the graded e_knn_graph derivation
+    "e_dedup_lineage", "e_delete_audit", "e_delete_apply", "e_index_delete",
     // e_scan_prune composes the graded e_zorder layout derivation;
     // e_compaction_apply routes files by the graded e_compaction_plan
     "e_scan_prune", "e_compaction_apply",

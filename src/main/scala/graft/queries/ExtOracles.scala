@@ -4327,6 +4327,59 @@ object ExtOracles {
       |FROM rows_ ORDER BY artifact""".stripMargin
   }
 
+  /** `e_index_delete` — the vector-side GDPR cascade. The oracle states
+    * the FULL REBUILD over survivors (the `e_incr_knn` device) where the
+    * Spark side repairs incrementally (tombstone + rescore only nodes that
+    * lost a top-k member), so the hash gate itself proves
+    * serve-after-delete ≡ serve-over-rebuilt-index. Digests are per-row
+    * md5-hash31 sums — order-invariant, the cross-engine content pin. */
+  private lazy val indexDeleteSql: String = {
+    val mod = ExtQueries.DeleteEveryMod
+    val k = ExtQueries.KnnK
+    def knnCte(name: String, src: String): String =
+      s"""$name AS MATERIALIZED (SELECT src, nbr, rank FROM (
+        |  SELECT x.vec_id AS src, y.vec_id AS nbr,
+        |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |      list_reduce(list_transform(list_zip(x.e, y.e),
+        |        p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b)
+        |        / (x.nrm * y.nrm) DESC, y.vec_id ASC) AS rank
+        |  FROM $src x JOIN $src y
+        |    ON x.cell = y.cell AND x.vec_id <> y.vec_id) r
+        |  WHERE rank <= $k)""".stripMargin
+    def digest(prefix: String, expr: String, src: String): String =
+      s"""(SELECT CAST(COALESCE(sum(
+        |    CAST('0x'||substr(md5('$prefix'||$expr),1,15) AS BIGINT) % $P),
+        |    0) AS BIGINT) FROM $src)""".stripMargin
+    s"""WITH $knnAssignedBody,
+      |surv AS MATERIALIZED (SELECT * FROM assigned WHERE vec_id % $mod <> 0),
+      |${knnCte("knn_all", "assigned")},
+      |${knnCte("knn_surv", "surv")},
+      |rows_ AS (
+      |  SELECT 'ivf_assignment' AS artifact,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM assigned) AS n_rows_before,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM surv) AS n_rows_after,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM surv
+      |      WHERE vec_id % $mod = 0) AS n_refs_after,
+      |    ${digest("ia:", s"CAST(vec_id AS VARCHAR)||':'||CAST(cell AS VARCHAR)", "surv")} AS content_hash
+      |  UNION ALL
+      |  SELECT 'knn_adjacency',
+      |    (SELECT CAST(count(*) AS BIGINT) FROM knn_all),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM knn_surv),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM knn_surv
+      |      WHERE src % $mod = 0 OR nbr % $mod = 0),
+      |    ${digest("ka:", s"CAST(src AS VARCHAR)||':'||CAST(nbr AS VARCHAR)||':'||CAST(rank AS VARCHAR)", "knn_surv")}
+      |  UNION ALL
+      |  SELECT 'quantizer_params',
+      |    (SELECT CAST(count(*) AS BIGINT) FROM cents),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM cents),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM cents
+      |      WHERE cent_id % $mod = 0),
+      |    ${digest("qp:", "CAST(cent_id AS VARCHAR)", "cents")})
+      |SELECT artifact, n_rows_before, n_rows_after, n_refs_after,
+      |  n_rows_before - n_rows_after AS n_dropped, content_hash
+      |FROM rows_ ORDER BY artifact""".stripMargin
+  }
+
   /** `e_dedup_lineage` — composes the three pair detectors' SQL texts so
     * the provenance can never drift from what the detectors report (each
     * referenced once — plain CTEs suffice, the MATERIALIZED rule applies
@@ -4410,6 +4463,7 @@ object ExtOracles {
     ("e_ivf_balance" -> ivfBalanceSql) +
     ("e_delete_audit" -> deleteAuditSql) +
     ("e_delete_apply" -> deleteApplySql) +
+    ("e_index_delete" -> indexDeleteSql) +
     ("e_dedup_lineage" -> dedupLineageSql) +
     ("e_recall_at_k" -> recallAtKSql) +
     ("e_graph_recall" -> graphRecallSql) +

@@ -8933,6 +8933,119 @@ object ExtQueries {
       .orderBy("artifact")
   }
 
+  // ---- e_index_delete -----------------------------------------------------
+
+  /** Deletion propagation into the ANN SUBSTRATE — the vector-side half of
+    * the GDPR cascade: [[deleteApply]] purges the text-side artifacts
+    * (fingerprints, splits, clusters, chunk index) but a governed corpus
+    * also SERVES its deleted documents' embeddings from the IVF assignment
+    * and the kNN adjacency. This key tombstones the requested vec_ids in
+    * both (FAISS `remove_ids` semantics — list entries drop, the quantizer
+    * stays) and re-audits, one summary row per artifact with a content
+    * digest of the post-delete state:
+    *
+    *  - `ivf_assignment` — the cell-partitioned corpus minus the request
+    *    set (assignment is per-vector independent, so tombstoning IS the
+    *    rebuild); its `n_refs_after` is zero by the anti-join itself.
+    *  - `knn_adjacency` — the REPAIR, not a rebuild: deleted srcs drop,
+    *    and only nodes whose old top-k CONTAINED a deleted neighbor are
+    *    rescored against their cell's survivors (the [[incrKnn]] exactness
+    *    argument in reverse — a candidate that already lost cannot start
+    *    winning because OTHER candidates left, so untouched nodes' lists
+    *    are provably the rebuild lists). The DuckDB oracle states the FULL
+    *    REBUILD over survivors (the `e_incr_knn` device), so the hash gate
+    *    itself proves serve-after-delete ≡ serve-over-rebuilt-index; its
+    *    `n_refs_after` scans BOTH edge endpoints of the emitted artifact —
+    *    zero because the repair worked, not by construction.
+    *  - `quantizer_params` — the honest residual: centroids derived from a
+    *    deleted vector remain model parameters after `remove_ids` (FAISS
+    *    keeps them too); its `n_refs_after` is deliberately NON-zero where
+    *    a seed id falls in the request set — the row a compliance review
+    *    reads to decide whether the retrain hook ([[kmeansTrainIters]])
+    *    must run.
+    *
+    * Determinism: exact counts; digests are per-row [[hash31]] summed —
+    * order-invariant int64 arithmetic (≤ 2³¹ per row; widen the modulus or
+    * shard the digest beyond ~2³² rows).
+    *
+    * At scale: the request set BROADCASTS into every artifact (the
+    * [[deleteApply]] shape); the repair rescores |touched|·|cell| pairs —
+    * proportional to the DAMAGE, never |corpus|²; the standing adjacency
+    * is a stored table in production (recomputed here via the shared
+    * [[knnScoredPairs]]/[[knnTopk]] chain — the composition convention).
+    * Composes the graded `e_knn_graph` derivation — a harness key. */
+  def indexDelete(spark: SparkSession, dir: String): DataFrame =
+    indexDeleteImpl(spark, dir, DeleteEveryMod)
+
+  /** [[indexDelete]]'s body with the request rule as a knob — the spec
+    * drives deletions that provably change a top-k answer (a promotion
+    * from outside the old top-k). */
+  private[queries] def indexDeleteImpl(spark: SparkSession, dir: String,
+      mod: Long): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val emb = table(spark, dir, "embeddings")
+    val dels = emb.filter(pmod(col("vec_id"), lit(mod)) === 0)
+      .select(col("vec_id").as("del_id"))
+    val cents = centroids(spark, dir, IvfCells)
+    val vecs = emb.select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", l2norm(col("e")))
+    // PERSISTED: feeds the before-count, the tombstone, and both sides of
+    // the standing-adjacency self-join
+    val assigned = rankedCells(vecs, cents).filter(col("crank") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // PERSISTED: feeds the after-count, the refs scan, the digest, the
+    // touched-node pool and the repair's candidate side
+    val assignedAfter = assigned.join(broadcast(dels),
+        assigned("vec_id") === dels("del_id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // PERSISTED: feeds the before-count, the touched-node scan and the
+    // untouched-edge carry-over
+    val oldEdges = knnTopk(knnScoredPairs(assigned, assigned))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val touched = oldEdges.join(broadcast(dels),
+        oldEdges("nbr") === dels("del_id"), "left_semi")
+      .select(col("src")).distinct()
+    val touchedAssigned = assignedAfter.join(broadcast(touched),
+      assignedAfter("vec_id") === touched("src"), "left_semi")
+    val repairedTouched = knnTopk(knnScoredPairs(touchedAssigned, assignedAfter))
+    val kept = oldEdges
+      .join(broadcast(dels), oldEdges("src") === dels("del_id"), "left_anti")
+      .join(broadcast(touched), Seq("src"), "left_anti")
+      .select(col("src"), col("nbr"), col("score"), col("rank"))
+    // PERSISTED: feeds the after-count, the endpoint refs scan and the digest
+    val newEdges = kept.unionByName(repairedTouched)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def summary(name: String, before: DataFrame, after: DataFrame,
+        refs: DataFrame, digest: Column): DataFrame =
+      before.agg(count(lit(1)).as("n_rows_before"))
+        .crossJoin(after.agg(count(lit(1)).as("n_rows_after")))
+        .crossJoin(refs.agg(count(lit(1)).as("n_refs_after")))
+        .crossJoin(after.agg(coalesce(sum(digest), lit(0L)).as("content_hash")))
+        .select(lit(name).as("artifact"), col("n_rows_before"),
+          col("n_rows_after"), col("n_refs_after"),
+          (col("n_rows_before") - col("n_rows_after")).as("n_dropped"),
+          col("content_hash"))
+
+    val ivfRow = summary("ivf_assignment", assigned, assignedAfter,
+      assignedAfter.join(broadcast(dels),
+        assignedAfter("vec_id") === dels("del_id"), "left_semi"),
+      hash31(concat(lit("ia:"), col("vec_id").cast("string"), lit(":"),
+        col("cell").cast("string"))))
+    val knnRow = summary("knn_adjacency", oldEdges, newEdges,
+      newEdges.join(broadcast(dels),
+        newEdges("src") === dels("del_id")
+          || newEdges("nbr") === dels("del_id"), "left_semi"),
+      hash31(concat(lit("ka:"), col("src").cast("string"), lit(":"),
+        col("nbr").cast("string"), lit(":"), col("rank").cast("string"))))
+    val qpRow = summary("quantizer_params", cents, cents,
+      cents.join(broadcast(dels), cents("cent_id") === dels("del_id"),
+        "left_semi"),
+      hash31(concat(lit("qp:"), col("cent_id").cast("string"))))
+    ivfRow.unionByName(knnRow).unionByName(qpRow).orderBy("artifact")
+  }
+
   // ---- e_incr_agg ---------------------------------------------------------
 
   /** Fixed-point scale for [[incrAgg]]'s value sums: 2²⁰ (a binary scale,

@@ -798,6 +798,21 @@ class PlanSpec extends AnyFunSuite {
       "per-query top-k must stay the bounded-state aggregate")
   }
 
+  test("index delete: no cartesian corpus product, repair top-k is a bounded aggregate") {
+    val df = ExtQueries.indexDelete(spark, dir)
+    val plan = formatted(df)
+    spark.catalog.clearCache() // assignment/adjacency frames are persisted
+    // the in-cell self-joins legitimately sort-merge on the cell key (the
+    // knn-graph corpus shuffle); what must NOT appear is an all-pairs product
+    assert(!plan.contains("CartesianProduct"),
+      "candidate generation must equi-join on cell — a cartesian product " +
+        "is the all-pairs O(N^2) graph at 100 TB")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the request set / touched-node list must broadcast into the artifacts")
+    assert(plan.contains("ObjectHashAggregate"),
+      "the repair's per-node top-k must stay the bounded-state aggregate")
+  }
+
   test("ivf filter trained: probe side broadcasts, no sort-merge join, top-k is a bounded aggregate") {
     val df = ExtQueries.ivfFilterTrained(spark, dir)
     val plan = formatted(df)
