@@ -184,6 +184,7 @@ object SparkEntry {
     "e_delete_audit"      -> (ExtQueries.deleteAudit _),
     "e_delete_apply"      -> (ExtQueries.deleteApply _),
     "e_index_delete"      -> (ExtQueries.indexDelete _),
+    "e_time_travel"       -> (ExtQueries.timeTravel _),
     "e_rolling_agg"       -> (ExtQueries.rollingAgg _),
     "e_incr_agg"          -> (ExtQueries.incrAgg _),
     "e_skew_audit"        -> (ExtQueries.skewAudit _),

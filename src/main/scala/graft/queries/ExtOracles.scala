@@ -4327,6 +4327,50 @@ object ExtOracles {
       |FROM rows_ ORDER BY artifact""".stripMargin
   }
 
+  /** `e_time_travel` — snapshot AS-OF reads over the synthesized change
+    * history. The oracle derives every version through the SEQUENTIAL
+    * COPY-ON-WRITE replay (apply batch 1 to the base, batch 2 to that, …)
+    * where the Spark side runs the log-structured merge-on-read pick, so
+    * the two table-format read strategies certify each other (the
+    * `e_merge_apply` device extended to a full history). Each snapshot
+    * CTE is referenced twice (next step + final union) — MATERIALIZED. */
+  private lazy val timeTravelSql: String = {
+    val off = ExtQueries.VariantIdOffset
+    def batch(v: Int): String = {
+      val delCls = if (v == 3) "IN (3, 4)" else s"= $v"
+      s"""b$v AS (
+        |  SELECT 'D' AS op, doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 9 $delCls
+        |  UNION ALL
+        |  SELECT 'U', doc_id, 'u$v:' || text, lang, source, n_chars + 3
+        |  FROM documents WHERE doc_id % 9 IN (${3 + v}, 7)
+        |  UNION ALL
+        |  SELECT 'I', doc_id + ${v.toLong * off}, 'i$v:' || text, lang,
+        |    source, n_chars + 3
+        |  FROM documents WHERE doc_id % 9 = 0)""".stripMargin
+    }
+    def step(v: Int): String =
+      s"""s$v AS MATERIALIZED (
+        |  SELECT s.doc_id, s.text, s.lang, s.source, s.n_chars
+        |  FROM s${v - 1} s ANTI JOIN b$v USING (doc_id)
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars FROM b$v
+        |  WHERE op <> 'D')""".stripMargin
+    s"""WITH s0 AS MATERIALIZED (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents),
+      |${batch(1)},
+      |${step(1)},
+      |${batch(2)},
+      |${step(2)},
+      |${batch(3)},
+      |${step(3)}
+      |SELECT CAST(0 AS BIGINT) AS version, doc_id, text, lang, source, n_chars FROM s0
+      |UNION ALL SELECT 1, doc_id, text, lang, source, n_chars FROM s1
+      |UNION ALL SELECT 2, doc_id, text, lang, source, n_chars FROM s2
+      |UNION ALL SELECT 3, doc_id, text, lang, source, n_chars FROM s3
+      |ORDER BY version, doc_id""".stripMargin
+  }
+
   /** `e_index_delete` — the vector-side GDPR cascade. The oracle states
     * the FULL REBUILD over survivors (the `e_incr_knn` device) where the
     * Spark side repairs incrementally (tombstone + rescore only nodes that
@@ -4464,6 +4508,7 @@ object ExtOracles {
     ("e_delete_audit" -> deleteAuditSql) +
     ("e_delete_apply" -> deleteApplySql) +
     ("e_index_delete" -> indexDeleteSql) +
+    ("e_time_travel" -> timeTravelSql) +
     ("e_dedup_lineage" -> dedupLineageSql) +
     ("e_recall_at_k" -> recallAtKSql) +
     ("e_graph_recall" -> graphRecallSql) +

@@ -798,6 +798,14 @@ class PlanSpec extends AnyFunSuite {
       "per-query top-k must stay the bounded-state aggregate")
   }
 
+  test("time travel: the whole history derives from one base scan; version dim broadcasts") {
+    val plan = formatted(ExtQueries.timeTravel(spark, dir))
+    assert(parquetScans(plan) === 1,
+      "base + all change batches come from the one-scan generator device")
+    assert(!plan.contains("SortMergeJoin"),
+      "the 4-row version dimension must broadcast into the log")
+  }
+
   test("index delete: no cartesian corpus product, repair top-k is a bounded aggregate") {
     val df = ExtQueries.indexDelete(spark, dir)
     val plan = formatted(df)
