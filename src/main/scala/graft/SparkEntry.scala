@@ -192,6 +192,7 @@ object SparkEntry {
     "e_compaction_apply"  -> (ExtQueries.compactionApply _),
     "e_winsorize"         -> (ExtQueries.winsorize _),
     "e_interleave"        -> (ExtQueries.interleave _),
+    "e_interleave_sig"    -> (ExtQueries.interleaveSig _),
     "e_retention"         -> (ExtQueries.retention _),
     "e_funnel"            -> (ExtQueries.funnel _),
     "e_salted_join"       -> (ExtQueries.saltedJoin _),
@@ -234,6 +235,7 @@ object SparkEntry {
   val harnessKeys: Set[String] = Set(
     "e_ann_recall", "e_ann_cost", "e_dedup_eval", "e_rank_fusion", "e_hybrid_search",
     "e_split_contamination", "e_curation_funnel", "e_nb_eval", "e_interleave",
+    "e_interleave_sig",
     "e_tok_fertility", "e_vocab_coverage", "e_filter_bias", "e_pack_stats",
     "e_dedup_sweep",
     "e_curriculum_order", "e_datasheet",

@@ -3122,6 +3122,30 @@ object ExtOracles {
       |FROM r WHERE rank <= ${ExtQueries.InterleaveK}
       |ORDER BY qid, rank""".stripMargin
 
+  /** `e_interleave_sig` — the sign-test verdict over `e_interleave`'s
+    * first-placement credits: composes its SQL text; z is the `e_ab_test`
+    * exactly-rounded sqrt device; the all-ties degenerate case yields
+    * NULL z in both engines. */
+  private lazy val interleaveSigSql: String =
+    s"""WITH il AS (SELECT qid, team FROM ($interleaveSql) i),
+      |perq AS (SELECT qid,
+      |  sum(CASE WHEN team = 'sparse' THEN 1 ELSE 0 END) AS c_sparse,
+      |  sum(CASE WHEN team = 'dense' THEN 1 ELSE 0 END) AS c_dense
+      |  FROM il GROUP BY qid),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST(sum(CASE WHEN c_sparse > c_dense THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sparse_wins,
+      |  CAST(sum(CASE WHEN c_dense > c_sparse THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dense_wins,
+      |  CAST(sum(CASE WHEN c_sparse = c_dense THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_ties
+      |  FROM perq)
+      |SELECT n_queries, n_sparse_wins, n_dense_wins, n_ties,
+      |  CASE WHEN n_sparse_wins + n_dense_wins > 0
+      |    THEN CAST(n_sparse_wins - n_dense_wins AS DOUBLE)
+      |      / sqrt(CAST(n_sparse_wins + n_dense_wins AS DOUBLE)) END AS z
+      |FROM agg""".stripMargin
+
   /** `e_cosine_topk_beam` — greedy beam search over the knn-graph
     * substrate: COMPOSES the graded `e_knn_graph` SQL text as its
     * adjacency, then unrolls the FIXED `BeamRounds` expand-score-prune
@@ -4542,6 +4566,7 @@ object ExtOracles {
     ("e_rank_fusion" -> rankFusionSql) +
     ("e_hybrid_search" -> hybridSearchSql) +
     ("e_interleave" -> interleaveSql) +
+    ("e_interleave_sig" -> interleaveSigSql) +
     ("e_triangles" -> trianglesSql) +
     ("e_split_contamination" -> splitContaminationSql) +
     ("e_kmeans_train" -> kmeansTrainSql) +

@@ -5710,6 +5710,54 @@ object ExtQueries {
       .orderBy("qid", "rank")
   }
 
+  // ---- e_interleave_sig ---------------------------------------------------
+
+  /** Interleaving SIGNIFICANCE readout — the verdict [[interleave]] stops
+    * short of: per query, count each team's first-placement credits in the
+    * blended top-[[InterleaveK]]; a query is a WIN for the team with more
+    * credits (equal credits = a tie, excluded — the sign test's standard
+    * treatment); the two-sided sign-test z over wins is
+    * (wins_sparse − wins_dense) / √(wins_sparse + wins_dense) — the
+    * binomial normal approximation at p = ½ that interleaving evaluations
+    * (Joachims KDD'02; Chapelle et al. TOIS'12) read before declaring a
+    * ranker better. One row: query/win/tie counts plus z.
+    *
+    * Determinism: integer counts end-to-end; z is [[abTest]]'s
+    * exactly-rounded device — one int-difference cast, one IEEE sqrt of an
+    * int-cast, one divide, each correctly rounded in both engines. The
+    * DEGENERATE experiment (every query ties) pins z = NULL, not an abort
+    * — spec-driven through [[interleaveSigOf]].
+    *
+    * At scale: the blended list is |queries|·k rows; credits, wins and z
+    * are two map-side-combined aggregates over it — the readout costs
+    * nothing beyond the lists it composes. Composes the graded
+    * [[interleave]] operator (oracle composes its SQL text) — a harness
+    * key. */
+  def interleaveSig(spark: SparkSession, dir: String): DataFrame =
+    interleaveSigOf(interleave(spark, dir))
+
+  /** [[interleaveSig]]'s body over an arbitrary `(qid, team)` credit frame
+    * — the spec drives the all-ties degenerate case through it. */
+  private[queries] def interleaveSigOf(blended: DataFrame): DataFrame = {
+    val perQ = blended.groupBy(col("qid"))
+      .agg(sum(when(col("team") === "sparse", 1L).otherwise(0L)).as("c_sparse"),
+        sum(when(col("team") === "dense", 1L).otherwise(0L)).as("c_dense"))
+    perQ.agg(
+      count(lit(1)).as("n_queries"),
+      sum(when(col("c_sparse") > col("c_dense"), 1L).otherwise(0L))
+        .as("n_sparse_wins"),
+      sum(when(col("c_dense") > col("c_sparse"), 1L).otherwise(0L))
+        .as("n_dense_wins"),
+      sum(when(col("c_sparse") === col("c_dense"), 1L).otherwise(0L))
+        .as("n_ties"))
+      .select(col("n_queries"), col("n_sparse_wins"), col("n_dense_wins"),
+        col("n_ties"),
+        when(col("n_sparse_wins") + col("n_dense_wins") > 0,
+          (col("n_sparse_wins") - col("n_dense_wins")).cast("double") /
+            sqrt((col("n_sparse_wins") + col("n_dense_wins")).cast("double")))
+          .as("z"))
+  }
+
   // ---- e_mmr --------------------------------------------------------------
 
   /** Candidate-pool size / selected-list size for [[mmrSelect]]. */
