@@ -601,7 +601,8 @@ object ExtOracles {
       |    list_reduce(list_transform(list_zip(q.p, c.p),
       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
       |      / (q.np * c.np) AS score
-      |  FROM pre q, pre c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+      |  FROM pre q, pre c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+      |    AND q.np > 0 AND c.np > 0),
       |shortlist AS (SELECT qid, cid FROM (
       |  SELECT qid, cid,
       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rk

@@ -475,9 +475,13 @@ object ExtQueries {
       sum(col("n")).as("s12"))
     val pqShort = qcs.filter(col("crank") === 1)
       .agg(sum(least(lit(IvfPqRerankR.toLong), col("n") - 1)).as("n_pq_short"))
+    // the 9 family rows all select from this ONE-row frame; persisted so the
+    // candidate-count aggregates (lshC/ivfc/pqShort/nC/nQ) evaluate once,
+    // not once per union branch (the filterCost persist discipline)
     val base = ar.crossJoin(broadcast(nC)).crossJoin(broadcast(nQ))
       .crossJoin(broadcast(lshC)).crossJoin(broadcast(ivfc))
       .crossJoin(broadcast(pqShort))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val allPairs = col("n_queries") * (col("n_corpus") - 1)
     val zero = lit(0L)
     def row(fam: String, nCode: Column, bpc: Column, nFull: Column,
@@ -5000,6 +5004,13 @@ object ExtQueries {
     *
     * Determinism: the sliced prefix is the same float elements both
     * engines read; folds are the cosine contract; total orders pinned.
+    * Zero-norm PREFIXES are filtered out of the coarse pass (mirrored in
+    * the oracle): the fixture pins non-zero norms only for FULL vectors,
+    * and an all-zero prefix would score NaN — which this engine's
+    * aggregator sorts last but DuckDB's ORDER BY sorts first, a latent
+    * cross-engine divergence on foreign data. A filtered vector simply
+    * cannot be shortlisted by the prefix pass (the honest semantics: a
+    * zero prefix carries no direction to rank by).
     *
     * At scale: stage 1 reads [[MrlDims]]·4 B per candidate — a 2× scan
     * cut with zero auxiliary structures (the reason MRL serving is the
@@ -5015,8 +5026,10 @@ object ExtQueries {
     val q = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), pre(col("embedding")).as("qp"))
       .withColumn("nq", l2norm(col("qp")))
+      .filter(col("nq") > 0)
     val c = emb.select(col("vec_id").as("cid"), pre(col("embedding")).as("cp"))
       .withColumn("nc", l2norm(col("cp")))
+      .filter(col("nc") > 0)
     val dot = seqSum(zip_with(col("qp"), col("cp"),
       (x, y) => x.cast("double") * y.cast("double")))
     val short = c.crossJoin(broadcast(q))
@@ -9030,6 +9043,18 @@ object ExtQueries {
     * references remaining after (the compliance gate — must be zero, and
     * the oracle proves it is), and rows dropped beyond the references
     * themselves (the cascade's secondary losses: dissolved singletons).
+    *
+    * HONEST-GATE NOTE: `n_refs_after` is computed by semi-joining the
+    * post-apply frame on the SAME (bid = del_id) key the apply just
+    * anti-joined, so for the per-document artifacts it is zero BY
+    * CONSTRUCTION — the column documents the invariant the apply
+    * establishes rather than independently re-proving it (a resolution
+    * bug in `baseId` would cancel out of both sides). The independent
+    * guarantees live elsewhere: the SPEC replays the cascade against
+    * hand-computed survivors (including the dissolving-cluster case), and
+    * the vector-side sibling [[indexDelete]] derives its knn `n_refs_after`
+    * from BOTH edge endpoints of the emitted artifact — a genuinely
+    * falsifiable zero.
     *
     * Determinism: exact counts; anti-joins of exact sets.
     *

@@ -421,10 +421,11 @@ object Streaming {
   def startMediaDupGate(docs: DataFrame, corpus: DataFrame, ckpt: String)
       (emit: DataFrame => Unit): StreamingQuery = {
     import graft.queries.ExtQueries
-    val corpusBands = ExtQueries.phashBands(
-      ExtQueries.phashSignatures(corpus.select(col("doc_id"), col("text")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    docs.writeStream
+    val corpusSigs = ExtQueries
+      .phashSignatures(corpus.select(col("doc_id"), col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusBands = ExtQueries.phashBands(corpusSigs)
+    val query = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -448,6 +449,8 @@ object Streaming {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+    releaseOnTermination(docs.sparkSession, query, Seq(corpusSigs))
+    query
   }
 
   /** Streaming NEAR-duplicate gate — the continuous form of
@@ -478,7 +481,7 @@ object Streaming {
     val corpusShd = ExtQueries.shingleSets(corpus.select(col("doc_id"), col("text")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusBands = ExtQueries.minhashBands(corpusShd)
-    docs.writeStream
+    val query = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -498,6 +501,9 @@ object Streaming {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+    // corpusBands is persisted inside minhashBands (persist = true default)
+    releaseOnTermination(docs.sparkSession, query, Seq(corpusShd, corpusBands))
+    query
   }
 
   /** Streaming FILTERED vector serving — the continuous form of
@@ -531,7 +537,7 @@ object Streaming {
     val (assigned, cents) = ExtQueries.ivfLabeledIndex(corpus)
     val idx = assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centTable = cents.persist()
-    queries.writeStream
+    val query = queries.writeStream
       .outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -542,6 +548,34 @@ object Streaming {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+    // Gates that build a standing cached index own its release: when THIS
+    // query terminates, drop the index and centroid table and deregister —
+    // repeated gate runs in a long-lived session then hold exactly one live
+    // index each, never an accumulation.
+    releaseOnTermination(queries.sparkSession, query,
+      Seq(idx, centTable))
+    query
+  }
+
+  /** Unpersist `frames` when `query` terminates (success or failure), then
+    * deregister the listener — the cleanup contract for gates that build a
+    * standing cached index at stream start. */
+  private def releaseOnTermination(spark: SparkSession, query: StreamingQuery,
+      frames: Seq[Dataset[_]]): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          frames.foreach(_.unpersist())
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
   }
 
   // ---- trending tokens ----------------------------------------------------

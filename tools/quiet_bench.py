@@ -125,19 +125,18 @@ def main(sf_dir: str, out_json: str, runs: int = 3, chunk: int = 20,
 
 
 if __name__ == "__main__":
-    args = sys.argv[1:]
-    keys_csv = ""
-    carry = ""
-    positional = []
-    i = 0
-    while i < len(args):
-        if args[i] == "--keys":
-            keys_csv = args[i + 1]; i += 2
-        elif args[i] == "--carry":
-            carry = args[i + 1]; i += 2
-        else:
-            positional.append(args[i]); i += 1
-    main(positional[0], positional[1],
-         int(positional[2]) if len(positional) > 2 else 3,
-         int(positional[3]) if len(positional) > 3 else 20,
-         keys_csv, carry)
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("sf_dir")
+    ap.add_argument("out_json")
+    ap.add_argument("runs", nargs="?", type=int, default=3)
+    ap.add_argument("chunk", nargs="?", type=int, default=20)
+    ap.add_argument("--keys", default="",
+                    help="comma-separated changed keys (sentinel mode)")
+    ap.add_argument("--carry", default="",
+                    help="prior artifact to carry untouched keys from")
+    ns = ap.parse_args()
+    if ns.keys and not ns.keys.strip(","):
+        ap.error("--keys must name at least one key")
+    main(ns.sf_dir, ns.out_json, ns.runs, ns.chunk, ns.keys, ns.carry)
