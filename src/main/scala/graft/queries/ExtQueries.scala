@@ -123,6 +123,36 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // ---- bench-only harness memo --------------------------------------------
+
+  /** Bench-only graded-list memo — the harness-attribution device of
+    * `tools/BENCH_PROTOCOL.md`: when [[graft.Bench]] sets the
+    * `graft.bench.memo` system property to a scratch directory, a graded
+    * rank list materializes to parquet there ONCE per JVM, and every later
+    * consumer — within one harness key or across the four that compose the
+    * same families ([[annRecall]], [[recallAtK]], [[rankMetrics]],
+    * [[annCost]]; [[filterRecall]]/[[filterCost]] for the filtered
+    * family) — reads the file instead of re-executing the family. The
+    * bench's untimed warmup pass populates the memo, so each MEASURED
+    * harness key pays its own marginal work, not its constituents'
+    * rebuild — harness bench cost then grows with the number of harness
+    * keys, not (families × harnesses). Correctness runs (Verify, the test
+    * suites) never set the property, so the oracle composition discipline
+    * and every plan pin are untouched; the property is read per call, so
+    * even a bench JVM running without the property behaves exactly as
+    * before. */
+  private def benchMemo(spark: SparkSession, dir: String, name: String)
+      (df: => DataFrame): DataFrame =
+    sys.props.get("graft.bench.memo") match {
+      case Some(root) =>
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val path = new org.apache.hadoop.fs.Path(s"$root/$safe/$name")
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(path)) df.write.mode("overwrite").parquet(path.toString)
+        spark.read.parquet(path.toString)
+      case None => df
+    }
+
   // ---- e_cosine_topk ------------------------------------------------------
 
   /** Sequential left-fold sum of a double-array column — deterministic
@@ -205,6 +235,75 @@ object ExtQueries {
       .select(col("qid"), posexplode(col("tk")))
       .select(col("qid"), col("col.id").as("cid"), col("col.score").as("score"),
         (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  // ---- e_shard_topk -------------------------------------------------------
+
+  /** Shard count of the scatter-gather serve — 4 logical shards stand in
+    * for the per-executor partitions of a distributed index. */
+  private[queries] val ShardCount = 4L
+
+  /** SCATTER-GATHER exact top-k — the distributed-serving shape a
+    * 1000-executor vector store actually runs, made a graded operator: the
+    * corpus is hash-sharded (vec_id mod [[ShardCount]] — each shard is one
+    * executor's slice of the index), every query fans out to ALL shards,
+    * each shard answers its LOCAL bounded-state top-k, and the gather
+    * stage re-selects the global top-k from the |q|·shards·k-row merge
+    * input. Output carries the winning shard per row — the routing debug
+    * column a scatter-gather service logs.
+    *
+    * The MERGEABILITY theorem this pins (spec: output ≡ [[cosineTopk]]
+    * row-for-row, modulo the shard column): every global top-k member is
+    * its own shard's top-k member — fewer than k candidates beat it
+    * anywhere, so fewer than k do in its shard — hence gathering per-shard
+    * top-k lists loses nothing, at any shard count. That theorem is why
+    * per-partition top-k + tiny merge is THE layout for distributed
+    * serving; this operator makes it a hash-gated fact rather than a
+    * scaladoc claim.
+    *
+    * Determinism: one scoring expression (the [[cosineTopk]] cosine
+    * contract) evaluated once at scatter; the gather re-ranks carried
+    * scores under the pinned (score DESC, cid ASC) order; the shard column
+    * is re-derived from cid (pure arithmetic).
+    *
+    * At scale: the scatter is [[cosineTopkAgg]]'s bill per shard (queries
+    * broadcast, corpus never shuffles, partial buffers bounded); the
+    * gather input is |q|·shards·k slim rows — bytes, independent of corpus
+    * size. This is [[cosineTopkAgg]] with the hierarchy made explicit:
+    * two bounded-state selections instead of one, which is exactly the
+    * partial-merge tree Spark's aggregate runs implicitly — stated as an
+    * operator so the shard boundary is addressable (per-shard caches,
+    * shard-local retries, straggler hedging). */
+  def shardTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByScoreAggregator
+    val agg = new TopKByScoreAggregator(10)
+    val topk = udaf(agg, agg.inputEncoder)
+    val emb = table(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("nq", l2norm(col("qe")))
+    val c = emb
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .withColumn("nc", l2norm(col("ce")))
+      .withColumn("shard", pmod(col("cid"), lit(ShardCount)))
+    val dot = seqSum(zip_with(col("qe"), col("ce"),
+      (x, y) => x.cast("double") * y.cast("double")))
+    // scatter: per-(query, shard) bounded top-k
+    val perShard = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("score", dot / (col("nq") * col("nc")))
+      .groupBy(col("qid"), col("shard"))
+      .agg(topk(col("score"), col("cid")).as("tk"))
+      .select(col("qid"), explode(col("tk")).as("t"))
+      .select(col("qid"), col("t.id").as("cid"), col("t.score").as("score"))
+    // gather: global top-k over the |q|·shards·k merge input
+    perShard.groupBy(col("qid"))
+      .agg(topk(col("score"), col("cid")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("score"),
+        (col("pos") + 1).cast("int").as("rank"),
+        pmod(col("col.id"), lit(ShardCount)).as("shard"))
       .orderBy("qid", "rank")
   }
 
@@ -368,20 +467,21 @@ object ExtQueries {
     * lives in its own operator); left joins on the (qid, cid) pair, which
     * is unique per list, so counts are exact hit counts. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
-    val ex = cosineTopk(spark, dir).select(col("qid"), col("cid"))
+    def m(name: String)(df: => DataFrame) = benchMemo(spark, dir, name)(df)
+    val ex = m("exact")(cosineTopk(spark, dir)).select(col("qid"), col("cid"))
     val lists = Seq(
-      "lsh" -> cosineTopkLsh(spark, dir),
-      "ivf" -> cosineTopkIvf(spark, dir),
-      "ivf2" -> ivfNprobe(spark, dir),
-      "pq" -> cosineTopkPq(spark, dir),
-      "beam" -> cosineTopkBeam(spark, dir),
-      "ivf_t" -> cosineTopkIvfTrained(spark, dir),
-      "pq_t" -> cosineTopkPqTrained(spark, dir),
-      "ivfpq" -> cosineTopkIvfPq(spark, dir),
-      "sq" -> sqTopk(spark, dir),
-      "sqr" -> sqRerank(spark, dir),
-      "ivfpqr" -> ivfPqRerank(spark, dir),
-      "mrl" -> mrlRerank(spark, dir))
+      "lsh" -> m("lsh")(cosineTopkLsh(spark, dir)),
+      "ivf" -> m("ivf")(cosineTopkIvf(spark, dir)),
+      "ivf2" -> m("ivf2")(ivfNprobe(spark, dir)),
+      "pq" -> m("pq")(cosineTopkPq(spark, dir)),
+      "beam" -> m("beam")(cosineTopkBeam(spark, dir)),
+      "ivf_t" -> m("ivf_t")(cosineTopkIvfTrained(spark, dir)),
+      "pq_t" -> m("pq_t")(cosineTopkPqTrained(spark, dir)),
+      "ivfpq" -> m("ivfpq")(cosineTopkIvfPq(spark, dir)),
+      "sq" -> m("sq")(sqTopk(spark, dir)),
+      "sqr" -> m("sqr")(sqRerank(spark, dir)),
+      "ivfpqr" -> m("ivfpqr")(ivfPqRerank(spark, dir)),
+      "mrl" -> m("mrl")(mrlRerank(spark, dir)))
     val joined = lists.foldLeft(ex) { case (acc, (tag, df)) =>
       val slim = df.select(col("qid").as(s"${tag}_q"), col("cid").as(s"${tag}_c"))
       acc.join(slim,
@@ -533,14 +633,19 @@ object ExtQueries {
     * lives in its operator (the [[annRecall]] argument). Composes graded
     * operators — a harness key. */
   def recallAtK(spark: SparkSession, dir: String): DataFrame = {
-    val ex = cosineTopk(spark, dir).select(col("qid"), col("cid"), col("rank"))
+    def m(name: String)(df: => DataFrame) = benchMemo(spark, dir, name)(df)
+    val ex = m("exact")(cosineTopk(spark, dir))
+      .select(col("qid"), col("cid"), col("rank"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fams = Seq(
-      "ivfpq" -> cosineTopkIvfPq(spark, dir).select(col("qid"), col("cid"), col("rank"))
+      "ivfpq" -> m("ivfpq")(cosineTopkIvfPq(spark, dir))
+        .select(col("qid"), col("cid"), col("rank"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      "ivfpqr" -> ivfPqRerank(spark, dir).select(col("qid"), col("cid"), col("rank"))
+      "ivfpqr" -> m("ivfpqr")(ivfPqRerank(spark, dir))
+        .select(col("qid"), col("cid"), col("rank"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      "sq" -> sqTopk(spark, dir).select(col("qid"), col("cid"), col("rank"))
+      "sq" -> m("sq")(sqTopk(spark, dir))
+        .select(col("qid"), col("cid"), col("rank"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val rows = for ((tag, fam) <- fams; k <- RecallKs) yield {
       val t = ex.filter(col("rank") <= k).select(col("qid"), col("cid"))
@@ -595,14 +700,15 @@ object ExtQueries {
     * their SQL texts, the truth CTE MATERIALIZED — referenced four
     * times). */
   def rankMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val truth = cosineTopk(spark, dir).select(col("qid"), col("cid"))
+    def m(name: String)(df: => DataFrame) = benchMemo(spark, dir, name)(df)
+    val truth = m("exact")(cosineTopk(spark, dir)).select(col("qid"), col("cid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = truth.select(col("qid")).distinct()
     val fams = Seq(
-      "ivfpq" -> cosineTopkIvfPq(spark, dir),
-      "ivfpqr" -> ivfPqRerank(spark, dir),
-      "sq" -> sqTopk(spark, dir),
-      "sqr" -> sqRerank(spark, dir))
+      "ivfpq" -> m("ivfpq")(cosineTopkIvfPq(spark, dir)),
+      "ivfpqr" -> m("ivfpqr")(ivfPqRerank(spark, dir)),
+      "sq" -> m("sq")(sqTopk(spark, dir)),
+      "sqr" -> m("sqr")(sqRerank(spark, dir)))
     val rows = fams.map { case (tag, df) =>
       val hits = df.select(col("qid"), col("cid"), col("rank"))
         .join(truth, Seq("qid", "cid"), "left_semi")
@@ -1455,12 +1561,19 @@ object ExtQueries {
     * cross-engine); at scale you'd feed trained centroids in, keeping
     * cells ~ √N. */
   private[graft] def centroids(spark: SparkSession, dir: String,
+      cells: Int = IvfCells): DataFrame =
+    seedCentroidsOf(table(spark, dir, "embeddings"), cells)
+
+  /** [[centroids]] over an in-memory `(vec_id, embedding, …)` corpus frame
+    * — ONE seed rule whether the corpus arrives as a table path (batch
+    * keys) or a DataFrame (the streaming attach gate). */
+  private[graft] def seedCentroidsOf(corpus: DataFrame,
       cells: Int = IvfCells): DataFrame = {
     // fail loud, not empty: cells <= 0 would filter the centroid set to
     // nothing and every downstream cell-partitioned operator would
     // silently return zero rows
     require(cells >= 1, s"cell count must be >= 1, got $cells")
-    table(spark, dir, "embeddings").filter(col("vec_id") < cells)
+    corpus.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
       .withColumn("ncent", l2norm(col("ce")))
   }
@@ -1828,7 +1941,8 @@ object ExtQueries {
     * (oracle composes their SQL texts, the truth CTE MATERIALIZED since it
     * is referenced four times). */
   def filterRecall(spark: SparkSession, dir: String): DataFrame = {
-    val truth = annFilter(spark, dir)
+    def m(name: String)(df: => DataFrame) = benchMemo(spark, dir, name)(df)
+    val truth = m("ann_filter")(annFilter(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val post = truth
       .agg(count(lit(1)).as("n_truth"), sum(col("in_postfilter")).as("n_hit"))
@@ -1840,9 +1954,11 @@ object ExtQueries {
         .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
         .select(lit(name).as("strategy"), col("n_truth"), col("n_hit"))
     }
-    val ivfRow = hitRow("ivf_prefilter", ivfFilter(spark, dir))
-    val adRow = hitRow("ivf_adaptive", ivfFilterAdaptive(spark, dir))
-    val trRow = hitRow("ivf_trained", ivfFilterTrained(spark, dir))
+    val ivfRow = hitRow("ivf_prefilter", m("ivf_filter")(ivfFilter(spark, dir)))
+    val adRow = hitRow("ivf_adaptive",
+      m("ivf_filter_adaptive")(ivfFilterAdaptive(spark, dir)))
+    val trRow = hitRow("ivf_trained",
+      m("ivf_filter_trained")(ivfFilterTrained(spark, dir)))
     ivfRow.unionByName(adRow).unionByName(trRow).unionByName(post)
       .withColumn("recall",
         col("n_hit").cast("double") / col("n_truth").cast("double"))
@@ -2158,6 +2274,140 @@ object ExtQueries {
     * cells cut the exact-neighbor split across cell boundaries). */
   def cosineTopkIvfTrained(spark: SparkSession, dir: String): DataFrame =
     ivfServe(spark, dir, kmeansChain(spark, dir, KmeansIters)._2, nprobe = 1)
+
+  // ---- e_quantizer_drift ----------------------------------------------------
+
+  /** Quantizer RETRAIN impact analysis — the cell-churn matrix between the
+    * seed assignment every standing index serves from and the
+    * [[kmeansChain]]-trained assignment a retrain would install: one row
+    * per (cell_from, cell_to) flow with its vector count. Every off-
+    * diagonal vector is real reindex work — its IVF posting moves cells
+    * and its residual PQ codes re-encode against a new centroid — so this
+    * matrix IS the bill a serving team sizes before rolling a retrained
+    * quantizer ([[ivfBalance]] says whether retraining is WORTH it; this
+    * says what it COSTS), and the per-cell flows show where (a cell that
+    * scatters across many targets invalidates its whole posting list; a
+    * diagonal-heavy matrix permits incremental reindexing).
+    *
+    * Determinism: both assignments are the pinned argmax-cosine rule with
+    * the cent_id tie-break ([[knnAssign]] against seed and trained
+    * centroid tables — the SAME rule the serves use, so the matrix prices
+    * exactly the assignment change the serves would see); counts are
+    * exact integers.
+    *
+    * At scale: two corpus assignment passes (each one broadcast of a
+    * |cells|-row centroid table, corpus never shuffles) joined on vec_id —
+    * co-partitioned slim (vec_id, cell) rows — and one map-side-combined
+    * count per flow; the matrix is ≤ cells² rows regardless of corpus
+    * size. Composes the graded [[kmeansChain]] — a harness key (the
+    * oracle composes `kmeansChainCtes` and the shared seed-assignment
+    * CTE). */
+  def quantizerDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val seed = knnAssign(emb, centroids(spark, dir, IvfCells))
+      .select(col("vec_id"), col("cell").as("cell_from"))
+    val trained = knnAssign(emb, kmeansChain(spark, dir, KmeansIters)._2)
+      .select(col("vec_id"), col("cell").as("cell_to"))
+    seed.join(trained, Seq("vec_id"))
+      .groupBy(col("cell_from"), col("cell_to"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("cell_from", "cell_to")
+  }
+
+  // ---- e_serve_drift --------------------------------------------------------
+
+  /** Serving-side RETRAIN impact — the answer-set churn between the seed
+    * IVF serve and the trained one, per query: [[quantizerDrift]] prices
+    * what a retrain costs the INDEX (posting moves, re-encodes); this
+    * measures what it does to the ANSWERS (`n_overlap` of the two
+    * top-10 lists and overlap@10), which is what a product team actually
+    * reviews before a rollout — a quantizer can be cheap to install and
+    * still reshuffle every result page (or vice versa). Recall tells you
+    * which list is BETTER ([[annRecall]]'s `recall_ivf` vs `recall_ivf_t`
+    * rows); this tells you how DIFFERENT they are — the two axes of an
+    * index-rollout review.
+    *
+    * Determinism: inner join of two pinned rank lists, exact counts, one
+    * divide per query.
+    *
+    * At scale: joins |queries|·k rank lists — tiny regardless of corpus
+    * size; each serve's scale story lives in its own operator. Composes
+    * two graded serves — a harness key (oracle composes both SQL
+    * texts). */
+  def serveDrift(spark: SparkSession, dir: String): DataFrame = {
+    def m(name: String)(df: => DataFrame) = benchMemo(spark, dir, name)(df)
+    val seed = m("ivf")(cosineTopkIvf(spark, dir)).select(col("qid"), col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trained = m("ivf_t")(cosineTopkIvfTrained(spark, dir))
+      .select(col("qid"), col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val common = seed.join(trained, Seq("qid", "cid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+    seed.groupBy(col("qid")).agg(count(lit(1)).as("n_seed"))
+      .join(trained.groupBy(col("qid")).agg(count(lit(1)).as("n_trained")),
+        Seq("qid"))
+      .join(common, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .select(col("qid"), col("n_seed"), col("n_trained"), col("n_overlap"),
+        (col("n_overlap").cast("double") / lit(10.0)).as("overlap_at_10"))
+      .orderBy("qid")
+  }
+
+  // ---- e_table_stats --------------------------------------------------------
+
+  /** Columns the statistics pass profiles — the documents table's full
+    * schema. */
+  private[queries] val TableStatsCols =
+    Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** ANALYZE-style table statistics — the per-column profile every
+    * engine's cost-based optimizer and every data-quality monitor reads:
+    * per column, row count, null count, EXACT distinct cardinality, and
+    * typed min/max (rendered as strings so one frame carries mixed
+    * types). This is the `ANALYZE TABLE ... COMPUTE STATISTICS FOR
+    * COLUMNS` surface as a graded operator: NDV drives join-order and
+    * broadcast decisions, null fractions drive skew diagnosis, min/max
+    * are the zone-map primitives [[scanPrune]] consumes.
+    *
+    * Determinism: exact counts; min/max computed on the TYPED column
+    * (numeric min, not lexicographic) and cast to string only for
+    * display; the fixture is ASCII so string min/max agree byte-wise
+    * cross-engine.
+    *
+    * At scale: two scans — one narrow pass for all typed min/max
+    * (map-side combined, one row out), and one explode-by-column pass
+    * whose (column, value) shuffle is the EXACT-distinct's intrinsic
+    * cost (the same two-level aggregate every engine's ANALYZE runs;
+    * swap in [[distinctSketch]]'s linear counter per column when a 1%
+    * answer is acceptable — the documented approximate path). Output is
+    * |columns| rows. */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    // pass 1: typed min/max, one row, map-side combined
+    val mmExprs = TableStatsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c")))
+    val mmRow = d.agg(mmExprs.head, mmExprs.tail: _*)
+    val mm = mmRow.select(explode(array(TableStatsCols.map(c =>
+      struct(lit(c).as("col_name"), col(s"min_$c").as("min_val"),
+        col(s"max_$c").as("max_val"))): _*)).as("s"))
+      .select(col("s.*"))
+    // pass 2: counts + exact NDV via the two-level (column, value) aggregate
+    val long = d.select(explode(array(TableStatsCols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("s"))
+      .select(col("s.*"))
+    val perVal = long.groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("n"))
+    val counts = perVal.groupBy(col("col_name"))
+      .agg(sum(col("n")).as("n_rows"),
+        sum(when(col("v").isNull, col("n")).otherwise(lit(0L))).as("n_nulls"),
+        count(when(col("v").isNotNull, lit(1))).as("n_distinct"))
+    counts.join(broadcast(mm), Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy("col_name")
+  }
 
   // ---- e_silhouette -------------------------------------------------------
 
@@ -4275,15 +4525,30 @@ object ExtQueries {
 
   /** [[knnGraph]] with the cell count exposed — the √N scaling knob. */
   def knnGraphCells(spark: SparkSession, dir: String, cells: Int): DataFrame = {
-    val vecs = table(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").as("e"))
-      .withColumn("nrm", l2norm(col("e")))
-    val assigned = rankedCells(vecs, centroids(spark, dir, cells))
+    val assigned = knnAssign(table(spark, dir, "embeddings"),
+        centroids(spark, dir, cells))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    knnAdjacency(assigned).orderBy("src", "rank")
+  }
+
+  /** Hard cell assignment of a `(vec_id, embedding, …)` frame against a
+    * centroid table — the unlabeled sibling of [[ivfLabeledAssign]], shared
+    * by [[knnGraphCells]], [[incrKnn]] and the streaming attach gate
+    * ([[graft.streaming.Streaming.startKnnAttachGate]]): one assignment
+    * rule, so the graph substrate cannot drift between its build paths. */
+  private[graft] def knnAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    rankedCells(
+        vecs.select(col("vec_id"), col("embedding").as("e"))
+          .withColumn("nrm", l2norm(col("e"))), cents)
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    knnTopk(knnScoredPairs(assigned, assigned)).orderBy("src", "rank")
-  }
+
+  /** The full in-cell adjacency of an assigned frame (every node's
+    * top-[[KnnK]] in-cell neighbors) — [[knnGraphCells]]'s body, exposed so
+    * the attach paths can state "the standing graph" as one call. Output
+    * unordered; callers own the final sort. */
+  private[graft] def knnAdjacency(assigned: DataFrame): DataFrame =
+    knnTopk(knnScoredPairs(assigned, assigned))
 
   /** Exact-cosine scored in-cell candidate pairs: every `srcs` row against
     * every SAME-CELL `pool` row (both frames `(vec_id, e, nrm, cell)`,
@@ -4349,37 +4614,130 @@ object ExtQueries {
     * attribution rule. */
   def incrKnn(spark: SparkSession, dir: String): DataFrame = {
     val cents = centroids(spark, dir, IvfCells)
-    val vecs = table(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").as("e"))
-      .withColumn("nrm", l2norm(col("e")))
-    val corpusAssigned = rankedCells(vecs, cents)
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val corpusAssigned = knnAssign(emb, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val batch = vecs.filter(pmod(col("vec_id"), lit(IncrKnnBatchMod)) === 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(IncrKnnBatchMod)) === 0)
       .select((col("vec_id") + lit(VariantIdOffset)).as("vec_id"),
-        col("e"), col("nrm"))
-    val batchAssigned = rankedCells(batch, cents)
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
+        col("embedding"))
+    val batchAssigned = knnAssign(batch, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the standing graph, recomputed here via the shared derivation (a
+    // stored table in production — the composition convention)
+    knnAttach(corpusAssigned, knnAdjacency(corpusAssigned), batchAssigned)
+      .orderBy("src", "rank")
+  }
+
+  /** The incremental ATTACH core shared by [[incrKnn]] and the streaming
+    * gate ([[graft.streaming.Streaming.startKnnAttachGate]]) — one
+    * definition, so the daily-batch and continuous attach paths cannot
+    * drift. Inputs: the assigned corpus, its standing adjacency
+    * (`src, nbr, score, rank` — [[knnAdjacency]]'s shape), and the
+    * assigned batch (same quantizer). Emits the TOUCHED-node adjacency —
+    * batch nodes scored against their cell's members ∪ co-batch arrivals,
+    * and existing members of batch-receiving cells with their OLD top-k
+    * merged against the arrivals (provably the rebuild top-k — the
+    * [[incrKnn]] scaladoc's exactness argument). Output unordered. */
+  private[graft] def knnAttach(corpusAssigned: DataFrame, standing: DataFrame,
+      batchAssigned: DataFrame): DataFrame = {
     // batch nodes: candidates = their cell's existing members + co-batch
     val batchScored = knnScoredPairs(batchAssigned,
       corpusAssigned.unionByName(batchAssigned))
-    // touched existing nodes: OLD top-k lists (the standing graph,
-    // recomputed here via the shared derivation) merged with the batch
-    // arrivals in their cell — provably the rebuild top-k (scaladoc)
-    val oldEdges = knnTopk(knnScoredPairs(corpusAssigned, corpusAssigned))
     val touchedCells = batchAssigned.select(col("cell")).distinct()
     val touchedSrc = corpusAssigned
       .join(broadcast(touchedCells), Seq("cell"))
       .select(col("vec_id").as("src"))
-    val oldCand = oldEdges.join(touchedSrc, Seq("src"), "left_semi")
+    val oldCand = standing.join(touchedSrc, Seq("src"), "left_semi")
       .select(col("src"), col("nbr"), col("score"))
     val newCand = knnScoredPairs(corpusAssigned, batchAssigned)
     knnTopk(oldCand.unionByName(newCand))
       .unionByName(knnTopk(batchScored))
-      .orderBy("src", "rank")
+  }
+
+  // ---- e_kcore ------------------------------------------------------------
+
+  /** Degree threshold of the k-core peel over the MUTUAL-kNN graph.
+    * K = 2 on reciprocated edges: the knn out-degree cap makes the raw
+    * undirected graph degenerate for peeling (K ≤ [[KnnK]] removes
+    * nothing — every node keeps its out-edges; K = [[KnnK]]+1 provably
+    * cascades to an empty core on this substrate, each removal stripping
+    * in-links below the bar — both measured on the fixture), while the
+    * MUTUAL graph (keep an edge only when BOTH endpoints rank each other
+    * top-k) has the varied degree spectrum density analysis needs; its
+    * 2-core is the standard mutual-kNN noise-removal construct. */
+  private[queries] val KcoreK = 2
+  /** Pinned peel rounds — an oracle-stability pin like [[PageRankIters]].
+    * 16 covers the measured fixpoint with margin at every fixture scale
+    * (9/8/13 rounds at sf0.001/0.01/0.1). */
+  private[queries] val KcoreRounds = 16
+
+  /** k-CORE decomposition (fixed-round peel) of the MUTUAL [[knnGraph]] —
+    * the dense-region extractor next to [[pageRank]] (importance) and the
+    * label/modularity family (communities): keep only reciprocated
+    * similarity edges (both endpoints rank each other top-[[KnnK]] — the
+    * mutual-kNN construct clustering pipelines use to strip hub noise),
+    * then repeatedly delete nodes with fewer than [[KcoreK]] SURVIVING
+    * mutual neighbors. What survives [[KcoreRounds]] rounds is the peel's
+    * fixpoint — the tightly-knit clusters a curation pipeline caps
+    * (boilerplate/template farms are dense mutual cores) and the
+    * well-connected regions a graph-ANN builder keeps as entry points.
+    * Per node: the mutual-graph degree (`deg0`) and the `in_core`
+    * verdict.
+    *
+    * FIXED rounds rather than peel-to-fixpoint: the oracle unrolls the
+    * same rounds as generated CTE blocks (the `kmeansChainCtes` device —
+    * a recursive CTE would hide the iteration count the Spark side pins);
+    * the spec measures that the peel REACHES its fixpoint within the
+    * pinned rounds at both gate scales, so the emitted flag is true
+    * k-core membership there, and the 16-round pin carries 3+ rounds of
+    * margin over the worst measured scale.
+    *
+    * Determinism: exact integer degrees over the exact graded adjacency —
+    * no floats anywhere; the mutual edge set is a self-semi-join of the
+    * directed adjacency (symmetric by construction, no dedup pass).
+    *
+    * At scale: the mutual edge list is ≤ |V|·k slim rows; each round is
+    * two semi-joins of edges against the shrinking survivor set plus one
+    * map-side-combined degree count — |rounds| passes over id-pairs,
+    * never vectors or text. STORAGE: the [[graft.operators.ConnectedComponents]]
+    * discipline — the edge list and each round's survivor set
+    * localCheckpoint EAGERLY (16 lazily-chained rounds would hand the
+    * optimizer one join tree 50 levels deep — measured pathological), and
+    * every superseded round releases via
+    * [[graft.operators.IterStorage.release]]; only the frames backing the
+    * returned result stay persisted, which callers release the same way
+    * once consumed. Composes the graded [[knnGraph]] derivation — a
+    * harness key. */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val adj = knnGraph(spark, dir).select(col("src"), col("nbr"))
+    val mut = adj
+      .join(adj.select(col("nbr").as("src"), col("src").as("nbr")),
+        Seq("src", "nbr"), "left_semi")
+      .localCheckpoint(true)
+    // the knn build's dataset-level cache is superseded once mut is
+    // materialized; callers release it with clearCache() (the shared
+    // knnGraph caching contract)
+    val deg0 = mut.groupBy(col("src")).agg(count(lit(1)).as("deg0"))
+    var alive = mut.select(col("src").as("vec_id")).distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to KcoreRounds) {
+      val next = mut
+        .join(alive.select(col("vec_id").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("vec_id").as("nbr")), Seq("nbr"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KcoreK)
+        .select(col("src").as("vec_id"))
+        .localCheckpoint(true)
+      graft.operators.IterStorage.release(alive)
+      alive = next
+    }
+    table(spark, dir, "embeddings").select(col("vec_id"))
+      .join(deg0.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
+      .na.fill(0L, Seq("deg0"))
+      .join(alive.withColumn("in_core", lit(1L)), Seq("vec_id"), "left")
+      .na.fill(0L, Seq("in_core"))
+      .orderBy("vec_id")
   }
 
   // ---- e_pagerank ---------------------------------------------------------
@@ -8946,6 +9304,55 @@ object ExtQueries {
       .select(explode(array(base, a, b, c, d)).as("r"))
       .select(col("r.*"))
       .filter(col("op").isNotNull)
+  }
+
+  // ---- e_vacuum_plan ------------------------------------------------------
+
+  /** Lakehouse VACUUM/retention planning over the [[timeTravel]] history —
+    * the sizing report a table-format maintenance job reads before
+    * compacting time travel away: choosing a retain floor v means versions
+    * BELOW v stop being readable and every log entry at ver ≤ v collapses
+    * into one rewritten base (the AS-OF-v snapshot), so the plan prices
+    * each candidate floor with exact counts: log entries in scope
+    * (`n_log`), live rows the rewritten base keeps (`n_live`), delete
+    * markers eliminated (`n_tombstones`), and net reclaimable entries
+    * (`n_reclaimable` = n_log − n_live — superseded versions, tombstones,
+    * and the deleted bases they killed). v = 0 is the no-op floor (only
+    * the base is in scope, nothing reclaims — zero by construction);
+    * v = [[TimeTravelVersions]] prices full compaction to a single
+    * snapshot. This is the VACUUM dry-run every table format ships,
+    * sitting next to [[timeTravel]] (what vacuum destroys) and
+    * [[compactionPlan]] (the file-level sibling).
+    *
+    * Determinism: exact integer counts over the deterministic log; the
+    * winner pick is [[timeTravelWinners]] — the graded key's own.
+    *
+    * At scale: the log generates from ONE base scan (the [[timeTravel]]
+    * device), the |versions|-row floor dimension broadcasts, and both
+    * rollups are map-side-combined counts — the dry-run costs one
+    * |versions|·|log| pass, far below the compaction it prices; pricing
+    * ONE floor in production is a ver-filtered count plus the AS-OF read's
+    * key-shuffle. Composes the graded [[timeTravel]] derivation — a
+    * harness key (the oracle composes the sequential-replay CTEs, so the
+    * two read strategies price the same plan). */
+  def vacuumPlan(spark: SparkSession, dir: String): DataFrame = {
+    val vers = spark.range(0L, TimeTravelVersions + 1L)
+      .select(col("id").as("version"))
+    // consumed by the in-scope rollup AND the winners pick — persisted so
+    // the generator runs once per floor set, not once per consumer
+    val scoped = timeTravelLog(spark, dir)
+      .join(broadcast(vers), col("ver") <= col("version"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inScope = scoped.groupBy(col("version"))
+      .agg(count(lit(1)).as("n_log"),
+        sum(when(col("op") === "D", lit(1L)).otherwise(lit(0L)))
+          .as("n_tombstones"))
+    val live = timeTravelWinners(scoped, col("version"))
+      .groupBy(col("version")).agg(count(lit(1)).as("n_live"))
+    inScope.join(live, Seq("version"))
+      .select(col("version"), col("n_log"), col("n_live"), col("n_tombstones"),
+        (col("n_log") - col("n_live")).as("n_reclaimable"))
+      .orderBy("version")
   }
 
   // ---- e_dedup_lineage ----------------------------------------------------

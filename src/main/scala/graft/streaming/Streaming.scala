@@ -578,6 +578,61 @@ object Streaming {
     spark.streams.addListener(listener)
   }
 
+  /** Streaming incremental-kNN ATTACH gate — the continuous form of
+    * [[graft.queries.ExtQueries.incrKnn]] (the daily embedding-batch
+    * attach), per the [[startFilteredVectorGate]] discipline: the STATIC
+    * quantizer (seed centroid table), assigned corpus and STANDING
+    * adjacency are built ONCE at stream start and persisted; each
+    * micro-batch of arriving `(vec_id, embedding)` vectors is assigned to
+    * its cells, scored only against batch-receiving cells' members (plus
+    * co-batch arrivals), and the TOUCHED-node adjacency — new nodes' full
+    * top-k plus existing nodes whose lists the arrivals change — is
+    * emitted as `(src, nbr, score, rank)`.
+    *
+    * Assignment, scoring and the attach merge are the batch operator's OWN
+    * [[graft.queries.ExtQueries.knnAssign]] /
+    * [[graft.queries.ExtQueries.knnAttach]] — one definition, so the
+    * continuous and daily attach paths cannot drift (parity is spec-pinned
+    * against the shared core across ≥2 micro-batches anyway).
+    *
+    * At scale: the standing index is |corpus| slim assigned rows plus the
+    * |corpus|·k adjacency — persisted once, never reshuffled; each
+    * micro-batch contributes |batch|·|cell| scored pairs (proportional to
+    * the BATCH, never |corpus|²) and its per-batch assignment is released
+    * when the batch commits; per-node top-k is the bounded-state
+    * aggregator, so only slim (src, nbr, score) rows ever shuffle. Nothing
+    * streams between batches — each batch attaches against the standing
+    * graph independently (merging successive batches into the standing
+    * adjacency is the sink's compaction, exactly as in production where
+    * the adjacency is a stored table the attach job appends to). `emit`
+    * must materialize the verdict frame before returning — the standard
+    * foreachBatch contract. */
+  def startKnnAttachGate(batches: DataFrame, corpus: DataFrame, ckpt: String)
+      (emit: DataFrame => Unit): StreamingQuery = {
+    import graft.queries.ExtQueries
+    val cents = ExtQueries.seedCentroidsOf(corpus).persist()
+    val corpusAssigned = ExtQueries.knnAssign(corpus, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val standing = ExtQueries.knnAdjacency(corpusAssigned)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val query = batches.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // persisted: both the batch-node scoring and the touched-cell
+        // screen consume the assignment; released when the batch commits
+        val batchAssigned = ExtQueries.knnAssign(
+          batch.select(col("vec_id"), col("embedding")), cents).persist()
+        try emit(ExtQueries.knnAttach(corpusAssigned, standing, batchAssigned))
+        finally batchAssigned.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    releaseOnTermination(batches.sparkSession, query,
+      Seq(cents, corpusAssigned, standing))
+    query
+  }
+
   // ---- trending tokens ----------------------------------------------------
 
   /** Watermarked per-window token counts over a document stream — the

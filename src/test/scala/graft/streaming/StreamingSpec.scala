@@ -916,6 +916,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("knn attach gate: per-batch attach equals the shared core; one trigger equals e_incr_knn") {
+    val dir = "/root/testdata/sf0.001"
+    val in = Files.createTempDirectory("graft-kag-in").toString
+    val ckpt = Files.createTempDirectory("graft-kag-ckpt").toString
+    import graft.queries.ExtQueries
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // the e_incr_knn daily batch, arriving as two micro-batches
+    val off = ExtQueries.VariantIdOffset
+    val batchAll = corpus.filter(pmod(col("vec_id"), lit(10L)) === 0)
+      .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"))
+    val ids = batchAll.select("vec_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length / 2)
+    batchAll.filter(col("vec_id") < cut).coalesce(1).write.mode("append").parquet(in)
+    batchAll.filter(col("vec_id") >= cut).coalesce(1).write.mode("append").parquet(in)
+
+    type Edge = (Long, Long, Double, Int)
+    def edges(rows: Array[org.apache.spark.sql.Row]): Array[Edge] =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Array[Edge]]
+    Streaming.startKnnAttachGate(
+      spark.readStream.schema(batchAll.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in),
+      corpus, ckpt) { adj => perBatch += edges(adj.collect()) }
+      .awaitTermination()
+    spark.catalog.clearCache()
+    assert(perBatch.length == 2, s"micro-batch count: ${perBatch.length}")
+
+    // stream/batch parity per micro-batch: each trigger's adjacency IS the
+    // shared attach core run on that trigger's vectors (one definition)
+    val cents = ExtQueries.seedCentroidsOf(corpus)
+    val corpusAssigned = ExtQueries.knnAssign(corpus, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val standing = ExtQueries.knnAdjacency(corpusAssigned)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val subBatches = Seq(batchAll.filter(col("vec_id") < cut),
+      batchAll.filter(col("vec_id") >= cut))
+    for ((b, i) <- subBatches.zipWithIndex) {
+      val want = edges(ExtQueries.knnAttach(corpusAssigned, standing,
+        ExtQueries.knnAssign(b, cents)).collect())
+      assert(perBatch(i).toSet == want.toSet, s"micro-batch $i parity")
+      // bounded per-trigger work: the NEW-node lists emitted by trigger i
+      // are exactly trigger i's arrivals — nothing leaked across triggers
+      val newSrcs = perBatch(i).map(_._1).filter(_ >= off).toSet
+      val bIds = b.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(newSrcs == bIds, s"micro-batch $i new-node set")
+      assert(perBatch(i).nonEmpty)
+    }
+    spark.catalog.clearCache()
+
+    // single-trigger form: the whole daily batch in one micro-batch must
+    // equal the graded batch key e_incr_knn bit-for-bit
+    val in2 = Files.createTempDirectory("graft-kag-in2").toString
+    val ckpt2 = Files.createTempDirectory("graft-kag-ckpt2").toString
+    batchAll.coalesce(1).write.mode("append").parquet(in2)
+    var one: Array[Edge] = Array.empty
+    Streaming.startKnnAttachGate(
+      spark.readStream.schema(batchAll.schema).parquet(in2),
+      corpus, ckpt2) { adj => one = edges(adj.collect()) }
+      .awaitTermination()
+    spark.catalog.clearCache()
+    val wantFull = edges(ExtQueries.incrKnn(spark, dir).collect())
+    spark.catalog.clearCache()
+    assert(one.toSet == wantFull.toSet,
+      "single-trigger attach must equal the batch key")
+  }
+
   test("stream-static enrichment: stateless broadcast join, unknown sources kept") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-enrich-in").toString
