@@ -117,6 +117,12 @@ object SparkEntry {
     "e_kmeans_iter"       -> (ExtQueries.kmeansIter _),
     "e_kmeans_train"      -> (ExtQueries.kmeansTrain _),
     "e_ivf_trained"       -> (ExtQueries.cosineTopkIvfTrained _),
+    "e_quantizer_drift"   -> (ExtQueries.quantizerDrift _),
+    "e_serve_drift"       -> (ExtQueries.serveDrift _),
+    "e_table_stats"       -> (ExtQueries.tableStats _),
+    "e_shard_topk"        -> (ExtQueries.shardTopk _),
+    "e_kcore"             -> (ExtQueries.kcore _),
+    "e_vacuum_plan"       -> (ExtQueries.vacuumPlan _),
     "e_cosine_topk_beam"  -> (ExtQueries.cosineTopkBeam _),
     "e_cosine_topk_pq"    -> (ExtQueries.cosineTopkPq _),
     "e_pq_train"          -> (ExtQueries.pqTrain _),
@@ -285,7 +291,12 @@ object SparkEntry {
     "e_scan_prune", "e_compaction_apply",
     // e_filter_recall composes the three graded filtered-serving
     // operators; e_filter_cost composes the whole recall harness
-    "e_filter_recall", "e_filter_cost")
+    "e_filter_recall", "e_filter_cost",
+    // e_quantizer_drift re-runs the e_kmeans_train chain whose rollout it
+    // prices; e_serve_drift composes the two graded IVF serves it diffs;
+    // e_kcore peels the graded e_knn_graph adjacency; e_vacuum_plan
+    // prices the graded e_time_travel history
+    "e_quantizer_drift", "e_serve_drift", "e_kcore", "e_vacuum_plan")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

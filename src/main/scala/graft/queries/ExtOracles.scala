@@ -3328,6 +3328,128 @@ object ExtOracles {
       |ORDER BY qid, rank""".stripMargin
   }
 
+  /** `e_quantizer_drift` — the seed→trained cell-churn matrix: COMPOSES
+    * the shared seed assignment (`assigned`, the CTE every seed-centroid
+    * serve reads) and the `e_kmeans_train` chain's final assignment
+    * (`asg{K+1}`, the one `e_ivf_trained` serves from), joined on vec_id.
+    * Mirrors `ExtQueries.quantizerDrift`. */
+  private lazy val quantizerDriftSql: String = {
+    val K = ExtQueries.KmeansIters
+    s"""WITH ${kmeansChainCtes(K)},
+      |${centsFromUpdCte(K)},
+      |${assignCte(K + 1)}
+      |SELECT s.cell AS cell_from, t.cell AS cell_to,
+      |  CAST(count(*) AS BIGINT) AS n_vecs
+      |FROM assigned s JOIN asg${K + 1} t USING (vec_id)
+      |GROUP BY 1, 2
+      |ORDER BY cell_from, cell_to""".stripMargin
+  }
+
+  /** `e_shard_topk` — scatter-gather exact serve: per-(query, shard)
+    * top-10 under the pinned order, then the global re-rank over the
+    * per-shard survivors. Mirrors `ExtQueries.shardTopk`. */
+  private lazy val shardTopkSql: String = {
+    val s = ExtQueries.ShardCount
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x)) AS nq
+      |  FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS cid, embedding AS ce, vec_id % $s AS shard,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (acc, x) -> acc + x)) AS nc
+      |  FROM embeddings),
+      |scored AS (SELECT q.qid, c.cid, c.shard,
+      |    list_reduce(list_transform(list_zip(q.qe, c.ce),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |      / (q.nq * c.nc) AS score
+      |  FROM c, q WHERE c.cid <> q.qid),
+      |pershard AS (SELECT qid, cid, score FROM (
+      |  SELECT qid, cid, score,
+      |    row_number() OVER (PARTITION BY qid, shard
+      |      ORDER BY score DESC, cid ASC) AS rk
+      |  FROM scored) WHERE rk <= 10)
+      |SELECT qid, cid, score, rank, cid % $s AS shard FROM (
+      |  SELECT qid, cid, score,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY score DESC, cid ASC) AS INT) AS rank
+      |  FROM pershard) WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** `e_kcore` — the fixed-round k-core peel of the MUTUAL `e_knn_graph`
+    * adjacency (COMPOSED via the shared assigned/adjacency CTEs; mutual =
+    * reciprocated directed edges), rounds UNROLLED as generated CTE
+    * blocks (the `kmeansChainCtes` device). Mirrors
+    * `ExtQueries.kcore`. */
+  private lazy val kcoreSql: String = {
+    val k = ExtQueries.KcoreK
+    def round(r: Int): String = {
+      val prev = if (r == 1) "nodes0" else s"a${r - 1}"
+      s"""d$r AS (SELECT u.src, CAST(count(*) AS BIGINT) AS deg
+        |  FROM mut u JOIN $prev x ON u.src = x.vec_id
+        |  JOIN $prev y ON u.nbr = y.vec_id GROUP BY u.src),
+        |a$r AS MATERIALIZED (SELECT src AS vec_id FROM d$r WHERE deg >= $k)""".stripMargin
+    }
+    s"""WITH $knnAssignedBody,
+      |${knnAdjCte("knn_all", "assigned")},
+      |mut AS MATERIALIZED (
+      |  SELECT f.src, f.nbr FROM knn_all f
+      |  JOIN knn_all r ON f.src = r.nbr AND f.nbr = r.src),
+      |deg0 AS (SELECT src AS vec_id, CAST(count(*) AS BIGINT) AS deg0
+      |  FROM mut GROUP BY src),
+      |nodes0 AS (SELECT DISTINCT src AS vec_id FROM mut),
+      |${(1 to ExtQueries.KcoreRounds).map(round).mkString(",\n")}
+      |SELECT e.vec_id, COALESCE(d.deg0, 0) AS deg0,
+      |  CAST(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core
+      |FROM (SELECT vec_id FROM embeddings) e
+      |LEFT JOIN deg0 d USING (vec_id)
+      |LEFT JOIN a${ExtQueries.KcoreRounds} a USING (vec_id)
+      |ORDER BY vec_id""".stripMargin
+  }
+
+  /** `e_serve_drift` — per-query overlap of the seed IVF serve and the
+    * trained one: COMPOSES both graded SQL texts, inner-joins on
+    * (qid, cid). Mirrors `ExtQueries.serveDrift`. */
+  private lazy val serveDriftSql: String =
+    s"""WITH seed AS MATERIALIZED (
+      |  SELECT qid, cid FROM (${baseSql("e_cosine_topk_ivf")}) s),
+      |trained AS MATERIALIZED (SELECT qid, cid FROM ($ivfTrainedSql) t),
+      |ov AS (SELECT s.qid, CAST(count(*) AS BIGINT) AS n_overlap
+      |  FROM seed s JOIN trained t ON s.qid = t.qid AND s.cid = t.cid
+      |  GROUP BY s.qid),
+      |ns AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_seed FROM seed GROUP BY qid),
+      |nt AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_trained FROM trained GROUP BY qid)
+      |SELECT ns.qid, ns.n_seed, nt.n_trained,
+      |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+      |  CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / 10.0 AS overlap_at_10
+      |FROM ns JOIN nt USING (qid) LEFT JOIN ov ON ov.qid = ns.qid
+      |ORDER BY qid""".stripMargin
+
+  /** `e_table_stats` — ANALYZE-style per-column profile: typed min/max
+    * rendered as strings, exact NDV via the two-level (column, value)
+    * aggregate. Mirrors `ExtQueries.tableStats`. */
+  private lazy val tableStatsSql: String = {
+    val cols = ExtQueries.TableStatsCols
+    val pv = cols.map(c =>
+      s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM documents")
+      .mkString("\n  UNION ALL ")
+    val mm = cols.map(c =>
+      s"SELECT '$c' AS col_name, CAST(min($c) AS VARCHAR) AS min_val, " +
+        s"CAST(max($c) AS VARCHAR) AS max_val FROM documents")
+      .mkString("\n  UNION ALL ")
+    s"""WITH pv AS ($pv),
+      |cnt AS (SELECT col_name, v, count(*) AS n FROM pv GROUP BY 1, 2),
+      |d AS (SELECT col_name, CAST(sum(n) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN v IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_nulls,
+      |  CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct
+      |  FROM cnt GROUP BY 1),
+      |mm AS ($mm)
+      |SELECT d.col_name, d.n_rows, d.n_nulls, d.n_distinct,
+      |  mm.min_val, mm.max_val
+      |FROM d JOIN mm USING (col_name)
+      |ORDER BY col_name""".stripMargin
+  }
+
   /** `e_silhouette` — COMPOSES the `e_kmeans_train` chain (the SAME final
     * centroids and `asg{K+1}` assignment `e_ivf_trained` serves from) and
     * computes the pairwise silhouette over the pinned sample: fixed-point
@@ -4359,7 +4481,11 @@ object ExtOracles {
     * the two table-format read strategies certify each other (the
     * `e_merge_apply` device extended to a full history). Each snapshot
     * CTE is referenced twice (next step + final union) — MATERIALIZED. */
-  private lazy val timeTravelSql: String = {
+  /** The sequential copy-on-write replay CTEs (`s0` base, `b{v}` change
+    * batches, `s{v}` snapshots) — shared by `e_time_travel` (the AS-OF
+    * read) and `e_vacuum_plan` (the retention dry-run), so what vacuum
+    * prices is exactly what time travel reads. */
+  private lazy val timeTravelCtes: String = {
     val off = ExtQueries.VariantIdOffset
     def batch(v: Int): String = {
       val delCls = if (v == 3) "IN (3, 4)" else s"= $v"
@@ -4381,20 +4507,55 @@ object ExtOracles {
         |  UNION ALL
         |  SELECT doc_id, text, lang, source, n_chars FROM b$v
         |  WHERE op <> 'D')""".stripMargin
-    s"""WITH s0 AS MATERIALIZED (
+    s"""s0 AS MATERIALIZED (
       |  SELECT doc_id, text, lang, source, n_chars FROM documents),
       |${batch(1)},
       |${step(1)},
       |${batch(2)},
       |${step(2)},
       |${batch(3)},
-      |${step(3)}
+      |${step(3)}""".stripMargin
+  }
+
+  private lazy val timeTravelSql: String =
+    s"""WITH $timeTravelCtes
       |SELECT CAST(0 AS BIGINT) AS version, doc_id, text, lang, source, n_chars FROM s0
       |UNION ALL SELECT 1, doc_id, text, lang, source, n_chars FROM s1
       |UNION ALL SELECT 2, doc_id, text, lang, source, n_chars FROM s2
       |UNION ALL SELECT 3, doc_id, text, lang, source, n_chars FROM s3
       |ORDER BY version, doc_id""".stripMargin
-  }
+
+  /** `e_vacuum_plan` — retention dry-run over the same history: per retain
+    * floor v, log entries in scope (base rows + batch entries at ver ≤ v,
+    * counted from the batch CTEs directly), live rows from the SEQUENTIAL
+    * replay snapshot `s{v}` (where Spark counts its merge-on-read winners
+    * — the `e_time_travel` cross-certification carried into the pricing),
+    * tombstones, and the reclaimable difference. */
+  private lazy val vacuumPlanSql: String =
+    s"""WITH $timeTravelCtes,
+      |ent AS (
+      |  SELECT 0 AS ver, CAST(count(*) AS BIGINT) AS n_e,
+      |    CAST(0 AS BIGINT) AS n_d FROM s0
+      |  UNION ALL SELECT 1, CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) FROM b1
+      |  UNION ALL SELECT 2, CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) FROM b2
+      |  UNION ALL SELECT 3, CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) FROM b3),
+      |live AS (
+      |  SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_live FROM s0
+      |  UNION ALL SELECT 1, CAST(count(*) AS BIGINT) FROM s1
+      |  UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM s2
+      |  UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM s3),
+      |scope AS (
+      |  SELECT l.version, CAST(sum(e.n_e) AS BIGINT) AS n_log,
+      |    CAST(sum(e.n_d) AS BIGINT) AS n_tombstones
+      |  FROM live l JOIN ent e ON e.ver <= l.version
+      |  GROUP BY l.version)
+      |SELECT l.version, s.n_log, l.n_live, s.n_tombstones,
+      |  s.n_log - l.n_live AS n_reclaimable
+      |FROM live l JOIN scope s USING (version)
+      |ORDER BY version""".stripMargin
 
   /** `e_index_delete` — the vector-side GDPR cascade. The oracle states
     * the FULL REBUILD over survivors (the `e_incr_knn` device) where the
@@ -4402,19 +4563,26 @@ object ExtOracles {
     * lost a top-k member), so the hash gate itself proves
     * serve-after-delete ≡ serve-over-rebuilt-index. Digests are per-row
     * md5-hash31 sums — order-invariant, the cross-engine content pin. */
+  /** In-cell top-[[ExtQueries.KnnK]] adjacency CTE over an assigned frame
+    * `src` — the SQL twin of `ExtQueries.knnAdjacency`, shared by
+    * `e_index_delete` (all/survivor rebuilds) and `e_kcore` (the peel's
+    * substrate). */
+  private def knnAdjCte(name: String, src: String): String = {
+    val k = ExtQueries.KnnK
+    s"""$name AS MATERIALIZED (SELECT src, nbr, rank FROM (
+      |  SELECT x.vec_id AS src, y.vec_id AS nbr,
+      |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+      |      list_reduce(list_transform(list_zip(x.e, y.e),
+      |        p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b)
+      |        / (x.nrm * y.nrm) DESC, y.vec_id ASC) AS rank
+      |  FROM $src x JOIN $src y
+      |    ON x.cell = y.cell AND x.vec_id <> y.vec_id) r
+      |  WHERE rank <= $k)""".stripMargin
+  }
+
   private lazy val indexDeleteSql: String = {
     val mod = ExtQueries.DeleteEveryMod
-    val k = ExtQueries.KnnK
-    def knnCte(name: String, src: String): String =
-      s"""$name AS MATERIALIZED (SELECT src, nbr, rank FROM (
-        |  SELECT x.vec_id AS src, y.vec_id AS nbr,
-        |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
-        |      list_reduce(list_transform(list_zip(x.e, y.e),
-        |        p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (a,b)->a+b)
-        |        / (x.nrm * y.nrm) DESC, y.vec_id ASC) AS rank
-        |  FROM $src x JOIN $src y
-        |    ON x.cell = y.cell AND x.vec_id <> y.vec_id) r
-        |  WHERE rank <= $k)""".stripMargin
+    def knnCte(name: String, src: String): String = knnAdjCte(name, src)
     def digest(prefix: String, expr: String, src: String): String =
       s"""(SELECT CAST(COALESCE(sum(
         |    CAST('0x'||substr(md5('$prefix'||$expr),1,15) AS BIGINT) % $P),
@@ -4573,6 +4741,12 @@ object ExtOracles {
     ("e_kmeans_train" -> kmeansTrainSql) +
     ("e_ivf_trained" -> ivfTrainedSql) +
     ("e_ivf_filter_trained" -> ivfFilterTrainedSql) +
+    ("e_quantizer_drift" -> quantizerDriftSql) +
+    ("e_serve_drift" -> serveDriftSql) +
+    ("e_table_stats" -> tableStatsSql) +
+    ("e_shard_topk" -> shardTopkSql) +
+    ("e_kcore" -> kcoreSql) +
+    ("e_vacuum_plan" -> vacuumPlanSql) +
     ("e_silhouette" -> silhouetteSql) +
     ("e_pq_train" -> pqTrainSql) +
     ("e_pq_trained" -> pqTrainedSql) +
