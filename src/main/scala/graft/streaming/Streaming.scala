@@ -373,9 +373,22 @@ object Streaming {
     * runs; the versioned directory IS the copy-on-write table history
     * (time travel for free, compaction via `e_compaction_plan`). `emit`
     * receives the committed next snapshot and must materialize it before
-    * returning — the standard foreachBatch contract. */
-  def startMergeApply(changes: DataFrame, snapshotDir: String, ckpt: String)
-      (emit: DataFrame => Unit): StreamingQuery =
+    * returning — the standard foreachBatch contract.
+    *
+    * RETENTION (`retainLast`): the VACUUM half of the lifecycle
+    * `e_vacuum_plan` prices — after each batch's version commits, only
+    * the newest `retainLast` versions are kept and older snapshot
+    * directories are deleted (time travel below the floor is destroyed,
+    * exactly as the dry-run's `n_versions_dropped` axis states). The
+    * default retains everything. `retainLast` must be ≥ 2: a REPLAYED
+    * micro-batch (crash between commit and checkpoint) re-merges against
+    * the highest version below its id, so the predecessor must survive
+    * retention — retention runs AFTER the new version commits, so the
+    * replay invariant holds at every crash point. */
+  def startMergeApply(changes: DataFrame, snapshotDir: String, ckpt: String,
+      retainLast: Int = Int.MaxValue)(emit: DataFrame => Unit): StreamingQuery = {
+    require(retainLast >= 2,
+      s"retainLast must keep the current AND predecessor versions, got $retainLast")
     changes.writeStream
       .outputMode("append")
       .option("checkpointLocation", ckpt)
@@ -393,9 +406,21 @@ object Streaming {
         graft.queries.ExtQueries.mergeWinners(rows)
           .write.mode("overwrite").parquet(s"$snapshotDir/v=$batchId")
         emit(spark.read.parquet(s"$snapshotDir/v=$batchId"))
+        if (retainLast != Int.MaxValue) {
+          val path = new org.apache.hadoop.fs.Path(snapshotDir)
+          val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.listStatus(path).toSeq
+            .map(_.getPath.getName)
+            .filter(_.startsWith("v="))
+            .flatMap(_.stripPrefix("v=").toLongOption)
+            .sorted.dropRight(retainLast)
+            .foreach(v =>
+              fs.delete(new org.apache.hadoop.fs.Path(s"$snapshotDir/v=$v"), true))
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** Streaming MEDIA near-duplicate gate — the perceptual-hash twin of
     * [[startNearDupGate]] and the continuous form of

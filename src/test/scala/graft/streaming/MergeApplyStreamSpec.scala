@@ -67,4 +67,51 @@ class MergeApplyStreamSpec extends AnyFunSuite {
     stream().awaitTermination()
     assert(snaps.length == 2)
   }
+
+  test("retention keeps the newest retainLast versions; the snapshot is unchanged") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-mar-in").toString
+    val snap = Files.createTempDirectory("graft-mar-snap").toString
+    val ckpt = Files.createTempDirectory("graft-mar-ckpt").toString
+
+    val cols = Seq("op", "doc_id", "text", "lang", "source", "n_chars")
+    val batches: Seq[Seq[(String, Long, String, String, String, Long)]] = Seq(
+      (0L until 6L).map(i => ("I", i, s"doc $i", "en", "web", 5L)),
+      Seq(("D", 1L, "doc 1", "en", "web", 5L),
+        ("U", 2L, "doc 2 v2", "en", "web", 8L)),
+      Seq(("I", 6L, "doc 6", "de", "cc", 5L),
+        ("D", 4L, "doc 4", "en", "web", 5L)))
+    batches.foreach(b =>
+      b.toDF(cols: _*).coalesce(1).write.mode("append").parquet(in))
+
+    var last: Map[Long, (String, String, String, Long)] = Map.empty
+    Streaming.startMergeApply(
+      spark.readStream.schema(batches.head.toDF(cols: _*).schema)
+        .option("maxFilesPerTrigger", 1).parquet(in),
+      snap, ckpt, retainLast = 2) { s =>
+      last = s.collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))).toMap
+    }.awaitTermination()
+
+    // only the newest 2 version directories survive the vacuum
+    val versions = new java.io.File(snap).list().toSeq
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).sorted
+    assert(versions.length == 2, s"versions kept: $versions")
+    assert(versions == versions.sorted.takeRight(2))
+
+    // retention never changes the CURRENT snapshot — hand-fold the batches
+    var want = Map.empty[Long, (String, String, String, Long)]
+    for (b <- batches; (op, id, t, l, src, n) <- b) op match {
+      case "D" => want -= id
+      case _   => want += id -> ((t, l, src, n))
+    }
+    assert(last == want, "retained run must end at the same snapshot")
+
+    // the floor requirement is enforced loudly, not silently clamped
+    intercept[IllegalArgumentException] {
+      Streaming.startMergeApply(
+        spark.readStream.schema(batches.head.toDF(cols: _*).schema).parquet(in),
+        snap, ckpt, retainLast = 1) { _ => () }
+    }
+  }
 }
