@@ -120,6 +120,8 @@ object SparkEntry {
     "e_quantizer_drift"   -> (ExtQueries.quantizerDrift _),
     "e_serve_drift"       -> (ExtQueries.serveDrift _),
     "e_table_stats"       -> (ExtQueries.tableStats _),
+    "e_bloom_prune"       -> (ExtQueries.bloomPrune _),
+    "e_nb_threshold"      -> (ExtQueries.nbThreshold _),
     "e_shard_topk"        -> (ExtQueries.shardTopk _),
     "e_kcore"             -> (ExtQueries.kcore _),
     "e_vacuum_plan"       -> (ExtQueries.vacuumPlan _),
@@ -295,8 +297,10 @@ object SparkEntry {
     // e_quantizer_drift re-runs the e_kmeans_train chain whose rollout it
     // prices; e_serve_drift composes the two graded IVF serves it diffs;
     // e_kcore peels the graded e_knn_graph adjacency; e_vacuum_plan
-    // prices the graded e_time_travel history
-    "e_quantizer_drift", "e_serve_drift", "e_kcore", "e_vacuum_plan")
+    // prices the graded e_time_travel history; e_nb_threshold sweeps the
+    // graded e_nb_classify predictions
+    "e_quantizer_drift", "e_serve_drift", "e_kcore", "e_vacuum_plan",
+    "e_nb_threshold")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

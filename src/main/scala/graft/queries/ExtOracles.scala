@@ -3407,6 +3407,84 @@ object ExtOracles {
       |ORDER BY vec_id""".stripMargin
   }
 
+  /** `e_bloom_prune` — bloom-filter data skipping vs the composite
+    * min-max hull, per (probe, file). Bits via the shared md5 hash64
+    * device over the canonical "tag:uid:day" string. Mirrors
+    * `ExtQueries.bloomPrune`. */
+  private lazy val bloomPruneSql: String = {
+    val m = ExtQueries.BloomBits
+    val fr = ExtQueries.ScanPruneFileRows
+    val probes = ExtQueries.BloomProbes
+      .map { case (u, d) => s"($u, $d)" }.mkString(", ")
+    def bbit(tag: String, uid: String, day: String): String =
+      s"CAST('0x'||substr(md5('$tag'||CAST($uid AS VARCHAR)||':'||" +
+        s"CAST($day AS VARCHAR)),1,15) AS BIGINT) % $m"
+    s"""WITH rows_ AS MATERIALIZED (
+      |  SELECT event_id // $fr AS file_id, user_id % 65536 AS uid16,
+      |    (epoch_us(ts) // 86400000000) % 65536 AS day16,
+      |    (user_id % 65536) * 100000 + (epoch_us(ts) // 86400000000) % 65536 AS ckey
+      |  FROM events),
+      |stats AS (SELECT file_id, min(ckey) AS ck_min, max(ckey) AS ck_max
+      |  FROM rows_ GROUP BY file_id),
+      |bits AS MATERIALIZED (
+      |  SELECT DISTINCT file_id, bit FROM (
+      |    SELECT file_id, ${bbit("bp1:", "uid16", "day16")} AS bit FROM rows_
+      |    UNION ALL
+      |    SELECT file_id, ${bbit("bp2:", "uid16", "day16")} FROM rows_)),
+      |probes AS (SELECT p_uid, p_day,
+      |    p_uid * 100000 + p_day AS p_ckey,
+      |    ${bbit("bp1:", "p_uid", "p_day")} AS pb1,
+      |    ${bbit("bp2:", "p_uid", "p_day")} AS pb2
+      |  FROM (SELECT CAST(c1 AS BIGINT) AS p_uid, CAST(c2 AS BIGINT) AS p_day
+      |    FROM (VALUES $probes) v(c1, c2))),
+      |kept AS (SELECT DISTINCT b1.file_id, p.p_uid, p.p_day
+      |  FROM probes p
+      |  JOIN bits b1 ON b1.bit = p.pb1
+      |  JOIN bits b2 ON b2.bit = p.pb2 AND b2.file_id = b1.file_id),
+      |truth AS (SELECT r.file_id, p.p_uid, p.p_day,
+      |    CAST(count(*) AS BIGINT) AS n_match
+      |  FROM rows_ r JOIN probes p
+      |    ON r.uid16 = p.p_uid AND r.day16 = p.p_day
+      |  GROUP BY 1, 2, 3)
+      |SELECT p.p_uid, p.p_day, s.file_id,
+      |  CAST(CASE WHEN p.p_ckey BETWEEN s.ck_min AND s.ck_max
+      |    THEN 1 ELSE 0 END AS BIGINT) AS kept_minmax,
+      |  CAST(CASE WHEN k.file_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS kept_bloom,
+      |  COALESCE(t.n_match, 0) AS n_match
+      |FROM stats s CROSS JOIN probes p
+      |LEFT JOIN kept k ON k.file_id = s.file_id
+      |  AND k.p_uid = p.p_uid AND k.p_day = p.p_day
+      |LEFT JOIN truth t ON t.file_id = s.file_id
+      |  AND t.p_uid = p.p_uid AND t.p_day = p.p_day
+      |ORDER BY p.p_uid, p.p_day, s.file_id""".stripMargin
+  }
+
+  /** `e_nb_threshold` — selective-prediction sweep over the composed
+    * `e_nb_classify` predictions: integer accept test
+    * n_win·10 ≥ t·n_votes, one row per threshold, NULL selective
+    * accuracy on empty cutoffs. Mirrors `ExtQueries.nbThreshold`. */
+  private lazy val nbThresholdSql: String = {
+    val steps = ExtQueries.NbThresholdSteps
+    s"""WITH preds AS MATERIALIZED (
+      |  SELECT correct, n_win, n_votes FROM ($nbClassifySql) p),
+      |thr AS (SELECT range AS t FROM range(0, $steps)),
+      |acc AS (SELECT t, CAST(count(*) AS BIGINT) AS n_accepted,
+      |    CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_acc
+      |  FROM preds JOIN thr ON n_win * $steps >= t * n_votes
+      |  GROUP BY t),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM preds)
+      |SELECT thr.t, tot.n_docs,
+      |  COALESCE(acc.n_accepted, 0) AS n_accepted,
+      |  COALESCE(acc.n_correct_acc, 0) AS n_correct_acc,
+      |  CAST(COALESCE(acc.n_accepted, 0) AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)
+      |    AS coverage,
+      |  CASE WHEN COALESCE(acc.n_accepted, 0) = 0 THEN NULL
+      |    ELSE CAST(acc.n_correct_acc AS DOUBLE) / CAST(acc.n_accepted AS DOUBLE)
+      |  END AS sel_accuracy
+      |FROM thr CROSS JOIN tot LEFT JOIN acc ON acc.t = thr.t
+      |ORDER BY thr.t""".stripMargin
+  }
+
   /** `e_serve_drift` — per-query overlap of the seed IVF serve and the
     * trained one: COMPOSES both graded SQL texts, inner-joins on
     * (qid, cid). Mirrors `ExtQueries.serveDrift`. */
@@ -4744,6 +4822,8 @@ object ExtOracles {
     ("e_quantizer_drift" -> quantizerDriftSql) +
     ("e_serve_drift" -> serveDriftSql) +
     ("e_table_stats" -> tableStatsSql) +
+    ("e_bloom_prune" -> bloomPruneSql) +
+    ("e_nb_threshold" -> nbThresholdSql) +
     ("e_shard_topk" -> shardTopkSql) +
     ("e_kcore" -> kcoreSql) +
     ("e_vacuum_plan" -> vacuumPlanSql) +

@@ -4489,6 +4489,89 @@ object ExtQueries {
       .orderBy("layout", "file_id")
   }
 
+  // ---- e_bloom_prune ------------------------------------------------------
+
+  /** Bloom width in bits (m) — deliberately on the small side (≈0.38 fill
+    * at ~500 keys/file) so the FIXTURE exhibits the false-positive trade
+    * the operator exists to measure; production sizes ~10 bits/key. */
+  private[queries] val BloomBits = 2048L
+  /** Pinned probe set: 8 in-fixture (uid, day) pairs + 8 pairs whose day
+    * predates the fixture window — absent, but INSIDE every file's
+    * composite min-max hull, which is the regime where zone maps keep
+    * everything and only the bloom can skip. */
+  private[queries] val BloomProbes: Seq[(Long, Long)] =
+    (0L until 8L).map(u => (u, ScanPruneDayLo + u)) ++
+      (0L until 8L).map(u => (u, 18000L + u))
+
+  /** BLOOM-FILTER data skipping — the point-lookup half of the
+    * data-skipping story, next to [[scanPrune]]'s zone maps: for a needle
+    * query on a high-cardinality UNSORTED composite ("user u's events on
+    * day d"), per-file min/max hulls keep essentially every file (each
+    * append file spans the full user range, so every in-hull probe
+    * matches the interval), while a per-file Bloom filter over the
+    * composite key skips the files that provably lack it — exactly why
+    * Parquet footers and Delta/Iceberg manifests carry column blooms
+    * NEXT TO min/max. Emits one row per (probe, file): the zone-map
+    * verdict (`kept_minmax`), the bloom verdict (`kept_bloom`, k = 2
+    * hashes into [[BloomBits]] bits), and the exact match count — so the
+    * output quantifies the guarantee (a bloom-skipped file NEVER holds a
+    * match — no false negatives, by construction of the emitted set
+    * bits) and the price (false-positive keeps, measured, not assumed).
+    *
+    * Determinism: bits come from the cross-engine [[hash64]] (md5-based)
+    * over the canonical "tag:uid:day" string; all else integer counts.
+    *
+    * At scale: the per-file bloom is the |files|·(set bits) slim frame a
+    * real lake reads from footers for FREE; probes broadcast; the only
+    * data-proportional work is the one stats-collection pass (free in a
+    * real lake) — the pruning decision itself is metadata-scale, the
+    * data-skipping point at 100 TB. */
+  def bloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    def bbit(tag: String, uid: Column, day: Column): Column =
+      pmod(hash64(concat(lit(tag), uid.cast("string"), lit(":"),
+        day.cast("string"))), lit(BloomBits))
+    val rows = table(spark, dir, "events")
+      .select(expr(s"event_id div $ScanPruneFileRows").as("file_id"),
+        pmod(col("user_id"), lit(65536L)).as("uid16"),
+        pmod(expr("unix_micros(ts) div 86400000000"), lit(65536L)).as("day16"))
+      .withColumn("ckey", col("uid16") * lit(100000L) + col("day16"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = rows.groupBy(col("file_id"))
+      .agg(min(col("ckey")).as("ck_min"), max(col("ckey")).as("ck_max"))
+    // the bloom IS the distinct (file, bit) set
+    val bits = rows.select(col("file_id"),
+        explode(array(bbit("bp1:", col("uid16"), col("day16")),
+          bbit("bp2:", col("uid16"), col("day16")))).as("bit"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import spark.implicits._
+    val probes = BloomProbes.toDF("p_uid", "p_day")
+      .withColumn("p_ckey", col("p_uid") * lit(100000L) + col("p_day"))
+      .withColumn("pb1", bbit("bp1:", col("p_uid"), col("p_day")))
+      .withColumn("pb2", bbit("bp2:", col("p_uid"), col("p_day")))
+    def hit(b: Column) = probes.join(bits, bits("bit") === b)
+      .select(col("file_id"), col("p_uid"), col("p_day"))
+    val keptBloom = hit(col("pb1"))
+      .join(hit(col("pb2")), Seq("file_id", "p_uid", "p_day"), "left_semi")
+      .withColumn("kept_bloom", lit(1L))
+    val truth = rows
+      .join(broadcast(probes.select(col("p_uid"), col("p_day"))),
+        col("uid16") === col("p_uid") && col("day16") === col("p_day"))
+      .groupBy(col("file_id"), col("p_uid"), col("p_day"))
+      .agg(count(lit(1)).as("n_match"))
+    stats.crossJoin(broadcast(probes.select(col("p_uid"), col("p_day"), col("p_ckey"))))
+      .withColumn("kept_minmax",
+        (col("p_ckey") >= col("ck_min") && col("p_ckey") <= col("ck_max"))
+          .cast("long"))
+      .join(keptBloom, Seq("file_id", "p_uid", "p_day"), "left")
+      .na.fill(0L, Seq("kept_bloom"))
+      .join(truth, Seq("file_id", "p_uid", "p_day"), "left")
+      .na.fill(0L, Seq("n_match"))
+      .select(col("p_uid"), col("p_day"), col("file_id"),
+        col("kept_minmax"), col("kept_bloom"), col("n_match"))
+      .orderBy("p_uid", "p_day", "file_id")
+  }
+
   // ---- e_knn_graph --------------------------------------------------------
 
   /** Neighbors kept per node in the k-NN graph. */
@@ -6849,6 +6932,58 @@ object ExtQueries {
           / lit(1000000.0)).as("mean_conf"))
       .withColumn("gap", col("accuracy") - col("mean_conf"))
       .orderBy("bucket")
+  }
+
+  // ---- e_nb_threshold -----------------------------------------------------
+
+  /** Confidence thresholds swept, in tenths (τ = t/10 for t = 0..9). */
+  private[queries] val NbThresholdSteps = 10L
+
+  /** Selective-prediction threshold sweep (risk–coverage table) over
+    * [[nbClassify]]'s held-out predictions — the LAST knob of the
+    * classifier family (train → classify → eval → calibrate → TUNE):
+    * a data-gating classifier is deployed with an ABSTENTION threshold
+    * ("act on the prediction only when confidence ≥ τ; route the rest to
+    * fallback"), and this table is how τ gets picked — per threshold, how
+    * many documents the gate acts on (`coverage`) and how accurate it is
+    * on exactly those (`sel_accuracy`, the complement of selective risk).
+    * Reading it next to [[calibration]]: calibration says whether the
+    * confidence NUMBERS mean anything; this says what each cutoff BUYS.
+    *
+    * Determinism: the accept test is exact integers — confidence
+    * n_win/n_votes ≥ t/10 evaluated as n_win·10 ≥ t·n_votes (no float
+    * compare at the boundary); counts and two divides per row.
+    *
+    * At scale: one pass over the |test docs| prediction frame per —
+    * actually, ONE pass total: each document contributes to every
+    * threshold row it clears via a broadcast range join on the integer
+    * accept test, then a map-side-combined count per threshold; output
+    * is [[NbThresholdSteps]] rows. Composes the graded classifier — a
+    * harness key (oracle composes `e_nb_classify`'s SQL text). */
+  def nbThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val preds = nbClassify(spark, dir)
+      .select(col("correct"), col("n_win"), col("n_votes"))
+    val thr = spark.range(0L, NbThresholdSteps).select(col("id").as("t"))
+    val totals = preds.agg(count(lit(1)).as("n_docs"))
+    val acc = preds
+      .join(broadcast(thr),
+        col("n_win") * lit(NbThresholdSteps) >= col("t") * col("n_votes"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_accepted"),
+        sum(col("correct").cast("long")).as("n_correct_acc"))
+    // every threshold keeps its row — a cutoff nothing clears reports
+    // coverage 0 with NULL selective accuracy (0/0 is undefined, not 0)
+    thr.join(acc, Seq("t"), "left")
+      .na.fill(0L, Seq("n_accepted", "n_correct_acc"))
+      .crossJoin(broadcast(totals))
+      .select(col("t"), col("n_docs"), col("n_accepted"), col("n_correct_acc"),
+        (col("n_accepted").cast("double") / col("n_docs").cast("double"))
+          .as("coverage"),
+        when(col("n_accepted") === 0, lit(null).cast("double"))
+          .otherwise(col("n_correct_acc").cast("double")
+            / col("n_accepted").cast("double"))
+          .as("sel_accuracy"))
+      .orderBy("t")
   }
 
   // ---- e_dedup_eval -------------------------------------------------------
