@@ -122,6 +122,7 @@ object SparkEntry {
     "e_table_stats"       -> (ExtQueries.tableStats _),
     "e_bloom_prune"       -> (ExtQueries.bloomPrune _),
     "e_nb_threshold"      -> (ExtQueries.nbThreshold _),
+    "e_pref_pairs"        -> (ExtQueries.prefPairs _),
     "e_shard_topk"        -> (ExtQueries.shardTopk _),
     "e_kcore"             -> (ExtQueries.kcore _),
     "e_vacuum_plan"       -> (ExtQueries.vacuumPlan _),
@@ -299,8 +300,9 @@ object SparkEntry {
     // e_kcore peels the graded e_knn_graph adjacency; e_vacuum_plan
     // prices the graded e_time_travel history; e_nb_threshold sweeps the
     // graded e_nb_classify predictions
+    // e_pref_pairs mines extremes of the graded e_bigram_lm score
     "e_quantizer_drift", "e_serve_drift", "e_kcore", "e_vacuum_plan",
-    "e_nb_threshold")
+    "e_nb_threshold", "e_pref_pairs")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

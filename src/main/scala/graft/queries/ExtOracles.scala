@@ -3661,6 +3661,30 @@ object ExtOracles {
       |FROM u, mx WHERE u.u * mx.m < u.p_fp * 1048576
       |ORDER BY u.doc_id""".stripMargin
 
+  /** `e_pref_pairs` — COMPOSES the graded `e_bigram_lm` SQL text as the
+    * quality scalar, then per source picks the extremes under the pinned
+    * (score, doc_id) orders via ranking windows. Mirrors
+    * `ExtQueries.prefPairs`. */
+  private lazy val prefPairsSql: String =
+    s"""WITH b AS MATERIALIZED (SELECT doc_id, avg_prob
+      |    FROM (${baseSql("e_bigram_lm")}) t WHERE n_bigrams > 0),
+      |s AS MATERIALIZED (SELECT d.source, b.doc_id, b.avg_prob
+      |  FROM b JOIN documents d USING (doc_id)),
+      |ch AS (SELECT source, doc_id AS chosen_id, avg_prob AS chosen_score
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY source
+      |      ORDER BY avg_prob DESC, doc_id ASC) AS rn FROM s) r
+      |  WHERE rn = 1),
+      |rj AS (SELECT source, doc_id AS rejected_id, avg_prob AS rejected_score
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY source
+      |      ORDER BY avg_prob ASC, doc_id ASC) AS rn FROM s) r
+      |  WHERE rn = 1)
+      |SELECT ch.source, ch.chosen_id, ch.chosen_score,
+      |  rj.rejected_id, rj.rejected_score,
+      |  ch.chosen_score - rj.rejected_score AS margin
+      |FROM ch JOIN rj USING (source)
+      |WHERE ch.chosen_id <> rj.rejected_id
+      |ORDER BY ch.source""".stripMargin
+
   /** `e_canonical_pick` — COMPOSES the graded `e_dup_clusters` text (the
     * cluster assignment) with the shared `qualityCtes` battery (the rank),
     * then picks per-cluster best under (keep DESC, n_tokens DESC, doc_id
@@ -4824,6 +4848,7 @@ object ExtOracles {
     ("e_table_stats" -> tableStatsSql) +
     ("e_bloom_prune" -> bloomPruneSql) +
     ("e_nb_threshold" -> nbThresholdSql) +
+    ("e_pref_pairs" -> prefPairsSql) +
     ("e_shard_topk" -> shardTopkSql) +
     ("e_kcore" -> kcoreSql) +
     ("e_vacuum_plan" -> vacuumPlanSql) +

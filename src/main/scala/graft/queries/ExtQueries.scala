@@ -4218,6 +4218,53 @@ object ExtQueries {
           / (lit(1073741824.0) * col("n_bigrams").cast("double"))))
   }
 
+  // ---- e_pref_pairs -------------------------------------------------------
+
+  /** Preference-pair mining — the chosen/rejected pair construction a
+    * preference-tuning (DPO/RLHF reward-model) data pipeline runs over a
+    * scored corpus: per source domain, CHOSEN = the most fluent document
+    * under the graded [[bigramLm]] likelihood (avg per-bigram probability)
+    * and REJECTED = the least fluent, with the score margin attached —
+    * the contrastive pair whose margin IS the training signal, mined from
+    * the same quality scalar the curriculum ([[lmBuckets]]) and sampler
+    * ([[importanceSample]]) consume (one scorer, three consumers — the
+    * pipeline-coherence property a data team actually wants). Sources
+    * with fewer than two scoreable documents, or where best and worst
+    * coincide, yield no pair (a zero-margin pair teaches nothing).
+    *
+    * Determinism: the ranking scalar is [[bigramLmBody]]'s `avg_prob` —
+    * one IEEE divide of exact operands, bit-identical cross-engine — and
+    * both argmax selections pin ties by doc_id; the margin is one
+    * subtraction of those identical doubles.
+    *
+    * At scale: the score pass is the graded operator's own; the pair
+    * pick is two map-side-combined struct extremes per source — never a
+    * per-source sort, output ≤ |sources| rows. Composes the graded
+    * [[bigramLm]] derivation — a harness key (oracle composes its SQL
+    * text). */
+  def prefPairs(spark: SparkSession, dir: String): DataFrame = {
+    val scored = bigramLmBody(spark, dir)
+      .filter(col("n_bigrams") > 0)
+      .join(table(spark, dir, "documents").select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .select(col("source"), col("doc_id"), col("avg_prob"))
+    scored.groupBy(col("source"))
+      .agg(
+        // lexicographic struct extremes pin the doc_id tie-break: chosen =
+        // max score then SMALLER id (hence -id inside a max), rejected =
+        // min score then smaller id
+        max(struct(col("avg_prob"), (-col("doc_id")).as("nid"))).as("ch"),
+        min(struct(col("avg_prob"), col("doc_id"))).as("rj"))
+      .select(col("source"),
+        (-col("ch.nid")).as("chosen_id"),
+        col("ch.avg_prob").as("chosen_score"),
+        col("rj.doc_id").as("rejected_id"),
+        col("rj.avg_prob").as("rejected_score"),
+        (col("ch.avg_prob") - col("rj.avg_prob")).as("margin"))
+      .filter(col("chosen_id") =!= col("rejected_id"))
+      .orderBy("source")
+  }
+
   // ---- e_lm_buckets -------------------------------------------------------
 
   /** CCNet-proper curriculum tiers: per-language quartile buckets of the
@@ -4783,15 +4830,12 @@ object ExtQueries {
     * At scale: the mutual edge list is ≤ |V|·k slim rows; each round is
     * two semi-joins of edges against the shrinking survivor set plus one
     * map-side-combined degree count — |rounds| passes over id-pairs,
-    * never vectors or text. STORAGE: the [[graft.operators.ConnectedComponents]]
-    * discipline — the edge list and each round's survivor set
-    * localCheckpoint EAGERLY (16 lazily-chained rounds would hand the
-    * optimizer one join tree 50 levels deep — measured pathological), and
-    * every superseded round releases via
-    * [[graft.operators.IterStorage.release]]; only the frames backing the
-    * returned result stay persisted, which callers release the same way
-    * once consumed. Composes the graded [[knnGraph]] derivation — a
-    * harness key. */
+    * never vectors or text. Delegates the peel to the general
+    * [[graft.operators.Kcore]] engine (the [[graft.operators.PageRank]]
+    * pattern — reusable graph operator in `operators/`, the query binds
+    * it to the mutual knn graph and embedding vertex universe); the
+    * loop/storage discipline and its ScalaCheck laws live there.
+    * Composes the graded [[knnGraph]] derivation — a harness key. */
   def kcore(spark: SparkSession, dir: String): DataFrame = {
     val adj = knnGraph(spark, dir).select(col("src"), col("nbr"))
     val mut = adj
@@ -4802,19 +4846,8 @@ object ExtQueries {
     // materialized; callers release it with clearCache() (the shared
     // knnGraph caching contract)
     val deg0 = mut.groupBy(col("src")).agg(count(lit(1)).as("deg0"))
-    var alive = mut.select(col("src").as("vec_id")).distinct()
-      .localCheckpoint(true)
-    for (_ <- 1 to KcoreRounds) {
-      val next = mut
-        .join(alive.select(col("vec_id").as("src")), Seq("src"), "left_semi")
-        .join(alive.select(col("vec_id").as("nbr")), Seq("nbr"), "left_semi")
-        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= KcoreK)
-        .select(col("src").as("vec_id"))
-        .localCheckpoint(true)
-      graft.operators.IterStorage.release(alive)
-      alive = next
-    }
+    val alive = graft.operators.Kcore.survivors(mut, KcoreK, KcoreRounds)
+      .withColumnRenamed("id", "vec_id")
     table(spark, dir, "embeddings").select(col("vec_id"))
       .join(deg0.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
       .na.fill(0L, Seq("deg0"))
