@@ -123,6 +123,7 @@ object SparkEntry {
     "e_bloom_prune"       -> (ExtQueries.bloomPrune _),
     "e_nb_threshold"      -> (ExtQueries.nbThreshold _),
     "e_pref_pairs"        -> (ExtQueries.prefPairs _),
+    "e_join_estimate"     -> (ExtQueries.joinEstimate _),
     "e_shard_topk"        -> (ExtQueries.shardTopk _),
     "e_kcore"             -> (ExtQueries.kcore _),
     "e_vacuum_plan"       -> (ExtQueries.vacuumPlan _),

@@ -3485,6 +3485,33 @@ object ExtOracles {
       |ORDER BY thr.t""".stripMargin
   }
 
+  /** `e_join_estimate` — the Selinger estimator vs exact join counts on
+    * three pinned pairs. Mirrors `ExtQueries.joinEstimate`. */
+  private lazy val joinEstimateSql: String = {
+    def audit(name: String, lt: String, lk: String, rt: String,
+        rk: String): String =
+      s"""SELECT '$name' AS pair,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM $lt) AS n_left,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM $rt) AS n_right,
+        |  (SELECT CAST(count(DISTINCT $lk) AS BIGINT) FROM $lt) AS ndv_left,
+        |  (SELECT CAST(count(DISTINCT $rk) AS BIGINT) FROM $rt) AS ndv_right,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM $lt) *
+        |    (SELECT CAST(count(*) AS BIGINT) FROM $rt) //
+        |    greatest((SELECT CAST(count(DISTINCT $lk) AS BIGINT) FROM $lt),
+        |      (SELECT CAST(count(DISTINCT $rk) AS BIGINT) FROM $rt)) AS n_est,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |    FROM $lt l JOIN $rt r ON l.$lk = r.$rk) AS n_actual""".stripMargin
+    s"""SELECT pair, n_left, n_right, ndv_left, ndv_right, n_est, n_actual,
+      |  CAST(n_est AS DOUBLE) / CAST(n_actual AS DOUBLE) AS err_ratio
+      |FROM (
+      |${audit("orders_customer", "orders", "o_custkey", "customer", "c_custkey")}
+      |UNION ALL
+      |${audit("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+      |UNION ALL
+      |${audit("documents_lang_self", "documents", "lang", "documents", "lang")}
+      |) u ORDER BY pair""".stripMargin
+  }
+
   /** `e_serve_drift` — per-query overlap of the seed IVF serve and the
     * trained one: COMPOSES both graded SQL texts, inner-joins on
     * (qid, cid). Mirrors `ExtQueries.serveDrift`. */
@@ -4849,6 +4876,7 @@ object ExtOracles {
     ("e_bloom_prune" -> bloomPruneSql) +
     ("e_nb_threshold" -> nbThresholdSql) +
     ("e_pref_pairs" -> prefPairsSql) +
+    ("e_join_estimate" -> joinEstimateSql) +
     ("e_shard_topk" -> shardTopkSql) +
     ("e_kcore" -> kcoreSql) +
     ("e_vacuum_plan" -> vacuumPlanSql) +

@@ -2409,6 +2409,62 @@ object ExtQueries {
       .orderBy("col_name")
   }
 
+  // ---- e_join_estimate ------------------------------------------------------
+
+  /** CBO join-cardinality estimation audit — Selinger's equi-join
+    * estimator (|A ⋈ B| ≈ |A|·|B| / max(ndv_A(k), ndv_B(k)), System R '79
+    * — what every cost-based optimizer still applies, including Spark's
+    * own CBO) graded against the EXACT join count on the reference
+    * workload's own joins: the two PK–FK pairs (orders⋈customer on
+    * custkey, lineitem⋈orders on orderkey), where the estimator is
+    * provably EXACT (every FK value exists in the PK side, so
+    * max(ndv) = |PK side| and the formula collapses to |FK side| — the
+    * spec pins err_ratio ≡ 1), and a deliberately SKEWED self-join
+    * (documents on lang), where the uniformity assumption UNDERESTIMATES
+    * (Cauchy–Schwarz: Σc² ≥ (Σc)²/k, equality only under a uniform key) —
+    * the error column IS the reason modern CBOs add histograms on top.
+    * `e_table_stats` collects the NDV inputs; this audits what the
+    * optimizer does with them.
+    *
+    * Determinism: exact counts; n_est = (n_l·n_r) div max(ndv) in exact
+    * int64 (fixture sizes keep the product far under 2⁶³); one divide
+    * for the ratio.
+    *
+    * At scale: the stats side is metadata (counts + NDV — the ANALYZE
+    * pass's output); the audit deliberately pays the REAL joins to grade
+    * the estimator (each a co-partitioned equi-join counted map-side) —
+    * a production audit would sample, trading the exactness this gate
+    * needs. */
+  def joinEstimate(spark: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, left: DataFrame, lk: String,
+        right: DataFrame, rk: String): DataFrame = {
+      val ls = left.agg(count(lit(1)).as("n_left"),
+        countDistinct(col(lk)).as("ndv_left"))
+      val rs = right.agg(count(lit(1)).as("n_right"),
+        countDistinct(col(rk)).as("ndv_right"))
+      val actual = left.select(col(lk).as("k"))
+        .join(right.select(col(rk).as("k")), Seq("k"))
+        .agg(count(lit(1)).as("n_actual"))
+      ls.crossJoin(rs).crossJoin(actual)
+        .select(lit(name).as("pair"), col("n_left"), col("n_right"),
+          col("ndv_left"), col("ndv_right"),
+          expr("(n_left * n_right) div greatest(ndv_left, ndv_right)")
+            .as("n_est"),
+          col("n_actual"))
+        .withColumn("err_ratio",
+          col("n_est").cast("double") / col("n_actual").cast("double"))
+    }
+    val docs = table(spark, dir, "documents")
+    audit("orders_customer",
+        table(spark, dir, "orders"), "o_custkey",
+        table(spark, dir, "customer"), "c_custkey")
+      .unionByName(audit("lineitem_orders",
+        table(spark, dir, "lineitem"), "l_orderkey",
+        table(spark, dir, "orders"), "o_orderkey"))
+      .unionByName(audit("documents_lang_self", docs, "lang", docs, "lang"))
+      .orderBy("pair")
+  }
+
   // ---- e_silhouette -------------------------------------------------------
 
   /** Silhouette sample bound: sampled vectors are `vec_id < this`. */
