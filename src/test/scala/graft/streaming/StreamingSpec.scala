@@ -129,6 +129,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(compacted.map(_.getAs[Long]("session_id")).distinct.length === compacted.length)
   }
 
+  test("native session_window parity with the custom sessionizer, stream and batch") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-sw-in").toString
+    val ckpt = Files.createTempDirectory("graft-sw-ckpt").toString
+    val ckpt2 = Files.createTempDirectory("graft-sw-ckpt2").toString
+    val base = Timestamp.valueOf("2024-03-01 00:00:00")
+    def at(s: Long) = new Timestamp(base.getTime + s * 1000)
+    // both sides of the 1800 s boundary, never the boundary itself
+    // (the documented off-by-one between the two conventions):
+    // user 1 splits on a 1801 s gap; user 2 merges across a 1799 s gap;
+    // user 3 is a singleton; user 99 only advances the watermark so every
+    // real session closes under append mode
+    val evs = Seq(
+      (1L, 1L, at(0)), (1L, 2L, at(600)), (1L, 3L, at(600 + 1801)),
+      (2L, 4L, at(100)), (2L, 5L, at(100 + 1799)), (2L, 6L, at(100 + 1804)),
+      (3L, 7L, at(50)),
+      (99L, 8L, at(100000)))
+    val df = evs.toDF("user_id", "event_id", "ts")
+    df.coalesce(1).write.mode("append").parquet(in)
+    val want = Set(
+      (1L, at(0), at(600), 2L),
+      (1L, at(2401), at(2401), 1L),
+      (2L, at(100), at(1904), 3L),
+      (3L, at(50), at(50), 1L))
+
+    // stream form: horizon 0 so the flusher's event time closes everything
+    Streaming.sessionWindows(
+        spark.readStream.schema(df.schema).parquet(in), 1800, "0 seconds")
+      .writeStream.format("memory").queryName("sess_native")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val gotStream = spark.table("sess_native").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .filter(_._1 != 99L).toSet
+    assert(gotStream == want, "native stream sessions")
+
+    // batch form (no watermark gating): identical sessions
+    val gotBatch = Streaming.sessionWindows(df, 1800).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .filter(_._1 != 99L).toSet
+    assert(gotBatch == want, "native batch sessions")
+
+    // parity with the custom stateful sessionizer on the same events
+    Streaming.sessionize(
+        spark.readStream.schema(df.schema).parquet(in)
+          .as[Streaming.SessionEvent])
+      .writeStream.format("memory").queryName("sess_custom_par")
+      .outputMode("append").option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val gotCustom = Streaming
+      .latestSessions(spark.table("sess_custom_par")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start"),
+        r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events")))
+      .filter(_._1 != 99L).toSet
+    assert(gotCustom == want, "custom sessionizer must agree off-boundary")
+  }
+
   test("sessionize gap test floor-divides pre-epoch sub-second timestamps") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-sess-pre-in").toString
