@@ -2334,7 +2334,9 @@ object ExtQueries {
     * At scale: joins |queries|·k rank lists — tiny regardless of corpus
     * size; each serve's scale story lives in its own operator. Composes
     * two graded serves — a harness key (oracle composes both SQL
-    * texts). */
+    * texts). CACHING CONTRACT: both rank lists persist (each feeds the
+    * overlap join and its own count); callers should clearCache() after
+    * materializing. */
   def serveDrift(spark: SparkSession, dir: String): DataFrame = {
     def m(name: String)(df: => DataFrame) = benchMemo(spark, dir, name)(df)
     val seed = m("ivf")(cosineTopkIvf(spark, dir)).select(col("qid"), col("cid"))
@@ -4628,7 +4630,9 @@ object ExtQueries {
     * real lake reads from footers for FREE; probes broadcast; the only
     * data-proportional work is the one stats-collection pass (free in a
     * real lake) — the pruning decision itself is metadata-scale, the
-    * data-skipping point at 100 TB. */
+    * data-skipping point at 100 TB. CACHING CONTRACT: the slim row and
+    * bit frames persist (stats/bloom/truth all consume them); callers
+    * should clearCache() after materializing, as with [[semanticDedup]]. */
   def bloomPrune(spark: SparkSession, dir: String): DataFrame = {
     def bbit(tag: String, uid: Column, day: Column): Column =
       pmod(hash64(concat(lit(tag), uid.cast("string"), lit(":"),
