@@ -619,11 +619,22 @@ object Streaming {
 
   /** Unpersist `frames` when `query` terminates (success or failure), then
     * deregister the listener — the cleanup contract for gates that build a
-    * standing cached index at stream start. */
+    * standing cached index at stream start.
+    *
+    * The listener can only be registered AFTER `start()` (it needs the
+    * query id), so a fast-terminating query — `AvailableNow` over an
+    * empty or already-consumed source finishes in milliseconds — may post
+    * its terminated event BEFORE registration. The post-registration
+    * `isActive` check closes that window: if the query already died, the
+    * cleanup runs inline; the atomic guard makes the
+    * check-then-event double-fire release exactly once. */
   private def releaseOnTermination(spark: SparkSession, query: StreamingQuery,
       frames: Seq[Dataset[_]]): Unit = {
     import org.apache.spark.sql.streaming.StreamingQueryListener
-    val listener = new StreamingQueryListener {
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def release(): Unit =
+      if (released.compareAndSet(false, true)) frames.foreach(_.unpersist())
+    lazy val listener: StreamingQueryListener = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
@@ -631,11 +642,15 @@ object Streaming {
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         if (e.id == query.id) {
-          frames.foreach(_.unpersist())
-          spark.streams.removeListener(this)
+          release()
+          spark.streams.removeListener(listener)
         }
     }
     spark.streams.addListener(listener)
+    if (!query.isActive) {
+      release()
+      spark.streams.removeListener(listener)
+    }
   }
 
   /** Streaming incremental-kNN ATTACH gate — the continuous form of
