@@ -91,10 +91,19 @@ object Bench {
     // sf0.1 is ±1s/query, so a single sample misattributes scheduler/GC
     // hiccups to whichever query they landed on.
     val passes = 3
+    // A key that throws in a MEASURED pass must not record its
+    // time-to-failure as a latency with rc 0 (the correctness gate catches
+    // broken keys, but the bench artifact would silently carry a bogus
+    // number) — collect the failure and emit it in the JSON instead.
+    val errors = scala.collection.mutable.Map.empty[String, String]
     val samples = (1 to passes).map { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try runOnce(fn) catch { case _: Throwable => () }
+        try runOnce(fn) catch {
+          case e: Throwable =>
+            errors(name) = s"${e.getClass.getSimpleName}: ${
+              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200)}"
+        }
         val elapsed = (System.nanoTime() - t0) / 1e9
         teardown()
         name -> elapsed
@@ -116,7 +125,10 @@ object Bench {
     }.sum
     val hk = SparkEntry.harnessKeys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_harness":$harness,"total_operators":${total - harness},"harness_keys":$hk,"queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val errs = errors.toSeq.sortBy(_._1)
+      .map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_harness":$harness,"total_operators":${total - harness},"harness_keys":$hk,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     scala.util.Try {
       java.nio.file.Files.walk(memoDir)
@@ -124,5 +136,10 @@ object Bench {
         .forEach((p: java.nio.file.Path) =>
           { java.nio.file.Files.deleteIfExists(p); () })
     }
+    // the scratch dir is gone — a same-JVM caller after main() must not
+    // silently re-enter memo mode pointed at a vanished directory (benign
+    // today only because `run / fork := true` gives each run a fresh JVM)
+    sys.props -= "graft.bench.memo"
+    ()
   }
 }

@@ -81,10 +81,16 @@ def main(sf_dir: str, out_json: str, runs: int = 3, chunk: int = 20,
     chunks = [measured[i:i + chunk] for i in range(0, len(measured), chunk)]
     med: dict = {}
     pos: dict = {}
+    errors: dict = {}
     for ci, ck in enumerate(chunks):
         env = {"SPARK_GRAFT_SF_DIR": sf_dir, "SPARK_GRAFT_CPUS": "32",
                "SPARK_GRAFT_KEYS": ",".join(ck)}
-        samples = [sbt_bench(env)["queries"] for _ in range(runs)]
+        outs = [sbt_bench(env) for _ in range(runs)]
+        samples = [o["queries"] for o in outs]
+        # a key that threw in ANY measured pass has a bogus median — carry
+        # the error into the artifact and fail the run at the end
+        for o in outs:
+            errors.update(o.get("errors", {}))
         for j, k in enumerate(ck):
             med[k] = statistics.median(s[k] for s in samples)
             pos[k] = {"chunk": ci, "index": j}
@@ -108,6 +114,7 @@ def main(sf_dir: str, out_json: str, runs: int = 3, chunk: int = 20,
         "total_operators": sum(v for k, v in full.items() if k not in hk),
         "harness_keys": sorted(hk),
         "queries": full,
+        "errors": errors,
         "run_position": pos,
         "sf": sf_dir,
     }
@@ -122,6 +129,10 @@ def main(sf_dir: str, out_json: str, runs: int = 3, chunk: int = 20,
           f"{len(full)} queries ({len(med)} measured, {len(carried)} carried; "
           f"harness {result['total_harness']:.1f}s / operators "
           f"{result['total_operators']:.1f}s)")
+    if errors:
+        sys.exit(f"FAIL: {len(errors)} key(s) threw in a measured pass "
+                 f"(their medians are times-to-failure, not latencies): "
+                 f"{errors}")
 
 
 if __name__ == "__main__":
