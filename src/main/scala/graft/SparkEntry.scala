@@ -127,6 +127,7 @@ object SparkEntry {
     "e_shard_topk"        -> (ExtQueries.shardTopk _),
     "e_kcore"             -> (ExtQueries.kcore _),
     "e_vacuum_plan"       -> (ExtQueries.vacuumPlan _),
+    "e_vacuum_apply"      -> (ExtQueries.vacuumApply _),
     "e_cosine_topk_beam"  -> (ExtQueries.cosineTopkBeam _),
     "e_cosine_topk_pq"    -> (ExtQueries.cosineTopkPq _),
     "e_pq_train"          -> (ExtQueries.pqTrain _),
@@ -299,11 +300,12 @@ object SparkEntry {
     // e_quantizer_drift re-runs the e_kmeans_train chain whose rollout it
     // prices; e_serve_drift composes the two graded IVF serves it diffs;
     // e_kcore peels the graded e_knn_graph adjacency; e_vacuum_plan
-    // prices the graded e_time_travel history; e_nb_threshold sweeps the
+    // prices the graded e_time_travel history and e_vacuum_apply executes
+    // the rewrite it priced; e_nb_threshold sweeps the
     // graded e_nb_classify predictions
     // e_pref_pairs mines extremes of the graded e_bigram_lm score
     "e_quantizer_drift", "e_serve_drift", "e_kcore", "e_vacuum_plan",
-    "e_nb_threshold", "e_pref_pairs")
+    "e_vacuum_apply", "e_nb_threshold", "e_pref_pairs")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

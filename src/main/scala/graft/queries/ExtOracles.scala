@@ -4686,6 +4686,39 @@ object ExtOracles {
       |FROM live l JOIN scope s USING (version)
       |ORDER BY version""".stripMargin
 
+  /** `e_vacuum_apply` — vacuum EXECUTION: the oracle compacts
+    * COPY-ON-WRITE (its post-vacuum base is the sequential replay's
+    * snapshot at the retain floor — `s{floor}` from the shared
+    * `timeTravelCtes` — and post-floor batches replay on top as `c{v}`
+    * steps) where the Spark side compacts MERGE-ON-READ (its base is the
+    * highest-version-wins pick over the scoped log), so the hash gate
+    * proves the two table-format vacuum strategies produce the same
+    * readable history. Mirrors `ExtQueries.vacuumApply`. */
+  private lazy val vacuumApplySql: String = {
+    val f = ExtQueries.VacuumRetainFloor
+    val n = ExtQueries.TimeTravelVersions
+    def step(v: Int): String = {
+      val prev = if (v == f + 1) s"s$f" else s"c${v - 1}"
+      // MATERIALIZED when referenced twice (next step + final union)
+      val mat = if (v < n) " MATERIALIZED" else ""
+      s"""c$v AS$mat (
+        |  SELECT s.doc_id, s.text, s.lang, s.source, s.n_chars
+        |  FROM $prev s ANTI JOIN b$v USING (doc_id)
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars FROM b$v
+        |  WHERE op <> 'D')""".stripMargin
+    }
+    val steps = (f + 1 to n).map(step).mkString(",\n")
+    val selects = (s"SELECT CAST($f AS BIGINT) AS version, doc_id, text, " +
+      s"lang, source, n_chars FROM s$f") +:
+      (f + 1 to n).map(v =>
+        s"UNION ALL SELECT $v, doc_id, text, lang, source, n_chars FROM c$v")
+    s"""WITH $timeTravelCtes,
+      |$steps
+      |${selects.mkString("\n")}
+      |ORDER BY version, doc_id""".stripMargin
+  }
+
   /** `e_index_delete` — the vector-side GDPR cascade. The oracle states
     * the FULL REBUILD over survivors (the `e_incr_knn` device) where the
     * Spark side repairs incrementally (tombstone + rescore only nodes that
@@ -4880,6 +4913,7 @@ object ExtOracles {
     ("e_shard_topk" -> shardTopkSql) +
     ("e_kcore" -> kcoreSql) +
     ("e_vacuum_plan" -> vacuumPlanSql) +
+    ("e_vacuum_apply" -> vacuumApplySql) +
     ("e_silhouette" -> silhouetteSql) +
     ("e_pq_train" -> pqTrainSql) +
     ("e_pq_trained" -> pqTrainedSql) +

@@ -9636,6 +9636,93 @@ object ExtQueries {
       .orderBy("version")
   }
 
+  // ---- e_vacuum_apply -----------------------------------------------------
+
+  /** The retain floor [[vacuumApply]] executes — a MIDDLE version on
+    * purpose, so the rewrite exercises both collapse (versions ≤ floor
+    * compact into the base) and preservation (version 3's batch stays a
+    * live log entry on top). An oracle-stability pin like
+    * [[TimeTravelVersions]]. */
+  private[queries] val VacuumRetainFloor = 2
+
+  /** The POST-VACUUM log at [[VacuumRetainFloor]] — [[vacuumApply]]'s
+    * rewrite, factored out so the production-shaped single-version read
+    * ([[vacuumedSnapshotAsOf]]) and the full audit read share one rewrite
+    * definition: every entry at ver ≤ floor collapses into ONE rewritten
+    * base (the AS-OF-floor winners — [[timeTravelWinners]], the graded
+    * key's own pick — re-tagged as base entries at ver = floor), and
+    * entries above the floor carry over untouched. Tombstones at ver ≤
+    * floor vanish WITH the keys they killed — exactly the
+    * `n_reclaimable` entries [[vacuumPlan]] priced at this floor
+    * (spec-pinned equality). */
+  private[queries] def vacuumCompactedLog(spark: SparkSession,
+      dir: String): DataFrame = {
+    val floor = VacuumRetainFloor.toLong
+    val log = timeTravelLog(spark, dir)
+    val base = timeTravelWinners(
+        log.filter(col("ver") <= floor).withColumn("version", lit(floor)),
+        col("version"))
+      .select(lit(floor).as("ver"), lit("B").as("op"), col("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    base.unionByName(log.filter(col("ver") > floor)
+      .select(col("ver"), col("op"), col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")))
+  }
+
+  /** VACUUM EXECUTION + re-audit — the other half of the retention loop
+    * [[vacuumPlan]] opens (the [[compactionApply]] pattern): rewrite the
+    * log at the pinned floor ([[vacuumCompactedLog]]) and re-emit every
+    * RETAINED version's AS-OF read from the compacted log — the
+    * post-vacuum serving surface. Reads BELOW the floor fail loud
+    * ([[vacuumedSnapshotAsOf]]'s require — the spec drives it); reads at
+    * or above it are BYTE-IDENTICAL to the pre-vacuum [[snapshotAsOf]]
+    * (read preservation, spec-pinned per version), and the rewrite
+    * reclaims exactly the entries the plan priced (spec-pinned against
+    * [[vacuumPlan]]'s `n_reclaimable` at the floor).
+    *
+    * CROSS-CERTIFICATION (the [[timeTravel]] device carried into the
+    * rewrite): Spark compacts MERGE-ON-READ — the base is the
+    * highest-version-wins pick over the scoped log — while the DuckDB
+    * oracle compacts COPY-ON-WRITE — its base is the sequential replay's
+    * snapshot at the floor, with post-floor batches replayed on top — so
+    * the hash gate itself proves the two table-format vacuum strategies
+    * produce the same readable history.
+    *
+    * Determinism: the winner pick is a total order (distinct versions per
+    * key); all payload edits are integer arithmetic and string concat.
+    *
+    * At scale: the rewrite is ONE key-shuffle over the scoped log (the
+    * AS-OF read's own cost — vacuum pays one read to delete forever), and
+    * the audit's all-retained-versions materialization pays
+    * |retained|·|compacted log| through one shuffle, the [[timeTravel]]
+    * bill over a strictly smaller log. Composes the graded [[timeTravel]]
+    * derivation — a harness key. */
+  def vacuumApply(spark: SparkSession, dir: String): DataFrame = {
+    val vers = spark.range(VacuumRetainFloor.toLong, TimeTravelVersions + 1L)
+      .select(col("id").as("version"))
+    timeTravelWinners(
+      vacuumCompactedLog(spark, dir)
+        .join(broadcast(vers), col("ver") <= col("version")),
+      col("version"))
+      .orderBy("version", "doc_id")
+  }
+
+  /** The production-shaped single-version read AFTER vacuum: AS OF `v`
+    * over the compacted log. Versions below the retain floor are GONE —
+    * the read fails loud instead of silently serving a wrong
+    * reconstruction (the spec drives both sides of the boundary). */
+  private[queries] def vacuumedSnapshotAsOf(spark: SparkSession, dir: String,
+      v: Int): DataFrame = {
+    require(v >= VacuumRetainFloor && v <= TimeTravelVersions,
+      s"version $v is not readable after vacuum: the retain floor is " +
+        s"$VacuumRetainFloor (history above ${TimeTravelVersions} never existed)")
+    timeTravelWinners(
+      vacuumCompactedLog(spark, dir).filter(col("ver") <= v)
+        .withColumn("version", lit(v.toLong)),
+      col("version"))
+      .orderBy("doc_id")
+  }
+
   // ---- e_dedup_lineage ----------------------------------------------------
 
   /** Drop PROVENANCE across the near-dup families — the governance index
