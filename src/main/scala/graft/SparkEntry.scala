@@ -195,6 +195,7 @@ object SparkEntry {
     "e_delete_audit"      -> (ExtQueries.deleteAudit _),
     "e_delete_apply"      -> (ExtQueries.deleteApply _),
     "e_index_delete"      -> (ExtQueries.indexDelete _),
+    "e_index_retrain"     -> (ExtQueries.indexRetrain _),
     "e_time_travel"       -> (ExtQueries.timeTravel _),
     "e_rolling_agg"       -> (ExtQueries.rollingAgg _),
     "e_incr_agg"          -> (ExtQueries.incrAgg _),
@@ -291,6 +292,9 @@ object SparkEntry {
     // e_delete_audit / e_delete_apply compose four graded derived
     // artifacts; e_index_delete composes the graded e_knn_graph derivation
     "e_dedup_lineage", "e_delete_audit", "e_delete_apply", "e_index_delete",
+    // e_index_retrain re-runs the e_kmeans_train chain over survivors and
+    // the e_knn_graph/serve substrates it re-audits
+    "e_index_retrain",
     // e_scan_prune composes the graded e_zorder layout derivation;
     // e_compaction_apply routes files by the graded e_compaction_plan
     "e_scan_prune", "e_compaction_apply",

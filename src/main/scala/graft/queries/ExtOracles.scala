@@ -4779,6 +4779,121 @@ object ExtOracles {
       |FROM rows_ ORDER BY artifact""".stripMargin
   }
 
+  /** `e_index_retrain` — the retrain hook closing `e_index_delete`'s
+    * honest `quantizer_params` residual: the survivor corpus re-seeds the
+    * SAME spherical-Lloyd chain (the `kmeansChainCtes` device bound to
+    * `svecs`/`scents{t}` names), and the re-audit rows compare the
+    * post-delete substrate (seed quantizer over survivors) with the
+    * post-retrain one, plus the `e_serve_drift` overlap row. Every CTE
+    * mirrors its `ExtQueries.indexRetrain` twin; digests are the
+    * order-invariant md5-hash31 sums, with the centroid digest hashing the
+    * exact integer c_fp parameter vectors. */
+  private lazy val indexRetrainSql: String = {
+    val mod = ExtQueries.DeleteEveryMod
+    val K = ExtQueries.KmeansIters
+    val cells = ExtQueries.IvfCells
+    val dot = """list_reduce(list_transform(list_zip(q.qe, a.e),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc,x) -> acc+x)""".stripMargin
+    // max-cosine hard assignment of the survivor corpus against a named
+    // centroid table → `<p>asg` (vec_id, e, nrm, cell)
+    def assignOver(p: String, cents: String): String =
+      s"""${p}sims AS (SELECT v.vec_id, v.e, v.nrm, c.cent_id,
+        |  list_reduce(list_transform(list_zip(v.e, c.ce),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc,x) -> acc+x)
+        |    / (v.nrm * c.ncent) AS csim
+        |  FROM svecs v, $cents c),
+        |${p}asg AS (SELECT vec_id, e, nrm, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cent_id ASC) AS crank FROM ${p}sims)
+        |  WHERE crank = 1)""".stripMargin
+    // one survivor Lloyd round: assign against scents{t}, update, rebuild
+    def round(t: Int): String =
+      s"""${assignOver(s"s$t", s"scents$t")},
+        |scomp$t AS (SELECT cell, generate_subscripts(e, 1) - 1 AS dim,
+        |  CAST(unnest(e) AS DOUBLE) / nrm AS u
+        |  FROM s${t}asg WHERE nrm > 0),
+        |supd$t AS (SELECT cell, dim, count(*) AS n_members,
+        |  CAST(SUM(CAST(floor(u * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS c_fp
+        |  FROM scomp$t GROUP BY cell, dim),
+        |scvec$t AS (SELECT cell AS cent_id,
+        |  list(CAST(c_fp AS DOUBLE) ORDER BY dim) AS ce
+        |  FROM supd$t GROUP BY cell),
+        |scents${t + 1} AS (SELECT * FROM (SELECT cent_id, ce,
+        |  sqrt(list_reduce(list_transform(ce, x -> x * x), (acc, y) -> acc + y))
+        |    AS ncent FROM scvec$t) WHERE ncent > 0)""".stripMargin
+    // IVF serve (nprobe 1, top 10) of the survivor queries from a named
+    // assignment → `<p>list`
+    def serve(p: String, asg: String): String =
+      s"""${p}q AS (SELECT vec_id AS qid, e AS qe, nrm AS nq, cell
+        |  FROM $asg WHERE vec_id < 8),
+        |${p}scored AS (SELECT q.qid, a.vec_id AS cid,
+        |  $dot / (q.nq * a.nrm) AS score
+        |  FROM $asg a JOIN ${p}q q ON a.cell = q.cell AND a.vec_id <> q.qid),
+        |${p}list AS MATERIALIZED (SELECT qid, cid, rank FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, cid ASC) AS rank FROM ${p}scored) r
+        |  WHERE rank <= 10)""".stripMargin
+    def digest(prefix: String, expr: String, src: String): String =
+      s"""(SELECT CAST(COALESCE(sum(
+        |    CAST('0x'||substr(md5('$prefix'||$expr),1,15) AS BIGINT) % $P),
+        |    0) AS BIGINT) FROM $src)""".stripMargin
+    s"""WITH svecs AS MATERIALIZED (SELECT vec_id, embedding AS e,
+      |  sqrt(list_reduce(list_transform(embedding,
+      |    v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (acc,x) -> acc+x)) AS nrm
+      |  FROM embeddings WHERE vec_id % $mod <> 0),
+      |scents1 AS (SELECT vec_id AS cent_id, e AS ce, nrm AS ncent
+      |  FROM svecs ORDER BY vec_id LIMIT $cells),
+      |bcents AS (SELECT vec_id AS cent_id, embedding AS ce,
+      |  sqrt(list_reduce(list_transform(embedding,
+      |    v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (acc,x) -> acc+x)) AS ncent
+      |  FROM embeddings WHERE vec_id < $cells),
+      |${(1 to K).map(round).mkString(",\n")},
+      |${assignOver(s"s${K + 1}", s"scents${K + 1}")},
+      |${assignOver("b", "bcents")},
+      |${knnAdjCte("knn_b", "basg")},
+      |${knnAdjCte("knn_a", s"s${K + 1}asg")},
+      |${serve("b", "basg")},
+      |${serve("t", s"s${K + 1}asg")},
+      |ovl AS (SELECT CAST(count(*) AS DOUBLE)
+      |    / (CAST((SELECT count(DISTINCT qid) FROM blist) AS DOUBLE) * 10.0)
+      |    AS overlap_at_10
+      |  FROM blist b SEMI JOIN tlist t USING (qid, cid)),
+      |rows_ AS (
+      |  SELECT 'ivf_assignment' AS artifact,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM basg) AS n_rows_before,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM s${K + 1}asg) AS n_rows_after,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM s${K + 1}asg
+      |      WHERE vec_id % $mod = 0) AS n_refs_after,
+      |    ${digest("ia:", s"CAST(vec_id AS VARCHAR)||':'||CAST(cell AS VARCHAR)", s"s${K + 1}asg")} AS content_hash,
+      |    CAST(NULL AS DOUBLE) AS overlap_at_10
+      |  UNION ALL
+      |  SELECT 'knn_adjacency',
+      |    (SELECT CAST(count(*) AS BIGINT) FROM knn_b),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM knn_a),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM knn_a
+      |      WHERE src % $mod = 0 OR nbr % $mod = 0),
+      |    ${digest("ka:", s"CAST(src AS VARCHAR)||':'||CAST(nbr AS VARCHAR)||':'||CAST(rank AS VARCHAR)", "knn_a")},
+      |    CAST(NULL AS DOUBLE)
+      |  UNION ALL
+      |  SELECT 'quantizer_params',
+      |    (SELECT CAST(count(*) AS BIGINT) FROM bcents),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM scents${K + 1}),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM scents${K + 1}
+      |      WHERE cent_id % $mod = 0),
+      |    ${digest("qp:", s"CAST(cent_id AS VARCHAR)||':'||array_to_string(list_transform(ce, x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), ',')", s"scents${K + 1}")},
+      |    CAST(NULL AS DOUBLE)
+      |  UNION ALL
+      |  SELECT 'serve_drift',
+      |    (SELECT CAST(count(*) AS BIGINT) FROM blist),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM tlist),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM tlist WHERE cid % $mod = 0),
+      |    ${digest("sd:", s"CAST(qid AS VARCHAR)||':'||CAST(cid AS VARCHAR)||':'||CAST(rank AS VARCHAR)", "tlist")},
+      |    (SELECT overlap_at_10 FROM ovl))
+      |SELECT artifact, n_rows_before, n_rows_after, n_refs_after,
+      |  content_hash, overlap_at_10
+      |FROM rows_ ORDER BY artifact""".stripMargin
+  }
+
   /** `e_dedup_lineage` — composes the three pair detectors' SQL texts so
     * the provenance can never drift from what the detectors report (each
     * referenced once — plain CTEs suffice, the MATERIALIZED rule applies
@@ -4863,6 +4978,7 @@ object ExtOracles {
     ("e_delete_audit" -> deleteAuditSql) +
     ("e_delete_apply" -> deleteApplySql) +
     ("e_index_delete" -> indexDeleteSql) +
+    ("e_index_retrain" -> indexRetrainSql) +
     ("e_time_travel" -> timeTravelSql) +
     ("e_dedup_lineage" -> dedupLineageSql) +
     ("e_recall_at_k" -> recallAtKSql) +

@@ -2128,6 +2128,16 @@ object ExtQueries {
     val vecs = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", l2norm(col("e")))
+    ivfServeOf(vecs, cents, nprobe)
+  }
+
+  /** The IVF serve over a CALLER-built `(vec_id, e, nrm)` corpus frame —
+    * factored from [[ivfServe]] so the post-delete and post-retrain serves
+    * of [[indexRetrain]] run the SAME dataflow over the survivor corpus
+    * (the [[kmeansChainOf]] device applied to serving). Queries are the
+    * frame's own vec_id < 8 rows. */
+  private def ivfServeOf(vecs: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
     val assigned = rankedCells(vecs, cents)
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
@@ -2267,14 +2277,24 @@ object ExtQueries {
     * definition instead of re-deriving it. */
   private def kmeansChain(spark: SparkSession, dir: String,
       iters: Int): (DataFrame, DataFrame) = {
-    require(iters >= 1, s"iteration count must be >= 1, got $iters")
     // PERSISTED: assignment scans the corpus once per iteration —
     // unpersisted, each iteration re-reads the parquet and recomputes norms
     val vecs = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", l2norm(col("e")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cents = centroids(spark, dir, IvfCells)
+    kmeansChainOf(vecs, centroids(spark, dir, IvfCells), iters)
+  }
+
+  /** The training chain over a CALLER-built `(vec_id, e, nrm)` corpus
+    * frame and seed centroid table — factored from [[kmeansChain]] so the
+    * survivor RETRAIN ([[indexRetrain]]) is the SAME trainer bound to a
+    * different corpus, not a second trainer that could drift. Callers
+    * persist `vecs` (scanned once per iteration). */
+  private def kmeansChainOf(vecs: DataFrame, seed: DataFrame,
+      iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"iteration count must be >= 1, got $iters")
+    var cents = seed
     val perIter = (1 to iters).map { it =>
       val upd = lloydUpdate(rankedCells(vecs, cents).filter(col("crank") === 1)
         .select(col("cent_id").as("cell"), col("e"), col("nrm")))
@@ -9972,8 +9992,15 @@ object ExtQueries {
       .join(broadcast(dels), oldEdges("src") === dels("del_id"), "left_anti")
       .join(broadcast(touched), Seq("src"), "left_anti")
       .select(col("src"), col("nbr"), col("score"), col("rank"))
-    // PERSISTED: feeds the after-count, the endpoint refs scan and the digest
-    val newEdges = kept.unionByName(repairedTouched)
+    // PERSISTED: feeds the after-count, the endpoint refs scan and the
+    // digest. Under the bench memo (default request rule only) the
+    // repaired artifact is shared with [[indexRetrain]]'s before-side as
+    // "knn_surv" — the repair≡rebuild theorem this key's own oracle
+    // certifies is what makes the two frames the same artifact.
+    val newEdgesRaw = kept.unionByName(repairedTouched)
+    val newEdges = (if (mod == DeleteEveryMod)
+        benchMemo(spark, dir, "knn_surv")(newEdgesRaw)
+      else newEdgesRaw)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     def summary(name: String, before: DataFrame, after: DataFrame,
@@ -10003,6 +10030,134 @@ object ExtQueries {
         "left_semi"),
       hash31(concat(lit("qp:"), col("cent_id").cast("string"))))
     ivfRow.unionByName(knnRow).unionByName(qpRow).orderBy("artifact")
+  }
+
+  // ---- e_index_retrain ----------------------------------------------------
+
+  /** Quantizer RETRAIN after deletion — closing the honest residual
+    * [[indexDelete]] reports: its `quantizer_params` row stays non-zero
+    * because seed centroids derived from deleted vectors remain model
+    * parameters after `remove_ids` ("until the e_kmeans_train retrain hook
+    * runs"). This key RUNS that hook and re-audits the whole substrate:
+    *
+    *  - retrain: the [[IvfCells]] smallest SURVIVING vec_ids re-seed the
+    *    SAME spherical-Lloyd chain ([[kmeansChainOf]] — one trainer, bound
+    *    to the survivor corpus) for [[KmeansIters]] steps, so no deleted
+    *    vector's values enter the retrained parameters through the seeds
+    *    OR the updates;
+    *  - re-audit: one row per artifact — the survivor IVF assignment
+    *    under the retrained quantizer, the rebuilt kNN adjacency over that
+    *    assignment, and the retrained centroid table itself — each with
+    *    `n_refs_after` against the request set (ZERO on ALL artifacts now,
+    *    spec-pinned; the quantizer row's zero is the residual closing) and
+    *    an order-invariant content digest (the centroid digest hashes the
+    *    exact integer `c_fp` parameter vectors, not just ids — a params
+    *    change is visible in the artifact);
+    *  - the [[serveDrift]] row: the post-delete serve (survivors under the
+    *    SEED quantizer — the standing index [[indexDelete]] leaves behind)
+    *    against the post-retrain serve, overlap@10 aggregated over the
+    *    surviving queries — the answer-churn bill of rolling the retrain,
+    *    attached to the compliance record that mandated it.
+    *
+    * Determinism: the chain is the [[kmeansTrainIters]] exactness argument
+    * over the survivor corpus (integer c_fp feedback, pinned assignment
+    * tie-breaks); serves and adjacencies ride pinned total orders; digests
+    * are summed [[hash31]] values — order-invariant int64 arithmetic.
+    *
+    * At scale: the request set broadcasts into the one survivor anti-join;
+    * the chain is |iters| one-scan Lloyd steps over the persisted survivor
+    * corpus; the adjacency rebuild is the [[knnGraph]] in-cell bill; the
+    * serves broadcast the bounded query set. Composes the graded
+    * [[indexDelete]] substrate and the [[kmeansTrainIters]] chain — a
+    * harness key (the oracle composes the survivor chain CTEs). */
+  def indexRetrain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val emb = table(spark, dir, "embeddings")
+    val dels = emb.filter(pmod(col("vec_id"), lit(DeleteEveryMod)) === 0)
+      .select(col("vec_id").as("del_id"))
+    // PERSISTED: the survivor corpus feeds every Lloyd iteration, both
+    // assignments, and both serves
+    val surv = emb.join(broadcast(dels), emb("vec_id") === dels("del_id"),
+        "left_anti")
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", l2norm(col("e")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // retrain seeds: the IvfCells smallest surviving ids (the seed rule
+    // re-derived over survivors — TakeOrderedAndProject, bounded state)
+    val survSeeds = surv.orderBy(col("vec_id")).limit(IvfCells)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"),
+        col("nrm").as("ncent"))
+    val seedCents = centroids(spark, dir, IvfCells)
+    // PERSISTED: the retrained table feeds the assignment, the serve and
+    // its own params row
+    val trained = kmeansChainOf(surv, survSeeds, KmeansIters)._2
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def assignOf(cents: DataFrame): DataFrame =
+      rankedCells(surv, cents).filter(col("crank") === 1)
+        .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
+    // PERSISTED: each assignment feeds its adjacency build and (after) the
+    // count/refs/digest scans
+    val assignedBefore = assignOf(seedCents).persist(StorageLevel.MEMORY_AND_DISK)
+    val assignedAfter = assignOf(trained).persist(StorageLevel.MEMORY_AND_DISK)
+    // the post-delete standing adjacency ≡ rebuild over survivors (the
+    // indexDelete repair≡rebuild theorem — its oracle certifies this very
+    // frame); under the bench memo both sides are shared artifacts
+    val knnBefore = benchMemo(spark, dir, "knn_surv")(
+      knnAdjacency(assignedBefore))
+    val knnAfter = knnAdjacency(assignedAfter)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedList = ivfServeOf(surv, seedCents, nprobe = 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val trainedList = ivfServeOf(surv, trained, nprobe = 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val nullD = lit(null).cast("double")
+    def row(name: String, before: DataFrame, after: DataFrame,
+        refs: DataFrame, digest: Column, overlap: DataFrame): DataFrame =
+      before.agg(count(lit(1)).as("n_rows_before"))
+        .crossJoin(after.agg(count(lit(1)).as("n_rows_after")))
+        .crossJoin(refs.agg(count(lit(1)).as("n_refs_after")))
+        .crossJoin(after.agg(coalesce(sum(digest), lit(0L)).as("content_hash")))
+        .crossJoin(overlap)
+        .select(lit(name).as("artifact"), col("n_rows_before"),
+          col("n_rows_after"), col("n_refs_after"), col("content_hash"),
+          col("overlap_at_10"))
+    val noOverlap = spark.range(1).select(nullD.as("overlap_at_10"))
+    def refsIn(df: DataFrame, c: Column): DataFrame =
+      df.filter(pmod(c, lit(DeleteEveryMod)) === 0)
+
+    val ivfRow = row("ivf_assignment", assignedBefore, assignedAfter,
+      refsIn(assignedAfter, col("vec_id")),
+      hash31(concat(lit("ia:"), col("vec_id").cast("string"), lit(":"),
+        col("cell").cast("string"))), noOverlap)
+    val knnRow = row("knn_adjacency", knnBefore, knnAfter,
+      knnAfter.filter(pmod(col("src"), lit(DeleteEveryMod)) === 0
+        || pmod(col("nbr"), lit(DeleteEveryMod)) === 0),
+      hash31(concat(lit("ka:"), col("src").cast("string"), lit(":"),
+        col("nbr").cast("string"), lit(":"), col("rank").cast("string"))),
+      noOverlap)
+    // the params digest hashes the exact integer c_fp vectors (lossless
+    // long←double round-trip), so a parameter change is artifact-visible
+    val qpRow = row("quantizer_params", seedCents, trained,
+      refsIn(trained, col("cent_id")),
+      hash31(concat(lit("qp:"), col("cent_id").cast("string"), lit(":"),
+        array_join(transform(col("ce"), x => x.cast("long").cast("string")),
+          ","))), noOverlap)
+    val common = seedList.select(col("qid"), col("cid"))
+      .join(trainedList.select(col("qid"), col("cid")), Seq("qid", "cid"),
+        "left_semi")
+    val overlapRow = seedList
+      .agg(countDistinct(col("qid")).as("n_q"))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .select((col("n_common").cast("double")
+        / (col("n_q") * lit(10)).cast("double")).as("overlap_at_10"))
+    val driftRow = row("serve_drift", seedList, trainedList,
+      refsIn(trainedList, col("cid")),
+      hash31(concat(lit("sd:"), col("qid").cast("string"), lit(":"),
+        col("cid").cast("string"), lit(":"), col("rank").cast("string"))),
+      overlapRow)
+    ivfRow.unionByName(knnRow).unionByName(qpRow).unionByName(driftRow)
+      .orderBy("artifact")
   }
 
   // ---- e_incr_agg ---------------------------------------------------------
