@@ -124,6 +124,7 @@ object SparkEntry {
     "e_nb_threshold"      -> (ExtQueries.nbThreshold _),
     "e_pref_pairs"        -> (ExtQueries.prefPairs _),
     "e_join_estimate"     -> (ExtQueries.joinEstimate _),
+    "e_join_estimate_hist" -> (ExtQueries.joinEstimateHist _),
     "e_shard_topk"        -> (ExtQueries.shardTopk _),
     "e_kcore"             -> (ExtQueries.kcore _),
     "e_vacuum_plan"       -> (ExtQueries.vacuumPlan _),

@@ -3512,6 +3512,42 @@ object ExtOracles {
       |) u ORDER BY pair""".stripMargin
   }
 
+  /** `e_join_estimate_hist` — the histogram-corrected estimator beside
+    * Selinger on the same three pairs: Σ_k c_A(k)·c_B(k) from the two
+    * sides' value-frequency tables (the `e_histogram`/`e_table_stats`
+    * device carried into join costing), exact by the group identity,
+    * with the real join still paid for `n_actual`. Mirrors
+    * `ExtQueries.joinEstimateHist`. */
+  private lazy val joinEstimateHistSql: String = {
+    def audit(name: String, lt: String, lk: String, rt: String,
+        rk: String): String =
+      s"""SELECT '$name' AS pair,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM $lt) AS n_left,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM $rt) AS n_right,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM $lt) *
+        |    (SELECT CAST(count(*) AS BIGINT) FROM $rt) //
+        |    greatest((SELECT CAST(count(DISTINCT $lk) AS BIGINT) FROM $lt),
+        |      (SELECT CAST(count(DISTINCT $rk) AS BIGINT) FROM $rt))
+        |    AS n_est_selinger,
+        |  (SELECT CAST(COALESCE(sum(a.ca * b.cb), 0) AS BIGINT)
+        |    FROM (SELECT $lk AS k, CAST(count(*) AS BIGINT) AS ca
+        |      FROM $lt GROUP BY 1) a
+        |    JOIN (SELECT $rk AS k, CAST(count(*) AS BIGINT) AS cb
+        |      FROM $rt GROUP BY 1) b USING (k)) AS n_est_hist,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |    FROM $lt l JOIN $rt r ON l.$lk = r.$rk) AS n_actual""".stripMargin
+    s"""SELECT pair, n_left, n_right, n_est_selinger, n_est_hist, n_actual,
+      |  CAST(n_est_selinger AS DOUBLE) / CAST(n_actual AS DOUBLE) AS err_selinger,
+      |  CAST(n_est_hist AS DOUBLE) / CAST(n_actual AS DOUBLE) AS err_hist
+      |FROM (
+      |${audit("orders_customer", "orders", "o_custkey", "customer", "c_custkey")}
+      |UNION ALL
+      |${audit("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+      |UNION ALL
+      |${audit("documents_lang_self", "documents", "lang", "documents", "lang")}
+      |) u ORDER BY pair""".stripMargin
+  }
+
   /** `e_serve_drift` — per-query overlap of the seed IVF serve and the
     * trained one: COMPOSES both graded SQL texts, inner-joins on
     * (qid, cid). Mirrors `ExtQueries.serveDrift`. */
@@ -5026,6 +5062,7 @@ object ExtOracles {
     ("e_nb_threshold" -> nbThresholdSql) +
     ("e_pref_pairs" -> prefPairsSql) +
     ("e_join_estimate" -> joinEstimateSql) +
+    ("e_join_estimate_hist" -> joinEstimateHistSql) +
     ("e_shard_topk" -> shardTopkSql) +
     ("e_kcore" -> kcoreSql) +
     ("e_vacuum_plan" -> vacuumPlanSql) +

@@ -2515,6 +2515,67 @@ object ExtQueries {
       .orderBy("pair")
   }
 
+  // ---- e_join_estimate_hist -------------------------------------------------
+
+  /** HISTOGRAM-corrected join-cardinality estimation — the fix
+    * [[joinEstimate]]'s error column motivates ("the skew error IS why
+    * modern CBOs add histograms"), graded on the SAME three pinned pairs:
+    * next to the Selinger estimate, the per-key-frequency estimate
+    * Σ_k c_A(k)·c_B(k) from the two sides' value-frequency tables — the
+    * [[histogram]]/[[tableStats]] device carried into join costing (a
+    * full most-common-values list; production engines bound it and fall
+    * back to equi-depth buckets for the tail — the SHAPE, one
+    * frequency-table equi-join, is identical). For an equi-join the
+    * frequency product is EXACT by the group identity |A ⋈ B| =
+    * Σ_k c_A(k)·c_B(k), so `err_hist` ≡ 1 everywhere — INCLUDING the
+    * skewed self-join where Selinger under-estimates (spec-pinned:
+    * exactness precisely where the uniformity assumption failed). The
+    * audit still pays the REAL join for `n_actual`, so the estimate and
+    * the count are two independent computations the gate cross-checks.
+    *
+    * Determinism: exact counts and int64 sums (fixture products far under
+    * 2⁶³); two divides per row.
+    *
+    * At scale: the frequency estimate is METADATA-priced — one
+    * map-side-combined count per side (the ANALYZE pass's own shuffle)
+    * and a |ndv|-row equi-join, no payload movement; the real join is the
+    * audit's deliberate exactness cost, as in [[joinEstimate]]. NULL keys
+    * match nowhere (equi-join semantics), identically in both engines. */
+  def joinEstimateHist(spark: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, left: DataFrame, lk: String,
+        right: DataFrame, rk: String): DataFrame = {
+      val ls = left.agg(count(lit(1)).as("n_left"),
+        countDistinct(col(lk)).as("ndv_left"))
+      val rs = right.agg(count(lit(1)).as("n_right"),
+        countDistinct(col(rk)).as("ndv_right"))
+      val hist = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("ca"))
+        .join(right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cb")),
+          Seq("k"))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("n_est_hist"))
+      val actual = left.select(col(lk).as("k"))
+        .join(right.select(col(rk).as("k")), Seq("k"))
+        .agg(count(lit(1)).as("n_actual"))
+      ls.crossJoin(rs).crossJoin(hist).crossJoin(actual)
+        .select(lit(name).as("pair"), col("n_left"), col("n_right"),
+          expr("(n_left * n_right) div greatest(ndv_left, ndv_right)")
+            .as("n_est_selinger"),
+          col("n_est_hist"), col("n_actual"))
+        .withColumn("err_selinger",
+          col("n_est_selinger").cast("double") / col("n_actual").cast("double"))
+        .withColumn("err_hist",
+          col("n_est_hist").cast("double") / col("n_actual").cast("double"))
+    }
+    val docs = table(spark, dir, "documents")
+    audit("orders_customer",
+        table(spark, dir, "orders"), "o_custkey",
+        table(spark, dir, "customer"), "c_custkey")
+      .unionByName(audit("lineitem_orders",
+        table(spark, dir, "lineitem"), "l_orderkey",
+        table(spark, dir, "orders"), "o_orderkey"))
+      .unionByName(audit("documents_lang_self", docs, "lang", docs, "lang"))
+      .orderBy("pair")
+  }
+
   // ---- e_silhouette -------------------------------------------------------
 
   /** Silhouette sample bound: sampled vectors are `vec_id < this`. */
