@@ -129,6 +129,7 @@ object SparkEntry {
     "e_kcore"             -> (ExtQueries.kcore _),
     "e_vacuum_plan"       -> (ExtQueries.vacuumPlan _),
     "e_vacuum_apply"      -> (ExtQueries.vacuumApply _),
+    "e_schema_evolve"     -> (ExtQueries.schemaEvolve _),
     "e_cosine_topk_beam"  -> (ExtQueries.cosineTopkBeam _),
     "e_cosine_topk_pq"    -> (ExtQueries.cosineTopkPq _),
     "e_pq_train"          -> (ExtQueries.pqTrain _),

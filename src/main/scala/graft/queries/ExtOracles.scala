@@ -4815,6 +4815,23 @@ object ExtOracles {
       |FROM rows_ ORDER BY artifact""".stripMargin
   }
 
+  /** `e_schema_evolve` — the column-mapping merged read as one projection
+    * union: generation-0 rows serve the added column as NULL and their old
+    * physical name under the renamed logical one. Mirrors
+    * `ExtQueries.schemaEvolve`. */
+  private lazy val schemaEvolveSql: String = {
+    val m = ExtQueries.SchemaEvolveGenMod
+    val lm = ExtQueries.SchemaEvolveLongMin
+    s"""SELECT doc_id, CAST(0 AS BIGINT) AS generation, text, lang, source,
+      |  n_chars AS length_chars, CAST(NULL AS VARCHAR) AS quality_tag
+      |FROM documents WHERE doc_id % $m = 0
+      |UNION ALL
+      |SELECT doc_id, 1, text, lang, source, n_chars,
+      |  CASE WHEN n_chars >= $lm THEN 'long' ELSE 'short' END
+      |FROM documents WHERE doc_id % $m = 1
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** `e_index_retrain` — the retrain hook closing `e_index_delete`'s
     * honest `quantizer_params` residual: the survivor corpus re-seeds the
     * SAME spherical-Lloyd chain (the `kmeansChainCtes` device bound to
@@ -5067,6 +5084,7 @@ object ExtOracles {
     ("e_kcore" -> kcoreSql) +
     ("e_vacuum_plan" -> vacuumPlanSql) +
     ("e_vacuum_apply" -> vacuumApplySql) +
+    ("e_schema_evolve" -> schemaEvolveSql) +
     ("e_silhouette" -> silhouetteSql) +
     ("e_pq_train" -> pqTrainSql) +
     ("e_pq_trained" -> pqTrainedSql) +

@@ -9804,6 +9804,82 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // ---- e_schema_evolve ------------------------------------------------------
+
+  /** Generation rule for [[schemaEvolve]]: even doc_ids are generation-0
+    * files (the pre-evolution schema), odd ids generation-1 (written after
+    * the ADD COLUMN + RENAME). */
+  private[queries] val SchemaEvolveGenMod = 2L
+  /** The generation-1 writer's derived tag rule (`quality_tag`). */
+  private[queries] val SchemaEvolveLongMin = 100L
+
+  /** COLUMN-MAPPING manifest: logical column → physical name per file
+    * generation — the Delta/Iceberg column-mapping record a table's
+    * metadata carries so files never rewrite on rename. `length_chars` is
+    * the RENAME (physical `n_chars` in generation-0 files); `quality_tag`
+    * is the ADDED column (absent from generation-0 entirely). Mapping is
+    * resolved at PLAN time on the driver — metadata, exactly where a table
+    * format resolves it. */
+  private[queries] val SchemaEvolveMapping: Seq[(String, Map[Int, String])] =
+    Seq(
+      "doc_id" -> Map(0 -> "doc_id", 1 -> "doc_id"),
+      "text" -> Map(0 -> "text", 1 -> "text"),
+      "lang" -> Map(0 -> "lang", 1 -> "lang"),
+      "source" -> Map(0 -> "source", 1 -> "source"),
+      "length_chars" -> Map(0 -> "n_chars", 1 -> "length_chars"),
+      "quality_tag" -> Map(1 -> "quality_tag"))
+
+  /** SCHEMA-EVOLUTION merged read — the lakehouse primitive next to
+    * [[timeTravel]]/[[vacuumApply]]/[[compactionApply]]: a table whose
+    * newer files were written AFTER an `ALTER TABLE` (one ADDED column,
+    * one RENAMED via column mapping) is read as ONE logical table —
+    * generation-0 files serve the added column as NULL (null-fill) and
+    * their old physical name resolves to the renamed logical column
+    * (mapping), WITHOUT rewriting a single old file. The fixture stands
+    * the two file generations up from the documents table
+    * ([[SchemaEvolveGenMod]]: even ids are old files with physical
+    * `n_chars`; odd ids are new files with physical `length_chars` plus
+    * the derived `quality_tag`); the merged read applies the
+    * [[SchemaEvolveMapping]] manifest per generation and unions by the
+    * LOGICAL names.
+    *
+    * Determinism: pure projections of the base table; the tag rule is one
+    * integer comparison.
+    *
+    * At scale: the read is scan → per-generation projection → union —
+    * ZERO joins, zero pre-sort shuffles (spec plan-pinned), no old-file
+    * rewrite by construction; each generation's filter pushes to its scan.
+    * This is why table formats store the mapping instead of rewriting:
+    * the rename costs one metadata entry, not a 100 TB rewrite. */
+  def schemaEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val m2 = pmod(col("doc_id"), lit(SchemaEvolveGenMod))
+    // the two file generations, each under its own PHYSICAL schema (in
+    // production these are distinct parquet file sets; the filters stand
+    // in for the file listing)
+    val gen0 = docs.filter(m2 === 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val gen1 = docs.filter(m2 === 1)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars").as("length_chars"),
+        when(col("n_chars") >= SchemaEvolveLongMin, lit("long"))
+          .otherwise(lit("short")).as("quality_tag"))
+    // the merged read: resolve each generation through the mapping
+    // manifest (driver-side metadata, as a table format does at planning),
+    // then union by LOGICAL name — allowMissingColumns null-fills the
+    // added column for generation-0 rows
+    def resolved(df: DataFrame, gen: Int): DataFrame =
+      df.select(SchemaEvolveMapping.flatMap { case (logical, phys) =>
+        phys.get(gen).map(p => col(p).as(logical))
+      } :+ lit(gen.toLong).as("generation"): _*)
+    resolved(gen0, 0)
+      .unionByName(resolved(gen1, 1), allowMissingColumns = true)
+      .select(col("doc_id"), col("generation"), col("text"), col("lang"),
+        col("source"), col("length_chars"), col("quality_tag"))
+      .orderBy("doc_id")
+  }
+
   // ---- e_dedup_lineage ----------------------------------------------------
 
   /** Drop PROVENANCE across the near-dup families — the governance index
