@@ -30,6 +30,18 @@ import graft.functions.GraftFunctions._
   *     window (|queries| × k rows upstream of the final sort) shuffles.
   *   - text stats: embarrassingly parallel scan — zero shuffles before the
   *     deterministic output sort.
+  *
+  * CACHING CONTRACT (file default): every `.persist(...)` inside a query
+  * function exists because the frame is consumed by two or more actions
+  * of THAT query's own plan; none outlives the returned DataFrame's
+  * evaluation on purpose. Release is the CALLER's: both runtime surfaces
+  * ([[graft.Bench]], [[graft.Verify]]) run `spark.catalog.clearCache()`
+  * plus the RDD sweep after every key, and the test fixture does the
+  * same between suites — so a persisted intermediate never leaks into
+  * the next key's timed window or executor memory. Keys whose caching is
+  * NON-obvious (a persist serving a sibling key, a memoized substrate, a
+  * per-round checkpoint chain) carry their own CACHING CONTRACT note on
+  * top of this default.
   */
 object ExtQueries {
   import RefQueries.table
@@ -1310,7 +1322,12 @@ object ExtQueries {
     * document length), the prefix equi-join (the PERSISTED prefix frame —
     * both join sides probe it; unpersisted, the whole df+window chain
     * executes twice), the per-pair collision aggregate, and the verify
-    * join back to `sets`. */
+    * join back to `sets`.
+    *
+    * CACHING CONTRACT: `sets` (probed by the postings path and both verify
+    * sides) and `prefix` (both sides of the candidate self-join) persist;
+    * callers clearCache() after materializing — the Bench/Verify teardown
+    * (the file-default contract, stated here because two frames persist). */
   def jaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
     val sets = bigramSetsKeeping(docsWithVariants(spark, dir), Nil)
       .withColumn("bs", array_sort(col("bs")))
@@ -8484,7 +8501,12 @@ object ExtQueries {
     * the q-gram alphabet (≤ 27^q ≈ 20k rows here), hence the pinned
     * broadcast. Shuffles: the df aggregate, the per-string prefix window
     * (partitioned by doc, bounded by string length), the prefix equi-join,
-    * and the two slim verify joins back to the keyed corpus. */
+    * and the two slim verify joins back to the keyed corpus.
+    *
+    * CACHING CONTRACT: `keyed` (the gram source and both verify sides) and
+    * the prefix frame (both sides of the candidate self-join) persist;
+    * callers clearCache() after materializing — the Bench/Verify teardown
+    * (the file-default contract, stated here because two frames persist). */
   def editJoin(spark: SparkSession, dir: String): DataFrame = {
     val keyed = table(spark, dir, "documents")
       .filter(col("lang") === "en")
