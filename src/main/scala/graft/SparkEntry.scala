@@ -130,6 +130,8 @@ object SparkEntry {
     "e_vacuum_plan"       -> (ExtQueries.vacuumPlan _),
     "e_vacuum_apply"      -> (ExtQueries.vacuumApply _),
     "e_schema_evolve"     -> (ExtQueries.schemaEvolve _),
+    "e_change_feed"       -> (ExtQueries.changeFeed _),
+    "e_range_estimate"    -> (ExtQueries.rangeEstimate _),
     "e_cosine_topk_beam"  -> (ExtQueries.cosineTopkBeam _),
     "e_cosine_topk_pq"    -> (ExtQueries.cosineTopkPq _),
     "e_pq_train"          -> (ExtQueries.pqTrain _),
@@ -311,7 +313,8 @@ object SparkEntry {
     // graded e_nb_classify predictions
     // e_pref_pairs mines extremes of the graded e_bigram_lm score
     "e_quantizer_drift", "e_serve_drift", "e_kcore", "e_vacuum_plan",
-    "e_vacuum_apply", "e_nb_threshold", "e_pref_pairs")
+    // e_change_feed emits the feed between the graded e_time_travel states
+    "e_vacuum_apply", "e_change_feed", "e_nb_threshold", "e_pref_pairs")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -4815,6 +4815,70 @@ object ExtOracles {
       |FROM rows_ ORDER BY artifact""".stripMargin
   }
 
+  /** `e_change_feed` — the CDF read: the oracle classifies each change
+    * batch against the SEQUENTIAL replay's previous snapshot (`b{v}` ×
+    * `s{v-1}`) where Spark joins the whole log against merge-on-read
+    * winners — the two table-format read strategies certify the same
+    * feed. Mirrors `ExtQueries.changeFeed`. */
+  private lazy val changeFeedSql: String = {
+    def block(v: Int): String =
+      s"""SELECT CAST($v AS BIGINT) AS version, 'insert' AS change_type,
+        |  doc_id, text, lang, source, n_chars FROM b$v WHERE op = 'I'
+        |UNION ALL
+        |SELECT $v, 'update_postimage', doc_id, text, lang, source, n_chars
+        |FROM b$v WHERE op = 'U'
+        |UNION ALL
+        |SELECT $v, 'update_preimage', s.doc_id, s.text, s.lang, s.source,
+        |  s.n_chars
+        |FROM b$v c JOIN s${v - 1} s USING (doc_id) WHERE c.op = 'U'
+        |UNION ALL
+        |SELECT $v, 'delete', s.doc_id, s.text, s.lang, s.source, s.n_chars
+        |FROM b$v c JOIN s${v - 1} s USING (doc_id) WHERE c.op = 'D'""".stripMargin
+    s"""WITH $timeTravelCtes
+      |${(1 to ExtQueries.TimeTravelVersions).map(block).mkString("\nUNION ALL\n")}
+      |ORDER BY version, doc_id, change_type""".stripMargin
+  }
+
+  /** `e_range_estimate` — the equi-width-histogram range-selectivity
+    * audit: the estimate is the exact int64 rational est_num/w (uniform-
+    * within-bucket interpolation with integer overlaps), the actual a
+    * real count. Mirrors `ExtQueries.rangeEstimate`. */
+  private lazy val rangeEstimateSql: String = {
+    val b = ExtQueries.RangeEstBuckets
+    s"""WITH bounds AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi,
+      |    (max(n_chars) - min(n_chars) + $b) // $b AS wd
+      |  FROM documents),
+      |hist AS (SELECT (d.n_chars - bo.lo) // bo.wd AS bucket,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents d, bounds bo GROUP BY 1),
+      |ranges AS (
+      |  SELECT '1_narrow' AS range_id,
+      |    lo + ((hi - lo + 1) * 1) // 10 AS qlo,
+      |    lo + ((hi - lo + 1) * 2) // 10 AS qhi FROM bounds
+      |  UNION ALL SELECT '2_half',
+      |    lo + (hi - lo + 1) // 4, lo + ((hi - lo + 1) * 3) // 4 FROM bounds
+      |  UNION ALL SELECT '3_edge',
+      |    hi - (hi - lo + 1) // 20, hi FROM bounds),
+      |est AS (SELECT r.range_id, r.qlo, r.qhi, bo.wd,
+      |    CAST(sum(h.cnt * greatest(0,
+      |      least(r.qhi, bo.lo + (h.bucket + 1) * bo.wd - 1)
+      |      - greatest(r.qlo, bo.lo + h.bucket * bo.wd) + 1)) AS BIGINT)
+      |      AS est_num
+      |  FROM hist h, ranges r, bounds bo
+      |  GROUP BY 1, 2, 3, 4),
+      |actual AS (SELECT r.range_id, CAST(count(*) AS BIGINT) AS n_actual
+      |  FROM documents d JOIN ranges r
+      |    ON d.n_chars >= r.qlo AND d.n_chars <= r.qhi
+      |  GROUP BY 1)
+      |SELECT e.range_id, e.qlo, e.qhi, e.est_num,
+      |  CAST(e.est_num AS DOUBLE) / CAST(e.wd AS DOUBLE) AS n_est,
+      |  a.n_actual,
+      |  (CAST(e.est_num AS DOUBLE) / CAST(e.wd AS DOUBLE))
+      |    / CAST(a.n_actual AS DOUBLE) AS err_ratio
+      |FROM est e JOIN actual a USING (range_id)
+      |ORDER BY range_id""".stripMargin
+  }
+
   /** `e_schema_evolve` — the column-mapping merged read as one projection
     * union: generation-0 rows serve the added column as NULL and their old
     * physical name under the renamed logical one. Mirrors
@@ -5085,6 +5149,8 @@ object ExtOracles {
     ("e_vacuum_plan" -> vacuumPlanSql) +
     ("e_vacuum_apply" -> vacuumApplySql) +
     ("e_schema_evolve" -> schemaEvolveSql) +
+    ("e_change_feed" -> changeFeedSql) +
+    ("e_range_estimate" -> rangeEstimateSql) +
     ("e_silhouette" -> silhouetteSql) +
     ("e_pq_train" -> pqTrainSql) +
     ("e_pq_trained" -> pqTrainedSql) +

@@ -2593,6 +2593,75 @@ object ExtQueries {
       .orderBy("pair")
   }
 
+  // ---- e_range_estimate -----------------------------------------------------
+
+  /** Bucket count for [[rangeEstimate]]'s equi-width histogram — coarse ON
+    * PURPOSE: the estimator's error comes from the uniform-within-bucket
+    * assumption, and a bucket-per-value histogram would make the audit a
+    * tautology (the [[joinEstimateHist]] exactness case). */
+  private[queries] val RangeEstBuckets = 8L
+
+  /** RANGE-selectivity estimation audit — the third leg of the CBO family
+    * ([[joinEstimate]]: equi-join under uniformity; [[joinEstimateHist]]:
+    * equi-join under frequencies; this: RANGE predicates under an
+    * equi-width bucket histogram, Piatetsky-Shapiro & Connell '84 — what
+    * every engine's `estimatedRowCount` for a BETWEEN does with ANALYZE
+    * histograms): three pinned predicate ranges over `n_chars` (narrow,
+    * half-domain, right-edge — derived from the domain in integer
+    * arithmetic so they adapt to any fixture scale), each priced from the
+    * [[RangeEstBuckets]]-bucket histogram by uniform-within-bucket
+    * interpolation and graded against the exact count.
+    *
+    * EXACT-RATIONAL interpolation: bucket width w = ⌈(hi−lo+1)/B⌉ is one
+    * integer, every bucket's overlap with the query range is an integer,
+    * so the estimate is the single divide est_num/w of exact int64s — no
+    * float accumulates across buckets (the [[centroidScore]] discipline
+    * applied to an estimator).
+    *
+    * At scale: the histogram is the ANALYZE artifact (one
+    * map-side-combined count per bucket; bounds are one 1-row aggregate);
+    * pricing a range touches ≤ B metadata rows; the exact counts are the
+    * audit's deliberate cost (one broadcast-range-joined corpus pass for
+    * all ranges at once — production samples). */
+  def rangeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents").select(col("n_chars"))
+    // bounds + ceil-width, one row, broadcast everywhere below
+    val bounds = d.agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+      .withColumn("wd",
+        expr(s"(hi - lo + $RangeEstBuckets) div $RangeEstBuckets"))
+    val hist = d.crossJoin(broadcast(bounds))
+      .groupBy(expr("(n_chars - lo) div wd").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    // pinned ranges as integer fractions of the domain (W = hi - lo + 1)
+    val ranges = bounds.select(explode(array(
+        struct(lit("1_narrow").as("range_id"),
+          (col("lo") + expr("((hi - lo + 1) * 1) div 10")).as("qlo"),
+          (col("lo") + expr("((hi - lo + 1) * 2) div 10")).as("qhi")),
+        struct(lit("2_half").as("range_id"),
+          (col("lo") + expr("(hi - lo + 1) div 4")).as("qlo"),
+          (col("lo") + expr("((hi - lo + 1) * 3) div 4")).as("qhi")),
+        struct(lit("3_edge").as("range_id"),
+          (col("hi") - expr("(hi - lo + 1) div 20")).as("qlo"),
+          col("hi").as("qhi")))).as("r"))
+      .select(col("r.*"))
+    val est = hist.crossJoin(broadcast(ranges)).crossJoin(broadcast(bounds))
+      .withColumn("b_lo", col("lo") + col("bucket") * col("wd"))
+      .withColumn("b_hi", col("b_lo") + col("wd") - 1)
+      .withColumn("overlap", greatest(lit(0L),
+        least(col("qhi"), col("b_hi")) - greatest(col("qlo"), col("b_lo")) + 1))
+      .groupBy(col("range_id"), col("qlo"), col("qhi"), col("wd"))
+      .agg(sum(col("cnt") * col("overlap")).as("est_num"))
+    val actual = d.join(broadcast(ranges),
+        col("n_chars") >= col("qlo") && col("n_chars") <= col("qhi"))
+      .groupBy(col("range_id")).agg(count(lit(1)).as("n_actual"))
+    est.join(actual, Seq("range_id"))
+      .select(col("range_id"), col("qlo"), col("qhi"), col("est_num"),
+        (col("est_num").cast("double") / col("wd").cast("double")).as("n_est"),
+        col("n_actual"))
+      .withColumn("err_ratio", col("n_est") / col("n_actual").cast("double"))
+      .orderBy("range_id")
+  }
+
   // ---- e_silhouette -------------------------------------------------------
 
   /** Silhouette sample bound: sampled vectors are `vec_id < this`. */
@@ -9824,6 +9893,67 @@ object ExtQueries {
         .withColumn("version", lit(v.toLong)),
       col("version"))
       .orderBy("doc_id")
+  }
+
+  // ---- e_change_feed --------------------------------------------------------
+
+  /** CHANGE DATA FEED over the [[timeTravel]] history — the
+    * `table_changes(from, to)` read every table format ships and the
+    * primitive an incremental pipeline consumes instead of diffing
+    * snapshots: for every change version, each log entry classified
+    * against the PREVIOUS snapshot — `insert` (new payload), `delete`
+    * (the removed row's content), and updates as the standard
+    * preimage/postimage PAIR (the shape a downstream aggregate needs to
+    * retract-then-apply). This closes the read side of the CDC loop:
+    * [[mergeApply]] applies a feed, [[timeTravel]] reconstructs states,
+    * this EMITS the feed between states.
+    *
+    * CROSS-CERTIFICATION (the [[timeTravel]] device): Spark derives each
+    * version's preimages from the MERGE-ON-READ winners pick over the log
+    * (one shuffle, all versions at once), while the DuckDB oracle joins
+    * each batch against the SEQUENTIAL replay's previous snapshot — the
+    * hash gate proves the feed is identical under both table-format read
+    * strategies.
+    *
+    * Determinism: the winners pick is a total order; payloads are the
+    * log's own (integer arithmetic + string concat); the emit is a pure
+    * per-row explode.
+    *
+    * At scale: ONE key-shuffle joins the change entries to their previous
+    * snapshots (|versions|·|log| through the same single shuffle as the
+    * [[timeTravel]] audit — in production the feed is stored change files
+    * and this derivation is the backfill path); output is |changes| +
+    * |updates| slim rows. Composes the graded [[timeTravel]] derivation —
+    * a harness key. */
+  def changeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val log = timeTravelLog(spark, dir)
+    val vers = spark.range(1L, TimeTravelVersions + 1L)
+      .select(col("id").as("version"))
+    // state BEFORE version v (entries with ver < v), keyed by v
+    val prev = timeTravelWinners(
+      log.join(broadcast(vers), col("ver") < col("version")), col("version"))
+    val changes = log.filter(col("ver") >= 1)
+    val j = changes.as("c").join(prev.as("p"),
+        col("c.ver") === col("p.version") && col("c.doc_id") === col("p.doc_id"),
+        "left")
+      .select(col("c.ver").as("version"), col("c.op"), col("c.doc_id"),
+        col("c.text").as("nt"), col("c.lang").as("nl"),
+        col("c.source").as("ns"), col("c.n_chars").as("nn"),
+        col("p.text").as("ot"), col("p.lang").as("ol"),
+        col("p.source").as("os"), col("p.n_chars").as("on"))
+    def ev(tag: String, t: Column, l: Column, s: Column, n: Column) =
+      struct(lit(tag).as("change_type"), t.as("text"), l.as("lang"),
+        s.as("source"), n.as("n_chars"))
+    j.select(col("version"), col("doc_id"), explode(array(
+        when(col("op") === "I", ev("insert", col("nt"), col("nl"), col("ns"), col("nn"))),
+        when(col("op") === "U", ev("update_preimage", col("ot"), col("ol"), col("os"), col("on"))),
+        when(col("op") === "U", ev("update_postimage", col("nt"), col("nl"), col("ns"), col("nn"))),
+        when(col("op") === "D", ev("delete", col("ot"), col("ol"), col("os"), col("on"))))).as("c"))
+      .filter(col("c.change_type").isNotNull)
+      .select(col("version"), col("c.change_type").as("change_type"),
+        col("doc_id"), col("c.text").as("text"), col("c.lang").as("lang"),
+        col("c.source").as("source"), col("c.n_chars").as("n_chars"))
+      .orderBy("version", "doc_id", "change_type")
   }
 
   // ---- e_schema_evolve ------------------------------------------------------
