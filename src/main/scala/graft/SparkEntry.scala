@@ -131,6 +131,7 @@ object SparkEntry {
     "e_vacuum_apply"      -> (ExtQueries.vacuumApply _),
     "e_schema_evolve"     -> (ExtQueries.schemaEvolve _),
     "e_change_feed"       -> (ExtQueries.changeFeed _),
+    "e_txn_conflict"      -> (ExtQueries.txnConflict _),
     "e_range_estimate"    -> (ExtQueries.rangeEstimate _),
     "e_cosine_topk_beam"  -> (ExtQueries.cosineTopkBeam _),
     "e_cosine_topk_pq"    -> (ExtQueries.cosineTopkPq _),

@@ -4815,6 +4815,28 @@ object ExtOracles {
       |FROM rows_ ORDER BY artifact""".stripMargin
   }
 
+  /** `e_txn_conflict` — key-level optimistic-concurrency validation:
+    * writer A is the `e_merge_apply` mod-7 rule, writer B the mod-5 rule
+    * on its own insert offset; write-write overlap is the coprime class
+    * grid. Mirrors `ExtQueries.txnConflict`. */
+  private lazy val txnConflictSql: String = {
+    val off = ExtQueries.VariantIdOffset
+    def writes(alias: String, mod: Long, insOff: Long, opCol: String): String =
+      s"""$alias AS (SELECT
+        |  CASE WHEN doc_id % $mod = 2 THEN doc_id + $insOff ELSE doc_id END AS key,
+        |  CASE WHEN doc_id % $mod = 0 THEN 'D' WHEN doc_id % $mod = 1 THEN 'U'
+        |       WHEN doc_id % $mod = 2 THEN 'I' END AS $opCol
+        |  FROM documents WHERE doc_id % $mod IN (0, 1, 2))""".stripMargin
+    s"""WITH ${writes("a", 7L, off, "a_op")},
+      |${writes("b", ExtQueries.TxnBMod, 2L * off, "b_op")}
+      |SELECT key AS doc_id, a_op, b_op,
+      |  CASE WHEN a_op IS NOT NULL AND b_op IS NOT NULL THEN 'write_write'
+      |       WHEN a_op IS NOT NULL THEN 'a_only' ELSE 'b_only' END
+      |    AS conflict_type
+      |FROM a FULL OUTER JOIN b USING (key)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** `e_change_feed` — the CDF read: the oracle classifies each change
     * batch against the SEQUENTIAL replay's previous snapshot (`b{v}` ×
     * `s{v-1}`) where Spark joins the whole log against merge-on-read
@@ -5150,6 +5172,7 @@ object ExtOracles {
     ("e_vacuum_apply" -> vacuumApplySql) +
     ("e_schema_evolve" -> schemaEvolveSql) +
     ("e_change_feed" -> changeFeedSql) +
+    ("e_txn_conflict" -> txnConflictSql) +
     ("e_range_estimate" -> rangeEstimateSql) +
     ("e_silhouette" -> silhouetteSql) +
     ("e_pq_train" -> pqTrainSql) +
