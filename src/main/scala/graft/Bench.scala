@@ -101,8 +101,11 @@ object Bench {
         val t0 = System.nanoTime()
         try runOnce(fn) catch {
           case e: Throwable =>
+            // control chars (tabs included) are illegal inside JSON strings
+            // — flatten them so one exotic message cannot corrupt the line
             errors(name) = s"${e.getClass.getSimpleName}: ${
-              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200)}"
+              Option(e.getMessage).getOrElse("")
+                .map(c => if (c < ' ') ' ' else c).take(200)}"
         }
         val elapsed = (System.nanoTime() - t0) / 1e9
         teardown()
