@@ -132,6 +132,7 @@ object SparkEntry {
     "e_schema_evolve"     -> (ExtQueries.schemaEvolve _),
     "e_change_feed"       -> (ExtQueries.changeFeed _),
     "e_txn_conflict"      -> (ExtQueries.txnConflict _),
+    "e_louvain_move"      -> (ExtQueries.louvainMove _),
     "e_range_estimate"    -> (ExtQueries.rangeEstimate _),
     "e_cosine_topk_beam"  -> (ExtQueries.cosineTopkBeam _),
     "e_cosine_topk_pq"    -> (ExtQueries.cosineTopkPq _),
@@ -270,6 +271,9 @@ object SparkEntry {
     "e_silhouette", "e_calibration", "e_pca_project", "e_rand_walk", "e_hits",
     // e_token_budget ranks sources by the e_quality_filter rule body
     "e_walk_pairs", "e_modularity", "e_token_budget", "e_graph_recall",
+    // e_louvain_move optimizes the e_label_prop partition over the
+    // e_knn_graph edges (the e_modularity universe)
+    "e_louvain_move",
     // classified under the same rule (round 10 — moves these keys from the
     // operator total to the harness total in BENCH comparisons):
     // soft_dedup/canonical_pick re-run the e_dup_clusters CC fixpoint;

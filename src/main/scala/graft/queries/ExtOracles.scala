@@ -4311,6 +4311,50 @@ object ExtOracles {
       |CROSS JOIN mm
       |ORDER BY nn.label""".stripMargin
 
+  /** `e_louvain_move` — the synchronous Louvain phase-1 sweep: COMPOSES
+    * the `e_label_prop` partition and the `e_knn_graph` edges (the
+    * `e_modularity` universe — labeled subgraph), computes the exact
+    * integer gain numerator per (node, neighbor community), and picks the
+    * argmax under the (gain DESC, label ASC) order. Mirrors
+    * `ExtQueries.louvainMove`. */
+  private lazy val louvainMoveSql: String =
+    s"""WITH lpz AS MATERIALIZED (SELECT vec_id, label FROM ($labelPropSql) t
+      |  WHERE label IS NOT NULL),
+      |kg AS (SELECT least(src, nbr) AS a, greatest(src, nbr) AS b
+      |  FROM (${baseSql("e_knn_graph")}) g),
+      |und AS (SELECT DISTINCT a, b FROM kg),
+      |le AS MATERIALIZED (SELECT e.i, e.j, x.label AS li, y.label AS lj
+      |  FROM (SELECT a AS i, b AS j FROM und
+      |        UNION ALL SELECT b AS i, a AS j FROM und) e
+      |  JOIN lpz x ON e.i = x.vec_id JOIN lpz y ON e.j = y.vec_id),
+      |mm AS (SELECT CAST(count(*) // 2 AS BIGINT) AS m FROM le),
+      |kic AS MATERIALIZED (SELECT i, lj AS c, CAST(count(*) AS BIGINT) AS k_ic
+      |  FROM le GROUP BY 1, 2),
+      |deg AS MATERIALIZED (SELECT i, li AS label_from,
+      |    CAST(count(*) AS BIGINT) AS k_i
+      |  FROM le GROUP BY 1, 2),
+      |ds AS MATERIALIZED (SELECT label_from AS c, CAST(sum(k_i) AS BIGINT) AS d_sum
+      |  FROM deg GROUP BY 1),
+      |own AS MATERIALIZED (SELECT d.i, d.label_from, d.k_i,
+      |    s.d_sum AS dsum_a, COALESCE(k.k_ic, 0) AS k_ia
+      |  FROM deg d JOIN ds s ON s.c = d.label_from
+      |  LEFT JOIN kic k ON k.i = d.i AND k.c = d.label_from),
+      |cand AS (SELECT o.i, k.c,
+      |    2 * mm.m * (k.k_ic - o.k_ia)
+      |      - o.k_i * (s.d_sum - o.dsum_a + o.k_i) AS gain_num
+      |  FROM own o JOIN kic k ON k.i = o.i AND k.c <> o.label_from
+      |  JOIN ds s ON s.c = k.c CROSS JOIN mm),
+      |best AS (SELECT i, gain_num, c FROM (
+      |  SELECT i, gain_num, c, row_number() OVER (PARTITION BY i
+      |    ORDER BY gain_num DESC, c ASC) AS rn FROM cand) r WHERE rn = 1)
+      |SELECT o.i AS vec_id, o.label_from,
+      |  CASE WHEN b.gain_num > 0 THEN b.c ELSE o.label_from END AS label_to,
+      |  CAST(greatest(COALESCE(b.gain_num, 0), 0) AS BIGINT) AS gain_num,
+      |  (CASE WHEN b.gain_num > 0 THEN b.c ELSE o.label_from END)
+      |    <> o.label_from AS moved
+      |FROM own o LEFT JOIN best b USING (i)
+      |ORDER BY vec_id""".stripMargin
+
   /** `e_token_budget` — COMPOSES the shared `qualityCtes` rule chain (the
     * `e_filter_bias` device), then the greedy allocation: exact integer
     * counts and cumulative sums via the \|sources\|² self-join, one
@@ -5173,6 +5217,7 @@ object ExtOracles {
     ("e_schema_evolve" -> schemaEvolveSql) +
     ("e_change_feed" -> changeFeedSql) +
     ("e_txn_conflict" -> txnConflictSql) +
+    ("e_louvain_move" -> louvainMoveSql) +
     ("e_range_estimate" -> rangeEstimateSql) +
     ("e_silhouette" -> silhouetteSql) +
     ("e_pq_train" -> pqTrainSql) +

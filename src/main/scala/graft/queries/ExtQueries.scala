@@ -9095,6 +9095,84 @@ object ExtQueries {
       .orderBy("label")
   }
 
+  // ---- e_louvain_move -------------------------------------------------------
+
+  /** One SYNCHRONOUS modularity-ascent sweep (the Louvain phase-1 move
+    * step, Blondel et al. '08) over the propagated-label partition —
+    * the OPTIMIZER the [[modularity]] audit motivates: the audit says how
+    * good the partition is; this says where it provably improves. For
+    * every labeled node, the best neighbor community by the EXACT Louvain
+    * gain ΔQ(i: a→b) = [k_ib − k_ia]/m − k_i·(Σtot_b − Σtot_a + k_i)/2m²,
+    * carried as the integer numerator gain_num = ΔQ·2m² =
+    * 2m·(k_ib − k_ia) − k_i·(d_sum_b − d_sum_a + k_i) — comparisons and
+    * the argmax never leave int64 (the [[pageRank]] integer-recurrence
+    * device applied to Louvain), with the smallest-label tie-break. A node
+    * moves only on strictly positive gain; otherwise it stays with gain 0.
+    * Synchronous on purpose: the classic sequential sweep is
+    * visit-order-dependent (not reproducible across engines or cluster
+    * topologies); the simultaneous step is deterministic, and the
+    * SINGLE-move exactness theorem (applying any ONE emitted move changes
+    * the [[modularity]] decomposition by exactly 2·gain_num on the
+    * Q·4m² scale) is spec-pinned as exact integer arithmetic.
+    *
+    * Scoped to the labeled subgraph, the [[modularity]] convention — one
+    * universe definition, so the move step optimizes exactly the partition
+    * the audit scores.
+    *
+    * At scale: the labeled edge list is ≤ |V|·k slim rows; k_ic is one
+    * map-side-combined count on (node, neighbor-community); degrees and
+    * community totals are the modularity audit's own aggregates; the
+    * argmax is a max-of-struct with bounded candidates (≤ distinct
+    * neighbor communities ≤ k per node); m rides a 1-row broadcast.
+    * Composes the graded [[labelProp]] and [[knnGraph]] derivations — a
+    * harness key. */
+  def louvainMove(spark: SparkSession, dir: String): DataFrame = {
+    val (knn, labs) = labelPropPartsMemo(spark, dir)
+    val lp = labs.filter(col("label").isNotNull)
+      .select(col("vec_id"), col("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val und = knn
+      .select(least(col("src"), col("nbr")).as("a"),
+        greatest(col("src"), col("nbr")).as("b"))
+      .distinct()
+    // both directions, both endpoints labeled — consumed by k_ic, degrees
+    // and the edge count
+    val le = und.select(col("a").as("i"), col("b").as("j"))
+      .unionByName(und.select(col("b").as("i"), col("a").as("j")))
+      .join(lp.select(col("vec_id").as("i"), col("label").as("li")), Seq("i"))
+      .join(lp.select(col("vec_id").as("j"), col("label").as("lj")), Seq("j"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mRow = le.agg((count(lit(1)) / 2).cast("long").as("m"))
+    val kic = le.groupBy(col("i"), col("lj").as("c"))
+      .agg(count(lit(1)).as("k_ic"))
+    val deg = le.groupBy(col("i"), col("li")).agg(count(lit(1)).as("k_i"))
+    val dsum = deg.groupBy(col("li").as("c")).agg(sum(col("k_i")).as("d_sum"))
+    val own = deg.select(col("i"), col("li").as("label_from"), col("k_i"))
+      .join(dsum.select(col("c").as("label_from"), col("d_sum").as("dsum_a")),
+        Seq("label_from"))
+      .join(kic.select(col("i"), col("c"), col("k_ic").as("k_ia"))
+          .withColumnRenamed("c", "label_from"),
+        Seq("i", "label_from"), "left")
+      .na.fill(0L, Seq("k_ia"))
+    val cand = own
+      .join(kic.filter(col("c").isNotNull), Seq("i"))
+      .filter(col("c") =!= col("label_from"))
+      .join(dsum.select(col("c"), col("d_sum").as("dsum_b")), Seq("c"))
+      .crossJoin(broadcast(mRow))
+      .withColumn("gain_num",
+        lit(2L) * col("m") * (col("k_ic") - col("k_ia"))
+          - col("k_i") * (col("dsum_b") - col("dsum_a") + col("k_i")))
+    val best = cand.groupBy(col("i"))
+      .agg(max(struct(col("gain_num"), (-col("c")).as("nc"))).as("mv"))
+    own.join(best, Seq("i"), "left")
+      .select(col("i").as("vec_id"), col("label_from"),
+        when(col("mv.gain_num") > 0, -col("mv.nc")).otherwise(col("label_from"))
+          .as("label_to"),
+        greatest(coalesce(col("mv.gain_num"), lit(0L)), lit(0L)).as("gain_num"))
+      .withColumn("moved", col("label_to") =!= col("label_from"))
+      .orderBy("vec_id")
+  }
+
   // ---- e_walk_pairs -------------------------------------------------------
 
   /** Skip-gram co-occurrence window (±steps within a walk). */
