@@ -4938,10 +4938,11 @@ object ExtOracles {
       |  GROUP BY 1)
       |SELECT e.range_id, e.qlo, e.qhi, e.est_num,
       |  CAST(e.est_num AS DOUBLE) / CAST(e.wd AS DOUBLE) AS n_est,
-      |  a.n_actual,
-      |  (CAST(e.est_num AS DOUBLE) / CAST(e.wd AS DOUBLE))
-      |    / CAST(a.n_actual AS DOUBLE) AS err_ratio
-      |FROM est e JOIN actual a USING (range_id)
+      |  COALESCE(a.n_actual, 0) AS n_actual,
+      |  CASE WHEN COALESCE(a.n_actual, 0) = 0 THEN CAST(NULL AS DOUBLE)
+      |    ELSE (CAST(e.est_num AS DOUBLE) / CAST(e.wd AS DOUBLE))
+      |      / CAST(a.n_actual AS DOUBLE) END AS err_ratio
+      |FROM est e LEFT JOIN actual a USING (range_id)
       |ORDER BY range_id""".stripMargin
   }
 

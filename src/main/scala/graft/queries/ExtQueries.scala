@@ -190,9 +190,12 @@ object ExtQueries {
   private def labelPropPartsMemo(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     if (sys.props.contains("graft.bench.memo")) {
-      lazy val parts = labelPropParts(spark, dir)
-      (benchMemo(spark, dir, "knn_adjacency")(parts._1),
-        benchMemo(spark, dir, "lp_labels")(parts._2))
+      // labels derive FROM the memoized adjacency: when knn_adjacency is
+      // already warm (the common warmup order) a cold lp_labels costs only
+      // the propagation rounds, never a second graph build
+      val knn = benchMemo(spark, dir, "knn_adjacency")(knnGraph(spark, dir))
+      (knn, benchMemo(spark, dir, "lp_labels")(
+        labelsFromGraph(spark, dir, knn)))
     } else labelPropParts(spark, dir)
 
   // ---- e_cosine_topk ------------------------------------------------------
@@ -2673,11 +2676,17 @@ object ExtQueries {
     val actual = d.join(broadcast(ranges),
         col("n_chars") >= col("qlo") && col("n_chars") <= col("qhi"))
       .groupBy(col("range_id")).agg(count(lit(1)).as("n_actual"))
-    est.join(actual, Seq("range_id"))
+    // LEFT join: a range matching zero rows must surface as n_actual = 0
+    // with a NULL ratio (0/0 undefined), not silently vanish from the
+    // audit — the nbThreshold empty-row convention
+    est.join(actual, Seq("range_id"), "left")
+      .na.fill(0L, Seq("n_actual"))
       .select(col("range_id"), col("qlo"), col("qhi"), col("est_num"),
         (col("est_num").cast("double") / col("wd").cast("double")).as("n_est"),
         col("n_actual"))
-      .withColumn("err_ratio", col("n_est") / col("n_actual").cast("double"))
+      .withColumn("err_ratio",
+        when(col("n_actual") === 0, lit(null).cast("double"))
+          .otherwise(col("n_est") / col("n_actual").cast("double")))
       .orderBy("range_id")
   }
 
@@ -5236,6 +5245,15 @@ object ExtQueries {
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val knn = knnGraph(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (knn, labelsFromGraph(spark, dir, knn))
+  }
+
+  /** The propagation half of [[labelPropParts]] over an ALREADY-BUILT knn
+    * edge frame — factored so the bench memo can derive the label frame
+    * from the memoized adjacency instead of rebuilding the whole graph
+    * when only the labels are cold. */
+  private def labelsFromGraph(spark: SparkSession, dir: String,
+      knn: DataFrame): DataFrame = {
     val kd = knn.select(col("src"), col("nbr").as("dst"))
     val edges = kd
       .unionByName(kd.select(col("dst").as("src"), col("src").as("dst")))
@@ -5244,10 +5262,9 @@ object ExtQueries {
     val nodes = emb.select(col("vec_id").as("id"))
     val seeds = emb.filter(col("vec_id") < LabelSeedMax)
       .select(col("vec_id").as("id"), col("label"))
-    val labs = graft.operators.LabelPropagation
+    graft.operators.LabelPropagation
       .propagate(edges, seeds, nodes, LabelPropIters)
       .select(col("id").as("vec_id"), col("label"), col("is_seed"))
-    (knn, labs)
   }
 
   // ---- e_cosine_topk_beam -------------------------------------------------
@@ -10099,11 +10116,19 @@ object ExtQueries {
     def ev(tag: String, t: Column, l: Column, s: Column, n: Column) =
       struct(lit(tag).as("change_type"), t.as("text"), l.as("lang"),
         s.as("source"), n.as("n_chars"))
+    // preimage-bearing rows require the key to EXIST in the previous
+    // snapshot (`ot` non-null) — the same semantics as the oracle's inner
+    // join against the replay snapshot, so a malformed log entry (an
+    // update/delete of an absent key) drops identically in both engines
+    // instead of Spark emitting a null-payload row the oracle never sees;
+    // the spec's apply-closure pin catches such a log at the gate scales
     j.select(col("version"), col("doc_id"), explode(array(
         when(col("op") === "I", ev("insert", col("nt"), col("nl"), col("ns"), col("nn"))),
-        when(col("op") === "U", ev("update_preimage", col("ot"), col("ol"), col("os"), col("on"))),
+        when(col("op") === "U" && col("ot").isNotNull,
+          ev("update_preimage", col("ot"), col("ol"), col("os"), col("on"))),
         when(col("op") === "U", ev("update_postimage", col("nt"), col("nl"), col("ns"), col("nn"))),
-        when(col("op") === "D", ev("delete", col("ot"), col("ol"), col("os"), col("on"))))).as("c"))
+        when(col("op") === "D" && col("ot").isNotNull,
+          ev("delete", col("ot"), col("ol"), col("os"), col("on"))))).as("c"))
       .filter(col("c.change_type").isNotNull)
       .select(col("version"), col("c.change_type").as("change_type"),
         col("doc_id"), col("c.text").as("text"), col("c.lang").as("lang"),

@@ -68,7 +68,15 @@ def main(sf_dir: str, out_json: str, runs: int = 3, chunk: int = 20,
         if unknown:
             sys.exit(f"--keys names unknown keys: {unknown}")
         measured = sorted(set(changed) | set(SENTINELS))
-        prior = json.load(open(carry_json))["queries"]
+        prior_doc = json.load(open(carry_json))
+        prior = prior_doc["queries"]
+        # a prior artifact written by a FAILED run carries times-to-failure
+        # for its error keys — refuse to launder those into clean medians
+        tainted = sorted(set(prior_doc.get("errors", {})) - set(measured))
+        if tainted:
+            sys.exit(f"prior artifact has error keys that would be carried "
+                     f"as clean latencies: {tainted} — re-measure them "
+                     f"(add to --keys) or carry from a clean artifact")
         missing = sorted(set(all_keys) - set(measured) - set(prior))
         if missing:
             sys.exit(f"prior artifact lacks keys to carry: {missing}")
