@@ -4905,6 +4905,24 @@ object ExtOracles {
       |ORDER BY version, doc_id, change_type""".stripMargin
   }
 
+  /** `e_feed_apply` — the change-feed consumer's gate IS the oracle: the
+    * Spark side MAINTAINS the (lang, source) aggregate by folding signed
+    * feed deltas into the version-0 partials, while this SQL RECOMPUTES
+    * every version's aggregate from the sequential replay's AS-OF
+    * snapshot — the hash match proves maintained ≡ recomputed at every
+    * version. Mirrors `ExtQueries.feedApply`. */
+  private lazy val feedApplySql: String = {
+    def blk(v: Int): String =
+      s"""SELECT CAST($v AS BIGINT) AS version, lang, source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+        |FROM s$v GROUP BY lang, source""".stripMargin
+    s"""WITH $timeTravelCtes
+      |${(0 to ExtQueries.TimeTravelVersions).map(blk).mkString("\nUNION ALL\n")}
+      |ORDER BY version, lang, source""".stripMargin
+  }
+
   /** `e_range_estimate` — the equi-width-histogram range-selectivity
     * audit: the estimate is the exact int64 rational est_num/w (uniform-
     * within-bucket interpolation with integer overlaps), the actual a
@@ -5217,6 +5235,7 @@ object ExtOracles {
     ("e_vacuum_apply" -> vacuumApplySql) +
     ("e_schema_evolve" -> schemaEvolveSql) +
     ("e_change_feed" -> changeFeedSql) +
+    ("e_feed_apply" -> feedApplySql) +
     ("e_txn_conflict" -> txnConflictSql) +
     ("e_louvain_move" -> louvainMoveSql) +
     ("e_range_estimate" -> rangeEstimateSql) +
