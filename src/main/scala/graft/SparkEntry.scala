@@ -133,6 +133,7 @@ object SparkEntry {
     "e_change_feed"       -> (ExtQueries.changeFeed _),
     "e_feed_apply"        -> (ExtQueries.feedApply _),
     "e_txn_conflict"      -> (ExtQueries.txnConflict _),
+    "e_txn_rebase"        -> (ExtQueries.txnRebase _),
     "e_louvain_move"      -> (ExtQueries.louvainMove _),
     "e_range_estimate"    -> (ExtQueries.rangeEstimate _),
     "e_cosine_topk_beam"  -> (ExtQueries.cosineTopkBeam _),
@@ -320,9 +321,11 @@ object SparkEntry {
     // e_pref_pairs mines extremes of the graded e_bigram_lm score
     "e_quantizer_drift", "e_serve_drift", "e_kcore", "e_vacuum_plan",
     // e_change_feed emits the feed between the graded e_time_travel states;
-    // e_feed_apply folds that feed into e_incr_agg's monoid state
-    "e_vacuum_apply", "e_change_feed", "e_feed_apply", "e_nb_threshold",
-    "e_pref_pairs")
+    // e_feed_apply folds that feed into e_incr_agg's monoid state;
+    // e_txn_rebase re-runs the graded e_merge_apply commit (writer A's
+    // snapshot IS e_merge_apply's output) before replaying B on top
+    "e_vacuum_apply", "e_change_feed", "e_feed_apply", "e_txn_rebase",
+    "e_nb_threshold", "e_pref_pairs")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

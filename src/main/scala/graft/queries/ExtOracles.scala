@@ -4881,6 +4881,49 @@ object ExtOracles {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** `e_txn_rebase` — OCC auto-rebase: the oracle replays the SERIAL
+    * copy-on-write history (base → A commits → B's non-conflicting ops
+    * replay) where Spark runs two merge-on-read winner picks — the gate
+    * pins rebased ≡ serial A-then-B′, the serializability argument.
+    * Mirrors `ExtQueries.txnRebase`. */
+  private lazy val txnRebaseSql: String = {
+    val off = ExtQueries.VariantIdOffset
+    def batch(alias: String, mod: Long, insOff: Long, up: String,
+        ip: String, d: Long): String =
+      s"""$alias AS MATERIALIZED (SELECT
+        |  CASE WHEN m = 0 THEN 'D' WHEN m = 1 THEN 'U' ELSE 'I' END AS op,
+        |  CASE WHEN m = 2 THEN doc_id + $insOff ELSE doc_id END AS doc_id,
+        |  CASE WHEN m = 1 THEN '$up' || text
+        |       WHEN m = 2 THEN '$ip' || text ELSE text END AS text,
+        |  lang, source, n_chars + $d AS n_chars
+        |  FROM (SELECT doc_id % $mod AS m, * FROM documents
+        |        WHERE doc_id % $mod IN (0, 1, 2)) t)""".stripMargin
+    s"""WITH ${batch("a", 7L, off, "upd:", "ins:", 4L)},
+      |${batch("b", ExtQueries.TxnBMod, 2L * off, "ub:", "ib:",
+        ExtQueries.TxnBCharsDelta)},
+      |s1 AS MATERIALIZED (
+      |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+      |  FROM documents d ANTI JOIN a USING (doc_id)
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, source, n_chars FROM a WHERE op <> 'D'),
+      |br AS MATERIALIZED (SELECT b.* FROM b ANTI JOIN a USING (doc_id)),
+      |s2 AS (
+      |  SELECT s.doc_id, s.text, s.lang, s.source, s.n_chars
+      |  FROM s1 s ANTI JOIN br USING (doc_id)
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, source, n_chars FROM br WHERE op <> 'D'),
+      |cls AS (SELECT doc_id,
+      |  CASE WHEN a_op IS NOT NULL AND b_op IS NOT NULL THEN 'b_retry'
+      |       WHEN a_op IS NOT NULL THEN 'committed_a'
+      |       ELSE 'committed_b' END AS outcome
+      |  FROM (SELECT doc_id, op AS a_op FROM a) x
+      |  FULL OUTER JOIN (SELECT doc_id, op AS b_op FROM b) y USING (doc_id))
+      |SELECT doc_id, COALESCE(outcome, 'base') AS outcome,
+      |  text, lang, source, n_chars
+      |FROM s2 FULL OUTER JOIN cls USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** `e_change_feed` — the CDF read: the oracle classifies each change
     * batch against the SEQUENTIAL replay's previous snapshot (`b{v}` ×
     * `s{v-1}`) where Spark joins the whole log against merge-on-read
@@ -5237,6 +5280,7 @@ object ExtOracles {
     ("e_change_feed" -> changeFeedSql) +
     ("e_feed_apply" -> feedApplySql) +
     ("e_txn_conflict" -> txnConflictSql) +
+    ("e_txn_rebase" -> txnRebaseSql) +
     ("e_louvain_move" -> louvainMoveSql) +
     ("e_range_estimate" -> rangeEstimateSql) +
     ("e_silhouette" -> silhouetteSql) +

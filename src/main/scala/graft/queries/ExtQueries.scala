@@ -9825,6 +9825,92 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // ---- e_txn_rebase ---------------------------------------------------------
+
+  /** Writer-B payload char delta, distinct from writer A's +4 so value
+    * provenance in the rebased snapshot is hash-visible (a rebase that
+    * accidentally let B win a conflicted key would change bytes, not just
+    * a flag). */
+  private[queries] val TxnBCharsDelta = 5L
+
+  /** OPTIMISTIC-CONCURRENCY RESOLUTION — the auto-rebase every table
+    * format performs after [[txnConflict]]'s validation: writer A's batch
+    * (the [[mergeApply]] mod-7 D/U/I rule — one rule definition with the
+    * graded operator) commits first; writer B (mod-[[TxnBMod]], own
+    * insert offset and payload edit) finds its base snapshot stale and
+    * REBASES — its non-conflicting ops re-apply on top of A's committed
+    * snapshot (the [[mergeWinners]] body twice: base→A, then A-snapshot→
+    * rebased-B), while its write-write ops are REJECTED for retry (B must
+    * re-read and re-derive them — blindly replaying a write computed
+    * against a stale preimage is the lost-update anomaly OCC exists to
+    * prevent). Emits the rebased snapshot with per-key outcome:
+    * `committed_a` (A's write survives), `committed_b` (B's rebased write
+    * survives), `b_retry` (both wrote — the key carries A's value, or no
+    * payload if A deleted it), `base` (untouched live row). Dead touched
+    * keys keep their outcome row with NULL payload — the commit log's
+    * view, where a delete is an outcome without a row.
+    *
+    * Determinism: pure mod classes; each merge group holds at most one
+    * change row (B's rebased set is per-key unique by construction), so
+    * the struct max is a total order.
+    *
+    * At scale: two one-scan batch generators, ONE key-shuffle per merge
+    * (the serial A-then-B history's own cost — a rebase is exactly a
+    * replay), a key-anti-join for the conflict drop and a slim full-outer
+    * for the outcome ledger, all on the same key. The oracle replays the
+    * serial copy-on-write history independently, so the gate pins rebased
+    * ≡ serial A-then-B′ — the serializability argument itself. */
+  def txnRebase(spark: SparkSession, dir: String): DataFrame = {
+    def writerBatch(mod: Long, off: Long, updPre: String, insPre: String,
+        d: Long): DataFrame = {
+      val m = pmod(col("doc_id"), lit(mod))
+      table(spark, dir, "documents")
+        .select(
+          when(m === 0, lit("D")).when(m === 1, lit("U"))
+            .when(m === 2, lit("I")).as("op"),
+          when(m === 2, col("doc_id") + lit(off)).otherwise(col("doc_id"))
+            .as("doc_id"),
+          when(m === 1, concat(lit(updPre), col("text")))
+            .when(m === 2, concat(lit(insPre), col("text")))
+            .otherwise(col("text")).as("text"),
+          col("lang"), col("source"), (col("n_chars") + lit(d)).as("n_chars"))
+        .filter(col("op").isNotNull)
+    }
+    // A consumed three times (merge, conflict anti-join, outcome ledger),
+    // B twice — persisted so each generator scans the base once
+    val a = writerBatch(7L, VariantIdOffset, "upd:", "ins:", 4L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = writerBatch(TxnBMod, 2L * VariantIdOffset, "ub:", "ib:",
+        TxnBCharsDelta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def asBase(df: DataFrame): DataFrame =
+      df.select(lit(0).as("src"), lit("B").as("op"), col("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    def asChange(df: DataFrame): DataFrame =
+      df.select(lit(1).as("src"), col("op"), col("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val s1 = mergeWinners(
+      asBase(table(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars")))
+        .unionByName(asChange(a)))
+    // the REBASE: B's ops on keys A wrote are dropped (retried), the rest
+    // replay on A's committed snapshot
+    val bReb = b.join(a.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val s2 = mergeWinners(asBase(s1).unionByName(asChange(bReb)))
+    val cls = a.select(col("doc_id"), col("op").as("a_op"))
+      .join(b.select(col("doc_id"), col("op").as("b_op")), Seq("doc_id"),
+        "full_outer")
+      .select(col("doc_id"),
+        when(col("a_op").isNotNull && col("b_op").isNotNull, lit("b_retry"))
+          .when(col("a_op").isNotNull, lit("committed_a"))
+          .otherwise(lit("committed_b")).as("outcome"))
+    s2.join(cls, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), coalesce(col("outcome"), lit("base")).as("outcome"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   // ---- e_time_travel ------------------------------------------------------
 
   /** Number of change batches in the synthetic table history (versions
