@@ -136,6 +136,7 @@ object SparkEntry {
     "e_txn_rebase"        -> (ExtQueries.txnRebase _),
     "e_louvain_move"      -> (ExtQueries.louvainMove _),
     "e_range_estimate"    -> (ExtQueries.rangeEstimate _),
+    "e_range_estimate_eqd" -> (ExtQueries.rangeEstimateEqd _),
     "e_cosine_topk_beam"  -> (ExtQueries.cosineTopkBeam _),
     "e_cosine_topk_pq"    -> (ExtQueries.cosineTopkPq _),
     "e_pq_train"          -> (ExtQueries.pqTrain _),
@@ -323,9 +324,11 @@ object SparkEntry {
     // e_change_feed emits the feed between the graded e_time_travel states;
     // e_feed_apply folds that feed into e_incr_agg's monoid state;
     // e_txn_rebase re-runs the graded e_merge_apply commit (writer A's
-    // snapshot IS e_merge_apply's output) before replaying B on top
+    // snapshot IS e_merge_apply's output) before replaying B on top;
+    // e_range_estimate_eqd composes the graded e_range_estimate audit as
+    // its equi-width comparison column and exact counts
     "e_vacuum_apply", "e_change_feed", "e_feed_apply", "e_txn_rebase",
-    "e_nb_threshold", "e_pref_pairs")
+    "e_range_estimate_eqd", "e_nb_threshold", "e_pref_pairs")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

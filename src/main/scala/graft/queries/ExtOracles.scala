@@ -5007,6 +5007,49 @@ object ExtOracles {
       |ORDER BY range_id""".stripMargin
   }
 
+  /** `e_range_estimate_eqd` — the equi-depth fix: boundaries are exact
+    * ⌈q·n⌉ rank-selection quantiles (the `e_lm_buckets` device, global),
+    * per-bucket interpolation uses the OBSERVED [min, max] and the exact
+    * fixed-point rational Σ⌊cnt·overlap·2²⁰/width⌋; the equi-width
+    * columns compose the graded `e_range_estimate` SQL. Mirrors
+    * `ExtQueries.rangeEstimateEqd`. */
+  private lazy val rangeEstimateEqdSql: String = {
+    val b = ExtQueries.RangeEstEqdBuckets
+    val s = ExtQueries.RangeEstFpScale
+    val qexprs = (1 until b).map(i =>
+      s"max(CASE WHEN rn = ceil(n * ${i.toDouble / b}) THEN n_chars END) AS t$i")
+      .mkString(",\n|  ")
+    val bucketExpr = (1 until b).map(i => s"CAST(d.n_chars > t.t$i AS INT)")
+      .mkString(" + ")
+    s"""WITH eqw AS MATERIALIZED (SELECT range_id, qlo, qhi,
+      |    n_est AS n_est_eqw, n_actual, err_ratio AS err_eqw
+      |  FROM ($rangeEstimateSql) w),
+      |r AS (SELECT n_chars,
+      |    row_number() OVER (ORDER BY n_chars) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM documents),
+      |thr AS (SELECT
+      |  $qexprs
+      |  FROM r),
+      |bst AS (SELECT 1 + $bucketExpr AS bucket,
+      |    CAST(count(*) AS BIGINT) AS cnt,
+      |    min(d.n_chars) AS v_lo, max(d.n_chars) AS v_hi
+      |  FROM documents d, thr t GROUP BY 1),
+      |est AS (SELECT e.range_id,
+      |    CAST(sum((b.cnt * greatest(0, least(e.qhi, b.v_hi)
+      |      - greatest(e.qlo, b.v_lo) + 1) * $s) // (b.v_hi - b.v_lo + 1))
+      |      AS BIGINT) AS est_fp
+      |  FROM bst b, eqw e GROUP BY 1)
+      |SELECT w.range_id, w.qlo, w.qhi, w.n_est_eqw,
+      |  CAST(e.est_fp AS DOUBLE) / $s AS n_est_eqd,
+      |  w.n_actual, w.err_eqw,
+      |  CASE WHEN w.n_actual = 0 THEN CAST(NULL AS DOUBLE)
+      |    ELSE (CAST(e.est_fp AS DOUBLE) / $s) / CAST(w.n_actual AS DOUBLE)
+      |  END AS err_eqd
+      |FROM eqw w JOIN est e USING (range_id)
+      |ORDER BY range_id""".stripMargin
+  }
+
   /** `e_schema_evolve` — the column-mapping merged read as one projection
     * union: generation-0 rows serve the added column as NULL and their old
     * physical name under the renamed logical one. Mirrors
@@ -5283,6 +5326,7 @@ object ExtOracles {
     ("e_txn_rebase" -> txnRebaseSql) +
     ("e_louvain_move" -> louvainMoveSql) +
     ("e_range_estimate" -> rangeEstimateSql) +
+    ("e_range_estimate_eqd" -> rangeEstimateEqdSql) +
     ("e_silhouette" -> silhouetteSql) +
     ("e_pq_train" -> pqTrainSql) +
     ("e_pq_trained" -> pqTrainedSql) +
