@@ -135,6 +135,8 @@ object SparkEntry {
     "e_txn_conflict"      -> (ExtQueries.txnConflict _),
     "e_txn_rebase"        -> (ExtQueries.txnRebase _),
     "e_louvain_move"      -> (ExtQueries.louvainMove _),
+    "e_louvain_apply"     -> (ExtQueries.louvainApply _),
+    "e_louvain_collapse"  -> (ExtQueries.louvainCollapse _),
     "e_range_estimate"    -> (ExtQueries.rangeEstimate _),
     "e_range_estimate_eqd" -> (ExtQueries.rangeEstimateEqd _),
     "e_cosine_topk_beam"  -> (ExtQueries.cosineTopkBeam _),
@@ -275,8 +277,10 @@ object SparkEntry {
     // e_token_budget ranks sources by the e_quality_filter rule body
     "e_walk_pairs", "e_modularity", "e_token_budget", "e_graph_recall",
     // e_louvain_move optimizes the e_label_prop partition over the
-    // e_knn_graph edges (the e_modularity universe)
-    "e_louvain_move",
+    // e_knn_graph edges (the e_modularity universe); e_louvain_apply
+    // commits its moves and re-runs the decomposition; e_louvain_collapse
+    // condenses the post-move partition (both re-run the sweep)
+    "e_louvain_move", "e_louvain_apply", "e_louvain_collapse",
     // classified under the same rule (round 10 — moves these keys from the
     // operator total to the harness total in BENCH comparisons):
     // soft_dedup/canonical_pick re-run the e_dup_clusters CC fixpoint;

@@ -4355,6 +4355,103 @@ object ExtOracles {
       |FROM own o LEFT JOIN best b USING (i)
       |ORDER BY vec_id""".stripMargin
 
+  /** Shared pick-and-apply CTEs for `e_louvain_apply` /
+    * `e_louvain_collapse`: the labeled universe, canonical undirected
+    * edges, the graded `e_louvain_move` sweep, the per-source-community
+    * best-move pick (gain DESC, vec_id ASC), and the post-move label
+    * frame. */
+  private lazy val louvainPickCtes: String =
+    s"""lp0 AS MATERIALIZED (SELECT vec_id, label FROM ($labelPropSql) t
+      |  WHERE label IS NOT NULL),
+      |kg0 AS (SELECT least(src, nbr) AS src, greatest(src, nbr) AS dst
+      |  FROM (${baseSql("e_knn_graph")}) g),
+      |und0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM kg0),
+      |mvz AS (SELECT vec_id, label_from, label_to, gain_num
+      |  FROM ($louvainMoveSql) z WHERE moved),
+      |pk AS MATERIALIZED (SELECT vec_id, label_from, label_to FROM (
+      |  SELECT mvz.*, row_number() OVER (PARTITION BY label_from
+      |    ORDER BY gain_num DESC, vec_id ASC) AS rn FROM mvz) r
+      |  WHERE rn = 1),
+      |nl AS MATERIALIZED (SELECT l.vec_id, COALESCE(p.label_to, l.label)
+      |    AS label
+      |  FROM lp0 l LEFT JOIN pk p USING (vec_id))""".stripMargin
+
+  /** The labeled-edge CTE `$name` over the labels CTE `$labsCte`
+    * (assumes `und` in scope). */
+  private def louvainLabCte(name: String, labsCte: String): String =
+    s"""$name AS MATERIALIZED (SELECT u.src, u.dst, a.label AS la,
+      |    b.label AS lb
+      |  FROM und0 u JOIN $labsCte a ON u.src = a.vec_id
+      |  JOIN $labsCte b ON u.dst = b.vec_id)""".stripMargin
+
+  /** One modularity-decomposition CTE block over a premade `${p}lab`
+    * labeled-edge CTE and the labels CTE `$labsCte`, emitting
+    * `${p}dec(label, n_nodes, e_in, d_sum, q_c)` — the `modularitySql`
+    * body parameterized so `e_louvain_apply` states before and after
+    * through ONE definition. Assumes `mm(m)` is in scope. */
+  private def louvainDecompCtes(labsCte: String, p: String): String =
+    s"""${p}deg AS (SELECT id, label, count(*) AS deg FROM (
+      |  SELECT src AS id, la AS label FROM ${p}lab
+      |  UNION ALL SELECT dst AS id, lb AS label FROM ${p}lab) t
+      |  GROUP BY id, label),
+      |${p}ds AS (SELECT label, CAST(sum(deg) AS BIGINT) AS d_sum
+      |  FROM ${p}deg GROUP BY label),
+      |${p}ein AS (SELECT la AS label, count(*) AS e_in FROM ${p}lab
+      |  WHERE la = lb GROUP BY la),
+      |${p}nn AS (SELECT label, count(*) AS n_nodes FROM $labsCte
+      |  GROUP BY label),
+      |${p}dec AS MATERIALIZED (SELECT nn.label,
+      |  CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+      |  CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in,
+      |  CAST(COALESCE(ds.d_sum, 0) AS BIGINT) AS d_sum,
+      |  CAST(4 * mm0.m * COALESCE(ein.e_in, 0)
+      |       - COALESCE(ds.d_sum, 0) * COALESCE(ds.d_sum, 0) AS DOUBLE)
+      |    / CAST(4 * mm0.m * mm0.m AS DOUBLE) AS q_c
+      |  FROM ${p}nn nn LEFT JOIN ${p}ds ds USING (label)
+      |  LEFT JOIN ${p}ein ein USING (label) CROSS JOIN mm0)""".stripMargin
+
+  /** `e_louvain_apply` — commit the per-source-community best moves of
+    * the graded `e_louvain_move` sweep, decompose modularity before and
+    * after (one parameterized definition), report per affected
+    * community. m is shared: moves relabel nodes, never edges. Mirrors
+    * `ExtQueries.louvainApply`. */
+  private lazy val louvainApplySql: String =
+    s"""WITH $louvainPickCtes,
+      |${louvainLabCte("blab", "lp0")},
+      |mm0 AS (SELECT count(*) AS m FROM blab),
+      |${louvainLabCte("alab", "nl")},
+      |${louvainDecompCtes("lp0", "b")},
+      |${louvainDecompCtes("nl", "a")},
+      |aff AS (SELECT DISTINCT label FROM (
+      |  SELECT label_from AS label FROM pk
+      |  UNION ALL SELECT label_to FROM pk) t)
+      |SELECT f.label,
+      |  COALESCE(b.n_nodes, 0) AS n_before,
+      |  COALESCE(b.e_in, 0) AS e_in_before,
+      |  COALESCE(b.d_sum, 0) AS d_sum_before,
+      |  COALESCE(b.q_c, 0.0) AS q_before,
+      |  COALESCE(a.n_nodes, 0) AS n_after,
+      |  COALESCE(a.e_in, 0) AS e_in_after,
+      |  COALESCE(a.d_sum, 0) AS d_sum_after,
+      |  COALESCE(a.q_c, 0.0) AS q_after
+      |FROM aff f LEFT JOIN bdec b USING (label)
+      |LEFT JOIN adec a USING (label)
+      |ORDER BY f.label""".stripMargin
+
+  /** `e_louvain_collapse` — phase-2 condensation of the post-move
+    * partition: communities collapse to super-nodes, weight = exact count
+    * of original undirected labeled edges per community pair (self-loops
+    * carry internal mass). Mirrors `ExtQueries.louvainCollapse`. */
+  private lazy val louvainCollapseSql: String =
+    s"""WITH $louvainPickCtes,
+      |lab AS (SELECT u.src, u.dst, a.label AS la, b.label AS lb
+      |  FROM und0 u JOIN nl a ON u.src = a.vec_id
+      |  JOIN nl b ON u.dst = b.vec_id)
+      |SELECT least(la, lb) AS c_a, greatest(la, lb) AS c_b,
+      |  CAST(count(*) AS BIGINT) AS weight
+      |FROM lab GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** `e_token_budget` — COMPOSES the shared `qualityCtes` rule chain (the
     * `e_filter_bias` device), then the greedy allocation: exact integer
     * counts and cumulative sums via the \|sources\|² self-join, one
@@ -5325,6 +5422,8 @@ object ExtOracles {
     ("e_txn_conflict" -> txnConflictSql) +
     ("e_txn_rebase" -> txnRebaseSql) +
     ("e_louvain_move" -> louvainMoveSql) +
+    ("e_louvain_apply" -> louvainApplySql) +
+    ("e_louvain_collapse" -> louvainCollapseSql) +
     ("e_range_estimate" -> rangeEstimateSql) +
     ("e_range_estimate_eqd" -> rangeEstimateEqdSql) +
     ("e_silhouette" -> silhouetteSql) +
