@@ -41,6 +41,11 @@ import sys
 SENTINELS = ["e_jaccard_prefix", "e_pca_power", "e_kmeans_train",
              "e_knn_graph", "e_bpe_train", "q_daily_agg", "e_datasheet"]
 
+# chunks below this size get SPARK_GRAFT_WARMUPS=3: a short key list
+# under-amortizes JIT/codegen across the single default warmup pass and
+# every key in the chunk reads high (round-15 small_chunk_note)
+SMALL_CHUNK_KEYS = 12
+
 
 def sbt_bench(env_extra: dict) -> dict:
     out = subprocess.run(
@@ -90,9 +95,17 @@ def main(sf_dir: str, out_json: str, runs: int = 3, chunk: int = 20,
     med: dict = {}
     pos: dict = {}
     errors: dict = {}
+    raised_warmups: dict = {}
     for ci, ck in enumerate(chunks):
         env = {"SPARK_GRAFT_SF_DIR": sf_dir, "SPARK_GRAFT_CPUS": "32",
                "SPARK_GRAFT_KEYS": ",".join(ck)}
+        # small chunks under-amortize JIT/codegen across the single warmup
+        # pass (round-15 adjudication: the final 9-key sentinel chunk
+        # drifted all sentinels +0.3-0.8s) — raise in-JVM warmups to 3,
+        # the protocol's documented fix, and record it in the artifact
+        if len(ck) < SMALL_CHUNK_KEYS:
+            env["SPARK_GRAFT_WARMUPS"] = "3"
+            raised_warmups[str(ci)] = {"keys": len(ck), "warmups": 3}
         outs = [sbt_bench(env) for _ in range(runs)]
         samples = [o["queries"] for o in outs]
         # a key that threw in ANY measured pass has a bogus median — carry
@@ -124,6 +137,7 @@ def main(sf_dir: str, out_json: str, runs: int = 3, chunk: int = 20,
         "queries": full,
         "errors": errors,
         "run_position": pos,
+        "raised_warmups": raised_warmups,
         "sf": sf_dir,
     }
     if mode == "sentinel":
