@@ -5065,6 +5065,35 @@ object ExtQueries {
   private[graft] def knnAdjacency(assigned: DataFrame): DataFrame =
     knnTopk(knnScoredPairs(assigned, assigned))
 
+  /** TOMBSTONE REPAIR of a standing in-cell adjacency — the
+    * [[indexDelete]] incremental-repair argument as ONE shared
+    * definition (consumed by the graded key's audit and by
+    * [[graft.streaming.Streaming]]'s delete-aware gates, so the batch
+    * cascade and the mid-stream delete path cannot drift): given the
+    * SURVIVOR assignment (`assignedAfter` — deleted nodes already
+    * anti-joined out) and the pre-delete `standing` adjacency, drop
+    * deleted nodes' own lists, rescore ONLY the nodes that LOST a top-k
+    * member (in-cell against survivors — the promotion a deletion can
+    * force), and carry every untouched list verbatim. `dels` is a slim
+    * `(del_id)` frame (small by the GDPR-request contract — broadcast).
+    * The repair ≡ rebuild-over-survivors theorem is certified by
+    * `e_index_delete`'s own oracle (the full survivor rebuild). Output
+    * unpersisted — callers own materialization. */
+  private[graft] def knnRepairEdges(assignedAfter: DataFrame,
+      standing: DataFrame, dels: DataFrame): DataFrame = {
+    val touched = standing.join(broadcast(dels),
+        standing("nbr") === dels("del_id"), "left_semi")
+      .select(col("src")).distinct()
+    val touchedAssigned = assignedAfter.join(broadcast(touched),
+      assignedAfter("vec_id") === touched("src"), "left_semi")
+    val repairedTouched = knnTopk(knnScoredPairs(touchedAssigned, assignedAfter))
+    val kept = standing
+      .join(broadcast(dels), standing("src") === dels("del_id"), "left_anti")
+      .join(broadcast(touched), Seq("src"), "left_anti")
+      .select(col("src"), col("nbr"), col("score"), col("rank"))
+    kept.unionByName(repairedTouched)
+  }
+
   /** Exact-cosine scored in-cell candidate pairs: every `srcs` row against
     * every SAME-CELL `pool` row (both frames `(vec_id, e, nrm, cell)`,
     * src ≠ pool id). ONE definition shared by the full build
@@ -10849,22 +10878,14 @@ object ExtQueries {
     val oldEdges = benchMemo(spark, dir, "knn_adjacency")(
         knnTopk(knnScoredPairs(assigned, assigned)))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val touched = oldEdges.join(broadcast(dels),
-        oldEdges("nbr") === dels("del_id"), "left_semi")
-      .select(col("src")).distinct()
-    val touchedAssigned = assignedAfter.join(broadcast(touched),
-      assignedAfter("vec_id") === touched("src"), "left_semi")
-    val repairedTouched = knnTopk(knnScoredPairs(touchedAssigned, assignedAfter))
-    val kept = oldEdges
-      .join(broadcast(dels), oldEdges("src") === dels("del_id"), "left_anti")
-      .join(broadcast(touched), Seq("src"), "left_anti")
-      .select(col("src"), col("nbr"), col("score"), col("rank"))
     // PERSISTED: feeds the after-count, the endpoint refs scan and the
     // digest. Under the bench memo (default request rule only) the
     // repaired artifact is shared with [[indexRetrain]]'s before-side as
     // "knn_surv" — the repair≡rebuild theorem this key's own oracle
-    // certifies is what makes the two frames the same artifact.
-    val newEdgesRaw = kept.unionByName(repairedTouched)
+    // certifies is what makes the two frames the same artifact. The
+    // repair body is the shared [[knnRepairEdges]] (one definition with
+    // the streaming delete-aware gate).
+    val newEdgesRaw = knnRepairEdges(assignedAfter, oldEdges, dels)
     val newEdges = (if (mod == DeleteEveryMod)
         benchMemo(spark, dir, "knn_surv")(newEdgesRaw)
       else newEdgesRaw)

@@ -566,6 +566,74 @@ object Streaming {
     query
   }
 
+  /** Delete-aware [[startNearDupGate]] — the TOMBSTONE control path that
+    * closes the streaming half of the GDPR cascade (`e_delete_apply` /
+    * `e_index_delete` are the batch half): the stream's rows carry an
+    * `op` column — `"add"` rows are screened exactly as in
+    * [[startNearDupGate]]; `"delete"` rows are tombstones whose doc_ids
+    * are REMOVED from the standing index mid-stream (shingle and band
+    * rows anti-joined out — the dedup index keeps no derived per-node
+    * state, so the anti-join IS the whole repair), without the
+    * restart-with-survivors a static gate forces. Deletes apply BEFORE
+    * the same batch's adds (the CDC convention), so a batch can retire a
+    * corpus document and screen against its absence in one trigger.
+    *
+    * The index swap is EAGER (new frames materialize before the old ones
+    * release — the IterStorage discipline), so a tombstone's cost is one
+    * anti-join of the standing frames, paid once per control batch, and
+    * later batches never re-derive lineage through dropped cache.
+    *
+    * Parity is spec-pinned: after a tombstone batch, verdicts equal a
+    * fresh gate started over the survivor corpus. */
+  def startNearDupGateWithDeletes(docs: DataFrame, corpus: DataFrame,
+      ckpt: String)(emit: DataFrame => Unit): StreamingQuery = {
+    import graft.queries.ExtQueries
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var corpusShd = ExtQueries
+      .shingleSets(corpus.select(col("doc_id"), col("text"))).persist(sl)
+    var corpusBands = ExtQueries.minhashBands(corpusShd)
+    val query = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val tomb = b.filter(col("op") === "delete").select(col("doc_id"))
+          if (!tomb.isEmpty) {
+            val newShd = corpusShd.join(broadcast(tomb), Seq("doc_id"),
+              "left_anti").persist(sl)
+            val newBands = corpusBands.join(broadcast(tomb), Seq("doc_id"),
+              "left_anti").persist(sl)
+            // eager swap: materialize the survivors BEFORE dropping the
+            // frames their lineage reads
+            newShd.count(); newBands.count()
+            corpusShd.unpersist(); corpusBands.unpersist()
+            corpusShd = newShd; corpusBands = newBands
+          }
+          val adds = b.filter(col("op") === "add")
+            .select(col("doc_id"), col("text"))
+          val bShd = ExtQueries.shingleSets(adds).persist()
+          try {
+            val bBands = ExtQueries.minhashBands(bShd, persist = false)
+            val matches = ExtQueries
+              .crossNearDupPairs(corpusBands, corpusShd, bBands, bShd)
+              .groupBy(col("doc_b").as("doc_id"))
+              .agg(min(col("doc_a")).as("match_id"))
+            emit(adds.select(col("doc_id"))
+              .join(matches, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                col("match_id").isNotNull.as("is_near_dup"), col("match_id")))
+          } finally bShd.unpersist()
+        } finally b.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    // by-name: releases whatever frames are standing AT termination,
+    // which after a tombstone swap are the repaired ones
+    releaseOnTermination(docs.sparkSession, query, Seq(corpusShd, corpusBands))
+    query
+  }
+
   /** Streaming FILTERED vector serving — the continuous form of
     * [[graft.queries.ExtQueries.ivfFilter]]: a STATIC labeled IVF index
     * (cell assignment + centroid table, built ONCE at stream start from
@@ -629,7 +697,7 @@ object Streaming {
     * cleanup runs inline; the atomic guard makes the
     * check-then-event double-fire release exactly once. */
   private def releaseOnTermination(spark: SparkSession, query: StreamingQuery,
-      frames: Seq[Dataset[_]]): Unit = {
+      frames: => Seq[Dataset[_]]): Unit = {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val released = new java.util.concurrent.atomic.AtomicBoolean(false)
     def release(): Unit =
@@ -700,6 +768,61 @@ object Streaming {
           batch.select(col("vec_id"), col("embedding")), cents).persist()
         try emit(ExtQueries.knnAttach(corpusAssigned, standing, batchAssigned))
         finally batchAssigned.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    releaseOnTermination(batches.sparkSession, query,
+      Seq(cents, corpusAssigned, standing))
+    query
+  }
+
+  /** Delete-aware [[startKnnAttachGate]] — the tombstone control path for
+    * the STANDING ADJACENCY, where deletion is not a plain anti-join: a
+    * node whose top-k contained a deleted neighbor must be RESCORED
+    * against survivors (the deletion can promote a node from outside the
+    * old top-k). The repair body is the graded `e_index_delete` key's own
+    * [[graft.queries.ExtQueries.knnRepairEdges]] — one definition, so the
+    * batch GDPR cascade and the mid-stream delete path cannot drift; that
+    * key's oracle certifies repair ≡ rebuild-over-survivors, which is
+    * exactly the parity this gate's spec re-pins end to end.
+    *
+    * Stream rows carry `op` — `"add"` rows attach as in
+    * [[startKnnAttachGate]]; `"delete"` rows tombstone `vec_id`s out of
+    * the standing assignment and adjacency (deletes before adds within a
+    * batch, the CDC convention). The swap is eager ([[IterStorage]]
+    * discipline): repair cost is |touched|·|cell| rescored pairs per
+    * control batch, never a corpus rebuild and never a stream restart. */
+  def startKnnAttachGateWithDeletes(batches: DataFrame, corpus: DataFrame,
+      ckpt: String)(emit: DataFrame => Unit): StreamingQuery = {
+    import graft.queries.ExtQueries
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cents = ExtQueries.seedCentroidsOf(corpus).persist()
+    var corpusAssigned = ExtQueries.knnAssign(corpus, cents).persist(sl)
+    var standing = ExtQueries.knnAdjacency(corpusAssigned).persist(sl)
+    val query = batches.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val tomb = b.filter(col("op") === "delete")
+            .select(col("vec_id").as("del_id"))
+          if (!tomb.isEmpty) {
+            val newAssigned = corpusAssigned.join(broadcast(tomb),
+              corpusAssigned("vec_id") === tomb("del_id"), "left_anti")
+              .persist(sl)
+            val newStanding = ExtQueries
+              .knnRepairEdges(newAssigned, standing, tomb).persist(sl)
+            newAssigned.count(); newStanding.count()
+            corpusAssigned.unpersist(); standing.unpersist()
+            corpusAssigned = newAssigned; standing = newStanding
+          }
+          val adds = b.filter(col("op") === "add")
+            .select(col("vec_id"), col("embedding"))
+          val batchAssigned = ExtQueries.knnAssign(adds, cents).persist()
+          try emit(ExtQueries.knnAttach(corpusAssigned, standing, batchAssigned))
+          finally batchAssigned.unpersist()
+        } finally b.unpersist()
       }
       .trigger(Trigger.AvailableNow())
       .start()
