@@ -134,6 +134,7 @@ object SparkEntry {
     "e_feed_apply"        -> (ExtQueries.feedApply _),
     "e_txn_conflict"      -> (ExtQueries.txnConflict _),
     "e_txn_rebase"        -> (ExtQueries.txnRebase _),
+    "e_txn_retry"         -> (ExtQueries.txnRetry _),
     "e_louvain_move"      -> (ExtQueries.louvainMove _),
     "e_louvain_apply"     -> (ExtQueries.louvainApply _),
     "e_louvain_collapse"  -> (ExtQueries.louvainCollapse _),
@@ -329,10 +330,12 @@ object SparkEntry {
     // e_feed_apply folds that feed into e_incr_agg's monoid state;
     // e_txn_rebase re-runs the graded e_merge_apply commit (writer A's
     // snapshot IS e_merge_apply's output) before replaying B on top;
+    // e_txn_retry re-runs the graded e_txn_rebase pipeline before
+    // re-deriving B's rejected ops against its snapshot;
     // e_range_estimate_eqd composes the graded e_range_estimate audit as
     // its equi-width comparison column and exact counts
     "e_vacuum_apply", "e_change_feed", "e_feed_apply", "e_txn_rebase",
-    "e_range_estimate_eqd", "e_nb_threshold", "e_pref_pairs")
+    "e_txn_retry", "e_range_estimate_eqd", "e_nb_threshold", "e_pref_pairs")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

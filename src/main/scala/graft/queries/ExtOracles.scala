@@ -5021,6 +5021,44 @@ object ExtOracles {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** `e_txn_retry` — the OCC retry step: B's rejected ops re-derive
+    * against the rebased snapshot's CURRENT preimages (composing the
+    * graded `e_txn_rebase` SQL) and apply as a third serial merge; the
+    * ledger refines `b_retry` into retried_update / retried_delete /
+    * retry_noop. Mirrors `ExtQueries.txnRetry`. */
+  private lazy val txnRetrySql: String = {
+    val m = ExtQueries.TxnBMod
+    val d = ExtQueries.TxnBCharsDelta
+    s"""WITH rb AS MATERIALIZED (SELECT * FROM ($txnRebaseSql) t),
+      |rt AS (SELECT doc_id,
+      |    CASE WHEN doc_id % $m = 0 THEN 'D' ELSE 'U' END AS op,
+      |    text, lang, source, n_chars
+      |  FROM rb WHERE outcome = 'b_retry'),
+      |retried AS MATERIALIZED (SELECT op, doc_id,
+      |    CASE WHEN op = 'U' THEN 'ub:' || text ELSE text END AS text,
+      |    lang, source,
+      |    CASE WHEN op = 'U' THEN n_chars + $d ELSE n_chars END AS n_chars
+      |  FROM rt WHERE text IS NOT NULL),
+      |s3 AS (
+      |  SELECT s.doc_id, s.text, s.lang, s.source, s.n_chars
+      |  FROM (SELECT doc_id, text, lang, source, n_chars FROM rb
+      |        WHERE text IS NOT NULL) s
+      |  ANTI JOIN retried USING (doc_id)
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, source, n_chars FROM retried
+      |  WHERE op <> 'D'),
+      |led AS (SELECT doc_id,
+      |  CASE WHEN outcome <> 'b_retry' THEN outcome
+      |       WHEN text IS NULL THEN 'retry_noop'
+      |       WHEN doc_id % $m = 0 THEN 'retried_delete'
+      |       ELSE 'retried_update' END AS outcome
+      |  FROM rb)
+      |SELECT doc_id, COALESCE(outcome, 'base') AS outcome,
+      |  text, lang, source, n_chars
+      |FROM s3 FULL OUTER JOIN led USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** `e_change_feed` — the CDF read: the oracle classifies each change
     * batch against the SEQUENTIAL replay's previous snapshot (`b{v}` ×
     * `s{v-1}`) where Spark joins the whole log against merge-on-read
@@ -5421,6 +5459,7 @@ object ExtOracles {
     ("e_feed_apply" -> feedApplySql) +
     ("e_txn_conflict" -> txnConflictSql) +
     ("e_txn_rebase" -> txnRebaseSql) +
+    ("e_txn_retry" -> txnRetrySql) +
     ("e_louvain_move" -> louvainMoveSql) +
     ("e_louvain_apply" -> louvainApplySql) +
     ("e_louvain_collapse" -> louvainCollapseSql) +

@@ -10120,7 +10120,14 @@ object ExtQueries {
     * for the outcome ledger, all on the same key. The oracle replays the
     * serial copy-on-write history independently, so the gate pins rebased
     * ≡ serial A-then-B′ — the serializability argument itself. */
-  def txnRebase(spark: SparkSession, dir: String): DataFrame = {
+  def txnRebase(spark: SparkSession, dir: String): DataFrame =
+    txnRebaseRows(spark, dir).orderBy("doc_id")
+
+  /** [[txnRebase]]'s body without the output sort — the frame
+    * [[txnRetry]] folds a third serial step onto (the changeFeedRows
+    * factoring rule). */
+  private[queries] def txnRebaseRows(
+      spark: SparkSession, dir: String): DataFrame = {
     def writerBatch(mod: Long, off: Long, updPre: String, insPre: String,
         d: Long): DataFrame = {
       val m = pmod(col("doc_id"), lit(mod))
@@ -10166,6 +10173,71 @@ object ExtQueries {
           .when(col("a_op").isNotNull, lit("committed_a"))
           .otherwise(lit("committed_b")).as("outcome"))
     s2.join(cls, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), coalesce(col("outcome"), lit("base")).as("outcome"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  // ---- e_txn_retry ----------------------------------------------------------
+
+  /** OCC RETRY — the third step of the optimistic-concurrency loop
+    * ([[txnConflict]] detects, [[txnRebase]] rebases and REJECTS the
+    * write-write ops, this RETRIES them): writer B re-reads the rebased
+    * snapshot and RE-DERIVES each rejected op against the CURRENT
+    * preimage — the client-side loop every OCC system's documentation
+    * prescribes after a `ConcurrentModificationException`. A retried
+    * UPDATE applies B's edit to the key's current value (A's committed
+    * payload — not B's stale derivation, which is the lost-update the
+    * abort existed to prevent); a retried DELETE removes the key; a retry
+    * against a key A already deleted has nothing to apply and DROPS
+    * (MERGE WHEN MATCHED semantics — the no-op retry). Inserts never
+    * conflict, so nothing re-inserts. Emits the final serial
+    * base→A→B′→B″ snapshot with the ledger refined: `b_retry` keys
+    * resolve to `retried_update` / `retried_delete` / `retry_noop`
+    * (A had deleted the key), other outcomes carry over from
+    * [[txnRebase]].
+    *
+    * Determinism: the retried batch is per-key unique (one conflicted op
+    * per key), so the [[mergeWinners]] struct max stays a total order.
+    *
+    * At scale: ONE extra key-shuffle for the third merge (the serial
+    * history's own cost), a semi-join to derive retried ops from the
+    * rebased snapshot, and a slim ledger join — the retry costs what a
+    * normal commit costs, which is why OCC retries are cheap when
+    * conflicts are rare. Composes the graded [[txnRebase]] pipeline
+    * (writer A's commit IS [[mergeApply]]'s) — a harness key. */
+  def txnRetry(spark: SparkSession, dir: String): DataFrame = {
+    // the rebased snapshot + ledger, recomputed via the graded key's own
+    // body (ordered surface dropped: the merges below re-shuffle anyway)
+    val rebased = txnRebaseRows(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // B's conflicted ops: the b_retry ledger rows, with B's ORIGINAL op
+    // class recovered from the coprime mod rule (op on base keys only —
+    // inserts never conflict, so conflicted keys are base keys)
+    val m5 = pmod(col("doc_id"), lit(TxnBMod))
+    val retryOps = rebased.filter(col("outcome") === "b_retry")
+      .select(col("doc_id"),
+        when(m5 === 0, lit("D")).otherwise(lit("U")).as("b_op"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    // re-derive against the CURRENT preimage: live keys only (text
+    // non-null); a retry on an A-deleted key is the no-op
+    val retried = retryOps.filter(col("text").isNotNull)
+      .select(lit(1).as("src"), col("b_op").as("op"), col("doc_id"),
+        when(col("b_op") === "U", concat(lit("ub:"), col("text")))
+          .otherwise(col("text")).as("text"),
+        col("lang"), col("source"),
+        when(col("b_op") === "U", col("n_chars") + lit(TxnBCharsDelta))
+          .otherwise(col("n_chars")).as("n_chars"))
+    val s3 = mergeWinners(
+      rebased.filter(col("text").isNotNull)
+        .select(lit(0).as("src"), lit("B").as("op"), col("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        .unionByName(retried))
+    val ledger = rebased.select(col("doc_id"),
+      when(col("outcome") =!= "b_retry", col("outcome"))
+        .when(col("text").isNull, lit("retry_noop"))
+        .when(m5 === 0, lit("retried_delete"))
+        .otherwise(lit("retried_update")).as("outcome"))
+    s3.join(ledger, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), coalesce(col("outcome"), lit("base")).as("outcome"),
         col("text"), col("lang"), col("source"), col("n_chars"))
       .orderBy("doc_id")
@@ -10526,12 +10598,19 @@ object ExtQueries {
     * Groups whose count reaches zero drop from the state (matching the
     * recompute's GROUP BY, which never sees them). Composes the graded
     * [[changeFeed]] derivation — a harness key. */
+  /** The retract-then-apply SIGN of one change-feed row: +1 for
+    * `insert`/`update_postimage` (⊕), −1 for `delete`/`update_preimage`
+    * (⊖) — ONE rule shared by [[feedApply]] and
+    * [[graft.streaming.Streaming.startFeedApply]], so the batch backfill
+    * and the continuous maintenance fold the same algebra. */
+  private[graft] def feedSign: Column =
+    when(col("change_type").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+
   def feedApply(spark: SparkSession, dir: String): DataFrame = {
     val deltas = changeFeedRows(spark, dir)
       .select(col("version"), col("lang"), col("source"),
-        when(col("change_type").isin("insert", "update_postimage"), lit(1L))
-          .otherwise(lit(-1L)).as("sgn"),
-        col("n_chars"))
+        feedSign.as("sgn"), col("n_chars"))
       .groupBy(col("version"), col("lang"), col("source"))
       .agg(sum(col("sgn")).as("d_docs"),
         sum(col("sgn") * col("n_chars")).as("d_chars"))

@@ -457,6 +457,69 @@ object Streaming {
       .start()
   }
 
+  /** Streaming MATERIALIZED-VIEW maintenance — the continuous form of
+    * [[graft.queries.ExtQueries.feedApply]] and the consumer half of the
+    * CDC loop at AGGREGATE grain ([[startChangeCapture]] emits a
+    * changelog, [[startMergeApply]] maintains the TABLE; this maintains a
+    * standing aggregate): each micro-batch is a change-feed slice
+    * (`change_type` ∈ insert/delete/update_preimage/update_postimage with
+    * the row payload), folded into the stored (lang, source) monoid state
+    * by signed retract-then-apply deltas — the state updates with
+    * |changes| work per trigger, never re-reading the base table, which
+    * is the entire economics of a streaming materialized view. The sign
+    * rule IS the batch operator's
+    * [[graft.queries.ExtQueries.feedSign]] — one definition, so the
+    * backfill path and the continuous path fold the same algebra (parity
+    * spec-pinned per version against `e_feed_apply` anyway).
+    *
+    * `init` seeds the state with the base snapshot's partials (in
+    * production: the stored state table's bootstrap — one batch aggregate
+    * run once); the STATE stores raw partials (n_docs, sum_chars) and
+    * `emit` receives the FINALIZED view (mean at read time — the
+    * [[graft.queries.ExtQueries.incrAgg]] discipline). Groups folded to
+    * zero count drop from the state, matching the batch key's contract.
+    *
+    * Exactly-once across restarts: the [[startMergeApply]] versioned-state
+    * device — state publishes to `v=<batchId>`, the fold base is the
+    * highest version BELOW the current batch id (or `init` when none), so
+    * a replayed batch overwrites its own version and folds against the
+    * same predecessor, converging instead of double-applying retractions.
+    *
+    * At scale: per trigger, ONE map-side-combined aggregate of the batch
+    * to ≤|groups| delta rows + a |groups|-row full-outer fold — state
+    * I/O is |groups| rows regardless of feed volume. */
+  def startFeedApply(feed: DataFrame, init: DataFrame, stateDir: String,
+      ckpt: String)(emit: DataFrame => Unit): StreamingQuery =
+    feed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val deltas = batch.select(col("lang"), col("source"),
+            graft.queries.ExtQueries.feedSign.as("sgn"), col("n_chars"))
+          .groupBy(col("lang"), col("source"))
+          .agg(sum(col("sgn")).as("d_docs"),
+            sum(col("sgn") * col("n_chars")).as("d_chars"))
+        val prev = latestVersionBefore(spark, stateDir, batchId) match {
+          case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
+          case None => init.select(col("lang"), col("source"),
+            col("n_docs"), col("sum_chars"))
+        }
+        prev.join(deltas, Seq("lang", "source"), "full_outer")
+          .select(col("lang"), col("source"),
+            (coalesce(col("n_docs"), lit(0L))
+              + coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+            (coalesce(col("sum_chars"), lit(0L))
+              + coalesce(col("d_chars"), lit(0L))).as("sum_chars"))
+          .filter(col("n_docs") > 0)
+          .write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+        emit(spark.read.parquet(s"$stateDir/v=$batchId")
+          .withColumn("avg_chars",
+            col("sum_chars").cast("double") / col("n_docs").cast("double")))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming MEDIA near-duplicate gate — the perceptual-hash twin of
     * [[startNearDupGate]] and the continuous form of
     * [[graft.queries.ExtQueries.mediaDedup]]: each micro-batch of incoming
