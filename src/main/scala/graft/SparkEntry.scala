@@ -138,6 +138,7 @@ object SparkEntry {
     "e_louvain_move"      -> (ExtQueries.louvainMove _),
     "e_louvain_apply"     -> (ExtQueries.louvainApply _),
     "e_louvain_collapse"  -> (ExtQueries.louvainCollapse _),
+    "e_louvain_super"     -> (ExtQueries.louvainSuper _),
     "e_range_estimate"    -> (ExtQueries.rangeEstimate _),
     "e_range_estimate_eqd" -> (ExtQueries.rangeEstimateEqd _),
     "e_cosine_topk_beam"  -> (ExtQueries.cosineTopkBeam _),
@@ -280,8 +281,10 @@ object SparkEntry {
     // e_louvain_move optimizes the e_label_prop partition over the
     // e_knn_graph edges (the e_modularity universe); e_louvain_apply
     // commits its moves and re-runs the decomposition; e_louvain_collapse
-    // condenses the post-move partition (both re-run the sweep)
+    // condenses the post-move partition (both re-run the sweep);
+    // e_louvain_super runs the weighted sweep on the condensed graph
     "e_louvain_move", "e_louvain_apply", "e_louvain_collapse",
+    "e_louvain_super",
     // classified under the same rule (round 10 — moves these keys from the
     // operator total to the harness total in BENCH comparisons):
     // soft_dedup/canonical_pick re-run the e_dup_clusters CC fixpoint;

@@ -4452,6 +4452,41 @@ object ExtOracles {
       |FROM lab GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** `e_louvain_super` — the weighted sweep over the condensed graph:
+    * COMPOSES the graded `e_louvain_collapse` SQL, derives community
+    * degrees (cross weights + 2·self-loop) and the exact integer merge
+    * gain 2m·w_ab − d_a·d_b, argmax under (gain DESC, partner ASC).
+    * CTE names suffixed `9` — they nest above `louvainMoveSql`'s own
+    * (the duplicate-alias rule). Mirrors `ExtQueries.louvainSuper`. */
+  private lazy val louvainSuperSql: String =
+    s"""WITH cg9 AS MATERIALIZED (SELECT c_a, c_b, weight
+      |  FROM ($louvainCollapseSql) t),
+      |mm9 AS (SELECT CAST(sum(weight) AS BIGINT) AS m FROM cg9),
+      |dg9 AS (SELECT c, CAST(sum(d) AS BIGINT) AS d FROM (
+      |  SELECT c_a AS c,
+      |    CASE WHEN c_a = c_b THEN 2 * weight ELSE weight END AS d FROM cg9
+      |  UNION ALL SELECT c_b,
+      |    CASE WHEN c_a = c_b THEN 0 ELSE weight END FROM cg9) t
+      |  GROUP BY c),
+      |pr9 AS (SELECT c, p, weight FROM (
+      |  SELECT c_a AS c, c_b AS p, weight FROM cg9 WHERE c_a <> c_b
+      |  UNION ALL SELECT c_b, c_a, weight FROM cg9 WHERE c_a <> c_b) t),
+      |cand9 AS (SELECT pr9.c, pr9.p, pr9.weight,
+      |    2 * mm9.m * pr9.weight - dc.d * dp.d AS gain_num
+      |  FROM pr9 JOIN dg9 dc ON dc.c = pr9.c
+      |  JOIN dg9 dp ON dp.c = pr9.p CROSS JOIN mm9),
+      |best9 AS (SELECT c, p, weight, gain_num FROM (
+      |  SELECT cand9.*, row_number() OVER (PARTITION BY c
+      |    ORDER BY gain_num DESC, p ASC) AS rn FROM cand9) r WHERE rn = 1)
+      |SELECT dg9.c AS community,
+      |  CASE WHEN b.gain_num > 0 THEN b.p ELSE dg9.c END AS partner,
+      |  CAST(CASE WHEN b.gain_num > 0 THEN b.weight ELSE 0 END AS BIGINT)
+      |    AS w_ab,
+      |  CAST(greatest(COALESCE(b.gain_num, 0), 0) AS BIGINT) AS gain_num,
+      |  (CASE WHEN b.gain_num > 0 THEN b.p ELSE dg9.c END) <> dg9.c AS merged
+      |FROM dg9 LEFT JOIN best9 b ON b.c = dg9.c
+      |ORDER BY community""".stripMargin
+
   /** `e_token_budget` — COMPOSES the shared `qualityCtes` rule chain (the
     * `e_filter_bias` device), then the greedy allocation: exact integer
     * counts and cumulative sums via the \|sources\|² self-join, one
@@ -5463,6 +5498,7 @@ object ExtOracles {
     ("e_louvain_move" -> louvainMoveSql) +
     ("e_louvain_apply" -> louvainApplySql) +
     ("e_louvain_collapse" -> louvainCollapseSql) +
+    ("e_louvain_super" -> louvainSuperSql) +
     ("e_range_estimate" -> rangeEstimateSql) +
     ("e_range_estimate_eqd" -> rangeEstimateEqdSql) +
     ("e_silhouette" -> silhouetteSql) +

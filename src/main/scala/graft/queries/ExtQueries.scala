@@ -9431,7 +9431,14 @@ object ExtQueries {
     * metadata-sized next to |V|·k. Composes the graded
     * [[louvainMove]]/[[labelProp]]/[[knnGraph]] derivations — a harness
     * key. */
-  def louvainCollapse(spark: SparkSession, dir: String): DataFrame = {
+  def louvainCollapse(spark: SparkSession, dir: String): DataFrame =
+    louvainCollapseRows(spark, dir).orderBy("c_a", "c_b")
+
+  /** [[louvainCollapse]]'s body without the output sort — the condensed
+    * graph [[louvainSuper]] runs the next sweep on (the changeFeedRows
+    * factoring rule). */
+  private[queries] def louvainCollapseRows(
+      spark: SparkSession, dir: String): DataFrame = {
     val (knn, labs) = labelPropPartsMemo(spark, dir)
     val moves = benchMemo(spark, dir, "louvain_moves")(
       louvainMovesFrom(knn, labs))
@@ -9447,7 +9454,71 @@ object ExtQueries {
       .groupBy(least(col("la"), col("lb")).as("c_a"),
         greatest(col("la"), col("lb")).as("c_b"))
       .agg(count(lit(1)).as("weight"))
-      .orderBy("c_a", "c_b")
+  }
+
+  // ---- e_louvain_super ------------------------------------------------------
+
+  /** WEIGHTED modularity-ascent sweep over the CONDENSED graph — the
+    * recursion that makes Louvain hierarchical (Blondel '08 §2: after
+    * phase-2 condensation, "the algorithm is then applied to the
+    * resulting weighted network"): on [[louvainCollapse]]'s super-node
+    * graph a move is a community MERGE, and the exact weighted gain of
+    * merging a into b is Δ(Q·4m²) = 2·(2m·w_ab − d_a·d_b) — carried as
+    * the integer numerator gain_num = 2m·w_ab − d_a·d_b, where w_ab is
+    * the condensed edge weight, d_c the community's total degree
+    * (cross-community weights + 2·self-loop — exactly the
+    * after-decomposition's d_sum), and m the conserved total edge mass.
+    * Per community, the best merge partner under (gain DESC, partner
+    * ASC); merge only on strictly positive gain. The MERGE-EXACTNESS
+    * theorem (applying any one merge to the underlying partition changes
+    * the [[modularity]] decomposition by exactly 2·gain_num on the
+    * Q·4m² integer scale — e_ab = e_a + e_b + w_ab, d_ab = d_a + d_b)
+    * is spec-pinned as pure int64 arithmetic, with the original-graph
+    * realized ΔQ as the witness.
+    *
+    * At scale this is the payoff of condensation: the sweep runs on
+    * ≤|communities|² metadata rows — degrees, pairs, and the argmax are
+    * all tiny aggregates of the condensed table; the corpus-scale work
+    * was paid once in the collapse. Composes the graded
+    * [[louvainCollapse]] chain — a harness key. */
+  def louvainSuper(spark: SparkSession, dir: String): DataFrame = {
+    // |communities|²-row condensed table, persisted for its three
+    // consumers (mass, degrees, pairs)
+    val cg = louvainCollapseRows(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mRow = cg.agg(sum(col("weight")).as("m"))
+    val deg = cg.select(explode(array(
+        struct(col("c_a").as("c"),
+          when(col("c_a") === col("c_b"), lit(2L) * col("weight"))
+            .otherwise(col("weight")).as("d")),
+        struct(col("c_b").as("c"),
+          when(col("c_a") === col("c_b"), lit(0L))
+            .otherwise(col("weight")).as("d")))).as("x"))
+      .select(col("x.*"))
+      .groupBy(col("c")).agg(sum(col("d")).as("d"))
+    val pairs = cg.filter(col("c_a") =!= col("c_b"))
+      .select(explode(array(
+        struct(col("c_a").as("c"), col("c_b").as("p"), col("weight")),
+        struct(col("c_b").as("c"), col("c_a").as("p"), col("weight")))).as("x"))
+      .select(col("x.*"))
+    val cand = pairs
+      .join(deg.select(col("c"), col("d").as("d_c")), Seq("c"))
+      .join(deg.select(col("c").as("p"), col("d").as("d_p")), Seq("p"))
+      .crossJoin(broadcast(mRow))
+      .withColumn("gain_num",
+        lit(2L) * col("m") * col("weight") - col("d_c") * col("d_p"))
+    val best = cand.groupBy(col("c"))
+      .agg(max(struct(col("gain_num"), (-col("p")).as("np"), col("weight")))
+        .as("mv"))
+    deg.join(best, Seq("c"), "left")
+      .select(col("c").as("community"),
+        when(col("mv.gain_num") > 0, -col("mv.np")).otherwise(col("c"))
+          .as("partner"),
+        when(col("mv.gain_num") > 0, col("mv.weight")).otherwise(lit(0L))
+          .as("w_ab"),
+        greatest(coalesce(col("mv.gain_num"), lit(0L)), lit(0L)).as("gain_num"))
+      .withColumn("merged", col("partner") =!= col("community"))
+      .orderBy("community")
   }
 
   // ---- e_walk_pairs -------------------------------------------------------
