@@ -141,6 +141,7 @@ object SparkEntry {
     "e_louvain_super"     -> (ExtQueries.louvainSuper _),
     "e_range_estimate"    -> (ExtQueries.rangeEstimate _),
     "e_range_estimate_eqd" -> (ExtQueries.rangeEstimateEqd _),
+    "e_corr_estimate"     -> (ExtQueries.corrEstimate _),
     "e_cosine_topk_beam"  -> (ExtQueries.cosineTopkBeam _),
     "e_cosine_topk_pq"    -> (ExtQueries.cosineTopkPq _),
     "e_pq_train"          -> (ExtQueries.pqTrain _),

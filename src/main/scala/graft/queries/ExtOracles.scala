@@ -5220,6 +5220,62 @@ object ExtOracles {
       |ORDER BY range_id""".stripMargin
   }
 
+  /** `e_corr_estimate` — the correlated-conjunction audit: exact ⌈n/2⌉
+    * rank medians, exact per-column selectivities for the independence
+    * estimate, and the B² two-column histogram priced by two-axis
+    * fixed-point interpolation. Mirrors `ExtQueries.corrEstimate`. */
+  private lazy val corrEstimateSql: String = {
+    val b = ExtQueries.RangeEstBuckets
+    val s = ExtQueries.RangeEstFpScale
+    s"""WITH t AS MATERIALIZED (SELECT n_chars,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |r AS (SELECT n_chars, n_tokens,
+      |    row_number() OVER (ORDER BY n_chars) AS ra,
+      |    row_number() OVER (ORDER BY n_tokens) AS rb,
+      |    count(*) OVER () AS n
+      |  FROM t),
+      |thr AS (SELECT
+      |    max(CASE WHEN ra = ceil(n * 0.5) THEN n_chars END) AS tc,
+      |    max(CASE WHEN rb = ceil(n * 0.5) THEN n_tokens END) AS tt
+      |  FROM r),
+      |bo AS (SELECT min(n_chars) AS loa, max(n_chars) AS hia,
+      |    min(n_tokens) AS lob, max(n_tokens) AS hib,
+      |    (max(n_chars) - min(n_chars) + $b) // $b AS wa,
+      |    (max(n_tokens) - min(n_tokens) + $b) // $b AS wb
+      |  FROM t),
+      |g AS (SELECT (t.n_chars - bo.loa) // bo.wa AS i,
+      |    (t.n_tokens - bo.lob) // bo.wb AS j,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM t, bo GROUP BY 1, 2),
+      |est AS (SELECT CAST(sum((g.cnt
+      |    * greatest(0, least(bo.loa + (g.i + 1) * bo.wa - 1, bo.hia)
+      |        - greatest(bo.loa + g.i * bo.wa, thr.tc) + 1)
+      |    * greatest(0, least(bo.lob + (g.j + 1) * bo.wb - 1, bo.hib)
+      |        - greatest(bo.lob + g.j * bo.wb, thr.tt) + 1)
+      |    * $s) // (bo.wa * bo.wb)) AS BIGINT) AS est_fp
+      |  FROM g, bo, thr),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN n_chars >= tc THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c_a,
+      |    CAST(sum(CASE WHEN n_tokens >= tt THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c_b,
+      |    CAST(sum(CASE WHEN n_chars >= tc AND n_tokens >= tt
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_actual
+      |  FROM t, thr)
+      |SELECT st.n_rows, thr.tc AS t_chars, thr.tt AS t_tokens,
+      |  st.c_a, st.c_b, st.n_actual,
+      |  CAST(st.c_a * st.c_b AS DOUBLE) / CAST(st.n_rows AS DOUBLE)
+      |    AS n_est_indep,
+      |  (CAST(st.c_a * st.c_b AS DOUBLE) / CAST(st.n_rows AS DOUBLE))
+      |    / CAST(st.n_actual AS DOUBLE) AS err_indep,
+      |  CAST(e.est_fp AS DOUBLE) / $s AS n_est_joint,
+      |  (CAST(e.est_fp AS DOUBLE) / $s) / CAST(st.n_actual AS DOUBLE)
+      |    AS err_joint
+      |FROM st, thr, est e""".stripMargin
+  }
+
   /** `e_schema_evolve` — the column-mapping merged read as one projection
     * union: generation-0 rows serve the added column as NULL and their old
     * physical name under the renamed logical one. Mirrors
@@ -5501,6 +5557,7 @@ object ExtOracles {
     ("e_louvain_super" -> louvainSuperSql) +
     ("e_range_estimate" -> rangeEstimateSql) +
     ("e_range_estimate_eqd" -> rangeEstimateEqdSql) +
+    ("e_corr_estimate" -> corrEstimateSql) +
     ("e_silhouette" -> silhouetteSql) +
     ("e_pq_train" -> pqTrainSql) +
     ("e_pq_trained" -> pqTrainedSql) +

@@ -2786,6 +2786,88 @@ object ExtQueries {
       .orderBy("range_id")
   }
 
+  // ---- e_corr_estimate ------------------------------------------------------
+
+  /** CORRELATED-PREDICATE selectivity audit — the fourth leg of the CBO
+    * family and the one that motivates multi-column statistics
+    * ([[joinEstimate]]: join uniformity; [[joinEstimateHist]]:
+    * frequencies; [[rangeEstimate]]/[[rangeEstimateEqd]]: single-column
+    * ranges; this: CONJUNCTIONS): two predicates driven by the same
+    * latent variable (`n_chars ≥ median` ∧ `n_tokens ≥ median` — both
+    * functions of text length, the classic "city = Paris ∧ country =
+    * France" shape) are priced two ways. The INDEPENDENCE estimate
+    * sel(A)·sel(B)·n uses EXACT per-column selectivities on purpose — so
+    * the measured ~2× under-estimate is attributable to the independence
+    * assumption alone, not to 1-D histogram error (this is the
+    * attribute-value-independence failure every optimizer textbook
+    * warns about). The JOINT estimate prices the same conjunction from a
+    * [[RangeEstBuckets]]² two-column histogram (the multi-column
+    * statistics PostgreSQL's `CREATE STATISTICS` and SQL Server's
+    * multi-column stats ship as the fix) by per-cell two-axis
+    * interpolation — Σ ⌊cnt·ovA·ovB·2²⁰/(wA·wB)⌋, exact int64 per cell
+    * ([[rangeEstimateEqd]]'s fixed-point discipline in two dimensions).
+    * Thresholds are exact ⌈n/2⌉ rank medians (the accuracy-guarded GK
+    * device). The spec pins the joint estimate strictly closer to truth
+    * than independence at both gate scales (measured ~0.9 vs ~0.51).
+    *
+    * At scale: ONE corpus pass tokenizes and the rest is metadata — the
+    * medians are one GK sketch, the grid is a map-side-combined count to
+    * ≤ B² cells, pricing touches ≤ B² rows; the exact conjunction count
+    * is the audit's deliberate cost. The grid is what ANALYZE would
+    * persist; pricing in production reads it, never the table. */
+  def corrEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val b = RangeEstBuckets
+    val s = RangeEstFpScale
+    // consumed by thresholds/bounds, the grid, and the exact counts
+    val t = table(spark, dir, "documents")
+      .select(col("n_chars"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = count(lit(1))
+    def med(c: Column) = when(n <= QualityBucketAccuracy,
+        percentile_approx(c, lit(0.5), lit(QualityBucketAccuracy)))
+      .otherwise(raise_error(lit(
+        s"corr_estimate: corpus exceeds accuracy $QualityBucketAccuracy — " +
+          "GK no longer degenerates to exact rank selection"))
+        .cast("bigint"))
+    val one = t.agg(
+        med(col("n_chars")).as("tc"), med(col("n_tokens")).as("tt"),
+        min(col("n_chars")).as("loa"), max(col("n_chars")).as("hia"),
+        min(col("n_tokens")).as("lob"), max(col("n_tokens")).as("hib"))
+      .withColumn("wa", expr(s"(hia - loa + $b) div $b"))
+      .withColumn("wb", expr(s"(hib - lob + $b) div $b"))
+    val grid = t.crossJoin(broadcast(one))
+      .groupBy(expr("(n_chars - loa) div wa").as("i"),
+        expr("(n_tokens - lob) div wb").as("j"))
+      .agg(count(lit(1)).as("cnt"))
+    val est = grid.crossJoin(broadcast(one))
+      .select((col("cnt")
+          * greatest(lit(0L), least(col("loa") + (col("i") + 1) * col("wa") - 1,
+              col("hia")) - greatest(col("loa") + col("i") * col("wa"),
+              col("tc")) + 1)
+          * greatest(lit(0L), least(col("lob") + (col("j") + 1) * col("wb") - 1,
+              col("hib")) - greatest(col("lob") + col("j") * col("wb"),
+              col("tt")) + 1)
+          * lit(s)).as("num"),
+        (col("wa") * col("wb")).as("den"))
+      .agg(sum(expr("num div den")).as("est_fp"))
+    val stats = t.crossJoin(broadcast(one))
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col("n_chars") >= col("tc")).cast("long")).as("c_a"),
+        sum((col("n_tokens") >= col("tt")).cast("long")).as("c_b"),
+        sum((col("n_chars") >= col("tc") && col("n_tokens") >= col("tt"))
+          .cast("long")).as("n_actual"))
+    one.crossJoin(est).crossJoin(stats)
+      .select(col("n_rows"), col("tc").as("t_chars"), col("tt").as("t_tokens"),
+        col("c_a"), col("c_b"), col("n_actual"),
+        ((col("c_a") * col("c_b")).cast("double") / col("n_rows").cast("double"))
+          .as("n_est_indep"),
+        (((col("c_a") * col("c_b")).cast("double") / col("n_rows").cast("double"))
+          / col("n_actual").cast("double")).as("err_indep"),
+        (col("est_fp").cast("double") / lit(s.toDouble)).as("n_est_joint"),
+        ((col("est_fp").cast("double") / lit(s.toDouble))
+          / col("n_actual").cast("double")).as("err_joint"))
+  }
+
   // ---- e_silhouette -------------------------------------------------------
 
   /** Silhouette sample bound: sampled vectors are `vec_id < this`. */
