@@ -851,4 +851,32 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(topkWindows.isEmpty, "per-query top-k regressed to a ranking window")
   }
+
+  test("feed apply: every dimension join broadcasts; no corpus re-shuffle") {
+    val df = ExtQueries.feedApply(spark, dir)
+    val plan = formatted(df)
+    spark.catalog.clearCache() // the base-partials frame is persisted
+    // the delta table (≤ |versions|·|groups| rows), version dim and base
+    // partials are all metadata-sized — a sort-merge join appearing here
+    // means a slim dimension re-shuffled the grid at 100 TB
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "the cumulative fold must broadcast the delta table into the grid")
+    assert(!plan.contains("CartesianProduct"),
+      "groups × versions is the broadcast nested-loop of a 4-row dim, " +
+        "never a cartesian of data-sized frames")
+  }
+
+  test("corr estimate: one corpus scan feeds thresholds, grid and counts") {
+    val df = ExtQueries.corrEstimate(spark, dir)
+    val plan = formatted(df)
+    spark.catalog.clearCache() // the tokenized frame is persisted
+    // the tokenized projection persists and every consumer (GK medians,
+    // the B² grid, the exact counts) reads the cache — a second parquet
+    // scan means the tokenize pass runs per consumer at 100 TB
+    assert(parquetScans(plan) === 1, plan.take(400))
+    assert(plan.contains("InMemoryTableScan"), plan.take(400))
+    assert(!plan.contains("SortMergeJoin"),
+      "the 1-row stats frame must broadcast — nothing here may shuffle")
+  }
 }
