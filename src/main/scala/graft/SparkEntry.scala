@@ -142,6 +142,7 @@ object SparkEntry {
     "e_range_estimate"    -> (ExtQueries.rangeEstimate _),
     "e_range_estimate_eqd" -> (ExtQueries.rangeEstimateEqd _),
     "e_corr_estimate"     -> (ExtQueries.corrEstimate _),
+    "e_join_order"        -> (ExtQueries.joinOrder _),
     "e_cosine_topk_beam"  -> (ExtQueries.cosineTopkBeam _),
     "e_cosine_topk_pq"    -> (ExtQueries.cosineTopkPq _),
     "e_pq_train"          -> (ExtQueries.pqTrain _),

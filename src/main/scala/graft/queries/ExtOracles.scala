@@ -5220,6 +5220,68 @@ object ExtOracles {
       |ORDER BY range_id""".stripMargin
   }
 
+  /** `e_join_order` — the order-selection audit: per-dim selectivities as
+    * single divides of exact counts, each prefix estimate a
+    * LEFT-ASSOCIATIVE double product written identically to the Spark
+    * side (IEEE products are order-sensitive), actual costs exact counts
+    * from one flagged lineitem pass. Mirrors `ExtQueries.joinOrder`. */
+  private lazy val joinOrderSql: String = {
+    def rs(d: Char) = s"(CAST(kept_$d AS DOUBLE) / CAST(tot_$d AS DOUBLE))"
+    def est(p: String) = {
+      val Seq(a, b, c) = p.map(rs).toSeq
+      s"CAST(n_l AS DOUBLE) * $a + CAST(n_l AS DOUBLE) * $a * $b" +
+        s" + CAST(n_l AS DOUBLE) * $a * $b * $c"
+    }
+    def act(p: String) =
+      s"c_${p.take(1).sorted} + c_${p.take(2).sorted} + c_${p.sorted}"
+    val perms = Seq("pso", "pos", "spo", "sop", "ops", "osp")
+    val rows = perms.map(p =>
+      s"SELECT '$p' AS perm, ${est(p)} AS est_cost, ${act(p)} AS actual_cost" +
+        " FROM onerow").mkString("\n|  UNION ALL ")
+    s"""WITH pth AS (SELECT min(p_size)
+      |    + (max(p_size) - min(p_size) + 1) // 5 AS tp FROM part),
+      |sth AS (SELECT min(s_nationkey)
+      |    + (max(s_nationkey) - min(s_nationkey) + 1) // 3 AS tn
+      |  FROM supplier),
+      |oth AS (SELECT min(CAST(o_orderdate AS DATE))
+      |    + CAST((datediff('day', min(CAST(o_orderdate AS DATE)),
+      |        max(CAST(o_orderdate AS DATE))) * 2) // 5 AS INT) AS td
+      |  FROM orders),
+      |pst AS (SELECT CAST(sum(CASE WHEN p_size <= tp THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS kept_p, CAST(count(*) AS BIGINT) AS tot_p
+      |  FROM part, pth),
+      |sst AS (SELECT CAST(sum(CASE WHEN s_nationkey <= tn THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS kept_s, CAST(count(*) AS BIGINT) AS tot_s
+      |  FROM supplier, sth),
+      |ost AS (SELECT CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) <= td THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS kept_o, CAST(count(*) AS BIGINT) AS tot_o
+      |  FROM orders, oth),
+      |fl AS (SELECT
+      |    CASE WHEN l_partkey IN (SELECT p_partkey FROM part, pth
+      |      WHERE p_size <= tp) THEN 1 ELSE 0 END AS fp,
+      |    CASE WHEN l_suppkey IN (SELECT s_suppkey FROM supplier, sth
+      |      WHERE s_nationkey <= tn) THEN 1 ELSE 0 END AS fs,
+      |    CASE WHEN l_orderkey IN (SELECT o_orderkey FROM orders, oth
+      |      WHERE CAST(o_orderdate AS DATE) <= td) THEN 1 ELSE 0 END AS fo
+      |  FROM lineitem),
+      |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_l,
+      |    CAST(sum(fp) AS BIGINT) AS c_p, CAST(sum(fs) AS BIGINT) AS c_s,
+      |    CAST(sum(fo) AS BIGINT) AS c_o,
+      |    CAST(sum(fp * fs) AS BIGINT) AS c_ps,
+      |    CAST(sum(fo * fp) AS BIGINT) AS c_op,
+      |    CAST(sum(fo * fs) AS BIGINT) AS c_os,
+      |    CAST(sum(fo * fp * fs) AS BIGINT) AS c_ops
+      |  FROM fl),
+      |onerow AS (SELECT * FROM cnt, pst, sst, ost),
+      |rows_ AS (
+      |  $rows)
+      |SELECT perm, est_cost, actual_cost,
+      |  est_cost = (SELECT min(est_cost) FROM rows_) AS chosen_by_est,
+      |  actual_cost = (SELECT min(actual_cost) FROM rows_)
+      |    AS cheapest_actual
+      |FROM rows_ ORDER BY perm""".stripMargin
+  }
+
   /** `e_corr_estimate` — the correlated-conjunction audit: exact ⌈n/2⌉
     * rank medians, exact per-column selectivities for the independence
     * estimate, and the B² two-column histogram priced by two-axis
@@ -5558,6 +5620,7 @@ object ExtOracles {
     ("e_range_estimate" -> rangeEstimateSql) +
     ("e_range_estimate_eqd" -> rangeEstimateEqdSql) +
     ("e_corr_estimate" -> corrEstimateSql) +
+    ("e_join_order" -> joinOrderSql) +
     ("e_silhouette" -> silhouetteSql) +
     ("e_pq_train" -> pqTrainSql) +
     ("e_pq_trained" -> pqTrainedSql) +

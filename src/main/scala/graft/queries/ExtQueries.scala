@@ -2786,6 +2786,109 @@ object ExtQueries {
       .orderBy("range_id")
   }
 
+  // ---- e_join_order ---------------------------------------------------------
+
+  /** JOIN-ORDER selection audit — the piece the whole CBO family exists
+    * FOR ([[joinEstimate]]/[[joinEstimateHist]] price joins,
+    * [[rangeEstimate]]/[[corrEstimate]] price predicates; this CHOOSES):
+    * a star query (lineitem ⋉ filtered part / supplier / orders — the
+    * Selinger '79 setting) admits 3! dim-application orders, each priced
+    * as Σ over prefixes of the estimated intermediate |L|·Π sel(d)
+    * (independence across dims — correct here because FK distributions
+    * are uniform, which is WHY the chosen order matches), and graded
+    * against the exact intermediate sizes. The spec pins the
+    * estimate-chosen order ≡ the actually-cheapest order at both gate
+    * scales; measured, the optimal order even FLIPS between fixture
+    * scales (supplier-first at sf0.001, part-first above — selectivities
+    * shift with the generator), so the estimator genuinely decides,
+    * not rubber-stamps.
+    *
+    * Determinism: selectivities are single divides of exact counts;
+    * each prefix estimate is a LEFT-ASSOCIATIVE product written
+    * identically in both engines (no reassociation — IEEE products are
+    * order-sensitive); actual costs are exact int64 counts.
+    *
+    * At scale: the three dim key sets broadcast as semi-join flags onto
+    * ONE lineitem pass (never 7 scans — all 2³−1 prefix counts come from
+    * one flagged aggregate); dim stats are 1-row aggregates; the 6-row
+    * permutation table is pure metadata arithmetic. This is exactly the
+    * shape of a real optimizer's cost loop: stats in, order out, zero
+    * data movement. */
+  def joinOrder(spark: SparkSession, dir: String): DataFrame = {
+    // per-dim: 1-row stats (threshold, kept, total) + broadcast key set
+    def dim(name: String, df: DataFrame, key: String, thr: DataFrame,
+        cond: Column): (DataFrame, DataFrame) = {
+      val keys = df.crossJoin(broadcast(thr)).filter(cond)
+        .select(col(key).as(s"k_$name"), lit(1L).as(s"in_$name"))
+      val stats = df.crossJoin(broadcast(thr)).agg(
+        sum(cond.cast("long")).as(s"kept_$name"),
+        count(lit(1)).as(s"tot_$name"))
+      (keys, stats)
+    }
+    val part = table(spark, dir, "part").select(col("p_partkey"), col("p_size"))
+    val supp = table(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val ords = table(spark, dir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_d"))
+    val pThr = part.agg(min(col("p_size")).as("lo"), max(col("p_size")).as("hi"))
+      .select((col("lo") + expr("(hi - lo + 1) div 5")).as("tp"))
+    val sThr = supp.agg(min(col("s_nationkey")).as("lo"),
+        max(col("s_nationkey")).as("hi"))
+      .select((col("lo") + expr("(hi - lo + 1) div 3")).as("tn"))
+    val oThr = ords.agg(min(col("o_d")).as("lo"), max(col("o_d")).as("hi"))
+      .select(date_add(col("lo"),
+        expr("(datediff(hi, lo) * 2) div 5").cast("int")).as("td"))
+    val (pKeys, pStats) = dim("p", part, "p_partkey", pThr,
+      col("p_size") <= col("tp"))
+    val (sKeys, sStats) = dim("s", supp, "s_suppkey", sThr,
+      col("s_nationkey") <= col("tn"))
+    val (oKeys, oStats) = dim("o", ords, "o_orderkey", oThr,
+      col("o_d") <= col("td"))
+    // ONE lineitem pass: broadcast membership flags, then every prefix
+    // count from a single aggregate
+    val flags = table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+      .join(broadcast(pKeys), col("l_partkey") === col("k_p"), "left")
+      .join(broadcast(sKeys), col("l_suppkey") === col("k_s"), "left")
+      .join(broadcast(oKeys), col("l_orderkey") === col("k_o"), "left")
+      .select(coalesce(col("in_p"), lit(0L)).as("fp"),
+        coalesce(col("in_s"), lit(0L)).as("fs"),
+        coalesce(col("in_o"), lit(0L)).as("fo"))
+    val counts = flags.agg(count(lit(1)).as("n_l"),
+      sum(col("fp")).as("c_p"), sum(col("fs")).as("c_s"),
+      sum(col("fo")).as("c_o"),
+      sum(col("fp") * col("fs")).as("c_ps"),
+      sum(col("fo") * col("fp")).as("c_op"),
+      sum(col("fo") * col("fs")).as("c_os"),
+      sum(col("fo") * col("fp") * col("fs")).as("c_ops"))
+    val one = counts.crossJoin(broadcast(pStats))
+      .crossJoin(broadcast(sStats)).crossJoin(broadcast(oStats))
+    def r(d: String): Column =
+      col(s"kept_$d").cast("double") / col(s"tot_$d").cast("double")
+    val nD = col("n_l").cast("double")
+    def estOf(p: String): Column = {
+      val Seq(r1, r2, r3) = p.map(c => r(c.toString)).toSeq
+      nD * r1 + nD * r1 * r2 + nD * r1 * r2 * r3
+    }
+    def actOf(p: String): Column = {
+      def c(pre: String) = col("c_" + pre.sorted)
+      c(p.take(1)) + c(p.take(2)) + c(p)
+    }
+    val perms = Seq("pso", "pos", "spo", "sop", "ops", "osp")
+    val rows = one.select(explode(array(perms.map(p =>
+        struct(lit(p).as("perm"), estOf(p).as("est_cost"),
+          actOf(p).as("actual_cost"))): _*)).as("x"))
+      .select(col("x.*"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mins = rows.agg(min(col("est_cost")).as("me"),
+      min(col("actual_cost")).as("ma"))
+    rows.crossJoin(broadcast(mins))
+      .select(col("perm"), col("est_cost"), col("actual_cost"),
+        (col("est_cost") === col("me")).as("chosen_by_est"),
+        (col("actual_cost") === col("ma")).as("cheapest_actual"))
+      .orderBy("perm")
+  }
+
   // ---- e_corr_estimate ------------------------------------------------------
 
   /** CORRELATED-PREDICATE selectivity audit — the fourth leg of the CBO
