@@ -139,6 +139,7 @@ object SparkEntry {
     "e_louvain_apply"     -> (ExtQueries.louvainApply _),
     "e_louvain_collapse"  -> (ExtQueries.louvainCollapse _),
     "e_louvain_super"     -> (ExtQueries.louvainSuper _),
+    "e_louvain_merge"     -> (ExtQueries.louvainMerge _),
     "e_range_estimate"    -> (ExtQueries.rangeEstimate _),
     "e_range_estimate_eqd" -> (ExtQueries.rangeEstimateEqd _),
     "e_corr_estimate"     -> (ExtQueries.corrEstimate _),
@@ -284,9 +285,10 @@ object SparkEntry {
     // e_knn_graph edges (the e_modularity universe); e_louvain_apply
     // commits its moves and re-runs the decomposition; e_louvain_collapse
     // condenses the post-move partition (both re-run the sweep);
-    // e_louvain_super runs the weighted sweep on the condensed graph
+    // e_louvain_super runs the weighted sweep on the condensed graph;
+    // e_louvain_merge commits its mutual-best pairs and re-audits
     "e_louvain_move", "e_louvain_apply", "e_louvain_collapse",
-    "e_louvain_super",
+    "e_louvain_super", "e_louvain_merge",
     // classified under the same rule (round 10 — moves these keys from the
     // operator total to the harness total in BENCH comparisons):
     // soft_dedup/canonical_pick re-run the e_dup_clusters CC fixpoint;

@@ -4360,36 +4360,38 @@ object ExtOracles {
     * edges, the graded `e_louvain_move` sweep, the per-source-community
     * best-move pick (gain DESC, vec_id ASC), and the post-move label
     * frame. */
-  private lazy val louvainPickCtes: String =
-    s"""lp0 AS MATERIALIZED (SELECT vec_id, label FROM ($labelPropSql) t
+  private def louvainPickCtes(x: String): String =
+    s"""lp$x AS MATERIALIZED (SELECT vec_id, label FROM ($labelPropSql) t
       |  WHERE label IS NOT NULL),
-      |kg0 AS (SELECT least(src, nbr) AS src, greatest(src, nbr) AS dst
+      |kg$x AS (SELECT least(src, nbr) AS src, greatest(src, nbr) AS dst
       |  FROM (${baseSql("e_knn_graph")}) g),
-      |und0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM kg0),
-      |mvz AS (SELECT vec_id, label_from, label_to, gain_num
+      |und$x AS MATERIALIZED (SELECT DISTINCT src, dst FROM kg$x),
+      |mvz$x AS (SELECT vec_id, label_from, label_to, gain_num
       |  FROM ($louvainMoveSql) z WHERE moved),
-      |pk AS MATERIALIZED (SELECT vec_id, label_from, label_to FROM (
-      |  SELECT mvz.*, row_number() OVER (PARTITION BY label_from
-      |    ORDER BY gain_num DESC, vec_id ASC) AS rn FROM mvz) r
+      |pk$x AS MATERIALIZED (SELECT vec_id, label_from, label_to FROM (
+      |  SELECT mvz$x.*, row_number() OVER (PARTITION BY label_from
+      |    ORDER BY gain_num DESC, vec_id ASC) AS rn FROM mvz$x) r
       |  WHERE rn = 1),
-      |nl AS MATERIALIZED (SELECT l.vec_id, COALESCE(p.label_to, l.label)
+      |nl$x AS MATERIALIZED (SELECT l.vec_id, COALESCE(p.label_to, l.label)
       |    AS label
-      |  FROM lp0 l LEFT JOIN pk p USING (vec_id))""".stripMargin
+      |  FROM lp$x l LEFT JOIN pk$x p USING (vec_id))""".stripMargin
 
-  /** The labeled-edge CTE `$name` over the labels CTE `$labsCte`
-    * (assumes `und` in scope). */
-  private def louvainLabCte(name: String, labsCte: String): String =
+  /** The labeled-edge CTE `$name` over the labels CTE `$labsCte` and the
+    * undirected-edge CTE `$undName`. */
+  private def louvainLabCte(name: String, labsCte: String,
+      undName: String): String =
     s"""$name AS MATERIALIZED (SELECT u.src, u.dst, a.label AS la,
       |    b.label AS lb
-      |  FROM und0 u JOIN $labsCte a ON u.src = a.vec_id
+      |  FROM $undName u JOIN $labsCte a ON u.src = a.vec_id
       |  JOIN $labsCte b ON u.dst = b.vec_id)""".stripMargin
 
   /** One modularity-decomposition CTE block over a premade `${p}lab`
     * labeled-edge CTE and the labels CTE `$labsCte`, emitting
     * `${p}dec(label, n_nodes, e_in, d_sum, q_c)` — the `modularitySql`
-    * body parameterized so `e_louvain_apply` states before and after
-    * through ONE definition. Assumes `mm(m)` is in scope. */
-  private def louvainDecompCtes(labsCte: String, p: String): String =
+    * body parameterized so the apply/merge keys state before and after
+    * through ONE definition. Assumes `$mm(m)` is in scope. */
+  private def louvainDecompCtes(labsCte: String, p: String,
+      mm: String): String =
     s"""${p}deg AS (SELECT id, label, count(*) AS deg FROM (
       |  SELECT src AS id, la AS label FROM ${p}lab
       |  UNION ALL SELECT dst AS id, lb AS label FROM ${p}lab) t
@@ -4404,28 +4406,17 @@ object ExtOracles {
       |  CAST(nn.n_nodes AS BIGINT) AS n_nodes,
       |  CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in,
       |  CAST(COALESCE(ds.d_sum, 0) AS BIGINT) AS d_sum,
-      |  CAST(4 * mm0.m * COALESCE(ein.e_in, 0)
+      |  CAST(4 * $mm.m * COALESCE(ein.e_in, 0)
       |       - COALESCE(ds.d_sum, 0) * COALESCE(ds.d_sum, 0) AS DOUBLE)
-      |    / CAST(4 * mm0.m * mm0.m AS DOUBLE) AS q_c
+      |    / CAST(4 * $mm.m * $mm.m AS DOUBLE) AS q_c
       |  FROM ${p}nn nn LEFT JOIN ${p}ds ds USING (label)
-      |  LEFT JOIN ${p}ein ein USING (label) CROSS JOIN mm0)""".stripMargin
+      |  LEFT JOIN ${p}ein ein USING (label) CROSS JOIN $mm)""".stripMargin
 
-  /** `e_louvain_apply` — commit the per-source-community best moves of
-    * the graded `e_louvain_move` sweep, decompose modularity before and
-    * after (one parameterized definition), report per affected
-    * community. m is shared: moves relabel nodes, never edges. Mirrors
-    * `ExtQueries.louvainApply`. */
-  private lazy val louvainApplySql: String =
-    s"""WITH $louvainPickCtes,
-      |${louvainLabCte("blab", "lp0")},
-      |mm0 AS (SELECT count(*) AS m FROM blab),
-      |${louvainLabCte("alab", "nl")},
-      |${louvainDecompCtes("lp0", "b")},
-      |${louvainDecompCtes("nl", "a")},
-      |aff AS (SELECT DISTINCT label FROM (
-      |  SELECT label_from AS label FROM pk
-      |  UNION ALL SELECT label_to FROM pk) t)
-      |SELECT f.label,
+  /** The COALESCE-9-column before/after projection shared by
+    * `e_louvain_apply` and `e_louvain_merge`. */
+  private def louvainBeforeAfterSelect(aff: String, b: String,
+      a: String): String =
+    s"""SELECT f.label,
       |  COALESCE(b.n_nodes, 0) AS n_before,
       |  COALESCE(b.e_in, 0) AS e_in_before,
       |  COALESCE(b.d_sum, 0) AS d_sum_before,
@@ -4434,19 +4425,36 @@ object ExtOracles {
       |  COALESCE(a.e_in, 0) AS e_in_after,
       |  COALESCE(a.d_sum, 0) AS d_sum_after,
       |  COALESCE(a.q_c, 0.0) AS q_after
-      |FROM aff f LEFT JOIN bdec b USING (label)
-      |LEFT JOIN adec a USING (label)
+      |FROM $aff f LEFT JOIN $b b USING (label)
+      |LEFT JOIN $a a USING (label)
       |ORDER BY f.label""".stripMargin
+
+  /** `e_louvain_apply` — commit the per-source-community best moves of
+    * the graded `e_louvain_move` sweep, decompose modularity before and
+    * after (one parameterized definition), report per affected
+    * community. m is shared: moves relabel nodes, never edges. Mirrors
+    * `ExtQueries.louvainApply`. */
+  private lazy val louvainApplySql: String =
+    s"""WITH ${louvainPickCtes("0")},
+      |${louvainLabCte("blab", "lp0", "und0")},
+      |mm0 AS (SELECT count(*) AS m FROM blab),
+      |${louvainLabCte("alab", "nl0", "und0")},
+      |${louvainDecompCtes("lp0", "b", "mm0")},
+      |${louvainDecompCtes("nl0", "a", "mm0")},
+      |aff AS (SELECT DISTINCT label FROM (
+      |  SELECT label_from AS label FROM pk0
+      |  UNION ALL SELECT label_to FROM pk0) t)
+      |${louvainBeforeAfterSelect("aff", "bdec", "adec")}""".stripMargin
 
   /** `e_louvain_collapse` — phase-2 condensation of the post-move
     * partition: communities collapse to super-nodes, weight = exact count
     * of original undirected labeled edges per community pair (self-loops
     * carry internal mass). Mirrors `ExtQueries.louvainCollapse`. */
   private lazy val louvainCollapseSql: String =
-    s"""WITH $louvainPickCtes,
+    s"""WITH ${louvainPickCtes("0")},
       |lab AS (SELECT u.src, u.dst, a.label AS la, b.label AS lb
-      |  FROM und0 u JOIN nl a ON u.src = a.vec_id
-      |  JOIN nl b ON u.dst = b.vec_id)
+      |  FROM und0 u JOIN nl0 a ON u.src = a.vec_id
+      |  JOIN nl0 b ON u.dst = b.vec_id)
       |SELECT least(la, lb) AS c_a, greatest(la, lb) AS c_b,
       |  CAST(count(*) AS BIGINT) AS weight
       |FROM lab GROUP BY 1, 2
@@ -4486,6 +4494,33 @@ object ExtOracles {
       |  (CASE WHEN b.gain_num > 0 THEN b.p ELSE dg9.c END) <> dg9.c AS merged
       |FROM dg9 LEFT JOIN best9 b ON b.c = dg9.c
       |ORDER BY community""".stripMargin
+
+  /** `e_louvain_merge` — the mutual-best matching commit: COMPOSES the
+    * graded `e_louvain_super` SQL for the merge table, accepts only
+    * pairs that chose each other, relabels the absorbed community and
+    * re-decomposes before/after over the post-move partition. Outer
+    * pick CTEs carry suffix 1 — suffix-0 copies nest inside the
+    * composed super text (the duplicate-alias rule). Mirrors
+    * `ExtQueries.louvainMerge`. */
+  private lazy val louvainMergeSql: String =
+    s"""WITH ${louvainPickCtes("1")},
+      |sup AS MATERIALIZED (SELECT community, partner
+      |  FROM ($louvainSuperSql) t WHERE merged),
+      |mu AS MATERIALIZED (SELECT x.community AS c_lo, y.community AS c_hi
+      |  FROM sup x JOIN sup y ON x.partner = y.community
+      |    AND y.partner = x.community AND x.community < y.community),
+      |ml AS MATERIALIZED (SELECT n.vec_id, COALESCE(m.c_lo, n.label)
+      |    AS label
+      |  FROM nl1 n LEFT JOIN mu m ON n.label = m.c_hi),
+      |${louvainLabCte("b1lab", "nl1", "und1")},
+      |mmx AS (SELECT count(*) AS m FROM b1lab),
+      |${louvainLabCte("a1lab", "ml", "und1")},
+      |${louvainDecompCtes("nl1", "b1", "mmx")},
+      |${louvainDecompCtes("ml", "a1", "mmx")},
+      |aff AS (SELECT DISTINCT label FROM (
+      |  SELECT c_lo AS label FROM mu
+      |  UNION ALL SELECT c_hi FROM mu) t)
+      |${louvainBeforeAfterSelect("aff", "b1dec", "a1dec")}""".stripMargin
 
   /** `e_token_budget` — COMPOSES the shared `qualityCtes` rule chain (the
     * `e_filter_bias` device), then the greedy allocation: exact integer
@@ -5617,6 +5652,7 @@ object ExtOracles {
     ("e_louvain_apply" -> louvainApplySql) +
     ("e_louvain_collapse" -> louvainCollapseSql) +
     ("e_louvain_super" -> louvainSuperSql) +
+    ("e_louvain_merge" -> louvainMergeSql) +
     ("e_range_estimate" -> rangeEstimateSql) +
     ("e_range_estimate_eqd" -> rangeEstimateEqdSql) +
     ("e_corr_estimate" -> corrEstimateSql) +

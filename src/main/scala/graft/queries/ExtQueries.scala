@@ -9629,6 +9629,16 @@ object ExtQueries {
       louvainMovesFrom(knn, labs))
     val nl = louvainNewLabs(labs, louvainPicked(moves))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    louvainCollapseFrom(knn, nl)
+  }
+
+  /** The condensation body over an already-built (knn edges, post-move
+    * labels) pair — factored so [[louvainMerge]] shares ONE substrate
+    * chain between the condensed table and the decompositions (the
+    * modularityFromParts sharing device; built separately, the whole
+    * label-prop + knn chain executes once per consumer and the composed
+    * plan exhausts the heap — measured). */
+  private def louvainCollapseFrom(knn: DataFrame, nl: DataFrame): DataFrame = {
     val und = knn
       .select(least(col("src"), col("nbr")).as("a"),
         greatest(col("src"), col("nbr")).as("b"))
@@ -9666,11 +9676,25 @@ object ExtQueries {
     * all tiny aggregates of the condensed table; the corpus-scale work
     * was paid once in the collapse. Composes the graded
     * [[louvainCollapse]] chain — a harness key. */
-  def louvainSuper(spark: SparkSession, dir: String): DataFrame = {
+  def louvainSuper(spark: SparkSession, dir: String): DataFrame =
+    louvainSuperRows(spark, dir).orderBy("community")
+
+  /** [[louvainSuper]]'s body without the output sort — the merge table
+    * [[louvainMerge]] selects its matching from (the changeFeedRows
+    * factoring rule). */
+  private[queries] def louvainSuperRows(
+      spark: SparkSession, dir: String): DataFrame = {
     // |communities|²-row condensed table, persisted for its three
     // consumers (mass, degrees, pairs)
     val cg = louvainCollapseRows(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    louvainSuperFrom(cg)
+  }
+
+  /** The weighted sweep over an already-built (and persisted) condensed
+    * table — the [[louvainCollapseFrom]] sharing rule applied one level
+    * up, for [[louvainMerge]]. */
+  private def louvainSuperFrom(cg: DataFrame): DataFrame = {
     val mRow = cg.agg(sum(col("weight")).as("m"))
     val deg = cg.select(explode(array(
         struct(col("c_a").as("c"),
@@ -9703,7 +9727,86 @@ object ExtQueries {
           .as("w_ab"),
         greatest(coalesce(col("mv.gain_num"), lit(0L)), lit(0L)).as("gain_num"))
       .withColumn("merged", col("partner") =!= col("community"))
-      .orderBy("community")
+  }
+
+  // ---- e_louvain_merge ------------------------------------------------------
+
+  /** MUTUAL-BEST merge application — committing [[louvainSuper]]'s
+    * sweep with the matching discipline multilevel methods use
+    * (heavy-edge matching, Karypis & Kumar '98 / ParMETIS): a merge
+    * (a, b) commits only when a and b choose EACH OTHER. Mutual-best
+    * pairs form a MATCHING (each community has one best partner), and
+    * disjoint merges do not interact — each committed pair's realized
+    * Δ(Q·4m²) is EXACTLY 2·gain_num (e_ab = e_a + e_b + w_ab, d_ab =
+    * d_a + d_b, and no other community's terms move), so unlike
+    * [[louvainApply]]'s move subset the merge step's improvement is
+    * exact BY CONSTRUCTION, not just non-decreasing — both spec-pinned.
+    * (The tempting alternative — collapsing the whole best-merge graph
+    * by connected components — chains one-sided choices into large
+    * groups whose non-adjacent pairs carry negative cross terms;
+    * measured on this fixture it DECREASES Q at both gate scales, which
+    * is exactly why matching-based coarsening exists. Stated here
+    * because the wrong subset looks plausible.)
+    *
+    * Emits the [[louvainApply]]-shaped before/after decomposition per
+    * affected community over the POST-MOVE partition (the state the
+    * merge gains price): the surviving label's after-row carries the
+    * merged community, the absorbed label's carries its zero post-state.
+    *
+    * At scale: the mutual-pair join is a self-join of the
+    * ≤|communities|-row merge table; the relabel is a broadcast map; the
+    * decompositions are the [[modularity]] audit's own. Composes the
+    * graded [[louvainSuper]] chain — a harness key. */
+  def louvainMerge(spark: SparkSession, dir: String): DataFrame = {
+    // ONE substrate chain for everything below (the louvainCollapseFrom
+    // sharing contract): graph + post-move labels build once, the
+    // condensed table derives from them, the sweep from it
+    val (knn, labs) = labelPropPartsMemo(spark, dir)
+    val moves = benchMemo(spark, dir, "louvain_moves")(
+      louvainMovesFrom(knn, labs))
+    // EAGER localCheckpoint, not persist: this key stacks the sweep, the
+    // condensation, the weighted sweep AND two decompositions on one
+    // lineage — left lazy, the composed Catalyst plan is pathological
+    // (heap-exhausted analysis, the IterStorage scaladoc's trap;
+    // measured). nl/cg are slim (|V| and ≤|communities|² rows); Verify's
+    // RDD sweep releases the blocks after the key materializes.
+    val nl = louvainNewLabs(labs, louvainPicked(moves)).localCheckpoint(true)
+    val cg = louvainCollapseFrom(knn, nl).localCheckpoint(true)
+    val sup = louvainSuperFrom(cg).filter(col("merged"))
+      .select(col("community"), col("partner"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mutual = sup.as("x").join(sup.as("y"),
+        col("x.partner") === col("y.community")
+          && col("y.partner") === col("x.community")
+          && col("x.community") < col("y.community"))
+      .select(col("x.community").as("c_lo"), col("y.community").as("c_hi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merged = nl
+      .join(broadcast(mutual.select(col("c_hi").as("label"),
+        col("c_lo").as("to"))), Seq("label"), "left")
+      .select(col("vec_id"), coalesce(col("to"), col("label")).as("label"))
+    val before = modularityFromParts(knn, nl)
+      .select(col("label"), col("n_nodes").as("n_before"),
+        col("e_in").as("e_in_before"), col("d_sum").as("d_sum_before"),
+        col("q_c").as("q_before"))
+    val after = modularityFromParts(knn, merged)
+      .select(col("label"), col("n_nodes").as("n_after"),
+        col("e_in").as("e_in_after"), col("d_sum").as("d_sum_after"),
+        col("q_c").as("q_after"))
+    val affected = mutual.select(col("c_lo").as("label"))
+      .unionByName(mutual.select(col("c_hi").as("label"))).distinct()
+    affected.join(before, Seq("label"), "left")
+      .join(after, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("e_in_before"), lit(0L)).as("e_in_before"),
+        coalesce(col("d_sum_before"), lit(0L)).as("d_sum_before"),
+        coalesce(col("q_before"), lit(0.0)).as("q_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("e_in_after"), lit(0L)).as("e_in_after"),
+        coalesce(col("d_sum_after"), lit(0L)).as("d_sum_after"),
+        coalesce(col("q_after"), lit(0.0)).as("q_after"))
+      .orderBy("label")
   }
 
   // ---- e_walk_pairs -------------------------------------------------------
