@@ -140,10 +140,12 @@ object SparkEntry {
     "e_louvain_collapse"  -> (ExtQueries.louvainCollapse _),
     "e_louvain_super"     -> (ExtQueries.louvainSuper _),
     "e_louvain_merge"     -> (ExtQueries.louvainMerge _),
+    "e_louvain_levels"    -> (ExtQueries.louvainLevels _),
     "e_range_estimate"    -> (ExtQueries.rangeEstimate _),
     "e_range_estimate_eqd" -> (ExtQueries.rangeEstimateEqd _),
     "e_corr_estimate"     -> (ExtQueries.corrEstimate _),
     "e_join_order"        -> (ExtQueries.joinOrder _),
+    "e_join_order_hist"   -> (ExtQueries.joinOrderHist _),
     "e_cosine_topk_beam"  -> (ExtQueries.cosineTopkBeam _),
     "e_cosine_topk_pq"    -> (ExtQueries.cosineTopkPq _),
     "e_pq_train"          -> (ExtQueries.pqTrain _),
@@ -286,9 +288,11 @@ object SparkEntry {
     // commits its moves and re-runs the decomposition; e_louvain_collapse
     // condenses the post-move partition (both re-run the sweep);
     // e_louvain_super runs the weighted sweep on the condensed graph;
-    // e_louvain_merge commits its mutual-best pairs and re-audits
+    // e_louvain_merge commits its mutual-best pairs and re-audits;
+    // e_louvain_levels chains sweep+matching+re-condense into the
+    // unrolled multi-level hierarchy
     "e_louvain_move", "e_louvain_apply", "e_louvain_collapse",
-    "e_louvain_super", "e_louvain_merge",
+    "e_louvain_super", "e_louvain_merge", "e_louvain_levels",
     // classified under the same rule (round 10 — moves these keys from the
     // operator total to the harness total in BENCH comparisons):
     // soft_dedup/canonical_pick re-run the e_dup_clusters CC fixpoint;
@@ -340,9 +344,12 @@ object SparkEntry {
     // e_txn_retry re-runs the graded e_txn_rebase pipeline before
     // re-deriving B's rejected ops against its snapshot;
     // e_range_estimate_eqd composes the graded e_range_estimate audit as
-    // its equi-width comparison column and exact counts
+    // its equi-width comparison column and exact counts;
+    // e_join_order_hist prices its permutations from the graded
+    // e_corr_estimate grid (thresholds, 1-D counts and the 2-D estimate)
     "e_vacuum_apply", "e_change_feed", "e_feed_apply", "e_txn_rebase",
-    "e_txn_retry", "e_range_estimate_eqd", "e_nb_threshold", "e_pref_pairs")
+    "e_txn_retry", "e_range_estimate_eqd", "e_nb_threshold", "e_pref_pairs",
+    "e_join_order_hist")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -4522,6 +4522,95 @@ object ExtOracles {
       |  UNION ALL SELECT c_hi FROM mu) t)
       |${louvainBeforeAfterSelect("aff", "b1dec", "a1dec")}""".stripMargin
 
+  /** One level's report CTEs over `cgl$l`/`szl$l` — mass (`rml$l`),
+    * degrees (`rdl$l`), self-loops (`rel$l`) and the decomposition row
+    * set `rpl$l(level, community, n_nodes, e_in, d_sum, q_c)`; the
+    * degree/mass CTEs double as the NEXT transition's sweep inputs (one
+    * definition per level, the modularityFromParts sharing rule in
+    * SQL). */
+  private def louvainLevelReportCtes(l: Int): String =
+    s"""rml$l AS MATERIALIZED (SELECT CAST(sum(weight) AS BIGINT) AS m
+      |  FROM cgl$l),
+      |rdl$l AS MATERIALIZED (SELECT c, CAST(sum(d) AS BIGINT) AS d FROM (
+      |  SELECT c_a AS c,
+      |    CASE WHEN c_a = c_b THEN 2 * weight ELSE weight END AS d FROM cgl$l
+      |  UNION ALL SELECT c_b,
+      |    CASE WHEN c_a = c_b THEN 0 ELSE weight END FROM cgl$l) t
+      |  GROUP BY c),
+      |rel$l AS (SELECT c_a AS community, weight AS e_in FROM cgl$l
+      |  WHERE c_a = c_b),
+      |rpl$l AS (SELECT CAST($l AS BIGINT) AS level, s.community, s.n_nodes,
+      |    CAST(COALESCE(e.e_in, 0) AS BIGINT) AS e_in,
+      |    CAST(COALESCE(d.d, 0) AS BIGINT) AS d_sum,
+      |    CAST(4 * m.m * COALESCE(e.e_in, 0)
+      |         - COALESCE(d.d, 0) * COALESCE(d.d, 0) AS DOUBLE)
+      |      / CAST(4 * m.m * m.m AS DOUBLE) AS q_c
+      |  FROM szl$l s LEFT JOIN rel$l e ON s.community = e.community
+      |  LEFT JOIN rdl$l d ON s.community = d.c CROSS JOIN rml$l m)""".stripMargin
+
+  /** One merge transition `l-1 → l`: the weighted sweep priced from the
+    * previous level's report CTEs (`rml`/`rdl` — the same degree table
+    * the decomposition read), the mutual-best matching, and the
+    * relabel + re-condense producing `cgl$l`/`szl$l`. */
+  private def louvainLevelTransitionCtes(l: Int): String = {
+    val k = l - 1
+    s"""prl$l AS (SELECT c, p, weight FROM (
+      |  SELECT c_a AS c, c_b AS p, weight FROM cgl$k WHERE c_a <> c_b
+      |  UNION ALL SELECT c_b, c_a, weight FROM cgl$k WHERE c_a <> c_b) t),
+      |cnl$l AS (SELECT prl$l.c, prl$l.p,
+      |    2 * rml$k.m * prl$l.weight - dc.d * dp.d AS gain_num
+      |  FROM prl$l JOIN rdl$k dc ON dc.c = prl$l.c
+      |  JOIN rdl$k dp ON dp.c = prl$l.p CROSS JOIN rml$k),
+      |bsl$l AS (SELECT c, p, gain_num FROM (
+      |  SELECT cnl$l.*, row_number() OVER (PARTITION BY c
+      |    ORDER BY gain_num DESC, p ASC) AS rn FROM cnl$l) r WHERE rn = 1),
+      |mgl$l AS (SELECT c AS community, p AS partner FROM bsl$l
+      |  WHERE gain_num > 0),
+      |mul$l AS MATERIALIZED (SELECT x.community AS c_lo,
+      |    y.community AS c_hi
+      |  FROM mgl$l x JOIN mgl$l y ON x.partner = y.community
+      |    AND y.partner = x.community AND x.community < y.community),
+      |cgl$l AS MATERIALIZED (SELECT least(na, nb) AS c_a,
+      |    greatest(na, nb) AS c_b, CAST(sum(weight) AS BIGINT) AS weight
+      |  FROM (SELECT COALESCE(ma.c_lo, g.c_a) AS na,
+      |      COALESCE(mb.c_lo, g.c_b) AS nb, g.weight
+      |    FROM cgl$k g LEFT JOIN mul$l ma ON g.c_a = ma.c_hi
+      |    LEFT JOIN mul$l mb ON g.c_b = mb.c_hi) t
+      |  GROUP BY 1, 2),
+      |szl$l AS MATERIALIZED (SELECT COALESCE(m.c_lo, s.community)
+      |    AS community, CAST(sum(s.n_nodes) AS BIGINT) AS n_nodes
+      |  FROM szl$k s LEFT JOIN mul$l m ON s.community = m.c_hi
+      |  GROUP BY 1)""".stripMargin
+  }
+
+  /** `e_louvain_levels` — the unrolled multi-level Blondel hierarchy:
+    * COMPOSES the pick chain for the post-move partition, condenses once
+    * (level 0), then per level runs the weighted sweep + mutual-best
+    * matching + metadata re-condense as generated CTE blocks (the
+    * kmeansChainCtes unroll device), each level's decomposition read off
+    * its condensed graph. Pick CTEs carry suffix 5 (the duplicate-alias
+    * rule). Mirrors `ExtQueries.louvainLevels`. */
+  private lazy val louvainLevelsSql: String = {
+    val L = ExtQueries.LouvainLevels
+    val levels = (1 to L).map(l =>
+      s"${louvainLevelTransitionCtes(l)},\n${louvainLevelReportCtes(l)}")
+      .mkString(",\n")
+    val union = (0 to L).map(l => s"SELECT * FROM rpl$l")
+      .mkString(" UNION ALL ")
+    s"""WITH ${louvainPickCtes("5")},
+      |${louvainLabCte("l5lab", "nl5", "und5")},
+      |cgl0 AS MATERIALIZED (SELECT least(la, lb) AS c_a,
+      |    greatest(la, lb) AS c_b, CAST(count(*) AS BIGINT) AS weight
+      |  FROM l5lab GROUP BY 1, 2),
+      |szl0 AS MATERIALIZED (SELECT label AS community,
+      |    CAST(count(*) AS BIGINT) AS n_nodes FROM nl5 GROUP BY 1),
+      |${louvainLevelReportCtes(0)},
+      |$levels
+      |SELECT level, community, n_nodes, e_in, d_sum, q_c
+      |FROM ($union) u
+      |ORDER BY level, community""".stripMargin
+  }
+
   /** `e_token_budget` — COMPOSES the shared `qualityCtes` rule chain (the
     * `e_filter_bias` device), then the greedy allocation: exact integer
     * counts and cumulative sums via the \|sources\|² self-join, one
@@ -5365,12 +5454,64 @@ object ExtOracles {
       |  st.c_a, st.c_b, st.n_actual,
       |  CAST(st.c_a * st.c_b AS DOUBLE) / CAST(st.n_rows AS DOUBLE)
       |    AS n_est_indep,
-      |  (CAST(st.c_a * st.c_b AS DOUBLE) / CAST(st.n_rows AS DOUBLE))
-      |    / CAST(st.n_actual AS DOUBLE) AS err_indep,
+      |  CASE WHEN st.n_actual = 0 THEN NULL
+      |    ELSE (CAST(st.c_a * st.c_b AS DOUBLE) / CAST(st.n_rows AS DOUBLE))
+      |      / CAST(st.n_actual AS DOUBLE) END AS err_indep,
       |  CAST(e.est_fp AS DOUBLE) / $s AS n_est_joint,
-      |  (CAST(e.est_fp AS DOUBLE) / $s) / CAST(st.n_actual AS DOUBLE)
-      |    AS err_joint
+      |  CASE WHEN st.n_actual = 0 THEN NULL
+      |    ELSE (CAST(e.est_fp AS DOUBLE) / $s) / CAST(st.n_actual AS DOUBLE)
+      |    END AS err_joint
       |FROM st, thr, est e""".stripMargin
+  }
+
+  /** `e_join_order_hist` — histogram-driven join ordering: COMPOSES the
+    * graded `e_corr_estimate` SQL text for the thresholds, exact 1-D
+    * counts and the 2-D grid estimate, adds the lang-containing prefix
+    * counts from one flags pass, then prices the six permutations both
+    * ways as generated UNION ALL rows (the `e_join_order` device).
+    * Expression nesting mirrors `ExtQueries.joinOrderHist` exactly —
+    * left-associative IEEE products/sums. */
+  private lazy val joinOrderHistSql: String = {
+    def sS(d: Char) = s"(CAST(jo.c_$d AS DOUBLE) / CAST(jo.n_rows AS DOUBLE))"
+    def e1(p: String) = s"(CAST(jo.n_rows AS DOUBLE) * ${sS(p(0))})"
+    def e2i(p: String) = s"(${e1(p)} * ${sS(p(1))})"
+    val rows = ExtQueries.JoinOrderHistPerms.map { p =>
+      val ei = s"${e1(p)} + ${e2i(p)} + (${e2i(p)} * ${sS(p(2))})"
+      val e2h = if (Set(p(0), p(1)) == Set('c', 't')) "jo.g" else e2i(p)
+      val eh = s"${e1(p)} + $e2h + (jo.g * ${sS('l')})"
+      val act = s"jo.c_${p.take(1)} + jo.c_${p.take(2).sorted} + jo.c_clt"
+      s"""SELECT '$p' AS perm, $ei AS est_indep, $eh AS est_hist,
+        |    CAST($act AS BIGINT) AS actual_cost FROM jo""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH jh0 AS MATERIALIZED (SELECT n_rows, t_chars, t_tokens,
+      |    c_a AS c_c, c_b AS c_t, n_actual AS c_ct, n_est_joint AS g
+      |  FROM ($corrEstimateSql) z),
+      |jh1 AS (SELECT n_chars,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+      |      AS n_tokens, lang
+      |  FROM documents),
+      |jh2 AS (SELECT
+      |    CAST(sum(CASE WHEN lang <> '${ExtQueries.JoinOrderHistLang}'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS c_l,
+      |    CAST(sum(CASE WHEN n_chars >= t_chars
+      |      AND lang <> '${ExtQueries.JoinOrderHistLang}'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS c_cl,
+      |    CAST(sum(CASE WHEN n_tokens >= t_tokens
+      |      AND lang <> '${ExtQueries.JoinOrderHistLang}'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS c_lt,
+      |    CAST(sum(CASE WHEN n_chars >= t_chars AND n_tokens >= t_tokens
+      |      AND lang <> '${ExtQueries.JoinOrderHistLang}'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS c_clt
+      |  FROM jh1, jh0),
+      |jo AS MATERIALIZED (SELECT * FROM jh0, jh2),
+      |rows_h AS MATERIALIZED (
+      |  $rows)
+      |SELECT perm, est_indep, est_hist, actual_cost,
+      |  est_indep = (SELECT min(est_indep) FROM rows_h) AS chosen_by_indep,
+      |  est_hist = (SELECT min(est_hist) FROM rows_h) AS chosen_by_hist,
+      |  actual_cost = (SELECT min(actual_cost) FROM rows_h)
+      |    AS cheapest_actual
+      |FROM rows_h ORDER BY perm""".stripMargin
   }
 
   /** `e_schema_evolve` — the column-mapping merged read as one projection
@@ -5653,10 +5794,12 @@ object ExtOracles {
     ("e_louvain_collapse" -> louvainCollapseSql) +
     ("e_louvain_super" -> louvainSuperSql) +
     ("e_louvain_merge" -> louvainMergeSql) +
+    ("e_louvain_levels" -> louvainLevelsSql) +
     ("e_range_estimate" -> rangeEstimateSql) +
     ("e_range_estimate_eqd" -> rangeEstimateEqdSql) +
     ("e_corr_estimate" -> corrEstimateSql) +
     ("e_join_order" -> joinOrderSql) +
+    ("e_join_order_hist" -> joinOrderHistSql) +
     ("e_silhouette" -> silhouetteSql) +
     ("e_pq_train" -> pqTrainSql) +
     ("e_pq_trained" -> pqTrainedSql) +

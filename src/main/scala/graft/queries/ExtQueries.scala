@@ -2702,7 +2702,13 @@ object ExtQueries {
     * contributions: 2²⁰, binary so the final `est_fp / 2²⁰` divide is
     * EXACT in IEEE doubles (no rounding anywhere but the per-bucket
     * integer floor). Bound: cnt·overlap·2²⁰ < 2⁶³ while cnt·overlap <
-    * 2⁴³ ≈ 8·10¹² — beyond that, drop to 2¹⁰ or pre-divide. */
+    * 2⁴³ ≈ 8·10¹² — beyond that, drop to 2¹⁰ or pre-divide. The 2-D
+    * consumer [[corrEstimate]] multiplies TWO overlaps per cell, so its
+    * bound is cnt·ovA·ovB < 2⁴³: with B = [[RangeEstBuckets]] buckets
+    * per axis each overlap is ≤ one cell width ≤ (range+B)/B, so wide
+    * value domains (range ≳ 2²¹·B per axis at fixture cell counts) must
+    * pre-divide the cell widths — Spark wraps int64 silently where
+    * DuckDB raises, an asymmetric gate failure if ignored. */
   private[queries] val RangeEstFpScale = 1L << 20
 
   /** Equi-depth bucket count — the PRODUCTION knob (PostgreSQL's default
@@ -2964,11 +2970,118 @@ object ExtQueries {
         col("c_a"), col("c_b"), col("n_actual"),
         ((col("c_a") * col("c_b")).cast("double") / col("n_rows").cast("double"))
           .as("n_est_indep"),
-        (((col("c_a") * col("c_b")).cast("double") / col("n_rows").cast("double"))
-          / col("n_actual").cast("double")).as("err_indep"),
+        when(col("n_actual") === 0, lit(null).cast("double"))
+          .otherwise(((col("c_a") * col("c_b")).cast("double")
+            / col("n_rows").cast("double"))
+            / col("n_actual").cast("double")).as("err_indep"),
         (col("est_fp").cast("double") / lit(s.toDouble)).as("n_est_joint"),
-        ((col("est_fp").cast("double") / lit(s.toDouble))
-          / col("n_actual").cast("double")).as("err_joint"))
+        when(col("n_actual") === 0, lit(null).cast("double"))
+          .otherwise((col("est_fp").cast("double") / lit(s.toDouble))
+            / col("n_actual").cast("double")).as("err_joint"))
+  }
+
+  // ---- e_join_order_hist ----------------------------------------------------
+
+  /** The six dim-application orders of [[joinOrderHist]]'s star: `c` the
+    * chars-class dim, `t` the tokens-class dim, `l` the language dim. */
+  private[queries] val JoinOrderHistPerms =
+    Seq("ctl", "clt", "tcl", "tlc", "lct", "ltc")
+
+  /** The language dim's exclusion — keep non-`en` documents (~56–61 % of
+    * the fixture at the gate scales: the selectivity regime where the
+    * independence mis-price flips the chosen order, measured). */
+  private[queries] val JoinOrderHistLang = "en"
+
+  /** HISTOGRAM-DRIVEN join-order selection — closing the CBO family the
+    * way [[joinEstimateHist]] closed [[joinEstimate]]: [[joinOrder]]
+    * prices its star from exact per-column selectivities, so its residual
+    * error is PURE independence assumption — but on the TPC-H-ish star
+    * that residual is ~zero (measured: the generator's FK distributions
+    * are independent, pairwise actual/indep ratios 0.98–1.03), so a
+    * histogram refit there would rubber-stamp. The fixture's genuinely
+    * correlated pair is the documents table's (n_chars, n_tokens) —
+    * exactly the conjunction [[corrEstimate]] built the 2-D grid FOR —
+    * so this key prices the star a curation pipeline actually runs
+    * (documents ⋉ chars-class dim ⋉ tokens-class dim ⋉ language dim,
+    * thresholds broadcast and the semi-join reductions applied
+    * scan-side): per permutation, Σ over prefixes of the estimated
+    * intermediate size, two ways. INDEPENDENCE uses exact 1-D
+    * selectivities (so the error is attributable); HISTOGRAM prices any
+    * prefix containing BOTH length dims from the graded [[corrEstimate]]
+    * grid estimate (`n_est_joint`) — the multi-column statistic
+    * PostgreSQL's `CREATE STATISTICS` ships as the fix — and 1-D
+    * selectivities elsewhere. Graded against exact prefix cardinalities
+    * from ONE flags pass. Measured at both gate scales: independence
+    * front-loads the chars→tokens pair (it prices the pair prefix at
+    * sel_c·sel_t·n ≈ n/4 when the near-perfect correlation makes it
+    * ≈ n/2) and picks `ctl`; the actual cheapest order is `clt`
+    * (interleave the independent lang dim before the redundant tokens
+    * dim); the histogram pick matches the actual cheapest — spec-pinned,
+    * with a full local recompute.
+    *
+    * Determinism: selectivities are single divides of exact counts;
+    * prefix estimates are left-associative products/sums written
+    * identically in both engines; actual costs are exact int64.
+    *
+    * At scale: the grid and thresholds are [[corrEstimate]]'s own
+    * ANALYZE-pass metadata (≤B² cells, persisted in production); the
+    * flags pass is one scan with broadcast thresholds and one
+    * map-side-combined aggregate to a single row; the 6-row permutation
+    * table is pure metadata arithmetic — stats in, order out, zero data
+    * movement. Composes the graded [[corrEstimate]] (its SQL likewise) —
+    * a harness key. */
+  def joinOrderHist(spark: SparkSession, dir: String): DataFrame = {
+    // the graded ANALYZE pass: thresholds, exact 1-D counts, the exact
+    // conjunction count, and the 2-D grid estimate — persisted, it is a
+    // corpus-pass pipeline consumed by the flags pass and the pricing row
+    val corr = corrEstimate(spark, dir)
+      .select(col("n_rows"), col("t_chars"), col("t_tokens"),
+        col("c_a").as("c_c"), col("c_b").as("c_t"),
+        col("n_actual").as("c_ct"), col("n_est_joint").as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val flags = table(spark, dir, "documents")
+      .select(col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"), col("lang"))
+      .crossJoin(broadcast(corr.select(col("t_chars"), col("t_tokens"))))
+      .select((col("n_chars") >= col("t_chars")).cast("long").as("fc"),
+        (col("n_tokens") >= col("t_tokens")).cast("long").as("ft"),
+        (col("lang") =!= lit(JoinOrderHistLang)).cast("long").as("fl"))
+    val counts = flags.agg(sum(col("fl")).as("c_l"),
+      sum(col("fc") * col("fl")).as("c_cl"),
+      sum(col("ft") * col("fl")).as("c_lt"),
+      sum(col("fc") * col("ft") * col("fl")).as("c_clt"))
+    val one = counts.crossJoin(broadcast(corr))
+    val nD = col("n_rows").cast("double")
+    def s(d: Char): Column = col(s"c_$d").cast("double") / nD
+    def estIndep(p: String): Column = {
+      val e1 = nD * s(p(0))
+      val e2 = e1 * s(p(1))
+      e1 + e2 + e2 * s(p(2))
+    }
+    def estHist(p: String): Column = {
+      val e1 = nD * s(p(0))
+      val e2 = if (Set(p(0), p(1)) == Set('c', 't')) col("g")
+        else e1 * s(p(1))
+      e1 + e2 + col("g") * s('l')
+    }
+    def actOf(p: String): Column = {
+      def c(pre: String) = col("c_" + pre.sorted)
+      c(p.take(1)) + c(p.take(2)) + c(p)
+    }
+    val rows = one.select(explode(array(JoinOrderHistPerms.map(p =>
+        struct(lit(p).as("perm"), estIndep(p).as("est_indep"),
+          estHist(p).as("est_hist"), actOf(p).as("actual_cost"))): _*)).as("x"))
+      .select(col("x.*"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mins = rows.agg(min(col("est_indep")).as("mi"),
+      min(col("est_hist")).as("mh"), min(col("actual_cost")).as("ma"))
+    rows.crossJoin(broadcast(mins))
+      .select(col("perm"), col("est_indep"), col("est_hist"),
+        col("actual_cost"),
+        (col("est_indep") === col("mi")).as("chosen_by_indep"),
+        (col("est_hist") === col("mh")).as("chosen_by_hist"),
+        (col("actual_cost") === col("ma")).as("cheapest_actual"))
+      .orderBy("perm")
   }
 
   // ---- e_silhouette -------------------------------------------------------
@@ -9775,11 +9888,7 @@ object ExtQueries {
     val sup = louvainSuperFrom(cg).filter(col("merged"))
       .select(col("community"), col("partner"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mutual = sup.as("x").join(sup.as("y"),
-        col("x.partner") === col("y.community")
-          && col("y.partner") === col("x.community")
-          && col("x.community") < col("y.community"))
-      .select(col("x.community").as("c_lo"), col("y.community").as("c_hi"))
+    val mutual = louvainMutual(sup)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merged = nl
       .join(broadcast(mutual.select(col("c_hi").as("label"),
@@ -9807,6 +9916,134 @@ object ExtQueries {
         coalesce(col("d_sum_after"), lit(0L)).as("d_sum_after"),
         coalesce(col("q_after"), lit(0.0)).as("q_after"))
       .orderBy("label")
+  }
+
+  // ---- e_louvain_levels -----------------------------------------------------
+
+  /** Merge TRANSITIONS the unrolled [[louvainLevels]] hierarchy commits —
+    * the key emits level reports 0..this. Pinned at 2 (the kcore/kmeans
+    * unroll device): measured on the fixture, transition 1 commits
+    * mutual-best merges at both gate scales and transition 2 exhibits the
+    * tail of the contraction — deep enough that the hierarchy is real,
+    * shallow enough that the oracle's unrolled CTE chain stays tractable. */
+  private[queries] val LouvainLevels = 2
+
+  /** Mutual-best pairs (c_lo < c_hi) of a weighted sweep's merge table —
+    * the matching device shared by [[louvainMerge]] and
+    * [[louvainLevels]]: a merge commits only when both communities chose
+    * each other, so committed pairs form a matching and disjoint merges
+    * do not interact (the merge-exactness theorem's precondition). */
+  private def louvainMutual(sup: DataFrame): DataFrame =
+    sup.as("x").join(sup.as("y"),
+        col("x.partner") === col("y.community")
+          && col("y.partner") === col("x.community")
+          && col("x.community") < col("y.community"))
+      .select(col("x.community").as("c_lo"), col("y.community").as("c_hi"))
+
+  /** One level's modularity decomposition read OFF THE CONDENSED GRAPH —
+    * mass conservation ([[louvainCollapse]]'s spec-pinned invariant) makes
+    * this the [[modularityFromParts]] result without touching the corpus:
+    * e_in(c) = c's self-loop weight, d_sum(c) = cross weights + 2·self
+    * (the [[louvainSuperFrom]] degree rule), q_c the one IEEE divide of
+    * the exact integers 4·m·e_in − d_sum² and 4·m². */
+  private def louvainLevelReport(level: Int, cg: DataFrame,
+      sizes: DataFrame): DataFrame = {
+    val mRow = cg.agg(sum(col("weight")).as("m"))
+    val deg = cg.select(explode(array(
+        struct(col("c_a").as("community"),
+          when(col("c_a") === col("c_b"), lit(2L) * col("weight"))
+            .otherwise(col("weight")).as("d")),
+        struct(col("c_b").as("community"),
+          when(col("c_a") === col("c_b"), lit(0L))
+            .otherwise(col("weight")).as("d")))).as("x"))
+      .select(col("x.*"))
+      .groupBy(col("community")).agg(sum(col("d")).as("d_sum"))
+    val ein = cg.filter(col("c_a") === col("c_b"))
+      .select(col("c_a").as("community"), col("weight").as("e_in"))
+    sizes
+      .join(deg, Seq("community"), "left")
+      .join(ein, Seq("community"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(lit(level.toLong).as("level"), col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        coalesce(col("d_sum"), lit(0L)).as("d_sum"),
+        ((lit(4L) * col("m") * coalesce(col("e_in"), lit(0L))
+          - coalesce(col("d_sum"), lit(0L)) * coalesce(col("d_sum"), lit(0L)))
+          .cast("double")
+          / (lit(4L) * col("m") * col("m")).cast("double")).as("q_c"))
+  }
+
+  /** MULTI-LEVEL Louvain hierarchy — the fixpoint iteration the five
+    * shipped pieces exist FOR (Blondel et al. '08 §2 iterates move →
+    * collapse → weighted sweep → merge "until no positive gain remains"):
+    * from the post-move partition's condensed graph, each TRANSITION runs
+    * the weighted sweep ([[louvainSuperFrom]]), commits the mutual-best
+    * matching ([[louvainMutual]] — [[louvainMerge]]'s exactness
+    * discipline), and RE-CONDENSES by relabeling the condensed graph
+    * itself (c_hi → c_lo, weights re-summed) — the corpus is touched once
+    * for level 0's condensation and never again; levels 1.. run entirely
+    * on ≤|communities|² metadata rows. Emits (level, community, n_nodes,
+    * e_in, d_sum, q_c) for levels 0..[[LouvainLevels]], each level's
+    * decomposition read off its condensed graph (mass conservation —
+    * level 0 therefore equals the [[modularity]] decomposition of the
+    * post-move partition exactly).
+    *
+    * The spec pins the hierarchy's soundness: Σ weight ≡ m at every
+    * level (mass conservation survives contraction), total Q
+    * NON-DECREASING level-over-level (each committed matching's realized
+    * ΔQ is exactly Σ 2·gain_num > 0 on the Q·4m² scale — the
+    * merge-exactness theorem pair by pair), n_nodes conserved, and ≥1
+    * merge committed in transition 1 at both gate scales.
+    *
+    * Determinism: integer weights/degrees/gains throughout; the matching
+    * is a struct-extreme under a total order; q_c is the decomposition's
+    * single IEEE divide.
+    *
+    * At scale: EAGER localCheckpoint at every level boundary (the
+    * [[louvainMerge]] lesson — lazily chained, the stacked
+    * sweep+condense plans are Catalyst-pathological); each level's
+    * sweep/matching/re-condense runs on the metadata-sized condensed
+    * table, so hierarchy depth costs ≤|communities|² rows per level,
+    * never a corpus pass. Composes the graded [[louvainSuper]] chain —
+    * a harness key. */
+  def louvainLevels(spark: SparkSession, dir: String): DataFrame = {
+    val (knn, labs) = labelPropPartsMemo(spark, dir)
+    val moves = benchMemo(spark, dir, "louvain_moves")(
+      louvainMovesFrom(knn, labs))
+    val nl = louvainNewLabs(labs, louvainPicked(moves)).localCheckpoint(true)
+    var cg = louvainCollapseFrom(knn, nl).localCheckpoint(true)
+    var sizes = nl.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes")).localCheckpoint(true)
+    var out = louvainLevelReport(0, cg, sizes)
+    for (l <- 1 to LouvainLevels) {
+      // the sweep's merge table is checkpointed before the mutual
+      // self-join reads it twice — and the level boundary truncates the
+      // lineage the next level's plans root through
+      val sup = louvainSuperFrom(cg).filter(col("merged"))
+        .select(col("community"), col("partner")).localCheckpoint(true)
+      val mu = louvainMutual(sup)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cg = cg
+        .join(broadcast(mu.select(col("c_hi").as("c_a"), col("c_lo").as("ma"))),
+          Seq("c_a"), "left")
+        .join(broadcast(mu.select(col("c_hi").as("c_b"), col("c_lo").as("mb"))),
+          Seq("c_b"), "left")
+        .select(coalesce(col("ma"), col("c_a")).as("na"),
+          coalesce(col("mb"), col("c_b")).as("nb"), col("weight"))
+        .groupBy(least(col("na"), col("nb")).as("c_a"),
+          greatest(col("na"), col("nb")).as("c_b"))
+        .agg(sum(col("weight")).as("weight"))
+        .localCheckpoint(true)
+      sizes = sizes
+        .join(broadcast(mu.select(col("c_hi").as("community"),
+          col("c_lo").as("mc"))), Seq("community"), "left")
+        .groupBy(coalesce(col("mc"), col("community")).as("community"))
+        .agg(sum(col("n_nodes")).as("n_nodes"))
+        .localCheckpoint(true)
+      mu.unpersist()
+      out = out.unionByName(louvainLevelReport(l, cg, sizes))
+    }
+    out.orderBy("level", "community")
   }
 
   // ---- e_walk_pairs -------------------------------------------------------
@@ -10922,6 +11159,15 @@ object ExtQueries {
 
   // ---- e_feed_apply ---------------------------------------------------------
 
+  /** The retract-then-apply SIGN of one change-feed row: +1 for
+    * `insert`/`update_postimage` (⊕), −1 for `delete`/`update_preimage`
+    * (⊖) — ONE rule shared by [[feedApply]] and
+    * [[graft.streaming.Streaming.startFeedApply]], so the batch backfill
+    * and the continuous maintenance fold the same algebra. */
+  private[graft] def feedSign: Column =
+    when(col("change_type").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+
   /** CHANGE-FEED CONSUMER — incremental-aggregate MAINTENANCE, the
     * pipeline [[changeFeed]] exists to feed: a standing (lang, source)
     * aggregate (doc count, exact int64 char sum — [[incrAgg]]'s
@@ -10957,15 +11203,6 @@ object ExtQueries {
     * Groups whose count reaches zero drop from the state (matching the
     * recompute's GROUP BY, which never sees them). Composes the graded
     * [[changeFeed]] derivation — a harness key. */
-  /** The retract-then-apply SIGN of one change-feed row: +1 for
-    * `insert`/`update_postimage` (⊕), −1 for `delete`/`update_preimage`
-    * (⊖) — ONE rule shared by [[feedApply]] and
-    * [[graft.streaming.Streaming.startFeedApply]], so the batch backfill
-    * and the continuous maintenance fold the same algebra. */
-  private[graft] def feedSign: Column =
-    when(col("change_type").isin("insert", "update_postimage"), lit(1L))
-      .otherwise(lit(-1L))
-
   def feedApply(spark: SparkSession, dir: String): DataFrame = {
     val deltas = changeFeedRows(spark, dir)
       .select(col("version"), col("lang"), col("source"),

@@ -663,14 +663,17 @@ object Streaming {
         try {
           val tomb = b.filter(col("op") === "delete").select(col("doc_id"))
           if (!tomb.isEmpty) {
+            // eager localCheckpoint (the IterStorage discipline): the swap
+            // TRUNCATES lineage at the survivor frames, so a lost cached
+            // block after the batch commits can never recompute through
+            // the expired foreachBatch source or the unpersisted previous
+            // index generation (persist+count would leave that lineage)
             val newShd = corpusShd.join(broadcast(tomb), Seq("doc_id"),
-              "left_anti").persist(sl)
+              "left_anti").localCheckpoint(true)
             val newBands = corpusBands.join(broadcast(tomb), Seq("doc_id"),
-              "left_anti").persist(sl)
-            // eager swap: materialize the survivors BEFORE dropping the
-            // frames their lineage reads
-            newShd.count(); newBands.count()
-            corpusShd.unpersist(); corpusBands.unpersist()
+              "left_anti").localCheckpoint(true)
+            corpusShd.unpersist(); graft.operators.IterStorage.release(corpusShd)
+            corpusBands.unpersist(); graft.operators.IterStorage.release(corpusBands)
             corpusShd = newShd; corpusBands = newBands
           }
           val adds = b.filter(col("op") === "add")
@@ -763,8 +766,12 @@ object Streaming {
       frames: => Seq[Dataset[_]]): Unit = {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // IterStorage.release frees the blocks behind a localCheckpointed
+    // frame (the delete gates swap generations in) — no-op otherwise
     def release(): Unit =
-      if (released.compareAndSet(false, true)) frames.foreach(_.unpersist())
+      if (released.compareAndSet(false, true)) frames.foreach { f =>
+        f.unpersist(); graft.operators.IterStorage.release(f.toDF())
+      }
     lazy val listener: StreamingQueryListener = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -871,13 +878,15 @@ object Streaming {
           val tomb = b.filter(col("op") === "delete")
             .select(col("vec_id").as("del_id"))
           if (!tomb.isEmpty) {
+            // eager localCheckpoint swap — see startNearDupGateWithDeletes
             val newAssigned = corpusAssigned.join(broadcast(tomb),
               corpusAssigned("vec_id") === tomb("del_id"), "left_anti")
-              .persist(sl)
+              .localCheckpoint(true)
             val newStanding = ExtQueries
-              .knnRepairEdges(newAssigned, standing, tomb).persist(sl)
-            newAssigned.count(); newStanding.count()
-            corpusAssigned.unpersist(); standing.unpersist()
+              .knnRepairEdges(newAssigned, standing, tomb).localCheckpoint(true)
+            corpusAssigned.unpersist()
+            graft.operators.IterStorage.release(corpusAssigned)
+            standing.unpersist(); graft.operators.IterStorage.release(standing)
             corpusAssigned = newAssigned; standing = newStanding
           }
           val adds = b.filter(col("op") === "add")
