@@ -132,6 +132,7 @@ object SparkEntry {
     "e_schema_evolve"     -> (ExtQueries.schemaEvolve _),
     "e_change_feed"       -> (ExtQueries.changeFeed _),
     "e_feed_apply"        -> (ExtQueries.feedApply _),
+    "e_feed_apply_minmax" -> (ExtQueries.feedApplyMinmax _),
     "e_txn_conflict"      -> (ExtQueries.txnConflict _),
     "e_txn_rebase"        -> (ExtQueries.txnRebase _),
     "e_txn_retry"         -> (ExtQueries.txnRetry _),
@@ -346,8 +347,11 @@ object SparkEntry {
     // e_range_estimate_eqd composes the graded e_range_estimate audit as
     // its equi-width comparison column and exact counts;
     // e_join_order_hist prices its permutations from the graded
-    // e_corr_estimate grid (thresholds, 1-D counts and the 2-D estimate)
-    "e_vacuum_apply", "e_change_feed", "e_feed_apply", "e_txn_rebase",
+    // e_corr_estimate grid (thresholds, 1-D counts and the 2-D estimate);
+    // e_feed_apply_minmax folds the graded e_change_feed and re-scans
+    // from the graded snapshotAsOf derivation on extremum retraction
+    "e_vacuum_apply", "e_change_feed", "e_feed_apply", "e_feed_apply_minmax",
+    "e_txn_rebase",
     "e_txn_retry", "e_range_estimate_eqd", "e_nb_threshold", "e_pref_pairs",
     "e_join_order_hist")
 

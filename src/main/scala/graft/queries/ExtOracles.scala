@@ -5260,6 +5260,45 @@ object ExtOracles {
       |ORDER BY version, lang, source""".stripMargin
   }
 
+  /** `e_feed_apply_minmax` — the retractable-extremum maintainer's gate:
+    * the Spark side maintains max/min lazily (monoid fold + re-scan when
+    * a retraction carries the current extremum), while this SQL
+    * RECOMPUTES every version's extrema from the sequential replay's
+    * AS-OF snapshot and derives the trigger flags from the per-version
+    * retraction aggregates against the PREVIOUS version's recomputed
+    * extrema — the hash match proves maintained ≡ recomputed at every
+    * version and that both engines agree on when the re-scan fires.
+    * Mirrors `ExtQueries.feedApplyMinmax`. */
+  private lazy val feedApplyMinmaxSql: String = {
+    def ext(v: Int): String =
+      s"""fx$v AS MATERIALIZED (SELECT lang, source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  max(n_chars) AS max_chars, min(n_chars) AS min_chars
+        |  FROM s$v GROUP BY 1, 2)""".stripMargin
+    def retr(v: Int): String =
+      s"""fr$v AS (SELECT s.lang, s.source,
+        |  max(s.n_chars) AS retr_max, min(s.n_chars) AS retr_min
+        |  FROM b$v c JOIN s${v - 1} s USING (doc_id)
+        |  WHERE c.op IN ('U', 'D') GROUP BY 1, 2)""".stripMargin
+    def blk(v: Int): String =
+      s"""SELECT CAST($v AS BIGINT) AS version, x.lang, x.source, x.n_docs,
+        |  x.max_chars, x.min_chars,
+        |  CAST(CASE WHEN r.retr_max = p.max_chars THEN 1 ELSE 0 END
+        |     + CASE WHEN r.retr_min = p.min_chars THEN 1 ELSE 0 END
+        |    AS BIGINT) AS rescans
+        |FROM fx$v x LEFT JOIN fx${v - 1} p USING (lang, source)
+        |LEFT JOIN fr$v r USING (lang, source)""".stripMargin
+    val n = ExtQueries.TimeTravelVersions
+    s"""WITH $timeTravelCtes,
+      |${(0 to n).map(ext).mkString(",\n")},
+      |${(1 to n).map(retr).mkString(",\n")}
+      |SELECT CAST(0 AS BIGINT) AS version, lang, source, n_docs,
+      |  max_chars, min_chars, CAST(0 AS BIGINT) AS rescans FROM fx0
+      |UNION ALL
+      |${(1 to n).map(blk).mkString("\nUNION ALL\n")}
+      |ORDER BY version, lang, source""".stripMargin
+  }
+
   /** `e_range_estimate` — the equi-width-histogram range-selectivity
     * audit: the estimate is the exact int64 rational est_num/w (uniform-
     * within-bucket interpolation with integer overlaps), the actual a
@@ -5786,6 +5825,7 @@ object ExtOracles {
     ("e_schema_evolve" -> schemaEvolveSql) +
     ("e_change_feed" -> changeFeedSql) +
     ("e_feed_apply" -> feedApplySql) +
+    ("e_feed_apply_minmax" -> feedApplyMinmaxSql) +
     ("e_txn_conflict" -> txnConflictSql) +
     ("e_txn_rebase" -> txnRebaseSql) +
     ("e_txn_retry" -> txnRetrySql) +

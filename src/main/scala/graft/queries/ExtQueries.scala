@@ -10891,6 +10891,13 @@ object ExtQueries {
     * v = 0 ≡ base, each v ≡ the all-versions table sliced, and
     * v = [[TimeTravelVersions]] ≡ the current snapshot. */
   private[queries] def snapshotAsOf(spark: SparkSession, dir: String,
+      v: Int): DataFrame =
+    snapshotAsOfRows(spark, dir, v).orderBy("doc_id")
+
+  /** [[snapshotAsOf]]'s body without the output sort — the frame
+    * [[feedApplyMinmax]]'s rescan step consumes (the changeFeedRows
+    * factoring rule). */
+  private[queries] def snapshotAsOfRows(spark: SparkSession, dir: String,
       v: Int): DataFrame = {
     require(v >= 0 && v <= TimeTravelVersions,
       s"version must be in [0, $TimeTravelVersions], got $v")
@@ -10898,7 +10905,6 @@ object ExtQueries {
       timeTravelLog(spark, dir).filter(col("ver") <= v)
         .withColumn("version", lit(v.toLong)),
       col("version"))
-      .orderBy("doc_id")
   }
 
   /** Highest-version-wins pick per (version, doc_id) — the
@@ -11236,6 +11242,106 @@ object ExtQueries {
       .withColumn("avg_chars",
         col("sum_chars").cast("double") / col("n_docs").cast("double"))
       .orderBy("version", "lang", "source")
+  }
+
+  // ---- e_feed_apply_minmax --------------------------------------------------
+
+  /** RETRACTABLE-EXTREMUM maintenance — the honesty fallback
+    * [[feedApply]]'s scaladoc states and this key makes a GRADED FACT:
+    * count/sum fold deletes in O(1) (abelian group), but max/min are NOT
+    * invertible — retracting the current extremum says nothing about the
+    * runner-up, so a production maintainer keeps the extremum LAZILY:
+    * inserts fold monoid-style (new_max = max(old, inserted)); a version
+    * whose feed RETRACTS a row carrying the group's current extremum
+    * (delete or update_preimage with n_chars == the maintained max/min —
+    * the conservative trigger: the maintainer tracks no multiplicities)
+    * forces a RE-SCAN of that group from the AS-OF snapshot, and the
+    * per-(version, group) `rescans` column (0..2 — max and min trigger
+    * independently) makes the cost VISIBLE — the report that tells an
+    * operator which groups make extremum dashboards expensive. Emptied
+    * groups drop from the state without a rescan (no extremum to
+    * maintain), matching the recompute's GROUP BY.
+    *
+    * The gate is [[feedApply]]'s: the DuckDB oracle recomputes every
+    * version's extrema from the sequential-replay snapshot and derives
+    * the trigger flags from the retraction aggregates against the
+    * previous version's recomputed extrema — the hash match proves
+    * maintained ≡ recomputed at every version (the lazy fold with
+    * rescans loses nothing) AND that both engines agree on exactly WHEN
+    * the re-scan fires. The fixture genuinely forces rescans
+    * (spec-pinned ≥ 1 at both gate scales; the every-version-updated
+    * mod-7 class alone retracts its own postimage value repeatedly).
+    *
+    * Determinism: integer counts/extrema; the trigger is an integer
+    * equality.
+    *
+    * At scale: the fold is [[LouvainLevels]]-style pinned unrolling over
+    * [[TimeTravelVersions]] versions — per version the state is
+    * ≤\|groups\| slim rows full-outer-joined with the version's
+    * ≤\|groups\|-row feed aggregate (map-side combined from the feed),
+    * eagerly localCheckpointed at each version boundary; ONLY a
+    * triggered version pays a corpus-log scan, and that scan is
+    * semi-join-restricted to the triggered groups — the bill the
+    * `rescans` column itemizes. Composes the graded [[changeFeed]] and
+    * [[snapshotAsOf]] derivations — a harness key. */
+  def feedApplyMinmax(spark: SparkSession, dir: String): DataFrame = {
+    val sgn = feedSign
+    val deltas = changeFeedRows(spark, dir)
+      .groupBy(col("version"), col("lang"), col("source"))
+      .agg(sum(sgn).as("d_docs"),
+        max(when(sgn > 0, col("n_chars"))).as("ins_max"),
+        min(when(sgn > 0, col("n_chars"))).as("ins_min"),
+        max(when(sgn < 0, col("n_chars"))).as("retr_max"),
+        min(when(sgn < 0, col("n_chars"))).as("retr_min"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var state = table(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n_chars")).as("max_chars"),
+        min(col("n_chars")).as("min_chars"))
+      .localCheckpoint(true)
+    def emit(v: Long, st: DataFrame, rescans: Column): DataFrame =
+      st.select(lit(v).as("version"), col("lang"), col("source"),
+        col("n_docs"), col("max_chars"), col("min_chars"),
+        rescans.as("rescans"))
+    var out = emit(0L, state, lit(0L))
+    for (v <- 1 to TimeTravelVersions) {
+      // full outer (groups may appear OR disappear) — not broadcastable
+      // by shape, but both sides are ≤|groups| metadata rows
+      val j = state
+        .join(deltas.filter(col("version") === v.toLong).drop("version"),
+          Seq("lang", "source"), "full_outer")
+      val nNew = coalesce(col("n_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L))
+      // the conservative trigger: a retraction carried the maintained
+      // extremum (preimages always belong to a group with prior state)
+      val resMax = col("retr_max") === col("max_chars")
+      val resMin = col("retr_min") === col("min_chars")
+      val alive = j.filter(nNew > 0)
+        .select(col("lang"), col("source"), nNew.as("n_docs"),
+          col("max_chars"), col("min_chars"), col("ins_max"), col("ins_min"),
+          coalesce(resMax, lit(false)).as("res_max"),
+          coalesce(resMin, lit(false)).as("res_min"))
+      val need = alive.filter(col("res_max") || col("res_min"))
+        .select(col("lang"), col("source"))
+      // the itemized bill: ONE log scan, semi-join-restricted to the
+      // groups whose extremum was retracted this version
+      val snap = snapshotAsOfRows(spark, dir, v)
+        .join(broadcast(need), Seq("lang", "source"), "left_semi")
+        .groupBy(col("lang"), col("source"))
+        .agg(max(col("n_chars")).as("s_max"), min(col("n_chars")).as("s_min"))
+      state = alive.join(broadcast(snap), Seq("lang", "source"), "left")
+        .select(col("lang"), col("source"), col("n_docs"),
+          when(col("res_max"), col("s_max"))
+            .otherwise(greatest(col("max_chars"), col("ins_max")))
+            .as("max_chars"),
+          when(col("res_min"), col("s_min"))
+            .otherwise(least(col("min_chars"), col("ins_min")))
+            .as("min_chars"),
+          (col("res_max").cast("long") + col("res_min").cast("long"))
+            .as("rescans"))
+        .localCheckpoint(true)
+      out = out.unionByName(emit(v.toLong, state, col("rescans")))
+    }
+    out.orderBy("version", "lang", "source")
   }
 
   // ---- e_schema_evolve ------------------------------------------------------
