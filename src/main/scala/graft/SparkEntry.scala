@@ -136,6 +136,7 @@ object SparkEntry {
     "e_txn_conflict"      -> (ExtQueries.txnConflict _),
     "e_txn_rebase"        -> (ExtQueries.txnRebase _),
     "e_txn_retry"         -> (ExtQueries.txnRetry _),
+    "e_txn_readset"       -> (ExtQueries.txnReadset _),
     "e_louvain_move"      -> (ExtQueries.louvainMove _),
     "e_louvain_apply"     -> (ExtQueries.louvainApply _),
     "e_louvain_collapse"  -> (ExtQueries.louvainCollapse _),
@@ -352,7 +353,8 @@ object SparkEntry {
     // from the graded snapshotAsOf derivation on extremum retraction
     "e_vacuum_apply", "e_change_feed", "e_feed_apply", "e_feed_apply_minmax",
     "e_txn_rebase",
-    "e_txn_retry", "e_range_estimate_eqd", "e_nb_threshold", "e_pref_pairs",
+    "e_txn_retry", "e_txn_readset", "e_range_estimate_eqd", "e_nb_threshold",
+    "e_pref_pairs",
     "e_join_order_hist")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -5260,6 +5260,43 @@ object ExtOracles {
       |ORDER BY version, lang, source""".stripMargin
   }
 
+  /** `e_txn_readset` — backward read-set validation over the write-skew
+    * fixture: writer A's ledger from the shared mod-7 rule, writer B's
+    * derived writes from the declared 2-key read set, the stale flag one
+    * key-join of read partners against A's committed base-key writes.
+    * Mirrors `ExtQueries.txnReadset`. */
+  private lazy val txnReadsetSql: String = {
+    val off = ExtQueries.VariantIdOffset
+    val bc = ExtQueries.TxnReadsetBClass
+    s"""WITH trd AS MATERIALIZED (SELECT doc_id, n_chars FROM documents),
+      |tra AS (SELECT
+      |    CASE WHEN doc_id % 7 = 2 THEN doc_id + $off ELSE doc_id END
+      |      AS doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'D' WHEN doc_id % 7 = 1 THEN 'U'
+      |      ELSE 'I' END AS op,
+      |    CASE WHEN doc_id % 7 = 0 THEN CAST(NULL AS BIGINT)
+      |      ELSE n_chars + 4 END AS n_chars_written
+      |  FROM trd WHERE doc_id % 7 IN (0, 1, 2)),
+      |trw AS (SELECT doc_id AS w FROM trd WHERE doc_id % 7 IN (0, 1)),
+      |trb AS (SELECT doc_id, n_chars,
+      |    CASE WHEN doc_id % 2 = 0 THEN doc_id + 1 ELSE doc_id - 2 END
+      |      AS partner_id
+      |  FROM trd WHERE doc_id % 7 = $bc),
+      |trv AS (SELECT b.doc_id, b.partner_id,
+      |    b.n_chars + p.n_chars AS n_chars_written,
+      |    w.w IS NOT NULL AS read_stale
+      |  FROM trb b JOIN trd p ON p.doc_id = b.partner_id
+      |  LEFT JOIN trw w ON b.partner_id = w.w)
+      |SELECT doc_id, 'a' AS writer, op, CAST(NULL AS BIGINT) AS partner_id,
+      |  n_chars_written, FALSE AS read_stale, 'committed_a' AS outcome
+      |FROM tra
+      |UNION ALL
+      |SELECT doc_id, 'b', 'U', partner_id, n_chars_written, read_stale,
+      |  CASE WHEN read_stale THEN 'ssi_abort' ELSE 'committed_b' END
+      |FROM trv
+      |ORDER BY doc_id, writer""".stripMargin
+  }
+
   /** `e_feed_apply_minmax` — the retractable-extremum maintainer's gate:
     * the Spark side maintains max/min lazily (monoid fold + re-scan when
     * a retraction carries the current extremum), while this SQL
@@ -5829,6 +5866,7 @@ object ExtOracles {
     ("e_txn_conflict" -> txnConflictSql) +
     ("e_txn_rebase" -> txnRebaseSql) +
     ("e_txn_retry" -> txnRetrySql) +
+    ("e_txn_readset" -> txnReadsetSql) +
     ("e_louvain_move" -> louvainMoveSql) +
     ("e_louvain_apply" -> louvainApplySql) +
     ("e_louvain_collapse" -> louvainCollapseSql) +

@@ -10839,6 +10839,96 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // ---- e_txn_readset --------------------------------------------------------
+
+  /** Writer B's skew class for [[txnReadset]] — keys with doc_id mod 7 =
+    * this are B's write set, DISJOINT from writer A's mod-7 {0, 1, 2}
+    * write classes by construction (write-write validation passes — the
+    * precondition of the write-skew anomaly). */
+  private[queries] val TxnReadsetBClass = 3L
+
+  /** READ-SET validation — the anomaly class the rest of the txn family
+    * CANNOT see: [[txnConflict]]/[[txnRebase]]/[[txnRetry]] validate
+    * write-write overlap, which is snapshot isolation, and the classic
+    * anomaly SI admits is WRITE SKEW (Berenson et al. '95; Cahill's SSI,
+    * what PostgreSQL SERIALIZABLE ships) — two writers with DISJOINT
+    * write sets whose writes are DERIVED from overlapping READS. The
+    * fixture constructs it: writer A is the graded [[mergeApply]] mod-7
+    * batch (commits first); writer B updates its own disjoint
+    * mod-7=[[TxnReadsetBClass]] class, each write carrying a value
+    * DERIVED from a declared two-key read set {j, partner(j)} (partner =
+    * j+1 for even j — a class A never writes; j−2 for odd j — A's update
+    * class): n_chars_written = the SUM of both read rows, the
+    * "two-account invariant" shape. Write-write validation finds NO
+    * conflict and would commit every B op — embedding derivations from
+    * preimages A already overwrote (the lost-derivation anomaly).
+    * Backward READ-SET validation (Kung & Robinson '81 §3 — stricter
+    * than SSI's dangerous-structure test: ANY committed-write ∩ read-set
+    * hit aborts, no rw-cycle tracking) joins B's declared read keys
+    * against A's committed write set and flags the hit ops `ssi_abort`;
+    * clean ops commit. Emits the union ledger: every A op
+    * (`committed_a`) and every B op with its partner key, the derived
+    * value (hash-visible: what WOULD have been wrongly committed),
+    * `read_stale`, and the outcome — with both B classes non-empty at
+    * both gate scales (36 aborts / 35 commits), spec-pinned along with
+    * write-set disjointness (the rebase-would-commit-everything claim).
+    *
+    * Determinism: pure mod classes, integer sums, key joins.
+    *
+    * At scale: one base scan per writer's generator, B's partner read is
+    * ONE key-join of slim (key, partner) pairs against the base, and the
+    * validation is one more key-join of B's read edges against A's write
+    * keys — commit-time validation costs a metadata-sized join, which is
+    * why OCC read-set validation (FoundationDB's model) scales; real
+    * engines coarsen the read set to predicate/range locks, trading
+    * false aborts for smaller state. Composes the graded [[mergeApply]]
+    * write rule — a harness key. */
+  def txnReadset(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m7 = pmod(col("doc_id"), lit(7L))
+    // writer A: the graded mergeApply mod-7 rule (ledger view)
+    val aOps = docs
+      .select(
+        when(m7 === 2, col("doc_id") + lit(VariantIdOffset))
+          .otherwise(col("doc_id")).as("doc_id"),
+        when(m7 === 0, lit("D")).when(m7 === 1, lit("U"))
+          .when(m7 === 2, lit("I")).as("op"),
+        when(m7 === 0, lit(null).cast("long"))
+          .otherwise(col("n_chars") + lit(4L)).as("n_chars_written"))
+      .filter(col("op").isNotNull)
+    // A's committed write set on BASE keys (inserts land on offset keys —
+    // a read can never have seen them)
+    val aWrites = docs.filter(m7.isin(0L, 1L)).select(col("doc_id").as("w"))
+    // writer B: the skew class, value derived from the declared 2-key read
+    val bPairs = docs.filter(m7 === TxnReadsetBClass)
+      .select(col("doc_id"), col("n_chars"),
+        when(pmod(col("doc_id"), lit(2L)) === 0, col("doc_id") + 1L)
+          .otherwise(col("doc_id") - 2L).as("partner_id"))
+    val bDerived = bPairs
+      .join(docs.select(col("doc_id").as("partner_id"),
+        col("n_chars").as("p_chars")), Seq("partner_id"))
+      .select(col("doc_id"), col("partner_id"),
+        (col("n_chars") + col("p_chars")).as("n_chars_written"))
+    // backward validation: any declared read key in A's committed writes
+    // (the partner is the only read A can have invalidated — B's own-key
+    // read is in B's write class, disjoint from A's by construction)
+    val bOps = bDerived
+      .join(broadcast(aWrites), col("partner_id") === col("w"), "left")
+      .select(col("doc_id"), col("partner_id"), col("n_chars_written"),
+        col("w").isNotNull.as("read_stale"))
+    aOps.select(col("doc_id"), lit("a").as("writer"), col("op"),
+        lit(null).cast("long").as("partner_id"), col("n_chars_written"),
+        lit(false).as("read_stale"), lit("committed_a").as("outcome"))
+      .unionByName(bOps.select(col("doc_id"), lit("b").as("writer"),
+        lit("U").as("op"), col("partner_id"), col("n_chars_written"),
+        col("read_stale"),
+        when(col("read_stale"), lit("ssi_abort")).otherwise(lit("committed_b"))
+          .as("outcome")))
+      .orderBy("doc_id", "writer")
+  }
+
   // ---- e_time_travel ------------------------------------------------------
 
   /** Number of change batches in the synthetic table history (versions
