@@ -1834,14 +1834,14 @@ object ExtQueries {
     * exactly k would return k results whose quality hinges on one cell. */
   private[queries] val IvfAdaptiveOverK = 3
   /** Matching-candidate count [[ivfFilterAdaptive]] probes toward. */
-  private[queries] val IvfAdaptiveTargetK = IvfAdaptiveOverK * AnnFilterK
+  private[graft] val IvfAdaptiveTargetK = IvfAdaptiveOverK * AnnFilterK
   /** Selectivity spill bound: when a query's predicate leaves at most this
     * many matching candidates CORPUS-WIDE, the adaptive plan skips the index
     * entirely and scores them all (the exact pre-filter path) — scanning a
     * handful of rows exactly is cheaper than probing cells for them, the
     * brute-force cutoff every production vector store applies under a
     * selective filter. */
-  private[queries] val IvfAdaptiveSpillMax = 100L
+  private[graft] val IvfAdaptiveSpillMax = 100L
 
   /** GUARANTEED-k ADAPTIVE filtered IVF serving — the plan a production
     * vector store actually runs under a per-query predicate, closing the
@@ -1923,9 +1923,23 @@ object ExtQueries {
     * per-cell predicate-matching count `m` and its running sum `cum` —
     * the metadata frame the adaptive plan decides from, |q|·cells rows. */
   private def ivfProbeSchedule(assigned: DataFrame, cents: DataFrame,
-      queries: DataFrame): DataFrame = {
-    val cellCnt = assigned.groupBy(col("cell"), col("label"))
+      queries: DataFrame): DataFrame =
+    ivfProbeScheduleFrom(ivfCellCounts(assigned), cents, queries)
+
+  /** The index's per-(cell, label) candidate-count table — the metadata
+    * the adaptive plan decides from. Derived here for the batch
+    * operators; the delete-aware streaming gate MAINTAINS it
+    * incrementally and certifies against this derivation. */
+  private[graft] def ivfCellCounts(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("cell"), col("label"))
       .agg(count(lit(1)).as("m"))
+
+  /** [[ivfProbeSchedule]] against an ALREADY-BUILT count table — factored
+    * so [[graft.streaming.Streaming.startFilteredVectorGateWithDeletes]]
+    * plans from its MAINTAINED counts (one schedule definition, so the
+    * continuous and batch adaptive plans cannot drift). */
+  private[graft] def ivfProbeScheduleFrom(cellCnt: DataFrame,
+      cents: DataFrame, queries: DataFrame): DataFrame = {
     val qcells = ivfFilterProbesAll(queries, cents)
     val wCum = Window.partitionBy(col("qid")).orderBy(col("crank"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1954,7 +1968,7 @@ object ExtQueries {
     * anywhere, first rank reaching the target, the spill decision —
     * eff_nprobe = cells both when the schedule exhausts (target
     * unreachable) and when it spills. */
-  private def ivfAdaptivePlanOf(qcum: DataFrame, targetK: Int,
+  private[graft] def ivfAdaptivePlanOf(qcum: DataFrame, targetK: Int,
       spillMax: Long): DataFrame =
     qcum.groupBy(col("qid"))
       .agg(max(col("cum")).as("n_match_total"),

@@ -576,6 +576,61 @@ object Streaming {
     query
   }
 
+  /** Delete-aware [[startMediaDupGate]] — the tombstone control path for
+    * the MEDIA signature index, per the [[startNearDupGateWithDeletes]]
+    * discipline: `"add"` rows screen as in the static gate; `"delete"`
+    * rows remove corpus doc_ids from the standing signature index
+    * mid-stream (the perceptual index keeps no derived per-node state —
+    * the anti-join IS the whole repair, and the band projection re-derives
+    * from the swapped signature frame). Deletes apply before the same
+    * batch's adds (the CDC convention); the swap is an eager
+    * localCheckpoint, truncating the standing index's lineage at the
+    * boundary. Parity vs restart-with-survivors and a live
+    * "deleted media stops matching" case are spec-pinned. */
+  def startMediaDupGateWithDeletes(docs: DataFrame, corpus: DataFrame,
+      ckpt: String)(emit: DataFrame => Unit): StreamingQuery = {
+    import graft.queries.ExtQueries
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var corpusSigs = ExtQueries
+      .phashSignatures(corpus.select(col("doc_id"), col("text"))).persist(sl)
+    var corpusBands = ExtQueries.phashBands(corpusSigs)
+    val query = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val tomb = b.filter(col("op") === "delete").select(col("doc_id"))
+          if (!tomb.isEmpty) {
+            val newSigs = corpusSigs.join(broadcast(tomb), Seq("doc_id"),
+              "left_anti").localCheckpoint(true)
+            corpusSigs.unpersist(); graft.operators.IterStorage.release(corpusSigs)
+            corpusSigs = newSigs
+            corpusBands = ExtQueries.phashBands(newSigs)
+          }
+          val adds = b.filter(col("op") === "add")
+            .select(col("doc_id"), col("text"))
+          val bSigs = ExtQueries.phashSignatures(adds).persist()
+          try {
+            val matches = ExtQueries
+              .phashPairs(corpusBands, ExtQueries.phashBands(bSigs), lit(true))
+              .groupBy(col("doc_b").as("doc_id"))
+              .agg(min(struct(col("doc_a"), col("hamming"))).as("m"))
+            emit(bSigs.select(col("doc_id"))
+              .join(matches, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                col("m").isNotNull.as("is_media_dup"),
+                col("m.doc_a").as("match_id"),
+                col("m.hamming").as("hamming")))
+          } finally bSigs.unpersist()
+        } finally b.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    releaseOnTermination(docs.sparkSession, query, Seq(corpusSigs))
+    query
+  }
+
   /** Streaming NEAR-duplicate gate — the continuous form of
     * [[graft.queries.ExtQueries.crossDedup]], and the near-miss upgrade of
     * [[dedupStream]]'s exact-fingerprint screen: every micro-batch of
@@ -748,6 +803,91 @@ object Streaming {
     // index each, never an accumulation.
     releaseOnTermination(queries.sparkSession, query,
       Seq(idx, centTable))
+    query
+  }
+
+  /** Delete-aware ADAPTIVE filtered vector serving — the tombstone
+    * control path for the richest standing index in the streaming layer,
+    * and the production upgrade of [[startFilteredVectorGate]]'s fixed
+    * nprobe: the standing state is the labeled IVF assignment, the seed
+    * centroid table (the quantizer stays fixed on delete — retraining is
+    * `e_index_retrain`'s separate concern) AND the per-(cell, label)
+    * candidate-count table the guaranteed-k adaptive plan decides from
+    * ([[graft.queries.ExtQueries.ivfFilterAdaptive]]'s schedule — the
+    * SAME [[graft.queries.ExtQueries.ivfProbeScheduleFrom]] /
+    * [[graft.queries.ExtQueries.ivfAdaptivePlanOf]] bodies, so the
+    * continuous and batch adaptive plans cannot drift).
+    *
+    * Stream rows carry `op` — `"query"` rows serve; `"delete"` rows
+    * tombstone corpus vec_ids: the assignment anti-joins, and the COUNT
+    * TABLE IS MAINTAINED INCREMENTALLY — the deleted rows' own (cell,
+    * label) groups decrement it (never a recount; zeroed cells drop).
+    * The maintenance is load-bearing, not bookkeeping: the adaptive plan
+    * walks cells until the counts promise the target k, so a STALE count
+    * over-promises a thinned cell and the plan under-probes — serving
+    * fewer than the guaranteed k. Maintained ≡ recounted and the
+    * mis-probe counterexample are both spec-pinned, along with parity vs
+    * the batch adaptive serve over survivors. The probe knobs are
+    * parameters (production defaults) — at the gate fixture scale every
+    * per-label candidate total sits under the production spill bound, so
+    * the spec drives `spillMax = 0` to exercise the genuinely adaptive
+    * regime (the batch operator's own corner-knob pattern).
+    *
+    * At scale: a tombstone costs one anti-join of the slim assignment
+    * plus a ≤\|cells\|·\|labels\|-row metadata fold — never a corpus
+    * re-assignment; the swap is the eager-localCheckpoint discipline.
+    * Queries pay the batch operator's own bill: the plan runs on COUNTS,
+    * probes broadcast, the corpus never reshuffles. */
+  def startFilteredVectorGateWithDeletes(queries: DataFrame,
+      corpus: DataFrame, ckpt: String,
+      targetK: Int = graft.queries.ExtQueries.IvfAdaptiveTargetK,
+      spillMax: Long = graft.queries.ExtQueries.IvfAdaptiveSpillMax)
+      (emit: DataFrame => Unit): StreamingQuery = {
+    import graft.queries.ExtQueries
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (assignedRaw, cents0) = ExtQueries.ivfLabeledIndex(corpus)
+    val centTable = cents0.persist()
+    var idx = assignedRaw.persist(sl)
+    var counts = ExtQueries.ivfCellCounts(idx).persist(sl)
+    val query = queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val tomb = b.filter(col("op") === "delete").select(col("vec_id"))
+          if (!tomb.isEmpty) {
+            // decrement from the deleted rows' OWN assignment — the
+            // incremental fold, certified against a recount by the spec
+            val dec = idx.join(broadcast(tomb), Seq("vec_id"), "left_semi")
+              .groupBy(col("cell"), col("label"))
+              .agg(count(lit(1)).as("d"))
+            val newIdx = idx.join(broadcast(tomb), Seq("vec_id"),
+              "left_anti").localCheckpoint(true)
+            val newCounts = counts.join(broadcast(dec), Seq("cell", "label"),
+                "left")
+              .select(col("cell"), col("label"),
+                (col("m") - coalesce(col("d"), lit(0L))).as("m"))
+              .filter(col("m") > 0)
+              .localCheckpoint(true)
+            idx.unpersist(); graft.operators.IterStorage.release(idx)
+            counts.unpersist(); graft.operators.IterStorage.release(counts)
+            idx = newIdx; counts = newCounts
+          }
+          val q = b.filter(col("op") === "query")
+            .select(col("vec_id"), col("embedding"), col("label"))
+          val qcum = ExtQueries.ivfProbeScheduleFrom(counts, centTable, q)
+          val qplan = ExtQueries.ivfAdaptivePlanOf(qcum, targetK, spillMax)
+          val probe = qcum.join(broadcast(qplan), Seq("qid"))
+            .filter(col("crank") <= col("eff_nprobe"))
+            .select(col("qid"), col("qe"), col("nq"), col("tgt"), col("cell"))
+          emit(ExtQueries.ivfFilterServe(idx, probe))
+        } finally b.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    releaseOnTermination(queries.sparkSession, query,
+      Seq(idx, counts, centTable))
     query
   }
 
