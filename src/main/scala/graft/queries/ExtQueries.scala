@@ -9754,7 +9754,12 @@ object ExtQueries {
     val (knn, labs) = labelPropPartsMemo(spark, dir)
     val moves = benchMemo(spark, dir, "louvain_moves")(
       louvainMovesFrom(knn, labs))
-    val nl = louvainNewLabs(labs, louvainPicked(moves))
+    // louvain_nl joins the memo family (round 17): the post-move label
+    // frame is the shared substrate of five harness keys
+    // (apply/collapse/super/merge/levels) — under bench it materializes
+    // once and each key pays its own marginal work
+    val nl = benchMemo(spark, dir, "louvain_nl")(
+      louvainNewLabs(labs, louvainPicked(moves)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     louvainCollapseFrom(knn, nl)
   }
@@ -9812,8 +9817,10 @@ object ExtQueries {
   private[queries] def louvainSuperRows(
       spark: SparkSession, dir: String): DataFrame = {
     // |communities|²-row condensed table, persisted for its three
-    // consumers (mass, degrees, pairs)
-    val cg = louvainCollapseRows(spark, dir)
+    // consumers (mass, degrees, pairs); louvain_cg memoized under bench
+    // (round 17 — super/merge/levels share the level-0 condensation)
+    val cg = benchMemo(spark, dir, "louvain_cg")(
+      louvainCollapseRows(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     louvainSuperFrom(cg)
   }
@@ -9896,9 +9903,13 @@ object ExtQueries {
     // lineage — left lazy, the composed Catalyst plan is pathological
     // (heap-exhausted analysis, the IterStorage scaladoc's trap;
     // measured). nl/cg are slim (|V| and ≤|communities|² rows); Verify's
-    // RDD sweep releases the blocks after the key materializes.
-    val nl = louvainNewLabs(labs, louvainPicked(moves)).localCheckpoint(true)
-    val cg = louvainCollapseFrom(knn, nl).localCheckpoint(true)
+    // RDD sweep releases the blocks after the key materializes. Both ride
+    // the round-17 memo family under bench (cold thunks build from the
+    // checkpointed predecessor exactly as before).
+    val nl = benchMemo(spark, dir, "louvain_nl")(
+      louvainNewLabs(labs, louvainPicked(moves))).localCheckpoint(true)
+    val cg = benchMemo(spark, dir, "louvain_cg")(
+      louvainCollapseFrom(knn, nl)).localCheckpoint(true)
     val sup = louvainSuperFrom(cg).filter(col("merged"))
       .select(col("community"), col("partner"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -10024,8 +10035,10 @@ object ExtQueries {
     val (knn, labs) = labelPropPartsMemo(spark, dir)
     val moves = benchMemo(spark, dir, "louvain_moves")(
       louvainMovesFrom(knn, labs))
-    val nl = louvainNewLabs(labs, louvainPicked(moves)).localCheckpoint(true)
-    var cg = louvainCollapseFrom(knn, nl).localCheckpoint(true)
+    val nl = benchMemo(spark, dir, "louvain_nl")(
+      louvainNewLabs(labs, louvainPicked(moves))).localCheckpoint(true)
+    var cg = benchMemo(spark, dir, "louvain_cg")(
+      louvainCollapseFrom(knn, nl)).localCheckpoint(true)
     var sizes = nl.groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_nodes")).localCheckpoint(true)
     var out = louvainLevelReport(0, cg, sizes)
