@@ -148,6 +148,7 @@ object SparkEntry {
     "e_corr_estimate"     -> (ExtQueries.corrEstimate _),
     "e_join_order"        -> (ExtQueries.joinOrder _),
     "e_join_order_hist"   -> (ExtQueries.joinOrderHist _),
+    "e_card_feedback"     -> (ExtQueries.cardFeedback _),
     "e_cosine_topk_beam"  -> (ExtQueries.cosineTopkBeam _),
     "e_cosine_topk_pq"    -> (ExtQueries.cosineTopkPq _),
     "e_pq_train"          -> (ExtQueries.pqTrain _),
@@ -350,11 +351,13 @@ object SparkEntry {
     // e_join_order_hist prices its permutations from the graded
     // e_corr_estimate grid (thresholds, 1-D counts and the 2-D estimate);
     // e_feed_apply_minmax folds the graded e_change_feed and re-scans
-    // from the graded snapshotAsOf derivation on extremum retraction
+    // from the graded snapshotAsOf derivation on extremum retraction;
+    // e_card_feedback learns its adjustment from the graded
+    // e_corr_estimate audit row
     "e_vacuum_apply", "e_change_feed", "e_feed_apply", "e_feed_apply_minmax",
     "e_txn_rebase",
     "e_txn_retry", "e_txn_readset", "e_range_estimate_eqd", "e_nb_threshold",
-    "e_pref_pairs",
+    "e_pref_pairs", "e_card_feedback",
     "e_join_order_hist")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -5540,6 +5540,76 @@ object ExtOracles {
       |FROM st, thr, est e""".stripMargin
   }
 
+  /** `e_card_feedback` — LEO-style cardinality feedback: COMPOSES the
+    * graded `e_corr_estimate` SQL for the observed (actual, estimate)
+    * pair, learns adj = actual/est, prices the upper-quartile
+    * conjunction by independence, feedback and the B² grid. Exact
+    * ⌈3n/4⌉ rank thresholds; expression order mirrors
+    * `ExtQueries.cardFeedback`. */
+  private lazy val cardFeedbackSql: String = {
+    val b = ExtQueries.RangeEstBuckets
+    val s = ExtQueries.RangeEstFpScale
+    s"""WITH cf0 AS MATERIALIZED (SELECT n_actual AS obs_actual,
+      |    n_est_indep AS obs_est
+      |  FROM ($corrEstimateSql) z),
+      |cf1 AS MATERIALIZED (SELECT n_chars,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |cfr AS (SELECT n_chars, n_tokens,
+      |    row_number() OVER (ORDER BY n_chars) AS ra,
+      |    row_number() OVER (ORDER BY n_tokens) AS rb,
+      |    count(*) OVER () AS n
+      |  FROM cf1),
+      |cft AS (SELECT
+      |    max(CASE WHEN ra = ceil(n * 0.75) THEN n_chars END) AS tc,
+      |    max(CASE WHEN rb = ceil(n * 0.75) THEN n_tokens END) AS tt
+      |  FROM cfr),
+      |cfb AS (SELECT min(n_chars) AS loa, max(n_chars) AS hia,
+      |    min(n_tokens) AS lob, max(n_tokens) AS hib,
+      |    (max(n_chars) - min(n_chars) + $b) // $b AS wa,
+      |    (max(n_tokens) - min(n_tokens) + $b) // $b AS wb
+      |  FROM cf1),
+      |cfg AS (SELECT (t.n_chars - bo.loa) // bo.wa AS i,
+      |    (t.n_tokens - bo.lob) // bo.wb AS j,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM cf1 t, cfb bo GROUP BY 1, 2),
+      |cfe AS (SELECT CAST(sum((g.cnt
+      |    * greatest(0, least(bo.loa + (g.i + 1) * bo.wa - 1, bo.hia)
+      |        - greatest(bo.loa + g.i * bo.wa, thr.tc) + 1)
+      |    * greatest(0, least(bo.lob + (g.j + 1) * bo.wb - 1, bo.hib)
+      |        - greatest(bo.lob + g.j * bo.wb, thr.tt) + 1)
+      |    * $s) // (bo.wa * bo.wb)) AS BIGINT) AS est_fp
+      |  FROM cfg g, cfb bo, cft thr),
+      |cfs AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN n_chars >= tc THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c_a75,
+      |    CAST(sum(CASE WHEN n_tokens >= tt THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c_b75,
+      |    CAST(sum(CASE WHEN n_chars >= tc AND n_tokens >= tt
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_actual75
+      |  FROM cf1, cft)
+      |SELECT s.n_rows, thr.tc AS t_chars75, thr.tt AS t_tokens75,
+      |  s.c_a75, s.c_b75, s.n_actual75,
+      |  CAST(o.obs_actual AS DOUBLE) / o.obs_est AS adj,
+      |  CAST(s.c_a75 * s.c_b75 AS DOUBLE) / CAST(s.n_rows AS DOUBLE)
+      |    AS n_est_indep75,
+      |  CASE WHEN s.n_actual75 = 0 THEN NULL
+      |    ELSE (CAST(s.c_a75 * s.c_b75 AS DOUBLE) / CAST(s.n_rows AS DOUBLE))
+      |      / CAST(s.n_actual75 AS DOUBLE) END AS err_indep75,
+      |  (CAST(s.c_a75 * s.c_b75 AS DOUBLE) / CAST(s.n_rows AS DOUBLE))
+      |    * (CAST(o.obs_actual AS DOUBLE) / o.obs_est) AS n_est_fb,
+      |  CASE WHEN s.n_actual75 = 0 THEN NULL
+      |    ELSE ((CAST(s.c_a75 * s.c_b75 AS DOUBLE) / CAST(s.n_rows AS DOUBLE))
+      |      * (CAST(o.obs_actual AS DOUBLE) / o.obs_est))
+      |      / CAST(s.n_actual75 AS DOUBLE) END AS err_fb,
+      |  CAST(e.est_fp AS DOUBLE) / $s AS n_est_joint75,
+      |  CASE WHEN s.n_actual75 = 0 THEN NULL
+      |    ELSE (CAST(e.est_fp AS DOUBLE) / $s) / CAST(s.n_actual75 AS DOUBLE)
+      |    END AS err_joint75
+      |FROM cfs s, cft thr, cfe e, cf0 o""".stripMargin
+  }
+
   /** `e_join_order_hist` — histogram-driven join ordering: COMPOSES the
     * graded `e_corr_estimate` SQL text for the thresholds, exact 1-D
     * counts and the 2-D grid estimate, adds the lang-containing prefix
@@ -5878,6 +5948,7 @@ object ExtOracles {
     ("e_corr_estimate" -> corrEstimateSql) +
     ("e_join_order" -> joinOrderSql) +
     ("e_join_order_hist" -> joinOrderHistSql) +
+    ("e_card_feedback" -> cardFeedbackSql) +
     ("e_silhouette" -> silhouetteSql) +
     ("e_pq_train" -> pqTrainSql) +
     ("e_pq_trained" -> pqTrainedSql) +

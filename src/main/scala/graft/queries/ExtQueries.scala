@@ -2994,6 +2994,101 @@ object ExtQueries {
             / col("n_actual").cast("double")).as("err_joint"))
   }
 
+  // ---- e_card_feedback ------------------------------------------------------
+
+  /** CARDINALITY FEEDBACK — the third answer to correlated predicates,
+    * and the cheapest: [[corrEstimate]] diagnoses the independence error
+    * and fixes it with multi-column statistics (an ANALYZE cost);
+    * feedback (DB2's LEO, Stillger et al. '01; SQL Server's CE feedback)
+    * fixes it for FREE by learning from execution: the observed
+    * actual/estimate ratio of a completed query becomes the adjustment
+    * factor for the NEXT similar query. This key runs the loop: the
+    * learned `adj` is the graded medians audit's own n_actual /
+    * n_est_indep, applied to a NEW conjunction over the same column pair
+    * at the upper-QUARTILE thresholds (exact ⌈3n/4⌉ ranks — the
+    * binary-fraction rank-selection device), priced three ways:
+    * independence (exact 1-D counts), independence × adj (the feedback
+    * estimate), and the B² grid (the multi-column statistic, same
+    * fixed-point pricing at the new thresholds). The measured ranking is
+    * the production trade stated honestly: the grid is closest
+    * (err ≈ 0.74), feedback second (≈ 0.52 — one multiply, zero stats
+    * maintenance), raw independence worst (≈ 0.27) — spec-pinned as a
+    * strict |err − 1| ordering at both gate scales, with a full local
+    * recompute. Feedback's limit is also visible in the numbers: a
+    * single scalar learned at the medians under-corrects the tail
+    * quartile, which is exactly why engines keep per-predicate feedback
+    * CACHES rather than one global factor.
+    *
+    * Determinism: counts and thresholds exact; adj and every estimate
+    * are pinned-order IEEE products/divides mirrored in both engines.
+    *
+    * At scale: the observation is free (the prior query already ran);
+    * the new pricing is one corpus pass for the quartile stats plus
+    * ≤ B² grid metadata — and in production the grid/thresholds come
+    * from the stats store, so feedback pricing touches NO data at all.
+    * Composes the graded [[corrEstimate]] audit (its SQL likewise) — a
+    * harness key. */
+  def cardFeedback(spark: SparkSession, dir: String): DataFrame = {
+    val b = RangeEstBuckets
+    val s = RangeEstFpScale
+    // the graded observation: the completed medians-audit row
+    val corr = corrEstimate(spark, dir)
+      .select(col("n_actual").as("obs_actual"),
+        col("n_est_indep").as("obs_est"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = table(spark, dir, "documents")
+      .select(col("n_chars"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = count(lit(1))
+    def q75(c: Column) = when(n <= QualityBucketAccuracy,
+        percentile_approx(c, lit(0.75), lit(QualityBucketAccuracy)))
+      .otherwise(raise_error(lit(
+        s"card_feedback: corpus exceeds accuracy $QualityBucketAccuracy — " +
+          "GK no longer degenerates to exact rank selection"))
+        .cast("bigint"))
+    val one = t.agg(
+        q75(col("n_chars")).as("tc"), q75(col("n_tokens")).as("tt"),
+        min(col("n_chars")).as("loa"), max(col("n_chars")).as("hia"),
+        min(col("n_tokens")).as("lob"), max(col("n_tokens")).as("hib"))
+      .withColumn("wa", expr(s"(hia - loa + $b) div $b"))
+      .withColumn("wb", expr(s"(hib - lob + $b) div $b"))
+    val grid = t.crossJoin(broadcast(one))
+      .groupBy(expr("(n_chars - loa) div wa").as("i"),
+        expr("(n_tokens - lob) div wb").as("j"))
+      .agg(count(lit(1)).as("cnt"))
+    val est = grid.crossJoin(broadcast(one))
+      .select((col("cnt")
+          * greatest(lit(0L), least(col("loa") + (col("i") + 1) * col("wa") - 1,
+              col("hia")) - greatest(col("loa") + col("i") * col("wa"),
+              col("tc")) + 1)
+          * greatest(lit(0L), least(col("lob") + (col("j") + 1) * col("wb") - 1,
+              col("hib")) - greatest(col("lob") + col("j") * col("wb"),
+              col("tt")) + 1)
+          * lit(s)).as("num"),
+        (col("wa") * col("wb")).as("den"))
+      .agg(sum(expr("num div den")).as("est_fp"))
+    val stats = t.crossJoin(broadcast(one))
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col("n_chars") >= col("tc")).cast("long")).as("c_a75"),
+        sum((col("n_tokens") >= col("tt")).cast("long")).as("c_b75"),
+        sum((col("n_chars") >= col("tc") && col("n_tokens") >= col("tt"))
+          .cast("long")).as("n_actual75"))
+    val indep75 = (col("c_a75") * col("c_b75")).cast("double") /
+      col("n_rows").cast("double")
+    val adj = col("obs_actual").cast("double") / col("obs_est")
+    def err(e: Column): Column =
+      when(col("n_actual75") === 0, lit(null).cast("double"))
+        .otherwise(e / col("n_actual75").cast("double"))
+    one.crossJoin(est).crossJoin(stats).crossJoin(broadcast(corr))
+      .select(col("n_rows"), col("tc").as("t_chars75"),
+        col("tt").as("t_tokens75"), col("c_a75"), col("c_b75"),
+        col("n_actual75"), adj.as("adj"),
+        indep75.as("n_est_indep75"), err(indep75).as("err_indep75"),
+        (indep75 * adj).as("n_est_fb"), err(indep75 * adj).as("err_fb"),
+        (col("est_fp").cast("double") / lit(s.toDouble)).as("n_est_joint75"),
+        err(col("est_fp").cast("double") / lit(s.toDouble)).as("err_joint75"))
+  }
+
   // ---- e_join_order_hist ----------------------------------------------------
 
   /** The six dim-application orders of [[joinOrderHist]]'s star: `c` the
