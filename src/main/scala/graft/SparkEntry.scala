@@ -149,6 +149,7 @@ object SparkEntry {
     "e_join_order"        -> (ExtQueries.joinOrder _),
     "e_join_order_hist"   -> (ExtQueries.joinOrderHist _),
     "e_card_feedback"     -> (ExtQueries.cardFeedback _),
+    "e_compact_conflict"  -> (ExtQueries.compactConflict _),
     "e_cosine_topk_beam"  -> (ExtQueries.cosineTopkBeam _),
     "e_cosine_topk_pq"    -> (ExtQueries.cosineTopkPq _),
     "e_pq_train"          -> (ExtQueries.pqTrain _),
@@ -327,8 +328,10 @@ object SparkEntry {
     // the e_knn_graph/serve substrates it re-audits
     "e_index_retrain",
     // e_scan_prune composes the graded e_zorder layout derivation;
-    // e_compaction_apply routes files by the graded e_compaction_plan
-    "e_scan_prune", "e_compaction_apply",
+    // e_compaction_apply routes files by the graded e_compaction_plan;
+    // e_compact_conflict validates the graded plan's bins against the
+    // concurrent writer
+    "e_scan_prune", "e_compaction_apply", "e_compact_conflict",
     // e_filter_recall composes the three graded filtered-serving
     // operators; e_filter_cost composes the whole recall harness
     "e_filter_recall", "e_filter_cost",

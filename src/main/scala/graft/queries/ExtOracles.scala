@@ -4747,6 +4747,38 @@ object ExtOracles {
       |  n_match
       |FROM u ORDER BY layout, source, file_id""".stripMargin
 
+  /** `e_compact_conflict` — composes the graded `e_compaction_plan`
+    * routing and validates each bin against the concurrent writer's
+    * sparse touch rule; rebased bins priced from the post-commit
+    * snapshot. Mirrors `ExtQueries.compactConflict`. */
+  private lazy val compactConflictSql: String = {
+    val fm = ExtQueries.CompactionFileDocs
+    val cm = ExtQueries.CompactConflictMod
+    val d = ExtQueries.CompactConflictCharsDelta
+    s"""WITH ccp AS (SELECT source, bin, first_file, last_file, n_files,
+      |    n_docs, bin_bytes
+      |  FROM (${baseSql("e_compaction_plan")}) p),
+      |ccf AS MATERIALIZED (SELECT source, doc_id // $fm AS file_id,
+      |    CAST(sum(CASE WHEN doc_id % $cm IN (0, 1) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS touched,
+      |    CAST(sum(CASE WHEN doc_id % $cm = 0 THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS docs_after,
+      |    CAST(sum(CASE WHEN doc_id % $cm = 0 THEN 0
+      |      WHEN doc_id % $cm = 1 THEN n_chars + $d
+      |      ELSE n_chars END) AS BIGINT) AS bytes_after
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT p.source, p.bin, p.n_files, p.n_docs, p.bin_bytes AS bytes,
+      |  CAST(sum(f.touched) AS BIGINT) AS n_stale,
+      |  CASE WHEN sum(f.touched) > 0 THEN 'rebase' ELSE 'commit' END
+      |    AS verdict,
+      |  CAST(sum(f.docs_after) AS BIGINT) AS n_docs_after,
+      |  CAST(sum(f.bytes_after) AS BIGINT) AS bytes_after
+      |FROM ccp p JOIN ccf f ON f.source = p.source
+      |  AND f.file_id BETWEEN p.first_file AND p.last_file
+      |GROUP BY p.source, p.bin, p.n_files, p.n_docs, p.bin_bytes
+      |ORDER BY p.source, p.bin""".stripMargin
+  }
+
   /** `e_filter_recall` — composes the four filtered-serving SQL texts;
     * the truth CTE is referenced five times, so MATERIALIZED (the DuckDB
     * inlining lesson). */
@@ -5869,6 +5901,7 @@ object ExtOracles {
   val sql: Map[String, String] = baseSql +
     ("e_rank_metrics" -> rankMetricsSql) +
     ("e_compaction_apply" -> compactionApplySql) +
+    ("e_compact_conflict" -> compactConflictSql) +
     ("e_scan_prune" -> scanPruneSql) +
     ("e_filter_recall" -> filterRecallSql) +
     ("e_filter_cost" -> filterCostSql) +
