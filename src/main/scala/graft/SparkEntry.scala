@@ -150,6 +150,7 @@ object SparkEntry {
     "e_join_order_hist"   -> (ExtQueries.joinOrderHist _),
     "e_card_feedback"     -> (ExtQueries.cardFeedback _),
     "e_compact_conflict"  -> (ExtQueries.compactConflict _),
+    "e_manifest_prune"    -> (ExtQueries.manifestPrune _),
     "e_cosine_topk_beam"  -> (ExtQueries.cosineTopkBeam _),
     "e_cosine_topk_pq"    -> (ExtQueries.cosineTopkPq _),
     "e_pq_train"          -> (ExtQueries.pqTrain _),

@@ -4747,6 +4747,44 @@ object ExtOracles {
       |  n_match
       |FROM u ORDER BY layout, source, file_id""".stripMargin
 
+  /** `e_manifest_prune` — the two-tier metadata-pruning bakeoff: flat
+    * file-stats scan vs manifest-first pruning, same keep set, fewer
+    * metadata rows read. Mirrors `ExtQueries.manifestPrune`. */
+  private lazy val manifestPruneSql: String = {
+    val fd = ExtQueries.CompactionFileDocs
+    val mf = ExtQueries.ManifestFiles
+    val lo = ExtQueries.ManifestPruneIdLo
+    val hi = ExtQueries.ManifestPruneIdHi
+    s"""WITH mpf AS MATERIALIZED (SELECT source, doc_id // $fd AS file_id,
+      |    min(doc_id) AS id_min, max(doc_id) AS id_max,
+      |    CAST(sum(CASE WHEN doc_id >= $lo AND doc_id < $hi
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      |  FROM documents GROUP BY 1, 2),
+      |mpm AS MATERIALIZED (SELECT source, file_id // $mf AS manifest,
+      |    min(id_min) AS id_min, max(id_max) AS id_max
+      |  FROM mpf GROUP BY 1, 2),
+      |mps AS (SELECT source, manifest FROM mpm
+      |  WHERE id_max >= $lo AND id_min < $hi),
+      |mpt AS (SELECT f.* FROM mpf f JOIN mps s
+      |  ON f.source = s.source AND f.file_id // $mf = s.manifest)
+      |SELECT 'flat' AS strategy,
+      |  CAST(count(*) AS BIGINT) AS meta_rows_read,
+      |  CAST(sum(CASE WHEN id_max >= $lo AND id_min < $hi
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS files_kept,
+      |  CAST(sum(CASE WHEN id_max >= $lo AND id_min < $hi
+      |    THEN n_match ELSE 0 END) AS BIGINT) AS rows_matched
+      |FROM mpf
+      |UNION ALL
+      |SELECT 'two_tier',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM mpm) + CAST(count(*) AS BIGINT),
+      |  CAST(sum(CASE WHEN id_max >= $lo AND id_min < $hi
+      |    THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(sum(CASE WHEN id_max >= $lo AND id_min < $hi
+      |    THEN n_match ELSE 0 END) AS BIGINT)
+      |FROM mpt
+      |ORDER BY strategy""".stripMargin
+  }
+
   /** `e_compact_conflict` — composes the graded `e_compaction_plan`
     * routing and validates each bin against the concurrent writer's
     * sparse touch rule; rebased bins priced from the post-commit
@@ -5902,6 +5940,7 @@ object ExtOracles {
     ("e_rank_metrics" -> rankMetricsSql) +
     ("e_compaction_apply" -> compactionApplySql) +
     ("e_compact_conflict" -> compactConflictSql) +
+    ("e_manifest_prune" -> manifestPruneSql) +
     ("e_scan_prune" -> scanPruneSql) +
     ("e_filter_recall" -> filterRecallSql) +
     ("e_filter_cost" -> filterCostSql) +

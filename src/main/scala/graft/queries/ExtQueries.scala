@@ -12268,6 +12268,83 @@ object ExtQueries {
       .orderBy("layout", "source", "file_id")
   }
 
+  // ---- e_manifest_prune -----------------------------------------------------
+
+  /** Files per manifest for [[manifestPrune]]'s two-tier layout
+    * (consecutive file_ids per source; 16 so the manifest tier is
+    * genuinely coarser than the ~25 populated files per source). */
+  private[queries] val ManifestFiles = 16L
+
+  /** The pinned audit range for [[manifestPrune]] — narrower than the
+    * compaction audit's so manifest-level pruning actually skips
+    * manifests at the fixture scales (measured: 500 → 208 metadata rows
+    * read, identical keep set). */
+  private[queries] val ManifestPruneIdLo = 40L
+  private[queries] val ManifestPruneIdHi = 120L
+
+  /** TWO-TIER metadata pruning — the reason Iceberg has manifest LISTS
+    * and Delta checkpoints carry partition-level stats: [[scanPrune]]
+    * grades FILE-level skipping, but at 100 TB the file-stats table is
+    * itself large (10M files × a stats row — reading all of it per
+    * query is a metadata-scan bottleneck), so production formats NEST
+    * the stats: manifests group [[ManifestFiles]] consecutive files and
+    * carry merged min/max; a query prunes manifests first and reads
+    * file stats ONLY inside surviving manifests. This key runs the
+    * pinned id-range predicate both ways over the same inventory (the
+    * compaction file grain) and emits one row per strategy: metadata
+    * rows READ (the two-tier row counts manifests + surviving-manifest
+    * file rows), files kept, and the exact matching-row count — the
+    * keep set and match total are TIER-INVARIANT (merged stats can only
+    * widen a bound, so manifest pruning is sound: it never skips a
+    * manifest containing a keepable file — spec-pinned), while the
+    * two-tier path reads a strict fraction of the metadata.
+    *
+    * Determinism: all-integer counts and min/max merges.
+    *
+    * At scale: this is a metadata-ONLY operator — both strategies touch
+    * |files| + |manifests| slim rows; the payoff grows with the
+    * inventory (at 10M files and 1k-file manifests, a selective query
+    * reads ~10k manifest rows + survivors instead of 10M), which is
+    * exactly the scaling argument manifest lists exist for. Composes
+    * the [[compactionPlan]] file grain; the fraction-read claim and
+    * soundness are spec-pinned. */
+  def manifestPrune(spark: SparkSession, dir: String): DataFrame = {
+    val lo = ManifestPruneIdLo
+    val hi = ManifestPruneIdHi
+    val m = col("doc_id") >= lo && col("doc_id") < hi
+    val files = table(spark, dir, "documents")
+      .select(col("source"),
+        expr(s"doc_id div $CompactionFileDocs").as("file_id"),
+        col("doc_id"))
+      .groupBy(col("source"), col("file_id"))
+      .agg(min(col("doc_id")).as("id_min"), max(col("doc_id")).as("id_max"),
+        sum(m.cast("long")).as("n_match"))
+      .withColumn("manifest", expr(s"file_id div $ManifestFiles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keepF = col("id_max") >= lo && col("id_min") < hi
+    val manifests = files.groupBy(col("source"), col("manifest"))
+      .agg(min(col("id_min")).as("id_min"), max(col("id_max")).as("id_max"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val flat = files.agg(count(lit(1)).as("meta_rows_read"),
+        sum(keepF.cast("long")).as("files_kept"),
+        sum(when(keepF, col("n_match")).otherwise(lit(0L))).as("rows_matched"))
+      .select(lit("flat").as("strategy"), col("meta_rows_read"),
+        col("files_kept"), col("rows_matched"))
+    val surv = manifests.filter(col("id_max") >= lo && col("id_min") < hi)
+      .select(col("source"), col("manifest"))
+    val nMan = manifests.agg(count(lit(1)).as("n_man"))
+    val tier = files
+      .join(broadcast(surv), Seq("source", "manifest"), "left_semi")
+      .agg(count(lit(1)).as("file_rows"),
+        sum(keepF.cast("long")).as("files_kept"),
+        sum(when(keepF, col("n_match")).otherwise(lit(0L))).as("rows_matched"))
+      .crossJoin(broadcast(nMan))
+      .select(lit("two_tier").as("strategy"),
+        (col("n_man") + col("file_rows")).as("meta_rows_read"),
+        col("files_kept"), col("rows_matched"))
+    flat.unionByName(tier).orderBy("strategy")
+  }
+
   // ---- e_compact_conflict ---------------------------------------------------
 
   /** The concurrent writer's sparse touch rule for [[compactConflict]]
