@@ -133,6 +133,7 @@ object SparkEntry {
     "e_change_feed"       -> (ExtQueries.changeFeed _),
     "e_feed_apply"        -> (ExtQueries.feedApply _),
     "e_feed_apply_minmax" -> (ExtQueries.feedApplyMinmax _),
+    "e_mv_rewrite"        -> (ExtQueries.mvRewrite _),
     "e_txn_conflict"      -> (ExtQueries.txnConflict _),
     "e_txn_rebase"        -> (ExtQueries.txnRebase _),
     "e_txn_retry"         -> (ExtQueries.txnRetry _),
@@ -357,11 +358,12 @@ object SparkEntry {
     // e_feed_apply_minmax folds the graded e_change_feed and re-scans
     // from the graded snapshotAsOf derivation on extremum retraction;
     // e_card_feedback learns its adjustment from the graded
-    // e_corr_estimate audit row
+    // e_corr_estimate audit row; e_mv_rewrite answers from the graded
+    // e_feed_apply maintained state against the snapshotAsOf direct path
     "e_vacuum_apply", "e_change_feed", "e_feed_apply", "e_feed_apply_minmax",
     "e_txn_rebase",
     "e_txn_retry", "e_txn_readset", "e_range_estimate_eqd", "e_nb_threshold",
-    "e_pref_pairs", "e_card_feedback",
+    "e_pref_pairs", "e_card_feedback", "e_mv_rewrite",
     "e_join_order_hist")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

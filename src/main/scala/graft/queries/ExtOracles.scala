@@ -5406,6 +5406,32 @@ object ExtOracles {
       |ORDER BY version, lang, source""".stripMargin
   }
 
+  /** `e_mv_rewrite` — the rollup-match MV rewrite: both the rewritten
+    * and the direct answer derived from the sequential replay's final
+    * snapshot (where Spark's rewrite path reads its FOLD-maintained
+    * state — the cross-certification). Mirrors `ExtQueries.mvRewrite`. */
+  private lazy val mvRewriteSql: String = {
+    val n = ExtQueries.TimeTravelVersions
+    s"""WITH $timeTravelCtes,
+      |mvv AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |  FROM s$n GROUP BY 1, 2),
+      |mvr AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_docs_rw,
+      |    CAST(sum(sum_chars) AS BIGINT) AS sum_chars_rw
+      |  FROM mvv GROUP BY 1),
+      |mvd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_direct,
+      |    CAST(sum(n_chars) AS BIGINT) AS sum_chars_direct
+      |  FROM s$n GROUP BY 1)
+      |SELECT lang, n_docs_rw, sum_chars_rw,
+      |  CAST(sum_chars_rw AS DOUBLE) / CAST(n_docs_rw AS DOUBLE)
+      |    AS avg_chars_rw,
+      |  n_docs_direct, sum_chars_direct,
+      |  n_docs_rw = n_docs_direct AND sum_chars_rw = sum_chars_direct
+      |    AS rewrite_ok
+      |FROM mvr FULL JOIN mvd USING (lang)
+      |ORDER BY lang""".stripMargin
+  }
+
   /** `e_range_estimate` — the equi-width-histogram range-selectivity
     * audit: the estimate is the exact int64 rational est_num/w (uniform-
     * within-bucket interpolation with integer overlaps), the actual a
@@ -6005,6 +6031,7 @@ object ExtOracles {
     ("e_change_feed" -> changeFeedSql) +
     ("e_feed_apply" -> feedApplySql) +
     ("e_feed_apply_minmax" -> feedApplyMinmaxSql) +
+    ("e_mv_rewrite" -> mvRewriteSql) +
     ("e_txn_conflict" -> txnConflictSql) +
     ("e_txn_rebase" -> txnRebaseSql) +
     ("e_txn_retry" -> txnRetrySql) +

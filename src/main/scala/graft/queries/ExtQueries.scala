@@ -11421,7 +11421,13 @@ object ExtQueries {
     * Groups whose count reaches zero drop from the state (matching the
     * recompute's GROUP BY, which never sees them). Composes the graded
     * [[changeFeed]] derivation — a harness key. */
-  def feedApply(spark: SparkSession, dir: String): DataFrame = {
+  def feedApply(spark: SparkSession, dir: String): DataFrame =
+    feedApplyRows(spark, dir).orderBy("version", "lang", "source")
+
+  /** [[feedApply]]'s body without the output sort — the maintained state
+    * [[mvRewrite]] answers from (the changeFeedRows factoring rule). */
+  private[queries] def feedApplyRows(
+      spark: SparkSession, dir: String): DataFrame = {
     val deltas = changeFeedRows(spark, dir)
       .select(col("version"), col("lang"), col("source"),
         feedSign.as("sgn"), col("n_chars"))
@@ -11453,7 +11459,54 @@ object ExtQueries {
       .filter(col("n_docs") > 0)
       .withColumn("avg_chars",
         col("sum_chars").cast("double") / col("n_docs").cast("double"))
-      .orderBy("version", "lang", "source")
+  }
+
+  // ---- e_mv_rewrite ---------------------------------------------------------
+
+  /** MATERIALIZED-VIEW query REWRITE (Goldstein & Larson '01) — the
+    * CONSUMER side of the maintenance loop [[feedApply]] runs, closing
+    * it: maintaining an MV only pays off if the optimizer ANSWERS
+    * queries from it, and the rewrite rule this key certifies is the
+    * rollup match: an arriving per-LANG aggregate is a coarsening of
+    * the MV's (lang, source) grouping set, and count/sum are
+    * DECOMPOSABLE aggregates (γ_lang(T) = γ_lang(γ_{lang,source}(T))),
+    * so the rewriter re-aggregates the |groups|-row maintained state and
+    * never touches the corpus — avg re-derives from the re-aggregated
+    * exact sum and count, which is WHY the MV stores partials, never
+    * averages (an avg of avgs is wrong under unequal group sizes).
+    * Emits per lang the REWRITTEN answer (from the maintained fold
+    * state at the current version) next to the DIRECT answer (one
+    * corpus aggregate of the AS-OF snapshot) with the `rewrite_ok`
+    * equality flag; the oracle computes both paths from the sequential
+    * replay, so the hash match cross-certifies the rewrite over the
+    * FOLD-maintained state against an engine that never folded.
+    *
+    * Determinism: exact int64 partials; the rolled-up avg is one IEEE
+    * divide.
+    *
+    * At scale: the rewrite touches |groups| metadata rows — the entire
+    * point (the direct path's corpus aggregate is the audit's
+    * deliberate cost, in production the query never runs); the MV read
+    * is the stored state table. Composes the graded [[feedApply]] state
+    * and the [[snapshotAsOf]] derivation — a harness key. */
+  def mvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val mv = feedApplyRows(spark, dir)
+      .filter(col("version") === lit(TimeTravelVersions.toLong))
+    val rw = mv.groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs_rw"),
+        sum(col("sum_chars")).as("sum_chars_rw"))
+      .withColumn("avg_chars_rw",
+        col("sum_chars_rw").cast("double") / col("n_docs_rw").cast("double"))
+    val direct = snapshotAsOfRows(spark, dir, TimeTravelVersions)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_direct"),
+        sum(col("n_chars")).as("sum_chars_direct"))
+    rw.join(direct, Seq("lang"), "full_outer")
+      .select(col("lang"), col("n_docs_rw"), col("sum_chars_rw"),
+        col("avg_chars_rw"), col("n_docs_direct"), col("sum_chars_direct"),
+        (col("n_docs_rw") === col("n_docs_direct") &&
+          col("sum_chars_rw") === col("sum_chars_direct")).as("rewrite_ok"))
+      .orderBy("lang")
   }
 
   // ---- e_feed_apply_minmax --------------------------------------------------
