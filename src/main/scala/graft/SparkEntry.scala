@@ -144,6 +144,7 @@ object SparkEntry {
     "e_louvain_super"     -> (ExtQueries.louvainSuper _),
     "e_louvain_merge"     -> (ExtQueries.louvainMerge _),
     "e_louvain_levels"    -> (ExtQueries.louvainLevels _),
+    "e_louvain_assign"    -> (ExtQueries.louvainAssign _),
     "e_range_estimate"    -> (ExtQueries.rangeEstimate _),
     "e_range_estimate_eqd" -> (ExtQueries.rangeEstimateEqd _),
     "e_corr_estimate"     -> (ExtQueries.corrEstimate _),
@@ -296,9 +297,11 @@ object SparkEntry {
     // e_louvain_super runs the weighted sweep on the condensed graph;
     // e_louvain_merge commits its mutual-best pairs and re-audits;
     // e_louvain_levels chains sweep+matching+re-condense into the
-    // unrolled multi-level hierarchy
+    // unrolled multi-level hierarchy; e_louvain_assign folds the
+    // hierarchy's matchings back onto the node-level labels
     "e_louvain_move", "e_louvain_apply", "e_louvain_collapse",
     "e_louvain_super", "e_louvain_merge", "e_louvain_levels",
+    "e_louvain_assign",
     // classified under the same rule (round 10 — moves these keys from the
     // operator total to the harness total in BENCH comparisons):
     // soft_dedup/canonical_pick re-run the e_dup_clusters CC fixpoint;

@@ -4590,14 +4590,16 @@ object ExtOracles {
     * kmeansChainCtes unroll device), each level's decomposition read off
     * its condensed graph. Pick CTEs carry suffix 5 (the duplicate-alias
     * rule). Mirrors `ExtQueries.louvainLevels`. */
-  private lazy val louvainLevelsSql: String = {
+  /** The full unrolled-hierarchy CTE chain (pick + condensation +
+    * per-level transitions/reports) — shared by `e_louvain_levels` and
+    * `e_louvain_assign` so the projection folds EXACTLY the matchings
+    * the hierarchy committed. */
+  private lazy val louvainLevelsCtes: String = {
     val L = ExtQueries.LouvainLevels
     val levels = (1 to L).map(l =>
       s"${louvainLevelTransitionCtes(l)},\n${louvainLevelReportCtes(l)}")
       .mkString(",\n")
-    val union = (0 to L).map(l => s"SELECT * FROM rpl$l")
-      .mkString(" UNION ALL ")
-    s"""WITH ${louvainPickCtes("5")},
+    s"""${louvainPickCtes("5")},
       |${louvainLabCte("l5lab", "nl5", "und5")},
       |cgl0 AS MATERIALIZED (SELECT least(la, lb) AS c_a,
       |    greatest(la, lb) AS c_b, CAST(count(*) AS BIGINT) AS weight
@@ -4605,10 +4607,34 @@ object ExtOracles {
       |szl0 AS MATERIALIZED (SELECT label AS community,
       |    CAST(count(*) AS BIGINT) AS n_nodes FROM nl5 GROUP BY 1),
       |${louvainLevelReportCtes(0)},
-      |$levels
+      |$levels""".stripMargin
+  }
+
+  private lazy val louvainLevelsSql: String = {
+    val L = ExtQueries.LouvainLevels
+    val union = (0 to L).map(l => s"SELECT * FROM rpl$l")
+      .mkString(" UNION ALL ")
+    s"""WITH $louvainLevelsCtes
       |SELECT level, community, n_nodes, e_in, d_sum, q_c
       |FROM ($union) u
       |ORDER BY level, community""".stripMargin
+  }
+
+  /** `e_louvain_assign` — the hierarchy projection: the post-move label
+    * frame pushed through every level's committed matching (the SAME
+    * `mul$l` CTEs the hierarchy derived). Mirrors
+    * `ExtQueries.louvainAssign`. */
+  private lazy val louvainAssignSql: String = {
+    val L = ExtQueries.LouvainLevels
+    val asgs = (1 to L).map(l =>
+      s"""asg$l AS (SELECT a.vec_id, a.label0, COALESCE(m.c_lo, a.c) AS c
+        |  FROM asg${l - 1} a LEFT JOIN mul$l m ON a.c = m.c_hi)""".stripMargin)
+      .mkString(",\n")
+    s"""WITH $louvainLevelsCtes,
+      |asg0 AS (SELECT vec_id, label AS label0, label AS c FROM nl5),
+      |$asgs
+      |SELECT vec_id, label0, c AS community FROM asg$L
+      |ORDER BY vec_id""".stripMargin
   }
 
   /** `e_token_budget` — COMPOSES the shared `qualityCtes` rule chain (the
@@ -6042,6 +6068,7 @@ object ExtOracles {
     ("e_louvain_super" -> louvainSuperSql) +
     ("e_louvain_merge" -> louvainMergeSql) +
     ("e_louvain_levels" -> louvainLevelsSql) +
+    ("e_louvain_assign" -> louvainAssignSql) +
     ("e_range_estimate" -> rangeEstimateSql) +
     ("e_range_estimate_eqd" -> rangeEstimateEqdSql) +
     ("e_corr_estimate" -> corrEstimateSql) +

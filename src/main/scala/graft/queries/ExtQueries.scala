@@ -10060,6 +10060,22 @@ object ExtQueries {
           && col("x.community") < col("y.community"))
       .select(col("x.community").as("c_lo"), col("y.community").as("c_hi"))
 
+  /** One contraction of the condensed graph by a committed matching:
+    * relabel c_hi → c_lo through the broadcast map, re-canonicalize,
+    * re-sum weights — the metadata-sized re-condense shared by
+    * [[louvainLevels]] and [[louvainAssign]]. */
+  private def louvainContract(cg: DataFrame, mu: DataFrame): DataFrame =
+    cg
+      .join(broadcast(mu.select(col("c_hi").as("c_a"), col("c_lo").as("ma"))),
+        Seq("c_a"), "left")
+      .join(broadcast(mu.select(col("c_hi").as("c_b"), col("c_lo").as("mb"))),
+        Seq("c_b"), "left")
+      .select(coalesce(col("ma"), col("c_a")).as("na"),
+        coalesce(col("mb"), col("c_b")).as("nb"), col("weight"))
+      .groupBy(least(col("na"), col("nb")).as("c_a"),
+        greatest(col("na"), col("nb")).as("c_b"))
+      .agg(sum(col("weight")).as("weight"))
+
   /** One level's modularity decomposition read OFF THE CONDENSED GRAPH —
     * mass conservation ([[louvainCollapse]]'s spec-pinned invariant) makes
     * this the [[modularityFromParts]] result without touching the corpus:
@@ -10145,17 +10161,7 @@ object ExtQueries {
         .select(col("community"), col("partner")).localCheckpoint(true)
       val mu = louvainMutual(sup)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cg = cg
-        .join(broadcast(mu.select(col("c_hi").as("c_a"), col("c_lo").as("ma"))),
-          Seq("c_a"), "left")
-        .join(broadcast(mu.select(col("c_hi").as("c_b"), col("c_lo").as("mb"))),
-          Seq("c_b"), "left")
-        .select(coalesce(col("ma"), col("c_a")).as("na"),
-          coalesce(col("mb"), col("c_b")).as("nb"), col("weight"))
-        .groupBy(least(col("na"), col("nb")).as("c_a"),
-          greatest(col("na"), col("nb")).as("c_b"))
-        .agg(sum(col("weight")).as("weight"))
-        .localCheckpoint(true)
+      cg = louvainContract(cg, mu).localCheckpoint(true)
       sizes = sizes
         .join(broadcast(mu.select(col("c_hi").as("community"),
           col("c_lo").as("mc"))), Seq("community"), "left")
@@ -10166,6 +10172,57 @@ object ExtQueries {
       out = out.unionByName(louvainLevelReport(l, cg, sizes))
     }
     out.orderBy("level", "community")
+  }
+
+  // ---- e_louvain_assign -----------------------------------------------------
+
+  /** HIERARCHY PROJECTION — the deliverable the whole Louvain family
+    * exists to hand downstream: [[louvainLevels]] reports the hierarchy
+    * per COMMUNITY, but a curation pipeline consumes clusters per NODE
+    * (semantic-dedup cells, cluster-balanced mixing, per-cluster
+    * sampling all key on a node→cluster column), so this key folds the
+    * per-level committed matchings back onto the post-move label frame:
+    * each node's final community is its level-0 label pushed through
+    * every level's c_hi → c_lo map — emitted as (vec_id, label0,
+    * community), the lineage pair that also lets a consumer roll BACK a
+    * level. The spec pins projection ≡ hierarchy: per-community node
+    * counts equal the level-[[LouvainLevels]] report's n_nodes exactly,
+    * the community set matches, and the projection is a coarsening of
+    * the level-0 partition (nodes sharing a label0 never split).
+    *
+    * Determinism: the matchings are the graded sweep's own struct
+    * extremes; the fold is |levels| broadcast left joins.
+    *
+    * At scale: the per-level maps are ≤|communities| rows and BROADCAST
+    * onto the |V|-row label frame — the projection costs |levels| slim
+    * map-side joins, never a shuffle of the corpus; the sweeps run on
+    * the metadata condensed graph exactly as in [[louvainLevels]].
+    * Composes the graded [[louvainSuper]] chain — a harness key. */
+  def louvainAssign(spark: SparkSession, dir: String): DataFrame = {
+    val (knn, labs) = labelPropPartsMemo(spark, dir)
+    val moves = benchMemo(spark, dir, "louvain_moves")(
+      louvainMovesFrom(knn, labs))
+    val nl = benchMemo(spark, dir, "louvain_nl")(
+      louvainNewLabs(labs, louvainPicked(moves))).localCheckpoint(true)
+    var cg = benchMemo(spark, dir, "louvain_cg")(
+      louvainCollapseFrom(knn, nl)).localCheckpoint(true)
+    var asg = nl.select(col("vec_id"), col("label").as("label0"),
+      col("label").as("community"))
+    for (l <- 1 to LouvainLevels) {
+      val sup = louvainSuperFrom(cg).filter(col("merged"))
+        .select(col("community"), col("partner")).localCheckpoint(true)
+      val mu = louvainMutual(sup)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      asg = asg
+        .join(broadcast(mu.select(col("c_hi").as("community"),
+          col("c_lo").as("to"))), Seq("community"), "left")
+        .select(col("vec_id"), col("label0"),
+          coalesce(col("to"), col("community")).as("community"))
+      cg = louvainContract(cg, mu).localCheckpoint(true)
+      mu.unpersist()
+    }
+    asg.select(col("vec_id"), col("label0"), col("community"))
+      .orderBy("vec_id")
   }
 
   // ---- e_walk_pairs -------------------------------------------------------
