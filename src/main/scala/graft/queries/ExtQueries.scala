@@ -11606,15 +11606,66 @@ object ExtQueries {
     * semi-join-restricted to the triggered groups — the bill the
     * `rescans` column itemizes. Composes the graded [[changeFeed]] and
     * [[snapshotAsOf]] derivations — a harness key. */
-  def feedApplyMinmax(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-batch delta aggregates of the lazy-extremum maintainer —
+    * the signed doc delta plus the insert/retraction extremum summaries
+    * the trigger reads. ONE expression list shared by the batch fold and
+    * [[graft.streaming.Streaming.startFeedApplyMinmax]]. */
+  private[graft] def minmaxDeltaAggs: Seq[Column] = {
     val sgn = feedSign
+    Seq(sum(sgn).as("d_docs"),
+      max(when(sgn > 0, col("n_chars"))).as("ins_max"),
+      min(when(sgn > 0, col("n_chars"))).as("ins_min"),
+      max(when(sgn < 0, col("n_chars"))).as("retr_max"),
+      min(when(sgn < 0, col("n_chars"))).as("retr_min"))
+  }
+
+  /** One lazy-extremum maintenance step — the fold body shared by
+    * [[feedApplyMinmax]] (snapshot = the AS-OF read) and
+    * [[graft.streaming.Streaming.startFeedApplyMinmax]] (snapshot = the
+    * gate's own maintained table state), so the batch backfill and the
+    * continuous maintainer run ONE trigger rule: state ⊞ deltas with the
+    * conservative re-scan when a retraction carries the current
+    * extremum; `snap` is read ONLY for the triggered groups (semi-join
+    * pushdown — the itemized bill). Returns the next state with the
+    * per-group `rescans` count. */
+  private[graft] def minmaxFold(state: DataFrame, deltas: DataFrame,
+      snap: DataFrame): DataFrame = {
+    // full outer (groups may appear OR disappear) — not broadcastable
+    // by shape, but both sides are ≤|groups| metadata rows
+    val j = state.join(deltas, Seq("lang", "source"), "full_outer")
+    val nNew = coalesce(col("n_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L))
+    // the conservative trigger: a retraction carried the maintained
+    // extremum (preimages always belong to a group with prior state)
+    val resMax = col("retr_max") === col("max_chars")
+    val resMin = col("retr_min") === col("min_chars")
+    val alive = j.filter(nNew > 0)
+      .select(col("lang"), col("source"), nNew.as("n_docs"),
+        col("max_chars"), col("min_chars"), col("ins_max"), col("ins_min"),
+        coalesce(resMax, lit(false)).as("res_max"),
+        coalesce(resMin, lit(false)).as("res_min"))
+    val need = alive.filter(col("res_max") || col("res_min"))
+      .select(col("lang"), col("source"))
+    val rescan = snap
+      .join(broadcast(need), Seq("lang", "source"), "left_semi")
+      .groupBy(col("lang"), col("source"))
+      .agg(max(col("n_chars")).as("s_max"), min(col("n_chars")).as("s_min"))
+    alive.join(broadcast(rescan), Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n_docs"),
+        when(col("res_max"), col("s_max"))
+          .otherwise(greatest(col("max_chars"), col("ins_max")))
+          .as("max_chars"),
+        when(col("res_min"), col("s_min"))
+          .otherwise(least(col("min_chars"), col("ins_min")))
+          .as("min_chars"),
+        (col("res_max").cast("long") + col("res_min").cast("long"))
+          .as("rescans"))
+  }
+
+  def feedApplyMinmax(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = minmaxDeltaAggs
     val deltas = changeFeedRows(spark, dir)
       .groupBy(col("version"), col("lang"), col("source"))
-      .agg(sum(sgn).as("d_docs"),
-        max(when(sgn > 0, col("n_chars"))).as("ins_max"),
-        min(when(sgn > 0, col("n_chars"))).as("ins_min"),
-        max(when(sgn < 0, col("n_chars"))).as("retr_max"),
-        min(when(sgn < 0, col("n_chars"))).as("retr_min"))
+      .agg(aggs.head, aggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var state = table(spark, dir, "documents")
       .groupBy(col("lang"), col("source"))
@@ -11627,39 +11678,11 @@ object ExtQueries {
         rescans.as("rescans"))
     var out = emit(0L, state, lit(0L))
     for (v <- 1 to TimeTravelVersions) {
-      // full outer (groups may appear OR disappear) — not broadcastable
-      // by shape, but both sides are ≤|groups| metadata rows
-      val j = state
-        .join(deltas.filter(col("version") === v.toLong).drop("version"),
-          Seq("lang", "source"), "full_outer")
-      val nNew = coalesce(col("n_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L))
-      // the conservative trigger: a retraction carried the maintained
-      // extremum (preimages always belong to a group with prior state)
-      val resMax = col("retr_max") === col("max_chars")
-      val resMin = col("retr_min") === col("min_chars")
-      val alive = j.filter(nNew > 0)
-        .select(col("lang"), col("source"), nNew.as("n_docs"),
-          col("max_chars"), col("min_chars"), col("ins_max"), col("ins_min"),
-          coalesce(resMax, lit(false)).as("res_max"),
-          coalesce(resMin, lit(false)).as("res_min"))
-      val need = alive.filter(col("res_max") || col("res_min"))
-        .select(col("lang"), col("source"))
-      // the itemized bill: ONE log scan, semi-join-restricted to the
-      // groups whose extremum was retracted this version
-      val snap = snapshotAsOfRows(spark, dir, v)
-        .join(broadcast(need), Seq("lang", "source"), "left_semi")
-        .groupBy(col("lang"), col("source"))
-        .agg(max(col("n_chars")).as("s_max"), min(col("n_chars")).as("s_min"))
-      state = alive.join(broadcast(snap), Seq("lang", "source"), "left")
-        .select(col("lang"), col("source"), col("n_docs"),
-          when(col("res_max"), col("s_max"))
-            .otherwise(greatest(col("max_chars"), col("ins_max")))
-            .as("max_chars"),
-          when(col("res_min"), col("s_min"))
-            .otherwise(least(col("min_chars"), col("ins_min")))
-            .as("min_chars"),
-          (col("res_max").cast("long") + col("res_min").cast("long"))
-            .as("rescans"))
+      // the itemized bill: ONE log scan per triggered version, inside
+      // the shared fold's semi-join restriction
+      state = minmaxFold(state,
+        deltas.filter(col("version") === v.toLong).drop("version"),
+        snapshotAsOfRows(spark, dir, v))
         .localCheckpoint(true)
       out = out.unionByName(emit(v.toLong, state, col("rescans")))
     }

@@ -520,6 +520,75 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming RETRACTABLE-EXTREMUM maintenance — the lazy max/min twin
+    * of [[startFeedApply]] and the continuous form of the batch
+    * `e_feed_apply_minmax` operator: each micro-batch of change-feed
+    * rows folds into the stored per-(lang, source) (n_docs, max, min)
+    * state through the batch key's OWN
+    * [[graft.queries.ExtQueries.minmaxFold]] (one trigger rule — batch
+    * backfill and continuous maintenance cannot drift), and the re-scan
+    * a retracted extremum forces reads the gate's OWN maintained table
+    * state — the stream keeps the row-level snapshot current from the
+    * same feed (delete/update_preimage remove, insert/update_postimage
+    * upsert), so the fallback never leaves the state store. Emits the
+    * maintained extremum view per trigger with the per-group `rescans`
+    * bill.
+    *
+    * Exactly-once across restarts: the [[startMergeApply]]
+    * versioned-state device on BOTH stores (`table/v=<id>`,
+    * `agg/v=<id>`) — a replayed batch overwrites its own versions and
+    * folds against the same predecessors.
+    *
+    * At scale: per trigger ONE map-side-combined delta aggregate +
+    * a \|groups\|-row fold; the table state costs \|changes\| upserts
+    * per trigger (the stored table a production pipeline maintains
+    * anyway); ONLY triggered groups re-read it, semi-join-restricted
+    * inside the shared fold. */
+  def startFeedApplyMinmax(feed: DataFrame, initTable: DataFrame,
+      initAgg: DataFrame, stateDir: String, ckpt: String)
+      (emit: DataFrame => Unit): StreamingQuery =
+    feed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.queries.ExtQueries
+        val spark = batch.sparkSession
+        val b = batch.persist()
+        try {
+          val prevT = latestVersionBefore(spark, s"$stateDir/table", batchId) match {
+            case Some(v) => spark.read.parquet(s"$stateDir/table/v=$v")
+            case None => initTable.select(col("doc_id"), col("lang"),
+              col("source"), col("n_chars"))
+          }
+          val prevA = latestVersionBefore(spark, s"$stateDir/agg", batchId) match {
+            case Some(v) => spark.read.parquet(s"$stateDir/agg/v=$v")
+            case None => initAgg.select(col("lang"), col("source"),
+              col("n_docs"), col("max_chars"), col("min_chars"))
+          }
+          // table maintenance: retractions remove, images upsert (the
+          // upsert anti-join makes a replayed postimage idempotent)
+          val removes = b
+            .filter(col("change_type").isin("delete", "update_preimage"))
+            .select(col("doc_id"))
+          val upserts = b
+            .filter(col("change_type").isin("insert", "update_postimage"))
+            .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          prevT.join(removes, Seq("doc_id"), "left_anti")
+            .join(upserts.select(col("doc_id")), Seq("doc_id"), "left_anti")
+            .unionByName(upserts)
+            .write.mode("overwrite").parquet(s"$stateDir/table/v=$batchId")
+          val tbl = spark.read.parquet(s"$stateDir/table/v=$batchId")
+          val aggs = ExtQueries.minmaxDeltaAggs
+          val deltas = b.groupBy(col("lang"), col("source"))
+            .agg(aggs.head, aggs.tail: _*)
+          ExtQueries.minmaxFold(prevA, deltas, tbl)
+            .write.mode("overwrite").parquet(s"$stateDir/agg/v=$batchId")
+          emit(spark.read.parquet(s"$stateDir/agg/v=$batchId"))
+        } finally b.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming MEDIA near-duplicate gate — the perceptual-hash twin of
     * [[startNearDupGate]] and the continuous form of
     * [[graft.queries.ExtQueries.mediaDedup]]: each micro-batch of incoming
