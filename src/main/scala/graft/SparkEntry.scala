@@ -134,6 +134,7 @@ object SparkEntry {
     "e_feed_apply"        -> (ExtQueries.feedApply _),
     "e_feed_apply_minmax" -> (ExtQueries.feedApplyMinmax _),
     "e_mv_rewrite"        -> (ExtQueries.mvRewrite _),
+    "e_stats_staleness"   -> (ExtQueries.statsStaleness _),
     "e_txn_conflict"      -> (ExtQueries.txnConflict _),
     "e_txn_rebase"        -> (ExtQueries.txnRebase _),
     "e_txn_retry"         -> (ExtQueries.txnRetry _),
@@ -366,7 +367,7 @@ object SparkEntry {
     "e_vacuum_apply", "e_change_feed", "e_feed_apply", "e_feed_apply_minmax",
     "e_txn_rebase",
     "e_txn_retry", "e_txn_readset", "e_range_estimate_eqd", "e_nb_threshold",
-    "e_pref_pairs", "e_card_feedback", "e_mv_rewrite",
+    "e_pref_pairs", "e_card_feedback", "e_mv_rewrite", "e_stats_staleness",
     "e_join_order_hist")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -5393,6 +5393,46 @@ object ExtOracles {
       |ORDER BY doc_id, writer""".stripMargin
   }
 
+  /** `e_stats_staleness` — the ANALYZE-lifecycle audit: the graded
+    * `e_range_estimate` rows as the stale stats, every version's actuals
+    * from the sequential replay, churn counters from the batch CTEs.
+    * Mirrors `ExtQueries.statsStaleness`. */
+  private lazy val statsStalenessSql: String = {
+    val n = ExtQueries.TimeTravelVersions
+    val tn = ExtQueries.StalenessThresholdNum
+    val td = ExtQueries.StalenessThresholdDen
+    val actBlocks = (0 to n).map(v =>
+      s"""SELECT CAST($v AS BIGINT) AS version, r.range_id,
+        |  CAST(count(*) AS BIGINT) AS n_actual
+        |FROM s$v d JOIN sse r ON d.n_chars >= r.qlo AND d.n_chars <= r.qhi
+        |GROUP BY 1, 2""".stripMargin).mkString("\nUNION ALL\n")
+    val churnVals = (0 to n).map(v =>
+      if (v == 0)
+        "SELECT CAST(0 AS BIGINT) AS version, CAST(0 AS BIGINT) AS n_ch"
+      else
+        s"SELECT CAST($v AS BIGINT), (SELECT CAST(count(*) AS BIGINT) FROM b$v)")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $timeTravelCtes,
+      |sse AS MATERIALIZED (SELECT range_id, qlo, qhi, n_est
+      |  FROM ($rangeEstimateSql) z),
+      |ssa AS ($actBlocks),
+      |ssc AS ($churnVals),
+      |ssn AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM documents),
+      |ssu AS (SELECT v.version, CAST(sum(c.n_ch) AS BIGINT) AS churn_cum
+      |  FROM ssc v JOIN ssc c ON c.version <= v.version GROUP BY 1)
+      |SELECT u.version, e.range_id, e.qlo, e.qhi, e.n_est AS n_est_stale,
+      |  COALESCE(a.n_actual, 0) AS n_actual,
+      |  CASE WHEN COALESCE(a.n_actual, 0) = 0 THEN NULL
+      |    ELSE e.n_est / CAST(a.n_actual AS DOUBLE) END AS err_stale,
+      |  u.churn_cum,
+      |  CAST(u.churn_cum AS DOUBLE) / CAST(nn.n0 AS DOUBLE) AS churn_ratio,
+      |  u.churn_cum * $td >= nn.n0 * $tn AS reanalyze
+      |FROM ssu u CROSS JOIN sse e
+      |LEFT JOIN ssa a ON a.version = u.version AND a.range_id = e.range_id
+      |CROSS JOIN ssn nn
+      |ORDER BY u.version, e.range_id""".stripMargin
+  }
+
   /** `e_feed_apply_minmax` — the retractable-extremum maintainer's gate:
     * the Spark side maintains max/min lazily (monoid fold + re-scan when
     * a retraction carries the current extremum), while this SQL
@@ -6057,6 +6097,7 @@ object ExtOracles {
     ("e_change_feed" -> changeFeedSql) +
     ("e_feed_apply" -> feedApplySql) +
     ("e_feed_apply_minmax" -> feedApplyMinmaxSql) +
+    ("e_stats_staleness" -> statsStalenessSql) +
     ("e_mv_rewrite" -> mvRewriteSql) +
     ("e_txn_conflict" -> txnConflictSql) +
     ("e_txn_rebase" -> txnRebaseSql) +
