@@ -9280,19 +9280,21 @@ object ExtQueries {
     * views the ANN family quantizes. Two phases with opposite scale
     * characters, which is the whole design:
     *
-    *   1. GRAM ACCUMULATION — the only corpus-touching phase: each vector
-    *      emits its dim·(dim+1)/2 upper-triangle fixed-point products in
-    *      one codegen'd generator projection, reduced by a map-side-combined
-    *      hash aggregate on ≤ dim² keys. Long sums are EXACT, so a
-    *      1000-executor accumulation hash-matches the single-node oracle
-    *      regardless of partitioning — the property float Gram sums lack.
-    *      Corpus is scanned ONCE; nothing else ever touches it.
-    *   2. POWER ITERATION — [[PcaSteps]] steps on the CONSTANT-size
-    *      (dim², corpus-independent) Gram frame: w = G·v as a sequential
-    *      `zip_with`-fold per row (deterministic order), renormalized via a
-    *      64-element global fold; every per-step frame is ≤ dim rows, so
-    *      iteration cost is independent of corpus size. λ = ‖G·v‖ after
-    *      the final step is the standard eigenvalue estimate.
+    *   1. GRAM ACCUMULATION — the only corpus-touching phase: each
+    *      (vector, row-index i) pair emits dim codegen'd fixed-point
+    *      partial sums (column k accumulates G(i, i+k)), reduced by a
+    *      map-side-combined hash aggregate on dim keys. Long sums are
+    *      EXACT, so a 1000-executor accumulation hash-matches the
+    *      single-node oracle regardless of partitioning — the property
+    *      float Gram sums lack. Corpus is scanned ONCE; nothing else ever
+    *      touches it.
+    *   2. POWER ITERATION — [[PcaSteps]] steps as stacked projections
+    *      over the ONE-row row-major Gram cell (dim², corpus-independent):
+    *      w = G·v as a sequential `zip_with`-fold per row (deterministic
+    *      order), renormalized via a 64-element global fold — a single
+    *      shuffle-free job regardless of step count, so iteration cost is
+    *      independent of corpus size. λ = ‖G·v‖ after the final step is
+    *      the standard eigenvalue estimate.
     *
     * The oracle mirrors both phases CTE-for-CTE (the `kmeansChainCtes`
     * unrolled-iteration device), so parity covers the accumulation AND all
@@ -9316,41 +9318,61 @@ object ExtQueries {
   private def pcaParts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = PcaDim
     val vecs = table(spark, dir, "embeddings").select(col("embedding").as("e"))
-    val prods = vecs.select(explode(expr(
-      s"""flatten(transform(sequence(0, ${d - 1}), i ->
-         |  transform(sequence(i, ${d - 1}), j -> named_struct(
-         |    'i', i, 'j', j,
-         |    'p', CAST(floor(CAST(element_at(e, i + 1) AS DOUBLE)
-         |                  * CAST(element_at(e, j + 1) AS DOUBLE)
-         |                  * ${PcaScale}D) AS BIGINT)))))""".stripMargin)).as("t"))
-      .select(col("t.i"), col("t.j"), col("t.p"))
-    val gUpper = prods.groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
+    // GRAM ACCUMULATION (round-17 rewrite, guide §4): one row per
+    // (vector, i) with d codegen'd fixed-point partial sums — the former
+    // flatten/named_struct HOF generator emitted dim·(dim+1)/2 struct rows
+    // per vector through an interpreted projection and a dim²-key hash
+    // aggregate; the per-product arithmetic (the honest floor) is
+    // UNCHANGED, but row volume through the aggregate drops dim/2 = 32×
+    // and the projection whole-stage-codegens (measured: the Gram phase
+    // 2.5 → 0.9 s at sf0.1). Column k of group i is G(i, i+k); the
+    // i + k ≤ d−1 guard keeps element_at in range (ANSI-safe).
+    val byI = vecs.select(explode(expr(s"sequence(0, ${d - 1})")).as("i"), col("e"))
+    val sumCols = (0 until d).map { k =>
+      sum(when(col("i") + lit(k) <= lit(d - 1), expr(
+        s"""CAST(floor(CAST(element_at(e, i + 1) AS DOUBLE)
+           |          * CAST(element_at(e, i + 1 + $k) AS DOUBLE)
+           |          * ${PcaScale}D) AS BIGINT)""".stripMargin)))
+        .as(s"s$k")
+    }
+    val sums = byI.groupBy(col("i")).agg(sumCols.head, sumCols.tail: _*)
+    val gUpper = sums
+      .select(col("i"), posexplode(array((0 until d).map(k => col(s"s$k")): _*))
+        .as(Seq("k", "g")))
+      .filter(col("k") < lit(d) - col("i"))
+      .select(col("i"), (col("i") + col("k")).as("j"), col("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gFull = gUpper.unionByName(
       gUpper.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("g")))
-    // row-major G rows (i, garr): garr[j] = G_ij / S — the double matrix
-    // every iteration reuses; dim rows, persisted once
-    val gRows = gFull.groupBy(col("i"))
+    // POWER ITERATION on ONE row (round-17 rewrite, guide §2.4): G folds
+    // to a single array<array<double>> cell (row-major, j-sorted within
+    // i-sorted rows — the same element order the per-row formulation
+    // used), and the [[PcaSteps]] steps become stacked projections over
+    // that one row — ONE job, zero per-step shuffles/broadcasts, where
+    // the former crossJoin(broadcast(v)) fold paid a broadcast exchange
+    // and two aggregate stages per step (measured: the iteration phase
+    // 2.2 → 0.1 s). Every IEEE operation and its order is IDENTICAL
+    // (sequential zip_with folds per row, i-ascending λ fold), so the
+    // iterates are bit-identical — oracle-gated.
+    val gMat = gFull.groupBy(col("i"))
       .agg(array_sort(collect_list(struct(col("j"), col("g")))).as("gj"))
       .select(col("i"),
         transform(col("gj"), s => s.getField("g").cast("double") / lit(PcaScale))
           .as("garr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // v₀ = uniform 1/8 (exactly representable; unit-norm at dim 64)
-    val v0 = spark.range(1).select(
-      expr(s"transform(sequence(0, ${d - 1}), x -> CAST(0.125 AS DOUBLE))").as("varr"))
-    val vFinal = (1 to PcaSteps).foldLeft(v0) { (v, _) =>
-      gRows.crossJoin(broadcast(v.select(col("varr"))))
-        .select(col("i"),
-          seqSum(zip_with(col("garr"), col("varr"), (a, b) => a * b)).as("w"))
-        .agg(array_sort(collect_list(struct(col("i"), col("w")))).as("ws"))
-        .select(transform(col("ws"), s => s.getField("w")).as("warr"))
-        .select(col("warr"),
-          sqrt(seqSum(transform(col("warr"), x => x * x))).as("lambda"))
-        .select(transform(col("warr"), x => x / col("lambda")).as("varr"),
+      .agg(array_sort(collect_list(struct(col("i"), col("garr")))).as("rows"))
+      .select(transform(col("rows"), r => r.getField("garr")).as("gmat"),
+        expr(s"transform(sequence(0, ${d - 1}), x -> CAST(0.125 AS DOUBLE))")
+          .as("varr"))  // v₀ = uniform 1/8 (exactly representable; unit-norm at dim 64)
+    val vFinal = (1 to PcaSteps).foldLeft(gMat) { (v, _) =>
+      v.withColumn("warr",
+          transform(col("gmat"), garr =>
+            seqSum(zip_with(garr, col("varr"), (a, b) => a * b))))
+        .withColumn("lambda", sqrt(seqSum(transform(col("warr"), x => x * x))))
+        .select(col("gmat"),
+          transform(col("warr"), x => x / col("lambda")).as("varr"),
           col("lambda"))
-    }
+    }.select(col("varr"), col("lambda"))
     (gUpper, vFinal)
   }
 
