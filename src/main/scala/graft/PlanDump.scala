@@ -8,14 +8,24 @@ import org.apache.spark.sql.execution.ExplainMode
   * `sbt "runMain graft.PlanDump <outDir> <tag> key [key ...]"`.
   *
   * Session config mirrors [[Bench]] (same shuffle partitions, extensions,
-  * timezone) so the dumped plan is the one the bench executes. Plans are
-  * captured WITHOUT running the query (explain is driver-side only), so
+  * timezone). Explain itself is driver-side, but CONSTRUCTING some frames
+  * runs jobs: the Louvain keys eagerly localCheckpoint their substrates
+  * when those are not memo-backed, so a default dump executes those pin
+  * jobs and captures the full-lineage plan — NOT literally the plan the
+  * bench executes (Bench sets `graft.bench.memo`, so its Louvain/harness
+  * substrates are parquet memo scans). Set `SPARK_GRAFT_MEMO=1` to point
+  * `graft.bench.memo` at a temp dir and dump the bench-mode plan shape
+  * instead (first access materializes each memo table, which runs jobs).
   * AQE nodes show the initial plan — the Exchange/join-strategy shape the
   * optimizer chose, which is what the plan pins assert about. */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: PlanDump <outDir> <tag> key [key ...]")
     val (outDir, tag, keys) = (args(0), args(1), args.drop(2).toSeq)
+    if (sys.env.contains("SPARK_GRAFT_MEMO")) {
+      val memoDir = java.nio.file.Files.createTempDirectory("graft-plandump-memo")
+      sys.props("graft.bench.memo") = memoDir.toString
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master(s"local[$cpus]")
