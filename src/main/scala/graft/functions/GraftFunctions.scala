@@ -76,6 +76,12 @@ object GraftFunctions {
             s"morton_interleave(x, y, bits) takes 3 arguments, got ${exprs.length}")
           MortonInterleave(exprs.head, exprs(1), litInt(exprs(2), "bits"))
         }, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "vec_dot", { exprs =>
+          require(exprs.length == 2,
+            s"vec_dot(a, b) takes 2 arguments, got ${exprs.length}")
+          VecDot(exprs.head, exprs(1))
+        }, "scala_udf")
     }
   }
 
@@ -112,6 +118,19 @@ object GraftFunctions {
   def mortonInterleave(spark: SparkSession, x: Column, y: Column, bits: Int): Column = {
     register(spark)
     call_function("morton_interleave", x, y, lit(bits))
+  }
+
+  /** Sequential-fold dot product of two float/double array columns — the
+    * codegen'd cosine kernel ([[VecOps]]; bit-identical to the interpreted
+    * `aggregate(zip_with(…))` stack it replaces). Session-less on purpose:
+    * the expression-tree helpers (`l2norm`, the per-pair cosines) build
+    * columns with no SparkSession parameter in scope, and registration only
+    * needs to land before ANALYSIS — the active/default session at
+    * construction time is that session. */
+  def vecDot(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(register)
+    call_function("vec_dot", a, b)
   }
 
   /** Set-intersection cardinality of two long-array SETS — the Jaccard
