@@ -82,6 +82,49 @@ object GraftFunctions {
             s"vec_dot(a, b) takes 2 arguments, got ${exprs.length}")
           VecDot(exprs.head, exprs(1))
         }, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "vec_dist_sq", { exprs =>
+          require(exprs.length == 2,
+            s"vec_dist_sq(a, b) takes 2 arguments, got ${exprs.length}")
+          VecDistSq(exprs.head, exprs(1))
+        }, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "vec_hamming", { exprs =>
+          require(exprs.length == 2,
+            s"vec_hamming(a, b) takes 2 arguments, got ${exprs.length}")
+          VecHamming(exprs.head, exprs(1))
+        }, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "hash31_tokens", { exprs =>
+          require(exprs.length == 1,
+            s"hash31_tokens(tokens) takes 1 argument, got ${exprs.length}")
+          Hash31Tokens(exprs.head)
+        }, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "shingle_poly", { exprs =>
+          require(exprs.length >= 2,
+            s"shingle_poly(th, c0, ...) takes 2+ arguments, got ${exprs.length}")
+          ShinglePoly(exprs.head, exprs.tail.map(litLong(_, "coefficient")))
+        }, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "feature_hash_buckets", { exprs =>
+          require(exprs.length == 2,
+            s"feature_hash_buckets(th, dim) takes 2 arguments, got ${exprs.length}")
+          FeatureHashBuckets(exprs.head, litInt(exprs(1), "dim"))
+        }, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "window_hash64", { exprs =>
+          require(exprs.length == 4,
+            s"window_hash64(tk, win, stride, clip) takes 4 arguments, got ${exprs.length}")
+          WindowHash64(exprs.head, litInt(exprs(1), "win"),
+            litInt(exprs(2), "stride"), litBool(exprs(3), "clip"))
+        }, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "poly_fold", { exprs =>
+          require(exprs.length == 3,
+            s"poly_fold(th, b, m) takes 3 arguments, got ${exprs.length}")
+          PolyFold(exprs.head, litLong(exprs(1), "base"), litLong(exprs(2), "modulus"))
+        }, "scala_udf")
     }
   }
 
@@ -90,6 +133,21 @@ object GraftFunctions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"hyperplane_bands: $what must be an integer literal, got $other")
+  }
+
+  private def litBool(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                      what: String): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"window_hash64: $what must be a boolean literal, got $other")
+  }
+
+  private def litLong(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                      what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"shingle_poly: $what must be a long literal, got $other")
   }
 
   /** LSH band bucket values for an embedding column — one fused pass over
@@ -131,6 +189,65 @@ object GraftFunctions {
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .foreach(register)
     call_function("vec_dot", a, b)
+  }
+
+  /** Sequential-fold squared Euclidean distance of two float/double array
+    * columns ([[VecOps.distSq]] — bit-identical to the interpreted
+    * `(x−y)·(x−y)` zip_with fold it replaces). */
+  def vecDistSq(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(register)
+    call_function("vec_dist_sq", a, b)
+  }
+
+  /** Hamming weight of the elementwise XOR of two `array<long>` signature
+    * columns ([[VecOps.hamming]] — exact integer fold). */
+  def vecHamming(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(register)
+    call_function("vec_hamming", a, b)
+  }
+
+  /** Per-token [[hash31]] values of an `array<string>` column in one
+    * codegen'd pass ([[TokenHash.hash31All]] — bit-identical to the
+    * interpreted `transform(tk, t => hash31(t))` it replaces). */
+  def hash31Tokens(tk: Column): Column = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(register)
+    call_function("hash31_tokens", tk)
+  }
+
+  /** Polynomial k-gram hashes over a token-hash array column
+    * ([[TokenHash.shinglePoly]] — the ShingleC per-term-mod arithmetic in
+    * one codegen'd pass). */
+  def shinglePoly(th: Column, coeffs: Seq[Long]): Column = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(register)
+    call_function("shingle_poly", (th +: coeffs.map(c => lit(c))): _*)
+  }
+
+  /** All hashing-trick bucket sums of a token-hash array in one pass
+    * ([[TokenHash.featureHashAll]]). */
+  def featureHashBuckets(th: Column, dim: Int): Column = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(register)
+    call_function("feature_hash_buckets", th, lit(dim))
+  }
+
+  /** Per-window md5-based 60-bit hashes of space-joined token windows
+    * ([[TokenHash.windowHash64]]). */
+  def windowHash64(tk: Column, win: Int, stride: Int, clip: Boolean): Column = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(register)
+    call_function("window_hash64", tk, lit(win), lit(stride), lit(clip))
+  }
+
+  /** Sequential polynomial rolling fold (acc·b + h) mod m over a
+    * token-hash array ([[TokenHash.polyFold]]). */
+  def polyFold(th: Column, b: Long, m: Long): Column = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(register)
+    call_function("poly_fold", th, lit(b), lit(m))
   }
 
   /** Set-intersection cardinality of two long-array SETS — the Jaccard

@@ -1,0 +1,321 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-token hash kernels for the shingle/text substrate (round 18,
+  * guide §4).
+  *
+  * `transform(tk, t => hash31(t))` evaluates the md5 → hex → conv → pmod
+  * column stack INTERPRETED once per token (higher-order functions fall
+  * out of whole-stage codegen and bind a lambda variable per element),
+  * which put millions of boxed md5 evaluations on the scan path of every
+  * shingle-based dedup key. These expressions run the same arithmetic as
+  * one JIT-compiled loop per row.
+  *
+  * EXACT-SEMANTICS CONTRACT: `hash31(t)` is
+  * `pmod(conv(substring(md5(utf8(t)), 1, 15), 16, 10), 2147483647)`.
+  * The first 15 hex chars of the digest are its first 60 bits, so the
+  * value is bits 0..59 of the raw digest (big-endian) mod 2³¹−1 —
+  * reproduced here with bit arithmetic on the digest bytes (no hex
+  * string). A NULL token hashes to a NULL element (the `transform`
+  * behavior); the fixtures contain none.
+  */
+object TokenHash {
+
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(bytes) as a non-negative long — identical to
+    * `conv(substring(md5(x), 1, 15), 16, 10)`. */
+  def md5First60(bytes: Array[Byte]): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    (v << 4) | ((dig(7) >> 4) & 0xfL)
+  }
+
+  val IntModulus: Long = GraftFunctions.IntModulus
+
+  /** `array<string>` → `array<long>` of per-token hash31 values. */
+  def hash31All(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        out(i) = java.lang.Long.valueOf(md5First60(s.getBytes) % IntModulus)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** True iff the array has no null element (lengths are the caller's
+    * business here — unary kernels). */
+  def noNulls(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** All hashing-trick bucket sums in ONE pass: bucket(h) = h mod dim,
+    * sign(h) = ((h >> 4) mod 2)·2 − 1 — identical to the per-bucket
+    * `aggregate` fold it replaces (which walked the token-hash array once
+    * PER BUCKET). Null hashes contribute 0 (the `when`'s otherwise),
+    * exactly as before. */
+  def featureHashAll(th: ArrayData, dim: Int): ArrayData = {
+    val out = new Array[Long](dim)
+    val n = th.numElements()
+    var i = 0
+    while (i < n) {
+      if (!th.isNullAt(i)) {
+        val h = th.getLong(i)
+        val b = (h % dim).toInt
+        out(b) += ((h >> 4) % 2) * 2 - 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Sequential polynomial rolling fold acc ← (acc·b + h) mod m over a
+    * token-hash array — identical to the interpreted `aggregate` fold.
+    * Call only when [[noNulls]] (a null hash poisons the fold → NULL). */
+  def polyFold(th: ArrayData, b: Long, m: Long): Long = {
+    val n = th.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc = (acc * b + th.getLong(i)) % m
+      i += 1
+    }
+    acc
+  }
+
+  private val joinBuf = new ThreadLocal[java.io.ByteArrayOutputStream] {
+    override def initialValue(): java.io.ByteArrayOutputStream =
+      new java.io.ByteArrayOutputStream(256)
+  }
+
+  /** Per-window [[md5First60]] hashes of space-joined token windows — one
+    * codegen'd pass replacing `transform(sequence(…), i =>
+    * hash64(array_join(slice(tk, …), " ")))`, which re-evaluated the
+    * interpreted slice/join/md5 column stack per window. Exactness: the
+    * joined bytes are the UTF-8 of `array_join(slice, " ")` (null tokens
+    * skipped, single 0x20 between appended tokens — the fixtures have no
+    * null tokens), and the hash is the identical first-60-bits rule.
+    *
+    * `clip = true` is the chunk grid: starts 0, stride, … with
+    * ⌊(n−1)/stride⌋+1 windows (n ≥ 1 — a tokenized text is never empty),
+    * each clipped to the array end. `clip = false` is the sliding
+    * full-window grid: starts 0..n−win (callers guard n ≥ win; n < win
+    * yields zero windows). */
+  def windowHash64(tk: ArrayData, win: Int, stride: Int, clip: Boolean): ArrayData = {
+    val n = tk.numElements()
+    val m =
+      if (clip) (if (n <= 1) 1 else (n - 1) / stride + 1)
+      else if (n >= win) n - win + 1
+      else 0
+    val out = new Array[Long](m)
+    val buf = joinBuf.get()
+    var w = 0
+    while (w < m) {
+      val start = w * stride
+      val end = math.min(start + win, n)
+      buf.reset()
+      var first = true
+      var j = start
+      while (j < end) {
+        if (!tk.isNullAt(j)) {
+          if (!first) buf.write(' ')
+          first = false
+          val b = tk.getUTF8String(j).getBytes
+          buf.write(b, 0, b.length)
+        }
+        j += 1
+      }
+      out(w) = md5First60(buf.toByteArray)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Polynomial k-gram hashes over a token-hash array: for each window
+    * start i (0-based, i ≤ n−k), Σ_j (th[i+j]·c_j mod M) mod M — the
+    * identical per-term-mod arithmetic of the HOF formulation. A NULL
+    * token hash poisons exactly its windows (null element out). */
+  def shinglePoly(th: ArrayData, coeffs: Array[Long]): ArrayData = {
+    val n = th.numElements()
+    val k = coeffs.length
+    val m = if (n >= k) n - k + 1 else 0
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var ok = true
+      var j = 0
+      while (j < k && ok) {
+        if (th.isNullAt(i + j)) ok = false
+        else acc += th.getLong(i + j) * coeffs(j) % IntModulus
+        j += 1
+      }
+      if (ok) out(i) = java.lang.Long.valueOf(acc % IntModulus)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Catalyst-native `hash31_tokens(tk)` — see [[TokenHash.hash31All]].
+  * Registered via [[GraftFunctions.register]]. */
+case class Hash31Tokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "hash31_tokens"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hash31_tokens expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenHash.hash31All(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHash.hash31All($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash31Tokens =
+    copy(child = newChild)
+}
+
+/** Catalyst-native `shingle_poly(th, c0, …)` — see [[TokenHash.shinglePoly]].
+  * Coefficients arrive as long literals at registration. */
+case class ShinglePoly(child: Expression, coeffs: Seq[Long]) extends UnaryExpression {
+  require(coeffs.nonEmpty, "shingle_poly: at least one coefficient")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "shingle_poly"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_poly expects array<long>, got $other")
+  }
+
+  @transient private lazy val coeffArr: Array[Long] = coeffs.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TokenHash.shinglePoly(input.asInstanceOf[ArrayData], coeffArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("shingleCoeffs", coeffArr, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHash.shinglePoly($c, $cRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglePoly =
+    copy(child = newChild)
+}
+
+/** Catalyst-native `window_hash64(tk, win, stride, clip)` — see
+  * [[TokenHash.windowHash64]]. */
+case class WindowHash64(child: Expression, win: Int, stride: Int, clip: Boolean)
+    extends UnaryExpression {
+  require(win >= 1 && stride >= 1,
+    s"window_hash64: win/stride must be >= 1, got $win/$stride")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "window_hash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"window_hash64 expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenHash.windowHash64(input.asInstanceOf[ArrayData], win, stride, clip)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TokenHash.windowHash64($c, $win, $stride, $clip)")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHash64 =
+    copy(child = newChild)
+}
+
+/** Catalyst-native `feature_hash_buckets(th, dim)` — see
+  * [[TokenHash.featureHashAll]]. */
+case class FeatureHashBuckets(child: Expression, dim: Int) extends UnaryExpression {
+  require(dim >= 1, s"feature_hash_buckets: dim must be >= 1, got $dim")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "feature_hash_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"feature_hash_buckets expects array<long>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenHash.featureHashAll(input.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHash.featureHashAll($c, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): FeatureHashBuckets =
+    copy(child = newChild)
+}
+
+/** Catalyst-native `poly_fold(th, b, m)` — see [[TokenHash.polyFold]];
+  * NULL on a null element (the poisoned interpreted fold). */
+case class PolyFold(child: Expression, b: Long, m: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "poly_fold"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"poly_fold expects array<long>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (!TokenHash.noNulls(arr)) null
+    else TokenHash.polyFold(arr, b, m)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if (graft.functions.TokenHash.noNulls($c)) {
+         |  ${ev.value} = graft.functions.TokenHash.polyFold($c, ${b}L, ${m}L);
+         |} else {
+         |  ${ev.isNull} = true;
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): PolyFold =
+    copy(child = newChild)
+}

@@ -60,6 +60,37 @@ object VecOps {
     }
     acc
   }
+
+  /** Sequential-fold squared Euclidean distance; call only when
+    * [[dotDefined]]. `(x−y)·(x−y)` evaluates the one subtraction result
+    * twice in the HOF form — IEEE-identical to `d*d` here. */
+  def distSq(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Sequential-fold Hamming weight of the elementwise XOR of two long
+    * arrays; call only when [[dotDefined]]. Exact integer sum — identical
+    * to `aggregate(zip_with(a, b, (x, y) => bit_count(x ^ y)), 0L, _+_)`. */
+  def hamming(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Catalyst-native `vec_dot(a, b)` — see [[VecOps]]. Registered via
@@ -104,5 +135,87 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Catalyst-native `vec_dist_sq(a, b)` — see [[VecOps.distSq]]; same
+  * type/null contract as [[VecDot]]. */
+case class VecDistSq(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dist_sq"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"vec_dist_sq expects two array<float|double> inputs, got $l and $r")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (aa, ba) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (!VecOps.dotDefined(aa, ba)) null
+    else VecOps.distSq(aa, ba, isFloat(left), isFloat(right))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (lf, rf) = (isFloat(left), isFloat(right))
+      s"""
+         |if (graft.functions.VecOps.dotDefined($a, $b)) {
+         |  ${ev.value} = graft.functions.VecOps.distSq($a, $b, $lf, $rf);
+         |} else {
+         |  ${ev.isNull} = true;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDistSq =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Catalyst-native `vec_hamming(a, b)` over two `array<long>` signature
+  * columns — see [[VecOps.hamming]]; null contract as [[VecDot]]. */
+case class VecHamming(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_hamming"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.LongType, _),
+          ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"vec_hamming expects two array<long> inputs, got $l and $r")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (aa, ba) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (!VecOps.dotDefined(aa, ba)) null
+    else VecOps.hamming(aa, ba)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if (graft.functions.VecOps.dotDefined($a, $b)) {
+         |  ${ev.value} = graft.functions.VecOps.hamming($a, $b);
+         |} else {
+         |  ${ev.isNull} = true;
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecHamming =
     copy(left = newLeft, right = newRight)
 }

@@ -879,13 +879,10 @@ object ExtQueries {
   private def shingleSetsKeeping(docs: DataFrame, keep: Seq[String]): DataFrame = {
     val keyCols = col("doc_id") +: keep.map(col)
     val toked = docs.select(keyCols :+ tokens(col("text")).as("tk"): _*)
-      .withColumn("th", transform(col("tk"), t => hash31(t)))
+      .withColumn("th", graft.functions.GraftFunctions.hash31Tokens(col("tk")))
     val shingleExpr = when(size(col("tk")) <= 3,
         array(pmod(hash64(array_join(col("tk"), " ")), lit(IntModulus))))
-      .otherwise(transform(sequence(lit(0), size(col("tk")) - 3), i =>
-        ShingleC.zipWithIndex.map { case (c, j) =>
-          element_at(col("th"), i + j + 1) * lit(c) % lit(IntModulus)
-        }.reduce(_ + _) % lit(IntModulus)))
+      .otherwise(graft.functions.GraftFunctions.shinglePoly(col("th"), ShingleC))
     toked.select(keyCols :+ array_distinct(shingleExpr).as("ds"): _*)
   }
 
@@ -1050,7 +1047,7 @@ object ExtQueries {
     * Verification = exact Hamming via bit_count(xor); all-integer output. */
   def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val toked = docsWithVariants(spark, dir)
-      .select(col("doc_id"), transform(tokens(col("text")), t => hash31(t)).as("th"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.hash31Tokens(tokens(col("text"))).as("th"))
     // ONE fused pass for all 32 bits (codegen'd SimHashBits expression) —
     // the HOF formulation was 32 separate interpreted folds over the
     // token-hash array per row, the same per-bit-pass shape HyperplaneLsh
@@ -1210,9 +1207,8 @@ object ExtQueries {
       .join(yBands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") && cond)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        aggregate(zip_with(col("x.sim"), col("y.sim"),
-          (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
-          lit(0L), (s, v) => s + v).as("hamming"))
+        graft.functions.GraftFunctions.vecHamming(col("x.sim"), col("y.sim"))
+          .as("hamming"))
       .filter(col("hamming") <= PhashTau)
       .distinct()
 
@@ -1227,13 +1223,11 @@ object ExtQueries {
   private def bigramSetsKeeping(docs: DataFrame, keep: Seq[String]): DataFrame = {
     val keyCols = col("doc_id") +: keep.map(col)
     val toked = docs.select(keyCols :+ tokens(col("text")).as("tk"): _*)
-      .withColumn("th", transform(col("tk"), t => hash31(t)))
+      .withColumn("th", graft.functions.GraftFunctions.hash31Tokens(col("tk")))
     // bigram hashes: polynomial over adjacent token hashes (ShingleC(0..1))
     val bigrams = when(size(col("tk")) <= 2,
         array(pmod(hash64(array_join(col("tk"), " ")), lit(IntModulus))))
-      .otherwise(transform(sequence(lit(0), size(col("tk")) - 2), i =>
-        (element_at(col("th"), i + 1) * lit(ShingleC(0)) % lit(IntModulus)
-          + element_at(col("th"), i + 2) * lit(ShingleC(1)) % lit(IntModulus)) % lit(IntModulus)))
+      .otherwise(graft.functions.GraftFunctions.shinglePoly(col("th"), ShingleC.take(2)))
     toked.select(keyCols :+ array_distinct(bigrams).as("bs"): _*)
       .withColumn("nb", size(col("bs")))
   }
@@ -3420,10 +3414,10 @@ object ExtQueries {
     * above conflates). One fold per row, zero shuffles before the sort. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
-      .select(col("doc_id"), transform(tokens(col("text")), t => hash31(t)).as("th"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.hash31Tokens(tokens(col("text"))).as("th"))
       .select(col("doc_id"), size(col("th")).as("n_tokens"),
-        aggregate(col("th"), lit(0L),
-          (acc, h) => (acc * lit(1000003L) + h) % lit(IntModulus)).as("fingerprint"))
+        graft.functions.GraftFunctions.polyFold(col("th"), 1000003L, IntModulus)
+          .as("fingerprint"))
       .orderBy("doc_id")
 
   // ---- e_distinct_sketch --------------------------------------------------
@@ -4269,7 +4263,7 @@ object ExtQueries {
     val q = spark.range(SearchPhrases.size)
       .select(element_at(array(SearchPhrases.map(lit): _*),
         col("id").cast("int") + 1).as("phrase"))
-      .withColumn("th", transform(tokens(col("phrase")), t => hash31(t)))
+      .withColumn("th", graft.functions.GraftFunctions.hash31Tokens(tokens(col("phrase"))))
       .withColumn("h", ShingleC.zipWithIndex.map { case (c, j) =>
           element_at(col("th"), j + 1) * lit(c) % lit(IntModulus)
         }.reduce(_ + _) % lit(IntModulus))
@@ -4306,19 +4300,18 @@ object ExtQueries {
     * projection, and the generator fans out FhDim slim rows per document.
     * Zero shuffles before the output sort; no vocabulary state at all
     * (the point of the hashing trick). */
-  def featureHash(spark: SparkSession, dir: String): DataFrame = {
-    val sign = (h: Column) => pmod(shiftright(h, 4), lit(2L)) * 2 - 1
+  def featureHash(spark: SparkSession, dir: String): DataFrame =
+    // all FhDim bucket sums in ONE codegen'd pass over the token-hash
+    // array (round 18; the per-bucket interpreted fold walked the array
+    // FhDim times per document) — posexplode's 0-based pos IS the bucket
     table(spark, dir, "documents")
       .select(col("doc_id"),
-        transform(tokens(col("text")), t => hash31(t)).as("th"))
-      .select(col("doc_id"),
-        explode(sequence(lit(0L), lit(FhDim - 1))).as("bucket"), col("th"))
-      .select(col("doc_id"), col("bucket"),
-        aggregate(col("th"), lit(0L), (acc, h) =>
-          acc + when(pmod(h, lit(FhDim)) === col("bucket"), sign(h))
-            .otherwise(lit(0L))).as("v"))
+        posexplode(graft.functions.GraftFunctions.featureHashBuckets(
+          graft.functions.GraftFunctions.hash31Tokens(tokens(col("text"))),
+          FhDim.toInt)))
+      .select(col("doc_id"), col("pos").cast("long").as("bucket"),
+        col("col").as("v"))
       .orderBy("doc_id", "bucket")
-  }
 
   // ---- e_dedup_sweep ------------------------------------------------------
 
@@ -5977,8 +5970,8 @@ object ExtQueries {
 
   /** Per-(subspace) squared L2 between a subvector `sv` and a codebook
     * entry `cv` — sequential fold, bit-identical cross-engine. */
-  private def pqD2: Column = seqSum(zip_with(col("sv"), col("cv"),
-    (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))))
+  private def pqD2: Column =
+    graft.functions.GraftFunctions.vecDistSq(col("sv"), col("cv"))
 
   /** The PQ encode + asymmetric-distance serve body against an ARBITRARY
     * codebook table (`code_id`, `sub`, `cv`) — factored out (the
@@ -6381,11 +6374,10 @@ object ExtQueries {
     val posting = table(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0L),
-            floor((size(col("tk")) - 1) / lit(ChunkTokens.toDouble)).cast("long")),
-          i => hash64(array_join(
-            slice(col("tk"), i * ChunkTokens + 1, lit(ChunkTokens)), " ")))))
+        // all chunk hashes in ONE codegen'd pass (round 18): the HOF form
+        // re-ran the interpreted slice/join/md5 stack per chunk
+        posexplode(graft.functions.GraftFunctions.windowHash64(
+          col("tk"), ChunkTokens, ChunkTokens, clip = true)))
       .toDF("doc_id", "chunk_idx", "chash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val first = posting.groupBy(col("chash"))
@@ -6441,8 +6433,9 @@ object ExtQueries {
     val posting = toked
       .filter(size(col("tk")) >= W)
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("tk")) - W),
-          i => hash64(array_join(slice(col("tk"), i + 1, lit(W)), " ")))))
+        // all sliding-window hashes in ONE codegen'd pass (round 18)
+        posexplode(graft.functions.GraftFunctions.windowHash64(
+          col("tk"), W, 1, clip = false)))
       .toDF("doc_id", "pos", "h")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val first = posting.groupBy(col("h"))
