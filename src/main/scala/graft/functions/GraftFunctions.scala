@@ -113,6 +113,13 @@ object GraftFunctions {
           FeatureHashBuckets(exprs.head, litInt(exprs(1), "dim"))
         }, "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "phash_sim", { exprs =>
+          require(exprs.length == 4,
+            s"phash_sim(ptxt, cells, bands, mod) takes 4 arguments, got ${exprs.length}")
+          PhashSim(exprs.head, litInt(exprs(1), "cells"), litInt(exprs(2), "bands"),
+            litLong(exprs(3), "mod"))
+        }, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "window_hash64", { exprs =>
           require(exprs.length == 4,
             s"window_hash64(tk, win, stride, clip) takes 4 arguments, got ${exprs.length}")
@@ -232,6 +239,14 @@ object GraftFunctions {
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .foreach(register)
     call_function("feature_hash_buckets", th, lit(dim))
+  }
+
+  /** Perceptual-hash band signature of a decoded payload string in one
+    * pass ([[TokenHash.phashSim]]). */
+  def phashSim(ptxt: Column, cells: Int, bands: Int, mod: Long): Column = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(register)
+    call_function("phash_sim", ptxt, lit(cells), lit(bands), lit(mod))
   }
 
   /** Per-window md5-based 60-bit hashes of space-joined token windows

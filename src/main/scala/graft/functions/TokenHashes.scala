@@ -156,6 +156,69 @@ object TokenHash {
     new GenericArrayData(out)
   }
 
+  /** The perceptual-hash band signature of [[phashSim]]'s scaladoc in one
+    * pass — replaces the per-cell interpreted substr/concat/md5 HOF plus
+    * the per-band interpreted bit fold. Exactness contract, mirroring the
+    * Column formulation cell by cell:
+    *   - the text splits at CODE-POINT boundaries (Spark `length`/`substr`
+    *     semantics): cell i covers code points [⌊i·n/cells⌋,
+    *     ⌊(i+1)·n/cells⌋) — i·n < 2³⁷ makes the former double-division
+    *     floor exactly integer division;
+    *   - cell intensity = md5First60(utf8("ph:" + i + ":" + cellText))
+    *     mod `mod` (concat-then-cast is byte concatenation of the ASCII
+    *     prefix and the cell's UTF-8 bytes);
+    *   - band b packs bits j = 0..bits−1 of cells b·bits+j with weight 2^j
+    *     (the MSB-first acc·2+bit fold), bit = intensity·cells > Σ
+    *     intensities. */
+  def phashSim(ptxt: UTF8String, cells: Int, bands: Int, mod: Long): ArrayData = {
+    val bytes = ptxt.getBytes
+    val n = ptxt.numChars()
+    // byte offset of each code-point boundary (one linear walk)
+    val cp = new Array[Int](n + 1)
+    var i = 0
+    var off = 0
+    while (i < n) {
+      cp(i) = off
+      val b = bytes(off)
+      off += (if ((b & 0x80) == 0) 1
+              else if ((b & 0xe0) == 0xc0) 2
+              else if ((b & 0xf0) == 0xe0) 3
+              else 4)
+      i += 1
+    }
+    cp(n) = bytes.length
+    val buf = joinBuf.get()
+    val intens = new Array[Long](cells)
+    var total = 0L
+    var c = 0
+    while (c < cells) {
+      val startCp = (c.toLong * n / cells).toInt
+      val endCp = ((c + 1).toLong * n / cells).toInt
+      buf.reset()
+      val prefix = ("ph:" + c + ":").getBytes("UTF-8")
+      buf.write(prefix, 0, prefix.length)
+      buf.write(bytes, cp(startCp), cp(endCp) - cp(startCp))
+      val v = md5First60(buf.toByteArray) % mod
+      intens(c) = v
+      total += v
+      c += 1
+    }
+    val bits = cells / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var j = bits - 1
+      while (j >= 0) {
+        acc = acc * 2 + (if (intens(b * bits + j) * cells > total) 1L else 0L)
+        j -= 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Polynomial k-gram hashes over a token-hash array: for each window
     * start i (0-based, i ≤ n−k), Σ_j (th[i+j]·c_j mod M) mod M — the
     * identical per-term-mod arithmetic of the HOF formulation. A NULL
@@ -231,6 +294,37 @@ case class ShinglePoly(child: Expression, coeffs: Seq[Long]) extends UnaryExpres
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShinglePoly =
+    copy(child = newChild)
+}
+
+/** Catalyst-native `phash_sim(ptxt, cells, bands, mod)` — the whole
+  * perceptual-hash band signature in ONE pass (see
+  * [[TokenHash.phashSim]]). */
+case class PhashSim(child: Expression, cells: Int, bands: Int, mod: Long)
+    extends UnaryExpression {
+  require(cells >= 1 && bands >= 1 && cells % bands == 0,
+    s"phash_sim: bands ($bands) must divide cells ($cells)")
+  require(cells / bands <= 63,
+    s"phash_sim: ${cells / bands} bits per band does not fit a long")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "phash_sim"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"phash_sim expects string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenHash.phashSim(input.asInstanceOf[UTF8String], cells, bands, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TokenHash.phashSim($c, $cells, $bands, ${mod}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): PhashSim =
     copy(child = newChild)
 }
 

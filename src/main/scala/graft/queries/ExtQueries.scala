@@ -1159,36 +1159,19 @@ object ExtQueries {
     * grid. Driver-side replays must index by code point too
     * (`offsetByCodePoints`, see MediaDedupSpec), not UTF-16 chars.
     * NOT persisted — each caller owns its materialization boundary. */
-  private[graft] def phashSignatures(docs: DataFrame): DataFrame = {
-    val base = docs
+  private[graft] def phashSignatures(docs: DataFrame): DataFrame =
+    // the whole cell-grid + band-fold signature in ONE codegen'd pass
+    // (round 18, [[graft.functions.TokenHash.phashSim]] — the HOF form
+    // re-ran an interpreted substr/concat/md5 stack per cell and an
+    // interpreted bit fold per band; cell boundaries, intensities, and
+    // the MSB-first acc·2+bit packing are reproduced bit-for-bit, and
+    // the oracle's (i*n)//64 derivation is unchanged)
+    docs
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .select(col("doc_id"), decode(col("payload"), "UTF-8").as("ptxt"))
-      .withColumn("n", length(col("ptxt")).cast("long"))
-    // integer division by the cell count via exact doubles (the
-    // lengthBucket device: i·n < 2³⁷ is double-exact, /64 is a binary
-    // scale) — identical to the oracle's (i*n) // 64
-    def cdiv(x: Column): Column =
-      floor(x.cast("double") / lit(PhashCells.toDouble)).cast("long")
-    val cells = transform(sequence(lit(0L), lit(PhashCells - 1L)), i => {
-      val start = cdiv(i * col("n")) + lit(1L)
-      val clen = cdiv((i + lit(1L)) * col("n")) - cdiv(i * col("n"))
-      pmod(hash64(concat(lit("ph:"), i.cast("string"), lit(":"),
-        col("ptxt").substr(start.cast("int"), clen.cast("int")))),
-        lit(PhashIntensityMod))
-    })
-    // band values built MSB-first with an acc·2+bit fold — seed-0 in Spark
-    // ≡ DuckDB's seedless list_reduce (first element IS bit 15's fold
-    // state), and no shiftleft-by-column is needed anywhere
-    val bandVals = transform(sequence(lit(0), lit(PhashBands - 1)), b =>
-      aggregate(sequence(lit(15), lit(0), lit(-1)), lit(0L), (acc, j) =>
-        acc * lit(2L) + when(
-          element_at(col("cl"), b * lit(16) + j + lit(1))
-            * lit(PhashCells.toLong) > col("total"), lit(1L))
-          .otherwise(lit(0L))))
-    base.select(col("doc_id"), cells.as("cl"))
-      .withColumn("total", aggregate(col("cl"), lit(0L), (a, x) => a + x))
-      .select(col("doc_id"), bandVals.as("sim"))
-  }
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.phashSim(col("ptxt"),
+          PhashCells, PhashBands, PhashIntensityMod).as("sim"))
 
   /** `(doc_id, sim, band, bv)` band-bucket rows of a signature frame. */
   private[graft] def phashBands(sigs: DataFrame): DataFrame =
