@@ -113,6 +113,18 @@ object GraftFunctions {
           FeatureHashBuckets(exprs.head, litInt(exprs(1), "dim"))
         }, "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bigram_hashes", { exprs =>
+          require(exprs.length == 1,
+            s"bigram_hashes(tk) takes 1 argument, got ${exprs.length}")
+          BigramHashes(exprs.head)
+        }, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "char_qgrams", { exprs =>
+          require(exprs.length == 2,
+            s"char_qgrams(s, q) takes 2 arguments, got ${exprs.length}")
+          CharQGrams(exprs.head, litInt(exprs(1), "q"))
+        }, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "phash_sim", { exprs =>
           require(exprs.length == 4,
             s"phash_sim(ptxt, cells, bands, mod) takes 4 arguments, got ${exprs.length}")
@@ -239,6 +251,22 @@ object GraftFunctions {
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .foreach(register)
     call_function("feature_hash_buckets", th, lit(dim))
+  }
+
+  /** All (h_prev, h_bigram) hash pairs of a token array column in one
+    * pass ([[TokenHash.bigramHashes]]). */
+  def bigramHashes(tk: Column): Column = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(register)
+    call_function("bigram_hashes", tk)
+  }
+
+  /** All positional q-grams of a string column in one pass
+    * ([[TokenHash.charQGrams]]). */
+  def charQGrams(s: Column, q: Int): Column = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(register)
+    call_function("char_qgrams", s, lit(q))
   }
 
   /** Perceptual-hash band signature of a decoded payload string in one

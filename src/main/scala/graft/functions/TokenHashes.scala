@@ -156,6 +156,73 @@ object TokenHash {
     new GenericArrayData(out)
   }
 
+  /** All (h_prev, h_bigram) hash pairs of a token array in one pass —
+    * replaces the per-position interpreted `struct(hash64(tok_i),
+    * hash64(concat_ws("", tok_i, tok_{i+1})))` transform. Exactness:
+    * hp = [[md5First60]] of token i's UTF-8 bytes; hb = the same hash of
+    * token i's bytes + 0x1f + token i+1's bytes (concat_ws of non-null
+    * strings). Callers guard n ≥ 2. A null token (never produced by the
+    * whitespace tokenizer) yields a null pair element. */
+  def bigramHashes(tk: ArrayData): ArrayData = {
+    val n = tk.numElements()
+    val m = if (n >= 2) n - 1 else 0
+    val out = new Array[Any](m)
+    val buf = joinBuf.get()
+    var i = 0
+    var prevBytes: Array[Byte] =
+      if (n > 0 && !tk.isNullAt(0)) tk.getUTF8String(0).getBytes else null
+    while (i < m) {
+      val curBytes =
+        if (!tk.isNullAt(i + 1)) tk.getUTF8String(i + 1).getBytes else null
+      if (prevBytes != null && curBytes != null) {
+        buf.reset()
+        buf.write(prevBytes, 0, prevBytes.length)
+        buf.write(0x1f)
+        buf.write(curBytes, 0, curBytes.length)
+        out(i) = org.apache.spark.sql.catalyst.InternalRow(
+          md5First60(prevBytes), md5First60(buf.toByteArray))
+      }
+      prevBytes = curBytes
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** All positional q-grams of a string in one pass — replaces
+    * `transform(sequence(1, len−q+1), i -> substring(k, i, q))`, which
+    * re-ran the interpreted substring stack per position. Code-point
+    * boundaries (Spark `length`/`substring` semantics); for
+    * len < q the sequence(1, len−q+1) formulation still emits windows for
+    * the descending sequence — callers guard len ≥ q (enforced upstream by
+    * the EditMinKeyLen filter), so this kernel emits max(0, len−q+1)
+    * grams. */
+  def charQGrams(s: UTF8String, q: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = s.numChars()
+    val cp = new Array[Int](n + 1)
+    var i = 0
+    var off = 0
+    while (i < n) {
+      cp(i) = off
+      val b = bytes(off)
+      off += (if ((b & 0x80) == 0) 1
+              else if ((b & 0xe0) == 0xc0) 2
+              else if ((b & 0xf0) == 0xe0) 3
+              else 4)
+      i += 1
+    }
+    cp(n) = bytes.length
+    val m = if (n >= q) n - q + 1 else 0
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      out(i) = UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, cp(i), cp(i + q)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** The perceptual-hash band signature of [[phashSim]]'s scaladoc in one
     * pass — replaces the per-cell interpreted substr/concat/md5 HOF plus
     * the per-band interpreted bit fold. Exactness contract, mirroring the
@@ -294,6 +361,56 @@ case class ShinglePoly(child: Expression, coeffs: Seq[Long]) extends UnaryExpres
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShinglePoly =
+    copy(child = newChild)
+}
+
+/** Catalyst-native `bigram_hashes(tk)` — see [[TokenHash.bigramHashes]]. */
+case class BigramHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("hp", LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("hb", LongType, nullable = true))),
+    containsNull = true)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bigram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bigram_hashes expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenHash.bigramHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHash.bigramHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramHashes =
+    copy(child = newChild)
+}
+
+/** Catalyst-native `char_qgrams(s, q)` — see [[TokenHash.charQGrams]]. */
+case class CharQGrams(child: Expression, q: Int) extends UnaryExpression {
+  require(q >= 1, s"char_qgrams: q must be >= 1, got $q")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "char_qgrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_qgrams expects string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenHash.charQGrams(input.asInstanceOf[UTF8String], q)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHash.charQGrams($c, $q)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharQGrams =
     copy(child = newChild)
 }
 

@@ -124,6 +124,35 @@ class NativeKernelParitySpec extends AnyFunSuite {
     assert(diff.count() === 0)
   }
 
+  test("bigram_hashes matches the per-position hash64 struct transform") {
+    val words = Seq("alpha", "Beta", "γράμμα", "словцо", "x", "123", "emoji🙂")
+    val rows = (1 to 100).map { i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(25))(words(rnd.nextInt(words.size))))
+    }
+    val df = rows.toDF("id", "tk")
+    val hof = transform(sequence(lit(0), size(col("tk")) - 2), i => struct(
+      GraftFunctions.hash64(element_at(col("tk"), i + 1)).as("hp"),
+      GraftFunctions.hash64(concat_ws("\u001f", element_at(col("tk"), i + 1),
+        element_at(col("tk"), i + 2))).as("hb")))
+    val diff = df.select(col("id"), hof.as("h"),
+        GraftFunctions.bigramHashes(col("tk")).as("n"))
+      .filter(!(col("h").cast("array<struct<hp:long,hb:long>>") <=> col("n")))
+    assert(diff.count() === 0)
+  }
+
+  test("char_qgrams matches the positional substring transform, incl. multi-byte text") {
+    val pieces = Seq("abc", "γδε", "слв", "🙂xy", " z ")
+    val rows = (1 to 100).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(15))(pieces(rnd.nextInt(pieces.size))).mkString)
+    }
+    val df = rows.toDF("id", "k").withColumn("len", length(col("k")))
+    val hof = expr("transform(sequence(1, len - 2), i -> substring(k, i, 3))")
+    val diff = df.filter(col("len") >= 3)
+      .select(col("id"), hof.as("h"), GraftFunctions.charQGrams(col("k"), 3).as("n"))
+      .filter(!(col("h") <=> col("n")))
+    assert(diff.count() === 0)
+  }
+
   test("phash_sim matches the cell-grid + band-fold formulation, incl. multi-byte text") {
     val pieces = Seq("plain ascii text ", "κείμενο ", "слова ", "🙂🙃", "x", "")
     val rows = (1 to 80).map { i =>
